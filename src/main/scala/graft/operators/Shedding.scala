@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Load-shedding policies (ralf/policies/load_shedding_policy.py:6-61,
+  * gate at ralf/operator.py:199-208): decide, per pending update, whether
+  * to process it at all. Stateless policies become filters; policies that
+  * compare against the last KEPT value are inherently sequential per key
+  * and run as an ordered per-key fold.
+  */
+object Shedding {
+
+  /** `always_process` (load_shedding_policy.py:6-7): identity. */
+  def alwaysProcess(df: DataFrame): DataFrame = df
+
+  /** `make_sampling_policy(rate)` (load_shedding_policy.py:53-57):
+    * Bernoulli drop. Batch-deterministic variant: keep a fixed residue
+    * set of a unique id column — exactly reproducible across engines and
+    * runs, unlike rand(). keepNum/modulus ≈ the sampling rate.
+    */
+  def sampleDeterministic(df: DataFrame, idCol: Column, modulus: Int, keepBelow: Int): DataFrame =
+    df.filter(pmod(idCol, lit(modulus)) < lit(keepBelow))
+
+  /** `newer_processing_time` / `later_complete_time`
+    * (load_shedding_policy.py:10-11,60-61): drop an update unless it is
+    * newer than the table's current value. Processed in arrival order
+    * this keeps exactly the records that strictly increase `ord` —
+    * a prefix-max filter (the reference e2e test's `drop_smaller_values`,
+    * ralf/tests/test_e2e.py:118-142, is the same shape over `value`).
+    */
+  def keepIncreasing(df: DataFrame, key: String, arrivalOrd: Column, gateCol: Column): DataFrame = {
+    val prior = Window.partitionBy(col(key)).orderBy(arrivalOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_prior_max", max(gateCol).over(prior))
+      .filter(col("_prior_max").isNull || gateCol > col("_prior_max"))
+      .drop("_prior_max")
+  }
+
+  /** `make_mean_policy(thresh)` (load_shedding_policy.py:41-50): drop an
+    * update if its feature value moved less than `thresh` from the last
+    * KEPT value. Sequential per key — each decision depends on the
+    * previous decision, so no window function can express it
+    * (SURVEY.md §7 hard part 2).
+    *
+    * Physical plan: hash-repartition on key + in-partition sort + a
+    * single streaming pass (mapPartitions with key-change detection).
+    * One shuffle, O(1) state per key in flight, no per-key
+    * materialization — this is the scalable shape of any ordered
+    * per-key fold at 100 TB.
+    *
+    * Input must contain `key` (any type), `ordCol` (long-compatible) and
+    * `valueCol` (double). Output: input columns, kept rows only.
+    */
+  def meanPolicyFold(
+      df: DataFrame,
+      key: String,
+      ordCol: String,
+      valueCol: String,
+      thresh: Double
+  ): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(key)
+    val valIdx = schema.fieldIndex(valueCol)
+    val sorted = df
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(ordCol))
+    val enc = Encoders.row(schema)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var hasKept = false
+      var lastKept = 0.0
+      it.filter { row: Row =>
+        val k = row.get(keyIdx)
+        if (k != curKey) { curKey = k; hasKept = false; lastKept = 0.0 }
+        val v = row.getDouble(valIdx)
+        // First record of a key always processes (KeyError path in the
+        // reference gate, ralf/operator.py:203-206).
+        val keep = !hasKept || math.abs(v - lastKept) >= thresh
+        if (keep) { hasKept = true; lastKept = v }
+        keep
+      }
+    }(enc)
+  }
+
+  /** `make_cosine_policy(thresh)` (load_shedding_policy.py:14-38): same
+    * sequential gate, but the compared feature is a vector (the current
+    * window) and the distance is cosine. Input: `vecCol` is
+    * Array[Double]. Keep iff cosine_distance(candidate, lastKept) >=
+    * thresh (first record always kept).
+    */
+  def cosinePolicyFold(
+      df: DataFrame,
+      key: String,
+      ordCol: String,
+      vecCol: String,
+      thresh: Double
+  ): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(key)
+    val vecIdx = schema.fieldIndex(vecCol)
+    val sorted = df
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(ordCol))
+    val enc = Encoders.row(schema)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var lastKept: Array[Double] = null
+      def cosineDist(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+      }
+      it.filter { row: Row =>
+        val k = row.get(keyIdx)
+        if (k != curKey) { curKey = k; lastKept = null }
+        val v = row.getSeq[Double](vecIdx).toArray
+        val keep = lastKept == null || cosineDist(v, lastKept) >= thresh
+        if (keep) lastKept = v
+        keep
+      }
+    }(enc)
+  }
+
+  /** Processing-order policies (ralf/policies/processing_policy.py:6-24,
+    * v2 FIFO/LIFO schedulers): in batch these affect only the order in
+    * which updates are (notionally) applied — the final latest-wins
+    * table is order-independent (SURVEY.md §2.3) — so they surface as
+    * deterministic trace orderings.
+    */
+  def fifoTrace(df: DataFrame, ord: Column): DataFrame = df.orderBy(ord.asc)
+  def lifoTrace(df: DataFrame, ord: Column): DataFrame = df.orderBy(ord.desc)
+
+  /** `make_sorter_with_key_weights` (processing_policy.py:18-24): static
+    * key-priority ordering; weights ride in as a small map joined (or
+    * inlined as a CASE) before the sort.
+    */
+  def keyWeightTrace(df: DataFrame, priority: Column, ord: Column): DataFrame =
+    df.withColumn("priority", priority).orderBy(col("priority").desc, ord.asc)
+}

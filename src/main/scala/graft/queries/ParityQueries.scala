@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.FeatureFrame
+import graft.operators.{Joins, Shedding, Upsert, Windows}
+import graft.sources.Sources
+
+/** The ralf-parity query corpus (SURVEY.md §2): one named query per
+  * operator, each with a DuckDB oracle. Conventions for oracle parity:
+  *
+  *  - `event_id` is the canonical per-key order (verified monotone with
+  *    (ts, event_id) at every SF) — integer, so no timestamp-precision
+  *    hazards between Spark (µs) and DuckDB (ns).
+  *  - money-ish double aggregates go through DECIMAL so both engines sum
+  *    exactly, then cast back to DOUBLE (identical bits both sides).
+  *  - every query ends in a deterministic ORDER BY over unique columns.
+  *  - row_number outputs are cast to long (DuckDB row_number is BIGINT).
+  */
+object ParityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  // ---------------------------------------------------------------- map
+
+  /** SURVEY §2.1 #1-2 (Operator.on_record / Table.map): stateless
+    * per-record feature derivation, 1:1.
+    */
+  val mapFeature: Q = (s, dir) =>
+    events(s, dir).select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      round(col("value") / 100.0, 6).as("value_scaled"),
+      (col("event_type") === "purchase").cast("int").as("is_purchase"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k")
+    ).orderBy("event_id")
+
+  val mapFeatureSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  round(value / 100.0, 6) AS value_scaled,
+      |  CAST(event_type = 'purchase' AS INT) AS is_purchase,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------- upsert / queryable
+
+  /** SURVEY §2.1 #14 + #13 bulk query: latest-wins upsert state, all
+    * keys. Also the `newer_processing_time` shedding policy (§2.3) —
+    * keeping only updates newer than the current value IS latest-wins.
+    */
+  val latestFeature: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "event_type", "value")
+    FeatureFrame.source(e, "user_id", "event_id").bulkQuery
+  }
+
+  val latestFeatureSql: String =
+    """SELECT user_id, max(event_id) AS event_id,
+      |  arg_max(event_type, event_id) AS event_type,
+      |  arg_max(value, event_id) AS value,
+      |  count(*) AS num_updates
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** SURVEY §2.1 #13 point query: current value for one key. */
+  val pointQuery: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "event_type", "value")
+    FeatureFrame.source(e, "user_id", "event_id").pointQuery(7L)
+  }
+
+  val pointQuerySql: String =
+    """SELECT user_id, max(event_id) AS event_id,
+      |  arg_max(event_type, event_id) AS event_type,
+      |  arg_max(value, event_id) AS value,
+      |  count(*) AS num_updates
+      |FROM events WHERE user_id = 7 GROUP BY user_id""".stripMargin
+
+  // ------------------------------------------------------------ windows
+
+  /** SURVEY §2.1 #4: per-key count-based tumbling window (size 4),
+    * complete windows only, order-preserved window column.
+    */
+  val tumblingWindow: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "value")
+    Windows.tumbling(e, "user_id", col("event_id"), col("value"), size = 4)
+      .orderBy("user_id", "window_id")
+  }
+
+  val tumblingWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, (rn - 1) // 4 AS window_id,
+      |  list(value ORDER BY rn) AS window_values,
+      |  min(event_id) AS first_ord, max(event_id) AS last_ord
+      |FROM e GROUP BY user_id, window_id HAVING count(*) = 4
+      |ORDER BY user_id, window_id""".stripMargin
+
+  /** SURVEY §2.1 #5: per-key count-based sliding window (w=5, s=2):
+    * emit trailing-window aggregates at every slide point.
+    */
+  val slidingWindow: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "value")
+    Windows.sliding(e, "user_id", col("event_id"), col("value"), windowSize = 5, slideSize = 2)
+      .select(
+        col("user_id"), col("event_id"), col("_rn").cast("long").as("rn"),
+        round(col("w_avg"), 6).as("w_avg"),
+        round(col("w_sum"), 6).as("w_sum"),
+        col("w_min"), col("w_max"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val slidingWindowSql: String =
+    """SELECT user_id, event_id, rn,
+      |  round(w_avg, 6) AS w_avg, round(w_sum, 6) AS w_sum, w_min, w_max
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER w AS rn,
+      |    avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w_avg,
+      |    sum(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w_sum,
+      |    min(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w_min,
+      |    max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w_max
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |WHERE rn >= 5 AND (rn - 5) % 2 = 0
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** v2 `Sum` transform (SURVEY §2.2): running per-key fold. */
+  val runningSum: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "value")
+    Windows.runningSum(e, "user_id", col("event_id"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        round(col("running_sum"), 6).as("running_sum"), col("running_count"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val runningSumSql: String =
+    """SELECT user_id, event_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_count
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------------------- joins
+
+  /** SURVEY §2.1 #3 steady state: left stream enriched with the right
+    * side's latest value per key (feature join). Right side reduces to
+    * latest-per-key BEFORE the join and broadcasts.
+    */
+  val enrichLatestJoin: Q = (s, dir) => {
+    val e = events(s, dir)
+    val left = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "value")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "value")
+    val latestP = Upsert.latest(purchases, "user_id", col("event_id"))
+      .select(col("user_id").as("p_user_id"),
+        col("value").as("user_last_purchase"),
+        col("num_updates").as("user_purchase_count"))
+    left.join(broadcast(latestP), left("user_id") === latestP("p_user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("user_last_purchase"), col("user_purchase_count"))
+      .orderBy("event_id")
+  }
+
+  val enrichLatestJoinSql: String =
+    """WITH p AS (
+      |  SELECT user_id, arg_max(value, event_id) AS user_last_purchase,
+      |         count(*) AS user_purchase_count
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT e.event_id, e.user_id, e.value, p.user_last_purchase, p.user_purchase_count
+      |FROM events e LEFT JOIN p USING (user_id)
+      |WHERE e.event_type = 'view' ORDER BY e.event_id""".stripMargin
+
+  /** SURVEY §2.1 #3 exact buffer semantics: consume-once pairing — the
+    * i-th purchase of a user pairs with the i-th click of that user.
+    */
+  val sequenceJoin: Q = (s, dir) => {
+    val e = events(s, dir)
+    val left = e.filter(col("event_type") === "purchase").select("user_id", "event_id", "value")
+    val right = e.filter(col("event_type") === "click").select("user_id", "event_id", "value")
+    Joins.sequenceJoin(left, right, "user_id", "event_id", "event_id")
+      .select(
+        col("l_user_id").as("user_id"), col("_seq").cast("long").as("seq"),
+        col("l_event_id"), col("l_value"), col("r_event_id"), col("r_value"))
+      .orderBy("user_id", "seq")
+  }
+
+  val sequenceJoinSql: String =
+    """WITH l AS (
+      |  SELECT user_id, event_id AS l_event_id, value AS l_value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, event_id AS r_event_id, value AS r_value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |  FROM events WHERE event_type = 'click')
+      |SELECT user_id, seq, l_event_id, l_value, r_event_id, r_value
+      |FROM l JOIN r USING (user_id, seq)
+      |ORDER BY user_id, seq""".stripMargin
+
+  /** Keyed left join against a dimension table (broadcast hash join). */
+  val dimJoin: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    Joins.dimLeftJoin(o, c, "o_custkey", "c_custkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  val dimJoinSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- shedding
+
+  /** SURVEY §2.3 sampling policy (deterministic variant) feeding the
+    * upsert state: shed 70% of updates, keep the latest of the rest.
+    */
+  val shedSample: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "value")
+    FeatureFrame.source(e, "user_id", "event_id")
+      .shedSample("event_id", modulus = 10, keepBelow = 3)
+      .bulkQuery
+  }
+
+  val shedSampleSql: String =
+    """SELECT user_id, max(event_id) AS event_id,
+      |  arg_max(value, event_id) AS value, count(*) AS num_updates
+      |FROM events WHERE event_id % 10 < 3
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** SURVEY §2.3 newer-than gate over a non-monotone column — the
+    * reference e2e `drop_smaller_values` policy
+    * (ralf/tests/test_e2e.py:118-142): keep an update only if it
+    * strictly exceeds everything kept before it (prefix max).
+    */
+  val shedIncreasing: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "value")
+    Shedding.keepIncreasing(e, "user_id", col("event_id"), col("value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val shedIncreasingSql: String =
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    max(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM events)
+      |WHERE pm IS NULL OR value > pm
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** SURVEY §2.3 `make_mean_policy`: sequential per-key fold against the
+    * last KEPT value — not expressible in SQL (no oracle; exact-fold
+    * semantics covered by ScalaTest against an in-memory reference fold).
+    */
+  val shedMeanPolicy: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "value")
+    Shedding.meanPolicyFold(e, "user_id", "event_id", "value", thresh = 50.0)
+      .orderBy("user_id", "event_id")
+  }
+
+  /** SURVEY §2.3 `make_cosine_policy`: the same sequential gate over a
+    * windowed feature vector with cosine distance (no SQL oracle).
+    */
+  val shedCosinePolicy: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "value")
+    val windows = Windows.tumbling(e, "user_id", col("event_id"), col("value"), size = 4)
+      .select(col("user_id"), col("window_id"), col("window_values"))
+    Shedding.cosinePolicyFold(windows, "user_id", "window_id", "window_values", thresh = 0.02)
+      .select(col("user_id"), col("window_id"))
+      .orderBy("user_id", "window_id")
+  }
+
+  /** SURVEY §2.3 processing-order / prioritization policies: static
+    * key-weight priority trace (make_sorter_with_key_weights) — the
+    * batch-observable artifact is the deterministic processing order.
+    */
+  val priorityTrace: Q = (s, dir) => {
+    val e = events(s, dir)
+    val priority = when(col("event_type") === "purchase", 3)
+      .when(col("event_type") === "signup", 2)
+      .when(col("event_type") === "error", 1)
+      .otherwise(0)
+    Shedding.keyWeightTrace(e.select("event_id", "user_id", "event_type"), priority, col("event_id"))
+      .limit(100)
+  }
+
+  val priorityTraceSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+      |       WHEN 'error' THEN 1 ELSE 0 END AS priority
+      |FROM events
+      |ORDER BY priority DESC, event_id LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------ sources
+
+  /** SURVEY §2.2 CounterSource: synthetic range source through a map. */
+  val sourceCounter: Q = (s, _) =>
+    Sources.counter(s, 100)
+      .select(col("value"), (col("value") * col("value")).as("square"))
+      .orderBy("value")
+
+  val sourceCounterSql: String =
+    "SELECT v AS value, v * v AS square FROM range(1, 101) t(v) ORDER BY value"
+
+  /** SURVEY §2.1 #8 FakeReader: keys × timesteps synthetic grid feeding
+    * the upsert state.
+    */
+  val sourceFake: Q = (s, _) => {
+    val src = Sources.fakeReader(s, numKeys = 5, timesteps = 20)
+    src.groupBy(col("key"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n"), max(col("seq")).as("last_seq"))
+      .orderBy("key")
+  }
+
+  val sourceFakeSql: String =
+    """WITH g AS (
+      |  SELECT CAST(k AS VARCHAR) AS key, 1.0 AS value, t * 5 + k AS seq
+      |  FROM range(0, 20) s(t) CROSS JOIN range(0, 5) kk(k))
+      |SELECT key, sum(value) AS total, count(*) AS n, max(seq) AS last_seq
+      |FROM g GROUP BY key ORDER BY key""".stripMargin
+
+  // ------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "q_map_feature" -> mapFeature,
+    "q_latest_feature" -> latestFeature,
+    "q_point_query" -> pointQuery,
+    "q_tumbling_window" -> tumblingWindow,
+    "q_sliding_window" -> slidingWindow,
+    "q_running_sum" -> runningSum,
+    "q_enrich_latest_join" -> enrichLatestJoin,
+    "q_sequence_join" -> sequenceJoin,
+    "q_dim_join" -> dimJoin,
+    "q_shed_sample" -> shedSample,
+    "q_shed_increasing" -> shedIncreasing,
+    "q_shed_mean_policy" -> shedMeanPolicy,
+    "q_shed_cosine_policy" -> shedCosinePolicy,
+    "q_priority_trace" -> priorityTrace,
+    "q_source_counter" -> sourceCounter,
+    "q_source_fake" -> sourceFake
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_map_feature" -> mapFeatureSql,
+    "q_latest_feature" -> latestFeatureSql,
+    "q_point_query" -> pointQuerySql,
+    "q_tumbling_window" -> tumblingWindowSql,
+    "q_sliding_window" -> slidingWindowSql,
+    "q_running_sum" -> runningSumSql,
+    "q_enrich_latest_join" -> enrichLatestJoinSql,
+    "q_sequence_join" -> sequenceJoinSql,
+    "q_dim_join" -> dimJoinSql,
+    "q_shed_sample" -> shedSampleSql,
+    "q_shed_increasing" -> shedIncreasingSql,
+    "q_priority_trace" -> priorityTraceSql,
+    "q_source_counter" -> sourceCounterSql,
+    "q_source_fake" -> sourceFakeSql
+  )
+}

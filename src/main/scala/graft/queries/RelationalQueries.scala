@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational / analytical queries over the TPC-H-ish corpus. These are
+  * the bench headliners: big scans + hash aggregates + broadcast joins.
+  *
+  * Float-determinism convention: money columns are summed as DECIMAL
+  * (exact — both engines produce the identical rational, hence identical
+  * DOUBLE after the final cast), never as floating point.
+  */
+object RelationalQueries {
+
+  import ParityQueries.Q
+
+  /** TPC-H Q1 shape: pricing summary. One scan of lineitem with the
+    * shipdate predicate pushed to parquet, hash aggregate with map-side
+    * partial combine over a 6-group key space — shuffle volume is O(6),
+    * the plan scales linearly with input.
+    */
+  val pricingSummary: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1).cast("decimal(18,2)") - disc) * (lit(1).cast("decimal(18,2)") + tax))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order")
+      )
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: top-10 orders by revenue for one market segment.
+    * customer (filtered) broadcasts into orders; the lineitem aggregate
+    * is partial-combined before its single shuffle; top-k is a
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  val topRevenueOrders: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val rev = li.groupBy(col("l_orderkey"))
+      .agg(sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double").as("revenue"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(rev, o("o_orderkey") === rev("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("revenue"), col("o_orderstatus"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val topRevenueOrdersSql: String =
+    """WITH rev AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o_orderkey, o_custkey, revenue, o_orderstatus
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN rev ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Event-stream rollup: per event_type stats (hash agg + distinct). */
+  val eventTypeStats: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+      .orderBy("event_type")
+  }
+
+  val eventTypeStatsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(value) AS min_value, max(value) AS max_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_pricing_summary" -> pricingSummary,
+    "q_top_revenue_orders" -> topRevenueOrders,
+    "q_event_type_stats" -> eventTypeStats
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" -> pricingSummarySql,
+    "q_top_revenue_orders" -> topRevenueOrdersSql,
+    "q_event_type_stats" -> eventTypeStatsSql
+  )
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.operators.{Joins, Shedding, Upsert, Windows}
+
+/** Semantic assertions mirroring the reference test suite
+  * (ralf/tests/test_e2e.py, test_state.py, test_load_shedding.py) —
+  * outcomes, not golden files.
+  */
+class OperatorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val stream = Seq(
+    // (key, ord, value)
+    ("a", 1L, 10.0), ("a", 2L, 5.0), ("a", 3L, 20.0), ("a", 4L, 21.0), ("a", 5L, 90.0),
+    ("b", 1L, 1.0), ("b", 2L, 2.0), ("b", 3L, 3.0)
+  ).toDF("key", "ord", "value")
+
+  test("upsert latest-wins: exactly one current record per key, latest value") {
+    val t = Upsert.latest(stream, "key", col("ord")).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(t == Map("a" -> ((5L, 90.0, 5L)), "b" -> ((3L, 3.0, 3L))))
+  }
+
+  test("point query returns the key's current value; miss returns empty") {
+    val ff = core.FeatureFrame.source(stream, "key", "ord")
+    assert(ff.pointQuery("a").select("value").as[Double].head() == 90.0)
+    assert(ff.pointQuery("zzz").isEmpty)
+  }
+
+  test("tumbling window: complete buckets only, order-preserved values") {
+    val w = Windows.tumbling(stream, "key", col("ord"), col("value"), size = 2)
+      .select("key", "window_id", "window_values").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Double](2).toList).toMap
+    // a: 5 records -> 2 complete windows; b: 3 records -> 1
+    assert(w == Map(
+      ("a", 0L) -> List(10.0, 5.0), ("a", 1L) -> List(20.0, 21.0),
+      ("b", 0L) -> List(1.0, 2.0)))
+  }
+
+  test("sliding window emission count = max(0, floor((n-w)/s)+1) per key") {
+    val n = 23; val w = 5; val s = 3
+    val df = spark.range(1, n + 1).select(lit("k").as("key"), col("id").as("ord"),
+      col("id").cast("double").as("value"))
+    val out = Windows.sliding(df, "key", col("ord"), col("value"), w, s)
+    assert(out.count() == ((n - w) / s + 1))
+    // trailing-window sum at the first emission = 1+2+3+4+5
+    assert(out.orderBy("ord").select("w_sum").as[Double].head() == 15.0)
+  }
+
+  test("sequence join pairs i-th left with i-th right per key, unpaired drop") {
+    val left = Seq(("a", 1L, "l1"), ("a", 3L, "l2"), ("a", 9L, "l3"), ("b", 1L, "l1"))
+      .toDF("key", "ord", "tag")
+    val right = Seq(("a", 2L, "r1"), ("a", 4L, "r2"), ("c", 1L, "r1"))
+      .toDF("key", "ord", "tag")
+    val out = Joins.sequenceJoin(left, right, "key", "ord", "ord")
+      .select("l_key", "_seq", "l_tag", "r_tag").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(out == Set(("a", 1, "l1", "r1"), ("a", 2, "l2", "r2")))
+  }
+
+  test("keepIncreasing ≡ reference drop_smaller_values: keeps prefix-max strict increases") {
+    val kept = Shedding.keepIncreasing(stream, "key", col("ord"), col("value"))
+      .orderBy("key", "ord").select("key", "value").as[(String, Double)].collect().toList
+    assert(kept == List("a" -> 10.0, "a" -> 20.0, "a" -> 21.0, "a" -> 90.0,
+      "b" -> 1.0, "b" -> 2.0, "b" -> 3.0))
+  }
+
+  /** In-memory reference fold for make_mean_policy
+    * (ralf/policies/load_shedding_policy.py:41-50): keep iff
+    * |v - lastKept| >= thresh, first record always kept.
+    */
+  private def refMeanFold(rows: Seq[(String, Long, Double)], thresh: Double): Set[(String, Long)] = {
+    rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      var last = Option.empty[Double]
+      rs.sortBy(_._2).flatMap { case (k, o, v) =>
+        if (last.isEmpty || math.abs(v - last.get) >= thresh) { last = Some(v); Some((k, o)) }
+        else None
+      }
+    }.toSet
+  }
+
+  test("meanPolicyFold matches the in-memory reference fold (incl. across partitions)") {
+    val rng = new scala.util.Random(42)
+    val rows = for (k <- 'a' to 'j'; i <- 1 to 200)
+      yield (k.toString, i.toLong, rng.nextDouble() * 100)
+    val df = spark.createDataFrame(rows).toDF("key", "ord", "value").repartition(7)
+    val got = Shedding.meanPolicyFold(df, "key", "ord", "value", thresh = 30.0)
+      .select("key", "ord").as[(String, Long)].collect().toSet
+    assert(got == refMeanFold(rows, 30.0))
+    assert(got.size < rows.size) // policy actually sheds something
+  }
+
+  test("cosinePolicyFold: identical vectors shed, changed vectors kept, first always kept") {
+    val rows = Seq(
+      ("a", 1L, Seq(1.0, 0.0)), ("a", 2L, Seq(2.0, 0.0)), // cosine-identical -> shed
+      ("a", 3L, Seq(0.0, 1.0)), // orthogonal -> kept
+      ("b", 1L, Seq(5.0, 5.0))
+    ).toDF("key", "ord", "vec")
+    val kept = Shedding.cosinePolicyFold(rows, "key", "ord", "vec", thresh = 0.01)
+      .select("key", "ord").as[(String, Long)].collect().toSet
+    assert(kept == Set(("a", 1L), ("a", 3L), ("b", 1L)))
+  }
+
+  test("sampleDeterministic keeps exactly the residue set") {
+    val df = spark.range(0, 1000).toDF("id")
+    val kept = Shedding.sampleDeterministic(df, col("id"), modulus = 10, keepBelow = 3)
+    assert(kept.count() == 300)
+    assert(kept.filter(col("id") % 10 >= 3).isEmpty)
+  }
+
+  test("e2e multiset: counter source 1..100 through map reaches sink unchanged") {
+    val out = sources.Sources.counter(spark, 100).select("value").as[Long]
+      .collect().sorted.toList
+    assert(out == (1L to 100L).toList)
+  }
+
+  test("enrichLatest: left rows get right's latest value; no right key -> null") {
+    val left = Seq(("a", 10L), ("c", 11L)).toDF("key", "ord")
+    val right = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 1L, 9.0)).toDF("rkey", "ord", "rv")
+    val out = Joins.enrichLatest(left, right, "key", "rkey", col("ord"))
+      .select("key", "rv").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out == Map("a" -> Some(2.0), "c" -> None))
+  }
+}
