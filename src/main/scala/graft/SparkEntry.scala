@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.FeatureFrame
-import graft.queries.{ParityQueries, RelationalQueries}
+import graft.queries.{LlmQueries, ParityQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -26,12 +26,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ RelationalQueries.queries
+    ParityQueries.queries ++ RelationalQueries.queries ++ LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the sequential-fold
     * shedding policies (not SQL-expressible; ScalaTest covers them).
     */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ RelationalQueries.oracleSql
+    ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++ LlmQueries.oracleSql
 }

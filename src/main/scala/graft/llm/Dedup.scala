@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.strhash
+
+/** Document deduplication for training-data pipelines. Four methods with
+  * different cost/recall tradeoffs; each a pure declarative plan.
+  *
+  * Scale notes (100 TB): every method below shuffles O(docs) or
+  * O(docs × small-constant) rows, never O(docs²). Pairwise work only
+  * happens inside LSH/band buckets, which bound candidate sets; the
+  * verify step joins signatures by doc id (hash join on the dedup key).
+  */
+object Dedup {
+
+  /** Exact dedup: group identical content (by full-text hash), keep the
+    * smallest doc_id as canonical. One hash-aggregate — map-side partial
+    * combine makes shuffle volume O(distinct docs).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("text_hash", strhash(col(textCol)))
+      .groupBy(col("text_hash"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies")
+      )
+
+  /** MinHash + LSH near-dup pairs.
+    *
+    * Plan shape: (1) per-doc signature — narrow, no shuffle;
+    * (2) explode `Bands` band digests and self-join on (band, digest) —
+    * shuffle keyed by digest, so only docs agreeing on a band meet;
+    * (3) verify candidates against full signatures (joined by doc id)
+    * and keep est-Jaccard >= `minJaccard`.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double
+  ): DataFrame = {
+    // Materialization barriers matter here: without them CollapseProject
+    // inlines the shingle-hash subtree into the signature lambda and the
+    // full tokenize+hash+distinct pipeline re-executes once per
+    // signature slot (×K); and the signature table feeds three plan
+    // branches (bands + both verify joins). Signatures are ~K longs per
+    // doc — caching them is what a 100 TB pipeline does too.
+    val xs = docs
+      .select(col(idCol).as("doc"), TextOps.shingleHashes(col(textCol)).as("xs"))
+      .cache()
+    val sigs = xs
+      .select(col("doc"), TextOps.minhashSignature(col("xs")).as("sig"))
+      .cache()
+    val bands = sigs
+      .select(col("doc"), posexplode(TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        TextOps.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard")
+      )
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** Per-doc SimHash values (frequency-weighted, see TextOps.simhash).
+    * The feature-hash array materializes (cache barrier) before the
+    * 48-bit loop so tokenization+hashing runs once per doc, not per bit.
+    */
+  def simhashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = docs
+      .select(col(idCol).as("doc"), TextOps.simhashFeatures(col(textCol)).as("hl"))
+      .cache()
+    hs.select(col("doc"), TextOps.simhash(col("hl")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxHamming.
+    *
+    * Blocking: split the SimBits bits into `chunks` equal chunks; by
+    * pigeonhole any pair within hamming <= chunks-1 shares at least one
+    * exact chunk, so the self-join key is (chunk_idx, chunk_value) — the
+    * scalable formulation (candidate sets bounded by chunk collisions,
+    * never O(n²)). Requires maxHamming <= chunks - 1.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      chunks: Int = 8
+  ): DataFrame = {
+    require(maxHamming <= chunks - 1, "pigeonhole blocking needs maxHamming <= chunks-1")
+    require(TextOps.SimBits % chunks == 0)
+    val w = TextOps.SimBits / chunks
+    val sh = simhashDocs(docs, idCol, textCol).cache()
+    val chunked = sh.select(
+      col("doc"),
+      col("simhash"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(chunks - 1)),
+          c => floor(col("simhash") / pow(lit(2.0), c * w).cast("long")) % pow(lit(2.0), w).cast("long")
+        )
+      ).as(Seq("chunk", "cval"))
+    )
+    val hamming = {
+      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+      bit_count(x)
+    }
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs.
+    *
+    * Explode distinct shingle hashes and self-join on the hash: a pair
+    * meets once per shared shingle, so `count(*)` per pair is the
+    * intersection size; set sizes join back in and
+    * jac = inter / (|A| + |B| - inter). Shuffle is keyed by shingle hash
+    * (skew on ubiquitous shingles is the hazard at scale — a stopword-
+    * shingle frequency cap is the standard mitigation).
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double
+  ): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("doc"),
+      TextOps.shingleHashes(col(textCol)).as("xs")
+    ).cache() // feeds both the size lookup and the exploded join
+    val sizes = sets.select(col("doc"), size(col("xs")).as("n"))
+    val ex = sets.select(col("doc"), explode(col("xs")).as("x"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.x") === col("b.x") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

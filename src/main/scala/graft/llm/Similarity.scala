@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Determinism contract with the DuckDB oracle: embeddings are cast to
+  * double FIRST (float→double is exact), then all dot products and norms
+  * are strict left-to-right folds — both engines produce bit-identical
+  * doubles, so rounded similarities hash-match.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product — native codegen'd expression
+    * (graft.functions.VecDot); same left-to-right summation order as
+    * `aggregate(zip_with(a, b, *), 0, +)` but without per-element boxing.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.VecDot(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Vectors with precomputed norms; `v` is array<double>. */
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v")
+    ).withColumn("nrm", norm(col("v")))
+
+  /** Near-duplicate pairs: cosine(a, b) >= minCosine over all pairs.
+    *
+    * Brute-force formulation (id-inequality join). Correct baseline; the
+    * scale path is [[lshTopK]]-style bucketing, which turns the cross
+    * join into a bucket-keyed equi-join.
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    p.as("a").join(p.as("b"), col("a.vid") < col("b.vid"))
+      .select(
+        col("a.vid").as("id_a"),
+        col("b.vid").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine")
+      )
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * others by cosine (ties broken by neighbor id). The baseline ANN
+    * oracle. Queries are a predicate over the same table, so the plan is
+    * a broadcast of the (small) query side against a full scan of the
+    * corpus — O(queries × corpus), embarrassingly parallel.
+    */
+  def bruteTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int
+  ): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    val q = p.filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = p.as("n").join(broadcast(q), col("qid") =!= col("n.vid"))
+      .select(
+        col("qid"),
+        col("n.vid").as("nid"),
+        (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine")
+      )
+    val rn = row_number().over(Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane weight for plane `p`, dim `j`:
+    * integer in [-3, 3]. Same formula is interpolated into the oracle.
+    */
+  def planeWeight(p: Column, j: Column): Column =
+    (p * 31 + j * 17) % 7 - 3
+
+  /** LSH bucket id: `planes` sign bits of deterministic hyperplane dot
+    * products, packed into a long. Vectors hashing to the same bucket are
+    * each other's candidate set.
+    */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    aggregate(
+      transform(
+        sequence(lit(0), lit(planes - 1)),
+        p => {
+          val w = transform(sequence(lit(0), lit(dims - 1)), j => planeWeight(p, j).cast("double"))
+          when(dot(v, w) > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
+        }
+      ),
+      lit(0L),
+      (acc, x) => acc + x
+    )
+
+  /** LSH-bucketed approximate top-k: rank by exact cosine WITHIN the
+    * query's bucket. The 100 TB path: the corpus shuffles once keyed by
+    * bucket; each query probes one bucket instead of the full corpus.
+    * Recall depends on `planes` (more planes → smaller buckets, lower
+    * recall per probe; multi-probe is the standard extension).
+    */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      planes: Int = 16,
+      dims: Int = 64
+  ): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    val q = p.filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val scored = p.as("n")
+      .join(broadcast(q), col("n.bucket") === q("bucket") && col("qid") =!= col("n.vid"))
+      .select(
+        col("qid"),
+        col("n.vid").as("nid"),
+        (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine")
+      )
+    val rn = row_number().over(Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+  }
+}

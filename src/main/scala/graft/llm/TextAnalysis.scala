@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar features for corpus curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen-friendly, no UDFs); constants shared with the
+  * oracle SQL generator.
+  */
+object TextAnalysis {
+
+  /** Per-language marker word lists for the n-gram/stopword language-ID
+    * heuristic. Order matters: argmax ties resolve in this sequence.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "y", "una", "en"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3")
+  )
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Tokens matched by the BPE-ish splitter: letter runs, digit runs,
+    * single punctuation marks.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  private def markerCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(markers)))
+
+  /** Language ID: count marker-word hits per language, argmax with
+    * first-listed-language tie-break; no hits at all → "und".
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextOps.words(col(textCol))
+    val scored = docs.select(
+      (col(idCol).as("doc") +:
+        LangMarkers.map { case (lang, ms) => markerCount(ws, ms).as(s"s_$lang") }): _*
+    )
+    val langs = LangMarkers.map(_._1)
+    // lang L wins iff its score > 0, strictly beats every earlier
+    // language, and is >= every later one — i.e. argmax with ties going
+    // to the first-listed language.
+    var expr: Column = lit("und")
+    for ((lang, i) <- langs.zipWithIndex.reverse) {
+      val mine = col(s"s_$lang")
+      val geAll = langs.zipWithIndex
+        .filter(_._2 != i)
+        .map { case (other, j) =>
+          if (j < i) mine > col(s"s_$other") else mine >= col(s"s_$other")
+        }
+        .reduce(_ && _)
+      expr = when(mine > 0 && geAll, lang).otherwise(expr)
+    }
+    scored.select(
+      (col("doc") +: langs.map(l => col(s"s_$l")) :+ expr.as("pred_lang")): _*
+    )
+  }
+
+  /** Quality score: weighted blend of stopword ratio, capped average
+    * word length, and alphabetic-character ratio. Deterministic double
+    * arithmetic, identical operation order in the oracle.
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = TextOps.words(t)
+    val nWords = size(ws)
+    val stopRatio = size(filter(ws, w => w.isInCollection(EnStopwords))).cast("double") / nWords
+    val avgWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords
+    val alphaRatio = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t)
+    docs.select(
+      col(idCol).as("doc"),
+      nWords.as("n_words"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(avgWordLen, 6).as("avg_word_len"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round(
+        stopRatio * 0.4 + least(avgWordLen / 10.0, lit(1.0)) * 0.3 + alphaRatio * 0.3,
+        6
+      ).as("quality_score")
+    )
+  }
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens, plus
+    * chars-per-token (the compression-ratio proxy used for corpus stats).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val wsTokens = size(TextOps.words(t))
+    val bpeTokens = size(regexp_extract_all(t, lit(BpePattern), lit(0)))
+    docs.select(
+      col(idCol).as("doc"),
+      wsTokens.as("ws_tokens"),
+      bpeTokens.as("bpe_tokens"),
+      round(length(t).cast("double") / bpeTokens, 6).as("chars_per_token")
+    )
+  }
+
+  /** Rolling-hash document fingerprint (TextOps.fingerprint) plus summary
+    * stats — the join key for cross-corpus contamination checks.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc"),
+      TextOps.fingerprint(col(textCol)).as("fp")
+    ).select(
+      col("doc"),
+      size(col("fp")).as("n_fp"),
+      coalesce(try_element_at(col("fp"), lit(1)), lit(-1L)).as("fp_min"),
+      coalesce(try_element_at(col("fp"), lit(-1)), lit(-1L)).as("fp_max")
+    )
+}

@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
+  * near-dup + ANN, text analysis, multimodal plumbing.
+  *
+  * Every oracle below is GENERATED from the same constants the Spark
+  * plans use (TextOps / Similarity), so the two engines compute
+  * bit-identical results — including the custom string hash, which the
+  * oracle reproduces with `list_reduce` over `ascii()`.
+  */
+object LlmQueries {
+
+  import ParityQueries.Q
+
+  private val P = TextOps.P
+  private val K = TextOps.MinhashK
+  private val NB = TextOps.Bands
+  private val R = TextOps.Rows
+
+  // ------------------------------------------------ oracle SQL builders
+
+  /** DuckDB replica of graft.functions.StrHash over expression `e`.
+    * Lambda variable names are suffixed to survive nesting.
+    */
+  private def strhashSql(e: String, v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e)+1), ${v}i -> CAST(ascii(substring($e, CAST(${v}i AS INT), 1)) AS BIGINT))), " +
+      s"(${v}a, ${v}c) -> (${v}a*31 + ${v}c) % $P)"
+
+  /** words / shingles / distinct shingle hashes, as DuckDB CTEs. */
+  private val xsCte: String =
+    s"""wt AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+       |    ELSE list_transform(range(1, len(ws)-1),
+       |      si -> ws[CAST(si AS INT)] || ' ' || ws[CAST(si+1 AS INT)] || ' ' || ws[CAST(si+2 AS INT)]) END AS sg
+       |  FROM wt),
+       |xs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sg, sgv -> ${strhashSql("sgv", "h")})) AS xh
+       |  FROM sh)""".stripMargin
+
+  // ------------------------------------------------------- exact dedup
+
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("text_hash")
+
+  val dedupExactSql: String =
+    s"""SELECT ${strhashSql("text", "h")} AS text_hash,
+       |  min(doc_id) AS canonical_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  // ----------------------------------------------------- minhash + LSH
+
+  val dedupMinhash: Q = (s, dir) =>
+    Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.6)
+      .orderBy("doc_a", "doc_b")
+
+  val dedupMinhashSql: String =
+    s"""WITH $xsCte,
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, $K),
+       |    mi -> list_min(list_transform(xh,
+       |      mx -> ((mi*${TextOps.AMul} % ${P - 1} + 1) * mx + (mi*${TextOps.BMul} + 7) % $P) % $P))) AS sig
+       |  FROM xs),
+       |bands AS (
+       |  SELECT doc_id, CAST(bj AS INT) AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, bj*$R+1, bj*$R+$R)),
+       |      (ba, bv) -> (ba*31 + bv) % $P) AS digest
+       |  FROM sig, range(0, $NB) t(bj)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id)
+       |SELECT * FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_filter(range(1, ${K + 1}), zi -> sa.sig[CAST(zi AS INT)] = sb.sig[CAST(zi AS INT)])) AS DOUBLE) / $K AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b)
+       |WHERE est_jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------------- simhash
+
+  private val simhashCte: String = {
+    val bits = TextOps.SimBits
+    s"""wt AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN [text]
+       |    ELSE list_transform(range(1, len(ws)),
+       |      bi -> ws[CAST(bi AS INT)] || ' ' || ws[CAST(bi+1 AS INT)]) END AS bgs
+       |  FROM wt),
+       |hs AS (
+       |  SELECT doc_id, list_transform(bgs,
+       |    wd -> ${strhashSql("wd || '#'", "g")} * $P + ${strhashSql("wd", "h")}) AS hl
+       |  FROM bg),
+       |sh AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, $bits),
+       |    sb -> CASE WHEN list_sum(list_transform(hl,
+       |        sv -> CASE WHEN (sv & CAST(power(2, sb) AS BIGINT)) > 0 THEN 1 ELSE -1 END)) > 0
+       |      THEN CAST(power(2, sb) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+       |  FROM hs)""".stripMargin
+  }
+
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Per-doc simhash values (the reusable fingerprint table). */
+  val textSimhash: Q = (s, dir) =>
+    Dedup.simhashDocs(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
+
+  val textSimhashSql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id AS doc, simhash FROM sh ORDER BY doc""".stripMargin
+
+  // ---------------------------------------------------- n-gram jaccard
+
+  val dedupJaccard: Q = (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  val dedupJaccardSql: String =
+    s"""WITH $xsCte,
+       |sizes AS (SELECT doc_id, len(xh) AS n FROM xs),
+       |ex AS (SELECT doc_id, unnest(xh) AS x FROM xs),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------ embedding near-dup
+
+  /** DuckDB strict left-to-right fold dot product over 1-based arrays. */
+  private def dotSql(a: String, b: String, dims: Int, v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${dims + 1}), ${v}i -> $a[CAST(${v}i AS INT)] * $b[CAST(${v}i AS INT)])), " +
+      s"(${v}a, ${v}x) -> ${v}a + ${v}x)"
+
+  private val normCte: String =
+    s"""p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(${dotSql("v", "v", 64, "n")}) AS nrm FROM p)""".stripMargin
+
+  val embedNearDup: Q = (s, dir) =>
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  val embedNearDupSql: String =
+    s"""WITH $normCte
+       |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a.v", "b.v", 64, "d")} / (a.nrm * b.nrm) AS cosine
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------- ANN top-k
+
+  val annTopK: Q = (s, dir) =>
+    Similarity.bruteTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  val annTopKSql: String =
+    s"""WITH $normCte
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |    ${dotSql("q.v", "b.v", 64, "d")} / (q.nrm * b.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.v", "b.v", 64, "r")} / (q.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  val annLsh: Q = (s, dir) =>
+    Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  val annLshSql: String = {
+    val bucket =
+      s"CAST(list_sum(list_transform(range(0, 16), lp -> " +
+        s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(0, 64), lj -> v[CAST(lj+1 AS INT)] * CAST((lp*31 + lj*17) % 7 - 3 AS DOUBLE))), " +
+        s"(la, lx) -> la + lx) > 0 THEN CAST(power(2, lp) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    s"""WITH $normCte,
+       |bk AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n)
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |    ${dotSql("q.v", "b.v", 64, "d")} / (q.nrm * b.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.v", "b.v", 64, "r")} / (q.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM bk q JOIN bk b
+       |    ON q.vec_id % 100 = 0 AND b.bucket = q.bucket AND b.vec_id <> q.vec_id)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  val textLang: Q = (s, dir) =>
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
+
+  val textLangSql: String = {
+    val markers = TextAnalysis.LangMarkers
+    val scores = markers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(ws, lw -> list_contains($lst, lw))) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val caseChain = langs.zipWithIndex.map { case (lang, i) =>
+      val conds = langs.zipWithIndex.filter(_._2 != i).map { case (other, j) =>
+        if (j < i) s"s_$lang > s_$other" else s"s_$lang >= s_$other"
+      }
+      s"WHEN s_$lang > 0 AND ${conds.mkString(" AND ")} THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH wt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws FROM documents),
+       |sc AS (
+       |  SELECT doc_id AS doc,
+       |    $scores
+       |  FROM wt)
+       |SELECT doc, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE $caseChain ELSE 'und' END AS pred_lang
+       |FROM sc ORDER BY doc""".stripMargin
+  }
+
+  val textQuality: Q = (s, dir) =>
+    TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
+
+  val textQualitySql: String = {
+    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""WITH wt AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws FROM documents),
+       |f AS (
+       |  SELECT doc_id AS doc, len(ws) AS n_words,
+       |    CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) AS stop_ratio,
+       |    CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) AS awl,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha
+       |  FROM wt)
+       |SELECT doc, n_words, round(stop_ratio, 6) AS stopword_ratio,
+       |  round(awl, 6) AS avg_word_len, round(alpha, 6) AS alpha_ratio,
+       |  round(stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.3 + alpha * 0.3, 6) AS quality_score
+       |FROM f ORDER BY doc""".stripMargin
+  }
+
+  val textTokens: Q = (s, dir) =>
+    TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
+
+  val textTokensSql: String =
+    s"""SELECT doc_id AS doc,
+       |  len(list_filter(string_split(text, ' '), wx -> wx <> '')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS bpe_tokens,
+       |  round(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')), 6) AS chars_per_token
+       |FROM documents ORDER BY doc""".stripMargin
+
+  val textFingerprint: Q = (s, dir) =>
+    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
+
+  val textFingerprintSql: String = {
+    val g = TextOps.FpGram
+    s"""WITH grams AS (
+       |  SELECT doc_id, CASE WHEN length(text) < $g THEN [text]
+       |    ELSE list_transform(range(1, length(text)-${g - 2}), gi -> substring(text, CAST(gi AS INT), $g)) END AS gs
+       |  FROM documents),
+       |fp AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_filter(
+       |    list_transform(gs, gv -> ${strhashSql("gv", "h")}), fh -> fh % ${TextOps.FpMod} = 0))) AS fp
+       |  FROM grams)
+       |SELECT doc_id AS doc, len(fp) AS n_fp,
+       |  coalesce(fp[1], -1) AS fp_min, coalesce(fp[-1], -1) AS fp_max
+       |FROM fp ORDER BY doc""".stripMargin
+  }
+
+  // --------------------------------------------------------- multimodal
+
+  val mmDecode: Q = (s, dir) => {
+    val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.extractFeatures(s, media).toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+        round(col("avg_byte"), 6).as("avg_byte"),
+        col("stub_width").cast("long").as("stub_width"),
+        col("stub_height").cast("long").as("stub_height"))
+      .orderBy("doc_id")
+  }
+
+  val mmDecodeSql: String =
+    s"""SELECT doc_id, 'text/plain' AS kind, length(text) AS n_bytes,
+       |  round(CAST(list_sum(list_transform(range(1, length(text)+1),
+       |    bi -> ascii(substring(text, CAST(bi AS INT), 1)))) AS DOUBLE) / length(text), 6) AS avg_byte,
+       |  length(text) % 640 AS stub_width, (length(text) * 7) % 480 AS stub_height
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val mmFrames: Q = (s, dir) => {
+    val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.sampleFrames(s, media, frames = 5)
+      .select(col("doc_id"), col("frame").cast("long").as("frame"),
+        col("offset").cast("long").as("offset"), col("first_byte").cast("long").as("first_byte"))
+      .orderBy("doc_id", "frame")
+  }
+
+  val mmFramesSql: String =
+    s"""SELECT doc_id, f AS frame, (f * length(text)) // 5 AS "offset",
+       |  CAST(ascii(substring(text, CAST((f * length(text)) // 5 + 1 AS INT), 1)) AS BIGINT) AS first_byte
+       |FROM documents, range(0, 5) t(f)
+       |ORDER BY doc_id, frame""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_jaccard" -> dedupJaccard,
+    "q_text_simhash" -> textSimhash,
+    "q_embed_neardup" -> embedNearDup,
+    "q_ann_topk" -> annTopK,
+    "q_ann_lsh" -> annLsh,
+    "q_text_lang" -> textLang,
+    "q_text_quality" -> textQuality,
+    "q_text_tokens" -> textTokens,
+    "q_text_fingerprint" -> textFingerprint,
+    "q_mm_decode" -> mmDecode,
+    "q_mm_frames" -> mmFrames
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_jaccard" -> dedupJaccardSql,
+    "q_text_simhash" -> textSimhashSql,
+    "q_embed_neardup" -> embedNearDupSql,
+    "q_ann_topk" -> annTopKSql,
+    "q_ann_lsh" -> annLshSql,
+    "q_text_lang" -> textLangSql,
+    "q_text_quality" -> textQualitySql,
+    "q_text_tokens" -> textTokensSql,
+    "q_text_fingerprint" -> textFingerprintSql,
+    "q_mm_decode" -> mmDecodeSql,
+    "q_mm_frames" -> mmFramesSql
+  )
+}

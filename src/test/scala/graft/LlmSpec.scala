@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, StrHash}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+
+/** Semantic tests for the LLM-data-pipeline operators. */
+class LlmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines and data"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("strhash: reference value, empty string, codegen = interpreted") {
+    // hand-computed fold of "ab": ((0*31+97)%P)*31+98 = 3105
+    assert(StrHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString("ab")) == 3105L)
+    assert(StrHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString("")) == 0L)
+    val out = docs.select(GraftFunctions.strhash(col("text")).as("h")).as[Long].collect()
+    assert(out.length == 5 && out.toSet.size == 4) // docs 1 and 4 collide (identical text)
+  }
+
+  test("strhash registered as SQL function via GraftFunctions.register") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_strhash('ab') AS h").as[Long].head()
+    assert(r == 3105L)
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(d(1L) == 2L) // canonical 1 has copies {1,4}
+    assert(d.values.sum == 5L)
+  }
+
+  test("minhash LSH finds the exact-dup and near-dup pairs, not the distinct doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical → est jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, distinct absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs hamming 0; blocked pairs == unblocked pairs") {
+    val sh = Dedup.simhashDocs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // reference: all-pairs hamming
+    val all = for {
+      (a, ha) <- sh.toSeq; (b, hb) <- sh.toSeq if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)
+    assert(blocked == all.toSet)
+    assert(blocked.contains((1L, 4L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+    (100L, Array(2.0f, 0.0f, 0.0f, 0.0f)) // same direction as 0 → same LSH bucket
+  ).toDF("vec_id", "embedding")
+
+  test("embedding near-dup pairs at cosine >= 0.9") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 100L), (1L, 100L)))
+  }
+
+  test("brute-force topK ranks by cosine desc, excludes self") {
+    val top = Similarity.bruteTopK(vecs, "vec_id", "embedding", col("vid") === 0L, k = 3)
+      .orderBy("rank").select("nid").as[Long].collect().toList
+    assert(top == List(100L, 1L, 2L)) // cos: 1.0, .994, 0 — then -1 excluded by k
+  }
+
+  test("lsh topK finds same-bucket neighbors ranked by exact cosine") {
+    val top = Similarity.lshTopK(vecs, "vec_id", "embedding", col("vid") === 0L, k = 5, dims = 4)
+      .select("nid", "rank").as[(Long, Int)].collect().toMap
+    // vec 100 is colinear with the query → identical sign bits → same
+    // bucket, and exact-cosine rank 1 within it.
+    assert(top.get(100L).contains(1))
+  }
+
+  test("language id picks the marker-dominant language, und on no markers") {
+    val d = Seq(
+      (1L, "the cat is on the mat and a dog"),
+      (2L, "der hund ist und das haus"),
+      (3L, "le chat et la maison les arbres"),
+      (4L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, "doc_id", "text")
+      .select("doc", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("token counts: ws vs bpe-ish tokenization") {
+    val d = Seq((1L, "hello world 42 a-b!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d, "doc_id", "text").head()
+    assert(r.getAs[Int]("ws_tokens") == 4)
+    // hello, world, 42, a, -, b, ! => 7
+    assert(r.getAs[Int]("bpe_tokens") == 7)
+  }
+
+  test("fingerprints are deterministic and identical for identical docs") {
+    val fp = TextAnalysis.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(5L)._1 >= 0)
+  }
+
+  test("multimodal: binary plumbing round-trips byte stats; frames fan out") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(5L).n_bytes == 4)
+    assert(math.abs(feats(5L).avg_byte - ("tiny".map(_.toInt).sum / 4.0)) < 1e-9)
+    val frames = Multimodal.sampleFrames(spark, media, frames = 3)
+    assert(frames.count() == docs.count() * 3)
+  }
+}

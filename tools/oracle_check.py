@@ -22,6 +22,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "nan"
         return f"{v:.9g}"
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        v = v.tolist()
+        if isinstance(v, (int, float)): return norm(float(v)) if isinstance(v, float) else str(v)
     if isinstance(v, list): return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
