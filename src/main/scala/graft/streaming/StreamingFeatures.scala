@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming implementations of ralf's incremental semantics
+  * (reference: the eager per-record push loop, ralf/operator.py:189-259).
+  *
+  * Batch graft computes feature tables by re-aggregation; this module is
+  * the incremental path: one keyed state store, every micro-batch folds
+  * new records into per-key state and emits updates — exactly ralf's
+  * `send` → upsert → forward loop, with Spark owning sharding
+  * (HashPartitioning on the grouping key ≈ ralf's SHA1(key) % replicas,
+  * ralf/operator.py:44-50), checkpointing, and recovery.
+  *
+  * State is bounded with `GroupStateTimeout.ProcessingTimeTimeout` — the
+  * streaming analog of ralf's LRU cache_size eviction
+  * (ralf/operator.py:243-254): idle keys expire instead of
+  * least-recently-used keys being evicted.
+  */
+object StreamingFeatures {
+
+  /** An update record: key + order + value (the conventional ralf record
+    * shape, ralf/operators/source.py:61-70).
+    */
+  final case class Update(key: String, ord: Long, value: Double)
+
+  /** Current per-key feature state: latest record + update counter
+    * (mirrors TableState counters, ralf/state/table_state.py:9-46).
+    */
+  final case class KeyFeature(key: String, ord: Long, value: Double, numUpdates: Long)
+
+  /** Latest-wins upsert as a stateful stream: each micro-batch keeps the
+    * max-ord record per key (merging with stored state), increments the
+    * update counter, and emits the key's new current value.
+    *
+    * @param ttlMs idle-state expiry in ms; <= 0 keeps state forever.
+    */
+  def latestPerKey(
+      spark: SparkSession,
+      updates: Dataset[Update],
+      ttlMs: Long = 0L
+  ): Dataset[KeyFeature] = {
+    import spark.implicits._
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(), timeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[KeyFeature]) =>
+          if (state.hasTimedOut) {
+            state.remove() // ralf's cache eviction: drop idle key state
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(KeyFeature(key, Long.MinValue, 0.0, 0L))
+            var n = cur.numUpdates
+            batch.foreach { u =>
+              n += 1
+              if (u.ord >= cur.ord) cur = KeyFeature(key, u.ord, u.value, n)
+              else cur = cur.copy(numUpdates = n)
+            }
+            state.update(cur)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            Iterator.single(cur)
+          }
+      }
+  }
+
+  /** Per-key count-based tumbling window as a stateful stream
+    * (ralf/operators/window.py:14-51): buffer until `size` records, emit
+    * the full window, reset. Exactly the reference's buffer semantics —
+    * this is the operator the batch formulation approximates with
+    * row_number bucketing.
+    */
+  final case class WindowEmit(key: String, windowId: Long, values: Seq[Double])
+
+  /** Tumbling-window buffer state (public: the state encoder's generated
+    * code constructs and reads it).
+    */
+  final case class WinState(buffer: Array[Double], emitted: Long)
+
+  def tumblingCountWindow(
+      spark: SparkSession,
+      updates: Dataset[Update],
+      size: Int
+  ): Dataset[WindowEmit] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[WinState]) =>
+          var st = state.getOption.getOrElse(WinState(Array.empty, 0L))
+          val out = Seq.newBuilder[WindowEmit]
+          // within a micro-batch, apply records in ord order (the
+          // cross-batch order is arrival order, as in the reference)
+          batch.toSeq.sortBy(_.ord).foreach { u =>
+            val buf = st.buffer :+ u.value
+            if (buf.length >= size) {
+              out += WindowEmit(key, st.emitted, buf.take(size).toSeq)
+              st = WinState(Array.empty, st.emitted + 1)
+            } else st = st.copy(buffer = buf)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Running per-key sum (v2 `Sum`, ralf/v2/examples/counter.py:56-65)
+    * as an always-on stream: emits the cumulative (sum, count) after
+    * each micro-batch.
+    */
+  final case class RunningSum(key: String, sum: Double, count: Long)
+
+  def runningSum(spark: SparkSession, updates: Dataset[Update]): Dataset[RunningSum] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[RunningSum]) =>
+          var cur = state.getOption.getOrElse(RunningSum(key, 0.0, 0L))
+          batch.foreach(u => cur = RunningSum(key, cur.sum + u.value, cur.count + 1))
+          state.update(cur)
+          cur
+      }
+  }
+
+  /** Stateful shedding gate (make_mean_policy,
+    * ralf/policies/load_shedding_policy.py:41-50) on a live stream: pass
+    * an update through only if it moved >= thresh from the last KEPT
+    * value. The streaming twin of Shedding.meanPolicyFold.
+    */
+  def meanPolicyGate(
+      spark: SparkSession,
+      updates: Dataset[Update],
+      thresh: Double
+  ): Dataset[Update] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[Double]) =>
+          val out = Seq.newBuilder[Update]
+          var last = state.getOption
+          batch.toSeq.sortBy(_.ord).foreach { u =>
+            if (last.isEmpty || math.abs(u.value - last.get) >= thresh) {
+              out += u
+              last = Some(u.value)
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Convenience: run a streaming Dataset built from a MemoryStream (or
+    * any source) to completion of available data, collecting to an
+    * in-memory table. Used by tests and the local demo.
+    */
+  def runToMemory[T](
+      spark: SparkSession,
+      ds: Dataset[T],
+      name: String,
+      mode: OutputMode = OutputMode.Update()
+  ): DataFrame = {
+    val q = ds.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

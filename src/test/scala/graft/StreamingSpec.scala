@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingFeatures
+import graft.streaming.StreamingFeatures.Update
+
+/** Streaming semantics vs the reference's eager push loop: state
+  * correctness across micro-batches (each addData+trigger = one batch).
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("streaming latest-per-key upsert folds across micro-batches") {
+    val in = MemoryStream[Update]
+    in.addData(Update("a", 1, 10.0), Update("a", 2, 5.0), Update("b", 1, 1.0))
+    in.addData(Update("a", 3, 42.0), Update("b", 0, 99.0)) // b's ord 0 is stale
+    val out = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.latestPerKey(spark, in.toDS()), "t_latest")
+    // memory sink in Update mode appends each emitted update; the last
+    // row per key is the current state
+    val last = out.collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._3) }
+    assert(last("a") == ((3L, 42.0, 3L)))
+    assert(last("b") == ((1L, 1.0, 2L))) // stale ord 0 counted but not applied
+  }
+
+  test("streaming tumbling count window buffers across batches and resets") {
+    val in = MemoryStream[Update]
+    in.addData(Update("k", 1, 1.0), Update("k", 2, 2.0))
+    in.addData(Update("k", 3, 3.0), Update("k", 4, 4.0), Update("k", 5, 5.0))
+    val out = StreamingFeatures.runToMemory(
+      spark,
+      StreamingFeatures.tumblingCountWindow(spark, in.toDS(), size = 3),
+      "t_win", OutputMode.Append())
+    val wins = out.collect().map(r =>
+      r.getLong(1) -> r.getSeq[Double](2).toList).toMap
+    assert(wins == Map(0L -> List(1.0, 2.0, 3.0))) // second window incomplete: not emitted
+  }
+
+  test("streaming running sum accumulates per key") {
+    val in = MemoryStream[Update]
+    in.addData((1 to 10).map(i => Update("k", i.toLong, i.toDouble)): _*)
+    val out = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.runningSum(spark, in.toDS()), "t_sum")
+    val fin = out.collect().map(r => (r.getDouble(1), r.getLong(2))).maxBy(_._2)
+    assert(fin == ((55.0, 10L)))
+  }
+
+  test("streaming mean-policy gate matches the batch fold on the same data") {
+    val rng = new scala.util.Random(7)
+    val data = for (k <- Seq("x", "y"); i <- 1 to 50)
+      yield Update(k, i.toLong, rng.nextDouble() * 100)
+    val in = MemoryStream[Update]
+    in.addData(data: _*)
+    val streamed = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.meanPolicyGate(spark, in.toDS(), thresh = 25.0), "t_gate")
+      .select("key", "ord").as[(String, Long)].collect().toSet
+    val batch = graft.operators.Shedding
+      .meanPolicyFold(data.toDF("key", "ord", "value"), "key", "ord", "value", 25.0)
+      .select("key", "ord").as[(String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+}
