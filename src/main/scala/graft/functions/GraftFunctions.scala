@@ -39,7 +39,7 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` injection point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         FunctionIdentifier("graft_strhash"),
@@ -47,4 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => StrHash(es.head)
       )
     )
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

@@ -74,6 +74,35 @@ object Similarity {
     scored.withColumn("rank", rn).filter(col("rank") <= k)
   }
 
+  /** [[bruteTopK]] on the custom bounded-heap operator
+    * (graft.plans.TopKPerKey) instead of a WindowExec rank: the scored
+    * pairs stream through per-key heaps without a partition sort. The
+    * rank column is recomputed afterwards over the k-row-per-key
+    * remainder (negligible). Result-identical to [[bruteTopK]].
+    */
+  def bruteTopKPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int
+  ): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    val q = p.filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = p.as("n").join(broadcast(q), col("qid") =!= col("n.vid"))
+      .select(
+        col("qid"),
+        col("n.vid").as("nid"),
+        (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine")
+      )
+    val top = graft.plans.TopKPerKey(
+      spark, scored, Seq("qid"), Seq("cosine" -> true, "nid" -> false), k)
+    val rn = row_number().over(Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+    top.withColumn("rank", rn)
+  }
+
   /** Deterministic random-hyperplane weight for plane `p`, dim `j`:
     * integer in [-3, 3]. Same formula is interpolated into the oracle.
     */

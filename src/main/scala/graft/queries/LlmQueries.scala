@@ -201,6 +201,17 @@ object LlmQueries {
        |  FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Same top-k, computed by the custom bounded-heap physical operator
+    * (graft.plans.TopKPerKey) — identical oracle proves plan
+    * equivalence.
+    */
+  val annTopKPlan: Q = (s, dir) =>
+    Similarity.bruteTopKPlan(s, Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
   val annLsh: Q = (s, dir) =>
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryPred = col("vid") % 100 === 0, k = 5)
@@ -345,6 +356,7 @@ object LlmQueries {
     "q_text_simhash" -> textSimhash,
     "q_embed_neardup" -> embedNearDup,
     "q_ann_topk" -> annTopK,
+    "q_ann_topk_plan" -> annTopKPlan,
     "q_ann_lsh" -> annLsh,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
@@ -362,6 +374,7 @@ object LlmQueries {
     "q_text_simhash" -> textSimhashSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_ann_topk" -> annTopKSql,
+    "q_ann_topk_plan" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,
