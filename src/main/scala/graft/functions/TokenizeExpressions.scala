@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Fused tokenize→n-gram→hash kernels. Semantically identical to the
+  * composable Column pipeline in graft.llm.TextOps (split on ' ', drop
+  * empties, space-joined n-grams, whole-text fallback when too short,
+  * StrHash) and to the DuckDB oracle — but one pass over the string,
+  * no per-element lambda dispatch, no intermediate arrays of strings.
+  */
+object TokenHash {
+
+  private final val P = StrHash.P
+
+  @inline private def hashRange(s: String, from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      acc = (acc * 31 + s.charAt(i)) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** Split positions of non-empty words: (start, end) pairs. */
+  private def wordBounds(s: String): mutable.ArrayBuffer[(Int, Int)] = {
+    val out = mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && s.charAt(i) != ' ') i += 1
+      if (i > start) out += ((start, i))
+    }
+    out
+  }
+
+  /** Hash of words[from..from+n) joined with single spaces — identical
+    * to StrHash of the concatenated shingle string (separator chars
+    * hash in between words).
+    */
+  @inline private def shingleHash(s: String, ws: mutable.ArrayBuffer[(Int, Int)], from: Int, n: Int): Long = {
+    var acc = 0L
+    var w = from
+    val end = from + n
+    while (w < end) {
+      if (w > from) acc = (acc * 31 + ' ') % P
+      val (a, b) = ws(w)
+      var i = a
+      while (i < b) {
+        acc = (acc * 31 + s.charAt(i)) % P
+        i += 1
+      }
+      w += 1
+    }
+    acc
+  }
+
+  /** Distinct word-n-gram shingle hashes; [hash(text)] when the doc has
+    * fewer than n words (TextOps.shingleHashes semantics).
+    */
+  def shingleHashes(u: UTF8String, n: Int): ArrayData = {
+    val s = u.toString
+    val ws = wordBounds(s)
+    if (ws.length < n) {
+      new GenericArrayData(Array(hashRange(s, 0, s.length)))
+    } else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      val last = ws.length - n
+      while (i <= last) {
+        seen.add(shingleHash(s, ws, i, n))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** SimHash feature hashes: per word-bigram g, strhash(g + "#")*P +
+    * strhash(g), with multiplicity; [pairHash(text)] when fewer than 2
+    * words (TextOps.simhashFeatures semantics).
+    */
+  def bigramPairHashes(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val ws = wordBounds(s)
+    if (ws.length < 2) {
+      val h = hashRange(s, 0, s.length)
+      val hh = (h * 31 + '#') % P
+      new GenericArrayData(Array(hh * P + h))
+    } else {
+      val out = new Array[Long](ws.length - 1)
+      var i = 0
+      while (i < ws.length - 1) {
+        val h = shingleHash(s, ws, i, 2)
+        val hh = (h * 31 + '#') % P
+        out(i) = hh * P + h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `shingleHashes(text, n)` as a codegen-capable expression. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** `bigramPairHashes(text)` as a codegen-capable expression. */
+case class BigramPairHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.bigramPairHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.bigramPairHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramPairHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bigram_hashes"
+}

@@ -67,9 +67,15 @@ object TextOps {
     )
   }
 
-  /** Distinct shingle hash set — the document's content signature input. */
-  def shingleHashes(text: Column): Column =
-    array_distinct(transform(shingles(text), s => strhash(s)))
+  /** Distinct shingle hash set — the document's content signature input.
+    * Fused native kernel (graft.functions.ShingleHashes): one pass over
+    * the string, no intermediate shingle strings. Semantics identical to
+    * `array_distinct(transform(shingles(text), strhash))`.
+    */
+  def shingleHashes(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.ShingleHashes(Bridge.expression(text), 3))
+  }
 
   // ----------------------------------------------------------- minhash
 
@@ -125,12 +131,13 @@ object TextOps {
 
   /** Word-bigram feature hashes for SimHash. StrHash yields < 2^30;
     * pairing two independent hashes spreads signal across ~60 bits.
+    * Fused native kernel (graft.functions.BigramPairHashes), identical
+    * to `transform(bigrams(text), w => strhash(w+"#") * P + strhash(w))`.
     */
-  def simhashFeatures(text: Column): Column =
-    transform(
-      bigrams(text),
-      w => strhash(concat(w, lit("#"))) * P + strhash(w)
-    )
+  def simhashFeatures(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.BigramPairHashes(Bridge.expression(text)))
+  }
 
   /** SimBits-bit SimHash over word-bigram hashes WITH multiplicity:
     * bit b = 1 iff sum over features of (bit b of hash ? +1 : -1) is
