@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Shedding, Upsert, Windows}
+
+/** Property tests for the load-bearing semantic identities (SURVEY §5):
+  * upsert ≡ per-key argmax, window emission-count formula, sampling
+  * bounds, prefix-max shedding. ScalaCheck generators drive the cases
+  * (deterministic seed, few cases — Spark jobs are slow per case);
+  * scalatestplus isn't on the offline classpath so sampling is manual.
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic generator samples. */
+  private def forAll[A](g: Gen[A], cases: Int = 5)(body: A => Unit): Unit = {
+    val params = Gen.Parameters.default.withSize(40)
+    (0 until cases).foreach { i =>
+      g.apply(params, Seed(42L + i)).foreach(body)
+    }
+  }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], cases: Int = 5)(body: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb), cases) { case (a, b) => body(a, b) }
+
+  private def forAll3[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C], cases: Int = 5)(
+      body: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc), cases) { case (a, b, c) => body(a, b, c) }
+
+  private val streamGen: Gen[List[(String, Long, Double)]] = for {
+    nKeys <- Gen.choose(1, 5)
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0, nKeys - 1)
+      v <- Gen.choose(-1000, 1000)
+    } yield (s"k$k", v.toDouble))
+  } yield rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+
+  test("property: latest-wins upsert == per-key argmax over ord") {
+    forAll(streamGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("key", "ord", "value")
+        val got = Upsert.latest(df, "key", col("ord")).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+        val want = rows.groupBy(_._1).map { case (k, rs) =>
+          val best = rs.maxBy(_._2)
+          k -> ((best._2, best._3, rs.size.toLong))
+        }
+        assert(got == want)
+      }
+    }
+  }
+
+  test("property: sliding-window emissions per key == max(0, (n-w)/s + 1)") {
+    forAll3(streamGen, Gen.choose(1, 8), Gen.choose(1, 5)) { (rows, w, s) =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("key", "ord", "value")
+        val got = Windows.sliding(df, "key", col("ord"), col("value"), w, s)
+          .groupBy("key").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val want = rows.groupBy(_._1).collect {
+          case (k, rs) if rs.size >= w => k -> ((rs.size - w) / s + 1).toLong
+        }
+        assert(got == want)
+      }
+    }
+  }
+
+  test("property: tumbling windows emit exactly n/size complete windows of exact size") {
+    forAll2(streamGen, Gen.choose(1, 7)) { (rows, wsz) =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("key", "ord", "value")
+        val out = Windows.tumbling(df, "key", col("ord"), col("value"), wsz)
+          .select(col("key"), size(col("window_values")).as("n")).collect()
+        assert(out.forall(_.getInt(1) == wsz))
+        val counts = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+        val want = rows.groupBy(_._1).collect {
+          case (k, rs) if rs.size >= wsz => k -> rs.size / wsz
+        }
+        assert(counts == want)
+      }
+    }
+  }
+
+  test("property: deterministic sampling keeps exactly the residue fraction") {
+    forAll2(Gen.choose(1L, 500L), Gen.choose(2, 10)) { (n, mod) =>
+      val df = spark.range(0, n).toDF("id")
+      val kept = Shedding.sampleDeterministic(df, col("id"), mod, 1).count()
+      // ids 0..n-1: exactly ceil(n/mod) have id % mod == 0
+      assert(kept == (n + mod - 1) / mod)
+    }
+  }
+
+  test("property: keepIncreasing output is strictly increasing per key and keeps the max") {
+    forAll(streamGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("key", "ord", "value")
+        val kept = Shedding.keepIncreasing(df, "key", col("ord"), col("value"))
+          .orderBy("key", "ord").select("key", "value").as[(String, Double)].collect()
+        kept.groupBy(_._1).foreach { case (k, vs) =>
+          val seq = vs.map(_._2).toList
+          assert(seq == seq.distinct.sorted) // strictly increasing
+          assert(seq.last == rows.filter(_._1 == k).map(_._3).max) // max survives
+        }
+      }
+    }
+  }
+}
