@@ -103,6 +103,49 @@ object Similarity {
     top.withColumn("rank", rn)
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer
+    * (every vector is assigned to its highest-cosine "centroid", the
+    * centroids being a fixed subset of the corpus selected by
+    * `centroidPred`), then each query searches only its own cell.
+    *
+    * The 100 TB shape: the corpus is bucketed ONCE by cell (one shuffle,
+    * or a partitioned table on disk); a query probes one cell —
+    * partition pruning instead of a full scan. Multi-probe (nearest n
+    * cells) is the standard recall knob; k-means trained centroids drop
+    * in without changing the plan shape.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      queryPred: Column,
+      k: Int
+  ): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    val cents = p.filter(centroidPred)
+      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // cell assignment: best centroid by cosine, ties to the lower cid
+    val cellRank = row_number().over(
+      Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
+    val assigned = p.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", cellRank)
+      .filter(col("crk") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
+    val q = assigned.filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val scored = assigned.as("n")
+      .join(broadcast(q), col("n.cell") === q("cell") && col("qid") =!= col("n.vid"))
+      .select(
+        col("qid"),
+        col("n.vid").as("nid"),
+        (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine")
+      )
+    val rn = row_number().over(Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+  }
+
   /** Deterministic random-hyperplane weight for plane `p`, dim `j`:
     * integer in [-3, 3]. Same formula is interpolated into the oracle.
     */

@@ -237,6 +237,32 @@ object LlmQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  val annIvf: Q = (s, dir) =>
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        centroidPred = col("vid") % 100 === 50, queryPred = col("vid") % 100 === 0, k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  val annIvfSql: String =
+    s"""WITH $normCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 50),
+       |asg AS (
+       |  SELECT vid, v, nrm, cell FROM (
+       |    SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dotSql("n.v", "c.cv", 64, "a")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |    FROM n, c)
+       |  WHERE crk = 1),
+       |q AS (SELECT vid AS qid, v AS qv, nrm AS qn, cell FROM asg WHERE vid % 100 = 0)
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT q.qid, b.vid AS nid,
+       |    ${dotSql("q.qv", "b.v", 64, "d")} / (q.qn * b.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${dotSql("q.qv", "b.v", 64, "r")} / (q.qn * b.nrm) DESC, b.vid) AS rank
+       |  FROM q JOIN asg b ON b.cell = q.cell AND b.vid <> q.qid)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // ------------------------------------------------------ text analysis
 
   val textLang: Q = (s, dir) =>
@@ -358,6 +384,7 @@ object LlmQueries {
     "q_ann_topk" -> annTopK,
     "q_ann_topk_plan" -> annTopKPlan,
     "q_ann_lsh" -> annLsh,
+    "q_ann_ivf" -> annIvf,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
     "q_text_tokens" -> textTokens,
@@ -376,6 +403,7 @@ object LlmQueries {
     "q_ann_topk" -> annTopKSql,
     "q_ann_topk_plan" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,
     "q_text_tokens" -> textTokensSql,

@@ -128,6 +128,36 @@ object ParityQueries {
       |WHERE rn >= 5 AND (rn - 5) % 2 = 0
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** SURVEY §2.1 #5 per-key adaptive slide (the reference's JSON plan
+    * file, ralf/operators/window.py:88-100): slide=1 for "hot" keys
+    * (user_id % 10 == 0), default 3 otherwise. The plan rides in as a
+    * broadcast-joined table.
+    */
+  val slidingPerKeyPlan: Q = (s, dir) => {
+    import s.implicits._
+    val e = events(s, dir).select("user_id", "event_id", "value")
+    val plan = s.range(0, 200).filter(col("id") % 10 === 0)
+      .select(col("id").as("user_id"), lit(1).as("slide"))
+    Windows.slidingPerKeyPlan(e, "user_id", col("event_id"), col("value"),
+        windowSize = 4, plan, defaultSlide = 3)
+      .select(col("user_id"), col("event_id"), col("_rn").cast("long").as("rn"),
+        round(col("w_avg"), 6).as("w_avg"), col("_slide").as("slide"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val slidingPerKeyPlanSql: String =
+    """WITH plan AS (
+      |  SELECT u AS user_id, 1 AS slide FROM range(0, 200) t(u) WHERE u % 10 = 0),
+      |w AS (
+      |  SELECT e.user_id, e.event_id, coalesce(p.slide, 3) AS slide,
+      |    row_number() OVER win AS rn,
+      |    avg(value) OVER (win ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w_avg
+      |  FROM events e LEFT JOIN plan p USING (user_id)
+      |  WINDOW win AS (PARTITION BY e.user_id ORDER BY e.event_id))
+      |SELECT user_id, event_id, rn, round(w_avg, 6) AS w_avg, slide
+      |FROM w WHERE rn >= 4 AND (rn - 4) % slide = 0
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** v2 `Sum` transform (SURVEY §2.2): running per-key fold. */
   val runningSum: Q = (s, dir) => {
     val e = events(s, dir).select("user_id", "event_id", "value")
@@ -335,6 +365,7 @@ object ParityQueries {
     "q_point_query" -> pointQuery,
     "q_tumbling_window" -> tumblingWindow,
     "q_sliding_window" -> slidingWindow,
+    "q_sliding_perkey_plan" -> slidingPerKeyPlan,
     "q_running_sum" -> runningSum,
     "q_enrich_latest_join" -> enrichLatestJoin,
     "q_sequence_join" -> sequenceJoin,
@@ -354,6 +385,7 @@ object ParityQueries {
     "q_point_query" -> pointQuerySql,
     "q_tumbling_window" -> tumblingWindowSql,
     "q_sliding_window" -> slidingWindowSql,
+    "q_sliding_perkey_plan" -> slidingPerKeyPlanSql,
     "q_running_sum" -> runningSumSql,
     "q_enrich_latest_join" -> enrichLatestJoinSql,
     "q_sequence_join" -> sequenceJoinSql,

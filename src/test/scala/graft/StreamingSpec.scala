@@ -50,6 +50,37 @@ class StreamingSpec extends SparkSpec {
     assert(fin == ((55.0, 10L)))
   }
 
+  test("parquet feature-table sink merges micro-batches; point query reads latest") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val in = MemoryStream[Update]
+    in.addData(Update("a", 1, 10.0), Update("b", 1, 5.0))
+    StreamingFeatures.runToMemory(spark,
+      graft.streaming.StreamingFeatures.latestPerKey(spark, in.toDS()), "t_sink_drain")
+    // simulate two merge rounds directly (deterministic versions)
+    import graft.streaming.StreamingFeatures.KeyFeature
+    val b1 = Seq(KeyFeature("a", 1, 10.0, 1), KeyFeature("b", 1, 5.0, 1)).toDS()
+    val b2 = Seq(KeyFeature("a", 3, 42.0, 3)).toDS()
+    graft.streaming.FeatureTableSink.merge(spark, root, b1, 0)
+    graft.streaming.FeatureTableSink.merge(spark, root, b2, 1)
+    val t = graft.streaming.FeatureTableSink.read(spark, root).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(t == Map("a" -> ((3L, 42.0, 3L)), "b" -> ((1L, 5.0, 1L))))
+    val pq = graft.streaming.FeatureTableSink.pointQuery(spark, root, "a")
+    assert(pq.select("value").as[Double].head() == 42.0)
+  }
+
+  test("feature-table sink end-to-end from a live stream") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    val in = MemoryStream[Update]
+    in.addData(Update("x", 1, 1.0), Update("x", 2, 2.0), Update("y", 1, 9.0))
+    val q = graft.streaming.FeatureTableSink.start(spark,
+      graft.streaming.StreamingFeatures.latestPerKey(spark, in.toDS()), root)
+    q.awaitTermination()
+    val t = graft.streaming.FeatureTableSink.read(spark, root).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(t == Map("x" -> 2.0, "y" -> 9.0))
+  }
+
   test("streaming mean-policy gate matches the batch fold on the same data") {
     val rng = new scala.util.Random(7)
     val data = for (k <- Seq("x", "y"); i <- 1 to 50)
