@@ -88,6 +88,73 @@ object RelationalQueries {
       |WHERE c_mktsegment = 'BUILDING'
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** TPC-H Q5 shape: revenue by nation for one region — a 5-table join
+    * chain. region→nation→supplier are tiny and broadcast; orders joins
+    * lineitem on the shuffle; the final aggregate is a handful of
+    * groups. The plan that matters at 100 TB: exactly ONE big-table
+    * shuffle (lineitem ⋈ orders on orderkey), everything else broadcast.
+    */
+  val regionRevenue: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .filter(c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val regionRevenueSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q18 shape: large-volume customers (groupBy + HAVING over a
+    * big aggregate, re-joined to dims). The having-filter runs on the
+    * aggregated (small) side before the dim joins.
+    */
+  val bigOrders: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val qty = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    o.join(qty, o("o_orderkey") === qty("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val bigOrdersSql: String =
+    """WITH q AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+      |SELECT c_name, o_orderkey, o_totalprice, total_qty
+      |FROM orders JOIN q ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin
+
   /** Event-stream rollup: per event_type stats (hash agg + distinct). */
   val eventTypeStats: Q = (s, dir) => {
     val e = Tables.events(s, dir)
@@ -112,12 +179,16 @@ object RelationalQueries {
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> pricingSummary,
     "q_top_revenue_orders" -> topRevenueOrders,
+    "q_region_revenue" -> regionRevenue,
+    "q_big_orders" -> bigOrders,
     "q_event_type_stats" -> eventTypeStats
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_pricing_summary" -> pricingSummarySql,
     "q_top_revenue_orders" -> topRevenueOrdersSql,
+    "q_region_revenue" -> regionRevenueSql,
+    "q_big_orders" -> bigOrdersSql,
     "q_event_type_stats" -> eventTypeStatsSql
   )
 }
