@@ -155,19 +155,16 @@ object Similarity {
   /** LSH bucket id: `planes` sign bits of deterministic hyperplane dot
     * products, packed into a long. Vectors hashing to the same bucket are
     * each other's candidate set.
+    *
+    * The plane weights are compile-time constants, so they're embedded
+    * as literal arrays (one VecDot per plane) instead of being rebuilt
+    * per row by a HOF — Catalyst doesn't constant-fold lambda bodies.
     */
   def lshBucket(v: Column, planes: Int, dims: Int): Column =
-    aggregate(
-      transform(
-        sequence(lit(0), lit(planes - 1)),
-        p => {
-          val w = transform(sequence(lit(0), lit(dims - 1)), j => planeWeight(p, j).cast("double"))
-          when(dot(v, w) > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
-        }
-      ),
-      lit(0L),
-      (acc, x) => acc + x
-    )
+    (0 until planes).map { p =>
+      val weights = (0 until dims).map(j => ((p * 31 + j * 17) % 7 - 3).toDouble)
+      when(dot(v, typedlit(weights)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-k: rank by exact cosine WITHIN the
     * query's bucket. The 100 TB path: the corpus shuffles once keyed by
