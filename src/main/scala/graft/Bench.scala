@@ -16,7 +16,11 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd executes the query's own optimized plan (projections,
+      // sorts and all) and counts InternalRows; a DataFrame count()
+      // would instead re-optimize with the aggregate on top, letting
+      // Catalyst prune away the very work being measured.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop this query's cached intermediates (dedup signature tables
       // etc.) so queries are timed independently, not under accumulated

@@ -112,6 +112,59 @@ object TokenHash {
   }
 }
 
+/** Char n-gram fingerprint hashes via a TRUE rolling hash: the window
+  * polynomial is updated in O(1) per position (subtract the outgoing
+  * char's 31^(g-1) term, shift, add the incoming char) instead of
+  * re-hashing every g-char substring — O(n) per doc, no allocations.
+  * Produces exactly `sort(distinct(filter(strhash(gram_i) % mod == 0)))`
+  * like the composable formulation and the DuckDB oracle.
+  */
+object RollingFp {
+  def eval(u: UTF8String, gram: Int, mod: Long): ArrayData = {
+    val p = StrHash.P
+    val s = u.toString
+    val n = s.length
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (n < gram) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * 31 + s.charAt(i)) % p; i += 1 }
+      if (h % mod == 0) out.add(h)
+    } else {
+      // 31^(gram-1) mod P for removing the outgoing character
+      var pow = 1L
+      var e = 0
+      while (e < gram - 1) { pow = (pow * 31) % p; e += 1 }
+      var h = 0L
+      var i = 0
+      while (i < gram) { h = (h * 31 + s.charAt(i)) % p; i += 1 }
+      if (h % mod == 0) out.add(h)
+      while (i < n) {
+        val outc = s.charAt(i - gram)
+        h = (((h - outc * pow) % p + p) % p * 31 + s.charAt(i)) % p
+        if (h % mod == 0) out.add(h)
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+case class RollingFpHashes(child: Expression, gram: Int, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    RollingFp.eval(input.asInstanceOf[UTF8String], gram, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingFp.eval($c, $gram, ${mod}L)")
+  override protected def withNewChildInternal(newChild: Expression): RollingFpHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rolling_fp"
+}
+
 /** `shingleHashes(text, n)` as a codegen-capable expression. */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -15,18 +15,22 @@ import graft.functions.GraftFunctions.strhash
   */
 object Dedup {
 
-  /** Exact dedup: group identical content (by full-text hash), keep the
-    * smallest doc_id as canonical. One hash-aggregate — map-side partial
-    * combine makes shuffle volume O(distinct docs).
+  /** Exact dedup: group identical content, keep the smallest doc_id as
+    * canonical. The group key is (hash, full text): the hash bucketizes
+    * (and is the exposed join key), the text guarantees exactness — a
+    * ~2^30-modulus hash alone would merge colliding distinct documents
+    * at billion-doc scale. One hash-aggregate; map-side partial combine
+    * makes shuffle volume O(distinct docs).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .withColumn("text_hash", strhash(col(textCol)))
-      .groupBy(col("text_hash"))
+      .groupBy(col("text_hash"), col(textCol))
       .agg(
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_copies")
       )
+      .drop(textCol)
 
   /** MinHash + LSH near-dup pairs.
     *
@@ -42,17 +46,16 @@ object Dedup {
       textCol: String,
       minJaccard: Double
   ): DataFrame = {
-    // Materialization barriers matter here: without them CollapseProject
-    // inlines the shingle-hash subtree into the signature lambda and the
-    // full tokenize+hash+distinct pipeline re-executes once per
-    // signature slot (×K); and the signature table feeds three plan
-    // branches (bands + both verify joins). Signatures are ~K longs per
-    // doc — caching them is what a 100 TB pipeline does too.
-    val xs = docs
-      .select(col(idCol).as("doc"), TextOps.shingleHashes(col(textCol)).as("xs"))
-      .cache()
-    val sigs = xs
-      .select(col("doc"), TextOps.minhashSignature(col("xs")).as("sig"))
+    // The signature table feeds three plan branches (bands + both
+    // verify joins) — cache it (~K longs per doc; what a 100 TB
+    // pipeline would persist). The shingle-hash step needs no barrier:
+    // ShingleHashes+MinHashSig are single fused expressions, evaluated
+    // once per row inside this one projection.
+    val sigs = docs
+      .select(
+        col(idCol).as("doc"),
+        TextOps.minhashSignature(TextOps.shingleHashes(col(textCol))).as("sig")
+      )
       .cache()
     val bands = sigs
       .select(col("doc"), posexplode(TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
@@ -77,12 +80,13 @@ object Dedup {
     * The feature-hash array materializes (cache barrier) before the
     * 48-bit loop so tokenization+hashing runs once per doc, not per bit.
     */
-  def simhashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hs = docs
-      .select(col(idCol).as("doc"), TextOps.simhashFeatures(col(textCol)).as("hl"))
-      .cache()
-    hs.select(col("doc"), TextOps.simhash(col("hl")).as("simhash"))
-  }
+  def simhashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // BigramPairHashes and SimHash are fused single-pass expressions;
+    // no barrier needed (nothing re-scans the feature array).
+    docs.select(
+      col(idCol).as("doc"),
+      TextOps.simhash(TextOps.simhashFeatures(col(textCol))).as("simhash")
+    )
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxHamming.
     *

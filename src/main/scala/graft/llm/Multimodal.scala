@@ -46,12 +46,16 @@ object Multimodal {
 
   /** Wrap a text table as a media table: payload = UTF-8 bytes. Stands in
     * for reading real image/audio blobs from parquet binary columns.
+    * n_bytes is the PAYLOAD byte length (octet_length), so metadata and
+    * payload stay consistent for non-ASCII text too. (The oracle-parity
+    * queries additionally assume an ASCII corpus, where bytes == chars
+    * == code points; that assumption lives in the oracle SQL, not here.)
     */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("doc_id"),
       lit("text/plain").as("kind"),
-      length(col(textCol)).cast("int").as("n_bytes"),
+      octet_length(col(textCol)).cast("int").as("n_bytes"),
       encode(col(textCol), "UTF-8").as("payload")
     )
 

@@ -142,8 +142,9 @@ object TextOps {
   /** SimBits-bit SimHash over word-bigram hashes WITH multiplicity:
     * bit b = 1 iff sum over features of (bit b of hash ? +1 : -1) is
     * positive. Frequency weighting separates docs sharing a vocabulary.
-    * Native kernel (graft.functions.SimHash): one pass over the feature
-    * array per doc instead of one interpreted scan per bit.
+    * Native kernel (graft.functions.SimHash): a single pass over the
+    * feature array per doc, so `hs` can be the raw [[simhashFeatures]]
+    * expression — it is evaluated exactly once per row.
     */
   def simhash(hs: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
@@ -155,12 +156,11 @@ object TextOps {
     * content fingerprint for plagiarism/near-dup detection.
     */
   def fingerprint(text: Column): Column = {
-    val grams = when(length(text) < FpGram, array(text)).otherwise(
-      transform(
-        sequence(lit(1), length(text) - (FpGram - 1)),
-        i => text.substr(i, lit(FpGram))
-      )
-    )
-    sort_array(array_distinct(filter(transform(grams, g => strhash(g)), h => h % FpMod === 0)))
+    // True rolling hash (graft.functions.RollingFpHashes): O(1) window
+    // update per char instead of hashing a fresh substring per
+    // position. Same output as
+    // sort(distinct(filter(strhash(g) for g in char n-grams, % mod))).
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.RollingFpHashes(Bridge.expression(text), FpGram, FpMod))
   }
 }

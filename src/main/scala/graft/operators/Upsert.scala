@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** Reduce `df` to the latest row per `key`, ordered by `ord`
-    * (ties broken by `tieBreak`, which must be unique per key for
-    * deterministic results).
+  /** Reduce `df` to the latest row per `key`, ordered by `ord`.
+    * PRECONDITION: `ord` must be unique within each key (true for all
+    * corpus order columns, e.g. event_id) — `max_by` ties would
+    * otherwise be nondeterministic.
     */
   def latest(df: DataFrame, key: String, ord: Column): DataFrame = {
     val dataCols = df.columns.filter(_ != key)

@@ -111,6 +111,7 @@ object TopKPerKey {
       order: Seq[(String, Boolean)],
       k: Int
   ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     install(spark)
     val child = Bridge.logicalPlan(df)
     def attr(name: String): Attribute =

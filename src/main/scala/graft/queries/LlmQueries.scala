@@ -51,12 +51,12 @@ object LlmQueries {
   // ------------------------------------------------------- exact dedup
 
   val dedupExact: Q = (s, dir) =>
-    Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("text_hash")
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("text_hash", "canonical_id")
 
   val dedupExactSql: String =
     s"""SELECT ${strhashSql("text", "h")} AS text_hash,
        |  min(doc_id) AS canonical_id, count(*) AS n_copies
-       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+       |FROM documents GROUP BY 1, text ORDER BY text_hash, canonical_id""".stripMargin
 
   // ----------------------------------------------------- minhash + LSH
 

@@ -20,14 +20,31 @@ import graft.streaming.StreamingFeatures.KeyFeature
   */
 object FeatureTableSink {
 
-  private def currentPointer(fs: org.apache.hadoop.fs.FileSystem, root: Path): Option[Path] = {
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.drop(1).forall(_.isDigit)) Some(name.drop(1).toLong)
+    else None
+
+  /** Current version dir: the `_CURRENT` pointer, falling back to the
+    * highest committed `v*` directory if the pointer is mid-swap or was
+    * lost — a reader never observes an empty table once one exists.
+    */
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem, root: Path): Option[Path] = {
     val ptr = new Path(root, "_CURRENT")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val v = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      Some(new Path(root, v)).filter(fs.exists)
+    val fromPtr =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        val v = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        Some(new Path(root, v)).filter(fs.exists)
+      }
+    fromPtr.orElse {
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && versionOf(s.getPath.getName).isDefined &&
+          fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .sortBy(s => versionOf(s.getPath.getName).get)
+        .lastOption.map(_.getPath)
     }
   }
 
@@ -36,7 +53,7 @@ object FeatureTableSink {
     import spark.implicits._
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentPointer(fs, rootPath) match {
+    currentVersion(fs, rootPath) match {
       case Some(v) => spark.read.parquet(v.toString)
       case None => Seq.empty[KeyFeature].toDF()
     }
@@ -49,18 +66,31 @@ object FeatureTableSink {
   def merge(spark: SparkSession, root: String, batch: Dataset[KeyFeature], version: Long): Unit = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing = read(spark, root)
-    // Emissions are cumulative per-key state snapshots (numUpdates is a
-    // running counter), so the newest snapshot — max numUpdates — wins.
+    val cur = currentVersion(fs, rootPath)
+    val existing = cur match {
+      case Some(v) => spark.read.parquet(v.toString)
+      case None => { import spark.implicits._; Seq.empty[KeyFeature].toDF() }
+    }
+    // Winner per key: highest event order (ord), numUpdates only as a
+    // tie-break for re-emissions of the same ord. Never numUpdates
+    // alone — the TTL path in latestPerKey resets that counter, and a
+    // stale high count must not shadow fresh data.
     val merged = existing.unionByName(batch.toDF())
       .groupBy(col("key"))
-      .agg(max_by(struct(col("ord"), col("value"), col("numUpdates")), col("numUpdates")).as("_cur"))
+      .agg(max_by(
+        struct(col("ord"), col("value"), col("numUpdates")),
+        struct(col("ord"), col("numUpdates"))).as("_cur"))
       .select(col("key"), col("_cur.ord").as("ord"), col("_cur.value").as("value"),
         col("_cur.numUpdates").as("numUpdates"))
-    val vDir = f"v$version%020d"
+    // Always write a NEW version dir strictly above the current one —
+    // a replayed micro-batch id (restart before offset commit) must
+    // never overwrite the directory `existing` is lazily scanning.
+    val nextV = math.max(cur.flatMap(p => versionOf(p.getName)).getOrElse(-1L) + 1, version)
+    val vDir = f"v$nextV%020d"
     merged.write.mode(SaveMode.Overwrite).parquet(new Path(rootPath, vDir).toString)
-    // atomic pointer swap: tmp file + rename
-    val tmp = new Path(rootPath, s"_CURRENT.tmp$version")
+    // pointer swap; read() falls back to the newest committed v* dir if
+    // a reader lands inside the delete/rename window
+    val tmp = new Path(rootPath, s"_CURRENT.tmp$nextV")
     val out = fs.create(tmp, true)
     try out.write(vDir.getBytes("UTF-8")) finally out.close()
     val ptr = new Path(rootPath, "_CURRENT")
