@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g is ample for the sf0.1 corpus + cached sketch tables; larger
+  // heaps measurably hurt here (lazy page-faulting of a huge heap on a
+  // virtualized host dominated several bench runs).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

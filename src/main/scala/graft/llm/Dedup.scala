@@ -143,14 +143,28 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minJaccard: Double
+      minJaccard: Double,
+      maxShingleDocFreq: Int = 0
   ): DataFrame = {
-    val sets = docs.select(
+    val raw = docs.select(
       col(idCol).as("doc"),
       TextOps.shingleHashes(col(textCol)).as("xs")
-    ).cache() // feeds both the size lookup and the exploded join
-    val sizes = sets.select(col("doc"), size(col("xs")).as("n"))
-    val ex = sets.select(col("doc"), explode(col("xs")).as("x"))
+    )
+    // Skew mitigation (maxShingleDocFreq > 0): drop shingles appearing
+    // in more than F docs BEFORE the self-join — ubiquitous
+    // ("stopword") shingles contribute m^2 join rows each while barely
+    // moving near-dup Jaccard. The jaccard is then over the capped
+    // shingle sets — documented, oracle-mirrored semantics.
+    val exAll = raw.select(col("doc"), explode(col("xs")).as("x"))
+    val ex0 =
+      if (maxShingleDocFreq <= 0) exAll
+      else {
+        val freq = exAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDocFreq).select(col("x"))
+        exAll.join(freq, "x")
+      }
+    val ex = ex0.cache() // feeds the size lookup and both join sides
+    val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.x") === col("b.x") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))

@@ -339,6 +339,101 @@ object LlmQueries {
        |FROM fp ORDER BY doc""".stripMargin
   }
 
+  /** n-gram Jaccard with the documented skew mitigation: shingles in
+    * more than 20 docs are dropped before the self-join (ubiquitous
+    * shingles cost m² join rows each). Oracle mirrors the cap.
+    */
+  val dedupJaccardCapped: Q = (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        minJaccard = 0.8, maxShingleDocFreq = 20)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  val dedupJaccardCappedSql: String =
+    s"""WITH $xsCte,
+       |exall AS (SELECT doc_id, unnest(xh) AS x FROM xs),
+       |freq AS (SELECT x FROM (SELECT x, count(*) AS df FROM exall GROUP BY x) WHERE df <= 20),
+       |ex AS (SELECT doc_id, exall.x AS x FROM exall JOIN freq USING (x)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** End-to-end curation pipeline — the composite 100 TB use case:
+    * quality-filter → language-filter → exact-dedup to canonical docs →
+    * per-source corpus stats. Exercises operator COMPOSITION under one
+    * oracle.
+    */
+  val curationPipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc"), col("quality_score"))
+    val l = TextAnalysis.langId(docs, "doc_id", "text")
+      .select(col("doc"), col("pred_lang"))
+    val canon = Dedup.exact(docs, "doc_id", "text")
+      .select(col("canonical_id").as("doc"))
+    val t = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .select(col("doc"), col("bpe_tokens"))
+    docs.select(col("doc_id").as("doc"), col("source"))
+      .join(canon, "doc")
+      .join(q, "doc").filter(col("quality_score") >= 0.3)
+      .join(l, "doc").filter(col("pred_lang") === "en")
+      .join(t, "doc")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bpe_tokens")).as("total_tokens"),
+        sum(col("quality_score").cast("decimal(18,6)")).cast("double").as("sum_quality")
+      )
+      .orderBy("source") // avg = sum_quality / n_docs; not emitted (a
+      // rounded division can land exactly on a .5 ulp boundary where
+      // engines' rounding of the same double differs)
+  }
+
+  val curationPipelineSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
+    val en = TextAnalysis.LangMarkers.head._2.map(m => s"'$m'").mkString("[", ", ", "]")
+    val others = TextAnalysis.LangMarkers.tail.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(ws, w$lang -> list_contains($lst, w$lang)))"
+    }
+    s"""WITH wt AS (
+       |  SELECT doc_id, text, source, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) * 0.4
+       |      + least(CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) / 10.0, 1.0) * 0.3
+       |      + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3, 6) AS quality_score
+       |  FROM wt),
+       |l AS (
+       |  SELECT doc_id, len(list_filter(ws, we -> list_contains($en, we))) AS s_en,
+       |    ${others.zipWithIndex.map { case (e, i) => s"$e AS s_o$i" }.mkString(", ")}
+       |  FROM wt),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |t AS (
+       |  SELECT doc_id, len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS bpe_tokens
+       |  FROM documents)
+       |SELECT d.source, count(*) AS n_docs, sum(t.bpe_tokens) AS total_tokens,
+       |  CAST(sum(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+       |FROM documents d
+       |JOIN canon USING (doc_id)
+       |JOIN q ON q.doc_id = d.doc_id
+       |JOIN l ON l.doc_id = d.doc_id
+       |JOIN t ON t.doc_id = d.doc_id
+       |WHERE q.quality_score >= 0.3
+       |  AND l.s_en > 0 AND ${others.indices.map(i => s"l.s_en >= l.s_o$i").mkString(" AND ")}
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   // --------------------------------------------------------- multimodal
 
   val mmDecode: Q = (s, dir) => {
@@ -379,6 +474,8 @@ object LlmQueries {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_jaccard" -> dedupJaccard,
+    "q_dedup_jaccard_capped" -> dedupJaccardCapped,
+    "q_curation_pipeline" -> curationPipeline,
     "q_text_simhash" -> textSimhash,
     "q_embed_neardup" -> embedNearDup,
     "q_ann_topk" -> annTopK,
@@ -398,6 +495,8 @@ object LlmQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
+    "q_dedup_jaccard_capped" -> dedupJaccardCappedSql,
+    "q_curation_pipeline" -> curationPipelineSql,
     "q_text_simhash" -> textSimhashSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_ann_topk" -> annTopKSql,
