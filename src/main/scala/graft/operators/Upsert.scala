@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * state entry for its key (reference: ralf/operator.py:236-259,
   * ralf/state/table_state.py:9-46).
   *
-  * Batch formulation: `max_by(struct(cols), orderCol)` per key. This is a
-  * hash aggregation with map-side partial combine — ONE shuffle of
-  * (key -> current-best row), no per-key sort, no window function. At
-  * 100 TB this is the cheapest possible plan: each executor reduces its
-  * input to one candidate row per key before the exchange, so shuffle
-  * volume is O(distinct keys), not O(rows).
+  * Batch formulation: `max_by(struct(cols), orderCol)` per key — a
+  * two-phase aggregate with map-side partial combine: ONE shuffle of
+  * (key -> current-best row), no window function. Each executor reduces
+  * its input to one candidate row per key before the exchange, so
+  * shuffle volume is O(distinct keys), not O(rows) — the property that
+  * matters at 100 TB. (Struct-valued aggregation buffers aren't
+  * hash-aggregable, so the physical operator is SortAggregate; the
+  * in-partition sort is the price of carrying the whole row through
+  * the aggregate.)
   */
 object Upsert {
 

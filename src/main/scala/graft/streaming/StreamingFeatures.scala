@@ -106,6 +106,44 @@ object StreamingFeatures {
       }
   }
 
+  /** Per-key count-based sliding window as a stateful stream
+    * (ralf/operators/window.py:54-124): emit the last `windowSize`
+    * values every `slideSize` records. State holds at most
+    * windowSize-1 values plus a position counter — bounded regardless
+    * of stream length.
+    */
+  final case class SlideState(buffer: Array[Double], seen: Long)
+
+  def slidingCountWindow(
+      spark: SparkSession,
+      updates: Dataset[Update],
+      windowSize: Int,
+      slideSize: Int
+  ): Dataset[WindowEmit] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[SlideState]) =>
+          var st = state.getOption.getOrElse(SlideState(Array.empty, 0L))
+          val out = Seq.newBuilder[WindowEmit]
+          batch.toSeq.sortBy(_.ord).foreach { u =>
+            val buf0 = st.buffer :+ u.value
+            // keep only the trailing window
+            val buf = if (buf0.length > windowSize) buf0.takeRight(windowSize) else buf0
+            val seen = st.seen + 1
+            // emit at rows where seen >= w and (seen - w) % s == 0 —
+            // the same emit predicate as the batch formulation
+            if (seen >= windowSize && (seen - windowSize) % slideSize == 0) {
+              out += WindowEmit(key, (seen - windowSize) / slideSize, buf.toSeq)
+            }
+            st = SlideState(buf, seen)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Running per-key sum (v2 `Sum`, ralf/v2/examples/counter.py:56-65)
     * as an always-on stream: emits the cumulative (sum, count) after
     * each micro-batch.

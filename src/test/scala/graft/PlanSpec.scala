@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.{ParityQueries, RelationalQueries}
+
+/** Physical-plan regression guards: the scale properties the engine
+  * depends on (parquet pushdown, column pruning, broadcast joins,
+  * partial aggregation, top-k without global sort) must survive query
+  * edits — a correct-but-full-scan plan is a regression even when the
+  * oracle still matches.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pricing summary: shipdate filter pushed to parquet, columns pruned") {
+    val plan = RelationalQueries.pricingSummary(spark, dir).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter must reach the parquet scan")
+    assert(!plan.contains("l_partkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("latest-wins upsert: two-phase aggregate, partial combine BEFORE the exchange") {
+    // Struct-valued aggregation buffers aren't hash-aggregable, so
+    // max_by(struct, ord) plans as SortAggregate — acceptable. The
+    // property that must hold at scale is the partial (map-side) phase
+    // below the exchange: shuffle volume O(distinct keys), not O(rows).
+    val plan = planOf(ParityQueries.latestFeature(spark, dir))
+    assert(plan.contains("partial_max_by"), s"expected map-side partial combine, got:\n$plan")
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_max_by")
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      "partial aggregate must sit below (after in plan text) the hash exchange")
+  }
+
+  test("top revenue orders: dims broadcast, top-k is TakeOrderedAndProject") {
+    val plan = planOf(RelationalQueries.topRevenueOrders(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "filtered customer dim must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"), "limit+sort must fuse, no global sort")
+  }
+
+  test("point query: key predicate pushed into the parquet scan") {
+    val plan = planOf(ParityQueries.pointQuery(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"),
+      "point-query key must reach the scan (lazy-table semantics)")
+  }
+
+  test("dim join broadcasts the dimension side") {
+    val plan = planOf(ParityQueries.dimJoin(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "customer dim must not shuffle")
+  }
+}

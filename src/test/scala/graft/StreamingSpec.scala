@@ -41,6 +41,29 @@ class StreamingSpec extends SparkSpec {
     assert(wins == Map(0L -> List(1.0, 2.0, 3.0))) // second window incomplete: not emitted
   }
 
+  test("streaming sliding count window matches the batch formulation") {
+    val data = (1 to 23).map(i => Update("k", i.toLong, i.toDouble))
+    val in = MemoryStream[Update]
+    in.addData(data.take(9): _*)
+    in.addData(data.drop(9): _*)
+    val out = StreamingFeatures.runToMemory(
+      spark,
+      StreamingFeatures.slidingCountWindow(spark, in.toDS(), windowSize = 5, slideSize = 3),
+      "t_slide", org.apache.spark.sql.streaming.OutputMode.Append())
+    val wins = out.collect().map(r => r.getLong(1) -> r.getSeq[Double](2).toList).toMap
+    // batch semantics: emissions at seen = 5, 8, 11, ..., 23 -> 7 windows
+    assert(wins.size == (23 - 5) / 3 + 1)
+    assert(wins(0L) == List(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(wins(6L) == List(19.0, 20.0, 21.0, 22.0, 23.0))
+    // trailing-window sums match Windows.sliding on the same data
+    val batch = graft.operators.Windows.sliding(
+      data.toDF("key", "ord", "value"), "key",
+      org.apache.spark.sql.functions.col("ord"),
+      org.apache.spark.sql.functions.col("value"), 5, 3)
+      .select("w_sum").as[Double].collect().sorted.toList
+    assert(wins.values.map(_.sum).toList.sorted == batch)
+  }
+
   test("streaming running sum accumulates per key") {
     val in = MemoryStream[Update]
     in.addData((1 to 10).map(i => Update("k", i.toLong, i.toDouble)): _*)
