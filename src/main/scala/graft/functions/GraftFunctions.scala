@@ -17,18 +17,52 @@ import org.apache.spark.sql.types.StringType
   */
 object GraftFunctions {
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   private val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (
         FunctionIdentifier("graft_strhash"),
         new ExpressionInfo(classOf[StrHash].getName, "graft_strhash"),
         (es: Seq[Expression]) => StrHash(es.head)
+      ),
+      (
+        FunctionIdentifier("graft_vecdot"),
+        new ExpressionInfo(classOf[VecDot].getName, "graft_vecdot"),
+        (es: Seq[Expression]) => VecDot(es(0), es(1))
+      ),
+      (
+        FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+        (es: Seq[Expression]) => SimHash(es.head, graft.llm.TextOps.SimBits)
+      ),
+      (
+        FunctionIdentifier("graft_shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        (es: Seq[Expression]) => ShingleHashes(es(0), intLit(es(1), "n-gram width"))
+      ),
+      (
+        FunctionIdentifier("graft_bigram_hashes"),
+        new ExpressionInfo(classOf[BigramPairHashes].getName, "graft_bigram_hashes"),
+        (es: Seq[Expression]) => BigramPairHashes(es.head)
+      ),
+      (
+        FunctionIdentifier("graft_rolling_fp"),
+        new ExpressionInfo(classOf[RollingFpHashes].getName, "graft_rolling_fp"),
+        (es: Seq[Expression]) =>
+          RollingFpHashes(es(0), intLit(es(1), "gram width"), intLit(es(2), "mod").toLong)
       )
     )
 
   def register(spark: SparkSession): Unit = registry.foreach { case (id, info, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
+
+  def injectInto(ext: SparkSessionExtensions): Unit =
+    registry.foreach(ext.injectFunction)
 
   /** Column-API handle on [[StrHash]] — no session registration needed.
     * Input is cast to string (StrHash declares no implicit coercions).
@@ -40,13 +74,7 @@ object GraftFunctions {
 /** `SparkSessionExtensions` injection point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (
-        FunctionIdentifier("graft_strhash"),
-        new ExpressionInfo(classOf[StrHash].getName, "graft_strhash"),
-        (es: Seq[Expression]) => StrHash(es.head)
-      )
-    )
+    GraftFunctions.injectInto(ext)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

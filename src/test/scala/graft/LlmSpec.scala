@@ -26,10 +26,17 @@ class LlmSpec extends SparkSpec {
     assert(out.length == 5 && out.toSet.size == 4) // docs 1 and 4 collide (identical text)
   }
 
-  test("strhash registered as SQL function via GraftFunctions.register") {
+  test("custom functions registered for SQL via GraftFunctions.register") {
     GraftFunctions.register(spark)
-    val r = spark.sql("SELECT graft_strhash('ab') AS h").as[Long].head()
-    assert(r == 3105L)
+    assert(spark.sql("SELECT graft_strhash('ab') AS h").as[Long].head() == 3105L)
+    assert(spark.sql("SELECT graft_vecdot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head() == 11.0)
+    assert(spark.sql("SELECT size(graft_shingle_hashes('a b c d', 3)) AS n")
+      .as[Int].head() == 2)
+    assert(spark.sql("SELECT graft_simhash(graft_bigram_hashes('a b c')) AS s")
+      .as[Long].head() >= 0L)
+    assert(spark.sql("SELECT size(graft_rolling_fp('abcdefghij', 8, 1)) AS n")
+      .as[Int].head() == 3) // 3 distinct 8-grams, mod 1 keeps all
   }
 
   test("exact dedup groups identical texts") {
