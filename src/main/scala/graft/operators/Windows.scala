@@ -115,4 +115,19 @@ object Windows {
     df.withColumn("running_sum", sum(valueCol).over(frame))
       .withColumn("running_count", count(lit(1)).over(frame))
   }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * key's previous event exceeds `maxGap` (in `ord` units). session_id
+    * = running count of session starts per key — the classic
+    * lag + cumulative-sum formulation, one shuffle + in-partition sort.
+    */
+  def sessionize(df: DataFrame, key: String, ord: Column, maxGap: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(ord)
+    val prev = lag(ord, 1).over(byKey)
+    val isStart = when(prev.isNull || ord - prev > maxGap, 1L).otherwise(0L)
+    df.withColumn(
+      "session_id",
+      sum(isStart).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1
+    )
+  }
 }

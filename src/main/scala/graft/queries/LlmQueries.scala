@@ -434,6 +434,41 @@ object LlmQueries {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** Top-5 terms per language across the corpus — word explode + count,
+    * ranked by the custom bounded-heap TopKPerKey operator (ties by
+    * term). The corpus-stats shape: explode shuffle keyed by (lang,
+    * word) with map-side combine, then k rows per group survive.
+    */
+  val topTerms: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val counts = d
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val top = graft.plans.TopKPerKey(s, counts, Seq("lang"),
+      Seq("n" -> true, "term" -> false), 5)
+    top.select(
+        col("lang"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n").desc, col("term")))
+          .cast("long").as("rank"),
+        col("term"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
+  val topTermsSql: String =
+    """WITH c AS (
+      |  SELECT lang, wd AS term, count(*) AS n
+      |  FROM (SELECT lang, unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS wd
+      |        FROM documents)
+      |  GROUP BY lang, wd)
+      |SELECT lang, rank, term, n FROM (
+      |  SELECT lang, term, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+      |  FROM c)
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   // --------------------------------------------------------- multimodal
 
   val mmDecode: Q = (s, dir) => {
@@ -476,6 +511,7 @@ object LlmQueries {
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_jaccard_capped" -> dedupJaccardCapped,
     "q_curation_pipeline" -> curationPipeline,
+    "q_top_terms" -> topTerms,
     "q_text_simhash" -> textSimhash,
     "q_embed_neardup" -> embedNearDup,
     "q_ann_topk" -> annTopK,
@@ -497,6 +533,7 @@ object LlmQueries {
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_jaccard_capped" -> dedupJaccardCappedSql,
     "q_curation_pipeline" -> curationPipelineSql,
+    "q_top_terms" -> topTermsSql,
     "q_text_simhash" -> textSimhashSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_ann_topk" -> annTopKSql,

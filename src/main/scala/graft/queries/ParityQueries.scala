@@ -175,6 +175,38 @@ object ParityQueries {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_count
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** Gap-based sessionization over the event stream (event_id gap > 40
+    * starts a new session), rolled up to per-session stats.
+    */
+  val sessionize: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "value")
+    Windows.sessionize(e, "user_id", col("event_id"), maxGap = 40L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN lag(event_id) OVER w IS NULL
+      |           OR event_id - lag(event_id) OVER w > 40 THEN 1 ELSE 0 END AS is_start
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, value,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(event_id) AS first_event, max(event_id) AS last_event,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
   // -------------------------------------------------------------- joins
 
   /** SURVEY §2.1 #3 steady state: left stream enriched with the right
@@ -366,6 +398,7 @@ object ParityQueries {
     "q_tumbling_window" -> tumblingWindow,
     "q_sliding_window" -> slidingWindow,
     "q_sliding_perkey_plan" -> slidingPerKeyPlan,
+    "q_sessionize" -> sessionize,
     "q_running_sum" -> runningSum,
     "q_enrich_latest_join" -> enrichLatestJoin,
     "q_sequence_join" -> sequenceJoin,
@@ -386,6 +419,7 @@ object ParityQueries {
     "q_tumbling_window" -> tumblingWindowSql,
     "q_sliding_window" -> slidingWindowSql,
     "q_sliding_perkey_plan" -> slidingPerKeyPlanSql,
+    "q_sessionize" -> sessionizeSql,
     "q_running_sum" -> runningSumSql,
     "q_enrich_latest_join" -> enrichLatestJoinSql,
     "q_sequence_join" -> sequenceJoinSql,
