@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.llm.Dedup
+
+/** Regression guard for the round-1 codegen bug: companion-object `eval`
+  * methods on Expression case classes get no static forwarder (the name
+  * collides with the inherited `Expression.eval`), so Janino could not
+  * compile the generated Java and every simhash/minhash stage silently
+  * fell back to interpreted execution. With
+  * `spark.sql.codegen.fallback=false` a whole-stage compile failure
+  * throws instead of falling back, so these tests fail loudly if the
+  * kernels ever become codegen-incompatible again.
+  */
+class CodegenSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def withNoCodegenFallback[A](body: => A): A = {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  // WholeStageCodegenExec prints as "*(n)" in simple plan text; walk the
+  // tree (through AQE's final plan) instead of string-matching.
+  private def hasCodegenSpan(p: SparkPlan): Boolean = p.exists {
+    case _: WholeStageCodegenExec => true
+    case a: AdaptiveSparkPlanExec => hasCodegenSpan(a.executedPlan)
+    case _                        => false
+  }
+
+  test("simhashDocs stage is whole-stage-codegen'd and compiles") {
+    withNoCodegenFallback {
+      val df = Dedup.simhashDocs(docs, "doc_id", "text")
+      assert(df.count() > 0) // forces Janino compile; throws on failure
+      assert(hasCodegenSpan(df.queryExecution.executedPlan),
+        s"simhash projection must be inside a codegen span, got:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("minhash signature + band stages are whole-stage-codegen'd and compile") {
+    withNoCodegenFallback {
+      val df = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+      df.count() // forces compile of every stage incl. graft_minhash
+      // The signature projection lives inside the cached relation; AQE's
+      // outer plan hides its stages pre-execution, so assert the span on
+      // the plan text: "*(n) Project [... graft_minhash ...]".
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project \[[^\n]*graft_minhash""".r.findFirstIn(plan).isDefined,
+        s"graft_minhash projection must sit inside a codegen span, got:\n$plan")
+    }
+  }
+
+  test("simhashPairs end-to-end compiles with codegen fallback disabled") {
+    withNoCodegenFallback {
+      Dedup.simhashPairs(docs, "doc_id", "text", 3, chunks = 8).count()
+    }
+  }
+}
