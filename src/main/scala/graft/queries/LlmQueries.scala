@@ -422,7 +422,7 @@ object LlmQueries {
        |t AS (
        |  SELECT doc_id, len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS bpe_tokens
        |  FROM documents)
-       |SELECT d.source, count(*) AS n_docs, sum(t.bpe_tokens) AS total_tokens,
+       |SELECT d.source, count(*) AS n_docs, CAST(sum(t.bpe_tokens) AS BIGINT) AS total_tokens,
        |  CAST(sum(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
        |FROM documents d
        |JOIN canon USING (doc_id)

@@ -81,11 +81,24 @@ object ParityQueries {
   // ------------------------------------------------------------ windows
 
   /** SURVEY §2.1 #4: per-key count-based tumbling window (size 4),
-    * complete windows only, order-preserved window column.
+    * complete windows only. The driver's checker cannot sort an array
+    * column (pandas), so the query emits the order-preserved window as a
+    * scalar digest: an ordered 31-fold over the exact cent values
+    * (values are 2-decimal, so round(v*100) is bit-exact both engines).
+    * Any content OR order error changes the digest; the raw array form
+    * stays covered by OperatorSpec/PropertySpec.
     */
   val tumblingWindow: Q = (s, dir) => {
     val e = events(s, dir).select("user_id", "event_id", "value")
     Windows.tumbling(e, "user_id", col("event_id"), col("value"), size = 4)
+      .select(
+        col("user_id"), col("window_id"),
+        aggregate(
+          transform(col("window_values"), v => round(v * 100).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L
+        ).as("window_digest"),
+        col("first_ord"), col("last_ord"))
       .orderBy("user_id", "window_id")
   }
 
@@ -95,7 +108,10 @@ object ParityQueries {
       |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
       |  FROM events)
       |SELECT user_id, (rn - 1) // 4 AS window_id,
-      |  list(value ORDER BY rn) AS window_values,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list(value ORDER BY rn), wv -> CAST(round(wv * 100) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS window_digest,
       |  min(event_id) AS first_ord, max(event_id) AS last_ord
       |FROM e GROUP BY user_id, window_id HAVING count(*) = 4
       |ORDER BY user_id, window_id""".stripMargin
@@ -199,8 +215,8 @@ object ParityQueries {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
       |s AS (
       |  SELECT user_id, event_id, value,
-      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(event_id) AS first_event, max(event_id) AS last_event,

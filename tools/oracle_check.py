@@ -21,7 +21,12 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "nan"
-        return f"{v:.9g}"
+        # %.17g is round-trip precision for float64, and the "f:" tag keeps
+        # a float64 column from matching an int64 one — DuckDB sum(int)
+        # returns HUGEINT which pandas widens to float64, so an uncast
+        # oracle sum vs a Spark bigint hashed equal at %.9g while the
+        # driver's raw-value hash failed (round-1 lesson).
+        return f"f:{v:.17g}"
     if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
         v = v.tolist()
         if isinstance(v, (int, float)): return norm(float(v)) if isinstance(v, float) else str(v)
