@@ -1,9 +1,31 @@
 package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ListBuffer
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR,
+  * median-of-3 per query (this host's virtualization can stall a single
+  * run by 10-100x, so a lone timing is meaningless; the per-run times go
+  * to stderr so jitter stays visible). Prints ONE JSON metric line to
+  * stdout and also writes it to SPARK_GRAFT_BENCH_OUT (default
+  * bench_out.json) — sbt wraps forked stdout in [info], which broke the
+  * driver's stdout parse in round 1.
+  *
+  * A query that throws in any run is reported in "failed" and excluded
+  * from the total rather than silently contributing its time-to-failure
+  * (a query can fail at bench scale yet pass the smaller correctness
+  * gate).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,28 +36,47 @@ object Bench {
     // whichever query runs first isn't charged session startup.
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // toRdd executes the query's own optimized plan (projections,
-      // sorts and all) and counts InternalRows; a DataFrame count()
-      // would instead re-optimize with the aggregate on top, letting
-      // Catalyst prune away the very work being measured.
-      // Best of 2 runs: steady-state cost, not host-scheduling luck.
-      val dt = (1 to 2).map { _ =>
+    val failed = ListBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = (1 to runs).map { i =>
+        // toRdd executes the query's own optimized plan (projections,
+        // sorts and all) and counts InternalRows; a DataFrame count()
+        // would instead re-optimize with the aggregate on top, letting
+        // Catalyst prune away the very work being measured.
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name run $i FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         // Drop cached intermediates (dedup signature tables etc.) so
         // queries are timed independently, not under accumulated
         // storage-memory pressure.
         spark.catalog.clearCache()
-        t
-      }.min
-      name -> dt
+        (t, ok)
+      }
+      if (times.exists(!_._2)) { failed += name; None }
+      else {
+        val ts = times.map(_._1).sorted
+        val med = ts(ts.size / 2)
+        System.err.println(
+          f"[bench] $name%-28s median=$med%8.3f  runs=[${times.map(t => f"${t._1}%.3f").mkString(", ")}]")
+        if (ts.last > 5 * ts.head && ts.last - ts.head > 2.0)
+          System.err.println(f"[bench] $name%-28s JITTER: ${ts.last / ts.head}%.1fx spread across runs (virtualized-host stall; median reported)")
+        Some(name -> med)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+    println(json)
+    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

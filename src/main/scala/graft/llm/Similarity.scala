@@ -104,37 +104,48 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k: a deterministic coarse quantizer
-    * (every vector is assigned to its highest-cosine "centroid", the
-    * centroids being a fixed subset of the corpus selected by
-    * `centroidPred`), then each query searches only its own cell.
+    * (every vector is assigned to its highest-cosine centroid), then
+    * each query searches its `nProbe` nearest cells.
+    *
+    * The centroid set is FIXED-SIZE — the `numCentroids` lowest-id
+    * corpus vectors — so cell assignment is O(corpus × numCentroids)
+    * with a broadcastable constant-size centroid table, linear in the
+    * corpus. (Round-1 version selected a corpus *fraction* as
+    * centroids, making assignment O(n²/100) — a scale-killer.) K-means
+    * refinement would drop in without changing the plan shape, but its
+    * shuffle-order-dependent float means can't be mirrored bit-exact by
+    * the oracle, so the quantizer stays a deterministic selection.
     *
     * The 100 TB shape: the corpus is bucketed ONCE by cell (one shuffle,
-    * or a partitioned table on disk); a query probes one cell —
-    * partition pruning instead of a full scan. Multi-probe (nearest n
-    * cells) is the standard recall knob; k-means trained centroids drop
-    * in without changing the plan shape.
+    * or a partitioned table on disk); a query probes `nProbe` cells —
+    * partition pruning instead of a full scan, with nProbe the standard
+    * recall knob.
     */
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      centroidPred: Column,
       queryPred: Column,
-      k: Int
+      k: Int,
+      numCentroids: Int = 64,
+      nProbe: Int = 2
   ): DataFrame = {
     val p = prepared(emb, idCol, vecCol)
-    val cents = p.filter(centroidPred)
+    val cents = p.orderBy(col("vid")).limit(numCentroids)
       .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    // cell assignment: best centroid by cosine, ties to the lower cid
+    // rank centroids per vector by cosine, ties to the lower cid
     val cellRank = row_number().over(
       Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
-    val assigned = p.crossJoin(broadcast(cents))
+    val ranked = p.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("crk", cellRank)
-      .filter(col("crk") === 1)
+    // every vector lives in exactly one cell (its top centroid) ...
+    val assigned = ranked.filter(col("crk") === 1)
       .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
-    val q = assigned.filter(queryPred)
-      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    // ... while a query probes its nProbe nearest cells. A (query,
+    // neighbor) pair can meet at most once: the neighbor has one cell.
+    val q = ranked.filter(col("crk") <= nProbe).filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cid").as("cell"))
     val scored = assigned.as("n")
       .join(broadcast(q), col("n.cell") === q("cell") && col("qid") =!= col("n.vid"))
       .select(

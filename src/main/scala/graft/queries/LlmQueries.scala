@@ -237,24 +237,27 @@ object LlmQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Fixed-k centroids (64 lowest ids — constant in corpus size) with
+    * 2-probe search; mirrors Similarity.ivfTopK's quantizer exactly.
+    */
   val annIvf: Q = (s, dir) =>
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        centroidPred = col("vid") % 100 === 50, queryPred = col("vid") % 100 === 0, k = 5)
+        queryPred = col("vid") % 100 === 0, k = 5, numCentroids = 64, nProbe = 2)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank")
 
   val annIvfSql: String =
     s"""WITH $normCte,
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 50),
-       |asg AS (
-       |  SELECT vid, v, nrm, cell FROM (
-       |    SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
-       |      row_number() OVER (PARTITION BY n.vec_id
-       |        ORDER BY ${dotSql("n.v", "c.cv", 64, "a")} / (n.nrm * c.cn) DESC, c.cid) AS crk
-       |    FROM n, c)
-       |  WHERE crk = 1),
-       |q AS (SELECT vid AS qid, v AS qv, nrm AS qn, cell FROM asg WHERE vid % 100 = 0)
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 64),
+       |rk AS (
+       |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c.cv", 64, "a")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |  FROM n, c),
+       |asg AS (SELECT vid, v, nrm, cell FROM rk WHERE crk = 1),
+       |q AS (SELECT vid AS qid, v AS qv, nrm AS qn, cell FROM rk
+       |      WHERE crk <= 2 AND vid % 100 = 0)
        |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
        |  SELECT q.qid, b.vid AS nid,
        |    ${dotSql("q.qv", "b.v", 64, "d")} / (q.qn * b.nrm) AS cosine,
