@@ -144,6 +144,64 @@ object StreamingFeatures {
       }
   }
 
+  /** One record of a two-sided keyed stream (`isLeft` tags the side). */
+  final case class SideUpdate(key: String, ord: Long, value: Double, isLeft: Boolean)
+
+  /** A consumed pair: the i-th left record of a key joined with the i-th
+    * right record of that key.
+    */
+  final case class JoinedPair(key: String, lOrd: Long, lValue: Double, rOrd: Long, rValue: Double)
+
+  /** Per-key join buffer: whichever side is ahead keeps its unconsumed
+    * records (at most one side is ever non-empty). Arrays, not Seq —
+    * the state encoder's generated code requires it.
+    */
+  final case class JoinBuf(
+      lOrds: Array[Long], lVals: Array[Double],
+      rOrds: Array[Long], rVals: Array[Double])
+
+  /** Streaming consume-once LeftJoin (ralf/operators/join.py:35-56): left
+    * records buffer per key and each arriving right record consumes the
+    * OLDEST buffered left exactly once — i-th left pairs with i-th
+    * right. The streaming twin of [[graft.operators.Joins.sequenceJoin]];
+    * outputs are identical on the same records (order aside).
+    *
+    * Rights arriving before their left also buffer (micro-batch
+    * boundaries can put a right ahead of its left — the eager reference
+    * loop has the same property under arbitrary arrival interleaving).
+    * State per key is the pending tail of ONE side: every emitted pair
+    * removes one record from each side, so the buffers never both grow.
+    */
+  def sequenceJoinStream(
+      spark: SparkSession,
+      updates: Dataset[SideUpdate]
+  ): Dataset[JoinedPair] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[SideUpdate], state: GroupState[JoinBuf]) =>
+          val st = state.getOption.getOrElse(
+            JoinBuf(Array.empty, Array.empty, Array.empty, Array.empty))
+          // within a micro-batch each side applies in ord order (the
+          // same convention as the other stateful operators here)
+          val (ls, rs) = batch.toSeq.partition(_.isLeft)
+          val lsS = ls.sortBy(_.ord)
+          val rsS = rs.sortBy(_.ord)
+          val lOrds = st.lOrds ++ lsS.map(_.ord)
+          val lVals = st.lVals ++ lsS.map(_.value)
+          val rOrds = st.rOrds ++ rsS.map(_.ord)
+          val rVals = st.rVals ++ rsS.map(_.value)
+          val n = math.min(lOrds.length, rOrds.length)
+          val out = (0 until n).map { i =>
+            JoinedPair(key, lOrds(i), lVals(i), rOrds(i), rVals(i))
+          }
+          state.update(JoinBuf(
+            lOrds.drop(n), lVals.drop(n), rOrds.drop(n), rVals.drop(n)))
+          out.iterator
+      }
+  }
+
   /** Running per-key sum (v2 `Sum`, ralf/v2/examples/counter.py:56-65)
     * as an always-on stream: emits the cumulative (sum, count) after
     * each micro-batch.

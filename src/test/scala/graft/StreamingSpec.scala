@@ -104,6 +104,48 @@ class StreamingSpec extends SparkSpec {
     assert(t == Map("x" -> 2.0, "y" -> 9.0))
   }
 
+  test("streaming consume-once join matches Joins.sequenceJoin on the same data") {
+    import graft.streaming.StreamingFeatures.SideUpdate
+    val rng = new scala.util.Random(11)
+    // uneven sides per key, shuffled across two micro-batches so some
+    // rights arrive before their lefts
+    val lefts = for (k <- Seq("x", "y"); i <- 1 to 9)
+      yield SideUpdate(k, i.toLong, rng.nextDouble() * 10, isLeft = true)
+    val rights = for (k <- Seq("x", "y"); i <- 1 to 6)
+      yield SideUpdate(k, 100L + i, rng.nextDouble() * 10, isLeft = false)
+    val all = rng.shuffle(lefts ++ rights)
+    val in = MemoryStream[SideUpdate]
+    in.addData(all.take(10): _*)
+    in.addData(all.drop(10): _*)
+    val streamed = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.sequenceJoinStream(spark, in.toDS()), "t_seqjoin",
+      OutputMode.Append())
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val batch = graft.operators.Joins.sequenceJoin(
+      lefts.map(u => (u.key, u.ord, u.value)).toDF("key", "ord", "value"),
+      rights.map(u => (u.key, u.ord, u.value)).toDF("key", "ord", "value"),
+      "key", "ord", "ord")
+      .select("l_key", "l_ord", "l_value", "r_ord", "r_value")
+      .as[(String, Long, Double, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    // each side consumed exactly once: 6 pairs per key
+    assert(streamed.size == 12)
+  }
+
+  test("streaming consume-once join buffers a right that precedes its left") {
+    import graft.streaming.StreamingFeatures.SideUpdate
+    val in = MemoryStream[SideUpdate]
+    in.addData(SideUpdate("k", 100, 1.5, isLeft = false)) // right first
+    in.addData(SideUpdate("k", 1, 7.0, isLeft = true))    // left arrives later
+    val out = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.sequenceJoinStream(spark, in.toDS()), "t_seqjoin2",
+      OutputMode.Append())
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toList == List((1L, 7.0, 100L, 1.5)))
+  }
+
   test("streaming mean-policy gate matches the batch fold on the same data") {
     val rng = new scala.util.Random(7)
     val data = for (k <- Seq("x", "y"); i <- 1 to 50)
