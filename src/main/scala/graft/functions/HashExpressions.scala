@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial string hash `fold(chars)(acc -> (acc*31 + c) mod 1e9+7)`.
@@ -26,6 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class StrHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_strhash"
+
+  // analysis-time gate: SQL misuse (graft_strhash(int_col)) should fail
+  // in the analyzer, not as a ClassCastException inside codegen
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
 
   override def nullSafeEval(input: Any): Any =
     StrHash.hash(input.asInstanceOf[UTF8String])
@@ -67,6 +76,14 @@ object StrHash {
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> args, got ${l.catalogString}, ${r.catalogString}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -1,12 +1,24 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
+
+/** Shared analysis-time gate for the string-input kernels: SQL misuse
+  * fails in the analyzer rather than as a ClassCastException in codegen.
+  */
+private[functions] trait StringInputCheck { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+}
 
 /** Fused tokenize→n-gram→hash kernels. Semantically identical to the
   * composable Column pipeline in graft.llm.TextOps (split on ' ', drop
@@ -154,7 +166,8 @@ object RollingFp {
   }
 }
 
-case class RollingFpHashes(child: Expression, gram: Int, mod: Long) extends UnaryExpression {
+case class RollingFpHashes(child: Expression, gram: Int, mod: Long)
+    extends UnaryExpression with StringInputCheck {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     RollingFp.eval(input.asInstanceOf[UTF8String], gram, mod)
@@ -166,7 +179,8 @@ case class RollingFpHashes(child: Expression, gram: Int, mod: Long) extends Unar
 }
 
 /** `shingleHashes(text, n)` as a codegen-capable expression. */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with StringInputCheck {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TokenHash.shingleHashes(input.asInstanceOf[UTF8String], n)
@@ -178,7 +192,8 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** `bigramPairHashes(text)` as a codegen-capable expression. */
-case class BigramPairHashes(child: Expression) extends UnaryExpression {
+case class BigramPairHashes(child: Expression)
+    extends UnaryExpression with StringInputCheck {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TokenHash.bigramPairHashes(input.asInstanceOf[UTF8String])

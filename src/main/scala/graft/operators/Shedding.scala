@@ -44,6 +44,15 @@ object Shedding {
     * previous decision, so no window function can express it
     * (SURVEY.md §7 hard part 2).
     *
+    * Semantic adaptation, on purpose: the reference thresholds the
+    * RELATIVE difference of the two records' WINDOW MEANS
+    * (|cand−cur|/|cur| > thresh over mean(window)); here records carry a
+    * scalar feature and the gate is the ABSOLUTE difference — the
+    * sequential consume-against-last-KEPT structure (the hard part) is
+    * identical. Callers needing the relative form pass a pre-divided
+    * column (v/baseline) and a relative `thresh`; a windowed mean is
+    * [[Windows.tumbling]] composed upstream.
+    *
     * Physical plan: hash-repartition on key + in-partition sort + a
     * single streaming pass (mapPartitions with key-change detection).
     * One shuffle, O(1) state per key in flight, no per-key
@@ -129,9 +138,28 @@ object Shedding {
     * which updates are (notionally) applied — the final latest-wins
     * table is order-independent (SURVEY.md §2.3) — so they surface as
     * deterministic trace orderings.
+    *
+    * Order is the observable, and the driver's oracle compare sorts rows
+    * before hashing, so these are spec-covered (OperatorSpec) rather
+    * than oracle queries — an ORDER BY would be invisible to the gate.
+    *
+    * The reference's LIFO e2e (ralf/tests/test_e2e.py:96-115) observes
+    * [1, 10, 9, ..., 2]: its eager loop grabs the first record before
+    * the rest enqueue, then drains LIFO. Batch sees all records pending
+    * at once, so the trace is the pure policy order (10..1) — the
+    * startup race is a property of the eager runtime, not the policy.
     */
   def fifoTrace(df: DataFrame, ord: Column): DataFrame = df.orderBy(ord.asc)
   def lifoTrace(df: DataFrame, ord: Column): DataFrame = df.orderBy(ord.desc)
+
+  /** `last_completed` (processing_policy.py:14-15): freshest record
+    * first — LIFO keyed on complete_time rather than processing
+    * (arrival) time. In ralf a record's `complete_time` is stamped when
+    * its source emits it; records completed most recently are processed
+    * first so derived features track the newest world state.
+    */
+  def lastCompletedTrace(df: DataFrame, completeOrd: Column): DataFrame =
+    df.orderBy(completeOrd.desc)
 
   /** `make_sorter_with_key_weights` (processing_policy.py:18-24): static
     * key-priority ordering; weights ride in as a small map joined (or

@@ -1,0 +1,148 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Storage connectors with the reference's tested contract
+  * (ralf/state/connector.py:7-30, exercised by
+  * ralf/tests/test_state.py:35-73): upsert / point query / bulk query /
+  * delete, plus the num_updates / num_deletes / num_records counter
+  * triple surfaced by `TableState.debug_state`.
+  *
+  * Spark-first re-expression: a connector stores a one-row-per-key TABLE
+  * and updates arrive as keyed BATCHES (DataFrames) rather than single
+  * records — the new batch replaces stored rows on key collision, which
+  * is exactly "later update wins" applied batch-at-a-time. The merge is
+  * an anti-join (stored minus updated keys) plus the batch: one shuffle
+  * on the key, broadcastable when the batch is small.
+  */
+final case class ConnectorStats(numUpdates: Long, numDeletes: Long, numRecords: Long)
+
+trait Connector {
+  def spark: SparkSession
+  def keyCol: String
+
+  protected var updates = 0L
+  protected var deletes = 0L
+
+  /** Current table (empty DataFrame with the table's schema if nothing
+    * was ever written).
+    */
+  def bulkQuery(): DataFrame
+
+  /** Replace the stored table. Implementations persist it durably. */
+  protected def replace(table: DataFrame): Unit
+
+  /** Merge a keyed batch: batch rows replace stored rows with the same
+    * key. A batch must carry at most one row per key (upstream
+    * latest-per-key reduction guarantees this; duplicates are reduced
+    * arbitrarily-but-deterministically here as a guard).
+    */
+  def upsert(batch: DataFrame): Unit = {
+    val b = batch.dropDuplicates(keyCol)
+    val n = b.count()
+    val cur = bulkQuery()
+    val merged =
+      if (cur.isEmpty) b
+      else cur.join(broadcast(b.select(keyCol)), Seq(keyCol), "left_anti").unionByName(b)
+    replace(merged)
+    updates += n
+  }
+
+  /** Delete the given keys; counts only keys that were present. */
+  def delete(keys: Seq[Any]): Unit = {
+    val cur = bulkQuery()
+    val hit = cur.filter(col(keyCol).isin(keys: _*)).count()
+    if (hit > 0) replace(cur.filter(!col(keyCol).isin(keys: _*)))
+    deletes += hit
+  }
+
+  /** The key's current row, if present (`get_one`). */
+  def pointQuery(key: Any): Option[Row] =
+    bulkQuery().filter(col(keyCol) === lit(key)).collect().headOption
+
+  def count(): Long = bulkQuery().count()
+
+  /** The reference's debug_state counter triple. */
+  def stats: ConnectorStats = ConnectorStats(updates, deletes, count())
+}
+
+/** Dict-connector analog (ralf/state/dict_connector.py): the table lives
+  * in executor memory (localCheckpoint) and is exposed as a temp view
+  * named `tableName`. Cheap and ephemeral — dev / test / small feature
+  * tables.
+  */
+final class TempViewConnector(
+    val spark: SparkSession,
+    val keyCol: String,
+    schema: StructType,
+    tableName: String
+) extends Connector {
+
+  private var current: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  current.createOrReplaceTempView(tableName)
+
+  override def bulkQuery(): DataFrame = current
+
+  override protected def replace(table: DataFrame): Unit = {
+    // checkpoint: break lineage so repeated merges don't stack plans,
+    // and materialize before anything drops the old view
+    current = table.localCheckpoint(true)
+    current.createOrReplaceTempView(tableName)
+  }
+}
+
+/** SQLite-connector analog (ralf/state/sqlite_connector.py) on embedded
+  * Derby via Spark's JDBC source — the only embedded JDBC engine on the
+  * offline classpath. Suited to modest control-plane tables; the
+  * at-scale durable store is [[ParquetConnector]].
+  */
+final class JdbcConnector(
+    val spark: SparkSession,
+    val keyCol: String,
+    schema: StructType,
+    dbPath: String,
+    tableName: String
+) extends Connector {
+
+  private val url = s"jdbc:derby:$dbPath;create=true"
+  private val props = new java.util.Properties()
+  props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+  private var created = false
+
+  override def bulkQuery(): DataFrame =
+    if (!created) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.jdbc(url, tableName, props)
+
+  override protected def replace(table: DataFrame): Unit = {
+    // materialize BEFORE Overwrite drops the table the plan reads from
+    val snap = table.localCheckpoint(true)
+    snap.write.mode(SaveMode.Overwrite).jdbc(url, tableName, props)
+    created = true
+  }
+}
+
+/** Durable parquet connector over [[VersionedDir]] — the 100 TB path: a
+  * partitioned columnar table republished per batch with an atomic
+  * pointer swap; point queries are filtered scans (key predicate pushed
+  * to parquet).
+  */
+final class ParquetConnector(
+    val spark: SparkSession,
+    val keyCol: String,
+    schema: StructType,
+    root: String
+) extends Connector {
+
+  override def bulkQuery(): DataFrame =
+    VersionedDir.read(spark, root)
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+
+  override protected def replace(table: DataFrame): Unit = {
+    VersionedDir.publish(spark, root, table)
+    ()
+  }
+}

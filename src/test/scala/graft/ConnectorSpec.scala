@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.state.{Connector, JdbcConnector, ParquetConnector, TempViewConnector}
+
+/** The reference's connector contract, run over every implementation —
+  * mirrors ralf/tests/test_state.py:35-73 (parametrized over
+  * dict/SQLite/Redis connectors): upsert, point query, bulk query,
+  * update-in-place, delete, and the num_updates/num_deletes/num_records
+  * counter triple.
+  */
+class ConnectorSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("a", StringType, nullable = true)))
+
+  private def df(rows: (Long, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+  }
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def connectors: Seq[(String, () => Connector)] = Seq(
+    "temp-view" -> (() => new TempViewConnector(spark, "key", schema, s"t_conn_${System.nanoTime()}")),
+    "jdbc-derby" -> (() => new JdbcConnector(spark, "key", schema, tmp("graft-derby") + "/db", "state")),
+    "parquet-versioned" -> (() => new ParquetConnector(spark, "key", schema, tmp("graft-pqconn")))
+  )
+
+  for ((name, mk) <- connectors) {
+    test(s"$name connector honors the reference TableState contract") {
+      val c = mk()
+      // upsert + point query
+      c.upsert(df(1L -> "a"))
+      assert(c.pointQuery(1L).map(_.getString(1)) == Some("a"))
+      assert(c.pointQuery(1000L).isEmpty) // miss: None, the KeyError analog
+      // bulk query
+      c.upsert(df(2L -> "b"))
+      assert(c.bulkQuery().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set(1L -> "a", 2L -> "b"))
+      // update-in-place: later upsert wins
+      c.upsert(df(2L -> "c"))
+      assert(c.pointQuery(2L).map(_.getString(1)) == Some("c"))
+      // delete
+      c.delete(Seq(2L))
+      assert(c.pointQuery(2L).isEmpty)
+      assert(c.bulkQuery().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set(1L -> "a"))
+      // debug_state counter triple (test_state.py:66-72)
+      val s = c.stats
+      assert(s.numUpdates == 3L)
+      assert(s.numDeletes == 1L)
+      assert(s.numRecords == 1L)
+    }
+  }
+
+  test("versioned parquet connector prunes superseded versions") {
+    val root = tmp("graft-pqgc")
+    val c = new ParquetConnector(spark, "key", schema, root)
+    (1 to 5).foreach(i => c.upsert(df(i.toLong -> s"v$i")))
+    assert(c.count() == 5)
+    val vdirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("v")).map(_.getName)
+    assert(vdirs.length <= 2, s"superseded versions must be pruned, found: ${vdirs.mkString(",")}")
+  }
+}

@@ -105,6 +105,25 @@ class OperatorSpec extends SparkSpec {
     assert(kept == Set(("a", 1L), ("a", 3L), ("b", 1L)))
   }
 
+  test("processing-order traces: fifo asc, lifo desc, last_completed by complete time") {
+    // counter-source shape of the reference's LIFO e2e
+    // (ralf/tests/test_e2e.py:96-115): values 1..10. The reference
+    // observes [1, 10, 9, ..., 2] because its eager loop grabs the
+    // first record before the rest enqueue; batch sees all records
+    // pending, so the trace is the pure policy order.
+    val t = (1 to 10).map(i => (i.toLong, i.toDouble, (11 - i).toLong))
+      .toDF("proc_time", "value", "complete_time")
+    val fifo = Shedding.fifoTrace(t, col("proc_time")).select("value").as[Double].collect().toList
+    assert(fifo == (1 to 10).map(_.toDouble).toList)
+    val lifo = Shedding.lifoTrace(t, col("proc_time")).select("value").as[Double].collect().toList
+    assert(lifo == (10 to 1 by -1).map(_.toDouble).toList)
+    assert(lifo.tail == (1 to 10).map(_.toDouble).toList.reverse.tail) // e2e order, net of the startup race
+    // last_completed: freshest complete_time first — here complete_time
+    // runs opposite to proc_time, so the trace is proc_time ascending
+    val lc = Shedding.lastCompletedTrace(t, col("complete_time")).select("value").as[Double].collect().toList
+    assert(lc == (1 to 10).map(_.toDouble).toList)
+  }
+
   test("sampleDeterministic keeps exactly the residue set") {
     val df = spark.range(0, 1000).toDF("id")
     val kept = Shedding.sampleDeterministic(df, col("id"), modulus = 10, keepBelow = 3)
