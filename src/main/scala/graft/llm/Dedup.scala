@@ -47,16 +47,20 @@ object Dedup {
       minJaccard: Double
   ): DataFrame = {
     // The signature table feeds three plan branches (bands + both
-    // verify joins) — cache it (~K longs per doc; what a 100 TB
-    // pipeline would persist). The shingle-hash step needs no barrier:
-    // ShingleHashes+MinHashSig are single fused expressions, evaluated
-    // once per row inside this one projection.
+    // verify joins) — materialize it once (~K longs per doc; what a
+    // 100 TB pipeline would persist). localCheckpoint, not cache(): the
+    // checkpointed partitions are freed by the ContextCleaner when the
+    // result DataFrame is garbage-collected, so library callers don't
+    // leak storage (cache() pins until an explicit unpersist), and the
+    // LogicalRDD is the same CollapseProject barrier. The shingle-hash
+    // step needs no extra barrier: ShingleHashes+MinHashSig are single
+    // fused expressions, evaluated once per row inside this projection.
     val sigs = docs
       .select(
         col(idCol).as("doc"),
         TextOps.minhashSignature(TextOps.shingleHashes(col(textCol))).as("sig")
       )
-      .cache()
+      .localCheckpoint(false)
     val bands = sigs
       .select(col("doc"), posexplode(TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
     val candidates = bands.as("a")
@@ -106,7 +110,7 @@ object Dedup {
     require(maxHamming <= chunks - 1, "pigeonhole blocking needs maxHamming <= chunks-1")
     require(TextOps.SimBits % chunks == 0)
     val w = TextOps.SimBits / chunks
-    val sh = simhashDocs(docs, idCol, textCol).cache()
+    val sh = simhashDocs(docs, idCol, textCol).localCheckpoint(false)
     val chunked = sh.select(
       col("doc"),
       col("simhash"),
@@ -163,7 +167,7 @@ object Dedup {
           .filter(col("df") <= maxShingleDocFreq).select(col("x"))
         exAll.join(freq, "x")
       }
-    val ex = ex0.cache() // feeds the size lookup and both join sides
+    val ex = ex0.localCheckpoint(false) // feeds the size lookup and both join sides
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.x") === col("b.x") && col("a.doc") < col("b.doc"))

@@ -52,14 +52,17 @@ class CodegenSpec extends SparkSpec {
 
   test("minhash signature + band stages are whole-stage-codegen'd and compile") {
     withNoCodegenFallback {
-      val df = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
-      df.count() // forces compile of every stage incl. graft_minhash
-      // The signature projection lives inside the cached relation; AQE's
-      // outer plan hides its stages pre-execution, so assert the span on
-      // the plan text: "*(n) Project [... graft_minhash ...]".
-      val plan = df.queryExecution.executedPlan.toString
-      assert("""\*\(\d+\) Project \[[^\n]*graft_minhash""".r.findFirstIn(plan).isDefined,
-        s"graft_minhash projection must sit inside a codegen span, got:\n$plan")
+      // the signature projection itself (inside minhashPairs it sits in
+      // a localCheckpoint'd RDD lineage, invisible to plan text)
+      import org.apache.spark.sql.functions.col
+      val sigs = docs.select(
+        graft.llm.TextOps.minhashSignature(
+          graft.llm.TextOps.shingleHashes(col("text"))).as("sig"))
+      assert(sigs.count() > 0)
+      assert(hasCodegenSpan(sigs.queryExecution.executedPlan),
+        s"graft_minhash projection must sit inside a codegen span, got:\n${sigs.queryExecution.executedPlan}")
+      // and the full pairs pipeline compiles end-to-end
+      Dedup.minhashPairs(docs, "doc_id", "text", 0.5).count()
     }
   }
 
