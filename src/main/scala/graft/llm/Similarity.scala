@@ -206,4 +206,40 @@ object Similarity {
     val rn = row_number().over(Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
     scored.withColumn("rank", rn).filter(col("rank") <= k)
   }
+
+  /** Multi-probe variant of [[lshTopK]] — the standard recall knob: each
+    * query also probes every bucket at Hamming distance 1 from its own
+    * (one sign bit flipped), recovering neighbors lost to a single
+    * near-boundary hyperplane without shrinking buckets. Probe cost is
+    * (planes+1) bucket lookups per query; the corpus still shuffles
+    * once, keyed by its single bucket. A (query, neighbor) pair meets at
+    * most once: the neighbor has exactly one bucket and the probe set
+    * contains distinct buckets.
+    */
+  def lshTopKMultiProbe(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      planes: Int = 16,
+      dims: Int = 64
+  ): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    val probeCols = col("bucket") +:
+      (0 until planes).map(b => col("bucket").bitwiseXOR(lit(1L << b)))
+    val q = p.filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(probeCols: _*)).as("probe"))
+    val scored = p.as("n")
+      .join(broadcast(q), col("n.bucket") === col("probe") && col("qid") =!= col("n.vid"))
+      .select(
+        col("qid"),
+        col("n.vid").as("nid"),
+        (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine")
+      )
+    val rn = row_number().over(Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+  }
 }

@@ -237,6 +237,38 @@ object LlmQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Hamming-radius-1 multi-probe: 17 probes per query (own bucket + 16
+    * single-bit flips) — higher recall than q_ann_lsh at the same
+    * bucket granularity.
+    */
+  val annLshProbe: Q = (s, dir) =>
+    Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  val annLshProbeSql: String = {
+    val bucket =
+      s"CAST(list_sum(list_transform(range(0, 16), lp -> " +
+        s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(0, 64), lj -> v[CAST(lj+1 AS INT)] * CAST((lp*31 + lj*17) % 7 - 3 AS DOUBLE))), " +
+        s"(la, lx) -> la + lx) > 0 THEN CAST(power(2, lp) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    s"""WITH $normCte,
+       |bk AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n),
+       |qp AS (SELECT vec_id, v, nrm,
+       |         unnest(list_prepend(bucket, list_transform(range(0, 16),
+       |           pp -> xor(bucket, CAST(power(2, pp) AS BIGINT))))) AS probe
+       |       FROM bk WHERE vec_id % 100 = 0)
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |    ${dotSql("q.v", "b.v", 64, "d")} / (q.nrm * b.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.v", "b.v", 64, "r")} / (q.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM qp q JOIN bk b ON b.bucket = q.probe AND b.vec_id <> q.vec_id)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   /** Fixed-k centroids (64 lowest ids — constant in corpus size) with
     * 2-probe search; mirrors Similarity.ivfTopK's quantizer exactly.
     */
@@ -520,6 +552,7 @@ object LlmQueries {
     "q_ann_topk" -> annTopK,
     "q_ann_topk_plan" -> annTopKPlan,
     "q_ann_lsh" -> annLsh,
+    "q_ann_lsh_probe" -> annLshProbe,
     "q_ann_ivf" -> annIvf,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
@@ -542,6 +575,7 @@ object LlmQueries {
     "q_ann_topk" -> annTopKSql,
     "q_ann_topk_plan" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_lsh_probe" -> annLshProbeSql,
     "q_ann_ivf" -> annIvfSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,

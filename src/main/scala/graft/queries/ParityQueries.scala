@@ -405,6 +405,30 @@ object ParityQueries {
       |SELECT key, sum(value) AS total, count(*) AS n, max(seq) AS last_seq
       |FROM g GROUP BY key ORDER BY key""".stripMargin
 
+  /** SURVEY §2.1 #9 FileReader: CSV replay with key fan-out. The query
+    * round-trips the region dim through a temp CSV, replays it through
+    * Sources.fileReader fanning each row out to 3 key streams, and the
+    * oracle computes the same fan-out over the parquet table — so the
+    * CSV write→read→fan-out path itself is what's being checked.
+    */
+  val sourceFile: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables.region(s, dir)
+      .select(col("r_regionkey"), col("r_name"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", LongType), StructField("r_name", StringType)))
+    Sources.fileReader(s, tmp, Some(schema), numKeys = 3)
+      .select(col("key"), col("r_regionkey"), col("r_name"))
+      .orderBy("key", "r_regionkey")
+  }
+
+  val sourceFileSql: String =
+    """SELECT CAST(k AS VARCHAR) AS key, r_regionkey, r_name
+      |FROM region CROSS JOIN range(0, 3) kk(k)
+      |ORDER BY key, r_regionkey""".stripMargin
+
   // ------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -425,7 +449,8 @@ object ParityQueries {
     "q_shed_cosine_policy" -> shedCosinePolicy,
     "q_priority_trace" -> priorityTrace,
     "q_source_counter" -> sourceCounter,
-    "q_source_fake" -> sourceFake
+    "q_source_fake" -> sourceFake,
+    "q_source_file" -> sourceFile
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -444,6 +469,7 @@ object ParityQueries {
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_source_counter" -> sourceCounterSql,
-    "q_source_fake" -> sourceFakeSql
+    "q_source_fake" -> sourceFakeSql,
+    "q_source_file" -> sourceFileSql
   )
 }
