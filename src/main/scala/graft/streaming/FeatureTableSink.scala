@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.state.VersionedDir
-import graft.streaming.StreamingFeatures.KeyFeature
+import graft.streaming.StreamingFeatures.{KeyEvent, KeyFeature}
 
 /** Durable feature-table sink: the parquet analog of ralf's storage
   * connectors (dict/SQLite/Redis, ralf/state/connector.py:7-30) — a
@@ -52,6 +52,51 @@ object FeatureTableSink {
     // in-flight readers.
     VersionedDir.publish(spark, root, merged, minVersion = version, keepVersions = 2)
     ()
+  }
+
+  /** Merge a batch of [[KeyEvent]]s — the sink side of the eviction
+    * cascade (ralf/operator.py:248-262): a key whose LAST event in the
+    * batch is a tombstone is deleted from the stored table; other keys
+    * merge latest-wins as in [[merge]]. "Last" is by (ord, evicted):
+    * an update and its eviction at the same ord resolve to the
+    * eviction, matching the operator's processing order.
+    */
+  def mergeEvents(spark: SparkSession, root: String, batch: Dataset[KeyEvent], version: Long): Unit = {
+    val existing = read(spark, root)
+    val lastEvent = batch.toDF()
+      .groupBy(col("key"))
+      .agg(max_by(
+        struct(col("ord"), col("value"), col("numUpdates"), col("evicted")),
+        struct(col("ord"), col("evicted").cast("int"))).as("_e"))
+      .select(col("key"), col("_e.ord").as("ord"), col("_e.value").as("value"),
+        col("_e.numUpdates").as("numUpdates"), col("_e.evicted").as("evicted"))
+    val evictedKeys = lastEvent.filter(col("evicted")).select("key")
+    val ups = lastEvent.filter(!col("evicted")).drop("evicted")
+    val merged = existing.join(broadcast(evictedKeys), Seq("key"), "left_anti")
+      .unionByName(ups)
+      .groupBy(col("key"))
+      .agg(max_by(
+        struct(col("ord"), col("value"), col("numUpdates")),
+        struct(col("ord"), col("numUpdates"))).as("_cur"))
+      .select(col("key"), col("_cur.ord").as("ord"), col("_cur.value").as("value"),
+        col("_cur.numUpdates").as("numUpdates"))
+    VersionedDir.publish(spark, root, merged, minVersion = version, keepVersions = 2)
+    ()
+  }
+
+  /** Attach a stream of KeyEvents (updates + evictions) to the sink. */
+  def startEvents(
+      spark: SparkSession,
+      events: Dataset[KeyEvent],
+      root: String,
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    val w = events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[KeyEvent], id: Long) =>
+        mergeEvents(spark, root, batch, id)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
   /** Attach the sink to a stream of KeyFeature updates. */

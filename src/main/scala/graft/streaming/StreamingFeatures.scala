@@ -144,6 +144,63 @@ object StreamingFeatures {
       }
   }
 
+  /** An update that may be an eviction tombstone (ralf's cascading
+    * `evict(key)`, ralf/operator.py:248-262: the LRU overflow path
+    * notifies parents AND children, each deleting the key from its
+    * table). Spark-native twin: eviction is DATA — a tombstone record
+    * keyed like any update — so it flows through the operator chain and
+    * every stateful stage drops its own state for the key, and the sink
+    * deletes the row. TTL ([[latestPerKey]]) bounds state by idleness;
+    * tombstones bound it by explicit cross-table cascade.
+    */
+  final case class EvictableUpdate(key: String, ord: Long, value: Double, tombstone: Boolean)
+
+  /** Output of [[latestPerKeyEvictable]]: either the key's new current
+    * value or an eviction event (`evicted=true`) downstream stages and
+    * sinks act on.
+    */
+  final case class KeyEvent(key: String, ord: Long, value: Double, numUpdates: Long, evicted: Boolean)
+
+  /** [[latestPerKey]] with cascading eviction: a tombstone drops the
+    * key's state and forwards an `evicted=true` event so child operators
+    * and sinks evict too. Updates arriving after a tombstone restart the
+    * key from zero (exactly the reference's delete-then-reinsert).
+    */
+  def latestPerKeyEvictable(
+      spark: SparkSession,
+      updates: Dataset[EvictableUpdate]
+  ): Dataset[KeyEvent] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[EvictableUpdate], state: GroupState[KeyFeature]) =>
+          val out = Seq.newBuilder[KeyEvent]
+          var cur = state.getOption
+          batch.toSeq.sortBy(u => (u.ord, u.tombstone)).foreach { u =>
+            if (u.tombstone) {
+              if (cur.isDefined) {
+                cur = None
+                out += KeyEvent(key, u.ord, 0.0, 0L, evicted = true)
+              }
+            } else {
+              val c = cur.getOrElse(KeyFeature(key, Long.MinValue, 0.0, 0L))
+              val n = c.numUpdates + 1
+              val next =
+                if (u.ord >= c.ord) KeyFeature(key, u.ord, u.value, n)
+                else c.copy(numUpdates = n)
+              cur = Some(next)
+              out += KeyEvent(key, next.ord, next.value, next.numUpdates, evicted = false)
+            }
+          }
+          cur match {
+            case Some(c) => state.update(c)
+            case None    => if (state.exists) state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   /** One record of a two-sided keyed stream (`isLeft` tags the side). */
   final case class SideUpdate(key: String, ord: Long, value: Double, isLeft: Boolean)
 

@@ -146,6 +146,42 @@ class StreamingSpec extends SparkSpec {
     assert(out.toList == List((1L, 7.0, 100L, 1.5)))
   }
 
+  test("eviction tombstones cascade: state dropped, counters restart, sink row deleted") {
+    import graft.streaming.StreamingFeatures.{EvictableUpdate, KeyEvent}
+    val in = MemoryStream[EvictableUpdate]
+    in.addData(EvictableUpdate("a", 1, 10.0, tombstone = false),
+      EvictableUpdate("a", 2, 20.0, tombstone = false),
+      EvictableUpdate("b", 1, 5.0, tombstone = false))
+    in.addData(EvictableUpdate("a", 3, 0.0, tombstone = true))   // evict a
+    in.addData(EvictableUpdate("a", 4, 99.0, tombstone = false)) // re-add a
+    val out = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.latestPerKeyEvictable(spark, in.toDS()), "t_evict")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    // a's history: two updates, an eviction event, then a fresh start
+    val aEvents = out.filter(_._1 == "a").sortBy(e => (e._2, e._5))
+    assert(aEvents.map(e => (e._2, e._5)).toList ==
+      List((1L, false), (2L, false), (3L, true), (4L, false)))
+    assert(aEvents.last._4 == 1L, "state must restart from zero after eviction")
+    // sink cascade: last event per key decides — a evicted then re-added
+    // in a LATER batch survives; a key whose final event is the
+    // tombstone is deleted from the table
+    val root = java.nio.file.Files.createTempDirectory("graft-evict").toString
+    val b1 = out.filter(e => e._2 <= 2 || e._1 == "b")
+      .map(e => KeyEvent(e._1, e._2, e._3, e._4, e._5)).toSeq.toDS()
+    graft.streaming.FeatureTableSink.mergeEvents(spark, root, b1, 0)
+    val b2 = Seq(KeyEvent("a", 3, 0.0, 0L, evicted = true)).toDS()
+    graft.streaming.FeatureTableSink.mergeEvents(spark, root, b2, 1)
+    val afterEvict = graft.streaming.FeatureTableSink.read(spark, root)
+      .collect().map(r => r.getString(0)).toSet
+    assert(afterEvict == Set("b"), "evicted key must be deleted from the sink table")
+    val b3 = Seq(KeyEvent("a", 4, 99.0, 1L, evicted = false)).toDS()
+    graft.streaming.FeatureTableSink.mergeEvents(spark, root, b3, 2)
+    val t = graft.streaming.FeatureTableSink.read(spark, root).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(t == Map("a" -> 99.0, "b" -> 5.0))
+  }
+
   test("streaming mean-policy gate matches the batch fold on the same data") {
     val rng = new scala.util.Random(7)
     val data = for (k <- Seq("x", "y"); i <- 1 to 50)
