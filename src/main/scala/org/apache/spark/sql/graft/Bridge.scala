@@ -28,4 +28,29 @@ object Bridge {
   /** The analyzed logical plan of a DataFrame. */
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
+
+  /** Build an independent session over an existing SparkContext with the
+    * given SparkSessionExtensions builder applied — what
+    * `spark.sql.extensions=<class>` does at cluster-session construction
+    * (the classic constructor is sql-private). Lets tests exercise the
+    * extensions injection path without tearing down the shared session.
+    */
+  def newSessionWithExtensions(
+      base: org.apache.spark.sql.SparkSession,
+      build: org.apache.spark.sql.SparkSessionExtensions => Unit
+  ): org.apache.spark.sql.SparkSession = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    build(ext)
+    // the primary constructor is Scala-private (only the two auxiliary
+    // ones are package-visible) but bytecode-public — reflect
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession].getConstructor(
+      classOf[org.apache.spark.SparkContext],
+      classOf[Option[_]],
+      classOf[Option[_]],
+      classOf[org.apache.spark.sql.SparkSessionExtensions],
+      classOf[scala.collection.immutable.Map[_, _]],
+      classOf[scala.collection.immutable.Map[_, _]])
+    ctor.newInstance(base.sparkContext, None, None, ext,
+      Map.empty[String, String], Map.empty[String, String])
+  }
 }

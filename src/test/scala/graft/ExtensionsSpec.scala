@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.{GraftExtensions, StrHash}
+
+/** The cluster-deployment injection path
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`): a session
+  * built with the extensions applied must resolve the SQL functions and
+  * carry the TopKPerKey planner strategy — previously only
+  * GraftFunctions.register (the session-mutating path) was tested.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("extensions-built session resolves graft SQL functions and TopK strategy") {
+    val s2 = Bridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
+    // SQL function resolution through the injected registry
+    val h = s2.sql("SELECT graft_strhash('spark') AS h").collect().head.getLong(0)
+    assert(h == StrHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString("spark")))
+    // analysis-time type gate rides along
+    val err = intercept[Exception](s2.sql("SELECT graft_strhash(array(1,2))").collect())
+    assert(err.getMessage.contains("graft_strhash"))
+    // planner strategy: TopKPerKey plans to its custom exec node
+    import org.apache.spark.sql.functions._
+    import s2.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+    val top = graft.plans.TopKPerKey(s2, df, Seq("k"), Seq("v" -> true), 1)
+    assert(top.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      s"expected TopKPerKeyExec in:\n${top.queryExecution.executedPlan}")
+    assert(top.select("k", "v").as[(String, Double)].collect().toSet == Set("a" -> 2.0, "b" -> 3.0))
+  }
+}
