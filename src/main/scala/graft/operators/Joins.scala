@@ -44,6 +44,55 @@ object Joins {
   def dimLeftJoin(left: DataFrame, dim: DataFrame, leftKey: String, dimKey: String): DataFrame =
     left.join(broadcast(dim), left(leftKey) === dim(dimKey), "left")
 
+  /** Point-in-time (as-of) join — the TRAINING-data variant of feature
+    * enrichment: each left record pairs with the right side's latest
+    * value at-or-before the left record's OWN order value, per key
+    * ([[enrichLatest]] is the serving-time variant: the right side's
+    * current value regardless of the left's time). Point-in-time
+    * correctness is what keeps training features free of future
+    * leakage.
+    *
+    * Plan: tag and union both sides, one hash-partition + in-partition
+    * sort on (key, ord, side), then a running last-non-null window —
+    * no join operator at all. Shuffle is O(left + right) rows and the
+    * window frame is running (constant state), so this survives skewed
+    * keys that would explode an equivalent range join. A right and left
+    * record at the same ord pair up (right sorts first).
+    *
+    * Output: every left row + `asOfCol` (null when no right record
+    * precedes it).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftOrd: String,
+      rightOrd: String,
+      rightVal: String,
+      asOfCol: String = "asof_value"
+  ): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_rv", lit(null).cast(right.schema(rightVal).dataType))
+      .withColumn("_ir", lit(0))
+      .withColumn("_ord", col(leftOrd))
+    val r = right.select(
+      leftCols.map {
+        case c if c == key => col(key)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(
+        col(rightVal).as("_rv"),
+        lit(1).as("_ir"),
+        col(rightOrd).cast(left.schema(leftOrd).dataType).as("_ord")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ord").asc, col("_ir").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(asOfCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_ir") === 0)
+      .drop("_rv", "_ir", "_ord")
+  }
+
   /** Exact consume-once pairing (ralf/operators/join.py:35-56): left
     * records buffer per key; each arriving right record consumes the
     * oldest buffered left. In arrival order this pairs the i-th left

@@ -296,6 +296,38 @@ object ParityQueries {
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Point-in-time enrichment: every event gets the user's latest
+    * PURCHASE value at-or-before that event (training-data as-of join;
+    * no future leakage). The oracle mirrors the union + running
+    * last-non-null formulation, so values pass through untouched —
+    * bit-exact without rounding.
+    */
+  val asofJoin: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "event_type", "value")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_ord"), col("value").as("p_value"))
+    Joins.asOfJoin(
+      e.select("user_id", "event_id"), purchases,
+      "user_id", "event_id", "p_ord", "p_value", asOfCol = "last_purchase")
+      .orderBy("user_id", "event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH u AS (
+      |  SELECT user_id, event_id, event_id AS ord, CAST(NULL AS DOUBLE) AS rv, 0 AS ir
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, CAST(NULL AS BIGINT) AS event_id, event_id AS ord, value AS rv, 1 AS ir
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, event_id, ir,
+      |    last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ord ASC, ir DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      |  FROM u)
+      |SELECT user_id, event_id, last_purchase FROM w WHERE ir = 0
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ----------------------------------------------------------- shedding
 
   /** SURVEY §2.3 sampling policy (deterministic variant) feeding the
@@ -443,6 +475,7 @@ object ParityQueries {
     "q_enrich_latest_join" -> enrichLatestJoin,
     "q_sequence_join" -> sequenceJoin,
     "q_dim_join" -> dimJoin,
+    "q_asof_join" -> asofJoin,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -465,6 +498,7 @@ object ParityQueries {
     "q_enrich_latest_join" -> enrichLatestJoinSql,
     "q_sequence_join" -> sequenceJoinSql,
     "q_dim_join" -> dimJoinSql,
+    "q_asof_join" -> asofJoinSql,
     "q_shed_sample" -> shedSampleSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -105,6 +105,21 @@ class OperatorSpec extends SparkSpec {
     assert(kept == Set(("a", 1L), ("a", 3L), ("b", 1L)))
   }
 
+  test("asOfJoin: each left row sees the latest right value at-or-before its ord") {
+    val left = Seq(("a", 1L), ("a", 3L), ("a", 5L), ("b", 2L))
+      .toDF("key", "ord")
+    val right = Seq(("a", 2L, 10.0), ("a", 3L, 20.0), ("a", 9L, 99.0), ("c", 1L, 7.0))
+      .toDF("key", "rord", "rval")
+    val out = Joins.asOfJoin(left, right, "key", "ord", "rord", "rval")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set(
+      ("a", 1L, None),        // nothing at-or-before 1
+      ("a", 3L, Some(20.0)),  // same-ord right is visible
+      ("a", 5L, Some(20.0)),  // 9 is in the future: no leakage
+      ("b", 2L, None)))       // other keys' rights invisible
+  }
+
   test("processing-order traces: fifo asc, lifo desc, last_completed by complete time") {
     // counter-source shape of the reference's LIFO e2e
     // (ralf/tests/test_e2e.py:96-115): values 1..10. The reference
