@@ -306,6 +306,32 @@ object StreamingFeatures {
       }
   }
 
+  /** A timestamped update for event-time windowing. */
+  final case class TimedUpdate(key: String, eventTime: java.sql.Timestamp, value: Double)
+
+  /** Event-time tumbling window aggregation with a watermark — the
+    * wall-clock twin of the count-based windows (the reference's windows
+    * are count-based; a production feed aggregates by event time).
+    * Append mode: a window emits once, when the watermark (max observed
+    * event time minus `watermarkDelay`) passes its end — late records
+    * inside the delay still count, older ones are dropped, and state is
+    * purged per window. sum/count are emitted (means derive downstream).
+    */
+  def eventTimeTumbling(
+      spark: SparkSession,
+      updates: Dataset[TimedUpdate],
+      windowDuration: String,
+      watermarkDelay: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    updates.toDF()
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(col("key"), window(col("eventTime"), windowDuration).as("win"))
+      .agg(sum(col("value")).as("w_sum"), count(lit(1)).as("w_count"))
+      .select(col("key"), col("win.start").as("win_start"),
+        col("win.end").as("win_end"), col("w_sum"), col("w_count"))
+  }
+
   /** Convenience: run a streaming Dataset built from a MemoryStream (or
     * any source) to completion of available data, collecting to an
     * in-memory table. Used by tests and the local demo.

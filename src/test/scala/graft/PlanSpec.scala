@@ -48,6 +48,13 @@ class PlanSpec extends SparkSpec {
       "point-query key must reach the scan (lazy-table semantics)")
   }
 
+  test("as-of join: one hash exchange, no join operator") {
+    val plan = planOf(ParityQueries.asofJoin(spark, dir))
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$plan")
+  }
+
   test("dim join broadcasts the dimension side") {
     val plan = planOf(ParityQueries.dimJoin(spark, dir))
     assert(plan.contains("BroadcastHashJoin"))

@@ -182,6 +182,29 @@ class StreamingSpec extends SparkSpec {
     assert(t == Map("a" -> 99.0, "b" -> 5.0))
   }
 
+  test("event-time tumbling window: watermark closes windows, late-but-inside counts") {
+    import graft.streaming.StreamingFeatures.TimedUpdate
+    def ts(min: Int, sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+    val in = MemoryStream[TimedUpdate]
+    in.addData(TimedUpdate("k", ts(0, 10), 1.0), TimedUpdate("k", ts(0, 40), 2.0))
+    // batch 2: advances watermark past 10:00-10:01 AND delivers a late
+    // record still inside the 30s delay for that window
+    in.addData(TimedUpdate("k", ts(1, 20), 4.0), TimedUpdate("k", ts(0, 55), 8.0))
+    // batch 3: push the watermark far ahead so the 10:01 window closes too
+    in.addData(TimedUpdate("k", ts(10, 0), 16.0))
+    val out = StreamingFeatures.runToMemory(
+      spark,
+      StreamingFeatures.eventTimeTumbling(spark, in.toDS(), "1 minute", "30 seconds")
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp, Double, Long)],
+      "t_evwin", OutputMode.Append())
+    val wins = out.collect()
+      .map(r => r.getTimestamp(1).toString -> ((r.getDouble(3), r.getLong(4)))).toMap
+    // 10:00 window: 1+2, plus the late 10:00:55 record (inside delay) = 11
+    assert(wins("2026-01-01 10:00:00.0") == ((11.0, 3L)))
+    assert(wins("2026-01-01 10:01:00.0") == ((4.0, 1L)))
+    assert(!wins.contains("2026-01-01 10:10:00.0"), "open window must not emit in Append mode")
+  }
+
   test("streaming mean-policy gate matches the batch fold on the same data") {
     val rng = new scala.util.Random(7)
     val data = for (k <- Seq("x", "y"); i <- 1 to 50)
