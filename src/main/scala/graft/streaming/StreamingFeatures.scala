@@ -332,6 +332,27 @@ object StreamingFeatures {
         col("win.end").as("win_end"), col("w_sum"), col("w_count"))
   }
 
+  /** Event-time SLIDING window aggregation with a watermark: one record
+    * contributes to every window whose span covers it
+    * (windowDuration / slideDuration overlapping windows); emission and
+    * late-data semantics as in [[eventTimeTumbling]].
+    */
+  def eventTimeSliding(
+      spark: SparkSession,
+      updates: Dataset[TimedUpdate],
+      windowDuration: String,
+      slideDuration: String,
+      watermarkDelay: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    updates.toDF()
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(col("key"), window(col("eventTime"), windowDuration, slideDuration).as("win"))
+      .agg(sum(col("value")).as("w_sum"), count(lit(1)).as("w_count"))
+      .select(col("key"), col("win.start").as("win_start"),
+        col("win.end").as("win_end"), col("w_sum"), col("w_count"))
+  }
+
   /** Convenience: run a streaming Dataset built from a MemoryStream (or
     * any source) to completion of available data, collecting to an
     * in-memory table. Used by tests and the local demo.

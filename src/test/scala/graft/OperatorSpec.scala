@@ -105,6 +105,20 @@ class OperatorSpec extends SparkSpec {
     assert(kept == Set(("a", 1L), ("a", 3L), ("b", 1L)))
   }
 
+  test("saltedJoin == plain join on skewed keys, and partitions by (key, salt)") {
+    val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => (s"k$i", i.toLong))).toDF("key", "row_id")
+    val dim = (Seq("hot") ++ (1 to 50).map(i => s"k$i") ++ Seq("unmatched"))
+      .zipWithIndex.map { case (k, i) => (k, i * 1.0) }.toDF("key", "dim_val")
+    val salted = operators.Skew.saltedJoin(big, dim, "key", col("row_id"), factor = 8)
+    val plain = big.join(dim, Seq("key"))
+    assert(salted.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toList
+      == plain.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toList)
+    // the exchange must spread on (key, _salt), not key alone
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"expected salted partitioning in:\n$plan")
+  }
+
   test("asOfJoin: each left row sees the latest right value at-or-before its ord") {
     val left = Seq(("a", 1L), ("a", 3L), ("a", 5L), ("b", 2L))
       .toDF("key", "ord")

@@ -205,6 +205,22 @@ class StreamingSpec extends SparkSpec {
     assert(!wins.contains("2026-01-01 10:10:00.0"), "open window must not emit in Append mode")
   }
 
+  test("event-time sliding window: a record lands in every overlapping window") {
+    import graft.streaming.StreamingFeatures.TimedUpdate
+    def ts(min: Int, sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+    val in = MemoryStream[TimedUpdate]
+    in.addData(TimedUpdate("k", ts(0, 45), 3.0)) // covered by [09:59:30,10:00:30) and [10:00:00,10:01:00)... windows of 1min sliding 30s
+    in.addData(TimedUpdate("k", ts(10, 0), 1.0)) // advance watermark, close early windows
+    val out = StreamingFeatures.runToMemory(
+      spark,
+      StreamingFeatures.eventTimeSliding(spark, in.toDS(), "1 minute", "30 seconds", "30 seconds")
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp, Double, Long)],
+      "t_evslide", OutputMode.Append())
+    val starts = out.collect().filter(_.getDouble(3) == 3.0).map(_.getTimestamp(1).toString).sorted
+    assert(starts.toList == List("2026-01-01 10:00:00.0", "2026-01-01 10:00:30.0"),
+      s"record at 10:00:45 must land in exactly the two 1-minute windows sliding by 30s, got $starts")
+  }
+
   test("streaming mean-policy gate matches the batch fold on the same data") {
     val rng = new scala.util.Random(7)
     val data = for (k <- Seq("x", "y"); i <- 1 to 50)
