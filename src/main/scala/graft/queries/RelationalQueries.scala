@@ -56,6 +56,34 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6 shape: forecast-revenue-change — a pure scan query. All
+    * three predicates push to parquet (row-group + page skipping at
+    * scale), only 4 columns are read, and the aggregate collapses to a
+    * single row with map-side partials: the plan is bandwidth-bound on
+    * the pruned scan, the ideal shape for a 100 TB fact table.
+    */
+  val revenueChange: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    li.filter(
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(price * disc).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val revenueChangeSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   /** TPC-H Q3 shape: top-10 orders by revenue for one market segment.
     * customer (filtered) broadcasts into orders; the lineitem aggregate
     * is partial-combined before its single shuffle; top-k is a
@@ -178,6 +206,7 @@ object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> pricingSummary,
+    "q_revenue_change" -> revenueChange,
     "q_top_revenue_orders" -> topRevenueOrders,
     "q_region_revenue" -> regionRevenue,
     "q_big_orders" -> bigOrders,
@@ -186,6 +215,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_pricing_summary" -> pricingSummarySql,
+    "q_revenue_change" -> revenueChangeSql,
     "q_top_revenue_orders" -> topRevenueOrdersSql,
     "q_region_revenue" -> regionRevenueSql,
     "q_big_orders" -> bigOrdersSql,

@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
       "point-query key must reach the scan (lazy-table semantics)")
   }
 
+  test("revenue change (Q6 shape): all predicates pushed, 4-column scan") {
+    val plan = planOf(RelationalQueries.revenueChange(spark, dir))
+    // plan text truncates the PushedFilters list; the shipdate filter
+    // head plus the exact 4-column ReadSchema prove pushdown + pruning
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"Q6 predicates must reach the parquet scan:\n$plan")
+    assert(plan.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      s"only the 4 referenced columns may be read:\n$plan")
+  }
+
   test("as-of join: one hash exchange, no join operator") {
     val plan = planOf(ParityQueries.asofJoin(spark, dir))
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
