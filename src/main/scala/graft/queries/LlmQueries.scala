@@ -270,11 +270,13 @@ object LlmQueries {
   }
 
   /** Fixed-k centroids (64 lowest ids — constant in corpus size) with
-    * 2-probe search; mirrors Similarity.ivfTopK's quantizer exactly.
+    * 4-probe search (measured recall@5 vs brute force on this corpus:
+    * 0.28/0.40/0.60 at 2/4/8 probes; 4 probes ≈ 1/16 of the corpus
+    * scanned per query). Mirrors Similarity.ivfTopK's quantizer exactly.
     */
   val annIvf: Q = (s, dir) =>
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryPred = col("vid") % 100 === 0, k = 5, numCentroids = 64, nProbe = 2)
+        queryPred = col("vid") % 100 === 0, k = 5, numCentroids = 64, nProbe = 4)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank")
@@ -289,7 +291,7 @@ object LlmQueries {
        |  FROM n, c),
        |asg AS (SELECT vid, v, nrm, cell FROM rk WHERE crk = 1),
        |q AS (SELECT vid AS qid, v AS qv, nrm AS qn, cell FROM rk
-       |      WHERE crk <= 2 AND vid % 100 = 0)
+       |      WHERE crk <= 4 AND vid % 100 = 0)
        |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
        |  SELECT q.qid, b.vid AS nid,
        |    ${dotSql("q.qv", "b.v", 64, "d")} / (q.qn * b.nrm) AS cosine,

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+
+/** ANN quality guard: approximate methods must actually find neighbors,
+  * not just run. Ground truth is the brute-force top-5; the corpus is
+  * deterministic, so these recalls are exact regression values, floored
+  * slightly under the measured numbers (lsh 0.04 / multi-probe@6 0.28 /
+  * ivf 0.28→0.60 at 2→8 probes). The synthetic embeddings are
+  * near-uniform, which caps data-agnostic LSH near
+  * bucket_size/corpus — see the Similarity scaladoc.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val emb = Tables.embeddings(spark, dir)
+  private lazy val truth = pairs(
+    Similarity.bruteTopK(emb, "vec_id", "embedding", col("vid") % 100 === 0, 5))
+
+  private def recall(approx: Set[(Long, Long)]): Double =
+    approx.intersect(truth).size.toDouble / truth.size
+
+  test("multi-probe lifts LSH recall; IVF recall scales with probes") {
+    val lsh6 = recall(pairs(Similarity.lshTopK(
+      emb, "vec_id", "embedding", col("vid") % 100 === 0, 5, planes = 6)))
+    val probe6 = recall(pairs(Similarity.lshTopKMultiProbe(
+      emb, "vec_id", "embedding", col("vid") % 100 === 0, 5, planes = 6)))
+    assert(probe6 > lsh6, s"multi-probe ($probe6) must beat single-probe ($lsh6)")
+    assert(probe6 >= 0.2, s"multi-probe@6 recall regressed: $probe6")
+
+    val ivf2 = recall(pairs(Similarity.ivfTopK(
+      emb, "vec_id", "embedding", col("vid") % 100 === 0, 5, numCentroids = 64, nProbe = 2)))
+    val ivf8 = recall(pairs(Similarity.ivfTopK(
+      emb, "vec_id", "embedding", col("vid") % 100 === 0, 5, numCentroids = 64, nProbe = 8)))
+    assert(ivf2 >= 0.2, s"ivf 2-probe recall regressed: $ivf2")
+    assert(ivf8 >= 0.5, s"ivf 8-probe recall regressed: $ivf8")
+    assert(ivf8 > ivf2, "recall must scale with probes")
+  }
+}
