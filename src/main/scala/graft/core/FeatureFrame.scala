@@ -51,6 +51,14 @@ final case class FeatureFrame(df: DataFrame, key: String, ord: String) {
   def sequenceJoin(right: FeatureFrame): FeatureFrame =
     copy(df = Joins.sequenceJoin(df, right.df, key, ord, right.ord), key = "l_" + key, ord = "l_" + ord)
 
+  /** Point-in-time enrichment (training-data variant of
+    * [[leftJoinLatest]]): each record gets the right side's latest
+    * `rightVal` at-or-before this frame's own ord — no future leakage.
+    */
+  def asOfJoin(right: FeatureFrame, rightVal: String, asOfCol: String = "asof_value"): FeatureFrame =
+    copy(df = Joins.asOfJoin(
+      df, right.df.withColumnRenamed(right.key, key), key, ord, right.ord, rightVal, asOfCol))
+
   /** Load-shedding policies (SURVEY §2.3). */
   def shedSample(idCol: String, modulus: Int, keepBelow: Int): FeatureFrame =
     copy(df = Shedding.sampleDeterministic(df, col(idCol), modulus, keepBelow))

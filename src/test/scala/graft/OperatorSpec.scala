@@ -105,6 +105,16 @@ class OperatorSpec extends SparkSpec {
     assert(kept == Set(("a", 1L), ("a", 3L), ("b", 1L)))
   }
 
+  test("FeatureFrame.asOfJoin renames the right key and enriches point-in-time") {
+    val l = core.FeatureFrame.source(
+      Seq(("a", 5L)).toDF("key", "ord"), "key", "ord")
+    val r = core.FeatureFrame.source(
+      Seq(("a", 3L, 7.0), ("a", 9L, 9.0)).toDF("rk", "rord", "v"), "rk", "rord")
+    val out = l.asOfJoin(r, "v").df.select("key", "ord", "asof_value")
+      .as[(String, Long, Double)].collect().toList
+    assert(out == List(("a", 5L, 7.0)))
+  }
+
   test("saltedJoin == plain join on skewed keys, and partitions by (key, salt)") {
     val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
       (1 to 50).map(i => (s"k$i", i.toLong))).toDF("key", "row_id")
