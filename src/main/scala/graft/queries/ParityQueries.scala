@@ -223,6 +223,29 @@ object ParityQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Per-key distribution features: exact interpolated percentiles of
+    * the event value per user. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the same linear-interpolation definition, so
+    * doubles match bit-for-bit. Exact percentile sorts within each
+    * group (fine for bounded per-key history); `percentile_approx`
+    * (t-digest, mergeable partials) is the drop-in at unbounded scale.
+    */
+  val percentileFeatures: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "value")
+    e.groupBy(col("user_id"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        max(col("value")).as("vmax"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  val percentileFeaturesSql: String =
+    """SELECT user_id, quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.95) AS p95, max(value) AS vmax, count(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------- joins
 
   /** SURVEY §2.1 #3 steady state: left stream enriched with the right
@@ -472,6 +495,7 @@ object ParityQueries {
     "q_sliding_perkey_plan" -> slidingPerKeyPlan,
     "q_sessionize" -> sessionize,
     "q_running_sum" -> runningSum,
+    "q_percentile_features" -> percentileFeatures,
     "q_enrich_latest_join" -> enrichLatestJoin,
     "q_sequence_join" -> sequenceJoin,
     "q_dim_join" -> dimJoin,
@@ -495,6 +519,7 @@ object ParityQueries {
     "q_sliding_perkey_plan" -> slidingPerKeyPlanSql,
     "q_sessionize" -> sessionizeSql,
     "q_running_sum" -> runningSumSql,
+    "q_percentile_features" -> percentileFeaturesSql,
     "q_enrich_latest_join" -> enrichLatestJoinSql,
     "q_sequence_join" -> sequenceJoinSql,
     "q_dim_join" -> dimJoinSql,

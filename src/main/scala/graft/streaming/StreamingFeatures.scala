@@ -353,6 +353,29 @@ object StreamingFeatures {
         col("win.end").as("win_end"), col("w_sum"), col("w_count"))
   }
 
+  /** Event-time sessionization on a live stream via Spark's native
+    * session_window: a key's session extends while events arrive within
+    * `gapDuration` of each other and closes when the watermark passes
+    * last-event + gap. The streaming twin of the batch
+    * [[graft.operators.Windows.sessionize]] (which gaps on an order
+    * column); state per open session is one merged window, not the
+    * event list.
+    */
+  def eventTimeSessionize(
+      spark: SparkSession,
+      updates: Dataset[TimedUpdate],
+      gapDuration: String,
+      watermarkDelay: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    updates.toDF()
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(col("key"), session_window(col("eventTime"), gapDuration).as("sess"))
+      .agg(sum(col("value")).as("s_sum"), count(lit(1)).as("s_count"))
+      .select(col("key"), col("sess.start").as("sess_start"),
+        col("sess.end").as("sess_end"), col("s_sum"), col("s_count"))
+  }
+
   /** Convenience: run a streaming Dataset built from a MemoryStream (or
     * any source) to completion of available data, collecting to an
     * in-memory table. Used by tests and the local demo.

@@ -221,6 +221,30 @@ class StreamingSpec extends SparkSpec {
       s"record at 10:00:45 must land in exactly the two 1-minute windows sliding by 30s, got $starts")
   }
 
+  test("event-time sessionization: gap splits sessions, watermark closes them") {
+    import graft.streaming.StreamingFeatures.TimedUpdate
+    def ts(min: Int, sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+    val in = MemoryStream[TimedUpdate]
+    // session 1: 10:00:00 + 10:00:20 (inside 30s gap); then a 2-minute
+    // silence; session 2: 10:02:30
+    in.addData(TimedUpdate("k", ts(0, 0), 1.0), TimedUpdate("k", ts(0, 20), 2.0))
+    in.addData(TimedUpdate("k", ts(2, 30), 4.0))
+    in.addData(TimedUpdate("k", ts(20, 0), 8.0)) // watermark far ahead: close session 2
+    val out = StreamingFeatures.runToMemory(
+      spark,
+      StreamingFeatures.eventTimeSessionize(spark, in.toDS(), "30 seconds", "10 seconds")
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp, Double, Long)],
+      "t_sess", OutputMode.Append())
+    val sessions = out.collect()
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1).toList
+    assert(sessions == List(
+      // session 1: start at first event, end = last event + gap
+      ("2026-01-01 10:00:00.0", "2026-01-01 10:00:50.0", 3.0, 2L),
+      ("2026-01-01 10:02:30.0", "2026-01-01 10:03:00.0", 4.0, 1L)),
+      s"got $sessions")
+  }
+
   test("streaming mean-policy gate matches the batch fold on the same data") {
     val rng = new scala.util.Random(7)
     val data = for (k <- Seq("x", "y"); i <- 1 to 50)
