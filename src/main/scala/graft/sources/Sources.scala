@@ -58,23 +58,49 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** `KafkaSource` (ralf/operators/source.py:55-87): streaming ingest.
-    * Returns an unstarted streaming DataFrame with the reference's
-    * record shape (key/value/timestamp columns from the Kafka message).
-    * Requires the kafka connector on the classpath and a live broker —
-    * construction only, used by streaming pipelines.
+  /** The reference's Kafka record shape (ralf/operators/source.py:61-70):
+    * a JSON message body carrying key / value / send_time / create_time.
+    * [[decodeRecords]] turns the raw Kafka (key, value, timestamp)
+    * columns into typed update records — factored out of [[kafka]] so
+    * the parse logic is testable on static data without a broker.
+    */
+  val recordSchema: StructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("send_time", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("create_time", org.apache.spark.sql.types.DoubleType)))
+
+  /** Decode raw (key: binary/string, value: binary/string JSON,
+    * timestamp) message columns into the typed record shape. Malformed
+    * messages yield null fields (PERMISSIVE) rather than failing the
+    * stream — the reference's msgpack decode loop has the same
+    * drop-don't-crash posture.
+    */
+  def decodeRecords(messages: DataFrame): DataFrame =
+    messages.select(
+      col("key").cast("string").as("msg_key"),
+      from_json(col("value").cast("string"), recordSchema).as("r"),
+      col("timestamp").as("kafka_time"))
+      .select(
+        coalesce(col("r.key"), col("msg_key")).as("key"),
+        col("r.value").as("value"),
+        col("r.send_time").as("send_time"),
+        col("r.create_time").as("create_time"),
+        col("kafka_time"))
+
+  /** `KafkaSource` (ralf/operators/source.py:55-87): streaming ingest —
+    * raw Kafka messages decoded through [[decodeRecords]]. Requires the
+    * kafka connector on the classpath and a live broker; construction
+    * only in this offline environment (the decode path is spec-tested
+    * on static frames).
     */
   def kafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .load()
-      .select(
-        col("key").cast("string").as("key"),
-        col("value").cast("string").as("value"),
-        col("timestamp").as("timestamp")
-      )
+    decodeRecords(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load())
 
   /** Rate source: the streaming analog of FakeReader — `rowsPerSecond`
     * records/sec with `key = value % numKeys` (SURVEY.md §2.1 #8).

@@ -34,4 +34,20 @@ class SourcesSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.columns.toSeq == Seq("key", "value", "timestamp", "seq"))
   }
+
+  test("kafka record decode: JSON body parsed, key fallback, malformed -> nulls") {
+    import org.apache.spark.sql.functions._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val raw = Seq(
+      // body carries its own key: wins over the message key
+      ("m1", """{"key":"u7","value":4.5,"send_time":1.0,"create_time":2.0}""", ts),
+      // no body key: fall back to the message key
+      ("m2", """{"value":9.0,"send_time":3.0,"create_time":4.0}""", ts),
+      // malformed body: null fields, message key survives, no crash
+      ("m3", "not json", ts)
+    ).toDF("key", "value", "timestamp")
+    val out = Sources.decodeRecords(raw).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toList
+    assert(out == List(("u7", Some(4.5)), ("m2", Some(9.0)), ("m3", None)))
+  }
 }
