@@ -112,9 +112,13 @@ object Similarity {
     * with a broadcastable constant-size centroid table, linear in the
     * corpus. (Round-1 version selected a corpus *fraction* as
     * centroids, making assignment O(n²/100) — a scale-killer.) K-means
-    * refinement would drop in without changing the plan shape, but its
-    * shuffle-order-dependent float means can't be mirrored bit-exact by
-    * the oracle, so the quantizer stays a deterministic selection.
+    * refinement drops in without changing the plan shape, but measured
+    * on this corpus it REGRESSES recall (0.36 vs 0.40 @4-probe after 4
+    * Lloyd iterations): the synthetic embeddings are uniform, so there
+    * is no cluster structure to learn and balancing cells only splits
+    * neighbors across boundaries. On clustered production embeddings
+    * trained centroids are the standard upgrade; the oracle would drop
+    * to rows-only there (shuffle-order float means aren't bit-mirrorable).
     *
     * The 100 TB shape: the corpus is bucketed ONCE by cell (one shuffle,
     * or a partitioned table on disk); a query probes `nProbe` cells —
