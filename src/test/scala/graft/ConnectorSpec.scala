@@ -58,6 +58,18 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("versioned dir: reader falls back to newest committed version when the pointer is lost") {
+    val root = tmp("graft-pqptr")
+    val c = new ParquetConnector(spark, "key", schema, root)
+    c.upsert(df(1L -> "a"))
+    c.upsert(df(2L -> "b"))
+    val ptr = new java.io.File(root, "_CURRENT")
+    assert(ptr.exists())
+    assert(ptr.delete(), "test setup: simulate a lost pointer")
+    assert(c.bulkQuery().collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "fallback must resolve the newest committed v* dir")
+  }
+
   test("versioned parquet connector prunes superseded versions") {
     val root = tmp("graft-pqgc")
     val c = new ParquetConnector(spark, "key", schema, root)

@@ -94,6 +94,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asOfJoin == naive per-row at-or-before maximum") {
+    forAll2(streamGen, streamGen) { (ls, rs) =>
+      if (ls.nonEmpty) {
+        val left = ls.map { case (k, o, _) => (k, o) }.toDF("key", "ord")
+        val right = rs.toDF("key", "rord", "rval")
+        val got = operators.Joins.asOfJoin(left, right, "key", "ord", "rord", "rval")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+        val want = ls.map { case (k, o, _) =>
+          val before = rs.filter(r => r._1 == k && r._2 <= o)
+          (k, o, if (before.isEmpty) None else Some(before.maxBy(_._2)._3))
+        }.toSet
+        assert(got == want)
+      }
+    }
+  }
+
+  test("property: evictable upsert without tombstones == plain latest-wins upsert") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    forAll(streamGen, cases = 2) { rows =>
+      if (rows.nonEmpty) {
+        val in = MemoryStream[graft.streaming.StreamingFeatures.EvictableUpdate]
+        in.addData(rows.map { case (k, o, v) =>
+          graft.streaming.StreamingFeatures.EvictableUpdate(k, o, v, tombstone = false)
+        }: _*)
+        val streamed = graft.streaming.StreamingFeatures.runToMemory(
+          spark,
+          graft.streaming.StreamingFeatures.latestPerKeyEvictable(spark, in.toDS()),
+          s"t_prop_evict_${rows.hashCode.abs}",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .groupBy(_._1).map { case (k, es) => k -> es.maxBy(_._4) } // final state per key
+        val batch = Upsert.latest(rows.toDF("key", "ord", "value"), "key", col("ord"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
+          .toMap
+        assert(streamed.view.mapValues(t => (t._2, t._3)).toMap
+          == batch.view.mapValues(t => (t._2, t._3)).toMap)
+      }
+    }
+  }
+
   test("property: keepIncreasing output is strictly increasing per key and keeps the max") {
     forAll(streamGen) { rows =>
       if (rows.nonEmpty) {
