@@ -84,6 +84,33 @@ object RelationalQueries {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q4 shape: per-priority counts of orders with at least one
+    * late line (shipped > 90 days after the order date). EXISTS
+    * decorrelates to a LEFT SEMI join on the order key — each order
+    * counted once however many lines are late, one fact-fact shuffle,
+    * integer outputs (zero FP-parity surface).
+    */
+  val lateOrders: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
+
+  val lateOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS n_late
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q3 shape: top-10 orders by revenue for one market segment.
     * customer (filtered) broadcasts into orders; the lineitem aggregate
     * is partial-combined before its single shuffle; top-k is a
@@ -207,6 +234,7 @@ object RelationalQueries {
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> pricingSummary,
     "q_revenue_change" -> revenueChange,
+    "q_late_orders" -> lateOrders,
     "q_top_revenue_orders" -> topRevenueOrders,
     "q_region_revenue" -> regionRevenue,
     "q_big_orders" -> bigOrders,
@@ -216,6 +244,7 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q_pricing_summary" -> pricingSummarySql,
     "q_revenue_change" -> revenueChangeSql,
+    "q_late_orders" -> lateOrdersSql,
     "q_top_revenue_orders" -> topRevenueOrdersSql,
     "q_region_revenue" -> regionRevenueSql,
     "q_big_orders" -> bigOrdersSql,
