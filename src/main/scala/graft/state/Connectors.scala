@@ -51,7 +51,7 @@ trait Connector {
   }
 
   /** Delete the given keys; counts only keys that were present. */
-  def delete(keys: Seq[Any]): Unit = {
+  def delete(keys: Seq[Any]): Unit = if (keys.nonEmpty) {
     val cur = bulkQuery()
     val hit = cur.filter(col(keyCol).isin(keys: _*)).count()
     if (hit > 0) replace(cur.filter(!col(keyCol).isin(keys: _*)))
