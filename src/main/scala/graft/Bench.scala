@@ -75,7 +75,9 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val allRuns = results.map { case (k, _, rs) =>
-      "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
+      // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+      "\"" + k + "\":" + rs.map(r => String.format(java.util.Locale.ROOT, "%.3f", Double.box(r)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
