@@ -43,7 +43,13 @@ final class MetricsListener(path: String) extends QueryExecutionListener {
       durationNs: Long,
       failure: Option[Throwable]
   ): Unit = {
-    val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
+    // defensive: on a FAILED action, touching qe.executedPlan can re-run
+    // optimization (ConvertToLocalRelation evaluates expressions over
+    // local data) and re-throw the query's own error inside the
+    // listener — the metrics line must still be written
+    val rows = scala.util.Try(
+      qe.executedPlan.metrics.get("numOutputRows").map(_.value)
+    ).toOption.flatten
     val fields = Seq(
       Some(s""""action":"${esc(funcName)}""""),
       Some(s""""duration_ms":${durationNs / 1000000}"""),

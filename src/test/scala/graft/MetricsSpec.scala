@@ -22,4 +22,25 @@ class MetricsSpec extends SparkSpec {
       assert(line.contains(""""duration_ms":"""))
     } finally MetricsListener.detach(spark, l)
   }
+
+  test("listener records a failed action with the error class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udf
+    val path = java.nio.file.Files.createTempDirectory("graft-metrics-f").toString + "/m.jsonl"
+    val l = MetricsListener.attach(spark, path)
+    try {
+      val boom = udf((i: Int) => if (i > 1) throw new IllegalStateException("boom") else i)
+      intercept[Exception] {
+        Seq(1, 2, 3).toDF("x").select(boom($"x")).collect()
+      }
+      var tries = 0
+      def failedLine(): Option[String] =
+        if (!new java.io.File(path).exists()) None
+        else scala.io.Source.fromFile(path).getLines().find(_.contains(""""status":"failed""""))
+      while (failedLine().isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      val line = failedLine()
+      assert(line.isDefined, "expected a failed-status metrics line")
+      assert(line.get.contains(""""error":""""))
+    } finally MetricsListener.detach(spark, l)
+  }
 }

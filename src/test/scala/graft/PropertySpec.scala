@@ -139,6 +139,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: exact dedup conserves rows and canonical ids are group minima") {
+    forAll(streamGen) { rows =>
+      if (rows.nonEmpty) {
+        // synthesize docs: value collisions produce duplicate texts
+        val docs = rows.map { case (_, i, v) => (i, s"doc ${v.toLong}") }.toDF("doc_id", "text")
+        val out = llm.Dedup.exact(docs, "doc_id", "text")
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+        assert(out.map(_._2).sum == rows.length, "n_copies must sum to the corpus size")
+        val byText = rows.groupBy { case (_, _, v) => s"doc ${v.toLong}" }
+        val wantCanon = byText.values.map(_.map(_._2).min).toSet
+        assert(out.map(_._1).toSet == wantCanon, "canonical id must be the group minimum doc_id")
+      }
+    }
+  }
+
   test("property: keepIncreasing output is strictly increasing per key and keeps the max") {
     forAll(streamGen) { rows =>
       if (rows.nonEmpty) {
