@@ -306,6 +306,47 @@ object StreamingFeatures {
       }
   }
 
+  /** A session-tagged record emitted by [[sessionizeStream]]. */
+  final case class SessionAssign(key: String, ord: Long, value: Double, sessionId: Long)
+
+  /** Sessionizer state: last seen ord + current session index (public
+    * with primitive fields for the state encoder).
+    */
+  final case class SessState(lastOrd: Long, session: Long)
+
+  /** Ord-gap sessionization on a live stream — the exact twin of the
+    * batch [[graft.operators.Windows.sessionize]] (a new session starts
+    * when the gap to the key's previous record exceeds `maxGap` in ord
+    * units; ids start at 0). State per key is two longs, regardless of
+    * history length. Records apply in ord order within a micro-batch;
+    * as with the other stateful twins, cross-batch arrival order is the
+    * stream's order.
+    */
+  def sessionizeStream(
+      spark: SparkSession,
+      updates: Dataset[Update],
+      maxGap: Long
+  ): Dataset[SessionAssign] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[SessState]) =>
+          var st = state.getOption
+          val out = batch.toSeq.sortBy(_.ord).map { u =>
+            val next = st match {
+              case None                                   => SessState(u.ord, 0L)
+              case Some(s) if u.ord - s.lastOrd > maxGap  => SessState(u.ord, s.session + 1)
+              case Some(s)                                => SessState(u.ord, s.session)
+            }
+            st = Some(next)
+            SessionAssign(key, u.ord, u.value, next.session)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** A timestamped update for event-time windowing. */
   final case class TimedUpdate(key: String, eventTime: java.sql.Timestamp, value: Double)
 

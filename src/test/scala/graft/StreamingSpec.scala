@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingFeatures
@@ -219,6 +220,32 @@ class StreamingSpec extends SparkSpec {
     val starts = out.collect().filter(_.getDouble(3) == 3.0).map(_.getTimestamp(1).toString).sorted
     assert(starts.toList == List("2026-01-01 10:00:00.0", "2026-01-01 10:00:30.0"),
       s"record at 10:00:45 must land in exactly the two 1-minute windows sliding by 30s, got $starts")
+  }
+
+  test("streaming ord-gap sessionizer matches Windows.sessionize across micro-batches") {
+    val rng = new scala.util.Random(13)
+    // per-key increasing ords with random gaps straddling the threshold
+    val data = for (k <- Seq("x", "y"); i <- 1 to 40) yield {
+      Update(k, 0L, rng.nextDouble()) // ord filled below
+    }
+    var ords = Map("x" -> 0L, "y" -> 0L)
+    val stream = data.map { u =>
+      val next = ords(u.key) + 1 + rng.nextInt(80) // gaps 1..80 vs maxGap 40
+      ords += u.key -> next
+      u.copy(ord = next)
+    }
+    val in = MemoryStream[Update]
+    in.addData(stream.take(30): _*)
+    in.addData(stream.drop(30): _*)
+    val streamed = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.sessionizeStream(spark, in.toDS(), maxGap = 40), "t_sess_ord",
+      OutputMode.Append())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = graft.operators.Windows.sessionize(
+      stream.map(u => (u.key, u.ord, u.value)).toDF("key", "ord", "value"),
+      "key", col("ord"), maxGap = 40)
+      .select("key", "ord", "session_id").as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
   }
 
   test("event-time sessionization: gap splits sessions, watermark closes them") {
