@@ -134,6 +134,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs — the step that turns a
+    * pair list into actual deduplication: every document in a connected
+    * cluster shares the component id (the cluster's minimum doc id),
+    * so "keep one per component" is a single groupBy away.
+    *
+    * Iterative min-label propagation: each round, every vertex takes
+    * the minimum label among itself and its neighbors; converges in
+    * O(cluster diameter) rounds (near-dup clusters are shallow — dup
+    * groups link through shared neighbors, so diameter is small even
+    * when clusters are large). Each round is one join + one aggregate,
+    * labels are localCheckpoint'ed per round so the plan doesn't grow
+    * with iterations — the standard scalable CC formulation when a
+    * graph engine isn't on the classpath.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("nv"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(nbrMin, labels("v") === nbrMin("nv"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true) // materialize: bounds lineage AND makes the convergence count cheap
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("v").as("doc"), col("label").as("component"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs.
     *
     * Explode distinct shingle hashes and self-join on the hash: a pair

@@ -64,8 +64,11 @@ object LlmQueries {
     Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.6)
       .orderBy("doc_a", "doc_b")
 
-  val dedupMinhashSql: String =
-    s"""WITH $xsCte,
+  /** MinHash-pairs CTE chain, ending in `mh(doc_a, doc_b, est_jaccard)`
+    * — shared by the pairs oracle and the clusters oracle.
+    */
+  private val minhashCtes: String =
+    s"""$xsCte,
        |sig AS (
        |  SELECT doc_id, list_transform(range(0, $K),
        |    mi -> list_min(list_transform(xh,
@@ -79,14 +82,42 @@ object LlmQueries {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id)
-       |SELECT * FROM (
-       |  SELECT c.doc_a, c.doc_b,
-       |    CAST(len(list_filter(range(1, ${K + 1}), zi -> sa.sig[CAST(zi AS INT)] = sb.sig[CAST(zi AS INT)])) AS DOUBLE) / $K AS est_jaccard
-       |  FROM cand c
-       |  JOIN sig sa ON sa.doc_id = c.doc_a
-       |  JOIN sig sb ON sb.doc_id = c.doc_b)
-       |WHERE est_jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+       |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+       |mh AS (
+       |  SELECT * FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      CAST(len(list_filter(range(1, ${K + 1}), zi -> sa.sig[CAST(zi AS INT)] = sb.sig[CAST(zi AS INT)])) AS DOUBLE) / $K AS est_jaccard
+       |    FROM cand c
+       |    JOIN sig sa ON sa.doc_id = c.doc_a
+       |    JOIN sig sb ON sb.doc_id = c.doc_b)
+       |  WHERE est_jaccard >= 0.6)""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, est_jaccard FROM mh ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup clusters: connected components over the minhash pairs.
+    * Mirrors Dedup.connectedComponents via a recursive transitive
+    * closure — component(v) = min id reachable from v (incl. v).
+    */
+  val dedupClusters: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.6),
+      "doc_a", "doc_b")
+      .orderBy("doc")
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM mh),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT reach.src, e.dst FROM reach JOIN e ON reach.dst = e.src)
+       |SELECT src AS doc, least(src, min(dst)) AS component
+       |FROM reach GROUP BY src ORDER BY doc""".stripMargin
 
   // ----------------------------------------------------------- simhash
 
@@ -544,6 +575,7 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_jaccard_capped" -> dedupJaccardCapped,
@@ -567,6 +599,7 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_jaccard_capped" -> dedupJaccardCappedSql,

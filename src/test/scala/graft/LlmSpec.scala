@@ -53,6 +53,18 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connected components: chains merge transitively, singletons keep own label") {
+    // graph: 1-2, 2-3 (one cluster via transitivity), 10-11, 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // dedup follow-through: one keeper per component
+    assert(cc.groupBy(_._2).keySet == Set(1L, 10L, 20L))
+  }
+
   test("ngram jaccard: exact dup = 1.0, near-dup high, distinct absent") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.3)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
