@@ -182,6 +182,25 @@ object Dedup {
     labels.select(col("v").as("doc"), col("label").as("component"))
   }
 
+  /** The deduplicated corpus: drop every document that sits in a
+    * near-dup cluster but is not its canonical (minimum-id) member —
+    * the end-user API over [[connectedComponents]]. Documents in no
+    * pair survive untouched; the anti-join is keyed on the id (losers
+    * set is O(near-dups), broadcastable).
+    */
+  def canonicalize(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"
+  ): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("doc") =!= col("component"))
+      .select(col("doc").as(idCol))
+    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs.
     *
     * Explode distinct shingle hashes and self-join on the hash: a pair

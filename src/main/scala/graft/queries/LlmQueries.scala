@@ -119,6 +119,35 @@ object LlmQueries {
        |SELECT src AS doc, least(src, min(dst)) AS component
        |FROM reach GROUP BY src ORDER BY doc""".stripMargin
 
+  /** Near-dup-aware corpus reduction: per-source survivor counts after
+    * dropping non-canonical members of every minhash cluster.
+    */
+  val dedupCanonical: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.canonicalize(docs, "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.6))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("source")
+  }
+
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM mh),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT reach.src, e.dst FROM reach JOIN e ON reach.dst = e.src),
+       |losers AS (
+       |  SELECT src AS doc_id FROM reach GROUP BY src
+       |  HAVING src <> least(src, min(dst)))
+       |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------- simhash
 
   private val simhashCte: String = {
@@ -576,6 +605,7 @@ object LlmQueries {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_clusters" -> dedupClusters,
+    "q_dedup_canonical" -> dedupCanonical,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_jaccard_capped" -> dedupJaccardCapped,
@@ -600,6 +630,7 @@ object LlmQueries {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_canonical" -> dedupCanonicalSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_jaccard_capped" -> dedupJaccardCappedSql,
