@@ -14,10 +14,13 @@ import org.apache.spark.sql.SparkSession
   * is never faster than the query's true cost — so the minimum is the
   * unbiased steady-state estimate, while a median still carries a stall
   * whenever 2 of 3 runs stall. All per-run times go to stderr AND into
-  * the JSON ("runs") so the jitter stays visible. Prints ONE JSON metric
-  * line to stdout and also writes it to SPARK_GRAFT_BENCH_OUT (default
-  * bench_out.json) — sbt wraps forked stdout in [info], which broke the
-  * driver's stdout parse in round 1.
+  * the JSON ("runs") so the jitter stays visible. Prints ONE COMPACT
+  * JSON metric line to stdout (total + per-query minimums + failed —
+  * no "runs" map: the driver's captured stdout tail truncated mid-array
+  * on the full map in round 2 → parsed:null) and writes the FULL JSON
+  * (with "runs") to SPARK_GRAFT_BENCH_OUT (default bench_out.json) —
+  * sbt wraps forked stdout in [info], which broke the driver's stdout
+  * parse in round 1.
   *
   * A query that throws in any run is reported in "failed" and excluded
   * from the total rather than silently contributing its time-to-failure
@@ -56,10 +59,13 @@ object Bench {
               false
           }
         val t = (System.nanoTime() - t0) / 1e9
-        // Drop cached intermediates (dedup signature tables etc.) so
-        // queries are timed independently, not under accumulated
-        // storage-memory pressure.
+        // Drop cached intermediates so queries are timed independently.
+        // Dedup/IVF intermediates use localCheckpoint, which clearCache
+        // does NOT free — those blocks are released by the ContextCleaner
+        // only after the checkpointed RDD is GC'd, so nudge a GC here to
+        // keep storage-memory pressure from leaking into later queries.
         spark.catalog.clearCache()
+        System.gc()
         (t, ok)
       }
       if (times.exists(!_._2)) { failed += name; None }
@@ -81,10 +87,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json =
+    // Compact line for stdout (the driver captures a bounded tail; the
+    // full per-run map overflowed it in round 2), full JSON to the file.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"failed":$fl,"sf":"$sfDir"}"""
-    println(json)
-    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    println(compact)
+    Files.write(Paths.get(outPath), (full + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

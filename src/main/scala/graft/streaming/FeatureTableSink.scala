@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
-import graft.state.VersionedDir
+import graft.state.{BucketedDir, VersionedDir}
 import graft.streaming.StreamingFeatures.{KeyEvent, KeyFeature}
 
 /** Durable feature-table sink: the parquet analog of ralf's storage
@@ -13,44 +13,68 @@ import graft.streaming.StreamingFeatures.{KeyEvent, KeyFeature}
   * with a plain filtered scan.
   *
   * Each micro-batch merges the incoming per-key updates into the stored
-  * table (union → max_by per key) and publishes through
-  * [[graft.state.VersionedDir]]: a versioned directory plus an atomic
-  * `_CURRENT` pointer swap, superseded versions pruned — readers never
-  * see a partial write and storage stays bounded over a long-running
-  * stream. At scale the same loop writes a partitioned/bucketed table
-  * (or a lakehouse table with real MERGE); the plan shape is identical.
+  * table through [[graft.state.BucketedDir]]: the table is hash-bucketed
+  * by key and a batch rewrites ONLY the buckets its keys land in (union
+  * → max_by per key, per touched bucket), each bucket published with an
+  * atomic `_CURRENT` pointer swap and superseded versions pruned.
+  * Readers never see a partial write, storage stays bounded over a
+  * long-running stream, and — the 100 TB property — write cost per
+  * micro-batch is O(touched buckets), not O(table): a small batch into a
+  * huge table no longer re-materializes the world.
+  *
+  * `keepVersions` bounds reader staleness: a reader that resolved a
+  * bucket's pointer survives `keepVersions - 1` subsequent publishes of
+  * that bucket before its version dir is pruned mid-scan. Long-scanning
+  * concurrent readers of a hot table should raise it.
   */
 object FeatureTableSink {
 
-  /** Read the current materialized table (empty if never written). */
+  /** Default bucket count — sized for test-scale tables; a real 100 TB
+    * deployment picks numBuckets ~ table-size / target-file-size.
+    */
+  val DefaultBuckets = 16
+
+  /** Read the current materialized table (empty if never written).
+    * Falls back to a flat [[VersionedDir]] layout for tables written by
+    * pre-bucketed versions of this sink.
+    */
   def read(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    VersionedDir.read(spark, root).getOrElse(Seq.empty[KeyFeature].toDF())
+    BucketedDir.read(spark, root)
+      .orElse(VersionedDir.read(spark, root))
+      .getOrElse(Seq.empty[KeyFeature].toDF())
   }
 
   /** Merge one batch of updates into the stored table. Exposed for
     * batch-mode backfills; the streaming sink calls this per
     * micro-batch.
     */
-  def merge(spark: SparkSession, root: String, batch: Dataset[KeyFeature], version: Long): Unit = {
-    val existing = read(spark, root)
-    // Winner per key: highest event order (ord), numUpdates only as a
-    // tie-break for re-emissions of the same ord. Never numUpdates
-    // alone — the TTL path in latestPerKey resets that counter, and a
-    // stale high count must not shadow fresh data.
-    val merged = existing.unionByName(batch.toDF())
-      .groupBy(col("key"))
-      .agg(max_by(
-        struct(col("ord"), col("value"), col("numUpdates")),
-        struct(col("ord"), col("numUpdates"))).as("_cur"))
-      .select(col("key"), col("_cur.ord").as("ord"), col("_cur.value").as("value"),
-        col("_cur.numUpdates").as("numUpdates"))
-    // Publish strictly above the current version (and at least the
-    // micro-batch id) — a replayed micro-batch id (restart before offset
-    // commit) must never overwrite the directory `existing` is lazily
-    // scanning. keepVersions=2 leaves the just-superseded version for
-    // in-flight readers.
-    VersionedDir.publish(spark, root, merged, minVersion = version, keepVersions = 2)
+  def merge(
+      spark: SparkSession,
+      root: String,
+      batch: Dataset[KeyFeature],
+      version: Long,
+      numBuckets: Int = DefaultBuckets,
+      keepVersions: Int = 2
+  ): Unit = {
+    // Publish each touched bucket strictly above its current version
+    // (and at least the micro-batch id) — a replayed micro-batch id
+    // (restart before offset commit) must never overwrite the directory
+    // a reader is lazily scanning.
+    BucketedDir.merge(spark, root, batch.toDF(), "key", numBuckets,
+      minVersion = version, keepVersions = keepVersions) { (existing, part) =>
+      // Winner per key: highest event order (ord), numUpdates only as a
+      // tie-break for re-emissions of the same ord. Never numUpdates
+      // alone — the TTL path in latestPerKey resets that counter, and a
+      // stale high count must not shadow fresh data.
+      existing.map(_.unionByName(part)).getOrElse(part)
+        .groupBy(col("key"))
+        .agg(max_by(
+          struct(col("ord"), col("value"), col("numUpdates")),
+          struct(col("ord"), col("numUpdates"))).as("_cur"))
+        .select(col("key"), col("_cur.ord").as("ord"), col("_cur.value").as("value"),
+          col("_cur.numUpdates").as("numUpdates"))
+    }
     ()
   }
 
@@ -61,8 +85,18 @@ object FeatureTableSink {
     * an update and its eviction at the same ord resolve to the
     * eviction, matching the operator's processing order.
     */
-  def mergeEvents(spark: SparkSession, root: String, batch: Dataset[KeyEvent], version: Long): Unit = {
-    val existing = read(spark, root)
+  def mergeEvents(
+      spark: SparkSession,
+      root: String,
+      batch: Dataset[KeyEvent],
+      version: Long,
+      numBuckets: Int = DefaultBuckets,
+      keepVersions: Int = 2
+  ): Unit = {
+    // Reduce the batch to its last event per key BEFORE bucketing (by
+    // (ord, evicted): an update and its eviction at the same ord resolve
+    // to the eviction, matching the operator's processing order) — then
+    // each touched bucket applies its deletes and upserts locally.
     val lastEvent = batch.toDF()
       .groupBy(col("key"))
       .agg(max_by(
@@ -70,17 +104,19 @@ object FeatureTableSink {
         struct(col("ord"), col("evicted").cast("int"))).as("_e"))
       .select(col("key"), col("_e.ord").as("ord"), col("_e.value").as("value"),
         col("_e.numUpdates").as("numUpdates"), col("_e.evicted").as("evicted"))
-    val evictedKeys = lastEvent.filter(col("evicted")).select("key")
-    val ups = lastEvent.filter(!col("evicted")).drop("evicted")
-    val merged = existing.join(broadcast(evictedKeys), Seq("key"), "left_anti")
-      .unionByName(ups)
-      .groupBy(col("key"))
-      .agg(max_by(
-        struct(col("ord"), col("value"), col("numUpdates")),
-        struct(col("ord"), col("numUpdates"))).as("_cur"))
-      .select(col("key"), col("_cur.ord").as("ord"), col("_cur.value").as("value"),
-        col("_cur.numUpdates").as("numUpdates"))
-    VersionedDir.publish(spark, root, merged, minVersion = version, keepVersions = 2)
+    BucketedDir.merge(spark, root, lastEvent, "key", numBuckets,
+      minVersion = version, keepVersions = keepVersions) { (existing, part) =>
+      val evictedKeys = part.filter(col("evicted")).select("key")
+      val ups = part.filter(!col("evicted")).drop("evicted")
+      existing.map(_.join(broadcast(evictedKeys), Seq("key"), "left_anti")).getOrElse(ups.limit(0))
+        .unionByName(ups)
+        .groupBy(col("key"))
+        .agg(max_by(
+          struct(col("ord"), col("value"), col("numUpdates")),
+          struct(col("ord"), col("numUpdates"))).as("_cur"))
+        .select(col("key"), col("_cur.ord").as("ord"), col("_cur.value").as("value"),
+          col("_cur.numUpdates").as("numUpdates"))
+    }
     ()
   }
 
@@ -89,12 +125,14 @@ object FeatureTableSink {
       spark: SparkSession,
       events: Dataset[KeyEvent],
       root: String,
-      availableNow: Boolean = true
+      availableNow: Boolean = true,
+      numBuckets: Int = DefaultBuckets,
+      keepVersions: Int = 2
   ): StreamingQuery = {
     val w = events.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[KeyEvent], id: Long) =>
-        mergeEvents(spark, root, batch, id)
+        mergeEvents(spark, root, batch, id, numBuckets, keepVersions)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
@@ -104,12 +142,14 @@ object FeatureTableSink {
       spark: SparkSession,
       updates: Dataset[KeyFeature],
       root: String,
-      availableNow: Boolean = true
+      availableNow: Boolean = true,
+      numBuckets: Int = DefaultBuckets,
+      keepVersions: Int = 2
   ): StreamingQuery = {
     val w = updates.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[KeyFeature], id: Long) =>
-        merge(spark, root, batch, id)
+        merge(spark, root, batch, id, numBuckets, keepVersions)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

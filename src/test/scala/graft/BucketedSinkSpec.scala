@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.state.{BucketedDir, BucketedParquetConnector}
+
+/** The 100 TB sink property: a merge into a bucketed table rewrites ONLY
+  * the buckets its batch keys hash into — every untouched bucket's files
+  * stay byte-identical (VERDICT r2 "incremental sink merge"). Also pins
+  * the bucket-count guard and the bucketed read path.
+  */
+class BucketedSinkSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("a", StringType, nullable = true)))
+
+  private def df(rows: (Long, String)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+
+  private def tmp() = Files.createTempDirectory("graft-bktsink").toString
+
+  /** Every file under each bucket dir: bucket -> sorted (relPath, md5). */
+  private def snapshot(root: String): Map[String, Seq[(String, String)]] = {
+    val rootP = Paths.get(root)
+    Files.list(rootP).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("b\\d+"))
+      .map { bdir =>
+        val files = Files.walk(bdir).iterator().asScala.toSeq
+          .filter(Files.isRegularFile(_))
+          .map { f =>
+            val md5 = MessageDigest.getInstance("MD5").digest(Files.readAllBytes(f))
+            (bdir.relativize(f).toString, md5.map("%02x".format(_)).mkString)
+          }
+          .sortBy(_._1)
+        bdir.getFileName.toString -> files
+      }.toMap
+  }
+
+  private def bucketOf(key: Long, numBuckets: Int): Int =
+    // the same Spark expression the writer uses — never a driver-side hash
+    df(key -> "x").select(BucketedDir.bucketCol("key", numBuckets)).collect()(0).getInt(0)
+
+  test("merge rewrites only the buckets containing batch keys; others stay byte-identical") {
+    val root = tmp()
+    val nb = 8
+    val c = new BucketedParquetConnector(spark, "key", schema, root, numBuckets = nb)
+    c.upsert(df((1L to 40L).map(k => k -> s"v$k"): _*))
+    val before = snapshot(root)
+    assert(before.size > 1, s"seed batch should span several buckets, got ${before.keys}")
+
+    val hot = 7L
+    val hotBucket = BucketedDir.bucketName(bucketOf(hot, nb))
+    c.upsert(df(hot -> "updated"))
+    val after = snapshot(root)
+
+    for ((b, files) <- before if b != hotBucket)
+      assert(after(b) == files, s"untouched bucket $b was rewritten")
+    assert(after(hotBucket) != before(hotBucket), "touched bucket must advance")
+    // and the table reads back correctly through the single-scan path
+    val got = c.bulkQuery().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(hot) == "updated" && got.size == 40)
+  }
+
+  test("delete rewrites only the deleted keys' buckets") {
+    val root = tmp()
+    val nb = 8
+    val c = new BucketedParquetConnector(spark, "key", schema, root, numBuckets = nb)
+    c.upsert(df((1L to 40L).map(k => k -> s"v$k"): _*))
+    val before = snapshot(root)
+    val victim = 13L
+    val vb = BucketedDir.bucketName(bucketOf(victim, nb))
+    c.delete(Seq(victim))
+    val after = snapshot(root)
+    for ((b, files) <- before if b != vb)
+      assert(after(b) == files, s"untouched bucket $b was rewritten by delete")
+    assert(c.pointQuery(victim).isEmpty && c.count() == 39)
+  }
+
+  test("bucket count is pinned: a mismatched merge is refused") {
+    val root = tmp()
+    new BucketedParquetConnector(spark, "key", schema, root, numBuckets = 8)
+      .upsert(df(1L -> "a"))
+    val wrong = new BucketedParquetConnector(spark, "key", schema, root, numBuckets = 16)
+    intercept[IllegalArgumentException](wrong.upsert(df(2L -> "b")))
+  }
+
+  test("streaming sink merge is bucket-pruned end to end") {
+    import spark.implicits._
+    import graft.streaming.StreamingFeatures.KeyFeature
+    val root = tmp()
+    val seed = (1 to 40).map(i => KeyFeature(s"k$i", 1, i.toDouble, 1)).toDS()
+    graft.streaming.FeatureTableSink.merge(spark, root, seed, 0, numBuckets = 8)
+    val before = snapshot(root)
+    assert(before.size > 1)
+    graft.streaming.FeatureTableSink.merge(spark, root,
+      Seq(KeyFeature("k7", 5, 99.0, 2)).toDS(), 1, numBuckets = 8)
+    val after = snapshot(root)
+    val changed = before.keys.filter(b => after(b) != before(b))
+    assert(changed.size == 1, s"exactly one bucket should change, got: $changed")
+    val t = graft.streaming.FeatureTableSink.read(spark, root).as[KeyFeature].collect()
+    assert(t.length == 40 && t.find(_.key == "k7").get.value == 99.0)
+  }
+}

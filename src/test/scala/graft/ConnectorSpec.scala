@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import graft.state.{Connector, JdbcConnector, ParquetConnector, TempViewConnector}
+import graft.state.{BucketedParquetConnector, Connector, JdbcConnector, ParquetConnector, TempViewConnector}
 
 /** The reference's connector contract, run over every implementation —
   * mirrors ralf/tests/test_state.py:35-73 (parametrized over
@@ -28,7 +28,8 @@ class ConnectorSpec extends SparkSpec {
   private def connectors: Seq[(String, () => Connector)] = Seq(
     "temp-view" -> (() => new TempViewConnector(spark, "key", schema, s"t_conn_${System.nanoTime()}")),
     "jdbc-derby" -> (() => new JdbcConnector(spark, "key", schema, tmp("graft-derby") + "/db", "state")),
-    "parquet-versioned" -> (() => new ParquetConnector(spark, "key", schema, tmp("graft-pqconn")))
+    "parquet-versioned" -> (() => new ParquetConnector(spark, "key", schema, tmp("graft-pqconn"))),
+    "parquet-bucketed" -> (() => new BucketedParquetConnector(spark, "key", schema, tmp("graft-bkconn"), numBuckets = 4))
   )
 
   for ((name, mk) <- connectors) {
@@ -56,6 +57,20 @@ class ConnectorSpec extends SparkSpec {
       assert(s.numDeletes == 1L)
       assert(s.numRecords == 1L)
     }
+  }
+
+  test("delete never drops null-key rows (ADVICE r2: bare !isin is NULL for them)") {
+    val nullableSchema = StructType(Seq(
+      StructField("key", LongType, nullable = true),
+      StructField("a", StringType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    val c = new TempViewConnector(spark, "key", nullableSchema, s"t_nullk_${System.nanoTime()}")
+    c.upsert(spark.createDataFrame(
+      Seq(Row(1L, "a"), Row(2L, "b"), Row(null, "n")).asJava, nullableSchema))
+    c.delete(Seq(1L))
+    val left = c.bulkQuery().collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getString(1))).toSet
+    assert(left == Set((2L, "b"), (null, "n")),
+      "deleting key 1 must keep key 2 AND the null-key row")
   }
 
   test("versioned dir: reader falls back to newest committed version when the pointer is lost") {
