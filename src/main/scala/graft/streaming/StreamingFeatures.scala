@@ -259,6 +259,84 @@ object StreamingFeatures {
       }
   }
 
+  /** Output of [[asOfJoinStream]]: a left record paired with the right
+    * side's latest (ord, value) at-or-before the left's own ord (None
+    * when no right at-or-before it has arrived).
+    */
+  final case class AsOfPair(
+      key: String, lOrd: Long, lValue: Double,
+      asOfOrd: Option[Long], asOfValue: Option[Double])
+
+  /** Per-key right-side retention, ascending by ord (arrays for the
+    * state encoder, as in [[JoinBuf]]).
+    */
+  final case class RightsBuf(ords: Array[Long], vals: Array[Double])
+
+  /** Streaming point-in-time (as-of) join — the twin of
+    * [[graft.operators.Joins.asOfJoin]]: each left record enriches with
+    * the right side's latest value at-or-before the left's OWN ord for
+    * its key (a right at the same ord pairs, matching the batch
+    * operator's (ord, side) sort). Outputs equal the batch operator on
+    * the same records whenever arrival order respects ord order — the
+    * same cross-batch convention as the other stateful twins; a right
+    * arriving after a later-ord left was already emitted is missed,
+    * exactly like the reference's eager processing-time loop.
+    *
+    * Expressed as custom keyed state rather than Spark's native
+    * stream-stream interval join deliberately: the interval join emits
+    * EVERY right inside the time band (requiring a second stateful
+    * per-left max aggregation downstream, with its own watermark delay),
+    * while "latest at-or-before" is directly a binary search against a
+    * per-key sorted buffer. State is bounded by `maxRightsPerKey` —
+    * the oldest rights prune first, the retention analog of an interval
+    * join's lower time bound; a left older than the pruned horizon may
+    * resolve to a newer right than full history would give.
+    */
+  def asOfJoinStream(
+      spark: SparkSession,
+      updates: Dataset[SideUpdate],
+      maxRightsPerKey: Int = 1024
+  ): Dataset[AsOfPair] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[SideUpdate], state: GroupState[RightsBuf]) =>
+          var ords = state.getOption.map(_.ords).getOrElse(Array.empty[Long])
+          var vals = state.getOption.map(_.vals).getOrElse(Array.empty[Double])
+          val out = Seq.newBuilder[AsOfPair]
+          // in-batch order: by ord, rights before lefts at equal ord —
+          // mirrors the batch operator's (_ord asc, _ir desc) sort
+          batch.toSeq.sortBy(u => (u.ord, u.isLeft)).foreach { u =>
+            if (!u.isLeft) {
+              val pos = upperBound(ords, u.ord) // append in the in-order common case
+              ords = (ords.take(pos) :+ u.ord) ++ ords.drop(pos)
+              vals = (vals.take(pos) :+ u.value) ++ vals.drop(pos)
+              if (ords.length > maxRightsPerKey) { ords = ords.drop(1); vals = vals.drop(1) }
+            } else {
+              val pos = upperBound(ords, u.ord) - 1 // latest right with ord <= left ord
+              if (pos >= 0) out += AsOfPair(key, u.ord, u.value, Some(ords(pos)), Some(vals(pos)))
+              else out += AsOfPair(key, u.ord, u.value, None, None)
+            }
+          }
+          state.update(RightsBuf(ords, vals))
+          out.result().iterator
+      }
+  }
+
+  /** First index in ascending `a` whose value exceeds `x` (a.length if
+    * none) — the insertion point that keeps ties' arrival order.
+    */
+  private def upperBound(a: Array[Long], x: Long): Int = {
+    var lo = 0
+    var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Running per-key sum (v2 `Sum`, ralf/v2/examples/counter.py:56-65)
     * as an always-on stream: emits the cumulative (sum, count) after
     * each micro-batch.

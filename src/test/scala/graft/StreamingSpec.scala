@@ -135,6 +135,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 12)
   }
 
+  test("streaming as-of join matches Joins.asOfJoin when arrival respects ord order") {
+    import graft.streaming.StreamingFeatures.SideUpdate
+    val rng = new scala.util.Random(23)
+    // sparse rights, dense lefts, distinct ords per (key, side); several
+    // lefts precede any right (null as-of), several share a right ord
+    // (right pairs at equal ord)
+    val rights = for (k <- Seq("x", "y", "z"); i <- 1 to 6)
+      yield SideUpdate(k, i * 15L, rng.nextDouble() * 10, isLeft = false)
+    val lefts = for (k <- Seq("x", "y", "z"); i <- 0 until 30)
+      yield SideUpdate(k, i * 3L + (if (k == "y") 1 else 0), rng.nextDouble() * 10, isLeft = true)
+    // arrival respects ord order (rights first at equal ord): any right
+    // at-or-before a left arrives no later than that left
+    val all = (lefts ++ rights).sortBy(u => (u.ord, u.isLeft))
+    val in = MemoryStream[SideUpdate]
+    in.addData(all.take(40): _*)
+    in.addData(all.slice(40, 80): _*)
+    in.addData(all.drop(80): _*)
+    val streamed = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.asOfJoinStream(spark, in.toDS()), "t_asofjoin",
+      OutputMode.Append())
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+      .toSet
+    val batch = graft.operators.Joins.asOfJoin(
+      lefts.map(u => (u.key, u.ord, u.value)).toDF("key", "ord", "value"),
+      rights.map(u => (u.key, u.ord, u.value)).toDF("key", "ord", "value"),
+      "key", "ord", "ord", "value", "asof")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.size == 90)
+    // the no-preceding-right lefts really exercise the null path
+    assert(streamed.count(_._4 == null) > 0)
+  }
+
   test("streaming consume-once join buffers a right that precedes its left") {
     import graft.streaming.StreamingFeatures.SideUpdate
     val in = MemoryStream[SideUpdate]
