@@ -152,7 +152,7 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 20
+      maxIter: Int = 50
   ): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -179,6 +179,17 @@ object Dedup {
       labels = next
       it += 1
     }
+    // Min-label propagation needs O(component diameter) rounds. Exiting
+    // with changed > 0 means some chain is longer than maxIter — the
+    // labels would SILENTLY split one true component into several, and
+    // canonicalize would keep extra duplicates. Fail loudly instead
+    // (ADVICE r2): the caller raises maxIter (cost is one join+agg per
+    // extra round, and converged runs stop early regardless).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing): a near-dup chain's diameter exceeds maxIter; " +
+          "raise maxIter")
     labels.select(col("v").as("doc"), col("label").as("component"))
   }
 

@@ -112,13 +112,15 @@ object Similarity {
     * with a broadcastable constant-size centroid table, linear in the
     * corpus. (Round-1 version selected a corpus *fraction* as
     * centroids, making assignment O(n²/100) — a scale-killer.) K-means
-    * refinement drops in without changing the plan shape, but measured
-    * on this corpus it REGRESSES recall (0.36 vs 0.40 @4-probe after 4
-    * Lloyd iterations): the synthetic embeddings are uniform, so there
-    * is no cluster structure to learn and balancing cells only splits
-    * neighbors across boundaries. On clustered production embeddings
-    * trained centroids are the standard upgrade; the oracle would drop
-    * to rows-only there (shuffle-order float means aren't bit-mirrorable).
+    * refinement is available behind `refineIters` (default 0 = off): it
+    * keeps the plan shape but measured on this corpus it REGRESSES
+    * recall (0.36 vs 0.40 @4-probe after 4 Lloyd iterations) — the
+    * synthetic embeddings are uniform, so there is no cluster structure
+    * to learn and balancing cells only splits neighbors across
+    * boundaries. On clustered embeddings trained centroids are the
+    * standard upgrade (RecallSpec measures 0.53 → 0.83 recall@5 on a
+    * separable 8-cluster corpus); the oracle drops to rows-only there
+    * (shuffle-order float means aren't bit-mirrorable).
     *
     * The 100 TB shape: the corpus is bucketed ONCE by cell (one shuffle,
     * or a partitioned table on disk); a query probes `nProbe` cells —
@@ -132,17 +134,54 @@ object Similarity {
       queryPred: Column,
       k: Int,
       numCentroids: Int = 64,
-      nProbe: Int = 2
+      nProbe: Int = 2,
+      refineIters: Int = 0
   ): DataFrame = {
     val p = prepared(emb, idCol, vecCol)
-    val cents = p.orderBy(col("vid")).limit(numCentroids)
+    val cents0 = p.orderBy(col("vid")).limit(numCentroids)
       .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // Optional Lloyd refinement (refineIters > 0) — the k-means upgrade
+    // for CLUSTERED corpora (flag-gated, default off: measured on this
+    // repo's uniform synthetic embeddings it regresses recall, see class
+    // scaladoc; with it on, the oracle degrades to rows-only because
+    // shuffle-order float means aren't bit-mirrorable in DuckDB). Each
+    // iteration: assign every vector to its best centroid (same
+    // O(corpus × numCentroids) broadcast shape as the quantizer), move
+    // each centroid to its cell's mean; empty cells keep their position.
+    val cents = (1 to refineIters).foldLeft(cents0) { (c, _) =>
+      val rk = row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
+      val assign = p.crossJoin(broadcast(c))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crk", rk)
+        .filter(col("crk") === 1)
+        .select(col("cid"), col("v"))
+      val means = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cid"), col("j")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
+          e => e.getField("m")).as("ncv"))
+        .withColumn("ncn", norm(col("ncv")))
+      c.join(means, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("ncv"), col("cv")).as("cv"),
+          coalesce(col("ncn"), col("cn")).as("cn"))
+        .localCheckpoint(false)
+    }
     // rank centroids per vector by cosine, ties to the lower cid
     val cellRank = row_number().over(
       Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
+    // localCheckpoint: `ranked` feeds BOTH the corpus-assignment and the
+    // query-probe branches — without a materialization barrier the
+    // dominant O(corpus × centroids) crossJoin+window stage would
+    // execute twice (and CollapseProject would re-inline it). Lazy,
+    // non-cache checkpoint: blocks free on GC of the result, and
+    // clearCache() can't silently drop the barrier.
     val ranked = p.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("crk", cellRank)
+      .localCheckpoint(false)
     // every vector lives in exactly one cell (its top centroid) ...
     val assigned = ranked.filter(col("crk") === 1)
       .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))

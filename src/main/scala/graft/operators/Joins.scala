@@ -72,25 +72,30 @@ object Joins {
       asOfCol: String = "asof_value"
   ): DataFrame = {
     val leftCols = left.columns
+    // collision-free staging names: withColumn silently replaces on
+    // collision and the final drop would destroy the caller's column
+    val rv = graft.core.Names.fresh(leftCols.toSeq, "_rv")
+    val ir = graft.core.Names.fresh(leftCols.toSeq :+ rv, "_ir")
+    val ordc = graft.core.Names.fresh(leftCols.toSeq ++ Seq(rv, ir), "_ord")
     val l = left
-      .withColumn("_rv", lit(null).cast(right.schema(rightVal).dataType))
-      .withColumn("_ir", lit(0))
-      .withColumn("_ord", col(leftOrd))
+      .withColumn(rv, lit(null).cast(right.schema(rightVal).dataType))
+      .withColumn(ir, lit(0))
+      .withColumn(ordc, col(leftOrd))
     val r = right.select(
       leftCols.map {
         case c if c == key => col(key)
         case c => lit(null).cast(left.schema(c).dataType).as(c)
       } ++ Seq(
-        col(rightVal).as("_rv"),
-        lit(1).as("_ir"),
-        col(rightOrd).cast(left.schema(leftOrd).dataType).as("_ord")): _*)
+        col(rightVal).as(rv),
+        lit(1).as(ir),
+        col(rightOrd).cast(left.schema(leftOrd).dataType).as(ordc)): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_ord").asc, col("_ir").desc)
+      .orderBy(col(ordc).asc, col(ir).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(asOfCol, last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_ir") === 0)
-      .drop("_rv", "_ir", "_ord")
+      .withColumn(asOfCol, last(col(rv), ignoreNulls = true).over(w))
+      .filter(col(ir) === 0)
+      .drop(rv, ir, ordc)
   }
 
   /** Exact consume-once pairing (ralf/operators/join.py:35-56): left

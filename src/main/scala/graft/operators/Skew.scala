@@ -27,8 +27,11 @@ object Skew {
       factor: Int
   ): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    val b = big.withColumn("_salt", pmod(hash(saltBy), lit(factor)))
-    val s = small.withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
-    b.join(s, Seq(key, "_salt")).drop("_salt")
+    // collision-free salt name: a caller's own "_salt" column must not
+    // be overwritten (and then dropped) by the staging column
+    val salt = graft.core.Names.fresh(big.columns.toSeq ++ small.columns, "_salt")
+    val b = big.withColumn(salt, pmod(hash(saltBy), lit(factor)))
+    val s = small.withColumn(salt, explode(sequence(lit(0), lit(factor - 1))))
+    b.join(s, Seq(key, salt)).drop(salt)
   }
 }

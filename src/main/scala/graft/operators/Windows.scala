@@ -79,6 +79,98 @@ object Windows {
       .filter(col("_rn") >= windowSize && ((col("_rn") - windowSize) % slideSize) === 0)
   }
 
+  /** Hot-key [[sliding]]: identical output, but a key's history is split
+    * into contiguous ord ranges ("chunks" of `chunkSpan` ord units) and
+    * the shuffle + sort are keyed by (key, chunk) — a hot key's rows
+    * spread over its chunks instead of one task holding (and sorting)
+    * the entire history. This is the salting remedy the plain operator's
+    * scaladoc points at.
+    *
+    * Mechanics: each chunk also receives a replica of the PREVIOUS
+    * chunk's last `windowSize - 1` rows ("carries"), so every trailing
+    * frame is locally complete; a row's global per-key index — the emit
+    * predicate needs it — is its local index plus the total row count of
+    * prior chunks (a tiny per-(key, chunk) count aggregate, window over
+    * #chunks rows per key). Carries sort strictly before owned rows
+    * (their ords belong to the previous range), so local index = local
+    * rank − carry count.
+    *
+    * Requires a numeric `ord` (chunk = floor(ord / chunkSpan)) and, for
+    * correctness, every non-first chunk of a key must hold at least
+    * `windowSize - 1` rows — one-hop carries can't bridge a sparser or
+    * missing chunk. `check = true` (default) verifies this with one
+    * cheap count-aggregate pass and fails loudly; hot keys are dense by
+    * definition, and sparse keys don't need this operator.
+    */
+  def saltedSliding(
+      df: DataFrame,
+      key: String,
+      ordCol: String,
+      valueCol: Column,
+      windowSize: Int,
+      slideSize: Int,
+      chunkSpan: Long,
+      check: Boolean = true
+  ): DataFrame = {
+    require(windowSize > 0 && slideSize > 0 && chunkSpan > 0)
+    import graft.core.Names
+    val cols = df.columns.toSeq
+    val chunkC = Names.fresh(cols, "_chunk")
+    val ownC = Names.fresh(cols :+ chunkC, "_own")
+    val posC = Names.fresh(cols ++ Seq(chunkC, ownC), "_pos")
+    val ncC = Names.fresh(cols ++ Seq(chunkC, ownC, posC), "_ncarry")
+    val cntC = Names.fresh(cols ++ Seq(chunkC, ownC, posC, ncC), "_cnt")
+    val offC = Names.fresh(cols ++ Seq(chunkC, ownC, posC, ncC, cntC), "_off")
+    val ord = col(ordCol)
+    val base = df.withColumn(chunkC, floor(ord / chunkSpan).cast("long"))
+    val counts = base.groupBy(col(key), col(chunkC)).agg(count(lit(1)).as(cntC))
+
+    if (check) {
+      val wk = Window.partitionBy(col(key)).orderBy(col(chunkC))
+      val prevC = Names.fresh(cols ++ Seq(chunkC, cntC), "_prevchunk")
+      val violations = counts
+        .withColumn(prevC, lag(col(chunkC), 1).over(wk))
+        .filter(col(prevC).isNotNull &&
+          (col(chunkC) - col(prevC) > 1 || col(cntC) < windowSize - 1))
+        .count()
+      require(violations == 0,
+        s"saltedSliding: $violations (key, chunk) groups are sparser than windowSize-1 rows " +
+          "or follow a gap — one-hop carries can't bridge them; lower chunkSpan only for " +
+          "dense (hot) keys, or use the plain sliding operator")
+    }
+
+    val own = base.withColumn(ownC, lit(true))
+    val rdescC = Names.fresh(cols ++ Seq(chunkC, ownC), "_rdesc")
+    val carries = base
+      .withColumn(rdescC,
+        row_number().over(Window.partitionBy(col(key), col(chunkC)).orderBy(ord.desc)))
+      .filter(col(rdescC) <= windowSize - 1)
+      .drop(rdescC)
+      .withColumn(chunkC, col(chunkC) + 1)
+      .withColumn(ownC, lit(false))
+    val woff = Window.partitionBy(col(key)).orderBy(col(chunkC))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn(offC, coalesce(sum(col(cntC)).over(woff), lit(0L)))
+      .drop(cntC)
+    val wkc = Window.partitionBy(col(key), col(chunkC)).orderBy(ord)
+    val frame = wkc.rowsBetween(-(windowSize - 1), 0)
+    val grp = Window.partitionBy(col(key), col(chunkC))
+    // inner join: a carry replicated past the key's last chunk has no
+    // owned rows to serve and drops out here
+    own.unionByName(carries).join(offsets, Seq(key, chunkC))
+      .withColumn(posC, row_number().over(wkc))
+      .withColumn(ncC, sum(when(!col(ownC), 1L).otherwise(0L)).over(grp))
+      .withColumn("_rn", col(offC) + col(posC) - col(ncC))
+      .withColumn("w_avg", avg(valueCol).over(frame))
+      .withColumn("w_sum", sum(valueCol).over(frame))
+      .withColumn("w_min", min(valueCol).over(frame))
+      .withColumn("w_max", max(valueCol).over(frame))
+      .filter(col(ownC) && col("_rn") >= windowSize &&
+        ((col("_rn") - windowSize) % slideSize) === 0)
+      .drop(chunkC, ownC, posC, ncC, offC)
+  }
+
   /** Sliding window with a per-key slide size supplied as a plan table
     * (ralf/operators/window.py:88-100: per-key adaptive slide from a
     * JSON plan file). `plan` has columns (key, slide); keys absent from

@@ -468,7 +468,10 @@ object ParityQueries {
     */
   val sourceFile: Q = (s, dir) => {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    // fixed overwrite path, not createTempDirectory: the CSV must outlive
+    // this (lazy) builder, and a fresh dir per call would accumulate
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_csv_roundtrip").getAbsolutePath
     Tables.region(s, dir)
       .select(col("r_regionkey"), col("r_name"))
       .write.mode("overwrite").option("header", "true").csv(tmp)

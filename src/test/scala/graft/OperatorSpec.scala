@@ -176,6 +176,59 @@ class OperatorSpec extends SparkSpec {
     assert(out == (1L to 100L).toList)
   }
 
+  test("asOfJoin keeps caller columns named like its staging columns (_rv/_ir/_ord)") {
+    // ADVICE r2: withColumn silently replaces on collision and the final
+    // drop then destroys user data — staging names must dodge the caller's
+    val left = Seq(("a", 1L, "keepme1", 7, 77L), ("a", 3L, "keepme2", 8, 88L))
+      .toDF("key", "ord", "_rv", "_ir", "_ord")
+    val right = Seq(("a", 2L, 10.0)).toDF("key", "rord", "rval")
+    val out = Joins.asOfJoin(left, right, "key", "ord", "rord", "rval").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getInt(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+    assert(out == Set(
+      (1L, "keepme1", 7, 77L, None),
+      (3L, "keepme2", 8, 88L, Some(10.0))),
+      "caller's _rv/_ir/_ord columns must survive with their values")
+  }
+
+  test("saltedSliding matches sliding on a hot-key dataset") {
+    val hot = (1 to 3999).map(i => ("hot", i.toLong, (i % 97).toDouble))
+    val cold = (1 to 50).map(i => ("cold", i.toLong, i.toDouble))
+    val df = (hot ++ cold).toDF("key", "ord", "value")
+    def norm(d: org.apache.spark.sql.DataFrame) = d
+      .select("key", "_rn", "w_avg", "w_sum", "w_min", "w_max")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    val plain = norm(Windows.sliding(df, "key", col("ord"), col("value"), 7, 3))
+    val salted = norm(Windows.saltedSliding(df, "key", "ord", col("value"), 7, 3, chunkSpan = 500))
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+    // the window exchange must spread the hot key over its chunks
+    val plan = Windows.saltedSliding(df, "key", "ord", col("value"), 7, 3, chunkSpan = 500)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_chunk"), s"expected (key, chunk) partitioning in:\n$plan")
+  }
+
+  test("saltedSliding refuses chunks too sparse for one-hop carries") {
+    // key with a gap: chunk 0 dense, chunk 1 missing, chunk 2 dense
+    val sparse = ((1 to 20).map(i => ("k", i.toLong, 1.0)) ++
+      (41 to 60).map(i => ("k", i.toLong, 1.0))).toDF("key", "ord", "value")
+    intercept[IllegalArgumentException] {
+      Windows.saltedSliding(sparse, "key", "ord", col("value"), 5, 2, chunkSpan = 10)
+    }
+  }
+
+  test("connectedComponents fails loudly when a chain outruns maxIter") {
+    // a path graph of length 12 needs ~11 min-label rounds
+    val chain = (0 until 12).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      graft.llm.Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 3).collect()
+    }
+    // and converges fine with headroom: one component labeled 0
+    val ok = graft.llm.Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 20)
+      .select("component").distinct().as[Long].collect().toList
+    assert(ok == List(0L))
+  }
+
   test("enrichLatest: left rows get right's latest value; no right key -> null") {
     val left = Seq(("a", 10L), ("c", 11L)).toDF("key", "ord")
     val right = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 1L, 9.0)).toDF("rkey", "ord", "rv")

@@ -66,6 +66,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$plan")
   }
 
+  test("IVF top-k: quantization materialized once — no crossJoin left in the final plan") {
+    // `ranked` (corpus × centroids crossJoin + per-vid window) feeds both
+    // the assignment and the probe branches; the localCheckpoint barrier
+    // means the final plan reads the checkpointed RDD twice instead of
+    // planning the O(n×centroids) stage twice (VERDICT r2 "wrong" #3).
+    val df = graft.llm.Similarity.ivfTopK(
+      graft.Tables.embeddings(spark, dir), "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vid") <= 5, k = 5, nProbe = 4)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"quantization crossJoin must be behind the checkpoint barrier, not re-planned:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).length >= 2,
+      s"both branches must read the checkpointed quantization:\n$plan")
+  }
+
   test("dim join broadcasts the dimension side") {
     val plan = planOf(ParityQueries.dimJoin(spark, dir))
     assert(plan.contains("BroadcastHashJoin"))

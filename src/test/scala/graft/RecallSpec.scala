@@ -43,4 +43,33 @@ class RecallSpec extends SparkSpec {
     assert(ivf8 >= 0.5, s"ivf 8-probe recall regressed: $ivf8")
     assert(ivf8 > ivf2, "recall must scale with probes")
   }
+
+  test("k-means refinement lifts IVF recall on a clustered corpus") {
+    import spark.implicits._
+    // 8 well-separated cluster centers in 16 dims, 320 points = center +
+    // small noise: the corpus shape where trained centroids are the
+    // standard upgrade (the repo's synthetic embeddings are uniform, so
+    // the default stays refineIters = 0 — see Similarity scaladoc).
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian())
+    val pts = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian() * 1.0).toSeq)
+    }
+    val cdf = pts.toDF("vec_id", "embedding")
+    cdf.localCheckpoint(true).createOrReplaceTempView("clustered_emb")
+    val cemb = spark.table("clustered_emb")
+    val q = col("vid") % 40 === 0
+    val ctruth = pairs(Similarity.bruteTopK(cemb, "vec_id", "embedding", q, 5))
+    def crecall(df: DataFrame) =
+      pairs(df).intersect(ctruth).size.toDouble / ctruth.size
+    val fixed = crecall(Similarity.ivfTopK(
+      cemb, "vec_id", "embedding", q, 5, numCentroids = 8, nProbe = 1))
+    val refined = crecall(Similarity.ivfTopK(
+      cemb, "vec_id", "embedding", q, 5, numCentroids = 8, nProbe = 1, refineIters = 4))
+    info(s"fixed=$fixed refined=$refined")
+    assert(refined > fixed,
+      s"k-means centroids ($refined) must beat lowest-id centroids ($fixed) on clustered data")
+    assert(refined >= 0.6, s"refined 1-probe recall on separable clusters regressed: $refined")
+  }
 }
