@@ -260,6 +260,53 @@ object Similarity {
     scored.withColumn("rank", rn).filter(col("rank") <= k)
   }
 
+  /** Data-adaptive variant of [[lshTopK]]: hyperplanes are DIFFERENCES
+    * of sampled corpus vector pairs instead of fixed pseudo-random
+    * weights — a plane v_a − v_b separates the directions the corpus
+    * actually occupies, so on clustered data the sign bits cut between
+    * clusters rather than randomly through them (the LSH counterpart of
+    * [[ivfTopK]]'s `refineIters` k-means upgrade; RecallSpec measures
+    * the lift on a separable corpus). The sample is the 2×`planes`
+    * lowest-id vectors — a constant-size, deterministic driver-side
+    * collect (the planes are the model; at 100 TB this is exactly a
+    * broadcast-scale artifact), then each plane is embedded as a
+    * literal array like [[lshBucket]]'s. No oracle: plane weights
+    * derive from data, so the query is spec-covered (rows-only check)
+    * rather than SQL-mirrored.
+    */
+  def lshTopKLearned(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      planes: Int = 16
+  ): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    val sample = p.orderBy(col("vid")).limit(2 * planes)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length == 2 * planes,
+      s"corpus has ${sample.length} vectors, need ${2 * planes} to learn $planes planes")
+    val weights = (0 until planes).map { i =>
+      sample(2 * i).zip(sample(2 * i + 1)).map { case (a, b) => a - b }.toSeq
+    }
+    val bucket = weights.zipWithIndex.map { case (w, i) =>
+      when(dot(col("v"), typedlit(w)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val pb = p.withColumn("bucket", bucket)
+    val q = pb.filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val scored = pb.as("n")
+      .join(broadcast(q), col("n.bucket") === q("bucket") && col("qid") =!= col("n.vid"))
+      .select(
+        col("qid"),
+        col("n.vid").as("nid"),
+        (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine")
+      )
+    val rn = row_number().over(Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+  }
+
   /** Multi-probe variant of [[lshTopK]] — the standard recall knob: each
     * query also probes every bucket at Hamming distance 1 from its own
     * (one sign bit flipped), recovering neighbors lost to a single

@@ -297,6 +297,42 @@ object LlmQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Data-adaptive LSH (Similarity.lshTopKLearned): 6 hyperplanes built
+    * as differences of the 12 lowest-id corpus vectors — deterministic
+    * and driver-computed, so the oracle can REBUILD the identical planes
+    * in SQL (same exact double subtractions, same strict-fold dots) and
+    * the hash gate applies despite the "learned" weights.
+    */
+  val annLshLearned: Q = (s, dir) =>
+    Similarity.lshTopKLearned(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5, planes = 6)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  val annLshLearnedSql: String = {
+    val dotW = dotSql("v", "ws[CAST(lp+1 AS INT)]", 64, "s")
+    val bucket =
+      s"CAST(list_sum(list_transform(range(0, 6), lp -> " +
+        s"CASE WHEN $dotW > 0 THEN CAST(power(2, lp) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    s"""WITH $normCte,
+       |smp AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+       |  FROM n ORDER BY vec_id LIMIT 12),
+       |pl AS (SELECT a.rn // 2 AS pid,
+       |    list_transform(range(1, 65), li -> a.v[CAST(li AS INT)] - b.v[CAST(li AS INT)]) AS w
+       |  FROM smp a JOIN smp b ON b.rn = a.rn + 1 AND a.rn % 2 = 0),
+       |pls AS (SELECT list(w ORDER BY pid) AS ws FROM pl),
+       |bk AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n CROSS JOIN pls)
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |    ${dotSql("q.v", "b.v", 64, "d")} / (q.nrm * b.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.v", "b.v", 64, "r")} / (q.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM bk q JOIN bk b
+       |    ON q.vec_id % 100 = 0 AND b.bucket = q.bucket AND b.vec_id <> q.vec_id)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   /** Hamming-radius-1 multi-probe: 17 probes per query (own bucket + 16
     * single-bit flips) — higher recall than q_ann_lsh at the same
     * bucket granularity.
@@ -617,6 +653,7 @@ object LlmQueries {
     "q_ann_topk_plan" -> annTopKPlan,
     "q_ann_lsh" -> annLsh,
     "q_ann_lsh_probe" -> annLshProbe,
+    "q_ann_lsh_learned" -> annLshLearned,
     "q_ann_ivf" -> annIvf,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
@@ -642,6 +679,7 @@ object LlmQueries {
     "q_ann_topk_plan" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_probe" -> annLshProbeSql,
+    "q_ann_lsh_learned" -> annLshLearnedSql,
     "q_ann_ivf" -> annIvfSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,

@@ -71,5 +71,15 @@ class RecallSpec extends SparkSpec {
     assert(refined > fixed,
       s"k-means centroids ($refined) must beat lowest-id centroids ($fixed) on clustered data")
     assert(refined >= 0.6, s"refined 1-probe recall on separable clusters regressed: $refined")
+
+    // learned planes: corpus-difference hyperplanes cut between clusters,
+    // data-agnostic ones cut through them
+    val agnostic = crecall(Similarity.lshTopK(
+      cemb, "vec_id", "embedding", q, 5, planes = 6, dims = 16))
+    val learned = crecall(Similarity.lshTopKLearned(
+      cemb, "vec_id", "embedding", q, 5, planes = 6))
+    info(s"agnostic=$agnostic learned=$learned")
+    assert(learned > agnostic,
+      s"learned planes ($learned) must beat data-agnostic planes ($agnostic) on clustered data")
   }
 }
