@@ -54,6 +54,11 @@ object GraftFunctions {
         new ExpressionInfo(classOf[RollingFpHashes].getName, "graft_rolling_fp"),
         (es: Seq[Expression]) =>
           RollingFpHashes(es(0), intLit(es(1), "gram width"), intLit(es(2), "mod").toLong)
+      ),
+      (
+        FunctionIdentifier("graft_alpha_count"),
+        new ExpressionInfo(classOf[AsciiAlphaCount].getName, "graft_alpha_count"),
+        (es: Seq[Expression]) => AsciiAlphaCount(es.head)
       )
     )
 

@@ -191,6 +191,41 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** ASCII char-class counting over raw UTF-8 bytes. A-Z/a-z occupy
+  * single-byte code units and UTF-8 continuation/lead bytes are all
+  * >= 0x80, so counting matching BYTES equals counting matching CHARS —
+  * one pass, no String materialization, no regex (replaces the
+  * `length(regexp_replace(t, "[^A-Za-z]", ""))` formulation on the text
+  * quality hot path; the DuckDB oracle keeps the regexp spelling, the
+  * counts are identical).
+  */
+object CharClassKernels {
+  def asciiAlphaCount(u: UTF8String): Long = {
+    val n = u.numBytes()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      val b = u.getByte(i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `asciiAlphaCount(text)` as a codegen-capable expression. */
+case class AsciiAlphaCount(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CharClassKernels.asciiAlphaCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharClassKernels.asciiAlphaCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): AsciiAlphaCount =
+    copy(child = newChild)
+  override def prettyName: String = "graft_alpha_count"
+}
+
 /** `bigramPairHashes(text)` as a codegen-capable expression. */
 case class BigramPairHashes(child: Expression)
     extends UnaryExpression with StringInputCheck {

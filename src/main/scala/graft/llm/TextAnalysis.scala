@@ -70,7 +70,14 @@ object TextAnalysis {
     val nWords = size(ws)
     val stopRatio = size(filter(ws, w => w.isInCollection(EnStopwords))).cast("double") / nWords
     val avgWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords
-    val alphaRatio = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t)
+    // fused byte-scan count (graft_alpha_count) instead of
+    // length(regexp_replace(t, "[^A-Za-z]", "")): identical value, one
+    // allocation-free pass (the oracle keeps the regexp spelling)
+    val alphaRatio = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.functions.AsciiAlphaCount(Bridge.expression(t)))
+        .cast("double") / length(t)
+    }
     docs.select(
       col(idCol).as("doc"),
       nWords.as("n_words"),

@@ -71,4 +71,13 @@ class CodegenSpec extends SparkSpec {
       Dedup.simhashPairs(docs, "doc_id", "text", 3, chunks = 8).count()
     }
   }
+
+  test("text quality (graft_alpha_count) is whole-stage-codegen'd and compiles") {
+    withNoCodegenFallback {
+      val df = graft.llm.TextAnalysis.quality(docs, "doc_id", "text")
+      assert(df.count() > 0)
+      assert(hasCodegenSpan(df.queryExecution.executedPlan),
+        s"alpha-count projection must sit inside a codegen span, got:\n${df.queryExecution.executedPlan}")
+    }
+  }
 }
