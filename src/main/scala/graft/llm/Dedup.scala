@@ -261,4 +261,38 @@ object Dedup {
       )
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Train/eval decontamination — the benchmark-leakage check a training
+    * pipeline runs before export: for every training doc, the fraction
+    * of its distinct shingles that appear ANYWHERE in the eval corpus.
+    *
+    * 100 TB shape: the eval side reduces to a DISTINCT shingle-hash set
+    * first (benchmarks are tiny next to the corpus) and BROADCASTS, so
+    * the probe is a broadcast join keyed by hash — the training corpus
+    * never shuffles. Output: doc, n_shingles, eval_hits, contamination
+    * in [0, 1]; filter at a threshold to quarantine.
+    */
+  def contamination(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val ex = train.select(
+        col(idCol).as("doc"),
+        explode(TextOps.shingleHashes(col(textCol))).as("x"))
+      .localCheckpoint(false) // feeds the size lookup and the probe join
+    val evalSet = evalDocs
+      .select(explode(TextOps.shingleHashes(col(textCol))).as("x"))
+      .distinct()
+    val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+    val hits = ex.join(broadcast(evalSet), "x")
+      .groupBy(col("doc")).agg(count(lit(1)).as("hits"))
+    sizes.join(hits, Seq("doc"), "left")
+      .select(
+        col("doc"),
+        col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("eval_hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("n_shingles")).as("contamination"))
+  }
 }

@@ -91,6 +91,29 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher-style repetition stats — the repetition quality rules
+    * (heavily repetitive docs are boilerplate/spam): type-token ratio
+    * (distinct words / words) and top-word frequency ratio. One explode
+    * + two aggregations, both with map-side partial combine; shuffles
+    * keyed by (doc, word) then doc — no per-doc history materialized.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("doc"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(
+        col("doc"),
+        col("n_words"),
+        col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_words"), 6).as("distinct_ratio"),
+        round(col("top_count").cast("double") / col("n_words"), 6).as("top_word_ratio"))
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens, plus
     * chars-per-token (the compression-ratio proxy used for corpus stats).
     */

@@ -23,6 +23,31 @@ object Shedding {
   def sampleDeterministic(df: DataFrame, idCol: Column, modulus: Int, keepBelow: Int): DataFrame =
     df.filter(pmod(idCol, lit(modulus)) < lit(keepBelow))
 
+  /** Deterministic per-group quota sampling — stratified corpus
+    * downsampling (keep `k` docs per source/domain/language): rows rank
+    * by the cross-engine hash of their id (a reproducible pseudo-random
+    * draw, id as tie-break) and the best `k` per group survive. Runs on
+    * the TopKPerKey bounded-heap operator: one shuffle keyed by the
+    * group, O(k) state per group, no per-group sort — the plan a quota
+    * sampler needs when a group holds billions of rows. Output adds the
+    * ranking hash as `pick_h`.
+    */
+  def quotaSample(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    require(!df.columns.contains("pick_h"), "quotaSample stages a pick_h column")
+    graft.plans.TopKPerKey(
+      spark,
+      df.withColumn("pick_h", graft.functions.GraftFunctions.strhash(col(idCol))),
+      Seq(groupCol),
+      Seq("pick_h" -> false, idCol -> false),
+      k)
+  }
+
   /** `newer_processing_time` / `later_complete_time`
     * (load_shedding_policy.py:10-11,60-61): drop an update unless it is
     * newer than the table's current value. Processed in arrival order

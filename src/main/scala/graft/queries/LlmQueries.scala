@@ -444,6 +444,65 @@ object LlmQueries {
        |FROM f ORDER BY doc""".stripMargin
   }
 
+  val textRepetition: Q = (s, dir) =>
+    TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
+
+  val textRepetitionSql: String =
+    s"""WITH wt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |wc AS (
+       |  SELECT doc_id, w, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM wt) GROUP BY doc_id, w)
+       |SELECT doc_id AS doc, CAST(sum(c) AS BIGINT) AS n_words,
+       |  count(*) AS n_distinct,
+       |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS distinct_ratio,
+       |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS top_word_ratio
+       |FROM wc GROUP BY doc_id ORDER BY doc""".stripMargin
+
+  /** Train/eval decontamination: docs with doc_id % 50 == 0 play the
+    * held-out benchmark; every other doc reports what fraction of its
+    * shingles leak into it (Dedup.contamination — broadcast eval set).
+    */
+  val decontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.contamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text")
+      .select(col("doc"), col("n_shingles"), col("eval_hits"),
+        round(col("contamination"), 6).as("contamination"))
+      .orderBy("doc")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $xsCte,
+       |tr AS (SELECT doc_id, unnest(xh) AS x FROM xs WHERE doc_id % 50 <> 0),
+       |ev AS (SELECT DISTINCT x FROM (SELECT unnest(xh) AS x FROM xs WHERE doc_id % 50 = 0)),
+       |sizes AS (SELECT doc_id, len(xh) AS n FROM xs WHERE doc_id % 50 <> 0),
+       |hits AS (SELECT t.doc_id, count(*) AS h FROM tr t JOIN ev e ON t.x = e.x GROUP BY t.doc_id)
+       |SELECT s.doc_id AS doc, s.n AS n_shingles,
+       |  COALESCE(h.h, 0) AS eval_hits,
+       |  round(CAST(COALESCE(h.h, 0) AS DOUBLE) / s.n, 6) AS contamination
+       |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id ORDER BY doc""".stripMargin
+
+  /** Deterministic per-source quota sampling (Shedding.quotaSample on
+    * TopKPerKey bounded heaps): 5 docs per source by cross-engine pick
+    * hash.
+    */
+  val sampleQuota: Q = (s, dir) =>
+    graft.operators.Shedding.quotaSample(s, Tables.documents(s, dir), "source", "doc_id", 5)
+      .select(col("source"), col("doc_id"), col("pick_h"))
+      .orderBy("source", "pick_h", "doc_id")
+
+  val sampleQuotaSql: String =
+    s"""SELECT source, doc_id, pick_h FROM (
+       |  SELECT source, doc_id, ${strhashSql("CAST(doc_id AS VARCHAR)", "q")} AS pick_h,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${strhashSql("CAST(doc_id AS VARCHAR)", "r")}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= 5 ORDER BY source, pick_h, doc_id""".stripMargin
+
   val textTokens: Q = (s, dir) =>
     TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
 
@@ -657,6 +716,9 @@ object LlmQueries {
     "q_ann_ivf" -> annIvf,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
+    "q_text_repetition" -> textRepetition,
+    "q_decontaminate" -> decontaminate,
+    "q_sample_quota" -> sampleQuota,
     "q_text_tokens" -> textTokens,
     "q_text_fingerprint" -> textFingerprint,
     "q_mm_decode" -> mmDecode,
@@ -683,6 +745,9 @@ object LlmQueries {
     "q_ann_ivf" -> annIvfSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,
+    "q_text_repetition" -> textRepetitionSql,
+    "q_decontaminate" -> decontaminateSql,
+    "q_sample_quota" -> sampleQuotaSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_mm_decode" -> mmDecodeSql,

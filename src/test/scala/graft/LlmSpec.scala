@@ -144,6 +144,35 @@ class LlmSpec extends SparkSpec {
     assert(fp(5L)._1 >= 0)
   }
 
+  test("repetition: top-word and type-token ratios on a constructed doc") {
+    val d = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_words") == 4L)
+    assert(r.getAs[Long]("n_distinct") == 2L)
+    assert(r.getAs[Double]("distinct_ratio") == 0.5)
+    assert(r.getAs[Double]("top_word_ratio") == 0.75)
+  }
+
+  test("contamination: identical doc scores 1.0, disjoint doc 0.0") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val c = Dedup.contamination(train, eval, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(c(1L) == 1.0, "verbatim leak must score full contamination")
+    assert(c(2L) == 0.0, "disjoint doc must score zero")
+  }
+
+  test("quotaSample: exactly k per group, deterministic across runs") {
+    val d = (1L to 200L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def run() = graft.operators.Shedding.quotaSample(spark, d, "source", "doc_id", 7)
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = run()
+    assert(a.size == 28 && a.groupBy(_._1).forall(_._2.size == 7))
+    assert(a == run(), "the draw must be reproducible")
+  }
+
   test("multimodal: binary plumbing round-trips byte stats; frames fan out") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")
