@@ -96,9 +96,12 @@ object Windows {
     * rank − carry count.
     *
     * Requires a numeric `ord` (chunk = floor(ord / chunkSpan)) and, for
-    * correctness, every non-first chunk of a key must hold at least
-    * `windowSize - 1` rows — one-hop carries can't bridge a sparser or
-    * missing chunk. `check = true` (default) verifies this with one
+    * correctness, every chunk of a key that has a SUCCESSOR chunk must
+    * hold at least `windowSize - 1` rows and chunks must be contiguous —
+    * one-hop carries can't bridge a thinner or missing middle chunk.
+    * (The first chunk is exempt when thin — its full contents carry
+    * forward, which IS the complete history; so is the last — nothing
+    * depends on it.) `check = true` (default) verifies this with one
     * cheap count-aggregate pass and fails loudly; hot keys are dense by
     * definition, and sparse keys don't need this operator.
     */
@@ -128,15 +131,20 @@ object Windows {
     if (check) {
       val wk = Window.partitionBy(col(key)).orderBy(col(chunkC))
       val prevC = Names.fresh(cols ++ Seq(chunkC, cntC), "_prevchunk")
+      val nextC = Names.fresh(cols ++ Seq(chunkC, cntC, prevC), "_nextchunk")
       val violations = counts
         .withColumn(prevC, lag(col(chunkC), 1).over(wk))
-        .filter(col(prevC).isNotNull &&
-          (col(chunkC) - col(prevC) > 1 || col(cntC) < windowSize - 1))
+        .withColumn(nextC, lead(col(chunkC), 1).over(wk))
+        .filter(
+          // a missing chunk breaks the carry chain wherever it sits...
+          (col(prevC).isNotNull && col(chunkC) - col(prevC) > 1) ||
+            // ...a thin one only if a later chunk depends on its carry
+            (col(prevC).isNotNull && col(nextC).isNotNull && col(cntC) < windowSize - 1))
         .count()
       require(violations == 0,
-        s"saltedSliding: $violations (key, chunk) groups are sparser than windowSize-1 rows " +
-          "or follow a gap — one-hop carries can't bridge them; lower chunkSpan only for " +
-          "dense (hot) keys, or use the plain sliding operator")
+        s"saltedSliding: $violations (key, chunk) groups are thinner than windowSize-1 rows " +
+          "with a successor chunk, or follow a gap — one-hop carries can't bridge them; " +
+          "lower chunkSpan only for dense (hot) keys, or use the plain sliding operator")
     }
 
     val own = base.withColumn(ownC, lit(true))

@@ -472,6 +472,35 @@ object StreamingFeatures {
         col("win.end").as("win_end"), col("w_sum"), col("w_count"))
   }
 
+  /** Windowed enrichment via Spark's NATIVE stream-stream interval
+    * join: every (left, right) pair with the same key and right event
+    * time inside [left time − horizon, left time] — the "all recent
+    * rights" enrichment variant ([[asOfJoinStream]] keeps only the
+    * single latest right; this keeps the window of them, e.g. features
+    * from every sensor reading in the last N minutes). Watermarks on
+    * both sides plus the interval condition let Spark itself bound and
+    * evict join state — the idiomatic cover for this shape, no custom
+    * state needed. Output columns: key, l_time, l_value, r_time,
+    * r_value; append mode (pairs emit as both sides arrive).
+    */
+  def intervalJoinStream(
+      spark: SparkSession,
+      left: Dataset[TimedUpdate],
+      right: Dataset[TimedUpdate],
+      horizon: String,
+      watermarkDelay: String
+  ): DataFrame = {
+    val l = left.toDF().withWatermark("eventTime", watermarkDelay)
+      .select(col("key"), col("eventTime").as("l_time"), col("value").as("l_value"))
+    val r = right.toDF().withWatermark("eventTime", watermarkDelay)
+      .select(col("key").as("r_key"), col("eventTime").as("r_time"), col("value").as("r_value"))
+    l.join(r,
+      col("key") === col("r_key") &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $horizon") &&
+        col("r_time") <= col("l_time"),
+      "inner").drop("r_key")
+  }
+
   /** Event-time sessionization on a live stream via Spark's native
     * session_window: a key's session extends while events arrive within
     * `gapDuration` of each other and closes when the watermark passes

@@ -94,6 +94,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: saltedSliding == sliding on dense per-key histories") {
+    val gen = for {
+      nKeys <- Gen.choose(1, 3)
+      n <- Gen.choose(30, 120)
+      w <- Gen.choose(2, 6)
+      slide <- Gen.choose(1, 4)
+      span <- Gen.choose(math.max(w, 8), 25)
+    } yield (nKeys, n, w, slide, span)
+    forAll(gen, cases = 4) { case (nKeys, n, w, slide, span) =>
+      val rows = for (k <- 0 until nKeys; i <- 0 until n)
+        yield (s"k$k", i.toLong, ((i * 31 + k) % 17).toDouble)
+      val df = rows.toDF("key", "ord", "value")
+      def norm(d: org.apache.spark.sql.DataFrame) = d
+        .select("key", "_rn", "w_avg", "w_sum", "w_min", "w_max")
+        .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+      val plain = norm(Windows.sliding(df, "key", col("ord"), col("value"), w, slide))
+      val salted = norm(Windows.saltedSliding(
+        df, "key", "ord", col("value"), w, slide, chunkSpan = span))
+      assert(salted == plain, s"mismatch at nKeys=$nKeys n=$n w=$w s=$slide span=$span")
+    }
+  }
+
   test("property: asOfJoin == naive per-row at-or-before maximum") {
     forAll2(streamGen, streamGen) { (ls, rs) =>
       if (ls.nonEmpty) {

@@ -173,6 +173,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._4 == null) > 0)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import graft.streaming.StreamingFeatures.TimedUpdate
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val lefts = for (k <- Seq("a", "b"); i <- 1 to 10)
+      yield TimedUpdate(k, ts(i * 7L), i.toDouble)
+    val rights = for (k <- Seq("a", "b"); i <- 1 to 15)
+      yield TimedUpdate(k, ts(i * 5L), i * 100.0)
+    val lin = MemoryStream[TimedUpdate]
+    val rin = MemoryStream[TimedUpdate]
+    lin.addData(lefts.take(10): _*); rin.addData(rights.take(15): _*)
+    lin.addData(lefts.drop(10): _*); rin.addData(rights.drop(15): _*)
+    val streamed = StreamingFeatures.runToMemory(
+      spark,
+      StreamingFeatures.intervalJoinStream(
+        spark, lin.toDS(), rin.toDS(), "10 seconds", "1 minute"),
+      "t_ivjoin", OutputMode.Append())
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getTimestamp(3), r.getDouble(4))).toSet
+    // batch equivalent on the same records
+    val lb = lefts.toDF("key", "l_time", "l_value")
+    val rb = rights.toDF("r_key", "r_time", "r_value")
+    val batch = lb.join(rb,
+      col("key") === col("r_key") &&
+        col("r_time") >= col("l_time") - org.apache.spark.sql.functions.expr("INTERVAL 10 seconds") &&
+        col("r_time") <= col("l_time"), "inner")
+      .select("key", "l_time", "l_value", "r_time", "r_value")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getTimestamp(3), r.getDouble(4))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // a left can match several rights inside its horizon
+    assert(streamed.groupBy(t => (t._1, t._2)).exists(_._2.size > 1))
+  }
+
   test("streaming consume-once join buffers a right that precedes its left") {
     import graft.streaming.StreamingFeatures.SideUpdate
     val in = MemoryStream[SideUpdate]
