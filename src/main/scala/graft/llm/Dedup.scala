@@ -168,15 +168,17 @@ object Dedup {
         .join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("nv"))
         .agg(min(col("label")).as("nlabel"))
+      // carry the previous label alongside the new one: the convergence
+      // count is then a filter over the just-materialized result, not a
+      // second self-join per round
       val next = labels
         .join(nbrMin, labels("v") === nbrMin("nv"), "left")
-        .select(col("v"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("v"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("_prev"))
         .localCheckpoint(true) // materialize: bounds lineage AND makes the convergence count cheap
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+      changed = next.filter(col("label") =!= col("_prev")).count()
+      labels = next.drop("_prev")
       it += 1
     }
     // Min-label propagation needs O(component diameter) rounds. Exiting

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis scalar features for corpus curation: language ID,
@@ -127,6 +128,34 @@ object TextAnalysis {
       bpeTokens.as("bpe_tokens"),
       round(length(t).cast("double") / bpeTokens, 6).as("chars_per_token")
     )
+  }
+
+  /** Concatenate-and-chop sequence packing — the standard pretraining
+    * batching layout: documents lie head-to-tail in (group, id) order
+    * and the token stream is chopped into fixed `budget`-token
+    * sequences. Emits each doc's token interval (start offset) and the
+    * first/last sequence index it lands in (a doc spans several when it
+    * straddles boundaries). Pure integer window arithmetic: one shuffle
+    * on the group, a running-frame cumsum, integer DIV (never
+    * double division — offsets exceed 2^53 at corpus scale), no
+    * sequential fold.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokensCol: Column,
+      budget: Int
+  ): DataFrame = {
+    require(budget > 0)
+    val wk = Window.partitionBy(col("grp")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(groupCol).as("grp"), col(idCol).as("doc"), tokensCol.cast("long").as("tokens"))
+      .withColumn("end_off", sum(col("tokens")).over(wk))
+      .withColumn("start_off", col("end_off") - col("tokens"))
+      .select(col("grp"), col("doc"), col("tokens"), col("start_off"),
+        expr(s"start_off DIV $budget").as("first_seq"),
+        expr(s"(end_off - 1) DIV $budget").as("last_seq"))
   }
 
   /** Rolling-hash document fingerprint (TextOps.fingerprint) plus summary

@@ -503,6 +503,29 @@ object LlmQueries {
        |  FROM documents)
        |WHERE rk <= 5 ORDER BY source, pick_h, doc_id""".stripMargin
 
+  /** Concat-and-chop packing of each source's docs into 256-token
+    * training sequences (TextAnalysis.packSequences).
+    */
+  val packSequences: Q = (s, dir) =>
+    TextAnalysis.packSequences(
+        Tables.documents(s, dir), "doc_id", "source",
+        size(TextOps.words(col("text"))), budget = 256)
+      .orderBy("grp", "doc")
+
+  val packSequencesSql: String =
+    s"""WITH wt AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(string_split(text, ' '), wx -> wx <> '')) AS tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, doc_id, tokens,
+       |    CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+       |  FROM wt)
+       |SELECT source AS grp, doc_id AS doc, tokens, end_off - tokens AS start_off,
+       |  (end_off - tokens) // 256 AS first_seq, (end_off - 1) // 256 AS last_seq
+       |FROM o ORDER BY grp, doc""".stripMargin
+
   val textTokens: Q = (s, dir) =>
     TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
 
@@ -719,6 +742,7 @@ object LlmQueries {
     "q_text_repetition" -> textRepetition,
     "q_decontaminate" -> decontaminate,
     "q_sample_quota" -> sampleQuota,
+    "q_pack_sequences" -> packSequences,
     "q_text_tokens" -> textTokens,
     "q_text_fingerprint" -> textFingerprint,
     "q_mm_decode" -> mmDecode,
@@ -748,6 +772,7 @@ object LlmQueries {
     "q_text_repetition" -> textRepetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_sample_quota" -> sampleQuotaSql,
+    "q_pack_sequences" -> packSequencesSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_mm_decode" -> mmDecodeSql,

@@ -173,6 +173,17 @@ class LlmSpec extends SparkSpec {
     assert(a == run(), "the draw must be reproducible")
   }
 
+  test("packSequences: straddling docs span sequences, offsets chain per group") {
+    val d = Seq((1L, "g", 100L), (2L, "g", 200L), (3L, "g", 56L), (4L, "g", 10L))
+      .toDF("doc_id", "source", "tokens")
+    val out = TextAnalysis.packSequences(d, "doc_id", "source", col("tokens"), budget = 256)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((0L, 0L, 0L)))     // [0,100) in seq 0
+    assert(out(2L) == ((100L, 0L, 1L)))   // [100,300) straddles 0/1
+    assert(out(3L) == ((300L, 1L, 1L)))   // [300,356)
+    assert(out(4L) == ((356L, 1L, 1L)))   // [356,366)
+  }
+
   test("multimodal: binary plumbing round-trips byte stats; frames fan out") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")
