@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing corpus-pipeline DSL — the LLM-data analog of
+  * [[graft.core.FeatureFrame]]'s feature-table surface: a document
+  * corpus (id + text) with chainable curation stages. Each stage is a
+  * thin delegation to the library operators (TextAnalysis / Dedup /
+  * Shedding), so the whole chain stays ONE lazy Catalyst plan until an
+  * action runs — filters compose and push down, feature joins broadcast
+  * their (per-doc aggregate) right sides, and nothing materializes
+  * per-stage.
+  *
+  * Typical chain (the curation shape a pretraining corpus runs):
+  * {{{
+  * CorpusFrame(docs, "doc_id", "text")
+  *   .filterQuality(0.3)
+  *   .filterLang("en")
+  *   .dedupExact()
+  *   .decontaminateAgainst(evalDocs, maxOverlap = 0.5)
+  *   .quotaPerGroup(spark, "source", k = 1000)
+  *   .packSequences(budget = 2048)
+  * }}}
+  */
+final case class CorpusFrame(df: DataFrame, idCol: String, textCol: String) {
+
+  private def joinFeature(feature: DataFrame, cols: Seq[String]): DataFrame =
+    df.join(
+      feature.select((col("doc").as(idCol) +: cols.map(col)): _*),
+      Seq(idCol), "left")
+
+  /** Attach quality-score columns (TextAnalysis.quality). */
+  def withQuality(cols: String*): CorpusFrame = {
+    val keep = if (cols.nonEmpty) cols else Seq("quality_score")
+    copy(df = joinFeature(TextAnalysis.quality(df, idCol, textCol), keep))
+  }
+
+  /** Keep docs scoring at least `min` (drops the staging column). */
+  def filterQuality(min: Double): CorpusFrame =
+    copy(df = withQuality("quality_score").df
+      .filter(col("quality_score") >= min).drop("quality_score"))
+
+  /** Attach the predicted language (TextAnalysis.langId). */
+  def withLang(): CorpusFrame =
+    copy(df = joinFeature(TextAnalysis.langId(df, idCol, textCol), Seq("pred_lang")))
+
+  /** Keep docs whose predicted language is `lang`. */
+  def filterLang(lang: String): CorpusFrame =
+    copy(df = withLang().df.filter(col("pred_lang") === lang).drop("pred_lang"))
+
+  /** Attach repetition stats (type-token / top-word ratios). */
+  def withRepetition(cols: String*): CorpusFrame = {
+    val keep = if (cols.nonEmpty) cols else Seq("distinct_ratio", "top_word_ratio")
+    copy(df = joinFeature(TextAnalysis.repetition(df, idCol, textCol), keep))
+  }
+
+  /** Exact dedup: keep each distinct text's lowest-id copy. */
+  def dedupExact(): CorpusFrame = {
+    val canon = Dedup.exact(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    copy(df = df.join(canon, Seq(idCol), "left_semi"))
+  }
+
+  /** Near-dup dedup: MinHash-LSH pairs → connected components → keep
+    * each cluster's canonical member (Dedup.canonicalize).
+    */
+  def dedupNear(minJaccard: Double): CorpusFrame = {
+    val pairs = Dedup.minhashPairs(df, idCol, textCol, minJaccard)
+    copy(df = Dedup.canonicalize(df, idCol, pairs))
+  }
+
+  /** Drop docs whose shingle overlap with `evalDocs` reaches
+    * `maxOverlap` (Dedup.contamination — broadcast eval set).
+    */
+  def decontaminateAgainst(evalDocs: DataFrame, maxOverlap: Double): CorpusFrame = {
+    val dirty = Dedup.contamination(df, evalDocs, idCol, textCol)
+      .filter(col("contamination") >= maxOverlap)
+      .select(col("doc").as(idCol))
+    copy(df = df.join(broadcast(dirty), Seq(idCol), "left_anti"))
+  }
+
+  /** Deterministic quota: keep `k` docs per `groupCol`
+    * (Shedding.quotaSample on TopKPerKey bounded heaps).
+    */
+  def quotaPerGroup(spark: SparkSession, groupCol: String, k: Int): CorpusFrame =
+    copy(df = graft.operators.Shedding.quotaSample(spark, df, groupCol, idCol, k)
+      .drop("pick_h"))
+
+  /** Concat-and-chop the surviving docs into `budget`-token training
+    * sequences, grouped by `groupCol` (TextAnalysis.packSequences).
+    * Terminal: the result is the packing manifest, not a corpus.
+    */
+  def packSequences(groupCol: String, budget: Int): DataFrame =
+    TextAnalysis.packSequences(
+      df, idCol, groupCol, size(TextOps.words(col(textCol))), budget)
+
+  /** Remaining docs (the curated corpus). */
+  def result: DataFrame = df
+}

@@ -184,6 +184,35 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == ((356L, 1L, 1L)))   // [356,366)
   }
 
+  test("CorpusFrame: the full curation chain composes lazily and shrinks monotonically") {
+    import graft.llm.CorpusFrame
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = corpus.filter(col("doc_id") % 50 === 0)
+    val train = CorpusFrame(corpus.filter(col("doc_id") % 50 =!= 0), "doc_id", "text")
+    val n0 = train.df.count()
+    val q = train.filterQuality(0.2)
+    val nq = q.df.count()
+    assert(nq <= n0 && nq > 0)
+    val d = q.dedupExact()
+    val nd = d.df.count()
+    assert(nd <= nq && nd > 0)
+    val c = d.decontaminateAgainst(evalSet, maxOverlap = 0.8)
+    val nc = c.df.count()
+    assert(nc <= nd && nc > 0)
+    // no survivor still overlaps the eval set at the threshold
+    val residual = graft.llm.Dedup.contamination(c.df, evalSet, "doc_id", "text")
+      .filter(col("contamination") >= 0.8).count()
+    assert(residual == 0)
+    val sampled = c.quotaPerGroup(spark, "source", k = 3)
+    val ns = sampled.df.count()
+    assert(ns <= nc)
+    assert(sampled.df.groupBy("source").count().agg(max("count")).head().getLong(0) <= 3)
+    // packing manifest covers every sampled doc exactly once
+    val manifest = sampled.packSequences("source", budget = 64)
+    assert(manifest.count() == ns)
+    assert(manifest.select("doc").distinct().count() == ns)
+  }
+
   test("multimodal: binary plumbing round-trips byte stats; frames fan out") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")
