@@ -85,6 +85,31 @@ object BucketedDir {
     }
   }
 
+  /** Read ONE bucket's current version (None if that bucket was never
+    * written) — the point-query path: a key's row can only live in its
+    * hash bucket, so a lookup scans 1/numBuckets of the table (plus the
+    * key predicate pushed into that bucket's parquet scan).
+    */
+  def readBucket(spark: SparkSession, root: String, bucket: Int): Option[DataFrame] =
+    VersionedDir.read(spark, new Path(new Path(root), bucketName(bucket)).toString)
+
+  /** The bucket a key value routes to, using the table's pinned count
+    * and the SAME Spark expression as writes (`keyType` must be the
+    * stored key column's type — xxhash64 of an int and a long differ).
+    * None if the table was never written.
+    */
+  def bucketForKey(
+      spark: SparkSession,
+      root: String,
+      key: Any,
+      keyType: org.apache.spark.sql.types.DataType
+  ): Option[Int] =
+    bucketCount(spark, root).map { nb =>
+      spark.range(1)
+        .select(pmod(xxhash64(lit(key).cast(keyType)), lit(nb.toLong)).cast("int").as("b"))
+        .head().getInt(0)
+    }
+
   /** Merge a keyed batch, rewriting only the buckets its keys hash
     * into. For each touched bucket, `mergeFn(existingBucketRows,
     * batchRowsForBucket)` produces the bucket's new contents, published

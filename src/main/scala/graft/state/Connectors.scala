@@ -173,6 +173,16 @@ final class BucketedParquetConnector(
     BucketedDir.read(spark, root)
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
 
+  /** Bucket-pruned lookup: scans ONLY the key's hash bucket (the trait
+    * default filters a scan of every bucket) — at scale this is the
+    * difference between a point query and a table scan.
+    */
+  override def pointQuery(key: Any): Option[Row] =
+    BucketedDir.bucketForKey(spark, root, key, schema(keyCol).dataType).flatMap { b =>
+      BucketedDir.readBucket(spark, root, b)
+        .flatMap(_.filter(col(keyCol) === lit(key)).collect().headOption)
+    }
+
   /** Full rewrite — only reached via the trait's non-overridden paths
     * (none today); upsert/delete below are the bucket-pruned fast paths.
     */

@@ -83,6 +83,27 @@ class BucketedSinkSpec extends SparkSpec {
     assert(c.pointQuery(victim).isEmpty && c.count() == 39)
   }
 
+  test("pointQuery reads ONLY the key's hash bucket") {
+    val root = tmp()
+    val nb = 8
+    val c = new BucketedParquetConnector(spark, "key", schema, root, numBuckets = nb)
+    c.upsert(df((1L to 40L).map(k => k -> s"v$k"): _*))
+    val key = 7L
+    val keep = BucketedDir.bucketName(bucketOf(key, nb))
+    // Physically remove every OTHER bucket: if the lookup touched any of
+    // them it would fail; succeeding proves the scan is bucket-pruned.
+    Files.list(Paths.get(root)).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("b\\d+"))
+      .filter(_.getFileName.toString != keep)
+      .foreach { bdir =>
+        Files.walk(bdir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    assert(c.pointQuery(key).map(_.getString(1)) == Some(s"v$key"))
+    // a key routed to a (now-absent) bucket is a clean miss, not an error
+    val gone = (1L to 40L).find(k => bucketOf(k, nb) != bucketOf(key, nb)).get
+    assert(c.pointQuery(gone).isEmpty)
+  }
+
   test("bucket count is pinned: a mismatched merge is refused") {
     val root = tmp()
     new BucketedParquetConnector(spark, "key", schema, root, numBuckets = 8)
