@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring: smoothed TF-IDF term weighting and BM25
+  * ranked retrieval — the classic lexical-search / distinctive-term
+  * operators a curation pipeline runs alongside dedup and quality
+  * scoring (e.g. keyword-based corpus slicing, boilerplate term
+  * discovery).
+  *
+  * Cross-engine FP discipline: every per-term score is rounded to 6
+  * decimals and quantized to DECIMAL(18,6) BEFORE any aggregation or
+  * ranking, so sums are exact decimal arithmetic (order-independent,
+  * identical in Spark and the DuckDB oracle) and orderings never depend
+  * on sub-ulp double differences between engines.
+  *
+  * Scale shape: one explode shuffle keyed by (doc, term) with map-side
+  * combine; the document-frequency table is vocabulary-sized and
+  * broadcast; corpus-level scalars (N, avg doc length) ride along as a
+  * broadcast single-row crossJoin — the big table shuffles once, per-doc
+  * top-k survives through the bounded-heap TopKPerKey operator instead
+  * of a full window sort.
+  */
+object Relevance {
+
+  /** Per-(doc, term) counts from whitespace tokenization — the shared
+    * first stage: explode + count with partial aggregation below the
+    * (doc, term) exchange.
+    */
+  private def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k most distinctive terms per document by smoothed TF-IDF:
+    * `tfidf = tf * (ln((N+1)/(df+1)) + 1)` (the sklearn-style smooth
+    * idf, so ubiquitous terms score tf·~1 rather than 0 and the ranking
+    * stays total). Ties break by term.
+    */
+  def tfIdf(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termFreq(docs, idCol, textCol)
+    // df rows are one per distinct (doc, term) already — count, not
+    // count-distinct. Vocabulary-sized: broadcast.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf_d",
+        round(
+          col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0),
+          6
+        ).cast("decimal(18,6)"))
+    graft.plans.TopKPerKey(spark, scored, Seq("doc"), Seq("tfidf_d" -> true, "term" -> false), k)
+      .select(
+        col("doc"),
+        row_number().over(Window.partitionBy(col("doc")).orderBy(col("tfidf_d").desc, col("term")))
+          .cast("long").as("rank"),
+        col("term"), col("tf"), col("df"),
+        col("tfidf_d").cast("double").as("tfidf"))
+  }
+
+  /** BM25 ranked retrieval for a bag-of-words query: the k best-scoring
+    * documents, `score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl))` with the standard `idf(t) = ln(1 + (N − df + 0.5) /
+    * (df + 0.5))` (Robertson-Spärck Jones). Only docs matching ≥1 query
+    * term are scored — the term filter prunes the explode BEFORE the
+    * (doc, term) shuffle, so cost scales with matching postings, not
+    * corpus size. Global top-k resolves via TakeOrderedAndProject
+    * (per-partition heads, never a full sort).
+    */
+  def bm25(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val base = docs.select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
+    val dl = base.select(col("doc"), size(col("ws")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc"), explode(col("ws")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / nD)
+      .withColumn(
+        "s_d",
+        round(
+          log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5)) *
+            (tfD * (k1 + 1.0)) / (tfD + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / col("avgdl"))),
+          6
+        ).cast("decimal(18,6)"))
+    scored
+      .groupBy(col("doc"))
+      .agg(sum(col("s_d")).as("score_sum"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_sum").desc, col("doc"))
+      .limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("score_sum").desc, col("doc")))
+          .cast("long").as("rank"),
+        col("doc"), col("n_terms_hit"),
+        col("score_sum").cast("double").as("score"))
+  }
+}

@@ -684,6 +684,75 @@ object LlmQueries {
       |  FROM c)
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------- relevance
+
+  /** Top-3 most distinctive terms per doc by smoothed TF-IDF
+    * (Relevance.tfIdf). Scores are DECIMAL(18,6)-quantized before
+    * ranking so cross-engine ordering never hinges on sub-ulp double
+    * differences; top-k per doc via the bounded-heap TopKPerKey.
+    */
+  val tfidfTerms: Q = (s, dir) =>
+    graft.llm.Relevance.tfIdf(s, Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy("doc", "rank")
+
+  val tfidfTermsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id AS doc, wd AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS wd
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |nq AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc, tf.term AS term, tf, df,
+      |    CAST(round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0), 6)
+      |      AS DECIMAL(18,6)) AS tfidf_d
+      |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nq)
+      |SELECT doc, rank, term, tf, df, CAST(tfidf_d AS DOUBLE) AS tfidf FROM (
+      |  SELECT doc, term, tf, df, tfidf_d,
+      |    row_number() OVER (PARTITION BY doc ORDER BY tfidf_d DESC, term) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY doc, rank""".stripMargin
+
+  /** BM25 ranked retrieval (Relevance.bm25) for a fixed 3-term query,
+    * top-10 docs. Per-term scores are DECIMAL-quantized before the
+    * per-doc sum, so the aggregate is exact decimal arithmetic —
+    * order-independent and engine-identical.
+    */
+  val Bm25Terms: Seq[String] = Seq("merge", "vector", "window")
+
+  val bm25Search: Q = (s, dir) =>
+    graft.llm.Relevance.bm25(s, Tables.documents(s, dir), "doc_id", "text", Bm25Terms, k = 10)
+
+  val bm25SearchSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id AS doc, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |dlq AS (SELECT doc, len(ws) AS dl FROM base),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dlq),
+       |tf AS (
+       |  SELECT doc, wd AS term, count(*) AS tf
+       |  FROM (SELECT doc, unnest(ws) AS wd FROM base) u
+       |  WHERE wd IN ($terms)
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc, tf, df, dl,
+       |    CAST(round(
+       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |        (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       |        (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+       |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+       |      6) AS DECIMAL(18,6)) AS s_d
+       |  FROM tf JOIN dfq USING (term) JOIN dlq USING (doc) CROSS JOIN stats)
+       |SELECT rank, doc, n_terms_hit, score FROM (
+       |  SELECT doc, count(*) AS n_terms_hit, CAST(sum(s_d) AS DOUBLE) AS score,
+       |    row_number() OVER (ORDER BY sum(s_d) DESC, doc) AS rank
+       |  FROM scored GROUP BY doc)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   // --------------------------------------------------------- multimodal
 
   val mmDecode: Q = (s, dir) => {
@@ -729,6 +798,8 @@ object LlmQueries {
     "q_dedup_jaccard_capped" -> dedupJaccardCapped,
     "q_curation_pipeline" -> curationPipeline,
     "q_top_terms" -> topTerms,
+    "q_tfidf_terms" -> tfidfTerms,
+    "q_bm25_search" -> bm25Search,
     "q_text_simhash" -> textSimhash,
     "q_embed_neardup" -> embedNearDup,
     "q_ann_topk" -> annTopK,
@@ -759,6 +830,8 @@ object LlmQueries {
     "q_dedup_jaccard_capped" -> dedupJaccardCappedSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_top_terms" -> topTermsSql,
+    "q_tfidf_terms" -> tfidfTermsSql,
+    "q_bm25_search" -> bm25SearchSql,
     "q_text_simhash" -> textSimhashSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_ann_topk" -> annTopKSql,
