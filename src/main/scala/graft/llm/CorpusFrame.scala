@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *   .dedupExact()
   *   .decontaminateAgainst(evalDocs, maxOverlap = 0.5)
   *   .quotaPerGroup(spark, "source", k = 1000)
-  *   .packSequences(budget = 2048)
+  *   .packSequences("source", budget = 2048)
   * }}}
   */
 final case class CorpusFrame(df: DataFrame, idCol: String, textCol: String) {
@@ -71,13 +71,16 @@ final case class CorpusFrame(df: DataFrame, idCol: String, textCol: String) {
   }
 
   /** Drop docs whose shingle overlap with `evalDocs` reaches
-    * `maxOverlap` (Dedup.contamination — broadcast eval set).
+    * `maxOverlap` (Dedup.contamination — broadcast eval set). The
+    * quarantine anti-join itself carries NO broadcast hint: the dirty
+    * set is O(contaminated docs), unbounded on a web corpus — AQE
+    * broadcasts at runtime when it is in fact small.
     */
   def decontaminateAgainst(evalDocs: DataFrame, maxOverlap: Double): CorpusFrame = {
     val dirty = Dedup.contamination(df, evalDocs, idCol, textCol)
       .filter(col("contamination") >= maxOverlap)
       .select(col("doc").as(idCol))
-    copy(df = df.join(broadcast(dirty), Seq(idCol), "left_anti"))
+    copy(df = df.join(dirty, Seq(idCol), "left_anti"))
   }
 
   /** Deterministic quota: keep `k` docs per `groupCol`

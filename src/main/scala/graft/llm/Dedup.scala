@@ -198,8 +198,14 @@ object Dedup {
   /** The deduplicated corpus: drop every document that sits in a
     * near-dup cluster but is not its canonical (minimum-id) member —
     * the end-user API over [[connectedComponents]]. Documents in no
-    * pair survive untouched; the anti-join is keyed on the id (losers
-    * set is O(near-dups), broadcastable).
+    * pair survive untouched; the anti-join is keyed on the id.
+    *
+    * Deliberately NO `broadcast()` hint on the losers side: near-dups
+    * are 20-40% of a real web corpus, i.e. O(corpus) ids at 100 TB — a
+    * forced broadcast would OOM the driver exactly when dedup matters
+    * most. A plain keyed anti-join shuffles correctly at any size, and
+    * AQE upgrades it to a broadcast join at runtime whenever the losers
+    * set turns out small (PlanSpec pins the hint's absence).
     */
   def canonicalize(
       docs: DataFrame,
@@ -211,7 +217,7 @@ object Dedup {
     val losers = connectedComponents(pairs, aCol, bCol)
       .filter(col("doc") =!= col("component"))
       .select(col("doc").as(idCol))
-    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram Jaccard near-dup pairs.

@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   * on sub-ulp double differences between engines.
   *
   * Scale shape: one explode shuffle keyed by (doc, term) with map-side
-  * combine; the document-frequency table is vocabulary-sized and
-  * broadcast; corpus-level scalars (N, avg doc length) ride along as a
+  * combine; corpus-level scalars (N, avg doc length) ride along as a
   * broadcast single-row crossJoin — the big table shuffles once, per-doc
   * top-k survives through the bounded-heap TopKPerKey operator instead
-  * of a full window sort.
+  * of a full window sort. The tfIdf document-frequency join carries NO
+  * broadcast hint (web-scale vocabularies are billions of terms; both
+  * sides are already partitioned by `term` from their shared ancestor,
+  * and AQE broadcasts at runtime when the vocabulary is actually small).
+  * bm25's df table IS hint-broadcast — it is bounded by the query's own
+  * term count, a genuine constant.
   */
 object Relevance {
 
@@ -50,11 +54,13 @@ object Relevance {
     require(k > 0, s"k must be positive, got $k")
     val tf = termFreq(docs, idCol, textCol)
     // df rows are one per distinct (doc, term) already — count, not
-    // count-distinct. Vocabulary-sized: broadcast.
+    // count-distinct. Vocabulary-sized = unbounded: no broadcast hint
+    // (see object scaladoc); the term-keyed shuffle join reuses tf's
+    // existing partitioning for the df side's aggregation.
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn(
         "tfidf_d",

@@ -270,9 +270,10 @@ object Similarity {
     * lowest-id vectors — a constant-size, deterministic driver-side
     * collect (the planes are the model; at 100 TB this is exactly a
     * broadcast-scale artifact), then each plane is embedded as a
-    * literal array like [[lshBucket]]'s. No oracle: plane weights
-    * derive from data, so the query is spec-covered (rows-only check)
-    * rather than SQL-mirrored.
+    * literal array like [[lshBucket]]'s. Because the sample is
+    * deterministic (lowest-id pairs), the DuckDB oracle rebuilds the
+    * planes exactly in SQL — `q_ann_lsh_learned` is fully hash-oracled
+    * (LlmQueries.annLshLearnedSql), not just spec-covered.
     */
   def lshTopKLearned(
       emb: DataFrame,

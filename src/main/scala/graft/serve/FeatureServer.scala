@@ -32,25 +32,47 @@ final class FeatureServer(connector: Connector, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  /** The key column's type, resolved ONCE at construction — resolving
+    * it per request would hit the store (a filesystem listing per HTTP
+    * hit on the bucketed connector) just to read schema metadata. The
+    * table's schema is fixed for a connector's lifetime, so caching is
+    * semantics-preserving.
+    */
+  private val keyType: DataType = connector.bulkQuery().schema(connector.keyCol).dataType
+
   /** Parse the key string to the connector's key type (the reference's
     * routes carry typed keys through JSON; here the query string is the
     * wire format).
     */
-  private def parseKey(raw: String): Any = {
-    val dt = connector.bulkQuery().schema(connector.keyCol).dataType
-    dt match {
-      case LongType    => raw.toLong
-      case IntegerType => raw.toInt
-      case DoubleType  => raw.toDouble
-      case StringType  => raw
-      case other       => throw new IllegalArgumentException(s"unsupported key type $other")
+  private def parseKey(raw: String): Any = keyType match {
+    case LongType    => raw.toLong
+    case IntegerType => raw.toInt
+    case DoubleType  => raw.toDouble
+    case StringType  => raw
+    case other       => throw new IllegalArgumentException(s"unsupported key type $other")
+  }
+
+  private def escapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'             => sb.append("\\\"")
+      case '\\'            => sb.append("\\\\")
+      case '\n'            => sb.append("\\n")
+      case '\r'            => sb.append("\\r")
+      case '\t'            => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c               => sb.append(c)
     }
+    sb.toString
   }
 
   private def jsonValue(v: Any): String = v match {
-    case null                => "null"
-    case s: String           => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    case b: Boolean          => b.toString
+    case null       => "null"
+    case s: String  => "\"" + escapeJson(s) + "\""
+    case b: Boolean => b.toString
+    // JSON has no NaN/Infinity literal — emit null rather than break the wire
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite  => "null"
     case n: java.lang.Number => n.toString
     case other               => jsonValue(other.toString)
   }

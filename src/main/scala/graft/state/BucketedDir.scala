@@ -52,7 +52,14 @@ object BucketedDir {
     }
   }
 
-  private def pinBucketCount(spark: SparkSession, root: String, numBuckets: Int): Int =
+  private def pinBucketCount(
+      spark: SparkSession,
+      root: String,
+      keyCol: String,
+      numBuckets: Int,
+      keepVersions: Int,
+      publishParallelism: Int
+  ): Int =
     bucketCount(spark, root) match {
       case Some(stored) =>
         require(stored == numBuckets,
@@ -60,11 +67,45 @@ object BucketedDir {
             "re-bucketing requires a full rewrite")
         stored
       case None =>
+        // First bucketed merge into this root. If a legacy FLAT
+        // VersionedDir table lives here (pre-bucketed sink versions wrote
+        // root/v*/ + root/_CURRENT), its rows must seed the buckets NOW:
+        // once buckets exist, readers resolve them in preference to the
+        // flat layout, so skipping this step would silently drop every
+        // pre-existing row on the exact upgrade path read()'s fallback
+        // claims to support (ADVICE r3). Migration runs BEFORE _BUCKETS
+        // is written, so a crash mid-seed re-runs it on the next merge
+        // (re-publishing a bucket just advances its version — idempotent).
+        migrateFlatLayout(spark, root, keyCol, numBuckets, keepVersions, publishParallelism)
         val hfs = VersionedDir.fs(spark, root)
         hfs.mkdirs(new Path(root))
         val out = hfs.create(new Path(new Path(root), "_BUCKETS"), true)
         try out.write(numBuckets.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
         numBuckets
+    }
+
+  /** Seed buckets from a legacy flat [[VersionedDir]] at `root` (no-op
+    * when none exists), then retire the flat `v*` dirs and `_CURRENT`
+    * pointer. One O(table) rewrite at upgrade time — the documented
+    * re-bucketing cost, paid once.
+    */
+  private def migrateFlatLayout(
+      spark: SparkSession,
+      root: String,
+      keyCol: String,
+      numBuckets: Int,
+      keepVersions: Int,
+      publishParallelism: Int
+  ): Unit =
+    VersionedDir.read(spark, root).foreach { flat =>
+      // materialize off the flat files before they are deleted below
+      publishPartitioned(spark, root, flat, keyCol, numBuckets,
+        minVersion = 0L, keepVersions, publishParallelism)((_, part) => part)
+      val hfs = VersionedDir.fs(spark, root)
+      val rootPath = new Path(root)
+      VersionedDir.committedVersions(hfs, rootPath).foreach(p => hfs.delete(p, true))
+      hfs.delete(new Path(rootPath, "_CURRENT"), false)
+      ()
     }
 
   /** Read the current table: ONE parquet scan over every bucket's
@@ -118,6 +159,19 @@ object BucketedDir {
     * buckets' files are not rewritten (byte-identical across the merge;
     * BucketedSinkSpec pins this).
     *
+    * Touched buckets publish CONCURRENTLY on a bounded driver-side
+    * thread pool (`publishParallelism` at a time): each publish is an
+    * independent Spark job against an independent directory, and Spark's
+    * scheduler interleaves jobs submitted from multiple threads — a
+    * sequential loop would serialize the per-bucket job latency exactly
+    * when the table is large (a 100 TB table wants numBuckets in the
+    * thousands: numBuckets ~ tableSize / targetBucketBytes with bucket
+    * files at a few hundred MB, so merges touching many buckets are the
+    * norm, not the exception). All publishes are awaited; the first
+    * failure rethrows after the rest settle (buckets already published
+    * stay published — same partial-progress semantics as the sequential
+    * loop, and replays are version-guarded by `minVersion`).
+    *
     * Returns the touched bucket ids. The touched set is a <=numBuckets
     * driver-side collect — control-plane sized by construction.
     */
@@ -128,19 +182,56 @@ object BucketedDir {
       keyCol: String,
       numBuckets: Int,
       minVersion: Long = 0L,
-      keepVersions: Int = 2
+      keepVersions: Int = 2,
+      publishParallelism: Int = 8
   )(mergeFn: (Option[DataFrame], DataFrame) => DataFrame): Seq[Int] = {
-    val nb = pinBucketCount(spark, root, numBuckets)
+    val nb = pinBucketCount(spark, root, keyCol, numBuckets, keepVersions, publishParallelism)
+    publishPartitioned(spark, root, batch, keyCol, nb, minVersion, keepVersions,
+      publishParallelism)(mergeFn)
+  }
+
+  /** The shared bucket-publish machinery behind [[merge]] and the
+    * flat-layout migration: checkpoint the batch, route rows to buckets,
+    * publish every touched bucket through the bounded pool.
+    */
+  private def publishPartitioned(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      keyCol: String,
+      nb: Int,
+      minVersion: Long,
+      keepVersions: Int,
+      publishParallelism: Int
+  )(mergeFn: (Option[DataFrame], DataFrame) => DataFrame): Seq[Int] = {
     val bkt = Names.fresh(batch.columns.toSeq, "_bkt")
     // Materialize the batch once; each touched bucket then filters the
     // checkpointed blocks instead of recomputing the batch plan.
     val withB = batch.withColumn(bkt, bucketCol(keyCol, nb)).localCheckpoint(true)
     val touched = withB.select(bkt).distinct().collect().map(_.getInt(0)).sorted.toSeq
-    touched.foreach { b =>
+    def publishOne(b: Int): Unit = {
       val bRoot = new Path(new Path(root), bucketName(b)).toString
       val existing = VersionedDir.read(spark, bRoot)
       val part = withB.filter(col(bkt) === lit(b)).drop(bkt)
       VersionedDir.publish(spark, bRoot, mergeFn(existing, part), minVersion, keepVersions)
+      ()
+    }
+    val par = math.max(1, math.min(publishParallelism, touched.size))
+    if (par <= 1) touched.foreach(publishOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        // settle ALL futures (no fail-fast abandon: an abandoned publish
+        // could still be mid-write when the caller retries), then rethrow
+        // the first failure in bucket order
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            touched.map(b => scala.concurrent.Future(publishOne(b)).transform(scala.util.Success(_)))),
+          scala.concurrent.duration.Duration.Inf)
+        settled.collectFirst { case scala.util.Failure(e) => throw e }
+      } finally pool.shutdown()
     }
     touched
   }

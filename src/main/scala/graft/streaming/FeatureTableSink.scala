@@ -36,7 +36,9 @@ object FeatureTableSink {
 
   /** Read the current materialized table (empty if never written).
     * Falls back to a flat [[VersionedDir]] layout for tables written by
-    * pre-bucketed versions of this sink.
+    * pre-bucketed versions of this sink; the first bucketed [[merge]]
+    * into such a root migrates the flat rows into buckets (BucketedDir's
+    * flat-layout seeding), so the fallback never shadows live data.
     */
   def read(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._

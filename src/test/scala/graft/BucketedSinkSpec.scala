@@ -104,6 +104,58 @@ class BucketedSinkSpec extends SparkSpec {
     assert(c.pointQuery(gone).isEmpty)
   }
 
+  test("concurrent publishes: numBuckets >> pool still lands every touched bucket") {
+    // 64 buckets touched at once through the bounded 8-thread publish
+    // pool (local[4] session): every bucket must land its rows and an
+    // immediate second merge must advance versions without interference.
+    val root = tmp()
+    val nb = 64
+    val keys = (1L to 400L)
+    val touched = BucketedDir.merge(spark, root, df(keys.map(k => k -> s"v$k"): _*),
+      "key", nb) { (existing, part) =>
+      existing.map(_.unionByName(part)).getOrElse(part)
+    }
+    assert(touched.size > 8, s"expected the batch to span >8 buckets, got ${touched.size}")
+    val got = BucketedDir.read(spark, root).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 400 && keys.forall(k => got(k) == s"v$k"),
+      "every row must land exactly once across all concurrently-published buckets")
+    // second wide merge on the same table: versions advance per bucket
+    BucketedDir.merge(spark, root, df(keys.map(k => k -> s"w$k"): _*),
+      "key", nb, minVersion = 1L) { (existing, part) => part }
+    val got2 = BucketedDir.read(spark, root).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2.size == 400 && keys.forall(k => got2(k) == s"w$k"))
+  }
+
+  test("first bucketed merge into a legacy flat table migrates its rows (no silent loss)") {
+    import spark.implicits._
+    import graft.streaming.StreamingFeatures.KeyFeature
+    val root = tmp()
+    // a pre-bucketed sink version wrote a FLAT VersionedDir at this root
+    graft.state.VersionedDir.publish(spark, root,
+      (1 to 20).map(i => KeyFeature(s"k$i", 1, i.toDouble, 1)).toDS().toDF())
+    // upgrade path: the first bucketed merge must carry the 20 legacy
+    // rows into the buckets, not shadow them
+    graft.streaming.FeatureTableSink.merge(spark, root,
+      Seq(KeyFeature("k7", 5, 99.0, 2), KeyFeature("k99", 1, 1.0, 1)).toDS(),
+      0, numBuckets = 8)
+    val t = graft.streaming.FeatureTableSink.read(spark, root)
+      .as[KeyFeature].collect().map(f => f.key -> f.value).toMap
+    assert(t.size == 21, s"legacy rows must survive the upgrade, got ${t.size}")
+    assert(t("k7") == 99.0 && t("k99") == 1.0 && t("k3") == 3.0)
+    // the flat layout is retired: no v* dirs remain at the root
+    assert(!Files.list(Paths.get(root)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("v0")),
+      "flat v* dirs must be deleted after seeding")
+    // and subsequent merges stay bucket-pruned
+    val before = snapshot(root)
+    graft.streaming.FeatureTableSink.merge(spark, root,
+      Seq(KeyFeature("k7", 9, 100.0, 3)).toDS(), 1, numBuckets = 8)
+    val after = snapshot(root)
+    assert(before.keys.count(b => after(b) != before(b)) == 1)
+  }
+
   test("bucket count is pinned: a mismatched merge is refused") {
     val root = tmp()
     new BucketedParquetConnector(spark, "key", schema, root, numBuckets = 8)

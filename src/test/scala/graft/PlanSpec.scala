@@ -86,4 +86,60 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"), "customer dim must not shuffle")
   }
+
+  /** Run `body` with broadcast thresholds at -1 — simulating a side too
+    * big to broadcast. A `broadcast()` hint overrides the threshold, so
+    * any broadcast surviving here is a FORCED one (the VERDICT r3
+    * 100×-scale hazard: forcing a broadcast of an O(corpus) set).
+    */
+  private def withNoAutoBroadcast[A](body: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("canonicalize: losers anti-join is NOT hint-broadcast (unbounded at 100 TB)") {
+    withNoAutoBroadcast {
+      import spark.implicits._
+      val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+      val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+      val plan = planOf(graft.llm.Dedup.canonicalize(docs, "doc_id", pairs))
+      assert(!plan.contains("Broadcast"),
+        s"losers set is O(near-dups) — must degrade to a shuffled anti-join:\n$plan")
+      assert(plan.contains("LeftAnti"), s"anti-join must survive:\n$plan")
+    }
+  }
+
+  test("decontaminateAgainst: quarantine anti-join is NOT hint-broadcast") {
+    withNoAutoBroadcast {
+      import spark.implicits._
+      val docs = Seq((1L, "x y z"), (2L, "p q r")).toDF("doc_id", "text")
+      val eval = Seq(Tuple1("x y z")).toDF("text")
+      val plan = planOf(graft.llm.CorpusFrame(docs, "doc_id", "text")
+        .decontaminateAgainst(eval, maxOverlap = 0.5).result)
+      // the eval-shingle probe join legitimately keeps its hint
+      // (benchmarks are tiny); the doc-id quarantine join must not
+      assert(!plan.matches("(?s).*Broadcast\\w*Join[^\\n]*LeftAnti.*"),
+        s"dirty set is O(contaminated docs) — quarantine must be a shuffled anti-join:\n$plan")
+      assert(plan.contains("LeftAnti"), s"anti-join must survive:\n$plan")
+    }
+  }
+
+  test("tfIdf: vocabulary join is NOT hint-broadcast") {
+    withNoAutoBroadcast {
+      import spark.implicits._
+      val docs = Seq((1L, "x y z"), (2L, "x q r")).toDF("doc_id", "text")
+      val plan = planOf(graft.llm.Relevance.tfIdf(spark, docs, "doc_id", "text", k = 3))
+      // broadcast(n_docs) (a single-row scalar) is the only legitimate
+      // broadcast left; the term-keyed df join must shuffle
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"web-scale vocabularies are unbounded — df join must shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"df join must degrade to a shuffle join when not broadcastable:\n$plan")
+    }
+  }
 }

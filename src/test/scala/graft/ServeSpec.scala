@@ -53,4 +53,25 @@ class ServeSpec extends SparkSpec {
       assert(bulk.body().contains(""""key":1""") && bulk.body().contains(""""key":2"""))
     } finally srv.stop()
   }
+
+  test("wire JSON stays valid for control characters and non-finite doubles") {
+    import scala.jdk.CollectionConverters._
+    val c = new TempViewConnector(spark, "key", schema, s"t_serve_esc_${System.nanoTime()}")
+    // raw U+0001 built programmatically (a source literal would be
+    // mangled by scalac's unicode-escape pass)
+    c.upsert(spark.createDataFrame(
+      Seq(Row(1L, "line1\nline2\ttabbed" + 1.toChar, Double.NaN),
+        Row(2L, "inf", Double.PositiveInfinity)).asJava, schema))
+    val srv = new FeatureServer(c)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val r1 = get(port, "/point?key=1")
+      assert(r1.statusCode() == 200)
+      assert(r1.body() ==
+        """{"row":{"key":1,"name":"line1\nline2\ttabbed\""" + """u0001","score":null}}""")
+      val r2 = get(port, "/point?key=2")
+      assert(r2.body() == """{"row":{"key":2,"name":"inf","score":null}}""")
+    } finally srv.stop()
+  }
 }
