@@ -118,9 +118,15 @@ object Similarity {
     * synthetic embeddings are uniform, so there is no cluster structure
     * to learn and balancing cells only splits neighbors across
     * boundaries. On clustered embeddings trained centroids are the
-    * standard upgrade (RecallSpec measures 0.53 → 0.83 recall@5 on a
-    * separable 8-cluster corpus); the oracle drops to rows-only there
-    * (shuffle-order float means aren't bit-mirrorable).
+    * standard upgrade (RecallSpec measures the lift on a separable
+    * 8-cluster corpus).
+    *
+    * The refined centroid is the elementwise SUM of its members'
+    * decimal-quantized elements, not their float mean: cosine ranking
+    * only sees the centroid's direction, which is identical, while
+    * exact decimal sums are order-independent — so the refinement is
+    * bit-mirrorable in the DuckDB oracle (a shuffle-order float `avg`
+    * is not) and `q_ann_ivf_kmeans` gets the full hash gate.
     *
     * The 100 TB shape: the corpus is bucketed ONCE by cell (one shuffle,
     * or a partitioned table on disk); a query probes `nProbe` cells —
@@ -143,11 +149,12 @@ object Similarity {
     // Optional Lloyd refinement (refineIters > 0) — the k-means upgrade
     // for CLUSTERED corpora (flag-gated, default off: measured on this
     // repo's uniform synthetic embeddings it regresses recall, see class
-    // scaladoc; with it on, the oracle degrades to rows-only because
-    // shuffle-order float means aren't bit-mirrorable in DuckDB). Each
-    // iteration: assign every vector to its best centroid (same
-    // O(corpus × numCentroids) broadcast shape as the quantizer), move
-    // each centroid to its cell's mean; empty cells keep their position.
+    // scaladoc). Each iteration: assign every vector to its best
+    // centroid (same O(corpus × numCentroids) broadcast shape as the
+    // quantizer), move each centroid to its cell's elementwise
+    // decimal-exact SUM (same direction as the mean — cosine never sees
+    // magnitude — but order-independent, so the DuckDB oracle mirrors it
+    // bit-for-bit); empty cells keep their position.
     val cents = (1 to refineIters).foldLeft(cents0) { (c, _) =>
       val rk = row_number().over(
         Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
@@ -156,14 +163,15 @@ object Similarity {
         .withColumn("crk", rk)
         .filter(col("crk") === 1)
         .select(col("cid"), col("v"))
-      val means = assign
+      val sums = assign
         .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
-        .groupBy(col("cid"), col("j")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"), col("j"))
+        .agg(sum(col("x").cast("decimal(38,12)")).as("sx"))
         .groupBy(col("cid"))
-        .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
-          e => e.getField("m")).as("ncv"))
+        .agg(transform(sort_array(collect_list(struct(col("j"), col("sx")))),
+          e => e.getField("sx").cast("double")).as("ncv"))
         .withColumn("ncn", norm(col("ncv")))
-      c.join(means, Seq("cid"), "left")
+      c.join(sums, Seq("cid"), "left")
         .select(col("cid"),
           coalesce(col("ncv"), col("cv")).as("cv"),
           coalesce(col("ncn"), col("cn")).as("cn"))

@@ -396,6 +396,54 @@ object LlmQueries {
        |  FROM q JOIN asg b ON b.cell = q.cell AND b.vid <> q.qid)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** IVF with ONE Lloyd refinement iteration (Similarity.ivfTopK
+    * refineIters = 1) — exercises the k-means path under the full hash
+    * gate: refined centroids are elementwise DECIMAL(38,12) sums of
+    * their members (order-independent — same direction as the float
+    * mean, and cosine only sees direction), so the oracle replicates
+    * the entire iteration exactly: assign → decimal sums → re-rank.
+    */
+  val annIvfKmeans: Q = (s, dir) =>
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5, numCentroids = 64, nProbe = 4,
+        refineIters = 1)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  val annIvfKmeansSql: String =
+    s"""WITH $normCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 64),
+       |rk0 AS (
+       |  SELECT n.vec_id AS vid, n.v AS v, c0.cid AS cid,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c0.cv", 64, "a")} / (n.nrm * c0.cn) DESC, c0.cid) AS crk
+       |  FROM n, c0),
+       |asg0 AS (SELECT cid, v FROM rk0 WHERE crk = 1),
+       |sums AS (
+       |  SELECT cid, kj AS j, SUM(CAST(v[CAST(kj AS INT)] AS DECIMAL(38,12))) AS sx
+       |  FROM asg0, (SELECT unnest(range(1, 65)) AS kj)
+       |  GROUP BY cid, kj),
+       |m1 AS (SELECT cid, list(CAST(sx AS DOUBLE) ORDER BY j) AS ncv FROM sums GROUP BY cid),
+       |m2 AS (SELECT cid, ncv, sqrt(${dotSql("ncv", "ncv", 64, "m")}) AS ncn FROM m1),
+       |c AS (SELECT c0.cid, COALESCE(m2.ncv, c0.cv) AS cv, COALESCE(m2.ncn, c0.cn) AS cn
+       |      FROM c0 LEFT JOIN m2 ON m2.cid = c0.cid),
+       |rk AS (
+       |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c.cv", 64, "b")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |  FROM n, c),
+       |asg AS (SELECT vid, v, nrm, cell FROM rk WHERE crk = 1),
+       |q AS (SELECT vid AS qid, v AS qv, nrm AS qn, cell FROM rk
+       |      WHERE crk <= 4 AND vid % 100 = 0)
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT q.qid, b.vid AS nid,
+       |    ${dotSql("q.qv", "b.v", 64, "d")} / (q.qn * b.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${dotSql("q.qv", "b.v", 64, "r")} / (q.qn * b.nrm) DESC, b.vid) AS rank
+       |  FROM q JOIN asg b ON b.cell = q.cell AND b.vid <> q.qid)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // ------------------------------------------------------ text analysis
 
   val textLang: Q = (s, dir) =>
@@ -808,6 +856,7 @@ object LlmQueries {
     "q_ann_lsh_probe" -> annLshProbe,
     "q_ann_lsh_learned" -> annLshLearned,
     "q_ann_ivf" -> annIvf,
+    "q_ann_ivf_kmeans" -> annIvfKmeans,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
     "q_text_repetition" -> textRepetition,
@@ -840,6 +889,7 @@ object LlmQueries {
     "q_ann_lsh_probe" -> annLshProbeSql,
     "q_ann_lsh_learned" -> annLshLearnedSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,
     "q_text_repetition" -> textRepetitionSql,
