@@ -83,6 +83,19 @@ final case class CorpusFrame(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.join(dirty, Seq(idCol), "left_anti"))
   }
 
+  /** Incremental-ingest near-dup dedup: drop docs of THIS corpus (the
+    * new snapshot) that near-duplicate `existing` (the accumulated
+    * corpus) — Dedup.dedupAgainst's band-bucketed cross-corpus join.
+    */
+  def dedupAgainst(existing: DataFrame, minJaccard: Double): CorpusFrame =
+    copy(df = Dedup.dedupAgainst(df, existing, idCol, textCol, minJaccard))
+
+  /** Stable hash-based train/val/test assignment
+    * (TextAnalysis.assignSplit); adds `split_bucket` + `split`.
+    */
+  def withSplit(splits: (String, Int)*): CorpusFrame =
+    copy(df = TextAnalysis.assignSplit(df, idCol, splits))
+
   /** Deterministic quota: keep `k` docs per `groupCol`
     * (Shedding.quotaSample on TopKPerKey bounded heaps).
     */

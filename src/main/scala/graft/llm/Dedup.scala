@@ -220,6 +220,71 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental (cross-corpus) MinHash near-dup pairs: which NEW
+    * documents near-duplicate a document already in the EXISTING corpus.
+    * This is the shape a continuously-ingesting pipeline actually runs —
+    * each snapshot dedups against the accumulated corpus, not against
+    * itself (self-dedup of the new batch is [[minhashPairs]] on the new
+    * side alone).
+    *
+    * 100 TB shape: the existing side's signatures are exactly what a
+    * real pipeline PERSISTS between snapshots (K longs per doc) — pass
+    * them in via `existingSigs` to skip recomputing the old corpus; the
+    * band join is keyed by (band, digest) so new docs only meet existing
+    * docs that collide on a band, never all-pairs. Both sides shuffle by
+    * digest; no broadcast hint (the existing corpus is the BIG side).
+    *
+    * Output: (new_doc, old_doc, est_jaccard) for every cross pair at or
+    * above `minJaccard`.
+    */
+  def minhashAgainstPairs(
+      newDocs: DataFrame,
+      existingDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double
+  ): DataFrame = {
+    def sigsOf(d: DataFrame) = d
+      .select(
+        col(idCol).as("doc"),
+        TextOps.minhashSignature(TextOps.shingleHashes(col(textCol))).as("sig"))
+      .localCheckpoint(false)
+    def bandsOf(s: DataFrame) = s
+      .select(col("doc"), posexplode(TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
+    val newSigs = sigsOf(newDocs)
+    val oldSigs = sigsOf(existingDocs)
+    val candidates = bandsOf(newSigs).as("a")
+      .join(bandsOf(oldSigs).as("b"),
+        col("a.band") === col("b.band") && col("a.digest") === col("b.digest"))
+      .select(col("a.doc").as("new_doc"), col("b.doc").as("old_doc"))
+      .distinct()
+    candidates
+      .join(newSigs.select(col("doc").as("new_doc"), col("sig").as("sig_a")), "new_doc")
+      .join(oldSigs.select(col("doc").as("old_doc"), col("sig").as("sig_b")), "old_doc")
+      .select(
+        col("new_doc"),
+        col("old_doc"),
+        TextOps.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** The incremental-ingest dedup API: the new batch minus every doc
+    * near-dupping the existing corpus ([[minhashAgainstPairs]] ≥
+    * `minJaccard`). Plain keyed anti-join — no broadcast hint; the
+    * matched set is O(new batch) and AQE broadcasts when small.
+    */
+  def dedupAgainst(
+      newDocs: DataFrame,
+      existingDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double
+  ): DataFrame = {
+    val matched = minhashAgainstPairs(newDocs, existingDocs, idCol, textCol, minJaccard)
+      .select(col("new_doc").as(idCol))
+    newDocs.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs.
     *
     * Explode distinct shingle hashes and self-join on the hash: a pair
@@ -302,5 +367,50 @@ object Dedup {
         col("n_shingles"),
         coalesce(col("hits"), lit(0L)).as("eval_hits"),
         (coalesce(col("hits"), lit(0L)).cast("double") / col("n_shingles")).as("contamination"))
+  }
+
+  /** Corpus-audit overlap matrix: for every pair of corpus slices
+    * (`groupCol`, e.g. source / crawl snapshot / domain), how many
+    * distinct shingle hashes they share, plus the slice-level Jaccard —
+    * the provenance report a curation pipeline prints before deciding
+    * which sources to down-weight or drop.
+    *
+    * Shape: one distinct-aggregate to (group, shingle) — map-side
+    * combine collapses each slice's repeats before the exchange — then a
+    * self-join keyed by shingle with `group_a < group_b` and a count per
+    * pair. Rows per shingle are bounded by the number of slices (a small
+    * constant next to doc count), so the join fan-out is O(shingles ×
+    * slices²-worst-case) but slices are ~10²–10³, not corpus-sized.
+    * `maxShingleGroupFreq` (> 0) drops shingles present in more than F
+    * slices BEFORE the join — the ubiquitous-shingle (stopword) skew cap,
+    * same mitigation as [[jaccardPairs]]'s doc-freq cap.
+    */
+  def groupOverlap(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      maxShingleGroupFreq: Int = 0
+  ): DataFrame = {
+    val gxAll = docs
+      .select(col(groupCol).as("grp"), explode(TextOps.shingleHashes(col(textCol))).as("x"))
+      .distinct()
+    val gx0 =
+      if (maxShingleGroupFreq <= 0) gxAll
+      else {
+        val freq = gxAll.groupBy(col("x")).agg(count(lit(1)).as("gf"))
+          .filter(col("gf") <= maxShingleGroupFreq).select(col("x"))
+        gxAll.join(freq, "x")
+      }
+    val gx = gx0.localCheckpoint(false) // feeds the size lookup and both join sides
+    val sizes = gx.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    gx.as("a")
+      .join(gx.as("b"), col("a.x") === col("b.x") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("group_a"), col("b.grp").as("group_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("grp").as("group_a"), col("n").as("n_a")), "group_a")
+      .join(sizes.select(col("grp").as("group_b"), col("n").as("n_b")), "group_b")
+      .select(
+        col("group_a"), col("group_b"), col("shared"), col("n_a"), col("n_b"),
+        (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
   }
 }

@@ -77,6 +77,37 @@ object Relevance {
         col("tfidf_d").cast("double").as("tfidf"))
   }
 
+  /** Unigram corpus-commonness scoring — the integer-exact stand-in for
+    * unigram-LM perplexity filtering: per document, the average corpus
+    * frequency of its tokens. Low commonness ≈ rare/garbled vocabulary
+    * (or genuinely novel text), high ≈ boilerplate — the standard cheap
+    * quality gate a pipeline runs next to [[TextAnalysis.quality]].
+    *
+    * Deliberately integer arithmetic end-to-end: the per-doc score is
+    * Σ_terms tf·corpusFreq(term) (BIGINT, order-independent) divided
+    * once by the token count — a single IEEE double op both engines
+    * round identically, so the oracle hash-matches without any FP-fold
+    * ceremony (a log-prob formulation would sum doubles in
+    * engine-dependent order).
+    *
+    * Scale shape: tokens shuffle once keyed by (doc, term) with map-side
+    * combine; the global frequency table aggregates FROM tf (reusing the
+    * term partitioning) and joins back WITHOUT a broadcast hint — a
+    * web-scale vocabulary is billions of terms (same rule as [[tfIdf]]).
+    */
+  def commonness(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    val gf = tf.groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+    tf.join(gf, "term")
+      .groupBy(col("doc"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("freq")).as("weight_sum"))
+      .select(
+        col("doc"), col("n_tokens"), col("weight_sum"),
+        (col("weight_sum").cast("double") / col("n_tokens").cast("double")).as("commonness"))
+  }
+
   /** BM25 ranked retrieval for a bag-of-words query: the k best-scoring
     * documents, `score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
     * b·dl/avgdl))` with the standard `idf(t) = ln(1 + (N − df + 0.5) /

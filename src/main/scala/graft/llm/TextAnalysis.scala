@@ -158,6 +158,34 @@ object TextAnalysis {
         expr(s"(end_off - 1) DIV $budget").as("last_seq"))
   }
 
+  /** Deterministic train/val/test split assignment: hash the document id
+    * into a per-mille bucket and label it by cumulative weight
+    * thresholds. Hash-based — not random — so the split is stable across
+    * reruns, engines, and corpus growth (a doc keeps its split when new
+    * docs arrive; `sample()` would reshuffle everything), which is the
+    * property an eval-set split must have to avoid train/test leakage
+    * between pipeline versions. Pure per-row expression: no shuffle, no
+    * state, embarrassingly parallel at any scale.
+    *
+    * @param splits (label, per-mille weight) pairs; weights must sum
+    *               to 1000. A doc lands in the first label whose
+    *               cumulative bound exceeds its bucket.
+    */
+  def assignSplit(
+      docs: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)]
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"split weights must sum to 1000 per-mille, got $splits")
+    val bucket = graft.functions.GraftFunctions.strhash(col(idCol).cast("string")) % 1000
+    val label = splits.scanLeft(("", 0)) { case ((_, acc), (l, w)) => (l, acc + w) }.tail
+      .foldRight(lit(splits.last._1): Column) { case ((l, bound), els) =>
+        when(bucket < bound, lit(l)).otherwise(els)
+      }
+    docs.withColumn("split_bucket", bucket).withColumn("split", label)
+  }
+
   /** Rolling-hash document fingerprint (TextOps.fingerprint) plus summary
     * stats — the join key for cross-corpus contamination checks.
     */

@@ -64,10 +64,11 @@ object LlmQueries {
     Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.6)
       .orderBy("doc_a", "doc_b")
 
-  /** MinHash-pairs CTE chain, ending in `mh(doc_a, doc_b, est_jaccard)`
-    * — shared by the pairs oracle and the clusters oracle.
+  /** signatures + band digests over the whole corpus, as DuckDB CTEs —
+    * the shared prefix of every MinHash oracle (self-join pairs,
+    * clusters, canonical, and the cross-corpus incremental variants).
     */
-  private val minhashCtes: String =
+  private val sigBandsCtes: String =
     s"""$xsCte,
        |sig AS (
        |  SELECT doc_id, list_transform(range(0, $K),
@@ -78,7 +79,13 @@ object LlmQueries {
        |  SELECT doc_id, CAST(bj AS INT) AS band,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, bj*$R+1, bj*$R+$R)),
        |      (ba, bv) -> (ba*31 + bv) % $P) AS digest
-       |  FROM sig, range(0, $NB) t(bj)),
+       |  FROM sig, range(0, $NB) t(bj))""".stripMargin
+
+  /** MinHash-pairs CTE chain, ending in `mh(doc_a, doc_b, est_jaccard)`
+    * — shared by the pairs oracle and the clusters oracle.
+    */
+  private val minhashCtes: String =
+    s"""$sigBandsCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -146,6 +153,64 @@ object LlmQueries {
        |  HAVING src <> least(src, min(dst)))
        |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------- incremental (cross-corpus) dedup
+
+  /** The incremental-ingest scenario on one table, scale-factor
+    * independent: even doc_ids play the accumulated corpus, odd doc_ids
+    * the new snapshot.
+    */
+  private def splitDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.documents(s, dir)
+    (docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0))
+  }
+
+  val dedupAgainstPairs: Q = (s, dir) => {
+    val (newDocs, oldDocs) = splitDocs(s, dir)
+    Dedup.minhashAgainstPairs(newDocs, oldDocs, "doc_id", "text", minJaccard = 0.6)
+      .orderBy("new_doc", "old_doc")
+  }
+
+  /** Cross-corpus candidate + verify CTEs, ending in
+    * `xmh(new_doc, old_doc, est_jaccard)` — new side = odd doc_ids.
+    */
+  private val crossMinhashCtes: String =
+    s"""$sigBandsCtes,
+       |candx AS (
+       |  SELECT DISTINCT b.doc_id AS new_doc, a.doc_id AS old_doc
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.digest = b.digest
+       |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |xmh AS (
+       |  SELECT * FROM (
+       |    SELECT c.new_doc, c.old_doc,
+       |      CAST(len(list_filter(range(1, ${K + 1}), zi -> sa.sig[CAST(zi AS INT)] = sb.sig[CAST(zi AS INT)])) AS DOUBLE) / $K AS est_jaccard
+       |    FROM candx c
+       |    JOIN sig sa ON sa.doc_id = c.new_doc
+       |    JOIN sig sb ON sb.doc_id = c.old_doc)
+       |  WHERE est_jaccard >= 0.6)""".stripMargin
+
+  val dedupAgainstPairsSql: String =
+    s"""WITH $crossMinhashCtes
+       |SELECT new_doc, old_doc, est_jaccard FROM xmh ORDER BY new_doc, old_doc""".stripMargin
+
+  /** The end-user incremental API: per-source survivor counts of the new
+    * snapshot after dropping docs near-dupping the accumulated corpus.
+    */
+  val dedupIncremental: Q = (s, dir) => {
+    val (newDocs, oldDocs) = splitDocs(s, dir)
+    Dedup.dedupAgainst(newDocs, oldDocs, "doc_id", "text", minJaccard = 0.6)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("source")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $crossMinhashCtes
+       |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM documents
+       |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_doc FROM xmh)
        |GROUP BY source ORDER BY source""".stripMargin
 
   // ----------------------------------------------------------- simhash
@@ -836,6 +901,76 @@ object LlmQueries {
 
   // ---------------------------------------------------------- registry
 
+  // ------------------------------- commonness / overlap audit / split
+
+  /** Per-doc average corpus frequency of its tokens (integer-exact
+    * unigram-LM quality proxy, Relevance.commonness).
+    */
+  val lmCommonness: Q = (s, dir) =>
+    graft.llm.Relevance.commonness(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc")
+
+  val lmCommonnessSql: String =
+    s"""WITH wt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS term FROM wt),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |gf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY 1)
+       |SELECT tf.doc_id AS doc,
+       |  CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tf.tf * gf.freq) AS BIGINT) AS weight_sum,
+       |  CAST(CAST(sum(tf.tf * gf.freq) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE) AS commonness
+       |FROM tf JOIN gf USING (term)
+       |GROUP BY 1 ORDER BY doc""".stripMargin
+
+  /** Source-pair shingle overlap matrix (Dedup.groupOverlap): the
+    * provenance audit over the 20 synthetic sources.
+    */
+  val sourceOverlap: Q = (s, dir) =>
+    Dedup.groupOverlap(Tables.documents(s, dir), "source", "text")
+      .orderBy("group_a", "group_b")
+
+  val sourceOverlapSql: String =
+    s"""WITH $xsCte,
+       |gx AS (
+       |  SELECT DISTINCT grp, x FROM (
+       |    SELECT d.source AS grp, unnest(xs.xh) AS x
+       |    FROM xs JOIN documents d USING (doc_id))),
+       |sizes AS (SELECT grp, count(*) AS n FROM gx GROUP BY 1),
+       |inter AS (
+       |  SELECT a.grp AS group_a, b.grp AS group_b, count(*) AS shared
+       |  FROM gx a JOIN gx b ON a.x = b.x AND a.grp < b.grp
+       |  GROUP BY 1, 2)
+       |SELECT group_a, group_b, shared, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.grp = group_a
+       |JOIN sizes sb ON sb.grp = group_b
+       |ORDER BY group_a, group_b""".stripMargin
+
+  /** Stable hash-based train/val/test assignment
+    * (TextAnalysis.assignSplit, 90/5/5).
+    */
+  val splitAssign: Q = (s, dir) =>
+    graft.llm.TextAnalysis.assignSplit(
+        Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .select(col("doc_id").as("doc"), col("split_bucket"), col("split"))
+      .orderBy("doc")
+
+  val splitAssignSql: String =
+    s"""SELECT doc, split_bucket,
+       |  CASE WHEN split_bucket < 900 THEN 'train'
+       |       WHEN split_bucket < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id AS doc,
+       |    ${strhashSql("CAST(doc_id AS VARCHAR)", "h")} % 1000 AS split_bucket
+       |  FROM documents)
+       |ORDER BY doc""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -844,6 +979,11 @@ object LlmQueries {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_jaccard_capped" -> dedupJaccardCapped,
+    "q_dedup_against_pairs" -> dedupAgainstPairs,
+    "q_dedup_incremental" -> dedupIncremental,
+    "q_lm_commonness" -> lmCommonness,
+    "q_source_overlap" -> sourceOverlap,
+    "q_split_assign" -> splitAssign,
     "q_curation_pipeline" -> curationPipeline,
     "q_top_terms" -> topTerms,
     "q_tfidf_terms" -> tfidfTerms,
@@ -877,6 +1017,11 @@ object LlmQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_jaccard_capped" -> dedupJaccardCappedSql,
+    "q_dedup_against_pairs" -> dedupAgainstPairsSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_lm_commonness" -> lmCommonnessSql,
+    "q_source_overlap" -> sourceOverlapSql,
+    "q_split_assign" -> splitAssignSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_top_terms" -> topTermsSql,
     "q_tfidf_terms" -> tfidfTermsSql,
