@@ -369,6 +369,35 @@ object Dedup {
         (coalesce(col("hits"), lit(0L)).cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** Span-level duplication profile — the exact-substring-dedup audit
+    * (the statistic behind "dedup at the span level, not the document
+    * level": a doc can be unique as a whole while most of its word
+    * n-gram spans are copied from elsewhere). Per document: how many of
+    * its distinct shingle spans appear in at least one OTHER document.
+    *
+    * Shape: explode distinct shingles (one shuffle keyed by hash, with
+    * map-side combine on the doc-frequency aggregate), join the df table
+    * back, one per-doc aggregate. NO broadcast hint on the df side — the
+    * span vocabulary is corpus-sized (same rule as [[jaccardPairs]]'s
+    * cap rationale); AQE broadcasts at runtime when it is actually
+    * small. The df >= 2 test is per-span; a doc's dup_fraction is the
+    * single final division (one IEEE op, oracle-identical).
+    */
+  def spanDuplication(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("doc"), explode(TextOps.shingleHashes(col(textCol))).as("x"))
+      .localCheckpoint(false) // feeds the df aggregate and the probe join
+    val df = ex.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    ex.join(df, "x")
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(
+        col("doc"), col("n_spans"), col("dup_spans"),
+        (col("dup_spans").cast("double") / col("n_spans").cast("double")).as("dup_fraction"))
+  }
+
   /** Corpus-audit overlap matrix: for every pair of corpus slices
     * (`groupCol`, e.g. source / crawl snapshot / domain), how many
     * distinct shingle hashes they share, plus the slice-level Jaccard —

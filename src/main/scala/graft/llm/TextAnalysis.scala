@@ -186,6 +186,60 @@ object TextAnalysis {
     docs.withColumn("split_bucket", bucket).withColumn("split", label)
   }
 
+  /** Language-ID accuracy audit: the confusion matrix of [[langId]]'s
+    * prediction against a trusted label column — the validation report a
+    * pipeline runs before trusting a classifier to slice a corpus.
+    * One self-join keyed by the doc id (the prediction is a pure per-row
+    * expression, so Catalyst collapses it into the same scan where
+    * possible) and one count aggregate over (true, predicted) — both
+    * shuffles carry map-side partial combine.
+    */
+  def langConfusion(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String
+  ): DataFrame =
+    docs.select(col(idCol).as("doc"), col(labelCol).as("true_lang"))
+      .join(langId(docs, idCol, textCol).select(col("doc"), col("pred_lang")), "doc")
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-group length-outlier trimming — the tail-cut curation rule
+    * (truncated/garbled docs sit in the length tails; a global cutoff is
+    * wrong when groups have different length regimes, so the percentile
+    * is per group). Drops each group's shortest `loPermille`/1000 and
+    * longest `hiPermille`/1000 fraction of documents, by rank — integer
+    * arithmetic only (`n*lo DIV 1000` bounds, rank ties broken by id),
+    * so both engines cut at exactly the same rows.
+    *
+    * Shape: one shuffle keyed by the group + an in-partition sort for
+    * the rank window (rank-based trimming is order-statistics — a sort
+    * per group is the honest cost; groups are corpus slices, so
+    * per-group data is 1/slices of the corpus, and the window needs no
+    * full-table sort).
+    */
+  def trimLengthOutliers(
+      docs: DataFrame,
+      groupCol: String,
+      lenCol: String,
+      idCol: String,
+      loPermille: Int,
+      hiPermille: Int
+  ): DataFrame = {
+    require(loPermille >= 0 && hiPermille >= 0 && loPermille + hiPermille < 1000,
+      s"trim fractions must be non-negative and sum below 1000 per-mille, got $loPermille/$hiPermille")
+    val w = Window.partitionBy(col(groupCol))
+    val rk = row_number().over(w.orderBy(col(lenCol), col(idCol)))
+    docs
+      .withColumn("len_rank", rk)
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .filter(
+        col("len_rank") > expr(s"(grp_n * $loPermille) DIV 1000") &&
+          col("len_rank") <= col("grp_n") - expr(s"(grp_n * $hiPermille) DIV 1000"))
+      .drop("len_rank", "grp_n")
+  }
+
   /** Rolling-hash document fingerprint (TextOps.fingerprint) plus summary
     * stats — the join key for cross-corpus contamination checks.
     */

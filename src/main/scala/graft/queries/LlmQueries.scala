@@ -971,6 +971,108 @@ object LlmQueries {
        |  FROM documents)
        |ORDER BY doc""".stripMargin
 
+  // ------------------- span dedup / mixture / trimming / lang audit
+
+  /** Per-doc span-duplication profile (Dedup.spanDuplication): the
+    * exact-substring-dedup audit — what fraction of each doc's distinct
+    * shingle spans also occur in some other document.
+    */
+  val dupSpans: Q = (s, dir) =>
+    Dedup.spanDuplication(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
+
+  val dupSpansSql: String =
+    s"""WITH $xsCte,
+       |ex AS (SELECT doc_id, unnest(xh) AS x FROM xs),
+       |dfq AS (SELECT x, count(*) AS df FROM ex GROUP BY x)
+       |SELECT ex.doc_id AS doc, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       |  CAST(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_fraction
+       |FROM ex JOIN dfq USING (x) GROUP BY ex.doc_id ORDER BY doc""".stripMargin
+
+  /** Square-root-temperature mixture weights over sources
+    * (Mixture.temperatureWeights): a 1M-token budget allocated
+    * ∝ √tokens per source.
+    */
+  val mixtureWeights: Q = (s, dir) =>
+    graft.llm.Mixture.temperatureWeights(
+        Tables.documents(s, dir), "source",
+        size(TextOps.words(col("text"))), budgetTokens = 1000000L)
+      .orderBy("grp")
+
+  val mixtureWeightsSql: String =
+    s"""WITH wt AS (
+       |  SELECT source, len(list_filter(string_split(text, ' '), wx -> wx <> '')) AS tokens
+       |  FROM documents),
+       |per AS (SELECT source AS grp, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens
+       |        FROM wt GROUP BY 1),
+       |w AS (SELECT grp, n_docs, tokens,
+       |        CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w_d FROM per),
+       |tot AS (SELECT sum(w_d) AS w_tot FROM w)
+       |SELECT grp, n_docs, tokens,
+       |  CAST(w_d AS DOUBLE) / CAST(w_tot AS DOUBLE) AS weight,
+       |  CAST(floor(1000000.0 * (CAST(w_d AS DOUBLE) / CAST(w_tot AS DOUBLE))) AS BIGINT) AS alloc_tokens,
+       |  CAST(floor(1000000.0 * (CAST(w_d AS DOUBLE) / CAST(w_tot AS DOUBLE))) AS BIGINT)
+       |    / CAST(tokens AS DOUBLE) AS epochs
+       |FROM w CROSS JOIN tot ORDER BY grp""".stripMargin
+
+  /** Per-source survivor stats after trimming each source's shortest and
+    * longest 10% of docs by rank (TextAnalysis.trimLengthOutliers —
+    * integer bounds, so both engines cut identical rows).
+    */
+  val lengthTrim: Q = (s, dir) =>
+    TextAnalysis.trimLengthOutliers(
+        Tables.documents(s, dir), "source", "n_chars", "doc_id",
+        loPermille = 100, hiPermille = 100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("min_len"),
+        max(col("n_chars")).as("max_len"), min(col("doc_id")).as("first_doc"))
+      .orderBy("source")
+
+  val lengthTrimSql: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM documents)
+       |SELECT source, count(*) AS n_kept, min(n_chars) AS min_len,
+       |  max(n_chars) AS max_len, min(doc_id) AS first_doc
+       |FROM r
+       |WHERE rk > (n * 100) // 1000 AND rk <= n - (n * 100) // 1000
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Language-ID confusion matrix (TextAnalysis.langConfusion): predicted
+    * language vs the corpus's trusted `lang` label.
+    */
+  val langConfusion: Q = (s, dir) =>
+    TextAnalysis.langConfusion(Tables.documents(s, dir), "doc_id", "text", "lang")
+      .orderBy("true_lang", "pred_lang")
+
+  val langConfusionSql: String = {
+    val markers = TextAnalysis.LangMarkers
+    val scores = markers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(ws, lw -> list_contains($lst, lw))) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val caseChain = langs.zipWithIndex.map { case (lang, i) =>
+      val conds = langs.zipWithIndex.filter(_._2 != i).map { case (other, j) =>
+        if (j < i) s"s_$lang > s_$other" else s"s_$lang >= s_$other"
+      }
+      s"WHEN s_$lang > 0 AND ${conds.mkString(" AND ")} THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH wt AS (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |sc AS (
+       |  SELECT lang,
+       |    $scores
+       |  FROM wt)
+       |SELECT lang AS true_lang, CASE $caseChain ELSE 'und' END AS pred_lang,
+       |  count(*) AS n_docs
+       |FROM sc GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -1006,7 +1108,11 @@ object LlmQueries {
     "q_text_tokens" -> textTokens,
     "q_text_fingerprint" -> textFingerprint,
     "q_mm_decode" -> mmDecode,
-    "q_mm_frames" -> mmFrames
+    "q_mm_frames" -> mmFrames,
+    "q_dup_spans" -> dupSpans,
+    "q_mixture_weights" -> mixtureWeights,
+    "q_length_trim" -> lengthTrim,
+    "q_lang_confusion" -> langConfusion
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1044,6 +1150,10 @@ object LlmQueries {
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_mm_decode" -> mmDecodeSql,
-    "q_mm_frames" -> mmFramesSql
+    "q_mm_frames" -> mmFramesSql,
+    "q_dup_spans" -> dupSpansSql,
+    "q_mixture_weights" -> mixtureWeightsSql,
+    "q_length_trim" -> lengthTrimSql,
+    "q_lang_confusion" -> langConfusionSql
   )
 }
