@@ -208,6 +208,59 @@ object Similarity {
     scored.withColumn("rank", rn).filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus with the IVF coarse quantizer, then WITHIN each cell
+    * drop every vector that has a lower-id cell-mate above the cosine
+    * threshold — semantically-redundant documents collapse to one
+    * representative even when their text shares no n-grams (the case
+    * MinHash/SimHash can't see).
+    *
+    * Within-cell greedy keep-lowest-id — deliberately NOT a transitive
+    * closure: the paper's formulation dedups inside a cluster only, so
+    * one pairwise pass per cell suffices and no iterative CC runs.
+    * Pairwise work is O(Σ cell²) — the whole point of clustering first;
+    * at scale `numCentroids` grows with the corpus to hold cell sizes
+    * bounded (cells are the unit of parallelism: the self-join keys by
+    * cell, so no pair crosses cells and nothing is O(corpus²)).
+    *
+    * Deterministic end-to-end (lowest-id centroids, exact-fold cosines,
+    * id tie-breaks), so the DuckDB oracle replicates cell assignment and
+    * the drop rule exactly.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      numCentroids: Int = 64
+  ): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    val cents = p.orderBy(col("vid")).limit(numCentroids)
+      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cellRank = row_number().over(
+      Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
+    // localCheckpoint: feeds both sides of the within-cell self-join —
+    // without the barrier the O(corpus × centroids) assignment runs twice.
+    val assigned = p.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", cellRank)
+      .filter(col("crk") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
+      .localCheckpoint(false)
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("b.vid").as("vid"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("vid"))
+      .distinct()
+    // plain keyed anti-join — no broadcast hint (semantic dups are
+    // O(corpus) at web scale; AQE broadcasts when actually small)
+    assigned.join(dropped, Seq("vid"), "left_anti")
+      .select(col("vid"), col("cell"))
+  }
+
   /** Deterministic random-hyperplane weight for plane `p`, dim `j`:
     * integer in [-3, 3]. Same formula is interpolated into the oracle.
     */

@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Corpus cardinality sketching over text content — the corpus-stats
+  * report ("how many distinct n-gram spans does each source contribute?")
+  * that exact `COUNT(DISTINCT ...)` can't afford at 100 TB: distinct
+  * shingles are corpus-sized, so the exact aggregate shuffles the whole
+  * value stream, while the KMV sketch ships O(k) longs per group and
+  * answers within ≈1/√(k−2) relative error. Deterministic given the
+  * hash — the oracle reproduces the sketch exactly (rank-k window over
+  * distinct hashes), unlike HLL-class sketches whose register layouts
+  * are engine-private.
+  */
+object Sketches {
+
+  /** The KMV aggregate as a Column over an `array<bigint>` hash column. */
+  def kmvAgg(hashes: Column, k: Int): Column =
+    Bridge.column(
+      graft.functions.KmvDistinct(Bridge.expression(hashes), k).toAggregateExpression())
+
+  /** Per-group estimated distinct-shingle counts.
+    *
+    * Output per group: `n_mins` (sketch fill, = exact distinct count
+    * while < k), `kth_min` (the k-th order statistic; −1 while the
+    * sketch is unfilled) and `est_distinct` — exact when n_mins < k,
+    * else (k−1)·P / h_k (one IEEE division, oracle-identical).
+    *
+    * Plan shape: ONE hash-aggregate keyed by the group; each task folds
+    * its rows' hash arrays into an O(k) buffer, the exchange carries
+    * ≤k longs per (task, group). No explode, no distinct shuffle.
+    */
+  def distinctShingles(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    val p = graft.functions.StrHash.P
+    val mins = col("mins")
+    docs
+      .groupBy(col(groupCol).as("grp"))
+      .agg(kmvAgg(TextOps.shingleHashes(col(textCol)), k).as("mins"))
+      .select(
+        col("grp"),
+        size(mins).cast("long").as("n_mins"),
+        when(size(mins) === k, element_at(mins, k)).otherwise(lit(-1L)).as("kth_min"),
+        when(size(mins) < k, size(mins).cast("double"))
+          .otherwise(lit((k - 1).toLong * p).cast("double") /
+            element_at(mins, k).cast("double"))
+          .as("est_distinct"))
+  }
+}

@@ -1073,6 +1073,59 @@ object LlmQueries {
        |FROM sc GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
   }
 
+  /** Per-source distinct-shingle cardinality by KMV sketch
+    * (Sketches.distinctShingles, k = 256): bounded O(k) aggregation
+    * state per group; the oracle rebuilds the same order statistics
+    * with a rank window over distinct hashes.
+    */
+  private val KmvK = 256
+
+  val distinctKmv: Q = (s, dir) =>
+    graft.llm.Sketches.distinctShingles(Tables.documents(s, dir), "source", "text", KmvK)
+      .orderBy("grp")
+
+  val distinctKmvSql: String = {
+    val p = TextOps.P
+    s"""WITH $xsCte,
+       |gx AS (SELECT DISTINCT d.source AS grp, x
+       |       FROM (SELECT doc_id, unnest(xh) AS x FROM xs) e
+       |       JOIN documents d USING (doc_id)),
+       |mins AS (SELECT grp, x FROM (
+       |    SELECT grp, x, row_number() OVER (PARTITION BY grp ORDER BY x) AS rk FROM gx)
+       |  WHERE rk <= $KmvK),
+       |agg AS (SELECT grp, count(*) AS n_mins, max(x) AS kth FROM mins GROUP BY grp)
+       |SELECT grp, n_mins,
+       |  CASE WHEN n_mins = $KmvK THEN kth ELSE -1 END AS kth_min,
+       |  CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
+       |       ELSE CAST(${(KmvK - 1).toLong * p} AS DOUBLE) / CAST(kth AS DOUBLE) END AS est_distinct
+       |FROM agg ORDER BY grp""".stripMargin
+  }
+
+  /** SemDeDup semantic dedup (Similarity.semanticDedup): survivors after
+    * dropping, within each IVF cell, every vector with a lower-id
+    * cell-mate at cosine >= 0.4.
+    */
+  val semanticDedup: Q = (s, dir) =>
+    Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        minCosine = 0.4, numCentroids = 64)
+      .orderBy("vid")
+
+  val semanticDedupSql: String =
+    s"""WITH $normCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 64),
+       |rk AS (
+       |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c.cv", 64, "a")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |  FROM n, c),
+       |asg AS (SELECT vid, v, nrm, cell FROM rk WHERE crk = 1),
+       |drp AS (
+       |  SELECT DISTINCT b.vid AS vid
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
+       |  WHERE ${dotSql("a.v", "b.v", 64, "d")} / (a.nrm * b.nrm) >= 0.4)
+       |SELECT s.vid, s.cell FROM asg s
+       |WHERE s.vid NOT IN (SELECT vid FROM drp) ORDER BY vid""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -1112,7 +1165,9 @@ object LlmQueries {
     "q_dup_spans" -> dupSpans,
     "q_mixture_weights" -> mixtureWeights,
     "q_length_trim" -> lengthTrim,
-    "q_lang_confusion" -> langConfusion
+    "q_lang_confusion" -> langConfusion,
+    "q_distinct_kmv" -> distinctKmv,
+    "q_semantic_dedup" -> semanticDedup
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1154,6 +1209,8 @@ object LlmQueries {
     "q_dup_spans" -> dupSpansSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_length_trim" -> lengthTrimSql,
-    "q_lang_confusion" -> langConfusionSql
+    "q_lang_confusion" -> langConfusionSql,
+    "q_distinct_kmv" -> distinctKmvSql,
+    "q_semantic_dedup" -> semanticDedupSql
   )
 }
