@@ -524,6 +524,67 @@ object StreamingFeatures {
         col("sess.end").as("sess_end"), col("s_sum"), col("s_count"))
   }
 
+  /** A document on the ingest stream (content only — the hash is
+    * computed inside [[dedupExactStream]] with the engine-portable
+    * StrHash, so stream and batch agree on bucketing).
+    */
+  final case class StreamDoc(docId: Long, text: String)
+
+  /** [[StreamDoc]] with its content hash attached (public: the encoder's
+    * generated code constructs and reads it).
+    */
+  final case class HashedStreamDoc(docId: Long, text: String, textHash: Long)
+
+  /** Current dedup state of one content group: canonical (first-seen
+    * minimum) doc id + copy count — the streaming row mirroring one
+    * output row of the batch [[graft.llm.Dedup.exact]].
+    */
+  final case class DedupGroup(textHash: Long, canonicalId: Long, nCopies: Long)
+
+  /** Streaming exact dedup — the incremental twin of
+    * [[graft.llm.Dedup.exact]]: documents arrive continuously, each
+    * content group keeps O(1) state (canonical id + count), and every
+    * micro-batch emits the group's updated row. The batch operator
+    * re-aggregates the corpus; this one folds new arrivals into state —
+    * the shape an always-on ingest pipeline runs, where "is this doc a
+    * dup?" must answer per batch, not per corpus rebuild.
+    *
+    * Group key is (hash, text) exactly like the batch operator — the
+    * hash bucketizes, the text guarantees exactness under collisions.
+    * Canonicality is min doc id OVER ARRIVALS SO FAR, so after any
+    * prefix of the stream the emitted table (latest row per group)
+    * equals the batch operator on that prefix — StreamingSpec pins
+    * stream ≡ batch on the real corpus.
+    *
+    * Scale: state per group is two longs plus the group key; Spark
+    * shards groups by hash across executors (same partitioning a batch
+    * hash-aggregate uses). Use `GroupStateTimeout` + a compaction pass
+    * for unbounded corpora where old content can stop competing.
+    */
+  def dedupExactStream(
+      spark: SparkSession,
+      docs: Dataset[StreamDoc]
+  ): Dataset[DedupGroup] = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
+    val hashed = docs
+      .withColumn("textHash",
+        Bridge.column(graft.functions.StrHash(Bridge.expression(col("text")))))
+      .as[HashedStreamDoc]
+    hashed
+      .groupByKey(d => (d.textHash, d.text))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), batch: Iterator[HashedStreamDoc],
+         state: GroupState[DedupGroup]) =>
+          var cur = state.getOption.getOrElse(DedupGroup(key._1, Long.MaxValue, 0L))
+          batch.foreach { d =>
+            cur = DedupGroup(cur.textHash, math.min(cur.canonicalId, d.docId), cur.nCopies + 1)
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
   /** Convenience: run a streaming Dataset built from a MemoryStream (or
     * any source) to completion of available data, collecting to an
     * in-memory table. Used by tests and the local demo.

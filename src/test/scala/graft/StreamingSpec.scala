@@ -358,4 +358,31 @@ class StreamingSpec extends SparkSpec {
       .select("key", "ord").as[(String, Long)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("streaming exact dedup matches batch Dedup.exact on the real corpus") {
+    import graft.streaming.StreamingFeatures.StreamDoc
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (id, t) => StreamDoc(id, t) }
+    // split the corpus across three micro-batches, NOT in id order —
+    // canonicality must converge to the min id regardless of arrival
+    val shuffled = new scala.util.Random(11).shuffle(docs.toSeq)
+    val (b1, rest) = shuffled.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(docs.length / 3)
+    val in = MemoryStream[StreamDoc]
+    in.addData(b1: _*); in.addData(b2: _*); in.addData(b3: _*)
+    val streamed = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.dedupExactStream(spark, in.toDS()), "t_dedup")
+    // Update-mode memory sink appends every emitted revision; the final
+    // state of a group is its last row (nCopies strictly grows)
+    val finalRows = streamed.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2).maxBy(_._2) }
+    val batch = graft.llm.Dedup.exact(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .select("text_hash", "canonical_id", "n_copies")
+      .as[(Long, Long, Long)].collect()
+      .map { case (h, c, n) => h -> ((c, n)) }.toMap
+    assert(finalRows == batch)
+  }
 }
