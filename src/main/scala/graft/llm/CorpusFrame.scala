@@ -90,6 +90,33 @@ final case class CorpusFrame(df: DataFrame, idCol: String, textCol: String) {
   def dedupAgainst(existing: DataFrame, minJaccard: Double): CorpusFrame =
     copy(df = Dedup.dedupAgainst(df, existing, idCol, textCol, minJaccard))
 
+  /** Drop docs more than `maxFraction` composed of spans that also
+    * occur in other documents (Dedup.spanDuplication) — the
+    * span-level cut that catches template/boilerplate text exact and
+    * near dedup both miss (each doc unique as a whole, most of its
+    * content copied).
+    */
+  def filterSpanDup(maxFraction: Double): CorpusFrame = {
+    val dupped = Dedup.spanDuplication(df, idCol, textCol)
+      .filter(col("dup_fraction") > maxFraction)
+      .select(col("doc").as(idCol))
+    copy(df = df.join(dupped, Seq(idCol), "left_anti"))
+  }
+
+  /** Per-group length-outlier tail cut
+    * (TextAnalysis.trimLengthOutliers): drop each group's shortest
+    * `loPermille`/1000 and longest `hiPermille`/1000 docs by length
+    * rank.
+    */
+  def trimLengthOutliers(
+      groupCol: String,
+      lenCol: String,
+      loPermille: Int,
+      hiPermille: Int
+  ): CorpusFrame =
+    copy(df = TextAnalysis.trimLengthOutliers(
+      df, groupCol, lenCol, idCol, loPermille, hiPermille))
+
   /** Stable hash-based train/val/test assignment
     * (TextAnalysis.assignSplit); adds `split_bucket` + `split`.
     */

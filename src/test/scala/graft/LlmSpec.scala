@@ -213,6 +213,38 @@ class LlmSpec extends SparkSpec {
     assert(manifest.select("doc").distinct().count() == ns)
   }
 
+  test("CorpusFrame: span-dup filter and length trimming drop exactly the flagged docs") {
+    import graft.llm.CorpusFrame
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val frame = CorpusFrame(corpus, "doc_id", "text")
+
+    // span-dup filter ≡ anti-join of the profile above the threshold
+    val kept = frame.filterSpanDup(maxFraction = 0.8).df
+    val flagged = graft.llm.Dedup.spanDuplication(corpus, "doc_id", "text")
+      .filter(col("dup_fraction") > 0.8).count()
+    assert(kept.count() == corpus.count() - flagged)
+    assert(flagged > 0, "corpus should contain heavily-duplicated docs")
+
+    // trimming drops ~20% per source and keeps interior ranks only
+    val trimmed = frame.trimLengthOutliers("source", "n_chars", 100, 100).df
+    val perSource = corpus.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPer = trimmed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      val lo = n * 100 / 1000
+      assert(keptPer(src) == n - 2 * lo, s"$src: expected ${n - 2 * lo}, got ${keptPer(src)}")
+    }
+    // survivors' length range sits inside the dropped extremes
+    val srcMin = corpus.groupBy("source").agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+    val kr = trimmed.groupBy("source").agg(min("n_chars").as("kmn"), max("n_chars").as("kmx"))
+    val joined = srcMin.join(kr, "source").collect()
+    joined.foreach { r =>
+      assert(r.getAs[Long]("kmn") >= r.getAs[Long]("mn"))
+      assert(r.getAs[Long]("kmx") <= r.getAs[Long]("mx"))
+    }
+  }
+
   test("multimodal: binary plumbing round-trips byte stats; frames fan out") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")

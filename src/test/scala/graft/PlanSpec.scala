@@ -142,4 +142,41 @@ class PlanSpec extends SparkSpec {
         s"df join must degrade to a shuffle join when not broadcastable:\n$plan")
     }
   }
+
+  test("KMV sketch: partial aggregation below the exchange, 2-column scan") {
+    val plan = planOf(
+      graft.llm.Sketches.distinctShingles(Tables.documents(spark, dir), "source", "text", 64))
+    // the whole point of the sketch: each task folds its partition into
+    // an O(k) buffer and the shuffle carries sketches, not values
+    assert(plan.contains("partial_graft_kmv_distinct"),
+      s"map-side partial sketch must run below the exchange:\n$plan")
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_graft_kmv_distinct")
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      "partial sketch must sit below (after in plan text) the hash exchange")
+    assert(plan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"only text+source may be read:\n$plan")
+  }
+
+  test("spanDuplication: df join is NOT hint-broadcast (span vocabulary is corpus-sized)") {
+    withNoAutoBroadcast {
+      import spark.implicits._
+      val docs = Seq((1L, "x y z w"), (2L, "x y z q")).toDF("doc_id", "text")
+      val plan = planOf(graft.llm.Dedup.spanDuplication(docs, "doc_id", "text"))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"span-frequency join must shuffle at scale:\n$plan")
+    }
+  }
+
+  test("semanticDedup: survivor anti-join is NOT hint-broadcast") {
+    withNoAutoBroadcast {
+      val plan = planOf(graft.llm.Similarity.semanticDedup(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4, 8))
+      // the centroid broadcast is the one legitimate hint (constant-size);
+      // the dropped-id anti-join must not carry one
+      assert(!plan.matches("(?s).*Broadcast\\w*Join[^\\n]*LeftAnti.*"),
+        s"semantic dups are O(corpus) — anti-join must shuffle:\n$plan")
+      assert(plan.contains("LeftAnti"), s"anti-join must survive:\n$plan")
+    }
+  }
 }
