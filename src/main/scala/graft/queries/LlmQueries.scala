@@ -1126,6 +1126,55 @@ object LlmQueries {
        |SELECT s.vid, s.cell FROM asg s
        |WHERE s.vid NOT IN (SELECT vid FROM drp) ORDER BY vid""".stripMargin
 
+  /** BPE merge learning (Bpe.learnMerges): 6 tokenizer merges from the
+    * corpus word frequencies. The oracle replays every iteration — pair
+    * counting, (count desc, l, r) argmax, greedy merge via replace on
+    * the double-spaced encoding — so the learned model hash-matches.
+    */
+  private val BpeSteps = 6
+
+  val bpeMerges: Q = (s, dir) =>
+    graft.llm.Bpe.learnMerges(s, Tables.documents(s, dir), "text", BpeSteps)
+      .orderBy("step")
+
+  val bpeMergesSql: String = {
+    val base =
+      s"""wf AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |s0 AS (SELECT freq,
+         |  '  ' || list_reduce(
+         |    list_transform(range(1, length(w)+1), ci -> substring(w, CAST(ci AS INT), 1)),
+         |    (ca, cb) -> ca || '  ' || cb) || '  ' AS sp
+         |  FROM wf)""".stripMargin
+    val steps = (1 to BpeSteps).map { k =>
+      s"""p$k AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(syms)), pj -> syms[CAST(pj AS INT)])) AS l,
+         |      unnest(list_transform(range(1, len(syms)), pj -> syms[CAST(pj+1 AS INT)])) AS r
+         |    FROM (SELECT freq, list_filter(string_split(sp, ' '), sx -> sx <> '') AS syms
+         |          FROM s${k - 1}))
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, cnt FROM (
+         |    SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk FROM p$k)
+         |  WHERE rk = 1),
+         |s$k AS (SELECT freq,
+         |  replace(sp, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS sp
+         |  FROM s${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }
+    val union = (1 to BpeSteps)
+      .map(k => s"""SELECT CAST($k AS BIGINT) AS step, l AS "left", r AS "right", cnt AS pair_count FROM b$k""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $base,
+       |${steps.mkString(",\n")}
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -1167,7 +1216,8 @@ object LlmQueries {
     "q_length_trim" -> lengthTrim,
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
-    "q_semantic_dedup" -> semanticDedup
+    "q_semantic_dedup" -> semanticDedup,
+    "q_bpe_merges" -> bpeMerges
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1211,6 +1261,7 @@ object LlmQueries {
     "q_length_trim" -> lengthTrimSql,
     "q_lang_confusion" -> langConfusionSql,
     "q_distinct_kmv" -> distinctKmvSql,
-    "q_semantic_dedup" -> semanticDedupSql
+    "q_semantic_dedup" -> semanticDedupSql,
+    "q_bpe_merges" -> bpeMergesSql
   )
 }
