@@ -1137,14 +1137,18 @@ object LlmQueries {
     graft.llm.Bpe.learnMerges(s, Tables.documents(s, dir), "text", BpeSteps)
       .orderBy("step")
 
-  val bpeMergesSql: String = {
+  /** The BPE training replay as CTEs: `s{k}` holds (w, freq, sp) after
+    * k merges, `b{k}` the k-th learned pair — shared by the merge-table
+    * oracle and the model-application (token count) oracle.
+    */
+  private val bpeCtes: String = {
     val base =
       s"""wf AS (
          |  SELECT w, count(*) AS freq FROM (
          |    SELECT unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS w
          |    FROM documents)
          |  GROUP BY w),
-         |s0 AS (SELECT freq,
+         |s0 AS (SELECT w, freq,
          |  '  ' || list_reduce(
          |    list_transform(range(1, length(w)+1), ci -> substring(w, CAST(ci AS INT), 1)),
          |    (ca, cb) -> ca || '  ' || cb) || '  ' AS sp
@@ -1161,19 +1165,44 @@ object LlmQueries {
          |b$k AS (SELECT l, r, cnt FROM (
          |    SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk FROM p$k)
          |  WHERE rk = 1),
-         |s$k AS (SELECT freq,
+         |s$k AS (SELECT w, freq,
          |  replace(sp, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS sp
          |  FROM s${k - 1} CROSS JOIN b$k b)""".stripMargin
     }
+    s"""$base,
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
     val union = (1 to BpeSteps)
       .map(k => s"""SELECT CAST($k AS BIGINT) AS step, l AS "left", r AS "right", cnt AS pair_count FROM b$k""")
       .mkString("\n  UNION ALL ")
-    s"""WITH $base,
-       |${steps.mkString(",\n")}
+    s"""WITH $bpeCtes
        |SELECT * FROM (
        |  $union)
        |ORDER BY step""".stripMargin
   }
+
+  /** Trained-tokenizer token counts (Bpe.tokenCount with the 6 learned
+    * merges): the per-doc count after replaying the model — the number
+    * sequence packing and budget math would actually use.
+    */
+  val bpeTokens: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.llm.Bpe.learnMerges(s, docs, "text", BpeSteps)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.llm.Bpe.tokenCount(docs, "doc_id", "text", merges).orderBy("doc")
+  }
+
+  val bpeTokensSql: String =
+    s"""WITH $bpeCtes
+       |SELECT doc_id AS doc,
+       |  CAST(sum(len(list_filter(string_split(s.sp, ' '), sx -> sx <> ''))) AS BIGINT) AS bpe_tokens
+       |FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS w
+       |      FROM documents) d
+       |JOIN s$BpeSteps s USING (w)
+       |GROUP BY doc_id ORDER BY doc""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
@@ -1217,7 +1246,8 @@ object LlmQueries {
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
     "q_semantic_dedup" -> semanticDedup,
-    "q_bpe_merges" -> bpeMerges
+    "q_bpe_merges" -> bpeMerges,
+    "q_bpe_tokens" -> bpeTokens
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1262,6 +1292,7 @@ object LlmQueries {
     "q_lang_confusion" -> langConfusionSql,
     "q_distinct_kmv" -> distinctKmvSql,
     "q_semantic_dedup" -> semanticDedupSql,
-    "q_bpe_merges" -> bpeMergesSql
+    "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_tokens" -> bpeTokensSql
   )
 }
