@@ -47,6 +47,18 @@ object Bpe {
       array_join(transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1))), "  "),
       lit("  "))
 
+  /** Literal (non-regex) replace — the catalyst StringReplace
+    * expression: left-to-right, non-overlapping, scan continues after
+    * each replacement. EXACTLY DuckDB's `replace`, which is what the
+    * oracle replays; also codegen'd with no regex machinery on the
+    * per-word hot path.
+    */
+  private def replaceLit(src: Column, search: String, repl: String): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, StringReplace}
+    Bridge.column(StringReplace(Bridge.expression(src), Literal(search), Literal(repl)))
+  }
+
   /** Adjacent symbol pairs of a spaced encoding, as (l, r) structs;
     * empty for single-symbol words (guarded — `sequence` would count
     * backwards on a negative range).
@@ -92,30 +104,45 @@ object Bpe {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(step.toLong, l, r, cnt)
         cur = cur
-          .withColumn("sp",
-            regexp_replace(col("sp"), lit(java.util.regex.Pattern.quote(s" $l  $r ")),
-              lit(java.util.regex.Matcher.quoteReplacement(s" $l$r "))))
+          .withColumn("sp", replaceLit(col("sp"), s" $l  $r ", s" $l$r "))
           .localCheckpoint(false)
         step += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("step", "left", "right", "pair_count")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    val rows: java.util.List[Row] =
+      java.util.Arrays.asList(merges.toSeq.map(m => Row(m.step, m.left, m.right, m.pairCount)): _*)
+    spark.createDataFrame(rows, schema)
   }
 
   /** Segment words with a learned merge table: replay the merges in
     * order over the spaced encoding and count surviving symbols — the
     * trained-tokenizer token count per document.
+    *
+    * The merge chain runs per DISTINCT word (the vocabulary), not per
+    * word occurrence: per-(doc, word) counts aggregate first (map-side
+    * combine), the vocabulary segments once, and a word-keyed join
+    * carries the symbol count back — at web scale that is billions of
+    * occurrences saved per merge step. No broadcast hint on the vocab
+    * join (vocabularies are unbounded; AQE broadcasts small ones).
     */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val perWord = merges.foldLeft(spacedChars(col("w"))) { case (sp, (l, r)) =>
-      regexp_replace(sp, lit(java.util.regex.Pattern.quote(s" $l  $r ")),
-        lit(java.util.regex.Matcher.quoteReplacement(s" $l$r ")))
+      replaceLit(sp, s" $l  $r ", s" $l$r ")
     }
-    docs
+    val tf = docs
       .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("w"))
-      .select(col("doc"), size(filter(split(perWord, " "), x => x =!= "")).cast("long").as("n"))
+      .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.select(col("w")).distinct()
+      .withColumn("n", size(filter(split(perWord, " "), x => x =!= "")).cast("long"))
+    tf.join(vocab, "w")
       .groupBy(col("doc"))
-      .agg(sum(col("n")).as("bpe_tokens"))
+      .agg(sum(col("tf") * col("n")).as("bpe_tokens"))
   }
 }
