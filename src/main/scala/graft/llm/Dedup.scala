@@ -335,6 +335,49 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Broder containment pairs — the asymmetric near-dup measure:
+    * containment(A in B) = |A∩B| / |A| over distinct shingle sets. A
+    * short doc wholly quoted inside a long one scores ~1.0 here while
+    * its JACCARD stays tiny (the union is dominated by the long doc) —
+    * the case [[jaccardPairs]] structurally cannot flag. Same shuffle
+    * shape as jaccardPairs (shingle-keyed self-join with the optional
+    * doc-frequency skew cap); emits both directions per (a < b) pair
+    * and keeps pairs where either containment reaches `minContainment`.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minContainment: Double,
+      maxShingleDocFreq: Int = 0
+  ): DataFrame = {
+    val raw = docs.select(
+      col(idCol).as("doc"),
+      TextOps.shingleHashes(col(textCol)).as("xs"))
+    val exAll = raw.select(col("doc"), explode(col("xs")).as("x"))
+    val ex0 =
+      if (maxShingleDocFreq <= 0) exAll
+      else {
+        val freq = exAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDocFreq).select(col("x"))
+        exAll.join(freq, "x")
+      }
+    val ex = ex0.localCheckpoint(false) // feeds the size lookup and both join sides
+    val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.x") === col("b.x") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter").cast("double") / col("n_a").cast("double")).as("cont_a"),
+        (col("inter").cast("double") / col("n_b").cast("double")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+  }
+
   /** Train/eval decontamination — the benchmark-leakage check a training
     * pipeline runs before export: for every training doc, the fraction
     * of its distinct shingles that appear ANYWHERE in the eval corpus.

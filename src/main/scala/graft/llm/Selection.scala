@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Budget-constrained corpus selection: keep the best documents, by a
+  * deterministic ranking, until a token budget fills — the "select B
+  * tokens of training data" step a pretraining pipeline runs after
+  * scoring (greedy prefix selection in rank order, not a knapsack: the
+  * first doc that would overflow is dropped and selection continues
+  * with nothing — the budget is a prefix cut, documented and mirrored
+  * by the oracle).
+  *
+  * The naive formulation is a cumulative sum over ONE global window —
+  * a single-partition WindowExec that serializes the whole corpus
+  * through one task. [[selectByBudget]] instead computes the exact
+  * same global cumsum in two passes: range-repartition on the rank
+  * order + in-partition sort, per-partition token totals to the driver
+  * (one long per partition — control-plane), then each partition's
+  * prefix sums offset by the totals of the partitions ranked before
+  * it. Partition boundaries come from range sampling and are NOT
+  * deterministic — but the cumsum they compute is: every doc's global
+  * prefix total depends only on the (rank, id) order, so the SELECTED
+  * SET is exact and engine-reproducible (SelectionSpec pins equality
+  * with the naive window on a real corpus).
+  */
+object Selection {
+
+  /** Docs whose cumulative token count, in (rankCol desc, id asc)
+    * order, stays within `budgetTokens`. Output: id, the rank column,
+    * `tokens`, and `cum_tokens` (the doc's inclusive prefix total).
+    *
+    * @param rankCol  quality/score column — quantize it (round / cast
+    *                 decimal) BEFORE calling if it comes from float
+    *                 arithmetic, so cross-engine ordering is stable
+    */
+  def selectByBudget(
+      docs: DataFrame,
+      idCol: String,
+      rankCol: String,
+      tokensCol: Column,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val base = docs.select(col(idCol), col(rankCol), tokensCol.cast("long").as("tokens"))
+    val parts = math.max(base.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    // stable materialization: the partition ids used for the offset
+    // lookup MUST be the ones the final pass reads
+    val sorted = base
+      .repartitionByRange(parts, col(rankCol).desc, col(idCol))
+      .sortWithinPartitions(col(rankCol).desc, col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    // one long per partition — control-plane sized at any corpus scale
+    val partTotals = sorted.groupBy(col("pid")).agg(sum(col("tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).map { p =>
+      (p, (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum)
+    }.toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("pid") === p, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("pid")).orderBy(col(rankCol).desc, col(idCol))
+    sorted
+      .withColumn("cum_tokens", sum(col("tokens")).over(w) + offCol)
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col(rankCol), col("tokens"), col("cum_tokens"))
+  }
+}

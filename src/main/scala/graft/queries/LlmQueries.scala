@@ -1204,6 +1204,75 @@ object LlmQueries {
        |JOIN s$BpeSteps s USING (w)
        |GROUP BY doc_id ORDER BY doc""".stripMargin
 
+  /** Broder containment pairs (Dedup.containmentPairs, cap 20): the
+    * asymmetric partial-copy detector — flags pairs where either doc's
+    * shingle set is ≥80% inside the other, regardless of Jaccard.
+    */
+  val containmentPairs: Q = (s, dir) =>
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        minContainment = 0.8, maxShingleDocFreq = 20)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+
+  val containmentPairsSql: String =
+    s"""WITH $xsCte,
+       |exall AS (SELECT doc_id, unnest(xh) AS x FROM xs),
+       |freq AS (SELECT x FROM (SELECT x, count(*) AS df FROM exall GROUP BY x) WHERE df <= 20),
+       |ex AS (SELECT doc_id, exall.x AS x FROM exall JOIN freq USING (x)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  round(cont_a, 6) AS cont_a, round(cont_b, 6) AS cont_b FROM (
+       |  SELECT doc_a, doc_b, inter,
+       |    CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+       |    CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |WHERE greatest(cont_a, cont_b) >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Token-budget corpus selection (Selection.selectByBudget): the
+    * highest-quality docs until 20k tokens (≈half the sf0.01 corpus,
+    * so the cut is exercised at the correctness scale) — exact global
+    * prefix cut computed by the two-pass distributed cumsum.
+    */
+  val selectBudget: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("quality_score"))
+    val joined = docs.select(col("doc_id"), col("text")).join(q, "doc_id")
+    graft.llm.Selection.selectByBudget(
+        joined, "doc_id", "quality_score",
+        size(TextOps.words(col("text"))), budgetTokens = 20000L)
+      .orderBy("doc_id")
+  }
+
+  val selectBudgetSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""WITH wt AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |j AS (
+       |  SELECT doc_id,
+       |    round(CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) * 0.4
+       |      + least(CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) / 10.0, 1.0) * 0.3
+       |      + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3, 6)
+       |      AS quality_score,
+       |    CAST(len(ws) AS BIGINT) AS tokens
+       |  FROM wt),
+       |o AS (
+       |  SELECT doc_id, quality_score, tokens,
+       |    CAST(sum(tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM j)
+       |SELECT doc_id, quality_score, tokens, cum_tokens
+       |FROM o WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -1247,7 +1316,9 @@ object LlmQueries {
     "q_distinct_kmv" -> distinctKmv,
     "q_semantic_dedup" -> semanticDedup,
     "q_bpe_merges" -> bpeMerges,
-    "q_bpe_tokens" -> bpeTokens
+    "q_bpe_tokens" -> bpeTokens,
+    "q_containment" -> containmentPairs,
+    "q_select_budget" -> selectBudget
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1293,6 +1364,8 @@ object LlmQueries {
     "q_distinct_kmv" -> distinctKmvSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_bpe_merges" -> bpeMergesSql,
-    "q_bpe_tokens" -> bpeTokensSql
+    "q_bpe_tokens" -> bpeTokensSql,
+    "q_containment" -> containmentPairsSql,
+    "q_select_budget" -> selectBudgetSql
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Selection, TextAnalysis, TextOps}
+
+/** Budget selection: the two-pass distributed cumsum must equal the
+  * naive single-window formulation exactly, and the budget is a prefix
+  * cut (first overflow ends selection even if later docs would fit).
+  */
+class SelectionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("two-pass cumsum selects exactly the naive global-window prefix") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("quality_score"))
+    val joined = docs.select(col("doc_id"), col("text")).join(q, "doc_id")
+    val budget = 10000L
+
+    val fast = Selection.selectByBudget(
+        joined, "doc_id", "quality_score", size(TextOps.words(col("text"))), budget)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+
+    val naive = joined
+      .select(col("doc_id"), col("quality_score"),
+        size(TextOps.words(col("text"))).cast("long").as("tokens"))
+      .withColumn("cum_tokens",
+        sum(col("tokens")).over(Window.orderBy(col("quality_score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+
+    assert(fast.nonEmpty && fast == naive)
+  }
+
+  test("budget is a prefix cut: the first overflow ends selection") {
+    // ranks: a(5), b(4), c(3) — budget 8: a fits (5), b overflows (9),
+    // and c (cum 12) is NOT reconsidered even though 5+3 <= 8
+    val docs = Seq(
+      ("a", 3.0, 5), ("b", 2.0, 4), ("c", 1.0, 3)
+    ).toDF("id", "score", "tok")
+    val kept = Selection.selectByBudget(docs, "id", "score", col("tok"), budgetTokens = 8L)
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("a"))
+  }
+
+  test("exact budget boundary is inclusive") {
+    val docs = Seq(("a", 2.0, 5), ("b", 1.0, 3)).toDF("id", "score", "tok")
+    val kept = Selection.selectByBudget(docs, "id", "score", col("tok"), budgetTokens = 8L)
+      .select("id", "cum_tokens").as[(String, Long)].collect().toMap
+    assert(kept == Map("a" -> 5L, "b" -> 8L))
+  }
+}
