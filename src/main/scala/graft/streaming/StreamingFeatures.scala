@@ -585,6 +585,55 @@ object StreamingFeatures {
       }
   }
 
+  /** Streaming incremental near-dup dedup — the streaming twin of
+    * [[graft.llm.Dedup.minhashAgainstPairs]]: documents arrive
+    * continuously and each is checked against the ACCUMULATED corpus,
+    * whose MinHash signatures are a static table (exactly what a real
+    * pipeline persists between snapshots — K longs per doc).
+    *
+    * Plan: the stream side computes signature + band digests per
+    * micro-batch (pure expressions, no state), probes the static band
+    * table with a stream-static equi-join keyed by (band, digest), and
+    * verifies candidates against full signatures. A pair can collide on
+    * several bands, so matches fold through a stateful
+    * (new_doc, old_doc) aggregation (Update mode; est-Jaccard is
+    * pair-constant, `max` makes the emission idempotent) — state is
+    * O(matched pairs), the flag table itself.
+    *
+    * At scale the static side is a bucketed band table on disk; Spark
+    * reloads it per micro-batch and the join prunes by digest — new
+    * docs never see the corpus, only their band collisions.
+    */
+  def dedupAgainstStream(
+      spark: SparkSession,
+      docs: Dataset[StreamDoc],
+      existingDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double
+  ): DataFrame = {
+    import graft.llm.TextOps
+    val oldSigs = existingDocs
+      .select(col(idCol).as("old_doc"),
+        TextOps.minhashSignature(TextOps.shingleHashes(col(textCol))).as("old_sig"))
+      .localCheckpoint(false) // computed once, probed every micro-batch
+    val oldBands = oldSigs
+      .select(col("old_doc"), col("old_sig"),
+        posexplode(TextOps.bandDigests(col("old_sig"))).as(Seq("band", "digest")))
+    val newBands = docs.toDF()
+      .select(col("docId").as("new_doc"),
+        TextOps.minhashSignature(TextOps.shingleHashes(col("text"))).as("sig"))
+      .select(col("new_doc"), col("sig"),
+        posexplode(TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
+    newBands
+      .join(oldBands, Seq("band", "digest")) // stream-static join
+      .select(col("new_doc"), col("old_doc"),
+        TextOps.estJaccard(col("sig"), col("old_sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+      .groupBy(col("new_doc"), col("old_doc"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
   /** Convenience: run a streaming Dataset built from a MemoryStream (or
     * any source) to completion of available data, collecting to an
     * in-memory table. Used by tests and the local demo.

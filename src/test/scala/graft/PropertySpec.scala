@@ -176,6 +176,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: mixture weights normalize and allocations never exceed the budget") {
+    forAll2(streamGen, Gen.choose(1000L, 100000L)) { (rows, budget) =>
+      if (rows.nonEmpty) {
+        val docs = rows.map { case (k, i, v) => (k, i, math.abs(v.toLong) + 1) }
+          .toDF("source", "doc_id", "toks")
+        val out = llm.Mixture.temperatureWeights(docs, "source", col("toks"), budget)
+          .collect()
+          .map(r => (r.getAs[String]("grp"), r.getAs[Double]("weight"), r.getAs[Long]("alloc_tokens")))
+        assert(math.abs(out.map(_._2).sum - 1.0) < 1e-9, "weights must normalize")
+        assert(out.map(_._3).sum <= budget, "floor'd allocations must never exceed the budget")
+        assert(out.forall(t => t._2 > 0 && t._3 >= 0))
+      }
+    }
+  }
+
+  test("property: budget selection is the maximal rank-order prefix within budget") {
+    forAll2(streamGen, Gen.choose(5L, 300L)) { (rows, budget) =>
+      if (rows.nonEmpty) {
+        val docs = rows.map { case (k, i, v) => (i, v, (math.abs(v.toLong) % 7) + 1) }
+          .toDF("doc_id", "score", "toks")
+        val kept = llm.Selection.selectByBudget(docs, "doc_id", "score", col("toks"), budget)
+          .select("doc_id").as[Long].collect().toSet
+        // reference: walk rows in (score desc, id) order accumulating
+        val ordered = rows.map { case (_, i, v) => (i, v, (math.abs(v.toLong) % 7) + 1) }
+          .sortBy { case (i, v, _) => (-v, i) }
+        var cum = 0L
+        val want = ordered.takeWhile { case (_, _, t) => { cum += t; cum <= budget } }
+          .map(_._1).toSet
+        assert(kept == want, s"budget=$budget")
+      }
+    }
+  }
+
+  test("property: containment bounds hold and containment >= jaccard per pair") {
+    forAll(streamGen, cases = 3) { rows =>
+      if (rows.nonEmpty) {
+        val docs = rows.map { case (_, i, v) =>
+          (i, s"w${v.toLong % 5} w${(v.toLong + 1) % 5} w${(v.toLong + 2) % 5} w${i % 3} tail")
+        }.toDF("doc_id", "text")
+        val cont = llm.Dedup.containmentPairs(docs, "doc_id", "text", minContainment = 0.0)
+          .select("doc_a", "doc_b", "cont_a", "cont_b")
+          .as[(Long, Long, Double, Double)].collect()
+          .map { case (a, b, ca, cb) => (a, b) -> ((ca, cb)) }.toMap
+        val jac = llm.Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.0)
+          .select("doc_a", "doc_b", "jaccard")
+          .as[(Long, Long, Double)].collect()
+          .map { case (a, b, j) => (a, b) -> j }.toMap
+        assert(cont.keySet == jac.keySet)
+        cont.foreach { case (pair, (ca, cb)) =>
+          assert(ca > 0 && ca <= 1.0 && cb > 0 && cb <= 1.0)
+          val j = jac(pair)
+          assert(ca >= j - 1e-12 && cb >= j - 1e-12,
+            s"containment must dominate jaccard at $pair: $ca/$cb vs $j")
+        }
+      }
+    }
+  }
+
   test("property: keepIncreasing output is strictly increasing per key and keeps the max") {
     forAll(streamGen) { rows =>
       if (rows.nonEmpty) {

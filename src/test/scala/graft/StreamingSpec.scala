@@ -359,6 +359,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming incremental dedup matches batch minhashAgainstPairs") {
+    import graft.streaming.StreamingFeatures.StreamDoc
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val existing = all.filter(col("doc_id") % 2 === 0)
+    val newDocs = all.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (id, t) => StreamDoc(id, t) }
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    val in = MemoryStream[StreamDoc]
+    in.addData(b1: _*); in.addData(b2: _*)
+    val streamed = StreamingFeatures.runToMemory(
+      spark,
+      StreamingFeatures.dedupAgainstStream(
+        spark, in.toDS(), existing, "doc_id", "text", minJaccard = 0.6)
+        .as[(Long, Long, Double)],
+      "t_dedup_against")
+    val got = streamed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.llm.Dedup.minhashAgainstPairs(
+        all.filter(col("doc_id") % 2 === 1), existing, "doc_id", "text", 0.6)
+      .select("new_doc", "old_doc", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty && got == batch)
+  }
+
   test("streaming exact dedup matches batch Dedup.exact on the real corpus") {
     import graft.streaming.StreamingFeatures.StreamDoc
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
