@@ -55,15 +55,24 @@ object Selection {
     // one long per partition — control-plane sized at any corpus scale
     val partTotals = sorted.groupBy(col("pid")).agg(sum(col("tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).map { p =>
+    val offsetRows = (0 until parts).map { p =>
       (p, (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum)
-    }.toMap
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-      when(col("pid") === p, lit(off)).otherwise(acc)
     }
+    // broadcast-joined offsets table, NOT a per-partition when-chain: a
+    // 100 TB sort spans thousands of range partitions, and a
+    // thousand-branch conditional blows up codegen; the join stays a
+    // constant-size broadcast at any partition count
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offsetRows.map { case (p, off) => Row(p, off) }: _*),
+      StructType(Seq(StructField("pid", IntegerType, nullable = false),
+        StructField("p_off", LongType, nullable = false))))
     val w = Window.partitionBy(col("pid")).orderBy(col(rankCol).desc, col(idCol))
     sorted
-      .withColumn("cum_tokens", sum(col("tokens")).over(w) + offCol)
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w) + col("p_off"))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col(rankCol), col("tokens"), col("cum_tokens"))
   }
