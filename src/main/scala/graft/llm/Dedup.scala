@@ -228,8 +228,9 @@ object Dedup {
     * side alone).
     *
     * 100 TB shape: the existing side's signatures are exactly what a
-    * real pipeline PERSISTS between snapshots (K longs per doc) — pass
-    * them in via `existingSigs` to skip recomputing the old corpus; the
+    * real pipeline PERSISTS between snapshots (K longs per doc) — store
+    * [[signatures]] and pass the reloaded table to
+    * [[minhashAgainstSigs]] to skip recomputing the old corpus; the
     * band join is keyed by (band, digest) so new docs only meet existing
     * docs that collide on a band, never all-pairs. Both sides shuffle by
     * digest; no broadcast hint (the existing corpus is the BIG side).
@@ -237,22 +238,28 @@ object Dedup {
     * Output: (new_doc, old_doc, est_jaccard) for every cross pair at or
     * above `minJaccard`.
     */
-  def minhashAgainstPairs(
-      newDocs: DataFrame,
-      existingDocs: DataFrame,
-      idCol: String,
-      textCol: String,
+  /** The per-document MinHash signature table `(doc, sig)` — the
+    * artifact an incremental pipeline PERSISTS between snapshots
+    * (K longs per doc; any connector/parquet sink stores it). Feed it
+    * back through [[minhashAgainstSigs]] to dedup a new snapshot
+    * without recomputing the accumulated corpus.
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc"),
+      TextOps.minhashSignature(TextOps.shingleHashes(col(textCol))).as("sig"))
+
+  /** [[minhashAgainstPairs]] on precomputed signature tables — the
+    * persisted-handoff entry point (pass a reloaded [[signatures]]
+    * table as `oldSigs`).
+    */
+  def minhashAgainstSigs(
+      newSigs: DataFrame,
+      oldSigs: DataFrame,
       minJaccard: Double
   ): DataFrame = {
-    def sigsOf(d: DataFrame) = d
-      .select(
-        col(idCol).as("doc"),
-        TextOps.minhashSignature(TextOps.shingleHashes(col(textCol))).as("sig"))
-      .localCheckpoint(false)
     def bandsOf(s: DataFrame) = s
       .select(col("doc"), posexplode(TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
-    val newSigs = sigsOf(newDocs)
-    val oldSigs = sigsOf(existingDocs)
     val candidates = bandsOf(newSigs).as("a")
       .join(bandsOf(oldSigs).as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest"))
@@ -267,6 +274,18 @@ object Dedup {
         TextOps.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }
+
+  def minhashAgainstPairs(
+      newDocs: DataFrame,
+      existingDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double
+  ): DataFrame =
+    minhashAgainstSigs(
+      signatures(newDocs, idCol, textCol).localCheckpoint(false),
+      signatures(existingDocs, idCol, textCol).localCheckpoint(false),
+      minJaccard)
 
   /** The incremental-ingest dedup API: the new batch minus every doc
     * near-dupping the existing corpus ([[minhashAgainstPairs]] ≥

@@ -245,6 +245,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("persisted-signature handoff: stored sigs reproduce the direct cross-corpus dedup") {
+    import graft.llm.Dedup
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val existing = all.filter(col("doc_id") % 2 === 0)
+    val newDocs = all.filter(col("doc_id") % 2 === 1)
+    // persist the accumulated corpus's signatures (the incremental
+    // handoff artifact), reload, and dedup the new snapshot against it
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    Dedup.signatures(existing, "doc_id", "text").write.mode("overwrite").parquet(sigDir)
+    val reloaded = spark.read.parquet(sigDir)
+    val viaStore = Dedup.minhashAgainstSigs(
+        Dedup.signatures(newDocs, "doc_id", "text"), reloaded, minJaccard = 0.6)
+      .select("new_doc", "old_doc", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.minhashAgainstPairs(newDocs, existing, "doc_id", "text", 0.6)
+      .select("new_doc", "old_doc", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(direct.nonEmpty && viaStore == direct)
+  }
+
   test("multimodal: binary plumbing round-trips byte stats; frames fan out") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")

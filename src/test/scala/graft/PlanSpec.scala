@@ -168,6 +168,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("selectByBudget: range partition + per-pid windows, no single-partition sort") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("score"), col("n_chars"))
+    val plan = planOf(graft.llm.Selection.selectByBudget(
+      docs, "doc_id", "score", col("n_chars"), budgetTokens = 100000L))
+    // the range exchange runs inside the localCheckpoint barrier (it
+    // must: the offsets collect and the final pass need the SAME
+    // partitioning) and surfaces as the ExistingRDD scan
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the sorted partitioning must be materialized once:\n$plan")
+    // the cumsum window must partition by pid — a global-order window
+    // with no PARTITION BY serializes the corpus through one task
+    assert(!plan.matches("(?s).*Window \\[[^\\]]*windowspecdefinition\\(score.*"),
+      s"no window may order globally without a pid partition:\n$plan")
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"the cumsum window must partition by pid:\n$plan")
+  }
+
   test("semanticDedup: survivor anti-join is NOT hint-broadcast") {
     withNoAutoBroadcast {
       val plan = planOf(graft.llm.Similarity.semanticDedup(
