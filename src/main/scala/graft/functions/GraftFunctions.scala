@@ -59,6 +59,13 @@ object GraftFunctions {
         FunctionIdentifier("graft_alpha_count"),
         new ExpressionInfo(classOf[AsciiAlphaCount].getName, "graft_alpha_count"),
         (es: Seq[Expression]) => AsciiAlphaCount(es.head)
+      ),
+      (
+        // an AggregateFunction builder: the analyzer wraps it in an
+        // AggregateExpression on resolution, so SQL `GROUP BY` use works
+        FunctionIdentifier("graft_kmv_distinct"),
+        new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
+        (es: Seq[Expression]) => KmvDistinct(es(0), intLit(es(1), "sketch size k"))
       )
     )
 

@@ -29,4 +29,16 @@ class ExtensionsSpec extends SparkSpec {
       s"expected TopKPerKeyExec in:\n${top.queryExecution.executedPlan}")
     assert(top.select("k", "v").as[(String, Double)].collect().toSet == Set("a" -> 2.0, "b" -> 3.0))
   }
+
+  test("KMV aggregate resolves in SQL (analyzer wraps the AggregateFunction)") {
+    val s2 = Bridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
+    import s2.implicits._
+    Seq(("g", Seq(5L, 1L, 9L)), ("g", Seq(1L, 7L)), ("h", Seq(2L)))
+      .toDF("k", "xs").createOrReplaceTempView("kmv_in")
+    val rows = s2.sql(
+        "SELECT k, graft_kmv_distinct(xs, 2) AS mins FROM kmv_in GROUP BY k ORDER BY k")
+      .as[(String, Seq[Long])].collect().toList
+    // g: distinct {5,1,9,7} -> 2 smallest [1,5]; h: [2]
+    assert(rows == List(("g", Seq(1L, 5L)), ("h", Seq(2L))), s"got $rows")
+  }
 }
