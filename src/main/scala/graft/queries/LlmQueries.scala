@@ -1273,6 +1273,83 @@ object LlmQueries {
        |FROM o WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
   }
 
+  /** Round-4 composite curation chain — the NEW stages composed end to
+    * end under one oracle: per-source length trimming → span-dup
+    * filter (drop docs >80% copied spans, df computed over the TRIMMED
+    * corpus) → quality-ranked 15k-token budget selection → per-source
+    * survivor stats. Exercises CorpusFrame.trimLengthOutliers /
+    * filterSpanDup / Selection.selectByBudget as one lazy pipeline.
+    */
+  val curationSelect: Q = (s, dir) => {
+    val frame = graft.llm.CorpusFrame(Tables.documents(s, dir), "doc_id", "text")
+      .trimLengthOutliers("source", "n_chars", 100, 100)
+      .filterSpanDup(maxFraction = 0.8)
+    val kept = frame.df
+    val q = TextAnalysis.quality(kept, "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("quality_score"))
+    val selected = graft.llm.Selection.selectByBudget(
+      kept.select(col("doc_id"), col("text")).join(q, "doc_id"),
+      "doc_id", "quality_score", size(TextOps.words(col("text"))), budgetTokens = 15000L)
+    kept.select(col("doc_id"), col("source"))
+      .join(selected.select(col("doc_id"), col("tokens")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source")
+  }
+
+  val curationSelectSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""WITH rr AS (
+       |  SELECT doc_id, source, text, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM documents),
+       |trimmed AS (
+       |  SELECT doc_id, source, text FROM rr
+       |  WHERE rk > (n * 100) // 1000 AND rk <= n - (n * 100) // 1000),
+       |twt AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM trimmed),
+       |tsh AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+       |    ELSE list_transform(range(1, len(ws)-1),
+       |      si -> ws[CAST(si AS INT)] || ' ' || ws[CAST(si+1 AS INT)] || ' ' || ws[CAST(si+2 AS INT)]) END AS sg
+       |  FROM twt),
+       |txs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sg, sgv -> ${strhashSql("sgv", "h")})) AS xh
+       |  FROM tsh),
+       |tex AS (SELECT doc_id, unnest(xh) AS x FROM txs),
+       |tdf AS (SELECT x, count(*) AS df FROM tex GROUP BY x),
+       |dupf AS (
+       |  SELECT tex.doc_id AS doc_id,
+       |    CAST(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS dup_fraction
+       |  FROM tex JOIN tdf USING (x) GROUP BY tex.doc_id),
+       |kept AS (
+       |  SELECT t.doc_id, t.source, t.text, w.ws FROM trimmed t
+       |  JOIN twt w ON w.doc_id = t.doc_id
+       |  JOIN dupf f ON f.doc_id = t.doc_id
+       |  WHERE f.dup_fraction <= 0.8),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    round(CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) * 0.4
+       |      + least(CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) / 10.0, 1.0) * 0.3
+       |      + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3, 6)
+       |      AS quality_score,
+       |    CAST(len(ws) AS BIGINT) AS tokens
+       |  FROM kept),
+       |sel AS (
+       |  SELECT doc_id, source, tokens,
+       |    CAST(sum(tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM scored)
+       |SELECT source, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+       |  min(doc_id) AS first_doc
+       |FROM sel WHERE cum_tokens <= 15000
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -1318,7 +1395,8 @@ object LlmQueries {
     "q_bpe_merges" -> bpeMerges,
     "q_bpe_tokens" -> bpeTokens,
     "q_containment" -> containmentPairs,
-    "q_select_budget" -> selectBudget
+    "q_select_budget" -> selectBudget,
+    "q_curation_select" -> curationSelect
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1366,6 +1444,7 @@ object LlmQueries {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokens" -> bpeTokensSql,
     "q_containment" -> containmentPairsSql,
-    "q_select_budget" -> selectBudgetSql
+    "q_select_budget" -> selectBudgetSql,
+    "q_curation_select" -> curationSelectSql
   )
 }
