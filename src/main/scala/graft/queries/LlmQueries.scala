@@ -1350,6 +1350,111 @@ object LlmQueries {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Boilerplate-span discovery: the 20 most document-frequent shingle
+    * spans (the candidates a template/boilerplate filter would strip).
+    * Explode + count with map-side combine, global top-k via
+    * TakeOrderedAndProject — no full sort; ties break by hash.
+    */
+  val boilerplate: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.shingleHashes(col("text"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("x"))
+      .limit(20)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("x"))).cast("long").as("rank"),
+        col("x"), col("df"))
+
+  val boilerplateSql: String =
+    s"""WITH $xsCte,
+       |ex AS (SELECT doc_id, unnest(xh) AS x FROM xs),
+       |dfq AS (SELECT x, count(*) AS df FROM ex GROUP BY x)
+       |SELECT rank, x, df FROM (
+       |  SELECT x, df, row_number() OVER (ORDER BY df DESC, x) AS rank FROM dfq)
+       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** Curation funnel — the per-stage survivor counts of the
+    * [[curationSelect]] chain (raw → trimmed → span-filtered →
+    * budget-selected): the observability row a pipeline prints per run.
+    * Each stage count is one action over the same lazy chain.
+    */
+  val curationFunnel: Q = (s, dir) => {
+    val raw = Tables.documents(s, dir)
+    val trimmed = graft.llm.CorpusFrame(raw, "doc_id", "text")
+      .trimLengthOutliers("source", "n_chars", 100, 100)
+    val spanned = trimmed.filterSpanDup(maxFraction = 0.8)
+    val q = TextAnalysis.quality(spanned.df, "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("quality_score"))
+    val selected = graft.llm.Selection.selectByBudget(
+      spanned.df.select(col("doc_id"), col("text")).join(q, "doc_id"),
+      "doc_id", "quality_score", size(TextOps.words(col("text"))), budgetTokens = 15000L)
+    val stages = Seq(
+      ("1_raw", raw.select(col("doc_id"))),
+      ("2_trimmed", trimmed.df.select(col("doc_id"))),
+      ("3_span_filtered", spanned.df.select(col("doc_id"))),
+      ("4_selected", selected.select(col("doc_id"))))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    }.reduce(_.unionByName(_)).orderBy("stage")
+  }
+
+  val curationFunnelSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""WITH rr AS (
+       |  SELECT doc_id, source, text, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM documents),
+       |trimmed AS (
+       |  SELECT doc_id, source, text FROM rr
+       |  WHERE rk > (n * 100) // 1000 AND rk <= n - (n * 100) // 1000),
+       |twt AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM trimmed),
+       |tsh AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+       |    ELSE list_transform(range(1, len(ws)-1),
+       |      si -> ws[CAST(si AS INT)] || ' ' || ws[CAST(si+1 AS INT)] || ' ' || ws[CAST(si+2 AS INT)]) END AS sg
+       |  FROM twt),
+       |txs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sg, sgv -> ${strhashSql("sgv", "h")})) AS xh
+       |  FROM tsh),
+       |tex AS (SELECT doc_id, unnest(xh) AS x FROM txs),
+       |tdf AS (SELECT x, count(*) AS df FROM tex GROUP BY x),
+       |dupf AS (
+       |  SELECT tex.doc_id AS doc_id,
+       |    CAST(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS dup_fraction
+       |  FROM tex JOIN tdf USING (x) GROUP BY tex.doc_id),
+       |kept AS (
+       |  SELECT t.doc_id, w.ws, t.text FROM trimmed t
+       |  JOIN twt w ON w.doc_id = t.doc_id
+       |  JOIN dupf f ON f.doc_id = t.doc_id
+       |  WHERE f.dup_fraction <= 0.8),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) * 0.4
+       |      + least(CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) / 10.0, 1.0) * 0.3
+       |      + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3, 6)
+       |      AS quality_score,
+       |    CAST(len(ws) AS BIGINT) AS tokens
+       |  FROM kept),
+       |sel AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      CAST(sum(tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |    FROM scored)
+       |  WHERE cum_tokens <= 15000)
+       |SELECT stage, n_docs FROM (
+       |  SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+       |  UNION ALL SELECT '2_trimmed', count(*) FROM trimmed
+       |  UNION ALL SELECT '3_span_filtered', count(*) FROM kept
+       |  UNION ALL SELECT '4_selected', count(*) FROM sel)
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -1396,7 +1501,9 @@ object LlmQueries {
     "q_bpe_tokens" -> bpeTokens,
     "q_containment" -> containmentPairs,
     "q_select_budget" -> selectBudget,
-    "q_curation_select" -> curationSelect
+    "q_curation_select" -> curationSelect,
+    "q_boilerplate" -> boilerplate,
+    "q_curation_funnel" -> curationFunnel
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1445,6 +1552,8 @@ object LlmQueries {
     "q_bpe_tokens" -> bpeTokensSql,
     "q_containment" -> containmentPairsSql,
     "q_select_budget" -> selectBudgetSql,
-    "q_curation_select" -> curationSelectSql
+    "q_curation_select" -> curationSelectSql,
+    "q_boilerplate" -> boilerplateSql,
+    "q_curation_funnel" -> curationFunnelSql
   )
 }
