@@ -245,6 +245,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("minhash candidate quality: measured recall/precision vs exact Jaccard") {
+    // ground truth: exact n-gram Jaccard over all pairs (m² — fine at
+    // sf0.001). Measured on this corpus: 28 strong pairs, recall 1.0,
+    // precision 1.0 at the 0.5 floor; pinned with margin so corpus
+    // regeneration can move the numbers without masking a real
+    // parameter regression (K=32, 8×4 bands).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val truth = graft.llm.Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val mh = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val strong = truth.filter(_._2 >= 0.8).keySet
+    assert(strong.nonEmpty, "corpus must contain strong near-dups")
+    val recall = strong.count(mh.contains).toDouble / strong.size
+    val precision = mh.count(p => truth.getOrElse(p, 0.0) >= 0.5).toDouble / math.max(mh.size, 1)
+    assert(recall >= 0.9, s"minhash must recover >=90% of jaccard>=0.8 pairs, got $recall")
+    assert(precision >= 0.9, s">=90% of est>=0.6 pairs must have true jaccard >=0.5, got $precision")
+  }
+
   test("persisted-signature handoff: stored sigs reproduce the direct cross-corpus dedup") {
     import graft.llm.Dedup
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
