@@ -1455,6 +1455,37 @@ object LlmQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Dup-cluster size histogram — the dedup audit summary (how much of
+    * the corpus sits in clusters of what size): connected components
+    * over the minhash pairs, then two small aggregates. At scale both
+    * aggregates are map-side-combined shuffles over O(clustered docs).
+    */
+  val dedupHistogram: Q = (s, dir) =>
+    Dedup.connectedComponents(
+        Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.6),
+        "doc_a", "doc_b")
+      .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+      .orderBy("csize")
+
+  val dedupHistogramSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM mh),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT reach.src, e.dst FROM reach JOIN e ON reach.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |cs AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+       |SELECT csize, count(*) AS n_clusters, CAST(sum(csize) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY csize ORDER BY csize""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -1503,7 +1534,8 @@ object LlmQueries {
     "q_select_budget" -> selectBudget,
     "q_curation_select" -> curationSelect,
     "q_boilerplate" -> boilerplate,
-    "q_curation_funnel" -> curationFunnel
+    "q_curation_funnel" -> curationFunnel,
+    "q_dedup_histogram" -> dedupHistogram
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1554,6 +1586,7 @@ object LlmQueries {
     "q_select_budget" -> selectBudgetSql,
     "q_curation_select" -> curationSelectSql,
     "q_boilerplate" -> boilerplateSql,
-    "q_curation_funnel" -> curationFunnelSql
+    "q_curation_funnel" -> curationFunnelSql,
+    "q_dedup_histogram" -> dedupHistogramSql
   )
 }
