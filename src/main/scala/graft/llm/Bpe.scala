@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Byte-pair-encoding merge learning — tokenizer-vocabulary induction,
   * the step a training-data pipeline runs BEFORE token counting and
@@ -74,6 +75,15 @@ object Bpe {
   /** Learn `nMerges` BPE merges from the corpus. Returns the merge
     * table (step, left, right, pair_count) — the model artifact; stops
     * early if no adjacent pair remains.
+    *
+    * Structural bound: BPE learning is inherently sequential — step k's
+    * pair statistics depend on step k-1's merge — so this runs ONE
+    * Spark job (pair-count aggregate + TakeOrdered(1)) per merge step,
+    * each over the distinct-word table only. At a production 32k-merge
+    * vocabulary that is 32k short driver-coordinated jobs: acceptable
+    * for a rare offline induction run, but not a per-pipeline-run
+    * operator. APPLYING a trained vocabulary has no such bound — see
+    * [[tokenCount]]'s large-vocabulary path.
     */
   def learnMerges(
       spark: SparkSession,
@@ -109,8 +119,6 @@ object Bpe {
         step += 1
       }
     }
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("step", LongType, nullable = false),
       StructField("left", StringType, nullable = false),
@@ -131,18 +139,145 @@ object Bpe {
     * carries the symbol count back — at web scale that is billions of
     * occurrences saved per merge step. No broadcast hint on the vocab
     * join (vocabularies are unbounded; AQE broadcasts small ones).
+    *
+    * Two apply paths, selected by `expressionPathMaxMerges`:
+    *  - small vocabularies fold the merges into a chain of codegen'd
+    *    `StringReplace` expressions (oracle-replayable, zero JVM
+    *    closures on the hot path);
+    *  - beyond the threshold — a production tokenizer has 32k–100k
+    *    merges, and a 32k-deep expression tree blows analysis/codegen
+    *    long before data volume matters — the vocabulary segments via
+    *    a `mapPartitions` greedy merger ([[applyMerges]]) whose cost
+    *    per word is O(len² · log merges) INDEPENDENT of vocabulary
+    *    size, with the merge table broadcast once per executor.
+    * BpeSpec pins the two paths equal (and both equal a driver-side
+    * literal-replace replay) on 500+-merge vocabularies.
     */
-  def tokenCount(docs: DataFrame, idCol: String, textCol: String, merges: Seq[(String, String)]): DataFrame = {
-    val perWord = merges.foldLeft(spacedChars(col("w"))) { case (sp, (l, r)) =>
-      replaceLit(sp, s" $l  $r ", s" $l$r ")
-    }
+  def tokenCount(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      expressionPathMaxMerges: Int = 100
+  ): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("w"))
       .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("tf"))
-    val vocab = tf.select(col("w")).distinct()
-      .withColumn("n", size(filter(split(perWord, " "), x => x =!= "")).cast("long"))
+    val words = tf.select(col("w")).distinct()
+    val vocab =
+      if (merges.size <= expressionPathMaxMerges) {
+        val perWord = merges.foldLeft(spacedChars(col("w"))) { case (sp, (l, r)) =>
+          replaceLit(sp, s" $l  $r ", s" $l$r ")
+        }
+        words.withColumn("n", size(filter(split(perWord, " "), x => x =!= "")).cast("long"))
+      } else segmentedVocab(words, merges)
     tf.join(vocab, "w")
       .groupBy(col("doc"))
       .agg(sum(col("tf") * col("n")).as("bpe_tokens"))
+  }
+
+  /** A word as code-point symbols — the same unit Spark's `substring`
+    * (and the spaced encoding) counts by.
+    */
+  private[graft] def codePointSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Greedy merge replay over a symbol array, EXACTLY equivalent to
+    * folding the merge list into sequential literal replaces on the
+    * double-spaced encoding, but O(len² · log merges) per word instead
+    * of O(merges · len):
+    *
+    * sequential replace applies step k's merge to the word state after
+    * steps 1..k-1 and never revisits earlier steps, so it is the same
+    * as repeatedly taking the SMALLEST step greater than the last
+    * applied one among the pairs currently adjacent in the word (steps
+    * between are no-ops — their pairs are absent — and a merge can
+    * never create its own pair, `l+r ≠ l, l+r ≠ r`, nor resurrect an
+    * already-passed step's effect, because passed steps are filtered by
+    * the `> lastApplied` bound). Each merge within a step is the
+    * left-to-right non-overlapping scan that literal replace performs
+    * (the scan continues AFTER each replacement; the double-space
+    * encoding makes boundary reuse impossible — see class scaladoc).
+    *
+    * The same pair can legitimately recur at several steps (a later
+    * merge can recreate an earlier pair's adjacency, which the learner
+    * may then pick again), so the lookup keeps ALL steps per pair in
+    * ascending order and binary-searches the first one past the bound.
+    */
+  private[graft] def applyMerges(
+      symbols: Array[String],
+      merges: IndexedSeq[(String, String)],
+      stepsOf: Map[(String, String), Array[Int]]
+  ): Array[String] = {
+    // First step of `pair` strictly greater than `bound`, or MaxValue.
+    def firstStepAfter(pair: (String, String), bound: Int): Int =
+      stepsOf.get(pair) match {
+        case None => Int.MaxValue
+        case Some(steps) =>
+          var lo = 0; var hi = steps.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (steps(mid) > bound) hi = mid else lo = mid + 1
+          }
+          if (lo < steps.length) steps(lo) else Int.MaxValue
+      }
+    var cur = symbols
+    var lastApplied = 0
+    var done = false
+    while (!done && cur.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < cur.length - 1) {
+        val s = firstStepAfter((cur(i), cur(i + 1)), lastApplied)
+        if (s < best) best = s
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(best - 1)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < cur.length) {
+          if (j < cur.length - 1 && cur(j) == l && cur(j + 1) == r) { out += l + r; j += 2 }
+          else { out += cur(j); j += 1 }
+        }
+        cur = out.result()
+        lastApplied = best
+      }
+    }
+    cur
+  }
+
+  /** Ascending step list per pair (1-based, duplicates kept). */
+  private[graft] def stepIndex(merges: Seq[(String, String)]): Map[(String, String), Array[Int]] =
+    merges.iterator.zipWithIndex
+      .map { case (p, i) => (p, i + 1) }.toSeq
+      .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sorted.toArray) }
+
+  /** The large-vocabulary apply path: segment each distinct word with
+    * [[applyMerges]] inside `mapPartitions` — merge table broadcast
+    * once per executor, no expression tree, no driver involvement.
+    */
+  private def segmentedVocab(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    val bc = spark.sparkContext.broadcast((merges.toIndexedSeq, stepIndex(merges)))
+    val outSchema = StructType(Seq(
+      StructField("w", StringType, nullable = true),
+      StructField("n", LongType, nullable = false)))
+    words.mapPartitions { it =>
+      val (ms, steps) = bc.value
+      it.map { row =>
+        val w = row.getString(0)
+        Row(w, applyMerges(codePointSymbols(w), ms, steps).length.toLong)
+      }
+    }(Encoders.row(outSchema))
   }
 }

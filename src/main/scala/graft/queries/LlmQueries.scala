@@ -1166,8 +1166,10 @@ object LlmQueries {
          |    SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk FROM p$k)
          |  WHERE rk = 1),
          |s$k AS (SELECT w, freq,
-         |  replace(sp, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS sp
-         |  FROM s${k - 1} CROSS JOIN b$k b)""".stripMargin
+         |  CASE WHEN b.l IS NULL THEN sp
+         |       ELSE replace(sp, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ')
+         |  END AS sp
+         |  FROM s${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
     }
     s"""$base,
        |${steps.mkString(",\n")}""".stripMargin

@@ -50,4 +50,76 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.learnMerges(spark, docs, "text", 5).collect()
     assert(merges.isEmpty)
   }
+
+  /** Driver-side replay of the sequential literal-replace fold — the
+    * semantics both apply paths must reproduce. Java's
+    * `String.replace(CharSequence)` is literal, left-to-right,
+    * non-overlapping, continuing after each replacement: the same
+    * contract as Catalyst StringReplace and DuckDB replace.
+    */
+  private def refCount(word: String, merges: Seq[(String, String)]): Long = {
+    var sp = Bpe.codePointSymbols(word).mkString("  ", "  ", "  ")
+    merges.foreach { case (l, r) => sp = sp.replace(s" $l  $r ", s" $l$r ") }
+    sp.split(" ").count(_.nonEmpty).toLong
+  }
+
+  /** A 600-merge vocabulary with deep chains, duplicate-prone shapes
+    * and plenty of never-matching noise, plus words built from the
+    * same alphabet — deterministic (fixed seed).
+    */
+  private def largeVocabFixture(): (Seq[(String, String)], Seq[String]) = {
+    val rng = new scala.util.Random(42)
+    val alpha = "abcdef".map(_.toString)
+    var grown = alpha.toVector
+    val merges = (1 to 600).map { _ =>
+      val l = grown(rng.nextInt(grown.size))
+      val r = alpha(rng.nextInt(alpha.size))
+      if (rng.nextDouble() < 0.5 && (l + r).length <= 8) grown :+= l + r
+      (l, r)
+    }
+    val words = (1 to 300).map { _ =>
+      (1 to (1 + rng.nextInt(12))).map(_ => alpha(rng.nextInt(alpha.size))).mkString
+    }.distinct
+    (merges, words)
+  }
+
+  test("greedy applyMerges == sequential literal-replace fold on a 600-merge vocabulary") {
+    val (merges, words) = largeVocabFixture()
+    val idx = merges.toIndexedSeq
+    val steps = Bpe.stepIndex(merges)
+    words.foreach { w =>
+      val got = Bpe.applyMerges(Bpe.codePointSymbols(w), idx, steps).length.toLong
+      val want = refCount(w, merges)
+      assert(got == want, s"word '$w': greedy=$got replay=$want")
+    }
+    // the fixture actually merges something (not vacuously equal)
+    assert(words.map(w => refCount(w, merges)).sum <
+      words.map(_.length.toLong).sum)
+  }
+
+  test("large-vocab mapPartitions path == expression path end-to-end") {
+    // Force each path explicitly via the threshold on the SAME small
+    // merge table (the 600-merge chain must never reach codegen).
+    val docs = Seq((1L, "low lower"), (2L, "aaaa"), (3L, "feed beef")).toDF("doc_id", "text")
+    val merges = Seq("l" -> "o", "lo" -> "w", "a" -> "a", "e" -> "e", "f" -> "ee")
+    val viaExpr = Bpe.tokenCount(docs, "doc_id", "text", merges, expressionPathMaxMerges = 100)
+      .orderBy("doc").as[(Long, Long)].collect().toList
+    val viaPart = Bpe.tokenCount(docs, "doc_id", "text", merges, expressionPathMaxMerges = 0)
+      .orderBy("doc").as[(Long, Long)].collect().toList
+    assert(viaExpr == viaPart, s"expr=$viaExpr mapPartitions=$viaPart")
+    assert(viaExpr.nonEmpty && viaExpr.map(_._2).sum > 0)
+  }
+
+  test("tokenCount routes a 600-merge vocabulary through the scalable path") {
+    val (merges, words) = largeVocabFixture()
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    // default threshold (100) routes 600 merges to mapPartitions — this
+    // completing at all is the point (the expression path would nest
+    // 600 StringReplaces); values pinned against the driver replay.
+    val got = Bpe.tokenCount(docs, "doc_id", "text", merges)
+      .orderBy("doc").as[(Long, Long)].collect().toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == refCount(w, merges), s"word '$w'")
+    }
+  }
 }
