@@ -16,21 +16,27 @@ import graft.functions.GraftFunctions.strhash
 object Dedup {
 
   /** Exact dedup: group identical content, keep the smallest doc_id as
-    * canonical. The group key is (hash, full text): the hash bucketizes
-    * (and is the exposed join key), the text guarantees exactness — a
-    * ~2^30-modulus hash alone would merge colliding distinct documents
-    * at billion-doc scale. One hash-aggregate; map-side partial combine
-    * makes shuffle volume O(distinct docs).
+    * canonical. The group key is (strhash, md5): strhash bucketizes
+    * (and is the exposed join key) but its ~2^30 modulus alone would
+    * merge colliding distinct documents from ~40k docs on (birthday
+    * bound); the 128-bit md5 witness makes a cross-document collision
+    * negligible at any corpus size. Crucially the exchange carries only
+    * ~24 bytes/doc of key — grouping by the full text (the previous
+    * exactness witness) would push the entire distinct corpus through
+    * the shuffle, ~100 TB of network at the north-star scale
+    * (PlanSpec pins the exchange schema text-free). One hash-aggregate;
+    * map-side partial combine makes shuffle volume O(distinct docs).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .withColumn("text_hash", strhash(col(textCol)))
-      .groupBy(col("text_hash"), col(textCol))
+      .withColumn("text_md5", md5(col(textCol).cast("binary")))
+      .groupBy(col("text_hash"), col("text_md5"))
       .agg(
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_copies")
       )
-      .drop(textCol)
+      .drop("text_md5")
 
   /** MinHash + LSH near-dup pairs.
     *

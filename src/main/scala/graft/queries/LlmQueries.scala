@@ -56,7 +56,7 @@ object LlmQueries {
   val dedupExactSql: String =
     s"""SELECT ${strhashSql("text", "h")} AS text_hash,
        |  min(doc_id) AS canonical_id, count(*) AS n_copies
-       |FROM documents GROUP BY 1, text ORDER BY text_hash, canonical_id""".stripMargin
+       |FROM documents GROUP BY 1, md5(text) ORDER BY text_hash, canonical_id""".stripMargin
 
   // ----------------------------------------------------- minhash + LSH
 

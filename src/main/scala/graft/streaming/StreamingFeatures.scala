@@ -549,8 +549,10 @@ object StreamingFeatures {
     * the shape an always-on ingest pipeline runs, where "is this doc a
     * dup?" must answer per batch, not per corpus rebuild.
     *
-    * Group key is (hash, text) exactly like the batch operator — the
-    * hash bucketizes, the text guarantees exactness under collisions.
+    * Group key is (strhash, md5) exactly like the batch operator — the
+    * hash bucketizes, the 128-bit md5 witness makes cross-document
+    * collisions negligible WITHOUT keying the state store by full
+    * document text (state stays ~3 longs + 32 hex chars per group).
     * Canonicality is min doc id OVER ARRIVALS SO FAR, so after any
     * prefix of the stream the emitted table (latest row per group)
     * equals the batch operator on that prefix — StreamingSpec pins
@@ -572,7 +574,11 @@ object StreamingFeatures {
         Bridge.column(graft.functions.StrHash(Bridge.expression(col("text")))))
       .as[HashedStreamDoc]
     hashed
-      .groupByKey(d => (d.textHash, d.text))
+      .groupByKey { d =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (d.textHash, dig.map("%02x".format(_)).mkString)
+      }
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (key: (Long, String), batch: Iterator[HashedStreamDoc],
          state: GroupState[DedupGroup]) =>

@@ -187,6 +187,23 @@ class PlanSpec extends SparkSpec {
       s"the cumsum window must partition by pid:\n$plan")
   }
 
+  test("exact dedup: the shuffle carries hashes, never document text") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a"), (2L, "a a"), (3L, "b")).toDF("doc_id", "text")
+    val plan = planOf(graft.llm.Dedup.exact(docs, "doc_id", "text"))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty, s"expected a hash exchange:\n$plan")
+    exchanges.foreach { line =>
+      assert(!line.matches(""".*[(, ]text#\d.*"""),
+        s"the dedup exchange must key on (strhash, md5), not carry corpus text:\n$line")
+    }
+    // partial combine below the exchange keeps shuffle volume O(distinct docs)
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_min")
+    assert(partialIdx > exIdx && exIdx >= 0,
+      s"map-side partial aggregate must sit below the exchange:\n$plan")
+  }
+
   test("semanticDedup: survivor anti-join is NOT hint-broadcast") {
     withNoAutoBroadcast {
       val plan = planOf(graft.llm.Similarity.semanticDedup(
