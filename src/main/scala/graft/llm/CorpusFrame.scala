@@ -139,5 +139,18 @@ final case class CorpusFrame(df: DataFrame, idCol: String, textCol: String) {
       df, idCol, groupCol, size(TextOps.words(col(textCol))), budget)
 
   /** Remaining docs (the curated corpus). */
+  /** Materialize the chain so far (localCheckpoint, lazy-freed).
+    *
+    * Use when the prefix fans out into SEVERAL downstream actions — a
+    * funnel report counting every stage, a stage feeding both a
+    * feature join and a selection — so expensive upstream stages
+    * (span-dup profiling, trimming windows) compute once instead of
+    * once per action. `localCheckpoint(false)`, not `cache()`: the
+    * blocks free when the result is garbage-collected (no unpersist
+    * obligation on callers) and the LogicalRDD is the same
+    * CollapseProject barrier the dedup signature tables rely on.
+    */
+  def materialize(): CorpusFrame = copy(df = df.localCheckpoint(false))
+
   def result: DataFrame = df
 }

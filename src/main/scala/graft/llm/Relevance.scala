@@ -158,9 +158,15 @@ object Relevance {
       .agg(sum(col("s_d")).as("score_sum"), count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score_sum").desc, col("doc"))
       .limit(k)
+      // rank the ≤k survivors without WindowExec: a partitionless
+      // window would log the move-everything-to-one-partition warning
+      // on every run (and Catalyst eliminates foldable partition keys,
+      // so a lit(0) spec degenerates right back). The limit output IS
+      // one tiny partition — re-sort it in place and number the rows.
+      .coalesce(1)
+      .sortWithinPartitions(col("score_sum").desc, col("doc"))
       .select(
-        row_number().over(Window.orderBy(col("score_sum").desc, col("doc")))
-          .cast("long").as("rank"),
+        (monotonically_increasing_id() + 1).cast("long").as("rank"),
         col("doc"), col("n_terms_hit"),
         col("score_sum").cast("double").as("score"))
   }

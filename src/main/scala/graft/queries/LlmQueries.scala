@@ -1363,9 +1363,12 @@ object LlmQueries {
       .groupBy(col("x")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("x"))
       .limit(20)
+      // rank without WindowExec — same warning-free single-partition
+      // numbering as Relevance.bm25's final rank
+      .coalesce(1)
+      .sortWithinPartitions(col("df").desc, col("x"))
       .select(
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").desc, col("x"))).cast("long").as("rank"),
+        (monotonically_increasing_id() + 1).cast("long").as("rank"),
         col("x"), col("df"))
 
   val boilerplateSql: String =
@@ -1379,13 +1382,16 @@ object LlmQueries {
   /** Curation funnel — the per-stage survivor counts of the
     * [[curationSelect]] chain (raw → trimmed → span-filtered →
     * budget-selected): the observability row a pipeline prints per run.
-    * Each stage count is one action over the same lazy chain.
+    * The span-filtered prefix feeds three downstream actions (its own
+    * count, the quality join, the budget selection), so it
+    * materializes once ([[graft.llm.CorpusFrame.materialize]]) instead
+    * of re-running trim + span-dup profiling per stage count.
     */
   val curationFunnel: Q = (s, dir) => {
     val raw = Tables.documents(s, dir)
     val trimmed = graft.llm.CorpusFrame(raw, "doc_id", "text")
       .trimLengthOutliers("source", "n_chars", 100, 100)
-    val spanned = trimmed.filterSpanDup(maxFraction = 0.8)
+    val spanned = trimmed.filterSpanDup(maxFraction = 0.8).materialize()
     val q = TextAnalysis.quality(spanned.df, "doc_id", "text")
       .select(col("doc").as("doc_id"), col("quality_score"))
     val selected = graft.llm.Selection.selectByBudget(
