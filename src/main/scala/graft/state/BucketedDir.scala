@@ -33,9 +33,11 @@ object BucketedDir {
 
   def bucketName(b: Int): String = f"b$b%05d"
 
-  /** Bucket id of a key — computed with a Spark expression (never
-    * driver-side) so routing is identical everywhere. `xxhash64(null)`
-    * is the seed constant, so null keys route to a fixed bucket.
+  /** Bucket id of a key — the single routing expression every write
+    * uses. Point queries evaluate the SAME expression tree interpreted
+    * on the driver ([[routeKey]]; BucketedSinkSpec pins the two equal
+    * across key types). `xxhash64(null)` is the seed constant, so null
+    * keys route to a fixed bucket.
     */
   def bucketCol(keyCol: String, numBuckets: Int): Column =
     pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
@@ -135,9 +137,15 @@ object BucketedDir {
     VersionedDir.read(spark, new Path(new Path(root), bucketName(bucket)).toString)
 
   /** The bucket a key value routes to, using the table's pinned count
-    * and the SAME Spark expression as writes (`keyType` must be the
-    * stored key column's type — xxhash64 of an int and a long differ).
-    * None if the table was never written.
+    * and the SAME Catalyst expression tree as writes (`keyType` must be
+    * the stored key column's type — xxhash64 of an int and a long
+    * differ). None if the table was never written.
+    *
+    * Evaluated interpreted ON THE DRIVER — the write path's
+    * `pmod(xxhash64(cast(key)), nb)` is a pure expression, so routing a
+    * point query must not launch a one-row Spark job per HTTP hit
+    * (ConnectorSpec pins driver-side ≡ write-path routing across key
+    * types).
     */
   def bucketForKey(
       spark: SparkSession,
@@ -145,11 +153,17 @@ object BucketedDir {
       key: Any,
       keyType: org.apache.spark.sql.types.DataType
   ): Option[Int] =
-    bucketCount(spark, root).map { nb =>
-      spark.range(1)
-        .select(pmod(xxhash64(lit(key).cast(keyType)), lit(nb.toLong)).cast("int").as("b"))
-        .head().getInt(0)
-    }
+    bucketCount(spark, root).map(nb => routeKey(key, keyType, nb))
+
+  /** Driver-side interpreted eval of the write-path routing expression
+    * (`functions.xxhash64` is `XxHash64(_, seed = 42)`; `pmod` keeps the
+    * result non-negative like the write side).
+    */
+  private[graft] def routeKey(key: Any, keyType: org.apache.spark.sql.types.DataType, nb: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
+    Pmod(new XxHash64(Seq(Cast(Literal(key), keyType, Some("UTC")))), Literal(nb.toLong))
+      .eval(null).asInstanceOf[Long].toInt
+  }
 
   /** Merge a keyed batch, rewriting only the buckets its keys hash
     * into. For each touched bucket, `mergeFn(existingBucketRows,

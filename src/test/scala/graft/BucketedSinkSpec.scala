@@ -47,6 +47,39 @@ class BucketedSinkSpec extends SparkSpec {
     // the same Spark expression the writer uses — never a driver-side hash
     df(key -> "x").select(BucketedDir.bucketCol("key", numBuckets)).collect()(0).getInt(0)
 
+  test("driver-side point-query routing == the write-path bucket expression (int/long/string/null)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.IntegerType
+    val nb = 17
+    // longs: extremes, sign boundary, typical ids
+    val longKeys = Seq(Long.MinValue, -987654321L, -1L, 0L, 1L, 42L, 987654321L, Long.MaxValue)
+    spark.createDataFrame(longKeys.map(k => Row(k, "x")).asJava, schema)
+      .select(col("key"), BucketedDir.bucketCol("key", nb).as("b")).collect().foreach { r =>
+        assert(BucketedDir.routeKey(r.getLong(0), LongType, nb) == r.getInt(1),
+          s"long key ${r.getLong(0)}")
+      }
+    // ints hash differently from the same-valued long — keyType matters
+    val intSchema = StructType(Seq(StructField("key", IntegerType, nullable = false)))
+    val intKeys = Seq(Int.MinValue, -7, 0, 7, 42, Int.MaxValue)
+    spark.createDataFrame(intKeys.map(k => Row(k)).asJava, intSchema)
+      .select(col("key"), BucketedDir.bucketCol("key", nb).as("b")).collect().foreach { r =>
+        assert(BucketedDir.routeKey(r.getInt(0), IntegerType, nb) == r.getInt(1),
+          s"int key ${r.getInt(0)}")
+      }
+    // strings: empty, ascii, multi-byte unicode
+    val strSchema = StructType(Seq(StructField("key", StringType, nullable = true)))
+    val strKeys = Seq("", "a", "user:42", "käse", "日本語テキスト", "a" * 300)
+    spark.createDataFrame(strKeys.map(k => Row(k)).asJava, strSchema)
+      .select(col("key"), BucketedDir.bucketCol("key", nb).as("b")).collect().foreach { r =>
+        assert(BucketedDir.routeKey(r.getString(0), StringType, nb) == r.getInt(1),
+          s"string key '${r.getString(0).take(20)}'")
+      }
+    // null key routes to the xxhash64 seed bucket on both paths
+    val nullBucket = spark.createDataFrame(Seq(Row(null)).asJava, strSchema)
+      .select(BucketedDir.bucketCol("key", nb)).collect()(0).getInt(0)
+    assert(BucketedDir.routeKey(null, StringType, nb) == nullBucket, "null key")
+  }
+
   test("merge rewrites only the buckets containing batch keys; others stay byte-identical") {
     val root = tmp()
     val nb = 8
