@@ -68,7 +68,10 @@ case class KmvDistinct(
       val a = arr.asInstanceOf[ArrayData]
       val n = a.numElements()
       var i = 0
-      while (i < n) { insert(buf, a.getLong(i)); i += 1 }
+      // skip null elements: the SQL-registered signature accepts
+      // array<bigint> with nullable elements, and getLong on a null
+      // slot would silently fold a 0 into the order statistics
+      while (i < n) { if (!a.isNullAt(i)) insert(buf, a.getLong(i)); i += 1 }
     }
     buf
   }

@@ -44,15 +44,21 @@ object Mixture {
       .agg(count(lit(1)).as("n_docs"), sum(tokensCol.cast("long")).as("tokens"))
       .withColumn("w_d", round(sqrt(col("tokens").cast("double")), 6).cast("decimal(18,6)"))
     val tot = per.agg(sum(col("w_d")).as("w_tot"))
-    val weight = col("w_d").cast("double") / col("w_tot").cast("double")
+    // zero guards (mirrored in the oracle): a slice whose documents all
+    // have 0 tokens gets weight 0 (not 0/0 = NaN epochs), and an
+    // all-empty corpus (w_tot = 0) gets all-zero weights instead of
+    // NaN propagating into downstream budget math
+    val weight = when(col("w_tot").cast("double") > 0.0,
+      col("w_d").cast("double") / col("w_tot").cast("double")).otherwise(lit(0.0))
+    val alloc = floor(lit(budgetTokens).cast("double") * weight)
     per.crossJoin(broadcast(tot))
       .select(
         col("grp"),
         col("n_docs"),
         col("tokens"),
         weight.as("weight"),
-        floor(lit(budgetTokens).cast("double") * weight).cast("long").as("alloc_tokens"),
-        (floor(lit(budgetTokens).cast("double") * weight) / col("tokens").cast("double"))
-          .as("epochs"))
+        alloc.cast("long").as("alloc_tokens"),
+        when(col("tokens") > 0L, alloc / col("tokens").cast("double"))
+          .otherwise(lit(0.0)).as("epochs"))
   }
 }

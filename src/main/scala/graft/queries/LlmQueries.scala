@@ -1008,13 +1008,16 @@ object LlmQueries {
        |        FROM wt GROUP BY 1),
        |w AS (SELECT grp, n_docs, tokens,
        |        CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w_d FROM per),
-       |tot AS (SELECT sum(w_d) AS w_tot FROM w)
-       |SELECT grp, n_docs, tokens,
-       |  CAST(w_d AS DOUBLE) / CAST(w_tot AS DOUBLE) AS weight,
-       |  CAST(floor(1000000.0 * (CAST(w_d AS DOUBLE) / CAST(w_tot AS DOUBLE))) AS BIGINT) AS alloc_tokens,
-       |  CAST(floor(1000000.0 * (CAST(w_d AS DOUBLE) / CAST(w_tot AS DOUBLE))) AS BIGINT)
-       |    / CAST(tokens AS DOUBLE) AS epochs
-       |FROM w CROSS JOIN tot ORDER BY grp""".stripMargin
+       |tot AS (SELECT sum(w_d) AS w_tot FROM w),
+       |ww AS (SELECT grp, n_docs, tokens,
+       |  CASE WHEN CAST(w_tot AS DOUBLE) > 0 THEN CAST(w_d AS DOUBLE) / CAST(w_tot AS DOUBLE)
+       |       ELSE 0.0 END AS weight
+       |  FROM w CROSS JOIN tot)
+       |SELECT grp, n_docs, tokens, weight,
+       |  CAST(floor(1000000.0 * weight) AS BIGINT) AS alloc_tokens,
+       |  CASE WHEN tokens > 0 THEN floor(1000000.0 * weight) / CAST(tokens AS DOUBLE)
+       |       ELSE 0.0 END AS epochs
+       |FROM ww ORDER BY grp""".stripMargin
 
   /** Per-source survivor stats after trimming each source's shortest and
     * longest 10% of docs by rank (TextAnalysis.trimLengthOutliers —
@@ -1331,8 +1334,8 @@ object LlmQueries {
        |kept AS (
        |  SELECT t.doc_id, t.source, t.text, w.ws FROM trimmed t
        |  JOIN twt w ON w.doc_id = t.doc_id
-       |  JOIN dupf f ON f.doc_id = t.doc_id
-       |  WHERE f.dup_fraction <= 0.8),
+       |  LEFT JOIN dupf f ON f.doc_id = t.doc_id
+       |  WHERE COALESCE(f.dup_fraction, 0) <= 0.8),
        |scored AS (
        |  SELECT doc_id, source,
        |    round(CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) * 0.4
@@ -1438,8 +1441,8 @@ object LlmQueries {
        |kept AS (
        |  SELECT t.doc_id, w.ws, t.text FROM trimmed t
        |  JOIN twt w ON w.doc_id = t.doc_id
-       |  JOIN dupf f ON f.doc_id = t.doc_id
-       |  WHERE f.dup_fraction <= 0.8),
+       |  LEFT JOIN dupf f ON f.doc_id = t.doc_id
+       |  WHERE COALESCE(f.dup_fraction, 0) <= 0.8),
        |scored AS (
        |  SELECT doc_id,
        |    round(CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) * 0.4

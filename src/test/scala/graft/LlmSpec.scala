@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, StrHash}
@@ -243,6 +244,27 @@ class LlmSpec extends SparkSpec {
       assert(r.getAs[Long]("kmn") >= r.getAs[Long]("mn"))
       assert(r.getAs[Long]("kmx") <= r.getAs[Long]("mx"))
     }
+  }
+
+  test("filterSpanDup keeps docs absent from the span profile (NULL text — ADVICE r4)") {
+    import graft.llm.CorpusFrame
+    // doc 3's NULL text yields no shingles: explode drops it from the
+    // profile, so the keep-side anti-join must retain it (the oracles
+    // mirror this with LEFT JOIN + COALESCE(dup_fraction, 0))
+    val rows = Seq(
+      Row(1L, "a b c d e f g"),
+      Row(2L, "a b c d e f g"),
+      Row(3L, null)
+    )
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType, nullable = true)))
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val kept = CorpusFrame(docs, "doc_id", "text").filterSpanDup(maxFraction = 0.8)
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1 and 2 are full span-dups of each other (dup_fraction 1.0 > 0.8)
+    assert(kept == Set(3L), s"got $kept")
   }
 
   test("minhash candidate quality: measured recall/precision vs exact Jaccard") {

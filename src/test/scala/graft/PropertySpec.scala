@@ -191,6 +191,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mixture weights: zero-token slices and empty corpora never produce NaN (ADVICE r4)") {
+    import spark.implicits._
+    // one real slice, one all-zero-token slice
+    val mixed = Seq(("a", 1L, 100L), ("b", 2L, 0L), ("b", 3L, 0L))
+      .toDF("source", "doc_id", "toks")
+    val out = llm.Mixture.temperatureWeights(mixed, "source", col("toks"), 1000L)
+      .orderBy("grp")
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Double]("weight"), r.getAs[Double]("epochs")))
+    assert(out.forall { case (_, w, e) => !w.isNaN && !e.isNaN && !e.isInfinite }, s"got ${out.toList}")
+    assert(out.find(_._1 == "b").exists { case (_, w, e) => w == 0.0 && e == 0.0 })
+    // all slices zero tokens: w_tot = 0 must not divide
+    val empty = Seq(("a", 1L, 0L), ("b", 2L, 0L)).toDF("source", "doc_id", "toks")
+    val out2 = llm.Mixture.temperatureWeights(empty, "source", col("toks"), 1000L)
+      .collect().map(r => (r.getAs[Double]("weight"), r.getAs[Double]("epochs")))
+    assert(out2.forall { case (w, e) => w == 0.0 && e == 0.0 }, s"got ${out2.toList}")
+  }
+
   test("property: budget selection is the maximal rank-order prefix within budget") {
     forAll2(streamGen, Gen.choose(5L, 300L)) { (rows, budget) =>
       if (rows.nonEmpty) {

@@ -36,6 +36,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("null array elements are skipped, not folded in as 0 (ADVICE r4)") {
+    import graft.functions.GraftFunctions
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    s2.range(1).createOrReplaceTempView("one")
+    // with a null slot: the sketch must see {5, 9}, never a phantom 0
+    val withNull = s2.sql(
+      "SELECT graft_kmv_distinct(array(5L, CAST(NULL AS BIGINT), 9L), 4) AS s FROM one")
+      .collect()(0).getSeq[Long](0)
+    val without = s2.sql(
+      "SELECT graft_kmv_distinct(array(5L, 9L), 4) AS s FROM one")
+      .collect()(0).getSeq[Long](0)
+    assert(withNull == without,
+      s"null element changed the sketch: $withNull vs $without")
+  }
+
   test("estimator lands within KMV error bounds of the exact count") {
     val k = 256
     val est = Sketches.distinctShingles(docs, "source", "text", k)
