@@ -31,6 +31,18 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v")
     ).withColumn("nrm", norm(col("v")))
 
+  /** Deterministic constant-size centroid seed: the `n` vectors with
+    * the smallest `strhash(vid)` (vid tiebreak). Hash order is as
+    * reproducible and oracle-mirrorable as an id sort but decorrelated
+    * from ingest order — real-corpus ids encode crawl/source position,
+    * so a lowest-id sample seeds every centroid in the corpus's first
+    * slice; a hash sample spreads seeds uniformly regardless of how ids
+    * were assigned (ADVICE r4 / VERDICT r4 item 6).
+    */
+  private def centroidSample(p: DataFrame, n: Int): DataFrame =
+    p.orderBy(graft.functions.GraftFunctions.strhash(col("vid")), col("vid")).limit(n)
+      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+
   /** Near-duplicate pairs: cosine(a, b) >= minCosine over all pairs.
     *
     * Brute-force formulation (id-inequality join). Correct baseline; the
@@ -107,11 +119,15 @@ object Similarity {
     * (every vector is assigned to its highest-cosine centroid), then
     * each query searches its `nProbe` nearest cells.
     *
-    * The centroid set is FIXED-SIZE — the `numCentroids` lowest-id
-    * corpus vectors — so cell assignment is O(corpus × numCentroids)
-    * with a broadcastable constant-size centroid table, linear in the
-    * corpus. (Round-1 version selected a corpus *fraction* as
-    * centroids, making assignment O(n²/100) — a scale-killer.) K-means
+    * The centroid set is FIXED-SIZE — the `numCentroids` corpus vectors
+    * with the smallest `strhash(vid)` (deterministic and
+    * oracle-mirrorable like an id sort, but DECORRELATED from ingest
+    * order: on real corpora ids encode crawl/source order, so lowest-id
+    * sampling concentrated the seed set in the first slice of the
+    * corpus) — so cell assignment is O(corpus × numCentroids) with a
+    * broadcastable constant-size centroid table, linear in the corpus.
+    * (Round-1 version selected a corpus *fraction* as centroids, making
+    * assignment O(n²/100) — a scale-killer.) K-means
     * refinement is available behind `refineIters` (default 0 = off): it
     * keeps the plan shape but measured on this corpus it REGRESSES
     * recall (0.36 vs 0.40 @4-probe after 4 Lloyd iterations) — the
@@ -144,8 +160,7 @@ object Similarity {
       refineIters: Int = 0
   ): DataFrame = {
     val p = prepared(emb, idCol, vecCol)
-    val cents0 = p.orderBy(col("vid")).limit(numCentroids)
-      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents0 = centroidSample(p, numCentroids)
     // Optional Lloyd refinement (refineIters > 0) — the k-means upgrade
     // for CLUSTERED corpora (flag-gated, default off: measured on this
     // repo's uniform synthetic embeddings it regresses recall, see class
@@ -223,9 +238,9 @@ object Similarity {
     * bounded (cells are the unit of parallelism: the self-join keys by
     * cell, so no pair crosses cells and nothing is O(corpus²)).
     *
-    * Deterministic end-to-end (lowest-id centroids, exact-fold cosines,
-    * id tie-breaks), so the DuckDB oracle replicates cell assignment and
-    * the drop rule exactly.
+    * Deterministic end-to-end (hash-ordered centroid sample — see
+    * [[centroidSample]] — exact-fold cosines, id tie-breaks), so the
+    * DuckDB oracle replicates cell assignment and the drop rule exactly.
     */
   def semanticDedup(
       emb: DataFrame,
@@ -235,8 +250,7 @@ object Similarity {
       numCentroids: Int = 64
   ): DataFrame = {
     val p = prepared(emb, idCol, vecCol)
-    val cents = p.orderBy(col("vid")).limit(numCentroids)
-      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents = centroidSample(p, numCentroids)
     val cellRank = row_number().over(
       Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
     // localCheckpoint: feeds both sides of the within-cell self-join —

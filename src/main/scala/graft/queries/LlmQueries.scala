@@ -444,7 +444,8 @@ object LlmQueries {
 
   val annIvfSql: String =
     s"""WITH $normCte,
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 64),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "ch")}, vec_id LIMIT 64),
        |rk AS (
        |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
        |    row_number() OVER (PARTITION BY n.vec_id
@@ -478,7 +479,8 @@ object LlmQueries {
 
   val annIvfKmeansSql: String =
     s"""WITH $normCte,
-       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 64),
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "ch")}, vec_id LIMIT 64),
        |rk0 AS (
        |  SELECT n.vec_id AS vid, n.v AS v, c0.cid AS cid,
        |    row_number() OVER (PARTITION BY n.vec_id
@@ -1115,7 +1117,8 @@ object LlmQueries {
 
   val semanticDedupSql: String =
     s"""WITH $normCte,
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 64),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "ch")}, vec_id LIMIT 64),
        |rk AS (
        |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
        |    row_number() OVER (PARTITION BY n.vec_id
