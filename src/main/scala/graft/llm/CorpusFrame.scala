@@ -76,6 +76,17 @@ final case class CorpusFrame(df: DataFrame, idCol: String, textCol: String) {
     * set is O(contaminated docs), unbounded on a web corpus — AQE
     * broadcasts at runtime when it is in fact small.
     */
+  /** [[decontaminateAgainst]] with a precomputed / persisted
+    * [[Dedup.evalShingleSet]] — what a per-micro-batch gate reloads
+    * instead of re-shingling the benchmark corpus every batch.
+    */
+  def decontaminateAgainstShingles(evalShingles: DataFrame, maxOverlap: Double): CorpusFrame = {
+    val dirty = Dedup.contaminationAgainstSet(df, evalShingles, idCol, textCol)
+      .filter(col("contamination") >= maxOverlap)
+      .select(col("doc").as(idCol))
+    copy(df = df.join(dirty, Seq(idCol), "left_anti"))
+  }
+
   def decontaminateAgainst(evalDocs: DataFrame, maxOverlap: Double): CorpusFrame = {
     val dirty = Dedup.contamination(df, evalDocs, idCol, textCol)
       .filter(col("contamination") >= maxOverlap)

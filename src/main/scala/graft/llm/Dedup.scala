@@ -418,14 +418,34 @@ object Dedup {
       evalDocs: DataFrame,
       idCol: String,
       textCol: String
+  ): DataFrame =
+    contaminationAgainstSet(train, evalShingleSet(evalDocs, textCol), idCol, textCol)
+
+  /** The persistable decontamination artifact: the DISTINCT shingle-hash
+    * set of an eval benchmark (`x: long`, one row per distinct shingle —
+    * tiny; store it next to the eval assets and reload it per
+    * snapshot/micro-batch instead of re-shingling the benchmark).
+    */
+  def evalShingleSet(evalDocs: DataFrame, textCol: String): DataFrame =
+    evalDocs
+      .select(explode(TextOps.shingleHashes(col(textCol))).as("x"))
+      .distinct()
+
+  /** [[contamination]] against a precomputed / reloaded
+    * [[evalShingleSet]] — the persisted-handoff entry point (what an
+    * always-on ingest gate probes every micro-batch).
+    */
+  def contaminationAgainstSet(
+      train: DataFrame,
+      evalShingles: DataFrame,
+      idCol: String,
+      textCol: String
   ): DataFrame = {
     val ex = train.select(
         col(idCol).as("doc"),
         explode(TextOps.shingleHashes(col(textCol))).as("x"))
       .localCheckpoint(false) // feeds the size lookup and the probe join
-    val evalSet = evalDocs
-      .select(explode(TextOps.shingleHashes(col(textCol))).as("x"))
-      .distinct()
+    val evalSet = evalShingles.select(col("x"))
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val hits = ex.join(broadcast(evalSet), "x")
       .groupBy(col("doc")).agg(count(lit(1)).as("hits"))

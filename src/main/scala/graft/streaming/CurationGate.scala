@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.llm.{CorpusFrame, Dedup}
+import graft.streaming.StreamingFeatures.StreamDoc
+
+/** The streaming curation gate — the always-on counterpart of
+  * [[graft.llm.CorpusFrame]]'s batch chain (reference scope: ralf keeps
+  * feature tables fresh as records arrive, `ralf/operator.py:122-149`;
+  * this is the same eager-maintenance shape for a training-corpus
+  * ingest pipeline).
+  *
+  * Per micro-batch the gate runs the batch curation operators verbatim
+  * ([[gateBatch]]): quality filter → decontamination against a
+  * PERSISTED eval shingle set ([[graft.llm.Dedup.evalShingleSet]]) →
+  * within-batch exact + near dedup → near-dedup against the ACCUMULATED
+  * accepted corpus via the persisted signature-handoff table. Survivors
+  * append to `acceptedDir`; their MinHash signatures append to
+  * `sigDir`, which the NEXT micro-batch reloads as its dedup baseline —
+  * the state the pipeline persists is exactly the K-longs-per-doc
+  * artifact the batch incremental API ([[graft.llm.Dedup.dedupAgainst]])
+  * already hands off between snapshots.
+  *
+  * Scale shape: every stage is the batch operator, so the per-batch
+  * cost profile is the adjudicated one (band-bucketed joins, broadcast
+  * eval set, no all-pairs); the accumulated side enters only through
+  * the (band, digest)-keyed signature join, never as full text. Each
+  * micro-batch writes to a `b<epoch>` subdirectory with overwrite, so a
+  * replayed epoch (restart before offset commit) lands idempotently
+  * instead of double-appending.
+  *
+  * StreamingSpec pins stream ≡ batch: streaming N micro-batches equals
+  * folding [[gateBatch]] over the same slices, and the single-batch
+  * gate equals the literal CorpusFrame chain.
+  */
+object CurationGate {
+
+  /** One micro-batch (or one snapshot — the function is the batch
+    * backfill entry point too) through the curation chain.
+    *
+    * @param batch        (doc_id, text) documents to curate
+    * @param evalShingles reloaded [[graft.llm.Dedup.evalShingleSet]]
+    * @param acceptedSigs reloaded signature table of everything accepted
+    *                     so far (None on the first batch)
+    * @return the accepted documents of this batch
+    */
+  def gateBatch(
+      batch: DataFrame,
+      evalShingles: DataFrame,
+      acceptedSigs: Option[DataFrame],
+      minQuality: Double,
+      maxOverlap: Double,
+      minJaccard: Double
+  ): DataFrame = {
+    val curated = CorpusFrame(batch, "doc_id", "text")
+      .filterQuality(minQuality)
+      .decontaminateAgainstShingles(evalShingles, maxOverlap)
+      .dedupExact()
+      .dedupNear(minJaccard)
+      .df
+    acceptedSigs match {
+      case None => curated
+      case Some(old) =>
+        // the incremental stage: drop batch docs near-dupping anything
+        // already accepted (same anti-join shape as Dedup.dedupAgainst,
+        // on the persisted signatures — no broadcast hint, the
+        // accumulated side is the BIG side at scale)
+        val newSigs = Dedup.signatures(curated, "doc_id", "text").localCheckpoint(false)
+        val matched = Dedup.minhashAgainstSigs(newSigs, old, minJaccard)
+          .select(col("new_doc").as("doc_id"))
+        curated.join(matched, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** Attach the gate to a document stream. `evalShinglesPath` and the
+    * two output roots are parquet directories — the persisted artifacts
+    * a real pipeline would keep on shared storage.
+    */
+  def start(
+      spark: SparkSession,
+      docs: Dataset[StreamDoc],
+      evalShingles: DataFrame,
+      acceptedDir: String,
+      sigDir: String,
+      minQuality: Double,
+      maxOverlap: Double,
+      minJaccard: Double,
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (b: Dataset[StreamDoc], epoch: Long) =>
+        val batch = b.toDF().select(col("docId").as("doc_id"), col("text"))
+        val kept = gateBatch(batch, evalShingles, readAccumulated(spark, sigDir),
+            minQuality, maxOverlap, minJaccard)
+          .localCheckpoint(false) // one computation feeds both writes
+        kept.write.mode("overwrite").parquet(s"$acceptedDir/b$epoch")
+        Dedup.signatures(kept, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$sigDir/b$epoch")
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** Everything accepted so far (union of the per-epoch directories). */
+  def readAccepted(spark: SparkSession, acceptedDir: String): Option[DataFrame] =
+    readAccumulated(spark, acceptedDir)
+
+  private def readAccumulated(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val parts = fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
+        .map(_.getPath.toString)
+      if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
+    }
+  }
+}

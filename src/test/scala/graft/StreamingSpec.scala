@@ -383,6 +383,61 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && got == batch)
   }
 
+  test("streaming curation gate == batch gate replay == CorpusFrame chain") {
+    import graft.streaming.StreamingFeatures.StreamDoc
+    import graft.streaming.CurationGate
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // a small "benchmark" slice to decontaminate against
+    val evalDocs = all.filter(col("doc_id") % 97 === 0).select(col("text"))
+    val evalShingles = graft.llm.Dedup.evalShingleSet(evalDocs, "text")
+      .localCheckpoint(false)
+    val (minQ, maxOv, minJ) = (0.35, 0.5, 0.6)
+
+    // ---- streaming: the corpus in two micro-batches (id-disjoint)
+    val docs = all.as[(Long, String)].collect().map { case (id, t) => StreamDoc(id, t) }
+    val (b1, b2) = docs.partition(_.docId % 2 == 0)
+    val accDir = java.nio.file.Files.createTempDirectory("graft-gate-acc").toString
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-gate-sig").toString
+    val in = MemoryStream[StreamDoc]
+    // one micro-batch per slice (AvailableNow would fold both adds into
+    // a single batch and never exercise the signature handoff)
+    val q = CurationGate.start(spark, in.toDS(), evalShingles, accDir, sigDir,
+      minQuality = minQ, maxOverlap = maxOv, minJaccard = minJ, availableNow = false)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = CurationGate.readAccepted(spark, accDir).get
+      .select("doc_id").as[Long].collect().toSet
+
+    // ---- batch twin: fold gateBatch over the same slices
+    val g1 = CurationGate.gateBatch(
+        all.filter(col("doc_id") % 2 === 0), evalShingles, None, minQ, maxOv, minJ)
+      .localCheckpoint(false)
+    val sigs1 = graft.llm.Dedup.signatures(g1, "doc_id", "text").localCheckpoint(false)
+    val g2 = CurationGate.gateBatch(
+      all.filter(col("doc_id") % 2 === 1), evalShingles, Some(sigs1), minQ, maxOv, minJ)
+    val replayed = (g1.select("doc_id").as[Long].collect() ++
+      g2.select("doc_id").as[Long].collect()).toSet
+    assert(streamed == replayed, "streaming gate must equal the batch gate replay")
+
+    // the gate actually gated: survivors are a strict non-empty subset
+    val total = all.count()
+    assert(streamed.nonEmpty && streamed.size < total,
+      s"expected a strict subset, got ${streamed.size}/$total")
+
+    // ---- single-batch gate == the literal CorpusFrame batch chain
+    val oneShot = CurationGate.gateBatch(all, evalShingles, None, minQ, maxOv, minJ)
+      .select("doc_id").as[Long].collect().toSet
+    val chain = graft.llm.CorpusFrame(all, "doc_id", "text")
+      .filterQuality(minQ)
+      .decontaminateAgainst(evalDocs, maxOv)
+      .dedupExact()
+      .dedupNear(minJ)
+      .df.select("doc_id").as[Long].collect().toSet
+    assert(oneShot == chain, "single-batch gate must equal the CorpusFrame chain")
+  }
+
   test("streaming exact dedup matches batch Dedup.exact on the real corpus") {
     import graft.streaming.StreamingFeatures.StreamDoc
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
