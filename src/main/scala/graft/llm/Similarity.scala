@@ -115,6 +115,62 @@ object Similarity {
     top.withColumn("rank", rn)
   }
 
+  /** Scalar-quantized (SQ8) top-k with exact re-rank — the FAISS-style
+    * IVF-SQ8 memory/compute economy as a first-class operator: every
+    * vector compresses to `dims` int8-range codes plus one per-vector
+    * scale (`floor(x·127/max|x|)` — a 4× memory cut when codes persist
+    * as bytes, and the candidate scan reads a quarter of the bytes);
+    * candidates rank by QUANTIZED cosine, and only the top
+    * `rerankDepth × k` per query pay the full-precision dot. The
+    * candidate set leaves the approximate stage as (qid, nid) ids only
+    * — full vectors re-enter through id-keyed joins, so the wide rows
+    * never ride through the rank shuffle.
+    *
+    * Deterministic end-to-end: quantization is a floor of identical
+    * double arithmetic in both engines, code dots are integer-valued
+    * doubles (exact ≤ 127²·dims ≪ 2^53), ranks tie-break by id — so the
+    * DuckDB oracle replays the full quantize→candidate→re-rank funnel.
+    */
+  def sq8TopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      rerankDepth: Int = 3
+  ): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    // materialize the scale first: vmax is itself an array scan, and
+    // CollapseProject would re-inline it into the per-element lambda
+    // below (the O(d²)-per-row HOF hazard)
+    val withMax = p
+      .withColumn("vmax", array_max(transform(col("v"), x => abs(x))))
+      .localCheckpoint(false)
+    val qz = withMax
+      .select(col("vid"), col("v"), col("nrm"),
+        transform(col("v"), x => floor(x * lit(127.0) / col("vmax")).cast("double")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .localCheckpoint(false) // feeds the query side and the corpus side
+    val qs = qz.filter(queryPred)
+      .select(col("vid").as("qid"), col("qv").as("qqv"), col("qn").as("qqn"))
+    val approx = qz.as("n").join(broadcast(qs), col("qid") =!= col("n.vid"))
+      .select(col("qid"), col("n.vid").as("nid"),
+        (dot(col("qqv"), col("n.qv")) / (col("qqn") * col("n.qn"))).as("qcos"))
+    val crk = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("nid")))
+    val cands = approx.withColumn("crk", crk)
+      .filter(col("crk") <= rerankDepth * k)
+      .select(col("qid"), col("nid"))
+    val exact = cands
+      .join(p.select(col("vid").as("qid"), col("v").as("quv"), col("nrm").as("qun")), "qid")
+      .join(p.select(col("vid").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("quv"), col("nv")) / (col("qun") * col("nn"))).as("cosine"))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+    exact.withColumn("rank", rn).filter(col("rank") <= k)
+  }
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer
     * (every vector is assigned to its highest-cosine centroid), then
     * each query searches its `nProbe` nearest cells.

@@ -115,6 +115,60 @@ object TextAnalysis {
         round(col("top_count").cast("double") / col("n_words"), 6).as("top_word_ratio"))
   }
 
+  /** Gopher-style hard quality rules (Rae et al. 2021, appendix A1.1 —
+    * the threshold gate a pretraining pipeline runs BEFORE scoring):
+    * per-doc rule metrics plus the conjunction `pass`. Rules covered:
+    * word-count bounds, mean-word-length bounds, minimum stopword hits
+    * (the "contains ≥2 stop words" natural-language check), and the
+    * adjacent-repetition cut (top word-bigram fraction — the
+    * most-frequent 2-gram must not dominate the doc).
+    *
+    * Scale shape: the scalar metrics are one codegen'd projection
+    * (array HOFs bound once per row); the top-bigram fraction goes
+    * through explode → (doc, bigram-hash) count → per-doc max — a
+    * map-side-combined aggregate, NEVER a per-doc O(n²) lambda rescan
+    * (HOF re-inlining hazard), and the bigram identity travels as the
+    * fused 60-bit pair hash ([[TextOps.simhashFeatures]]), not the
+    * string.
+    */
+  def qualityRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 20L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      minStopwordHits: Long = 2L,
+      maxTopBigramFrac: Double = 0.2
+  ): DataFrame = {
+    val t = col(textCol)
+    val ws = TextOps.words(t)
+    val base = docs.select(
+      col(idCol).as("doc"),
+      size(ws).cast("long").as("n_words"),
+      (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+        .as("mwl"),
+      size(filter(ws, w => w.isInCollection(EnStopwords))).cast("long").as("stop_hits"))
+    val topBigram = docs
+      .select(col(idCol).as("doc"), explode(TextOps.simhashFeatures(t)).as("h"))
+      .groupBy(col("doc"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+    val bigramFrac = col("top_c").cast("double") / col("n_bigrams").cast("double")
+    base.join(topBigram, Seq("doc"), "left")
+      .select(
+        col("doc"),
+        col("n_words"),
+        round(col("mwl"), 6).as("mean_word_len"),
+        col("stop_hits"),
+        round(bigramFrac, 6).as("top_bigram_frac"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mwl") >= minMeanWordLen && col("mwl") <= maxMeanWordLen &&
+          col("stop_hits") >= minStopwordHits &&
+          bigramFrac <= maxTopBigramFrac).as("pass"))
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens, plus
     * chars-per-token (the compression-ratio proxy used for corpus stats).
     */

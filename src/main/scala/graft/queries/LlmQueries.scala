@@ -326,6 +326,45 @@ object LlmQueries {
        |  FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Scalar-quantized ANN (Similarity.sq8TopK): int8-range codes + one
+    * scale per vector, candidates ranked by quantized cosine, exact
+    * re-rank of the rerankDepth×k survivors. The oracle replays the
+    * whole funnel — floor quantization, integer-valued code dots,
+    * candidate cut, re-rank.
+    */
+  val annSq8: Q = (s, dir) =>
+    Similarity.sq8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5, rerankDepth = 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  val annSq8Sql: String =
+    s"""WITH $normCte,
+       |mx AS (SELECT vec_id, v, nrm,
+       |  list_max(list_transform(v, qx -> abs(qx))) AS vmax FROM n),
+       |qz AS (SELECT vec_id, v, nrm,
+       |  list_transform(range(1, 65), qi -> floor(v[CAST(qi AS INT)] * 127.0 / vmax)) AS qv
+       |  FROM mx),
+       |qnt AS (SELECT vec_id, v, nrm, qv,
+       |  sqrt(${dotSql("qv", "qv", 64, "qa")}) AS qn FROM qz),
+       |qs AS (SELECT vec_id AS qid, qv AS qqv, qn AS qqn FROM qnt WHERE vec_id % 100 = 0),
+       |ap AS (
+       |  SELECT qid, t.vec_id AS nid,
+       |    ${dotSql("qqv", "t.qv", 64, "ab")} / (qqn * t.qn) AS qcos
+       |  FROM qnt t JOIN qs ON qid <> t.vec_id),
+       |ck AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, nid) AS crk FROM ap)
+       |  WHERE crk <= 15),
+       |ex AS (
+       |  SELECT qid, nid, ${dotSql("a.v", "b.v", 64, "e")} / (a.nrm * b.nrm) AS cosine
+       |  FROM ck JOIN n a ON a.vec_id = qid JOIN n b ON b.vec_id = nid)
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM ex)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Same top-k, computed by the custom bounded-heap physical operator
     * (graft.plans.TopKPerKey) — identical oracle proves plan
     * equivalence.
@@ -557,6 +596,43 @@ object LlmQueries {
        |  round(awl, 6) AS avg_word_len, round(alpha, 6) AS alpha_ratio,
        |  round(stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.3 + alpha * 0.3, 6) AS quality_score
        |FROM f ORDER BY doc""".stripMargin
+  }
+
+  /** Gopher-style hard quality gate (TextAnalysis.qualityRules): rule
+    * metrics + the conjunction pass flag. The oracle replays the word
+    * stats with list ops and the top-bigram fraction with the same
+    * 60-bit pair-hash identity the Spark side aggregates on.
+    */
+  val qualityRules: Q = (s, dir) =>
+    TextAnalysis.qualityRules(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
+
+  val qualityRulesSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""WITH wt AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ws, mw -> length(mw))) AS DOUBLE) / len(ws) AS mwl,
+       |    CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS BIGINT) AS stop_hits
+       |  FROM wt),
+       |bg AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN [text]
+       |    ELSE list_transform(range(1, len(ws)),
+       |      bi -> ws[CAST(bi AS INT)] || ' ' || ws[CAST(bi+1 AS INT)]) END AS bgs
+       |  FROM wt),
+       |bh AS (
+       |  SELECT doc_id, unnest(list_transform(bgs,
+       |    wd -> ${strhashSql("wd || '#'", "g")} * $P + ${strhashSql("wd", "h")})) AS h
+       |  FROM bg),
+       |bc AS (SELECT doc_id, h, count(*) AS c FROM bh GROUP BY 1, 2),
+       |tb AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
+       |       FROM bc GROUP BY 1)
+       |SELECT m.doc_id AS doc, n_words, round(mwl, 6) AS mean_word_len, stop_hits,
+       |  round(CAST(top_c AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+       |  (n_words >= 20 AND n_words <= 100000
+       |    AND mwl >= 2.0 AND mwl <= 12.0 AND stop_hits >= 2
+       |    AND CAST(top_c AS DOUBLE) / n_bigrams <= 0.2) AS pass
+       |FROM m JOIN tb ON tb.doc_id = m.doc_id ORDER BY doc""".stripMargin
   }
 
   val textRepetition: Q = (s, dir) =>
@@ -1520,6 +1596,7 @@ object LlmQueries {
     "q_text_simhash" -> textSimhash,
     "q_embed_neardup" -> embedNearDup,
     "q_ann_topk" -> annTopK,
+    "q_ann_sq8" -> annSq8,
     "q_ann_topk_plan" -> annTopKPlan,
     "q_ann_lsh" -> annLsh,
     "q_ann_lsh_probe" -> annLshProbe,
@@ -1528,6 +1605,7 @@ object LlmQueries {
     "q_ann_ivf_kmeans" -> annIvfKmeans,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
+    "q_quality_rules" -> qualityRules,
     "q_text_repetition" -> textRepetition,
     "q_decontaminate" -> decontaminate,
     "q_sample_quota" -> sampleQuota,
@@ -1572,6 +1650,7 @@ object LlmQueries {
     "q_text_simhash" -> textSimhashSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_ann_topk" -> annTopKSql,
+    "q_ann_sq8" -> annSq8Sql,
     "q_ann_topk_plan" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_probe" -> annLshProbeSql,
@@ -1580,6 +1659,7 @@ object LlmQueries {
     "q_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,
+    "q_quality_rules" -> qualityRulesSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_sample_quota" -> sampleQuotaSql,

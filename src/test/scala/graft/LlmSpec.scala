@@ -145,6 +145,23 @@ class LlmSpec extends SparkSpec {
     assert(fp(5L)._1 >= 0)
   }
 
+  test("qualityRules: each Gopher rule flags its constructed violator") {
+    import spark.implicits._
+    val good = (1 to 10).map(i => s"the quick fox$i and lazy dog$i ran to it").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                        // all rules pass
+      (2L, "too short of a doc"),                        // n_words < 20
+      (3L, ("a " * 40).trim),                            // mean word len 1 < 2
+      (4L, (1 to 30).map(i => s"word$i blob$i").mkString(" ")), // 0 stopword hits
+      (5L, ("the cat " * 30).trim)                       // top bigram dominates
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRules(docs, "doc_id", "text")
+      .orderBy("doc").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false),
+      s"got $out")
+  }
+
   test("repetition: top-word and type-token ratios on a constructed doc") {
     val d = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = TextAnalysis.repetition(d, "doc_id", "text").head()

@@ -44,6 +44,16 @@ class RecallSpec extends SparkSpec {
     assert(ivf8 > ivf2, "recall must scale with probes")
   }
 
+  test("SQ8 quantize + re-rank recovers (nearly) the exact top-k") {
+    // int8 quantization barely perturbs cosine order, and the exact
+    // re-rank of the 3k candidate pool repairs the rest — recall must
+    // sit far above every bucketing method (measured 1.0 on this
+    // corpus; floored at 0.9 for noise headroom)
+    val sq8 = recall(pairs(Similarity.sq8TopK(
+      emb, "vec_id", "embedding", col("vid") % 100 === 0, 5, rerankDepth = 3)))
+    assert(sq8 >= 0.9, s"sq8 recall regressed: $sq8")
+  }
+
   test("k-means refinement lifts IVF recall on a clustered corpus") {
     import spark.implicits._
     // 8 well-separated cluster centers in 16 dims, 320 points = center +
