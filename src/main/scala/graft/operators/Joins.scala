@@ -98,6 +98,57 @@ object Joins {
       .drop(rv, ir, ordc)
   }
 
+  /** Bucketed range join: pair left rows (point `ordCol`) with right
+    * rows (interval `[startCol, endCol]`, inclusive) sharing `key`,
+    * where `start <= ord <= end` — the attribution-window /
+    * sensor-interval shape. Spark's native plan for a non-equi range
+    * predicate is a broadcast-nested-loop or cartesian filter —
+    * O(left × right) work at scale even when few pairs survive.
+    *
+    * Scale shape: chunk the range axis into `bucketWidth`-wide buckets.
+    * Each left row lands in EXACTLY ONE bucket (floor division, exact
+    * long arithmetic — never a double, ordinals exceed 2^53 at corpus
+    * scale); each interval explodes to the buckets it covers (fan-out =
+    * intervalLength/width + 1). The join becomes a plain equi-join on
+    * (key, bucket) — hash-partitioned, AQE-skew-splittable — with the
+    * exact BETWEEN filter on top. A (point, interval) pair can meet
+    * only in the point's single bucket, so no dedup stage is needed.
+    * Pick `bucketWidth` near the typical interval length: per-interval
+    * fan-out stays O(1) while buckets hold ~width-worth of points;
+    * cap or split long-tail intervals upstream if their length is
+    * unbounded.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ordCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // floor division as (x - pmod(x, w)) div w: exact long arithmetic
+    // (IntegralDivide — Column./ would detour through doubles), floor
+    // (not truncate-toward-zero) semantics for negative ordinals, and
+    // identical to DuckDB's integer `//`
+    def floorDiv(x: Column): Column = {
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+      Bridge.column(IntegralDivide(
+        Bridge.expression((x - pmod(x, lit(bucketWidth))).cast("long")),
+        Literal(bucketWidth)))
+    }
+    val bkt = graft.core.Names.fresh(left.columns.toSeq ++ right.columns, "_bkt")
+    val l = left.withColumn(bkt, floorDiv(col(ordCol)))
+    val r = right
+      .filter(col(startCol) <= col(endCol)) // malformed intervals match nothing
+      .withColumn(bkt, explode(sequence(floorDiv(col(startCol)), floorDiv(col(endCol)))))
+    l.join(r, Seq(key, bkt))
+      .filter(col(ordCol) >= col(startCol) && col(ordCol) <= col(endCol))
+      .drop(bkt)
+  }
+
   /** Exact consume-once pairing (ralf/operators/join.py:35-56): left
     * records buffer per key; each arriving right record consumes the
     * oldest buffered left. In arrival order this pairs the i-th left

@@ -335,6 +335,31 @@ object ParityQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Bucketed range join (Joins.rangeJoin): the attribution-window
+    * query — every event landing in the 50-id window after a same-user
+    * purchase. The oracle states the plain BETWEEN join; the Spark side
+    * earns the same rows from the (key, bucket) equi-join plan.
+    */
+  val rangeJoin: Q = (s, dir) => {
+    val e = events(s, dir)
+    val windows = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        (col("event_id") + 1).as("w_start"), (col("event_id") + 50).as("w_end"))
+    Joins.rangeJoin(
+        e.select(col("user_id"), col("event_id"), col("value")), windows,
+        "user_id", "event_id", "w_start", "w_end", bucketWidth = 64)
+      .select(col("user_id"), col("p_id"), col("event_id"), col("value"))
+      .orderBy("user_id", "p_id", "event_id")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT e.user_id, p.p_id, e.event_id, e.value
+      |FROM events e
+      |JOIN (SELECT user_id, event_id AS p_id, event_id + 1 AS ws, event_id + 50 AS we
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.event_id BETWEEN p.ws AND p.we
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val asofJoinSql: String =
     """WITH u AS (
       |  SELECT user_id, event_id, event_id AS ord, CAST(NULL AS DOUBLE) AS rv, 0 AS ir
@@ -503,6 +528,7 @@ object ParityQueries {
     "q_sequence_join" -> sequenceJoin,
     "q_dim_join" -> dimJoin,
     "q_asof_join" -> asofJoin,
+    "q_range_join" -> rangeJoin,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -527,6 +553,7 @@ object ParityQueries {
     "q_sequence_join" -> sequenceJoinSql,
     "q_dim_join" -> dimJoinSql,
     "q_asof_join" -> asofJoinSql,
+    "q_range_join" -> rangeJoinSql,
     "q_shed_sample" -> shedSampleSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,

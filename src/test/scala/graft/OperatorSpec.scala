@@ -62,6 +62,27 @@ class OperatorSpec extends SparkSpec {
     assert(out == Set(("a", 1, "l1", "r1"), ("a", 2, "l2", "r2")))
   }
 
+  test("rangeJoin: bucketed plan ≡ naive non-equi join for any bucket width") {
+    val rng = new scala.util.Random(7)
+    // points and intervals over negative AND positive ordinals, with
+    // interval lengths straddling every tested bucket width
+    val pts = (1 to 300).map(i => ("k" + rng.nextInt(4), rng.nextLong(2000L) - 1000L, i.toLong))
+      .toDF("key", "ord", "pid")
+    val ivs = (1 to 60).map { j =>
+      val s = rng.nextLong(2000L) - 1000L
+      ("k" + rng.nextInt(4), s, s + rng.nextLong(300L) - 20L, j.toLong) // ~7% malformed (end < start)
+    }.toDF("key", "s", "e", "iid")
+    val naive = pts.join(ivs, pts("key") === ivs("key") &&
+        col("ord") >= col("s") && col("ord") <= col("e"))
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "fixture must produce matches")
+    for (w <- Seq(1L, 7L, 64L, 5000L)) {
+      val got = Joins.rangeJoin(pts, ivs, "key", "ord", "s", "e", bucketWidth = w)
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+      assert(got == naive, s"width $w: ${got.size} vs ${naive.size} pairs")
+    }
+  }
+
   test("keepIncreasing ≡ reference drop_smaller_values: keeps prefix-max strict increases") {
     val kept = Shedding.keepIncreasing(stream, "key", col("ord"), col("value"))
       .orderBy("key", "ord").select("key", "value").as[(String, Double)].collect().toList
