@@ -187,6 +187,28 @@ class PlanSpec extends SparkSpec {
       s"the cumsum window must partition by pid:\n$plan")
   }
 
+  test("rangeJoin: hash equi-join on (key, bucket) — never nested-loop/cartesian") {
+    withNoAutoBroadcast {
+      import spark.implicits._
+      val pts = Seq(("k", 5L, 1L), ("k", 99L, 2L)).toDF("key", "ord", "pid")
+      val ivs = Seq(("k", 0L, 10L, 1L)).toDF("key", "s", "e", "iid")
+      val plan = planOf(graft.operators.Joins.rangeJoin(pts, ivs, "key", "ord", "s", "e", 16L))
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"range predicate must ride a bucket equi-join, not a loop join:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a keyed hash/merge join:\n$plan")
+    }
+  }
+
+  test("qualityRules: bigram aggregate partial-combines below the exchange") {
+    val plan = planOf(graft.llm.TextAnalysis.qualityRules(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_count")
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      s"per-(doc,bigram) counts must combine map-side before the shuffle:\n$plan")
+  }
+
   test("exact dedup: the shuffle carries hashes, never document text") {
     import spark.implicits._
     val docs = Seq((1L, "a a"), (2L, "a a"), (3L, "b")).toDF("doc_id", "text")
