@@ -95,28 +95,56 @@ object CurationGate {
     val w = docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (b: Dataset[StreamDoc], epoch: Long) =>
-        val batch = b.toDF().select(col("docId").as("doc_id"), col("text"))
-        val kept = gateBatch(batch, evalShingles, readAccumulated(spark, sigDir),
-            minQuality, maxOverlap, minJaccard)
-          .localCheckpoint(false) // one computation feeds both writes
-        kept.write.mode("overwrite").parquet(s"$acceptedDir/b$epoch")
-        Dedup.signatures(kept, "doc_id", "text")
-          .write.mode("overwrite").parquet(s"$sigDir/b$epoch")
+        runEpoch(spark, b.toDF().select(col("docId").as("doc_id"), col("text")),
+          evalShingles, acceptedDir, sigDir, epoch, minQuality, maxOverlap, minJaccard)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** One epoch's gate + publish — the foreachBatch body, exposed so the
+    * spec can replay an epoch. Replay-idempotent by construction: the
+    * dedup baseline is the STRICTLY EARLIER epochs (a replayed epoch's
+    * own partial b<epoch> dir must not be read back, or the batch would
+    * near-dup ITSELF — est-Jaccard 1.0 against identical signatures —
+    * and the replay would accept nothing), and both writes overwrite
+    * the epoch directory rather than appending.
+    */
+  private[graft] def runEpoch(
+      spark: SparkSession,
+      batch: DataFrame,
+      evalShingles: DataFrame,
+      acceptedDir: String,
+      sigDir: String,
+      epoch: Long,
+      minQuality: Double,
+      maxOverlap: Double,
+      minJaccard: Double
+  ): Unit = {
+    val kept = gateBatch(batch, evalShingles,
+        readAccumulated(spark, sigDir, beforeEpoch = Some(epoch)),
+        minQuality, maxOverlap, minJaccard)
+      .localCheckpoint(false) // one computation feeds both writes
+    kept.write.mode("overwrite").parquet(s"$acceptedDir/b$epoch")
+    Dedup.signatures(kept, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sigDir/b$epoch")
+  }
+
   /** Everything accepted so far (union of the per-epoch directories). */
   def readAccepted(spark: SparkSession, acceptedDir: String): Option[DataFrame] =
-    readAccumulated(spark, acceptedDir)
+    readAccumulated(spark, acceptedDir, beforeEpoch = None)
 
-  private def readAccumulated(spark: SparkSession, dir: String): Option[DataFrame] = {
+  private def readAccumulated(
+      spark: SparkSession,
+      dir: String,
+      beforeEpoch: Option[Long]
+  ): Option[DataFrame] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
     else {
       val parts = fs.listStatus(path).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
+        .filter(s => beforeEpoch.forall(e => s.getPath.getName.drop(1).toLong < e))
         .map(_.getPath.toString)
       if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
     }

@@ -426,6 +426,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < total,
       s"expected a strict subset, got ${streamed.size}/$total")
 
+    // replaying the LAST epoch (restart before offset commit) must land
+    // the identical accepted set — the baseline excludes the epoch's
+    // own partial output and the writes overwrite, never append
+    val lastEpoch = 1L
+    CurationGate.runEpoch(spark,
+      all.filter(col("doc_id") % 2 === 1), evalShingles, accDir, sigDir,
+      lastEpoch, minQ, maxOv, minJ)
+    val replayedEpoch = CurationGate.readAccepted(spark, accDir).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayedEpoch == streamed, "epoch replay must be idempotent")
+
     // ---- single-batch gate == the literal CorpusFrame batch chain
     val oneShot = CurationGate.gateBatch(all, evalShingles, None, minQ, maxOv, minJ)
       .select("doc_id").as[Long].collect().toSet
