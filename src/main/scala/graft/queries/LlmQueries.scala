@@ -138,6 +138,104 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** The composed curation-gate semantics as ONE batch query
+    * (graft.streaming.CurationGate.gateBatch with an empty baseline —
+    * exactly what each streaming micro-batch runs): quality filter →
+    * decontamination against the benchmark slice's persisted shingle
+    * set → exact dedup → near-dup CC canonicalize. The oracle replays
+    * all four stages; the output is the accepted id set.
+    */
+  val curationGate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+    val evalShingles = Dedup.evalShingleSet(evalDocs, "text")
+    graft.streaming.CurationGate.gateBatch(docs, evalShingles, None,
+        minQuality = 0.35, maxOverlap = 0.5, minJaccard = 0.6)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val curationGateSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |gw AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |gq AS (
+       |  SELECT doc_id, text, ws,
+       |    round(
+       |      CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) * 0.4
+       |      + least(CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) / 10.0, 1.0) * 0.3
+       |      + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3, 6) AS q
+       |  FROM gw),
+       |s1 AS (SELECT doc_id, text, ws FROM gq WHERE q >= 0.35),
+       |sh1 AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+       |    ELSE list_transform(range(1, len(ws)-1),
+       |      si -> ws[CAST(si AS INT)] || ' ' || ws[CAST(si+1 AS INT)] || ' ' || ws[CAST(si+2 AS INT)]) END AS sg
+       |  FROM s1),
+       |xs1 AS (
+       |  SELECT doc_id, list_distinct(list_transform(sg, sgv -> ${strhashSql("sgv", "h")})) AS xh
+       |  FROM sh1),
+       |evw AS (SELECT text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |        FROM documents WHERE doc_id % 97 = 0),
+       |evs AS (
+       |  SELECT CASE WHEN len(ws) < 3 THEN [text]
+       |    ELSE list_transform(range(1, len(ws)-1),
+       |      si -> ws[CAST(si AS INT)] || ' ' || ws[CAST(si+1 AS INT)] || ' ' || ws[CAST(si+2 AS INT)]) END AS sg
+       |  FROM evw),
+       |evx AS (SELECT DISTINCT unnest(list_transform(sg, sgv -> ${strhashSql("sgv", "e")})) AS x FROM evs),
+       |ex1 AS (SELECT doc_id, unnest(xh) AS x FROM xs1),
+       |gsz AS (SELECT doc_id, count(*) AS n FROM ex1 GROUP BY 1),
+       |ghit AS (SELECT ex1.doc_id, count(*) AS h FROM ex1 JOIN evx ON ex1.x = evx.x GROUP BY 1),
+       |s2 AS (
+       |  SELECT s1.doc_id, s1.text FROM s1
+       |  JOIN gsz ON gsz.doc_id = s1.doc_id
+       |  LEFT JOIN ghit ON ghit.doc_id = s1.doc_id
+       |  WHERE CAST(COALESCE(ghit.h, 0) AS DOUBLE) / gsz.n < 0.5),
+       |canon AS (
+       |  SELECT min(doc_id) AS doc_id FROM s2
+       |  GROUP BY ${strhashSql("text", "c")}, md5(text)),
+       |s3 AS (SELECT s2.doc_id FROM s2 JOIN canon USING (doc_id)),
+       |xs3 AS (SELECT xs1.doc_id, xs1.xh FROM xs1 JOIN s3 USING (doc_id)),
+       |gsig AS (
+       |  SELECT doc_id, list_transform(range(0, $K),
+       |    mi -> list_min(list_transform(xh,
+       |      mx -> ((mi*${TextOps.AMul} % ${P - 1} + 1) * mx + (mi*${TextOps.BMul} + 7) % $P) % $P))) AS sig
+       |  FROM xs3),
+       |gband AS (
+       |  SELECT doc_id, CAST(bj AS INT) AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, bj*$R+1, bj*$R+$R)),
+       |      (ba, bv) -> (ba*31 + bv) % $P) AS digest
+       |  FROM gsig, range(0, $NB) t(bj)),
+       |gcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM gband a JOIN gband b
+       |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+       |gmh AS (
+       |  SELECT * FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      CAST(len(list_filter(range(1, ${K + 1}), zi -> sa.sig[CAST(zi AS INT)] = sb.sig[CAST(zi AS INT)])) AS DOUBLE) / $K AS est_jaccard
+       |    FROM gcand c
+       |    JOIN gsig sa ON sa.doc_id = c.doc_a
+       |    JOIN gsig sb ON sb.doc_id = c.doc_b)
+       |  WHERE est_jaccard >= 0.6),
+       |ge AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM gmh
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM gmh),
+       |greach AS (
+       |  SELECT src, dst FROM ge
+       |  UNION
+       |  SELECT greach.src, ge.dst FROM greach JOIN ge ON greach.dst = ge.src),
+       |glosers AS (
+       |  SELECT src AS doc_id FROM greach GROUP BY src
+       |  HAVING src <> least(src, min(dst)))
+       |SELECT doc_id FROM s3
+       |WHERE doc_id NOT IN (SELECT doc_id FROM glosers)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val dedupCanonicalSql: String =
     s"""WITH RECURSIVE $minhashCtes,
        |e AS (
@@ -1627,6 +1725,7 @@ object LlmQueries {
     "q_curation_select" -> curationSelect,
     "q_boilerplate" -> boilerplate,
     "q_curation_funnel" -> curationFunnel,
+    "q_curation_gate" -> curationGate,
     "q_dedup_histogram" -> dedupHistogram
   )
 
@@ -1681,6 +1780,7 @@ object LlmQueries {
     "q_curation_select" -> curationSelectSql,
     "q_boilerplate" -> boilerplateSql,
     "q_curation_funnel" -> curationFunnelSql,
+    "q_curation_gate" -> curationGateSql,
     "q_dedup_histogram" -> dedupHistogramSql
   )
 }
