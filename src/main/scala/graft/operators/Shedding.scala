@@ -48,6 +48,48 @@ object Shedding {
       k)
   }
 
+  /** Deterministic proportional (stratified) sampling: keep ~`frac` of
+    * each group's rows, the fraction resolved per group with a default
+    * — the mixture-downsampling step that turns
+    * [[graft.llm.Mixture.temperatureWeights]]'s per-source rates into an
+    * actual row cut. Selection is by id-hash threshold
+    * (`pmod(strhash('smp:' || id), 1e6) < frac·1e6`): reproducible
+    * across runs AND engines (contrast `Dataset.sample`/`sampleBy`,
+    * whose seeded Bernoulli draw is partition-order dependent),
+    * join-free (the per-group thresholds fold into one codegen'd CASE —
+    * a model-sized constant, like the BPE merge list), and a pure
+    * narrow filter: no shuffle, pushes past column pruning to the scan.
+    *
+    * The draw is `strhash('smp:' || id)` SQUARED mod p: the base-31
+    * polynomial alone is affine in the trailing characters, so
+    * consecutive ids land in one contiguous window of the modulus (a
+    * bare 3-digit id even hashes below 60k outright) and a threshold
+    * cut would keep either nearly all or nearly none of a sequential id
+    * range. Squaring mod p scatters consecutive hashes across the full
+    * range (step 2h+1 mod p), giving the uniform per-mille draw the
+    * threshold needs; the salt decorrelates the draw from
+    * [[graft.llm.TextAnalysis.assignSplit]]'s buckets (a doc's sample
+    * fate must not follow its train/val split).
+    */
+  def sampleFractions(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double
+  ): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * 1000000L))) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(math.round(f * 1000000L))).otherwise(acc)
+    }
+    val h = graft.functions.GraftFunctions.strhash(
+      concat(lit("smp:"), col(idCol).cast("string")))
+    val draw = pmod(h * h, lit(1000000007L))
+    df.filter(pmod(draw, lit(1000000L)) < threshold)
+  }
+
   /** `newer_processing_time` / `later_complete_time`
     * (load_shedding_policy.py:10-11,60-61): drop an update unless it is
     * newer than the table's current value. Processed in arrival order

@@ -792,6 +792,26 @@ object LlmQueries {
        |  FROM documents)
        |WHERE rk <= 5 ORDER BY source, pick_h, doc_id""".stripMargin
 
+  /** Proportional stratified sampling (Shedding.sampleFractions): keep
+    * ~50% of src0, ~25% of src1, ~10% of everything else, selected by
+    * the deterministic id-hash threshold both engines compute.
+    */
+  val sampleStratified: Q = (s, dir) =>
+    graft.operators.Shedding.sampleFractions(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id", Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.1)
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    ${strhashSql("'smp:' || CAST(doc_id AS VARCHAR)", "v")} AS hv
+       |  FROM documents)
+       |WHERE (hv * hv) % 1000000007 % 1000000 <
+       |  CASE WHEN source = 'src0' THEN 500000
+       |       WHEN source = 'src1' THEN 250000 ELSE 100000 END
+       |ORDER BY doc_id""".stripMargin
+
   /** Concat-and-chop packing of each source's docs into 256-token
     * training sequences (TextAnalysis.packSequences).
     */
@@ -1707,6 +1727,7 @@ object LlmQueries {
     "q_text_repetition" -> textRepetition,
     "q_decontaminate" -> decontaminate,
     "q_sample_quota" -> sampleQuota,
+    "q_sample_stratified" -> sampleStratified,
     "q_pack_sequences" -> packSequences,
     "q_text_tokens" -> textTokens,
     "q_text_fingerprint" -> textFingerprint,
@@ -1762,6 +1783,7 @@ object LlmQueries {
     "q_text_repetition" -> textRepetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_sample_quota" -> sampleQuotaSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,

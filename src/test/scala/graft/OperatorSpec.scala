@@ -62,6 +62,22 @@ class OperatorSpec extends SparkSpec {
     assert(out == Set(("a", 1, "l1", "r1"), ("a", 2, "l2", "r2")))
   }
 
+  test("sampleFractions: per-group rates hit targets on sequential ids; draw deterministic") {
+    // sequential ids are the adversarial input: an affine hash would
+    // put them in one contiguous threshold window (all-or-nothing)
+    val df = (0L until 20000L).map(i => (if (i % 2 == 0) "a" else "b", i)).toDF("grp", "id")
+    def run() = Shedding.sampleFractions(df, "grp", "id", Map("a" -> 0.5), defaultFraction = 0.1)
+    val counts = run().groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aRate = counts.getOrElse("a", 0L) / 10000.0
+    val bRate = counts.getOrElse("b", 0L) / 10000.0
+    assert(math.abs(aRate - 0.5) < 0.03, s"group a rate $aRate, want ~0.5")
+    assert(math.abs(bRate - 0.1) < 0.02, s"group b rate $bRate, want ~0.1")
+    val s1 = run().select("id").as[Long].collect().toSet
+    val s2 = run().select("id").as[Long].collect().toSet
+    assert(s1 == s2, "same ids must be drawn every run")
+  }
+
   test("rangeJoin: bucketed plan ≡ naive non-equi join for any bucket width") {
     val rng = new scala.util.Random(7)
     // points and intervals over negative AND positive ordinals, with
