@@ -61,6 +61,14 @@ object GraftFunctions {
         (es: Seq[Expression]) => AsciiAlphaCount(es.head)
       ),
       (
+        // the library's standard MinHash parameters, so a SQL-computed
+        // signature joins against signatures the Scala operators persist
+        FunctionIdentifier("graft_minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+        (es: Seq[Expression]) => MinHashSig(es.head,
+          graft.llm.TextOps.MinhashK, graft.llm.TextOps.AMul, graft.llm.TextOps.BMul)
+      ),
+      (
         // an AggregateFunction builder: the analyzer wraps it in an
         // AggregateExpression on resolution, so SQL `GROUP BY` use works
         FunctionIdentifier("graft_kmv_distinct"),

@@ -61,6 +61,11 @@ object CurationGate {
       .filterQuality(minQuality)
       .decontaminateAgainstShingles(evalShingles, maxOverlap)
       .dedupExact()
+      // materialize before the near-dup stage: its signature table AND
+      // canonicalize's anti-join both re-read this prefix (quality join,
+      // contamination probe, exact-dedup semi-join) — one checkpoint
+      // stops the chain recomputing per branch
+      .materialize()
       .dedupNear(minJaccard)
       .df
     acceptedSigs match {

@@ -30,6 +30,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(top.select("k", "v").as[(String, Double)].collect().toSet == Set("a" -> 2.0, "b" -> 3.0))
   }
 
+  test("SQL-computed MinHash signature == the Scala operator's persisted signature") {
+    val s2 = Bridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
+    import s2.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("mhsig_in")
+    // graft_minhash_sig is pinned to the library's standard (K, A, B)
+    // parameters, so a SQL-side signature can join a persisted handoff
+    // table written by Dedup.signatures
+    val viaSql = s2.sql(
+        "SELECT doc_id, graft_minhash_sig(graft_shingle_hashes(text, 3)) AS sig " +
+        "FROM mhsig_in ORDER BY doc_id")
+      .as[(Long, Seq[Long])].collect().toList
+    val viaOp = graft.llm.Dedup.signatures(docs, "doc_id", "text")
+      .orderBy("doc").as[(Long, Seq[Long])].collect().toList
+    assert(viaSql == viaOp, s"sql=$viaSql op=$viaOp")
+  }
+
   test("KMV aggregate resolves in SQL (analyzer wraps the AggregateFunction)") {
     val s2 = Bridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
     import s2.implicits._
