@@ -74,6 +74,11 @@ object GraftFunctions {
         FunctionIdentifier("graft_kmv_distinct"),
         new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
         (es: Seq[Expression]) => KmvDistinct(es(0), intLit(es(1), "sketch size k"))
+      ),
+      (
+        FunctionIdentifier("graft_heavy_hitters"),
+        new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
+        (es: Seq[Expression]) => HeavyHitters(es(0), intLit(es(1), "counter budget k"))
       )
     )
 

@@ -52,4 +52,38 @@ object Sketches {
             element_at(mins, k).cast("double"))
           .as("est_distinct"))
   }
+
+  /** The Misra–Gries aggregate as a Column over an `array<string>`
+    * token column ([[graft.functions.HeavyHitters]]).
+    */
+  def heavyHittersAgg(tokens: Column, k: Int): Column =
+    Bridge.column(
+      graft.functions.HeavyHitters(Bridge.expression(tokens), k).toAggregateExpression())
+
+  /** Per-group top terms from the Misra–Gries sketch: ONE hash-aggregate
+    * keyed by the group — each task folds its rows' token arrays into k
+    * counters, the exchange carries ≤k (term, count) pairs per (task,
+    * group), and the top `top` survivors unpack with their rank. Never
+    * a (group, term)-keyed shuffle: the economy
+    * [[graft.queries.LlmQueries]]'s exact top-terms query pays that this
+    * one doesn't. Exact (and oracle-deterministic) whenever a group's
+    * distinct-term count stays ≤ sketchK; approximate with the MG
+    * undercount bound n/(sketchK+1) beyond.
+    */
+  def topTermsSketch(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      sketchK: Int,
+      top: Int
+  ): DataFrame =
+    docs
+      .groupBy(col(groupCol).as("grp"))
+      .agg(heavyHittersAgg(TextOps.words(col(textCol)), sketchK).as("hh"))
+      .select(col("grp"), posexplode(slice(col("hh"), 1, top)).as(Seq("pos", "e")))
+      .select(
+        col("grp"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("e.term").as("term"),
+        col("e.cnt").as("cnt"))
 }

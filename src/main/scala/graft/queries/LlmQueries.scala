@@ -1283,6 +1283,27 @@ object LlmQueries {
     graft.llm.Sketches.distinctShingles(Tables.documents(s, dir), "source", "text", KmvK)
       .orderBy("grp")
 
+  /** Misra–Gries heavy hitters (Sketches.topTermsSketch): per-source
+    * top-5 terms from the bounded-counter aggregate. sketchK=256 sits
+    * far above any source's distinct-word count (31 at sf0.1), so the
+    * sketch is EXACT here and the oracle is a plain count + rank — the
+    * same below-capacity exactness contract the KMV oracle pins; the
+    * approximate regime is SketchSpec's job.
+    */
+  val heavyHitters: Q = (s, dir) =>
+    graft.llm.Sketches.topTermsSketch(Tables.documents(s, dir), "source", "text",
+        sketchK = 256, top = 5)
+      .orderBy("grp", "rank")
+
+  val heavyHittersSql: String =
+    """SELECT grp, rank, term, cnt FROM (
+      |  SELECT source AS grp, w AS term, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, w) AS rank
+      |  FROM (SELECT source, unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w)
+      |WHERE rank <= 5 ORDER BY grp, rank""".stripMargin
+
   val distinctKmvSql: String = {
     val p = TextOps.P
     s"""WITH $xsCte,
@@ -1738,6 +1759,7 @@ object LlmQueries {
     "q_length_trim" -> lengthTrim,
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
+    "q_heavy_hitters" -> heavyHitters,
     "q_semantic_dedup" -> semanticDedup,
     "q_bpe_merges" -> bpeMerges,
     "q_bpe_tokens" -> bpeTokens,
@@ -1794,6 +1816,7 @@ object LlmQueries {
     "q_length_trim" -> lengthTrimSql,
     "q_lang_confusion" -> langConfusionSql,
     "q_distinct_kmv" -> distinctKmvSql,
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokens" -> bpeTokensSql,

@@ -70,6 +70,49 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: exact below capacity, partition-count invariant") {
+    val one = Sketches.topTermsSketch(docs.repartition(1), "source", "text", 256, 5)
+      .orderBy("grp", "rank").collect().toSeq
+    val many = Sketches.topTermsSketch(docs.repartition(13), "source", "text", 256, 5)
+      .orderBy("grp", "rank").collect().toSeq
+    assert(one == many, "sketch must not depend on partitioning below capacity")
+    // exact: equals the full groupBy count top-5
+    val exact = docs
+      .select(col("source").as("grp"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("grp", "w").count()
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("count").desc, col("w"))))
+      .filter(col("rank") <= 5)
+      .select(col("grp"), col("rank").cast("long"), col("w"), col("count"))
+      .orderBy("grp", "rank").collect().toSeq
+    assert(one == exact, "below capacity the sketch IS the exact count map")
+  }
+
+  test("heavy hitters: MG guarantees hold in the approximate regime") {
+    import graft.functions.HeavyHitters
+    import org.apache.spark.sql.graft.Bridge
+    // skewed stream: 'hot' 400x, 'warm' 120x, 60 singletons; k=4 counters
+    val words = (Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 60).map(i => s"cold$i"))
+    val n = words.size
+    val k = 4
+    val docsDf = new scala.util.Random(3).shuffle(words).grouped(10).toSeq
+      .map(g => Tuple1(g.mkString(" "))).toDF("text")
+    val hh = docsDf.repartition(7)
+      .agg(Bridge.column(HeavyHitters(
+        Bridge.expression(split(col("text"), " ")), k).toAggregateExpression()).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every term with true count > n/(k+1) = 116 must be present
+    assert(hh.contains("hot") && hh.contains("warm"), s"got $hh")
+    // estimates never exceed true counts, undercount bounded by n/(k+1)
+    assert(hh("hot") <= 400 && hh("hot") >= 400 - n / (k + 1), s"hot=${hh("hot")}")
+    assert(hh("warm") <= 120 && hh("warm") >= 120 - n / (k + 1), s"warm=${hh("warm")}")
+    assert(hh.size <= k)
+  }
+
   test("duplicate values across docs never double-fill the sketch") {
     // two docs with identical text: union of hash sets == each set
     val dup = Seq((1L, "one two three four five six"), (2L, "one two three four five six"))
