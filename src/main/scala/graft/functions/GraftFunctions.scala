@@ -79,6 +79,11 @@ object GraftFunctions {
         FunctionIdentifier("graft_heavy_hitters"),
         new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
         (es: Seq[Expression]) => HeavyHitters(es(0), intLit(es(1), "counter budget k"))
+      ),
+      (
+        FunctionIdentifier("graft_bottomk_sample"),
+        new ExpressionInfo(classOf[BottomKSample].getName, "graft_bottomk_sample"),
+        (es: Seq[Expression]) => BottomKSample(es(0), es(1), intLit(es(2), "sample size k"))
       )
     )
 

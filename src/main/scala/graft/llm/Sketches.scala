@@ -86,4 +86,50 @@ object Sketches {
         (col("pos") + 1).cast("long").as("rank"),
         col("e.term").as("term"),
         col("e.cnt").as("cnt"))
+
+  /** The deterministic sampling key for [[quantiles]]: the squared
+    * strhash of the salted id — squaring scatters the affine tail of
+    * the polynomial hash so sequential ids sample uniformly (the same
+    * mix [[graft.operators.Shedding.sampleFractions]] uses), and the
+    * salt decorrelates from every other hash-keyed draw in the library.
+    */
+  def sampleKey(idCol: Column): Column = {
+    val h = graft.functions.GraftFunctions.strhash(concat(lit("qtl:"), idCol.cast("string")))
+    pmod(h * h, lit(graft.functions.StrHash.P))
+  }
+
+  /** Per-group quantile estimates from a deterministic bottom-k-by-hash
+    * sample ([[graft.functions.BottomKSample]]) — the `approx_percentile`
+    * replacement whose result another engine can replay exactly.
+    *
+    * Output per group: `n_sample` plus one column per requested
+    * quantile, each the sample's order statistic at index
+    * floor(q·(m−1)) (0-based — the lower-nearest-rank estimate; pure
+    * integer indexing, no interpolation, so both engines pick the
+    * identical element). Error vs the true quantile is the usual
+    * uniform-sample bound ~1/√k; exact whenever the group has ≤ k rows.
+    */
+  def quantiles(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: Column,
+      k: Int,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
+    val agg = Bridge.column(graft.functions.BottomKSample(
+      Bridge.expression(sampleKey(col(idCol))),
+      Bridge.expression(valueCol.cast("double")),
+      k).toAggregateExpression())
+    val m = size(col("smp"))
+    val qCols = qs.map { q =>
+      element_at(col("smp"), (floor(lit(q) * (m - 1).cast("double")) + 1).cast("int"))
+        .as(s"p${math.round(q * 100)}")
+    }
+    docs
+      .groupBy(col(groupCol).as("grp"))
+      .agg(agg.as("smp"))
+      .select((col("grp") +: m.cast("long").as("n_sample") +: qCols): _*)
+  }
 }

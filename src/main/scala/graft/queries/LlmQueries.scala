@@ -1283,6 +1283,37 @@ object LlmQueries {
     graft.llm.Sketches.distinctShingles(Tables.documents(s, dir), "source", "text", KmvK)
       .orderBy("grp")
 
+  /** Deterministic quantile sketch (Sketches.quantiles): per-source
+    * doc-length p50/p90 from a bottom-64-by-hash sample — the
+    * approx_percentile shape another engine can replay. The oracle
+    * rebuilds the identical sample (same squared-hash key, rank-64
+    * window, min-value key-tie rule) and indexes the same order
+    * statistics.
+    */
+  val quantileSketch: Q = (s, dir) =>
+    graft.llm.Sketches.quantiles(Tables.documents(s, dir), "source", "doc_id",
+        col("n_chars"), k = 64, qs = Seq(0.5, 0.9))
+      .orderBy("grp")
+
+  val quantileSketchSql: String =
+    s"""WITH keyed AS (
+       |  SELECT source AS grp, CAST(n_chars AS DOUBLE) AS v, (h * h) % $P AS key
+       |  FROM (SELECT source, n_chars,
+       |          ${strhashSql("'qtl:' || CAST(doc_id AS VARCHAR)", "q")} AS h
+       |        FROM documents)),
+       |dedup AS (SELECT grp, key, min(v) AS v FROM keyed GROUP BY grp, key),
+       |topk AS (SELECT grp, v FROM (
+       |    SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY key) AS rk FROM dedup)
+       |  WHERE rk <= 64),
+       |srt AS (SELECT grp, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY v) AS vi,
+       |    count(*) OVER (PARTITION BY grp) AS m
+       |  FROM topk)
+       |SELECT grp, CAST(max(m) AS BIGINT) AS n_sample,
+       |  max(CASE WHEN vi = CAST(floor(0.5 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p50,
+       |  max(CASE WHEN vi = CAST(floor(0.9 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p90
+       |FROM srt GROUP BY grp ORDER BY grp""".stripMargin
+
   /** Misra–Gries heavy hitters (Sketches.topTermsSketch): per-source
     * top-5 terms from the bounded-counter aggregate. sketchK=256 sits
     * far above any source's distinct-word count (31 at sf0.1), so the
@@ -1760,6 +1791,7 @@ object LlmQueries {
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
     "q_heavy_hitters" -> heavyHitters,
+    "q_quantile_sketch" -> quantileSketch,
     "q_semantic_dedup" -> semanticDedup,
     "q_bpe_merges" -> bpeMerges,
     "q_bpe_tokens" -> bpeTokens,
@@ -1817,6 +1849,7 @@ object LlmQueries {
     "q_lang_confusion" -> langConfusionSql,
     "q_distinct_kmv" -> distinctKmvSql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_quantile_sketch" -> quantileSketchSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokens" -> bpeTokensSql,

@@ -113,6 +113,35 @@ class SketchSpec extends SparkSpec {
     assert(hh.size <= k)
   }
 
+  test("quantile sketch: exact below k, partition-invariant, accurate above k") {
+    // below k the sample is the whole group: p50 == the true median
+    val one = Sketches.quantiles(docs.repartition(1), "source", "doc_id", col("n_chars"), 64, Seq(0.5, 0.9))
+      .orderBy("grp").collect().toSeq
+    val many = Sketches.quantiles(docs.repartition(13), "source", "doc_id", col("n_chars"), 64, Seq(0.5, 0.9))
+      .orderBy("grp").collect().toSeq
+    assert(one == many, "sample must not depend on partitioning")
+    val trueMedian = docs.groupBy(col("source").as("grp"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    one.foreach { r =>
+      val (grp, n, p50) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(n < 64, s"fixture group $grp must sit below capacity")
+      // lower-nearest-rank vs interpolated median: within one doc length
+      assert(math.abs(p50 - trueMedian(grp)) <= trueMedian(grp) * 0.1 + 30,
+        s"$grp: p50=$p50 vs median=${trueMedian(grp)}")
+    }
+
+    // above k: a 20k-row group with known uniform values 1..20000 —
+    // the sampled p50 must land near 10000 (~1/sqrt(64) error)
+    import spark.implicits._
+    val big = (1L to 20000L).map(i => ("g", i, i.toDouble)).toDF("grp", "id", "v")
+    val est = Sketches.quantiles(big, "grp", "id", col("v"), 64, Seq(0.5))
+      .collect()(0)
+    assert(est.getLong(1) == 64L)
+    val p50 = est.getDouble(2)
+    assert(math.abs(p50 - 10000.0) < 3500.0, s"sampled p50=$p50, want ~10000")
+  }
+
   test("duplicate values across docs never double-fill the sketch") {
     // two docs with identical text: union of hash sets == each set
     val dup = Seq((1L, "one two three four five six"), (2L, "one two three four five six"))
