@@ -47,6 +47,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaOp, s"sql=$viaSql op=$viaOp")
   }
 
+  test("heavy-hitters and bottom-k aggregates resolve in SQL") {
+    val s2 = Bridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
+    import s2.implicits._
+    Seq(("g", Seq("a", "a", "b"), 1L, 2.0), ("g", Seq("a"), 2L, 9.0), ("h", Seq("c"), 3L, 5.0))
+      .toDF("k", "ws", "id", "v").createOrReplaceTempView("sk_in")
+    val hh = s2.sql(
+        "SELECT k, graft_heavy_hitters(ws, 8) AS hh FROM sk_in GROUP BY k ORDER BY k")
+      .as[(String, Seq[(String, Long)])].collect().toList
+    assert(hh == List(("g", Seq(("a", 3L), ("b", 1L))), ("h", Seq(("c", 1L)))), s"got $hh")
+    val bk = s2.sql(
+        "SELECT k, graft_bottomk_sample(id, v, 8) AS smp FROM sk_in GROUP BY k ORDER BY k")
+      .as[(String, Seq[Double])].collect().toList
+    assert(bk == List(("g", Seq(2.0, 9.0)), ("h", Seq(5.0))), s"got $bk")
+  }
+
   test("KMV aggregate resolves in SQL (analyzer wraps the AggregateFunction)") {
     val s2 = Bridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
     import s2.implicits._
