@@ -76,4 +76,58 @@ object Selection {
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col(rankCol), col("tokens"), col("cum_tokens"))
   }
+
+  /** Balanced no-split sharding — the layout sibling of
+    * [[graft.llm.TextAnalysis.packSequences]]'s concat-and-chop:
+    * distribute WHOLE documents across `ceil(total_tokens /
+    * budgetTokens)` shards with near-equal token mass (shard files for
+    * N trainers, per-worker tokenization inputs). Greedy LPT-style:
+    * docs in (tokens desc, id) order round-robin over the shards,
+    * which bounds every shard's load by avg + max-doc-tokens — and is
+    * deterministic, unlike a best-fit heap, so the oracle replays it
+    * with plain rank arithmetic.
+    *
+    * The global rank runs the same two-pass shape as
+    * [[selectByBudget]]: range-repartition + in-partition sort,
+    * per-partition row counts to the driver (control-plane sized),
+    * per-partition offsets broadcast back — never a single-partition
+    * window. Output: id, tokens, shard (0-based), n_shards.
+    */
+  def shardBalanced(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val base = docs.select(col(idCol), tokensCol.cast("long").as("tokens"))
+    val parts = math.max(base.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val sorted = base
+      .repartitionByRange(parts, col("tokens").desc, col(idCol))
+      .sortWithinPartitions(col("tokens").desc, col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val stats = sorted.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n"), sum(col("tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val totalTokens = stats.values.map(_._2).sum
+    val nShards = math.max(1L, (totalTokens + budgetTokens - 1) / budgetTokens)
+    val offsetRows = (0 until parts).map { p =>
+      (p, (0 until p).map(q => stats.get(q).map(_._1).getOrElse(0L)).sum)
+    }
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offsetRows.map { case (p, off) => Row(p, off) }: _*),
+      StructType(Seq(StructField("pid", IntegerType, nullable = false),
+        StructField("p_off", LongType, nullable = false))))
+    val w = Window.partitionBy(col("pid")).orderBy(col("tokens").desc, col(idCol))
+    sorted
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("rk", row_number().over(w).cast("long") + col("p_off"))
+      .select(col(idCol), col("tokens"),
+        pmod(col("rk") - 1, lit(nShards)).as("shard"),
+        lit(nShards).as("n_shards"))
+  }
 }

@@ -1494,6 +1494,30 @@ object LlmQueries {
     * so the cut is exercised at the correctness scale) — exact global
     * prefix cut computed by the two-pass distributed cumsum.
     */
+  /** Balanced no-split sharding (Selection.shardBalanced): documents
+    * round-robin over ceil(total/budget) shards in (tokens desc, id)
+    * order — the oracle replays the rank arithmetic directly.
+    */
+  val shardBalanced: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.llm.Selection.shardBalanced(
+        docs.select(col("doc_id"), col("text")), "doc_id",
+        size(TextOps.words(col("text"))), budgetTokens = 15000L)
+      .orderBy("doc_id")
+  }
+
+  val shardBalancedSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), wx -> wx <> '')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |tot AS (SELECT CAST((sum(tokens) + 14999) // 15000 AS BIGINT) AS n_shards FROM t),
+      |r AS (SELECT doc_id, tokens,
+      |    CAST(row_number() OVER (ORDER BY tokens DESC, doc_id) AS BIGINT) AS rk
+      |  FROM t)
+      |SELECT doc_id, tokens, CAST((rk - 1) % n_shards AS BIGINT) AS shard, n_shards
+      |FROM r CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
   val selectBudget: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val q = TextAnalysis.quality(docs, "doc_id", "text")
@@ -1797,6 +1821,7 @@ object LlmQueries {
     "q_bpe_tokens" -> bpeTokens,
     "q_containment" -> containmentPairs,
     "q_select_budget" -> selectBudget,
+    "q_shard_balanced" -> shardBalanced,
     "q_curation_select" -> curationSelect,
     "q_boilerplate" -> boilerplate,
     "q_curation_funnel" -> curationFunnel,
@@ -1855,6 +1880,7 @@ object LlmQueries {
     "q_bpe_tokens" -> bpeTokensSql,
     "q_containment" -> containmentPairsSql,
     "q_select_budget" -> selectBudgetSql,
+    "q_shard_balanced" -> shardBalancedSql,
     "q_curation_select" -> curationSelectSql,
     "q_boilerplate" -> boilerplateSql,
     "q_curation_funnel" -> curationFunnelSql,

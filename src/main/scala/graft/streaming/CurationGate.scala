@@ -138,6 +138,39 @@ object CurationGate {
   def readAccepted(spark: SparkSession, acceptedDir: String): Option[DataFrame] =
     readAccumulated(spark, acceptedDir, beforeEpoch = None)
 
+  /** Offline compaction for a gate output root: fold every per-epoch
+    * directory at or below `upToEpoch` into a single re-written
+    * `b<upToEpoch>` and delete the folded epochs. Run BETWEEN streaming
+    * runs (the gate itself only ever reads, then overwrites its own
+    * epoch): after 10k micro-batches the baseline union is 10k small
+    * parquet dirs and every batch pays the listing + tiny-file open
+    * cost; compaction restores one well-sized dir while leaving epochs
+    * ABOVE the watermark untouched, so a restart resuming from a later
+    * checkpoint still replays correctly. Returns the number of epoch
+    * dirs folded (0 = nothing to do).
+    */
+  def compact(spark: SparkSession, dir: String, upToEpoch: Long): Int = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0
+    val epochs = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
+      .map(s => s.getPath.getName.drop(1).toLong)
+      .filter(_ <= upToEpoch)
+      .sorted
+    if (epochs.size < 2) return 0
+    // stage to a temp dir first: the write drains the source epochs
+    // completely before any of them is deleted, and a crash mid-compact
+    // leaves the original epochs intact (the dot-dir is ignored by the
+    // b-prefix listing)
+    val tmp = new Path(path, s".compact-b$upToEpoch")
+    spark.read.parquet(epochs.map(e => s"$dir/b$e"): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    epochs.foreach(e => fs.delete(new Path(path, s"b$e"), true))
+    fs.rename(tmp, new Path(path, s"b$upToEpoch"))
+    epochs.size
+  }
+
   private def readAccumulated(
       spark: SparkSession,
       dir: String,

@@ -53,4 +53,27 @@ class SelectionSpec extends SparkSpec {
       .select("id", "cum_tokens").as[(String, Long)].collect().toMap
     assert(kept == Map("a" -> 5L, "b" -> 8L))
   }
+
+  test("shardBalanced: matches the naive global rank; loads bounded by avg + max doc") {
+    val rng = new scala.util.Random(5)
+    val docs = (1L to 3000L).map(i => (i, 20L + rng.nextInt(400))).toDF("id", "tok")
+    val budget = 25000L
+    val got = Selection.shardBalanced(docs, "id", col("tok"), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // naive reference: global (tokens desc, id) rank, round-robin
+    val total = got.map(_._2).sum
+    val nShards = (total + budget - 1) / budget
+    assert(got.forall(_._4 == nShards))
+    val naive = got.map(t => (t._1, t._2)).sortBy { case (id, tok) => (-tok, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i.toLong % nShards) }.toMap
+    got.foreach { case (id, _, shard, _) =>
+      assert(shard == naive(id), s"doc $id: got shard $shard, naive ${naive(id)}")
+    }
+    // LPT round-robin balance: every shard's load <= avg + max doc
+    val loads = got.groupBy(_._3).map { case (_, xs) => xs.map(_._2).sum }
+    val avg = total.toDouble / nShards
+    val maxDoc = got.map(_._2).max
+    assert(loads.size == nShards)
+    loads.foreach(l => assert(l <= avg + maxDoc, s"load $l vs avg $avg + max $maxDoc"))
+  }
 }

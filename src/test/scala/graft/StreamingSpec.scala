@@ -437,6 +437,15 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(replayedEpoch == streamed, "epoch replay must be idempotent")
 
+    // offline compaction folds the epoch dirs without changing content
+    val folded = CurationGate.compact(spark, accDir, upToEpoch = lastEpoch)
+    assert(folded == 2, s"expected both epochs folded, got $folded")
+    val compacted = CurationGate.readAccepted(spark, accDir).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(compacted == streamed, "compaction must preserve the accepted set")
+    assert(CurationGate.compact(spark, accDir, upToEpoch = lastEpoch) == 0,
+      "a second compaction is a no-op")
+
     // ---- single-batch gate == the literal CorpusFrame batch chain
     val oneShot = CurationGate.gateBatch(all, evalShingles, None, minQ, maxOv, minJ)
       .select("doc_id").as[Long].collect().toSet
