@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 /** Byte-pair-encoding merge learning — tokenizer-vocabulary induction,
   * the step a training-data pipeline runs BEFORE token counting and
@@ -176,6 +176,43 @@ object Bpe {
       .agg(sum(col("tf") * col("n")).as("bpe_tokens"))
   }
 
+  /** Tokenize documents with a learned merge table — the actual token
+    * SEQUENCE, not just the count: what sequence packing / training
+    * export consumes. Output one row per token: (doc, pos, token),
+    * `pos` the 1-based position in the document's token stream (words
+    * in document order, merged symbols in word order).
+    *
+    * Same vocabulary economy and dual apply paths as [[tokenCount]]:
+    * distinct words segment once (expression chain below
+    * `expressionPathMaxMerges`, the [[applyMerges]] greedy merger
+    * beyond), and a word-keyed join fans the symbol arrays back onto
+    * word occurrences; the per-doc stream re-assembles with a
+    * doc-partitioned rank over (word position, symbol position).
+    */
+  def tokenize(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      expressionPathMaxMerges: Int = 100
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs
+      .select(col(idCol).as("doc"), posexplode(TextOps.words(col(textCol))).as(Seq("wp", "w")))
+    val words = occ.select(col("w")).distinct()
+    val vocab =
+      if (merges.size <= expressionPathMaxMerges) {
+        val perWord = merges.foldLeft(spacedChars(col("w"))) { case (sp, (l, r)) =>
+          replaceLit(sp, s" $l  $r ", s" $l$r ")
+        }
+        words.withColumn("syms", filter(split(perWord, " "), x => x =!= ""))
+      } else segmentedVocabSyms(words, merges)
+    val w = Window.partitionBy(col("doc")).orderBy(col("wp"), col("sp"))
+    occ.join(vocab, "w")
+      .select(col("doc"), col("wp"), posexplode(col("syms")).as(Seq("sp", "token")))
+      .select(col("doc"), row_number().over(w).cast("long").as("pos"), col("token"))
+  }
+
   /** A word as code-point symbols — the same unit Spark's `substring`
     * (and the spaced encoding) counts by.
     */
@@ -277,6 +314,22 @@ object Bpe {
       it.map { row =>
         val w = row.getString(0)
         Row(w, applyMerges(codePointSymbols(w), ms, steps).length.toLong)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[segmentedVocab]] keeping the symbol arrays (for [[tokenize]]). */
+  private def segmentedVocabSyms(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    val bc = spark.sparkContext.broadcast((merges.toIndexedSeq, stepIndex(merges)))
+    val outSchema = StructType(Seq(
+      StructField("w", StringType, nullable = true),
+      StructField("syms", ArrayType(StringType, containsNull = false), nullable = false)))
+    words.mapPartitions { it =>
+      val (ms, steps) = bc.value
+      it.map { row =>
+        val w = row.getString(0)
+        Row(w, applyMerges(codePointSymbols(w), ms, steps).toSeq)
       }
     }(Encoders.row(outSchema))
   }

@@ -1458,6 +1458,43 @@ object LlmQueries {
        |JOIN s$BpeSteps s USING (w)
        |GROUP BY doc_id ORDER BY doc""".stripMargin
 
+  /** The actual token SEQUENCE under the learned vocabulary
+    * (Bpe.tokenize on a 1-in-20 doc slice — counts are covered by
+    * q_bpe_tokens; this pins token identity AND order): one row per
+    * token with its stream position. The oracle re-derives every word's
+    * merged symbols from the training-replay CTEs and re-assembles the
+    * stream with the same (word position, symbol position) rank.
+    */
+  val bpeTokenize: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.llm.Bpe.learnMerges(s, docs, "text", BpeSteps)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.llm.Bpe.tokenize(docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", merges)
+      .orderBy("doc", "pos")
+  }
+
+  val bpeTokenizeSql: String =
+    s"""WITH $bpeCtes,
+       |dw AS (
+       |  SELECT doc_id, u.wp AS wp, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+       |      wi -> struct_pack(wp := wi, w := ws[CAST(wi AS INT)]))) AS u
+       |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |          FROM documents WHERE doc_id % 20 = 0))),
+       |vs AS (SELECT w, list_filter(string_split(sp, ' '), sx -> sx <> '') AS syms
+       |       FROM s$BpeSteps),
+       |ve AS (
+       |  SELECT w, u.spos AS spos, u.token AS token FROM (
+       |    SELECT w, unnest(list_transform(range(1, len(syms)+1),
+       |      si -> struct_pack(spos := si, token := syms[CAST(si AS INT)]))) AS u
+       |    FROM vs)),
+       |tk AS (SELECT d.doc_id, d.wp, v.spos, v.token FROM dw d JOIN ve v USING (w))
+       |SELECT doc_id AS doc,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wp, spos) AS BIGINT) AS pos,
+       |  token
+       |FROM tk ORDER BY doc, pos""".stripMargin
+
   /** Broder containment pairs (Dedup.containmentPairs, cap 20): the
     * asymmetric partial-copy detector — flags pairs where either doc's
     * shingle set is ≥80% inside the other, regardless of Jaccard.
@@ -1819,6 +1856,7 @@ object LlmQueries {
     "q_semantic_dedup" -> semanticDedup,
     "q_bpe_merges" -> bpeMerges,
     "q_bpe_tokens" -> bpeTokens,
+    "q_bpe_tokenize" -> bpeTokenize,
     "q_containment" -> containmentPairs,
     "q_select_budget" -> selectBudget,
     "q_shard_balanced" -> shardBalanced,
@@ -1878,6 +1916,7 @@ object LlmQueries {
     "q_semantic_dedup" -> semanticDedupSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokens" -> bpeTokensSql,
+    "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_containment" -> containmentPairsSql,
     "q_select_budget" -> selectBudgetSql,
     "q_shard_balanced" -> shardBalancedSql,

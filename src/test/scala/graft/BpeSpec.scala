@@ -45,6 +45,19 @@ class BpeSpec extends SparkSpec {
     assert(counts == Map(1L -> 4L, 2L -> 2L), s"got $counts")
   }
 
+  test("tokenize emits the merged symbol stream in document order") {
+    val docs = Seq((1L, "low lower"), (2L, "aaaa")).toDF("doc_id", "text")
+    val merges = Seq("l" -> "o", "lo" -> "w", "a" -> "a")
+    def run(threshold: Int) =
+      Bpe.tokenize(docs, "doc_id", "text", merges, expressionPathMaxMerges = threshold)
+        .orderBy("doc", "pos").as[(Long, Long, String)].collect().toList
+    val viaExpr = run(100)
+    assert(viaExpr == List(
+      (1L, 1L, "low"), (1L, 2L, "low"), (1L, 3L, "e"), (1L, 4L, "r"),
+      (2L, 1L, "aa"), (2L, 2L, "aa")), s"got $viaExpr")
+    assert(run(0) == viaExpr, "mapPartitions path must emit the same stream")
+  }
+
   test("stops early when no pair remains") {
     val docs = Seq(Tuple1("a b c")).toDF("text") // all single-char words
     val merges = Bpe.learnMerges(spark, docs, "text", 5).collect()
