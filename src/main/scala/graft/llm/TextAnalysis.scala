@@ -240,6 +240,43 @@ object TextAnalysis {
     docs.withColumn("split_bucket", bucket).withColumn("split", label)
   }
 
+  /** Long-document chunking: split each document into consecutive
+    * `maxTokens`-word pieces (the C4-style length normalizer — downstream
+    * stages want bounded inputs, and a single 10M-token doc must not
+    * become one task's row). One row per chunk: (doc, chunk_id 0-based,
+    * n_chunks, chunk_tokens, chunk_text). Word-boundary exact: chunk i
+    * holds words [i·maxTokens, (i+1)·maxTokens); short docs pass
+    * through as their own single chunk.
+    *
+    * Scale shape: a narrow explode — fan-out is ceil(words/maxTokens)
+    * per doc, no shuffle, no state; the words array materializes once
+    * per row and `slice` reads it per chunk (bounded by the fan-out,
+    * never quadratic in doc length for fixed maxTokens ratio).
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int
+  ): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val ws = TextOps.words(col(textCol))
+    val nChunks = greatest(ceil(size(ws).cast("double") / maxTokens).cast("long"), lit(1L))
+    docs
+      .select(col(idCol).as("doc"), ws.as("ws"), nChunks.as("n_chunks"))
+      .select(col("doc"), col("n_chunks"), col("ws"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(
+        col("doc"),
+        col("chunk_id"),
+        col("n_chunks"),
+        size(slice(col("ws"), (col("chunk_id") * maxTokens + 1).cast("int"), lit(maxTokens)))
+          .cast("long").as("chunk_tokens"),
+        array_join(
+          slice(col("ws"), (col("chunk_id") * maxTokens + 1).cast("int"), lit(maxTokens)),
+          " ").as("chunk_text"))
+  }
+
   /** Language-ID accuracy audit: the confusion matrix of [[langId]]'s
     * prediction against a trusted label column — the validation report a
     * pipeline runs before trusting a classifier to slice a corpus.

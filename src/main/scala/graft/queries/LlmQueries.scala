@@ -733,6 +733,29 @@ object LlmQueries {
        |FROM m JOIN tb ON tb.doc_id = m.doc_id ORDER BY doc""".stripMargin
   }
 
+  /** Long-doc chunking (TextAnalysis.chunkDocs, 30-word windows): the
+    * C4-style length normalizer — chunk boundaries, sizes and the
+    * re-joined chunk text all oracle-exact.
+    */
+  val chunkDocs: Q = (s, dir) =>
+    TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text", maxTokens = 30)
+      .orderBy("doc", "chunk_id")
+
+  val chunkDocsSql: String =
+    """WITH wt AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+      |  FROM documents),
+      |n AS (SELECT doc_id, ws,
+      |    greatest(CAST(ceil(CAST(len(ws) AS DOUBLE) / 30) AS BIGINT), 1) AS n_chunks
+      |  FROM wt),
+      |c AS (SELECT doc_id, ws, n_chunks, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+      |SELECT doc_id AS doc, chunk_id, n_chunks,
+      |  CAST(len(list_slice(ws, CAST(chunk_id*30+1 AS INT), CAST(chunk_id*30+30 AS INT))) AS BIGINT)
+      |    AS chunk_tokens,
+      |  array_to_string(list_slice(ws, CAST(chunk_id*30+1 AS INT), CAST(chunk_id*30+30 AS INT)), ' ')
+      |    AS chunk_text
+      |FROM c ORDER BY doc, chunk_id""".stripMargin
+
   val textRepetition: Q = (s, dir) =>
     TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
 
@@ -1849,6 +1872,7 @@ object LlmQueries {
     "q_dup_spans" -> dupSpans,
     "q_mixture_weights" -> mixtureWeights,
     "q_length_trim" -> lengthTrim,
+    "q_chunk_docs" -> chunkDocs,
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
     "q_heavy_hitters" -> heavyHitters,
@@ -1909,6 +1933,7 @@ object LlmQueries {
     "q_dup_spans" -> dupSpansSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_length_trim" -> lengthTrimSql,
+    "q_chunk_docs" -> chunkDocsSql,
     "q_lang_confusion" -> langConfusionSql,
     "q_distinct_kmv" -> distinctKmvSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -162,6 +162,28 @@ class LlmSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("chunkDocs: boundaries exact, chunks reassemble the token stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 75).map(i => s"w$i").mkString(" ")), // 3 chunks: 30/30/15
+      (2L, "short doc"),                              // 1 chunk, passthrough
+      (3L, (1 to 30).map(i => s"x$i").mkString(" "))  // exactly one full chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text", maxTokens = 30)
+      .orderBy("doc", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(_._4).toSeq == Seq(30L, 30L, 15L))
+    assert(byDoc(2L).map(_._4).toSeq == Seq(2L))
+    assert(byDoc(3L).map(_._4).toSeq == Seq(30L))
+    // reassembly: joining a doc's chunks in order reproduces its words
+    byDoc.foreach { case (id, chunks) =>
+      val original = docs.filter(col("doc_id") === id)
+        .select("text").as[String].collect()(0)
+      assert(chunks.sortBy(_._2).map(_._5).mkString(" ") == original, s"doc $id")
+    }
+  }
+
   test("repetition: top-word and type-token ratios on a constructed doc") {
     val d = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = TextAnalysis.repetition(d, "doc_id", "text").head()
