@@ -159,15 +159,20 @@ object CurationGate {
       .filter(_ <= upToEpoch)
       .sorted
     if (epochs.size < 2) return 0
+    // the folded dir takes the LARGEST FOLDED epoch's id — never the
+    // raw watermark: epoch ids are monotone, so b<max-folded> can never
+    // be re-issued, while a watermark above the newest epoch would name
+    // a dir a FUTURE micro-batch could legitimately claim and overwrite
+    val target = epochs.max
     // stage to a temp dir first: the write drains the source epochs
     // completely before any of them is deleted, and a crash mid-compact
     // leaves the original epochs intact (the dot-dir is ignored by the
     // b-prefix listing)
-    val tmp = new Path(path, s".compact-b$upToEpoch")
+    val tmp = new Path(path, s".compact-b$target")
     spark.read.parquet(epochs.map(e => s"$dir/b$e"): _*)
       .write.mode("overwrite").parquet(tmp.toString)
     epochs.foreach(e => fs.delete(new Path(path, s"b$e"), true))
-    fs.rename(tmp, new Path(path, s"b$upToEpoch"))
+    fs.rename(tmp, new Path(path, s"b$target"))
     epochs.size
   }
 

@@ -437,13 +437,18 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(replayedEpoch == streamed, "epoch replay must be idempotent")
 
-    // offline compaction folds the epoch dirs without changing content
-    val folded = CurationGate.compact(spark, accDir, upToEpoch = lastEpoch)
+    // offline compaction folds the epoch dirs without changing content;
+    // the watermark sits far above the newest epoch, and the folded dir
+    // must still take an epoch id that HAS run (a future micro-batch
+    // could legitimately claim and overwrite b<watermark>)
+    val folded = CurationGate.compact(spark, accDir, upToEpoch = 1000L)
     assert(folded == 2, s"expected both epochs folded, got $folded")
+    val dirs = new java.io.File(accDir).listFiles().map(_.getName).filter(_.matches("b\\d+"))
+    assert(dirs.toSeq == Seq(s"b$lastEpoch"), s"folded dir must be b$lastEpoch, got ${dirs.toSeq}")
     val compacted = CurationGate.readAccepted(spark, accDir).get
       .select("doc_id").as[Long].collect().toSet
     assert(compacted == streamed, "compaction must preserve the accepted set")
-    assert(CurationGate.compact(spark, accDir, upToEpoch = lastEpoch) == 0,
+    assert(CurationGate.compact(spark, accDir, upToEpoch = 1000L) == 0,
       "a second compaction is a no-op")
 
     // ---- single-batch gate == the literal CorpusFrame batch chain
