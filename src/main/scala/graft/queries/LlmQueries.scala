@@ -1104,6 +1104,42 @@ object LlmQueries {
        |  length(text) % 640 AS stub_width, (length(text) * 7) % 480 AS stub_height
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL image decode (Multimodal.decodeNetpbm): each doc's text bytes
+    * become the raster of a genuine binary P5 grayscale image (16×h,
+    * ASCII header + raw samples), and the typed-batch decoder parses it
+    * BACK — header, dimensions, maxval, per-sample mean. The oracle
+    * recomputes the expected features from the same prefix of the text
+    * (ASCII corpus: byte == ascii(char)), so the round-trip through the
+    * actual on-disk format is hash-gated end to end.
+    */
+  val mmImage: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).filter(octet_length(col("text")) >= 16)
+    val h = floor(octet_length(col("text")).cast("double") / 16.0).cast("int")
+    val media = docs.select(
+      col("doc_id"),
+      lit("image/x-portable-graymap").as("kind"),
+      octet_length(col("text")).cast("int").as("n_bytes"),
+      concat(
+        encode(concat(lit("P5\n16 "), h.cast("string"), lit("\n255\n")), "UTF-8"),
+        encode(col("text").substr(lit(1), h * 16), "UTF-8")).as("payload"))
+    Multimodal.decodeImages(s, media).toDF()
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("maxval").cast("long").as("maxval"), col("n_pixels"),
+        round(col("mean_pixel"), 6).as("mean_pixel"))
+      .orderBy("doc_id")
+  }
+
+  val mmImageSql: String =
+    """SELECT doc_id, 'P5' AS format, CAST(16 AS BIGINT) AS width,
+      |  CAST(length(text) // 16 AS BIGINT) AS height,
+      |  CAST(255 AS BIGINT) AS maxval,
+      |  CAST(16 * (length(text) // 16) AS BIGINT) AS n_pixels,
+      |  round(CAST(list_sum(list_transform(range(1, CAST(16 * (length(text) // 16) AS INT) + 1),
+      |    bi -> ascii(substring(text, CAST(bi AS INT), 1)))) AS DOUBLE)
+      |    / (16 * (length(text) // 16)), 6) AS mean_pixel
+      |FROM documents WHERE length(text) >= 16 ORDER BY doc_id""".stripMargin
+
   val mmFrames: Q = (s, dir) => {
     val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.sampleFrames(s, media, frames = 5)
@@ -1868,6 +1904,7 @@ object LlmQueries {
     "q_text_tokens" -> textTokens,
     "q_text_fingerprint" -> textFingerprint,
     "q_mm_decode" -> mmDecode,
+    "q_mm_image" -> mmImage,
     "q_mm_frames" -> mmFrames,
     "q_dup_spans" -> dupSpans,
     "q_mixture_weights" -> mixtureWeights,
@@ -1929,6 +1966,7 @@ object LlmQueries {
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_mm_decode" -> mmDecodeSql,
+    "q_mm_image" -> mmImageSql,
     "q_mm_frames" -> mmFramesSql,
     "q_dup_spans" -> dupSpansSql,
     "q_mixture_weights" -> mixtureWeightsSql,

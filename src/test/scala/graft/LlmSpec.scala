@@ -346,6 +346,26 @@ class LlmSpec extends SparkSpec {
     assert(direct.nonEmpty && viaStore == direct)
   }
 
+  test("Netpbm decoder: P5/P6 parse, comments, truncation and garbage reject") {
+    def pgm(w: Int, h: Int, pix: Array[Byte], header: String = "") =
+      (s"P5\n$header$w $h\n255\n").getBytes("UTF-8") ++ pix
+    // P5: 2x2 grayscale, mean of the 4 samples
+    val p5 = Multimodal.decodeNetpbm(pgm(2, 2, Array[Byte](10, 20, 30, 40)))
+    assert(p5.contains(("P5", 2, 2, 255, 4L, 25.0)), s"got $p5")
+    // comments in the header are skipped
+    val withComment = Multimodal.decodeNetpbm(
+      pgm(2, 1, Array[Byte](100, 50), header = "# a comment\n"))
+    assert(withComment.contains(("P5", 2, 1, 255, 2L, 75.0)), s"got $withComment")
+    // P6: 1x1 RGB — three samples, n_pixels still 1
+    val p6 = Multimodal.decodeNetpbm(
+      "P6\n1 1\n255\n".getBytes("UTF-8") ++ Array[Byte](30, 60, 90))
+    assert(p6.contains(("P6", 1, 1, 255, 1L, 60.0)), s"got $p6")
+    // truncated raster and non-image bytes reject, never garbage-decode
+    assert(Multimodal.decodeNetpbm(pgm(4, 4, Array[Byte](1, 2, 3))).isEmpty)
+    assert(Multimodal.decodeNetpbm("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeNetpbm(Array.empty[Byte]).isEmpty)
+  }
+
   test("multimodal: binary plumbing round-trips byte stats; frames fan out") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")
