@@ -240,6 +240,38 @@ object TextAnalysis {
     docs.withColumn("split_bucket", bucket).withColumn("split", label)
   }
 
+  /** PII detection patterns — conservative regexes that parse and match
+    * identically under Java regex (Spark) and RE2 (DuckDB, Go tooling):
+    * no lookaround, no backreferences, no possessive quantifiers.
+    * Shared with the oracle generator.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhonePattern = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** PII scrubbing — the redaction stage a corpus runs before export
+    * (emails, IPv4 addresses, phone-shaped numbers): per-doc match
+    * counts plus the redacted text with typed placeholders. Pure
+    * codegen'd regexp expressions, one pass per pattern, no shuffle;
+    * redaction order (email → ip → phone) is fixed so both engines
+    * rewrite identically when patterns could overlap.
+    */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, lit(EmailPattern), lit("<EMAIL>")),
+          lit(Ipv4Pattern), lit("<IP>")),
+        lit(PhonePattern), lit("<PHONE>"))
+    docs.select(
+      col(idCol).as("doc"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      redacted.as("redacted_text"))
+  }
+
   /** Long-document chunking: split each document into consecutive
     * `maxTokens`-word pieces (the C4-style length normalizer — downstream
     * stages want bounded inputs, and a single 10M-token doc must not

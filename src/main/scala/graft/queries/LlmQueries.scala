@@ -733,6 +733,43 @@ object LlmQueries {
        |FROM m JOIN tb ON tb.doc_id = m.doc_id ORDER BY doc""".stripMargin
   }
 
+  /** PII redaction (TextAnalysis.piiRedact). The corpus carries no PII,
+    * so the query plants deterministic contact lines (email + ip +
+    * phone derived from doc_id) into every 3rd doc before scrubbing —
+    * the oracle must then agree with Spark on REAL matches and on the
+    * rewritten text, not just on zeros.
+    */
+  val piiRedact: Q = (s, dir) => {
+    val seeded = Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-1234")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.piiRedact(seeded, "doc_id", "text").orderBy("doc")
+  }
+
+  val piiRedactSql: String = {
+    val (em, ip, ph) = (TextAnalysis.EmailPattern, TextAnalysis.Ipv4Pattern, TextAnalysis.PhonePattern)
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'
+       |        || CAST(doc_id % 256 AS VARCHAR) || '.7 or 555-'
+       |        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234'
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id AS doc,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS redacted_text
+       |FROM seeded ORDER BY doc""".stripMargin
+  }
+
   /** Long-doc chunking (TextAnalysis.chunkDocs, 30-word windows): the
     * C4-style length normalizer — chunk boundaries, sizes and the
     * re-joined chunk text all oracle-exact.
@@ -1910,6 +1947,7 @@ object LlmQueries {
     "q_mixture_weights" -> mixtureWeights,
     "q_length_trim" -> lengthTrim,
     "q_chunk_docs" -> chunkDocs,
+    "q_pii_redact" -> piiRedact,
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
     "q_heavy_hitters" -> heavyHitters,
@@ -1972,6 +2010,7 @@ object LlmQueries {
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_length_trim" -> lengthTrimSql,
     "q_chunk_docs" -> chunkDocsSql,
+    "q_pii_redact" -> piiRedactSql,
     "q_lang_confusion" -> langConfusionSql,
     "q_distinct_kmv" -> distinctKmvSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -346,6 +346,23 @@ class LlmSpec extends SparkSpec {
     assert(direct.nonEmpty && viaStore == direct)
   }
 
+  test("piiRedact: counts and placeholders for each PII family; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@test.org and d@ex.co now"),
+      (2L, "server at 192.168.001.1 and 10.0.0.7"),
+      (3L, "call 555-123-4567 or 555 987 6543"),
+      (4L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs, "doc_id", "text")
+      .orderBy("doc").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._4 == "mail <EMAIL> and <EMAIL> now")
+    assert(out(2L)._2 == 2 && out(2L)._4 == "server at <IP> and <IP>")
+    assert(out(3L)._3 == 2 && out(3L)._4 == "call <PHONE> or <PHONE>")
+    assert(out(4L) == ((0L, 0L, 0L, "nothing sensitive here at all")))
+  }
+
   test("Netpbm decoder: P5/P6 parse, comments, truncation and garbage reject") {
     def pgm(w: Int, h: Int, pix: Array[Byte], header: String = "") =
       (s"P5\n$header$w $h\n255\n").getBytes("UTF-8") ++ pix
