@@ -1644,7 +1644,8 @@ object LlmQueries {
       |  SELECT doc_id,
       |    CAST(len(list_filter(string_split(text, ' '), wx -> wx <> '')) AS BIGINT) AS tokens
       |  FROM documents),
-      |tot AS (SELECT CAST((sum(tokens) + 14999) // 15000 AS BIGINT) AS n_shards FROM t),
+      |tot AS (SELECT greatest(CAST((sum(tokens) + 14999) // 15000 AS BIGINT), 1) AS n_shards
+      |        FROM t),
       |r AS (SELECT doc_id, tokens,
       |    CAST(row_number() OVER (ORDER BY tokens DESC, doc_id) AS BIGINT) AS rk
       |  FROM t)
