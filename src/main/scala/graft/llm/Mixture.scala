@@ -61,4 +61,45 @@ object Mixture {
         when(col("tokens") > 0L, alloc / col("tokens").cast("double"))
           .otherwise(lit(0.0)).as("epochs"))
   }
+
+  /** Per-slice distribution drift: KL(slice word distribution ‖ corpus
+    * word distribution) — the provenance audit a mixture pipeline runs
+    * before trusting slice weights (a slice whose vocabulary diverges
+    * hard from the pool is a different kind of data, whatever its
+    * size). KL over the slice's observed words: Σ p·ln(p/q) with
+    * p = within-slice frequency, q = corpus frequency; q > 0 wherever
+    * p > 0 by construction (the slice is part of the corpus), so no
+    * smoothing is needed.
+    *
+    * Cross-engine FP discipline (the [[Relevance.bm25]] pattern): each
+    * word's p·ln(p/q) is a short chain of identical IEEE ops, quantized
+    * to DECIMAL(18,6) per term, and the per-slice total is an EXACT
+    * decimal sum — order-independent, so shuffle order can't move a
+    * bit. Scale shape: one (slice, word) aggregate and one word
+    * aggregate (both map-side combined), a broadcastable corpus-total
+    * row, then a keyed join — the corpus is touched once.
+    */
+  def sourceDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String
+  ): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(TextOps.words(col(textCol))).as("w"))
+    val gw = tok.groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds the word, slice and corpus rollups
+    val wc = gw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val gt = gw.groupBy(col("grp")).agg(sum(col("c")).as("tg"))
+    val tot = wc.agg(sum(col("cw")).as("tc"))
+    val p = col("c").cast("double") / col("tg").cast("double")
+    val q = col("cw").cast("double") / col("tc").cast("double")
+    gw.join(wc, "w").join(gt, "grp").crossJoin(broadcast(tot))
+      .select(col("grp"), col("c"),
+        round(p * log(p / q), 6).cast("decimal(18,6)").as("term"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("c")).as("tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("term")).cast("double").as("kl_divergence"))
+  }
 }

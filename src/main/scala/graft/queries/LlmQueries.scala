@@ -1311,6 +1311,32 @@ object LlmQueries {
        |       ELSE 0.0 END AS epochs
        |FROM ww ORDER BY grp""".stripMargin
 
+  /** Per-source KL divergence from the corpus word distribution
+    * (Mixture.sourceDivergence): the drift audit behind mixture
+    * weighting. Terms quantize to DECIMAL(18,6), totals are exact
+    * decimal sums (the bm25 log-score pattern).
+    */
+  val sourceDivergence: Q = (s, dir) =>
+    graft.llm.Mixture.sourceDivergence(Tables.documents(s, dir), "source", "text")
+      .orderBy("grp")
+
+  val sourceDivergenceSql: String =
+    """WITH tok AS (
+      |  SELECT source AS grp, unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS w
+      |  FROM documents),
+      |gw AS (SELECT grp, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |wc AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM gw GROUP BY 1),
+      |gt AS (SELECT grp, CAST(sum(c) AS BIGINT) AS tg FROM gw GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS tc FROM wc),
+      |terms AS (
+      |  SELECT grp, c,
+      |    CAST(round((CAST(c AS DOUBLE) / tg) * ln((CAST(c AS DOUBLE) / tg) / (CAST(cw AS DOUBLE) / tc)), 6)
+      |      AS DECIMAL(18,6)) AS term
+      |  FROM gw JOIN wc USING (w) JOIN gt USING (grp) CROSS JOIN tot)
+      |SELECT grp, CAST(sum(c) AS BIGINT) AS tokens, count(*) AS n_distinct,
+      |  CAST(sum(term) AS DOUBLE) AS kl_divergence
+      |FROM terms GROUP BY grp ORDER BY grp""".stripMargin
+
   /** Per-source survivor stats after trimming each source's shortest and
     * longest 10% of docs by rank (TextAnalysis.trimLengthOutliers —
     * integer bounds, so both engines cut identical rows).
@@ -1946,6 +1972,7 @@ object LlmQueries {
     "q_mm_frames" -> mmFrames,
     "q_dup_spans" -> dupSpans,
     "q_mixture_weights" -> mixtureWeights,
+    "q_source_divergence" -> sourceDivergence,
     "q_length_trim" -> lengthTrim,
     "q_chunk_docs" -> chunkDocs,
     "q_pii_redact" -> piiRedact,
@@ -2009,6 +2036,7 @@ object LlmQueries {
     "q_mm_frames" -> mmFramesSql,
     "q_dup_spans" -> dupSpansSql,
     "q_mixture_weights" -> mixtureWeightsSql,
+    "q_source_divergence" -> sourceDivergenceSql,
     "q_length_trim" -> lengthTrimSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pii_redact" -> piiRedactSql,

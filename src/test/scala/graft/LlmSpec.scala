@@ -346,6 +346,29 @@ class LlmSpec extends SparkSpec {
     assert(direct.nonEmpty && viaStore == direct)
   }
 
+  test("sourceDivergence: zero for matching distributions, positive under drift") {
+    import spark.implicits._
+    // slices a and b share one distribution; slice c is disjoint vocabulary
+    val docs = Seq(
+      (1L, "a", "x x y z"), (2L, "a", "x x y z"),
+      (3L, "b", "x x y z"),
+      (4L, "c", "q q q r")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.llm.Mixture.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // a and b match each other but NOT the pooled corpus (c shifts it),
+    // so all divergences are positive; the disjoint slice diverges most
+    assert(out.values.forall(_ >= 0.0), s"KL must be non-negative: $out")
+    assert(out("c") > out("a") && out("c") > out("b"), s"got $out")
+    assert(math.abs(out("a") - out("b")) < 1e-9, "identical slices must diverge equally")
+
+    // a corpus with ONE slice: p == q everywhere, KL exactly 0
+    val single = Seq((1L, "only", "x y z"), (2L, "only", "x y z")).toDF("doc_id", "source", "text")
+    val kl0 = graft.llm.Mixture.sourceDivergence(single, "source", "text")
+      .collect()(0).getDouble(3)
+    assert(kl0 == 0.0, s"single-slice corpus must have KL 0, got $kl0")
+  }
+
   test("piiRedact: counts and placeholders for each PII family; clean text untouched") {
     import spark.implicits._
     val docs = Seq(
