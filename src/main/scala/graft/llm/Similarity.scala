@@ -146,9 +146,14 @@ object Similarity {
     val withMax = p
       .withColumn("vmax", array_max(transform(col("v"), x => abs(x))))
       .localCheckpoint(false)
+    // vmax = 0 means an all-zero vector: quantize it to the zero code
+    // vector instead of dividing by zero (Spark would emit NaN where
+    // DuckDB float division yields NULL — a silent oracle divergence)
     val qz = withMax
       .select(col("vid"), col("v"), col("nrm"),
-        transform(col("v"), x => floor(x * lit(127.0) / col("vmax")).cast("double")).as("qv"))
+        transform(col("v"), x =>
+          when(col("vmax") > 0, floor(x * lit(127.0) / col("vmax")))
+            .otherwise(lit(0.0)).cast("double")).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .localCheckpoint(false) // feeds the query side and the corpus side
     val qs = qz.filter(queryPred)

@@ -123,8 +123,12 @@ object Sketches {
       Bridge.expression(valueCol.cast("double")),
       k).toAggregateExpression())
     val m = size(col("smp"))
+    // guard m = 0 (a group whose sampled values are all NULL — the
+    // aggregate skips nulls): the order-statistic index would be 0 and
+    // element_at throws on it; an empty sample has no quantiles
     val qCols = qs.map { q =>
-      element_at(col("smp"), (floor(lit(q) * (m - 1).cast("double")) + 1).cast("int"))
+      when(m > 0,
+        element_at(col("smp"), (floor(lit(q) * (m - 1).cast("double")) + 1).cast("int")))
         .as(s"p${math.round(q * 100)}")
     }
     docs

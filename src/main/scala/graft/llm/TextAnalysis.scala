@@ -32,19 +32,17 @@ object TextAnalysis {
   private def markerCount(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(markers)))
 
-  /** Language ID: count marker-word hits per language, argmax with
-    * first-listed-language tie-break; no hits at all → "und".
+  /** The argmax-with-first-listed-tie-break chain over the `s_<lang>`
+    * score columns: lang L wins iff its score > 0, strictly beats every
+    * earlier language, and is >= every later one; no hits at all →
+    * "und". Kept as a SECOND projection over the scored columns (never
+    * inlined over the raw word array): each score is referenced several
+    * times by the comparisons, and CollapseProject leaves
+    * multiply-referenced non-cheap expressions in their own projection,
+    * so the marker filters evaluate once per row.
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = TextOps.words(col(textCol))
-    val scored = docs.select(
-      (col(idCol).as("doc") +:
-        LangMarkers.map { case (lang, ms) => markerCount(ws, ms).as(s"s_$lang") }): _*
-    )
+  private def argmaxLang: Column = {
     val langs = LangMarkers.map(_._1)
-    // lang L wins iff its score > 0, strictly beats every earlier
-    // language, and is >= every later one — i.e. argmax with ties going
-    // to the first-listed language.
     var expr: Column = lit("und")
     for ((lang, i) <- langs.zipWithIndex.reverse) {
       val mine = col(s"s_$lang")
@@ -56,8 +54,21 @@ object TextAnalysis {
         .reduce(_ && _)
       expr = when(mine > 0 && geAll, lang).otherwise(expr)
     }
+    expr
+  }
+
+  /** Language ID: count marker-word hits per language, argmax with
+    * first-listed-language tie-break; no hits at all → "und".
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextOps.words(col(textCol))
+    val scored = docs.select(
+      (col(idCol).as("doc") +:
+        LangMarkers.map { case (lang, ms) => markerCount(ws, ms).as(s"s_$lang") }): _*
+    )
+    val langs = LangMarkers.map(_._1)
     scored.select(
-      (col("doc") +: langs.map(l => col(s"s_$l")) :+ expr.as("pred_lang")): _*
+      (col("doc") +: langs.map(l => col(s"s_$l")) :+ argmaxLang.as("pred_lang")): _*
     )
   }
 
@@ -115,13 +126,30 @@ object TextAnalysis {
         round(col("top_count").cast("double") / col("n_words"), 6).as("top_word_ratio"))
   }
 
+  /** Symbols counted by the Gopher symbol-to-word rule: hash marks and
+    * ASCII ellipses. Alternation is left-to-right non-overlapping in
+    * both Java regex and RE2, so "...." counts one ellipsis in both
+    * engines.
+    */
+  val SymbolPattern = "#|\\.\\.\\."
+
   /** Gopher-style hard quality rules (Rae et al. 2021, appendix A1.1 —
     * the threshold gate a pretraining pipeline runs BEFORE scoring):
     * per-doc rule metrics plus the conjunction `pass`. Rules covered:
     * word-count bounds, mean-word-length bounds, minimum stopword hits
-    * (the "contains ≥2 stop words" natural-language check), and the
+    * (the "contains ≥2 stop words" natural-language check), the
     * adjacent-repetition cut (top word-bigram fraction — the
-    * most-frequent 2-gram must not dominate the doc).
+    * most-frequent 2-gram must not dominate the doc), the
+    * symbol-to-word ratio (# / ellipsis spam), the bullet-line and
+    * ellipsis-line fractions, and the minimum fraction of words
+    * containing an alphabetic character.
+    *
+    * Degenerate docs are guarded so `pass` is NEVER null: zero-word
+    * docs get null ratio metrics (not NaN/Infinity from 0/0), and each
+    * nullable conjunct is coalesced — word-shape rules (mean word
+    * length, alpha-word fraction) fail a wordless doc, while
+    * dominance rules (top bigram, symbol ratio) pass vacuously and
+    * leave the word-count bound to reject it.
     *
     * Scale shape: the scalar metrics are one codegen'd projection
     * (array HOFs bound once per row); the top-bigram fraction goes
@@ -140,33 +168,58 @@ object TextAnalysis {
       minMeanWordLen: Double = 2.0,
       maxMeanWordLen: Double = 12.0,
       minStopwordHits: Long = 2L,
-      maxTopBigramFrac: Double = 0.2
+      maxTopBigramFrac: Double = 0.2,
+      maxSymbolWordRatio: Double = 0.1,
+      maxEllipsisLineFrac: Double = 0.3,
+      maxBulletLineFrac: Double = 0.9,
+      minAlphaWordFrac: Double = 0.8
   ): DataFrame = {
     val t = col(textCol)
     val ws = TextOps.words(t)
+    val lns = split(t, "\n")
     val base = docs.select(
       col(idCol).as("doc"),
       size(ws).cast("long").as("n_words"),
-      (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
-        .as("mwl"),
-      size(filter(ws, w => w.isInCollection(EnStopwords))).cast("long").as("stop_hits"))
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("word_chars"),
+      size(filter(ws, w => w.isInCollection(EnStopwords))).cast("long").as("stop_hits"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+      size(regexp_extract_all(t, lit(SymbolPattern), lit(0))).cast("long").as("n_symbols"),
+      size(lns).cast("long").as("n_lines"),
+      size(filter(lns, l => l.substr(lit(1), lit(2)).isin("- ", "* "))).cast("long")
+        .as("bullet_lines"),
+      size(filter(lns, l => endswith(l, lit("...")))).cast("long").as("ellipsis_lines"))
     val topBigram = docs
       .select(col(idCol).as("doc"), explode(TextOps.simhashFeatures(t)).as("h"))
       .groupBy(col("doc"), col("h")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc"))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+    val hasWords = col("n_words") > 0
+    val mwl = when(hasWords, col("word_chars").cast("double") / col("n_words"))
+    val symbolRatio = when(hasWords, col("n_symbols").cast("double") / col("n_words"))
+    val alphaFrac = when(hasWords, col("alpha_words").cast("double") / col("n_words"))
+    // n_lines >= 1 always (split of "" is [""]), so no guard needed
+    val bulletFrac = col("bullet_lines").cast("double") / col("n_lines")
+    val ellipsisFrac = col("ellipsis_lines").cast("double") / col("n_lines")
     val bigramFrac = col("top_c").cast("double") / col("n_bigrams").cast("double")
     base.join(topBigram, Seq("doc"), "left")
       .select(
         col("doc"),
         col("n_words"),
-        round(col("mwl"), 6).as("mean_word_len"),
+        round(mwl, 6).as("mean_word_len"),
         col("stop_hits"),
         round(bigramFrac, 6).as("top_bigram_frac"),
+        round(symbolRatio, 6).as("symbol_word_ratio"),
+        round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+        round(bulletFrac, 6).as("bullet_line_frac"),
+        round(alphaFrac, 6).as("alpha_word_frac"),
         (col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mwl") >= minMeanWordLen && col("mwl") <= maxMeanWordLen &&
+          coalesce(mwl >= minMeanWordLen && mwl <= maxMeanWordLen, lit(false)) &&
           col("stop_hits") >= minStopwordHits &&
-          bigramFrac <= maxTopBigramFrac).as("pass"))
+          coalesce(bigramFrac <= maxTopBigramFrac, lit(true)) &&
+          coalesce(symbolRatio <= maxSymbolWordRatio, lit(true)) &&
+          ellipsisFrac <= maxEllipsisLineFrac &&
+          bulletFrac <= maxBulletLineFrac &&
+          coalesce(alphaFrac >= minAlphaWordFrac, lit(false))).as("pass"))
   }
 
   /** Token counting: whitespace tokens and BPE-ish regex tokens, plus
@@ -312,21 +365,27 @@ object TextAnalysis {
   /** Language-ID accuracy audit: the confusion matrix of [[langId]]'s
     * prediction against a trusted label column — the validation report a
     * pipeline runs before trusting a classifier to slice a corpus.
-    * One self-join keyed by the doc id (the prediction is a pure per-row
-    * expression, so Catalyst collapses it into the same scan where
-    * possible) and one count aggregate over (true, predicted) — both
-    * shuffles carry map-side partial combine.
+    * The prediction is a pure per-row expression, so it is projected
+    * INLINE next to the true label — one corpus scan, zero joins — and
+    * the only shuffle is the (true, predicted) count aggregate with
+    * map-side partial combine. (The r5 version self-joined the corpus
+    * on the doc id to reuse [[langId]]: two scans plus a doc-keyed
+    * shuffle for a per-row expression — the textbook avoidable join.)
     */
   def langConfusion(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       labelCol: String
-  ): DataFrame =
-    docs.select(col(idCol).as("doc"), col(labelCol).as("true_lang"))
-      .join(langId(docs, idCol, textCol).select(col("doc"), col("pred_lang")), "doc")
+  ): DataFrame = {
+    val ws = TextOps.words(col(textCol))
+    docs.select(
+      (col(labelCol).as("true_lang") +:
+        LangMarkers.map { case (lang, ms) => markerCount(ws, ms).as(s"s_$lang") }): _*)
+      .select(col("true_lang"), argmaxLang.as("pred_lang"))
       .groupBy(col("true_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
+  }
 
   /** Per-group length-outlier trimming — the tail-cut curation rule
     * (truncated/garbled docs sit in the length tails; a global cutoff is

@@ -442,7 +442,8 @@ object LlmQueries {
        |mx AS (SELECT vec_id, v, nrm,
        |  list_max(list_transform(v, qx -> abs(qx))) AS vmax FROM n),
        |qz AS (SELECT vec_id, v, nrm,
-       |  list_transform(range(1, 65), qi -> floor(v[CAST(qi AS INT)] * 127.0 / vmax)) AS qv
+       |  list_transform(range(1, 65), qi ->
+       |    CASE WHEN vmax > 0 THEN floor(v[CAST(qi AS INT)] * 127.0 / vmax) ELSE 0.0 END) AS qv
        |  FROM mx),
        |qnt AS (SELECT vec_id, v, nrm, qv,
        |  sqrt(${dotSql("qv", "qv", 64, "qa")}) AS qn FROM qz),
@@ -707,11 +708,24 @@ object LlmQueries {
   val qualityRulesSql: String = {
     val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
     s"""WITH wt AS (
-       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws FROM documents),
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws,
+       |    string_split(text, chr(10)) AS lns
+       |  FROM documents),
        |m AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-       |    CAST(list_sum(list_transform(ws, mw -> length(mw))) AS DOUBLE) / len(ws) AS mwl,
-       |    CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS BIGINT) AS stop_hits
+       |    CASE WHEN len(ws) > 0 THEN
+       |      CAST(list_sum(list_transform(ws, mw -> length(mw))) AS DOUBLE) / len(ws) END AS mwl,
+       |    CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS BIGINT) AS stop_hits,
+       |    CASE WHEN len(ws) > 0 THEN
+       |      CAST(len(list_filter(ws, aw -> regexp_matches(aw, '[A-Za-z]'))) AS DOUBLE) / len(ws)
+       |      END AS alpha_frac,
+       |    CASE WHEN len(ws) > 0 THEN
+       |      CAST(len(regexp_extract_all(text, '${TextAnalysis.SymbolPattern}')) AS DOUBLE) / len(ws)
+       |      END AS sym_ratio,
+       |    CAST(len(list_filter(lns, bl -> substring(bl, 1, 2) IN ('- ', '* '))) AS DOUBLE)
+       |      / len(lns) AS bullet_frac,
+       |    CAST(len(list_filter(lns, el -> ends_with(el, '...'))) AS DOUBLE)
+       |      / len(lns) AS ellipsis_frac
        |  FROM wt),
        |bg AS (
        |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN [text]
@@ -727,10 +741,17 @@ object LlmQueries {
        |       FROM bc GROUP BY 1)
        |SELECT m.doc_id AS doc, n_words, round(mwl, 6) AS mean_word_len, stop_hits,
        |  round(CAST(top_c AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+       |  round(sym_ratio, 6) AS symbol_word_ratio,
+       |  round(ellipsis_frac, 6) AS ellipsis_line_frac,
+       |  round(bullet_frac, 6) AS bullet_line_frac,
+       |  round(alpha_frac, 6) AS alpha_word_frac,
        |  (n_words >= 20 AND n_words <= 100000
-       |    AND mwl >= 2.0 AND mwl <= 12.0 AND stop_hits >= 2
-       |    AND CAST(top_c AS DOUBLE) / n_bigrams <= 0.2) AS pass
-       |FROM m JOIN tb ON tb.doc_id = m.doc_id ORDER BY doc""".stripMargin
+       |    AND coalesce(mwl >= 2.0 AND mwl <= 12.0, false) AND stop_hits >= 2
+       |    AND coalesce(CAST(top_c AS DOUBLE) / n_bigrams <= 0.2, true)
+       |    AND coalesce(sym_ratio <= 0.1, true)
+       |    AND ellipsis_frac <= 0.3 AND bullet_frac <= 0.9
+       |    AND coalesce(alpha_frac >= 0.8, false)) AS pass
+       |FROM m LEFT JOIN tb ON tb.doc_id = m.doc_id ORDER BY doc""".stripMargin
   }
 
   /** PII redaction (TextAnalysis.piiRedact). The corpus carries no PII,
@@ -1150,12 +1171,17 @@ object LlmQueries {
     * actual on-disk format is hash-gated end to end.
     */
   val mmImage: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir).filter(octet_length(col("text")) >= 16)
-    val h = floor(octet_length(col("text")).cast("double") / 16.0).cast("int")
+    // raster height is derived from CHAR length to match the substr
+    // slice and the oracle's per-char ascii() codes (the corpus is
+    // ASCII so chars == bytes, but sizing by octet_length while slicing
+    // by characters would silently desynchronize on any multi-byte
+    // character — ADVICE r5)
+    val docs = Tables.documents(s, dir).filter(length(col("text")) >= 16)
+    val h = floor(length(col("text")).cast("double") / 16.0).cast("int")
     val media = docs.select(
       col("doc_id"),
       lit("image/x-portable-graymap").as("kind"),
-      octet_length(col("text")).cast("int").as("n_bytes"),
+      length(col("text")).cast("int").as("n_bytes"),
       concat(
         encode(concat(lit("P5\n16 "), h.cast("string"), lit("\n255\n")), "UTF-8"),
         encode(col("text").substr(lit(1), h * 16), "UTF-8")).as("payload"))

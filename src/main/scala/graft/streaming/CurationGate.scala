@@ -153,11 +153,19 @@ object CurationGate {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return 0
-    val epochs = fs.listStatus(path).toSeq
+    finishStagedCompact(spark, dir)
+    val all = fs.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
       .map(s => s.getPath.getName.drop(1).toLong)
-      .filter(_ <= upToEpoch)
       .sorted
+    // NEVER fold the newest epoch in the directory, whatever the
+    // watermark says: if the stream crashed after that epoch's write but
+    // before its offset commit, the restart REPLAYS it and runEpoch
+    // overwrites its b-dir — had earlier epochs been folded into that
+    // id, the overwrite would silently drop their accepted docs. Only
+    // the last-written epoch can be uncommitted, so epochs strictly
+    // below it are safe to fold.
+    val epochs = all.filter(e => e <= upToEpoch && e < all.max)
     if (epochs.size < 2) return 0
     // the folded dir takes the LARGEST FOLDED epoch's id — never the
     // raw watermark: epoch ids are monotone, so b<max-folded> can never
@@ -174,6 +182,42 @@ object CurationGate {
     epochs.foreach(e => fs.delete(new Path(path, s"b$e"), true))
     fs.rename(tmp, new Path(path, s"b$target"))
     epochs.size
+  }
+
+  /** Crash recovery for [[compact]], run before every compaction: a
+    * COMPLETE staged dir (`.compact-b<t>` carrying its `_SUCCESS`
+    * marker) proves the union of every then-present epoch ≤ t was fully
+    * drained before the crash, so any of those epoch dirs still present
+    * are exact subsets of the stage — finish the interrupted protocol
+    * by deleting them and renaming the stage into place. This closes
+    * BOTH crash windows: before any delete (originals intact, stage
+    * re-finished) and between delete and rename (survivors ⊆ stage, no
+    * loss, no double-count). An INCOMPLETE stage (no `_SUCCESS`) is
+    * discarded — the originals are still intact. Safe against epoch
+    * replay: [[compact]] never folds the newest epoch, so a replayed
+    * epoch id is always > t and untouched here. Returns the number of
+    * staged dirs finished.
+    */
+  private[graft] def finishStagedCompact(spark: SparkSession, dir: String): Int = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0
+    val staged = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("\\.compact-b\\d+"))
+    staged.count { s =>
+      val t = s.getPath.getName.stripPrefix(".compact-b").toLong
+      if (fs.exists(new Path(s.getPath, "_SUCCESS"))) {
+        fs.listStatus(path).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.matches("b\\d+"))
+          .filter(d => d.getPath.getName.drop(1).toLong <= t)
+          .foreach(d => fs.delete(d.getPath, true))
+        fs.rename(s.getPath, new Path(path, s"b$t"))
+        true
+      } else {
+        fs.delete(s.getPath, true)
+        false
+      }
+    }
   }
 
   private def readAccumulated(

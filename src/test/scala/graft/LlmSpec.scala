@@ -148,18 +148,40 @@ class LlmSpec extends SparkSpec {
   test("qualityRules: each Gopher rule flags its constructed violator") {
     import spark.implicits._
     val good = (1 to 10).map(i => s"the quick fox$i and lazy dog$i ran to it").mkString(" ")
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val trails = Seq("the first line trails off...",
+      "and the second one does too...", "but not this one").mkString("\n")
     val docs = Seq(
       (1L, good),                                        // all rules pass
       (2L, "too short of a doc"),                        // n_words < 20
       (3L, ("a " * 40).trim),                            // mean word len 1 < 2
       (4L, (1 to 30).map(i => s"word$i blob$i").mkString(" ")), // 0 stopword hits
-      (5L, ("the cat " * 30).trim)                       // top bigram dominates
+      (5L, ("the cat " * 30).trim),                      // top bigram dominates
+      (6L, good + " " + ("# " * 12).trim),               // symbol-to-word ratio > 0.1
+      (7L, bullets),                                     // > 90% bullet lines
+      (8L, trails),                                      // > 30% ellipsis lines
+      (9L, good + " " + (1 to 99).mkString(" ")),        // alpha-word fraction < 0.8
+      (10L, ""),                                         // degenerate: zero words
+      (11L, "word")                                      // degenerate: one word
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.qualityRules(docs, "doc_id", "text")
-      .orderBy("doc").collect()
-      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
-    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false),
-      s"got $out")
+    val rows = TextAnalysis.qualityRules(docs, "doc_id", "text").orderBy("doc").collect()
+    val pass = rows.map(r => r.getLong(0) -> r.getAs[Boolean]("pass")).toMap
+    assert(pass == (1L to 11L).map(d => d -> (d == 1L)).toMap, s"got $pass")
+    val byDoc = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byDoc(6L).getAs[Double]("symbol_word_ratio") > 0.1)
+    assert(byDoc(7L).getAs[Double]("bullet_line_frac") > 0.9)
+    assert(byDoc(8L).getAs[Double]("ellipsis_line_frac") > 0.3)
+    assert(byDoc(9L).getAs[Double]("alpha_word_frac") < 0.8)
+    // zero-word doc: ratio metrics are NULL (never NaN from 0/0), and
+    // `pass` is a real false, not a three-valued leak
+    assert(byDoc(10L).isNullAt(byDoc(10L).fieldIndex("mean_word_len")))
+    assert(byDoc(10L).isNullAt(byDoc(10L).fieldIndex("alpha_word_frac")))
+    // one-word doc: the whole-text bigram feature gives frac 1.0 — no
+    // left-join NULL reaches `pass` even with minWords below 2
+    assert(byDoc(11L).getAs[Double]("top_bigram_frac") == 1.0)
+    val relaxed = TextAnalysis.qualityRules(docs, "doc_id", "text", minWords = 0L)
+      .orderBy("doc").collect().map(r => r.getAs[Any]("pass"))
+    assert(relaxed.forall(p => p == true || p == false), "pass must never be null")
   }
 
   test("chunkDocs: boundaries exact, chunks reassemble the token stream") {

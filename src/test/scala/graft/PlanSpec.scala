@@ -209,6 +209,15 @@ class PlanSpec extends SparkSpec {
       s"per-(doc,bigram) counts must combine map-side before the shuffle:\n$plan")
   }
 
+  test("langConfusion: the prediction is inlined — zero joins, one scan") {
+    val plan = planOf(graft.llm.TextAnalysis.langConfusion(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang"))
+    assert(!plan.contains("Join"),
+      s"pred_lang is a per-row expression — a corpus self-join is an avoidable shuffle:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"the corpus must be scanned exactly once:\n$plan")
+  }
+
   test("exact dedup: the shuffle carries hashes, never document text") {
     import spark.implicits._
     val docs = Seq((1L, "a a"), (2L, "a a"), (3L, "b")).toDF("doc_id", "text")

@@ -437,14 +437,23 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(replayedEpoch == streamed, "epoch replay must be idempotent")
 
-    // offline compaction folds the epoch dirs without changing content;
-    // the watermark sits far above the newest epoch, and the folded dir
-    // must still take an epoch id that HAS run (a future micro-batch
-    // could legitimately claim and overwrite b<watermark>)
+    // offline compaction folds epoch dirs without changing content. The
+    // NEWEST epoch present is never folded even when the watermark
+    // covers it — a restart can replay it (crash after write, before
+    // offset commit) and runEpoch's overwrite of its b-dir would drop
+    // everything folded into that id — so with only epochs {0, 1} on
+    // disk there is nothing to fold yet
+    assert(CurationGate.compact(spark, accDir, upToEpoch = 1000L) == 0,
+      "the newest epoch must be excluded from folding")
+    // a third (empty) epoch shields {0, 1}: now both fold into b1
+    CurationGate.runEpoch(spark,
+      all.filter(col("doc_id") < 0), evalShingles, accDir, sigDir,
+      2L, minQ, maxOv, minJ)
     val folded = CurationGate.compact(spark, accDir, upToEpoch = 1000L)
-    assert(folded == 2, s"expected both epochs folded, got $folded")
+    assert(folded == 2, s"expected epochs 0 and 1 folded, got $folded")
     val dirs = new java.io.File(accDir).listFiles().map(_.getName).filter(_.matches("b\\d+"))
-    assert(dirs.toSeq == Seq(s"b$lastEpoch"), s"folded dir must be b$lastEpoch, got ${dirs.toSeq}")
+    assert(dirs.toSet == Set(s"b$lastEpoch", "b2"),
+      s"folded dir must be b$lastEpoch with the newest epoch untouched, got ${dirs.toSeq}")
     val compacted = CurationGate.readAccepted(spark, accDir).get
       .select("doc_id").as[Long].collect().toSet
     assert(compacted == streamed, "compaction must preserve the accepted set")
@@ -461,6 +470,37 @@ class StreamingSpec extends SparkSpec {
       .dedupNear(minJ)
       .df.select("doc_id").as[Long].collect().toSet
     assert(oneShot == chain, "single-batch gate must equal the CorpusFrame chain")
+  }
+
+  test("compaction crash recovery: a staged fold finishes without loss or double-count") {
+    import graft.streaming.CurationGate
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+    def write(epoch: Long, ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/b$epoch")
+    write(0, Seq(1L, 2L)); write(1, Seq(3L)); write(2, Seq(4L))
+    // stage the fold of epochs {0, 1} exactly as compact() would...
+    spark.read.parquet(s"$dir/b0", s"$dir/b1")
+      .write.mode("overwrite").parquet(s"$dir/.compact-b1")
+    // ...and crash in the worst window: after SOME source deletes,
+    // before the rename — b0's docs now live only in the staged dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/b0"), true)
+    // an unrelated INCOMPLETE stage (no _SUCCESS marker: the union was
+    // still draining when the crash hit) must be discarded, not renamed
+    val junk = new java.io.File(s"$dir/.compact-b7")
+    junk.mkdirs()
+    new java.io.File(junk, "part-junk.parquet").createNewFile()
+
+    val folded = CurationGate.compact(spark, dir, upToEpoch = 1000L)
+    assert(folded == 0, s"recovery leaves nothing new to fold, got $folded")
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.startsWith(".compact")), s"stages must be cleared: $names")
+    assert(names.filter(_.matches("b\\d+")) == Set("b1", "b2"), s"got $names")
+    val docs = spark.read.parquet(s"$dir/b1", s"$dir/b2")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(docs == Seq(1L, 2L, 3L, 4L), s"no loss, no double count: $docs")
   }
 
   test("streaming exact dedup matches batch Dedup.exact on the real corpus") {
