@@ -101,7 +101,11 @@ object Multimodal {
     * None for anything that is not a complete single-byte-depth
     * Netpbm payload.
     */
-  private[graft] def decodeNetpbm(p: Array[Byte]): Option[(String, Int, Int, Int, Long, Double)] = {
+  /** Parsed Netpbm header: (format, channels, width, height, maxval,
+    * raster offset). None unless the payload is a complete
+    * single-byte-depth P5/P6 image (truncated rasters reject).
+    */
+  private def parseNetpbm(p: Array[Byte]): Option[(String, Int, Int, Int, Int, Int)] = {
     if (p.length < 2 || p(0) != 'P'.toByte) return None
     val fmt = p(1).toChar match {
       case '5' => "P5"
@@ -130,13 +134,54 @@ object Multimodal {
     val w = readInt(); val h = readInt(); val maxv = readInt()
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
     i += 1 // exactly one whitespace byte separates the header from the raster
-    val n = w.toLong * h * channels
-    if (i + n > p.length) return None
-    var sum = 0L
-    var j = 0
-    while (j < n) { sum += p(i + j) & 0xff; j += 1 }
-    Some((fmt, w, h, maxv, w.toLong * h, sum.toDouble / n))
+    if (i + w.toLong * h * channels > p.length) return None
+    Some((fmt, channels, w, h, maxv, i))
   }
+
+  private[graft] def decodeNetpbm(p: Array[Byte]): Option[(String, Int, Int, Int, Long, Double)] =
+    parseNetpbm(p).map { case (fmt, channels, w, h, maxv, off) =>
+      val n = w.toLong * h * channels
+      var sum = 0L
+      var j = 0
+      while (j < n) { sum += p(off + j) & 0xff; j += 1 }
+      (fmt, w, h, maxv, w.toLong * h, sum.toDouble / n)
+    }
+
+  /** Fixed-grid mean-pooled feature vector from the decoded raster: the
+    * raster is split into `gridW`×`gridH` cells (pixel (x, y) lands in
+    * cell ((y·gridH) div h, (x·gridW) div w) — every cell is non-empty
+    * whenever w ≥ gridW and h ≥ gridH) and each feature is the mean of
+    * its cell's samples (P6 pools the three channels of a pixel into
+    * the pixel's cell). Integer-exact and engine-replayable: one
+    * long-sum per cell, one IEEE division — the deterministic stand-in
+    * for a learned image embedding that lets the downstream similarity
+    * operators (SemDeDup, IVF) run on decoded media with a DuckDB
+    * oracle.
+    */
+  private[graft] def decodeNetpbmPooled(
+      p: Array[Byte],
+      gridW: Int,
+      gridH: Int
+  ): Option[(Int, Int, Array[Double])] =
+    parseNetpbm(p).flatMap { case (_, channels, w, h, _, off) =>
+      if (w < gridW || h < gridH) None
+      else {
+        val sums = new Array[Long](gridW * gridH)
+        val cnts = new Array[Long](gridW * gridH)
+        val n = w.toLong * h * channels
+        var j = 0L
+        while (j < n) {
+          val pix = j / channels
+          val x = (pix % w).toInt
+          val y = (pix / w).toInt
+          val cell = (y * gridH / h) * gridW + x * gridW / w
+          sums(cell) += p(off + j.toInt) & 0xff
+          cnts(cell) += 1
+          j += 1
+        }
+        Some((w, h, Array.tabulate(gridW * gridH)(c => sums(c).toDouble / cnts(c))))
+      }
+    }
 
   /** Decode a media table's Netpbm payloads — same typed-batch seam as
     * [[extractFeatures]], but through the real parser; rows that do not
@@ -152,6 +197,51 @@ object Multimodal {
       }
     }
   }
+
+  /** A decoded image's pooled feature vector. */
+  final case class ImageVector(doc_id: Long, width: Int, height: Int, vec: Array[Double])
+
+  /** Decode a media table's Netpbm payloads into fixed-grid mean-pooled
+    * feature vectors ([[decodeNetpbmPooled]]) — the bridge from the
+    * multimodal seam into the embedding operators: the output is a
+    * (doc_id, vec) embedding table every [[Similarity]] operator
+    * (semanticDedup, ivfTopK, bruteTopK, nearDupPairs) consumes as-is.
+    * Same typed-batch shape as [[decodeImages]]; rows that do not
+    * decode (or are smaller than the grid) are dropped.
+    */
+  def imageVectors(
+      spark: SparkSession,
+      media: DataFrame,
+      gridW: Int = 4,
+      gridH: Int = 4
+  ): Dataset[ImageVector] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeNetpbmPooled(r.payload, gridW, gridH).map { case (w, h, v) =>
+          ImageVector(r.doc_id, w, h, v)
+        }
+      }
+    }
+  }
+
+  /** Image-level semantic dedup — decoded media as a first-class
+    * pipeline citizen: real Netpbm decode → pooled feature vectors →
+    * [[Similarity.semanticDedup]] (IVF cell assignment + within-cell
+    * near-dup drop). Returns the surviving (vid, cell) rows. The whole
+    * chain is deterministic, so the DuckDB oracle replays decode,
+    * pooling, cell assignment and the drop set exactly.
+    */
+  def imageSemanticDedup(
+      spark: SparkSession,
+      media: DataFrame,
+      minCosine: Double,
+      numCentroids: Int,
+      gridW: Int = 4,
+      gridH: Int = 4
+  ): DataFrame =
+    Similarity.semanticDedup(
+      imageVectors(spark, media, gridW, gridH).toDF(), "doc_id", "vec", minCosine, numCentroids)
 
   /** Frame sampling stub: every media row fans out to `frames` sampled
     * "frames" (deterministic offsets), the shape of video-frame

@@ -32,25 +32,77 @@ object Sketches {
     * its rows' hash arrays into an O(k) buffer, the exchange carries
     * ≤k longs per (task, group). No explode, no distinct shuffle.
     */
+  /** The KMV estimate triple over a `(grp, mins)` sketch frame. */
+  private def kmvEstimate(sketches: DataFrame, k: Int): DataFrame = {
+    val p = graft.functions.StrHash.P
+    val mins = col("mins")
+    sketches.select(
+      col("grp"),
+      size(mins).cast("long").as("n_mins"),
+      when(size(mins) === k, element_at(mins, k)).otherwise(lit(-1L)).as("kth_min"),
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit((k - 1).toLong * p).cast("double") /
+          element_at(mins, k).cast("double"))
+        .as("est_distinct"))
+  }
+
   def distinctShingles(
       docs: DataFrame,
       groupCol: String,
       textCol: String,
       k: Int
+  ): DataFrame =
+    kmvEstimate(
+      docs
+        .groupBy(col(groupCol).as("grp"))
+        .agg(kmvAgg(TextOps.shingleHashes(col(textCol)), k).as("mins")),
+      k)
+
+  /** Hierarchical KMV roll-up — the mergeability contract proved at the
+    * query level: fine-grained (group, sub) sketches are built ONCE
+    * from the raw stream, then merged up the hierarchy by re-feeding
+    * the sketch ARRAYS to the same aggregate (a KMV sketch is a set of
+    * hashes, and the bottom-k of a union of per-part bottom-k sets IS
+    * the bottom-k of the union — restriction can only push a hash's
+    * rank down, so every corpus-level min survives in its part's
+    * sketch). Each level is therefore IDENTICAL to the sketch built
+    * directly from the raw values, which is exactly what the DuckDB
+    * oracle pins — and why the corpus re-aggregation costs O(groups·k)
+    * instead of a second corpus scan.
+    *
+    * Output: one row per group plus one `totalLabel` row, each with the
+    * [[distinctShingles]] estimate triple.
+    *
+    * The 100 TB shape: this is the roll-up reuse pattern the sketch
+    * family exists for — per-slice sketches persist as tiny artifacts
+    * (k longs each) and ANY coarser slicing (source → corpus, day →
+    * month) is answered from the artifacts alone, never re-scanning the
+    * corpus. Both merge levels still run as hash aggregates with
+    * map-side partial combine, so the exchanges carry O(k) per group.
+    */
+  def distinctRollup(
+      docs: DataFrame,
+      groupCol: String,
+      subCol: String,
+      textCol: String,
+      k: Int,
+      totalLabel: String = "total"
   ): DataFrame = {
-    val p = graft.functions.StrHash.P
-    val mins = col("mins")
-    docs
-      .groupBy(col(groupCol).as("grp"))
+    val fine = docs
+      .groupBy(col(groupCol).as("grp"), col(subCol).as("sub"))
       .agg(kmvAgg(TextOps.shingleHashes(col(textCol)), k).as("mins"))
-      .select(
-        col("grp"),
-        size(mins).cast("long").as("n_mins"),
-        when(size(mins) === k, element_at(mins, k)).otherwise(lit(-1L)).as("kth_min"),
-        when(size(mins) < k, size(mins).cast("double"))
-          .otherwise(lit((k - 1).toLong * p).cast("double") /
-            element_at(mins, k).cast("double"))
-          .as("est_distinct"))
+    // groups × k longs — control-plane sized; checkpointed because both
+    // the per-group output and the total row re-read it (signature-table
+    // rule: localCheckpoint(false), storage frees on GC of the result)
+    val perGroup = fine
+      .groupBy(col("grp"))
+      .agg(kmvAgg(col("mins"), k).as("mins"))
+      .localCheckpoint(false)
+    val total = perGroup
+      .select(lit(totalLabel).as("grp"), col("mins"))
+      .groupBy(col("grp"))
+      .agg(kmvAgg(col("mins"), k).as("mins"))
+    kmvEstimate(perGroup, k).unionAll(kmvEstimate(total, k))
   }
 
   /** The Misra–Gries aggregate as a Column over an `array<string>`

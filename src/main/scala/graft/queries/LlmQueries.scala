@@ -1170,21 +1170,27 @@ object LlmQueries {
     * (ASCII corpus: byte == ascii(char)), so the round-trip through the
     * actual on-disk format is hash-gated end to end.
     */
-  val mmImage: Q = (s, dir) => {
-    // raster height is derived from CHAR length to match the substr
-    // slice and the oracle's per-char ascii() codes (the corpus is
-    // ASCII so chars == bytes, but sizing by octet_length while slicing
-    // by characters would silently desynchronize on any multi-byte
-    // character — ADVICE r5)
-    val docs = Tables.documents(s, dir).filter(length(col("text")) >= 16)
+  /** Documents as REAL binary P5 images: ASCII header + the text's
+    * first h·16 chars as the 16×h raster. Height derives from CHAR
+    * length to match the substr slice and the oracle's per-char ascii()
+    * codes (the corpus is ASCII so chars == bytes, but sizing by
+    * octet_length while slicing by characters would silently
+    * desynchronize on any multi-byte character — ADVICE r5).
+    */
+  private def p5Media(s: org.apache.spark.sql.SparkSession, dir: String, minChars: Int): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(length(col("text")) >= minChars)
     val h = floor(length(col("text")).cast("double") / 16.0).cast("int")
-    val media = docs.select(
+    docs.select(
       col("doc_id"),
       lit("image/x-portable-graymap").as("kind"),
       length(col("text")).cast("int").as("n_bytes"),
       concat(
         encode(concat(lit("P5\n16 "), h.cast("string"), lit("\n255\n")), "UTF-8"),
         encode(col("text").substr(lit(1), h * 16), "UTF-8")).as("payload"))
+  }
+
+  val mmImage: Q = (s, dir) => {
+    val media = p5Media(s, dir, minChars = 16)
     Multimodal.decodeImages(s, media).toDF()
       .select(col("doc_id"), col("format"),
         col("width").cast("long").as("width"), col("height").cast("long").as("height"),
@@ -1216,6 +1222,55 @@ object LlmQueries {
        |  CAST(ascii(substring(text, CAST((f * length(text)) // 5 + 1 AS INT), 1)) AS BIGINT) AS first_byte
        |FROM documents, range(0, 5) t(f)
        |ORDER BY doc_id, frame""".stripMargin
+
+  /** Multimodal → embedding bridge (Multimodal.imageSemanticDedup):
+    * real P5 decode → 4×4 mean-pooled feature vectors →
+    * Similarity.semanticDedup over the image features. Pooled byte
+    * means sit near the corpus's mean-byte direction, so the dedup
+    * threshold lives close to 1 — the knob measures layout similarity,
+    * not topic similarity. The oracle replays decode (per-char ascii
+    * codes), pooling (long sum, one IEEE division per cell), centroid
+    * sampling, cell assignment, and the within-cell drop set.
+    */
+  private val MmGrid = 4
+  private val MmNearDupCosine = 0.9995
+  private val MmNearDupCentroids = 16
+
+  val mmNearDup: Q = (s, dir) =>
+    Multimodal.imageSemanticDedup(s, p5Media(s, dir, minChars = 16 * MmGrid),
+        minCosine = MmNearDupCosine, numCentroids = MmNearDupCentroids,
+        gridW = MmGrid, gridH = MmGrid)
+      .orderBy("vid")
+
+  val mmNearDupSql: String = {
+    val dims = MmGrid * MmGrid
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // 16 AS h FROM documents
+       |  WHERE length(text) >= ${16 * MmGrid}),
+       |px AS (
+       |  SELECT doc_id,
+       |    (((bi - 1) // 16) * $MmGrid // h) * $MmGrid + ((bi - 1) % 16) * $MmGrid // 16 AS cell,
+       |    ascii(substring(text, CAST(bi AS INT), 1)) AS b
+       |  FROM (SELECT doc_id, text, h, unnest(range(1, 16 * h + 1)) AS bi FROM d)),
+       |pooled AS (SELECT doc_id, cell, CAST(sum(b) AS DOUBLE) / count(*) AS f
+       |           FROM px GROUP BY 1, 2),
+       |vecs AS (SELECT doc_id AS vec_id, list(f ORDER BY cell) AS v FROM pooled GROUP BY doc_id),
+       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v", dims, "n")}) AS nrm FROM vecs),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "ch")}, vec_id LIMIT $MmNearDupCentroids),
+       |rk AS (
+       |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c.cv", dims, "a")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |  FROM n, c),
+       |asg AS (SELECT vid, v, nrm, cell FROM rk WHERE crk = 1),
+       |drp AS (
+       |  SELECT DISTINCT b.vid AS vid
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
+       |  WHERE ${dotSql("a.v", "b.v", dims, "d")} / (a.nrm * b.nrm) >= $MmNearDupCosine)
+       |SELECT s.vid, s.cell FROM asg s
+       |WHERE s.vid NOT IN (SELECT vid FROM drp) ORDER BY vid""".stripMargin
+  }
 
   // ---------------------------------------------------------- registry
 
@@ -1498,6 +1553,42 @@ object LlmQueries {
        |  CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
        |       ELSE CAST(${(KmvK - 1).toLong * p} AS DOUBLE) / CAST(kth AS DOUBLE) END AS est_distinct
        |FROM agg ORDER BY grp""".stripMargin
+  }
+
+  /** Hierarchical sketch roll-up (Sketches.distinctRollup): KMV
+    * sketches built once per (source, lang), then merged to per-source
+    * and corpus level by re-aggregating the sketch ARRAYS through the
+    * same aggregate — no second corpus scan. The oracle builds every
+    * level DIRECTLY from the distinct hashes (rank windows), so the
+    * hash gate proves merged ≡ direct: the mergeability contract
+    * end-to-end at the query level, not just in SketchSpec.
+    */
+  val sketchRollup: Q = (s, dir) =>
+    graft.llm.Sketches.distinctRollup(
+        Tables.documents(s, dir), "source", "lang", "text", KmvK)
+      .orderBy("grp")
+
+  val sketchRollupSql: String = {
+    val p = TextOps.P
+    s"""WITH $xsCte,
+       |gx AS (SELECT DISTINCT d.source AS grp, x
+       |       FROM (SELECT doc_id, unnest(xh) AS x FROM xs) e
+       |       JOIN documents d USING (doc_id)),
+       |mins AS (SELECT grp, x FROM (
+       |    SELECT grp, x, row_number() OVER (PARTITION BY grp ORDER BY x) AS rk FROM gx)
+       |  WHERE rk <= $KmvK),
+       |agg AS (SELECT grp, count(*) AS n_mins, max(x) AS kth FROM mins GROUP BY grp),
+       |tx AS (SELECT DISTINCT x FROM gx),
+       |tmins AS (SELECT x FROM (
+       |    SELECT x, row_number() OVER (ORDER BY x) AS rk FROM tx)
+       |  WHERE rk <= $KmvK),
+       |tagg AS (SELECT 'total' AS grp, count(*) AS n_mins, max(x) AS kth FROM tmins),
+       |lv AS (SELECT * FROM agg UNION ALL SELECT * FROM tagg)
+       |SELECT grp, n_mins,
+       |  CASE WHEN n_mins = $KmvK THEN kth ELSE -1 END AS kth_min,
+       |  CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
+       |       ELSE CAST(${(KmvK - 1).toLong * p} AS DOUBLE) / CAST(kth AS DOUBLE) END AS est_distinct
+       |FROM lv ORDER BY grp""".stripMargin
   }
 
   /** SemDeDup semantic dedup (Similarity.semanticDedup): survivors after
@@ -1996,6 +2087,7 @@ object LlmQueries {
     "q_mm_decode" -> mmDecode,
     "q_mm_image" -> mmImage,
     "q_mm_frames" -> mmFrames,
+    "q_mm_neardup" -> mmNearDup,
     "q_dup_spans" -> dupSpans,
     "q_mixture_weights" -> mixtureWeights,
     "q_source_divergence" -> sourceDivergence,
@@ -2004,6 +2096,7 @@ object LlmQueries {
     "q_pii_redact" -> piiRedact,
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
+    "q_sketch_rollup" -> sketchRollup,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantile_sketch" -> quantileSketch,
     "q_semantic_dedup" -> semanticDedup,
@@ -2060,6 +2153,7 @@ object LlmQueries {
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_image" -> mmImageSql,
     "q_mm_frames" -> mmFramesSql,
+    "q_mm_neardup" -> mmNearDupSql,
     "q_dup_spans" -> dupSpansSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_source_divergence" -> sourceDivergenceSql,
@@ -2068,6 +2162,7 @@ object LlmQueries {
     "q_pii_redact" -> piiRedactSql,
     "q_lang_confusion" -> langConfusionSql,
     "q_distinct_kmv" -> distinctKmvSql,
+    "q_sketch_rollup" -> sketchRollupSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_semantic_dedup" -> semanticDedupSql,

@@ -56,30 +56,52 @@ object CurationGate {
       minQuality: Double,
       maxOverlap: Double,
       minJaccard: Double
-  ): DataFrame = {
-    val curated = CorpusFrame(batch, "doc_id", "text")
-      .filterQuality(minQuality)
-      .decontaminateAgainstShingles(evalShingles, maxOverlap)
-      .dedupExact()
-      // materialize before the near-dup stage: its signature table AND
-      // canonicalize's anti-join both re-read this prefix (quality join,
-      // contamination probe, exact-dedup semi-join) — one checkpoint
-      // stops the chain recomputing per branch
-      .materialize()
-      .dedupNear(minJaccard)
-      .df
-    acceptedSigs match {
-      case None => curated
+  ): DataFrame =
+    gateStages(batch, evalShingles, acceptedSigs, minQuality, maxOverlap, minJaccard).accepted
+
+  /** The gate chain with every stage's survivor frame exposed — the
+    * funnel-observability handle. `accepted` is what [[gateBatch]]
+    * returns; the earlier frames are LAZY views onto the same chain
+    * (counting a pre-materialize stage re-runs its prefix, which is the
+    * honest cost of per-stage observability and is micro-batch-sized
+    * here — the accepted path itself never pays it).
+    */
+  final case class GateStages(
+      quality: DataFrame,
+      decontaminated: DataFrame,
+      exact: DataFrame,
+      near: DataFrame,
+      accepted: DataFrame)
+
+  def gateStages(
+      batch: DataFrame,
+      evalShingles: DataFrame,
+      acceptedSigs: Option[DataFrame],
+      minQuality: Double,
+      maxOverlap: Double,
+      minJaccard: Double
+  ): GateStages = {
+    val quality = CorpusFrame(batch, "doc_id", "text").filterQuality(minQuality)
+    val decon = quality.decontaminateAgainstShingles(evalShingles, maxOverlap)
+    // materialize before the near-dup stage: its signature table AND
+    // canonicalize's anti-join both re-read this prefix (quality join,
+    // contamination probe, exact-dedup semi-join) — one checkpoint
+    // stops the chain recomputing per branch
+    val exact = decon.dedupExact().materialize()
+    val near = exact.dedupNear(minJaccard)
+    val accepted = acceptedSigs match {
+      case None => near.df
       case Some(old) =>
         // the incremental stage: drop batch docs near-dupping anything
         // already accepted (same anti-join shape as Dedup.dedupAgainst,
         // on the persisted signatures — no broadcast hint, the
         // accumulated side is the BIG side at scale)
-        val newSigs = Dedup.signatures(curated, "doc_id", "text").localCheckpoint(false)
+        val newSigs = Dedup.signatures(near.df, "doc_id", "text").localCheckpoint(false)
         val matched = Dedup.minhashAgainstSigs(newSigs, old, minJaccard)
           .select(col("new_doc").as("doc_id"))
-        curated.join(matched, Seq("doc_id"), "left_anti")
+        near.df.join(matched, Seq("doc_id"), "left_anti")
     }
+    GateStages(quality.df, decon.df, exact.df, near.df, accepted)
   }
 
   /** Attach the gate to a document stream. `evalShinglesPath` and the
@@ -95,13 +117,15 @@ object CurationGate {
       minQuality: Double,
       maxOverlap: Double,
       minJaccard: Double,
-      availableNow: Boolean = true
+      availableNow: Boolean = true,
+      funnelDir: Option[String] = None
   ): StreamingQuery = {
     val w = docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (b: Dataset[StreamDoc], epoch: Long) =>
         runEpoch(spark, b.toDF().select(col("docId").as("doc_id"), col("text")),
-          evalShingles, acceptedDir, sigDir, epoch, minQuality, maxOverlap, minJaccard)
+          evalShingles, acceptedDir, sigDir, epoch, minQuality, maxOverlap, minJaccard,
+          funnelDir)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
@@ -123,15 +147,57 @@ object CurationGate {
       epoch: Long,
       minQuality: Double,
       maxOverlap: Double,
-      minJaccard: Double
+      minJaccard: Double,
+      funnelDir: Option[String] = None
   ): Unit = {
-    val kept = gateBatch(batch, evalShingles,
-        readAccumulated(spark, sigDir, beforeEpoch = Some(epoch)),
-        minQuality, maxOverlap, minJaccard)
+    val stages = gateStages(batch, evalShingles,
+      readAccumulated(spark, sigDir, beforeEpoch = Some(epoch)),
+      minQuality, maxOverlap, minJaccard)
+    val kept = stages.accepted
       .localCheckpoint(false) // one computation feeds both writes
     kept.write.mode("overwrite").parquet(s"$acceptedDir/b$epoch")
     Dedup.signatures(kept, "doc_id", "text")
       .write.mode("overwrite").parquet(s"$sigDir/b$epoch")
+    // per-epoch funnel observability — the streaming counterpart of the
+    // batch curation funnel: one (stage, survivors) row per gate stage,
+    // published next to the epoch's accepted docs with the same
+    // overwrite-idempotent b<epoch> layout
+    funnelDir.foreach(fd => writeFunnel(spark, stages, batch, kept, fd, epoch))
+  }
+
+  /** Epoch funnel rows: (epoch, stage, n_docs) for input + each gate
+    * stage. Counts are control-plane sized (one long per stage);
+    * explicit-schema createDataFrame because library code must not
+    * derive product encoders for driver-side constants (REPL rule).
+    */
+  private def writeFunnel(
+      spark: SparkSession,
+      stages: GateStages,
+      batch: DataFrame,
+      kept: DataFrame,
+      funnelDir: String,
+      epoch: Long
+  ): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val counts = Seq(
+      "1_input" -> batch.count(),
+      "2_quality" -> stages.quality.count(),
+      "3_decontaminated" -> stages.decontaminated.count(),
+      "4_exact" -> stages.exact.count(),
+      "5_near" -> stages.near.count(),
+      "6_accepted" -> kept.count())
+    val schema = StructType(Seq(
+      StructField("epoch", LongType, nullable = false),
+      StructField("stage", StringType, nullable = false),
+      StructField("n_docs", LongType, nullable = false)))
+    val rows: java.util.List[Row] = {
+      val l = new java.util.ArrayList[Row](counts.size)
+      counts.foreach { case (nm, c) => l.add(Row(epoch, nm, c)) }
+      l
+    }
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$funnelDir/b$epoch")
   }
 
   /** Everything accepted so far (union of the per-epoch directories). */

@@ -426,6 +426,18 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeNetpbm(pgm(4, 4, Array[Byte](1, 2, 3))).isEmpty)
     assert(Multimodal.decodeNetpbm("not an image at all".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeNetpbm(Array.empty[Byte]).isEmpty)
+
+    // pooled feature vectors: 4x2 raster into a 2x2 grid — each cell is
+    // the exact mean of its 2x1 pixel block
+    val pooled = Multimodal.decodeNetpbmPooled(
+      pgm(4, 2, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)), 2, 2)
+    assert(pooled.map(_._3.toSeq).contains(Seq(15.0, 35.0, 55.0, 75.0)), s"got $pooled")
+    // P6 pools a pixel's three channels into the pixel's cell
+    val pooled6 = Multimodal.decodeNetpbmPooled(
+      "P6\n2 1\n255\n".getBytes("UTF-8") ++ Array[Byte](10, 20, 30, 40, 50, 60), 2, 1)
+    assert(pooled6.map(_._3.toSeq).contains(Seq(20.0, 50.0)), s"got $pooled6")
+    // a raster smaller than the grid would leave empty cells — reject
+    assert(Multimodal.decodeNetpbmPooled(pgm(2, 2, Array[Byte](1, 2, 3, 4)), 4, 4).isEmpty)
   }
 
   test("multimodal: binary plumbing round-trips byte stats; frames fan out") {

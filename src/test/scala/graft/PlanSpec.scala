@@ -158,6 +158,30 @@ class PlanSpec extends SparkSpec {
       s"only text+source may be read:\n$plan")
   }
 
+  test("KMV roll-up: partial sketch aggregation below BOTH merge exchanges") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Sketches, TextOps}
+    // the un-checkpointed roll-up shape (distinctRollup itself barriers
+    // behind a localCheckpoint): fine (grp, sub) sketches re-aggregated
+    // per grp — both levels must partial-combine map-side so each
+    // exchange carries O(k) longs per group, not raw values
+    val docs = Tables.documents(spark, dir)
+    val fine = docs.groupBy(col("source").as("grp"), col("lang").as("sub"))
+      .agg(Sketches.kmvAgg(TextOps.shingleHashes(col("text")), 64).as("mins"))
+    val merged = fine.groupBy(col("grp"))
+      .agg(Sketches.kmvAgg(col("mins"), 64).as("mins"))
+    val plan = planOf(merged)
+    val exchanges = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning")).map(_._2).toList
+    assert(exchanges.size == 2, s"expected the two roll-up exchanges:\n$plan")
+    val partials = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("partial_graft_kmv_distinct")).map(_._2).toList
+    assert(partials.size == 2, s"both levels must partial-combine:\n$plan")
+    // plan text is top-down: each exchange's partial sits BELOW it
+    assert(exchanges.zip(partials).forall { case (e, p) => p > e },
+      s"each partial sketch must sit below its exchange:\n$plan")
+  }
+
   test("spanDuplication: df join is NOT hint-broadcast (span vocabulary is corpus-sized)") {
     withNoAutoBroadcast {
       import spark.implicits._

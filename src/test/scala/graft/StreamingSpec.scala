@@ -399,27 +399,45 @@ class StreamingSpec extends SparkSpec {
     val (b1, b2) = docs.partition(_.docId % 2 == 0)
     val accDir = java.nio.file.Files.createTempDirectory("graft-gate-acc").toString
     val sigDir = java.nio.file.Files.createTempDirectory("graft-gate-sig").toString
+    val funDir = java.nio.file.Files.createTempDirectory("graft-gate-funnel").toString
     val in = MemoryStream[StreamDoc]
     // one micro-batch per slice (AvailableNow would fold both adds into
     // a single batch and never exercise the signature handoff)
     val q = CurationGate.start(spark, in.toDS(), evalShingles, accDir, sigDir,
-      minQuality = minQ, maxOverlap = maxOv, minJaccard = minJ, availableNow = false)
+      minQuality = minQ, maxOverlap = maxOv, minJaccard = minJ, availableNow = false,
+      funnelDir = Some(funDir))
     in.addData(b1.toSeq: _*); q.processAllAvailable()
     in.addData(b2.toSeq: _*); q.processAllAvailable()
     q.stop()
     val streamed = CurationGate.readAccepted(spark, accDir).get
       .select("doc_id").as[Long].collect().toSet
 
-    // ---- batch twin: fold gateBatch over the same slices
-    val g1 = CurationGate.gateBatch(
-        all.filter(col("doc_id") % 2 === 0), evalShingles, None, minQ, maxOv, minJ)
-      .localCheckpoint(false)
+    // ---- batch twin: fold the staged gate over the same slices
+    val in1 = all.filter(col("doc_id") % 2 === 0)
+    val in2 = all.filter(col("doc_id") % 2 === 1)
+    val st1 = CurationGate.gateStages(in1, evalShingles, None, minQ, maxOv, minJ)
+    val g1 = st1.accepted.localCheckpoint(false)
     val sigs1 = graft.llm.Dedup.signatures(g1, "doc_id", "text").localCheckpoint(false)
-    val g2 = CurationGate.gateBatch(
-      all.filter(col("doc_id") % 2 === 1), evalShingles, Some(sigs1), minQ, maxOv, minJ)
+    val st2 = CurationGate.gateStages(in2, evalShingles, Some(sigs1), minQ, maxOv, minJ)
+    val g2 = st2.accepted
     val replayed = (g1.select("doc_id").as[Long].collect() ++
       g2.select("doc_id").as[Long].collect()).toSet
     assert(streamed == replayed, "streaming gate must equal the batch gate replay")
+
+    // ---- per-epoch funnel: each epoch's published stage counts equal
+    // the batch twin's, and the accepted column sums to the corpus
+    val funnel = spark.read.parquet(s"$funDir/b0", s"$funDir/b1")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    def stageCounts(input: org.apache.spark.sql.DataFrame, st: CurationGate.GateStages) = Seq(
+      "1_input" -> input.count(), "2_quality" -> st.quality.count(),
+      "3_decontaminated" -> st.decontaminated.count(), "4_exact" -> st.exact.count(),
+      "5_near" -> st.near.count(), "6_accepted" -> st.accepted.count())
+    stageCounts(in1, st1).foreach { case (nm, c) =>
+      assert(funnel((0L, nm)) == c, s"epoch 0 funnel stage $nm: ${funnel((0L, nm))} != $c") }
+    stageCounts(in2, st2).foreach { case (nm, c) =>
+      assert(funnel((1L, nm)) == c, s"epoch 1 funnel stage $nm: ${funnel((1L, nm))} != $c") }
+    assert(funnel((0L, "6_accepted")) + funnel((1L, "6_accepted")) == streamed.size,
+      "epoch accepted counts must sum to the corpus")
 
     // the gate actually gated: survivors are a strict non-empty subset
     val total = all.count()
