@@ -84,6 +84,21 @@ object GraftFunctions {
         FunctionIdentifier("graft_bottomk_sample"),
         new ExpressionInfo(classOf[BottomKSample].getName, "graft_bottomk_sample"),
         (es: Seq[Expression]) => BottomKSample(es(0), es(1), intLit(es(2), "sample size k"))
+      ),
+      (
+        FunctionIdentifier("graft_bottomk_pairs"),
+        new ExpressionInfo(classOf[BottomKPairs].getName, "graft_bottomk_pairs"),
+        (es: Seq[Expression]) => BottomKPairs(es(0), es(1), intLit(es(2), "sample size k"))
+      ),
+      (
+        FunctionIdentifier("graft_bottomk_merge"),
+        new ExpressionInfo(classOf[BottomKMerge].getName, "graft_bottomk_merge"),
+        (es: Seq[Expression]) => BottomKMerge(es(0), intLit(es(1), "sample size k"))
+      ),
+      (
+        FunctionIdentifier("graft_heavy_hitters_merge"),
+        new ExpressionInfo(classOf[HeavyHittersMerge].getName, "graft_heavy_hitters_merge"),
+        (es: Seq[Expression]) => HeavyHittersMerge(es(0), intLit(es(1), "counter budget k"))
       )
     )
 

@@ -129,15 +129,62 @@ object Sketches {
       sketchK: Int,
       top: Int
   ): DataFrame =
-    docs
-      .groupBy(col(groupCol).as("grp"))
-      .agg(heavyHittersAgg(TextOps.words(col(textCol)), sketchK).as("hh"))
+    unpackTopTerms(
+      docs
+        .groupBy(col(groupCol).as("grp"))
+        .agg(heavyHittersAgg(TextOps.words(col(textCol)), sketchK).as("hh")),
+      top)
+
+  /** Top-`top` (rank, term, cnt) rows out of a `(grp, hh)` sketch frame. */
+  private def unpackTopTerms(sketches: DataFrame, top: Int): DataFrame =
+    sketches
       .select(col("grp"), posexplode(slice(col("hh"), 1, top)).as(Seq("pos", "e")))
       .select(
         col("grp"),
         (col("pos") + 1).cast("long").as("rank"),
         col("e.term").as("term"),
         col("e.cnt").as("cnt"))
+
+  /** The Misra–Gries MERGE aggregate over an `array<struct<term,cnt>>`
+    * sketch column ([[graft.functions.HeavyHittersMerge]]).
+    */
+  def heavyHittersMergeAgg(sketches: Column, k: Int): Column =
+    Bridge.column(
+      graft.functions.HeavyHittersMerge(Bridge.expression(sketches), k).toAggregateExpression())
+
+  /** Hierarchical Misra–Gries roll-up: fine (group, sub) sketches built
+    * once from the token stream, then merged to per-group and corpus
+    * level by the mergeable-summaries MG merge
+    * ([[heavyHittersMergeAgg]]) — per-slice sketches persist as ≤k
+    * (term, cnt) pairs and ANY coarser slicing is answered from the
+    * artifacts, never re-tokenizing the corpus. Below counter capacity
+    * every level is the exact count map (the oracle-pinned regime);
+    * beyond it the n/(k+1) undercount bound survives merging
+    * (SketchSpec). Output: top terms per group plus the `totalLabel`
+    * corpus rows.
+    */
+  def topTermsRollup(
+      docs: DataFrame,
+      groupCol: String,
+      subCol: String,
+      textCol: String,
+      sketchK: Int,
+      top: Int,
+      totalLabel: String = "total"
+  ): DataFrame = {
+    val fine = docs
+      .groupBy(col(groupCol).as("grp"), col(subCol).as("sub"))
+      .agg(heavyHittersAgg(TextOps.words(col(textCol)), sketchK).as("hh"))
+    val perGroup = fine
+      .groupBy(col("grp"))
+      .agg(heavyHittersMergeAgg(col("hh"), sketchK).as("hh"))
+      .localCheckpoint(false)
+    val total = perGroup
+      .select(lit(totalLabel).as("grp"), col("hh"))
+      .groupBy(col("grp"))
+      .agg(heavyHittersMergeAgg(col("hh"), sketchK).as("hh"))
+    unpackTopTerms(perGroup, top).unionAll(unpackTopTerms(total, top))
+  }
 
   /** The deterministic sampling key for [[quantiles]]: the squared
     * strhash of the salted id — squaring scatters the affine tail of
@@ -169,11 +216,22 @@ object Sketches {
       k: Int,
       qs: Seq[Double]
   ): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
     val agg = Bridge.column(graft.functions.BottomKSample(
       Bridge.expression(sampleKey(col(idCol))),
       Bridge.expression(valueCol.cast("double")),
       k).toAggregateExpression())
+    quantileSelect(
+      docs
+        .groupBy(col(groupCol).as("grp"))
+        .agg(agg.as("smp")),
+      qs)
+  }
+
+  /** Order-statistic quantile columns over a `(grp, smp)` frame whose
+    * `smp` is the ascending-sorted sample values.
+    */
+  private def quantileSelect(samples: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
     val m = size(col("smp"))
     // guard m = 0 (a group whose sampled values are all NULL — the
     // aggregate skips nulls): the order-statistic index would be 0 and
@@ -183,9 +241,57 @@ object Sketches {
         element_at(col("smp"), (floor(lit(q) * (m - 1).cast("double")) + 1).cast("int")))
         .as(s"p${math.round(q * 100)}")
     }
-    docs
-      .groupBy(col(groupCol).as("grp"))
-      .agg(agg.as("smp"))
-      .select((col("grp") +: m.cast("long").as("n_sample") +: qCols): _*)
+    samples.select((col("grp") +: m.cast("long").as("n_sample") +: qCols): _*)
+  }
+
+  /** The pairs-retaining bottom-k aggregate over scalar (key, value)
+    * input ([[graft.functions.BottomKPairs]]) and its array-input merge
+    * twin ([[graft.functions.BottomKMerge]]).
+    */
+  def bottomKPairsAgg(keyCol: Column, valueCol: Column, k: Int): Column =
+    Bridge.column(graft.functions.BottomKPairs(
+      Bridge.expression(keyCol), Bridge.expression(valueCol), k).toAggregateExpression())
+
+  def bottomKMergeAgg(pairs: Column, k: Int): Column =
+    Bridge.column(
+      graft.functions.BottomKMerge(Bridge.expression(pairs), k).toAggregateExpression())
+
+  /** Hierarchical quantile-sketch roll-up: fine (group, sub) bottom-k
+    * samples built once in PAIRS form (sampling key retained), then
+    * merged to per-group and corpus level by re-aggregating the pair
+    * arrays — the kept set is a pure function of the (key, value)
+    * multiset, so every merged level is IDENTICAL to the sample a
+    * direct pass over the raw values builds, which is what the DuckDB
+    * oracle pins. Output: [[quantiles]]-shaped rows per group plus the
+    * `totalLabel` corpus row; each level costs O(groups·k) after the
+    * one fine-level scan.
+    */
+  def quantileRollup(
+      docs: DataFrame,
+      groupCol: String,
+      subCol: String,
+      idCol: String,
+      valueCol: Column,
+      k: Int,
+      qs: Seq[Double],
+      totalLabel: String = "total"
+  ): DataFrame = {
+    val fine = docs
+      .groupBy(col(groupCol).as("grp"), col(subCol).as("sub"))
+      .agg(bottomKPairsAgg(sampleKey(col(idCol)), valueCol.cast("double"), k).as("pairs"))
+    val perGroup = fine
+      .groupBy(col("grp"))
+      .agg(bottomKMergeAgg(col("pairs"), k).as("pairs"))
+      .localCheckpoint(false)
+    val total = perGroup
+      .select(lit(totalLabel).as("grp"), col("pairs"))
+      .groupBy(col("grp"))
+      .agg(bottomKMergeAgg(col("pairs"), k).as("pairs"))
+    // pairs ride in key order; the order-statistics layout is the
+    // value-sorted array — bit-identical to BottomKSample's eval
+    def toSmp(df: DataFrame): DataFrame = df.select(
+      col("grp"),
+      array_sort(transform(col("pairs"), p => p.getField("value"))).as("smp"))
+    quantileSelect(toSmp(perGroup), qs).unionAll(quantileSelect(toSmp(total), qs))
   }
 }

@@ -1517,6 +1517,67 @@ object LlmQueries {
        |  max(CASE WHEN vi = CAST(floor(0.9 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p90
        |FROM srt GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** Hierarchical quantile-sketch roll-up (Sketches.quantileRollup):
+    * per-(source, lang) bottom-64 samples in PAIRS form, merged to
+    * source and corpus level by re-aggregating the pair arrays. The
+    * oracle rebuilds every level DIRECTLY from the keyed raw rows
+    * (rank-64 windows, min-value key ties), so the hash gate proves
+    * merged ≡ direct for the quantile family too.
+    */
+  val quantileRollup: Q = (s, dir) =>
+    graft.llm.Sketches.quantileRollup(Tables.documents(s, dir), "source", "lang",
+        "doc_id", col("n_chars"), k = 64, qs = Seq(0.5, 0.9))
+      .orderBy("grp")
+
+  val quantileRollupSql: String =
+    s"""WITH keyed AS (
+       |  SELECT source AS grp, CAST(n_chars AS DOUBLE) AS v, (h * h) % $P AS key
+       |  FROM (SELECT source, n_chars,
+       |          ${strhashSql("'qtl:' || CAST(doc_id AS VARCHAR)", "q")} AS h
+       |        FROM documents)),
+       |dedup AS (SELECT grp, key, min(v) AS v FROM keyed GROUP BY grp, key),
+       |topk AS (SELECT grp, v FROM (
+       |    SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY key) AS rk FROM dedup)
+       |  WHERE rk <= 64),
+       |tdedup AS (SELECT key, min(v) AS v FROM keyed GROUP BY key),
+       |ttopk AS (SELECT 'total' AS grp, v FROM (
+       |    SELECT v, row_number() OVER (ORDER BY key) AS rk FROM tdedup)
+       |  WHERE rk <= 64),
+       |u AS (SELECT grp, v FROM topk UNION ALL SELECT grp, v FROM ttopk),
+       |srt AS (SELECT grp, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY v) AS vi,
+       |    count(*) OVER (PARTITION BY grp) AS m
+       |  FROM u)
+       |SELECT grp, CAST(max(m) AS BIGINT) AS n_sample,
+       |  max(CASE WHEN vi = CAST(floor(0.5 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p50,
+       |  max(CASE WHEN vi = CAST(floor(0.9 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p90
+       |FROM srt GROUP BY grp ORDER BY grp""".stripMargin
+
+  /** Hierarchical Misra–Gries roll-up (Sketches.topTermsRollup):
+    * per-(source, lang) MG sketches merged to source and corpus level
+    * by the mergeable-summaries merge aggregate. Every level stays far
+    * below counter capacity on this corpus (31 distinct words), so the
+    * merge is the exact count sum and the oracle is plain counts + rank
+    * at both levels — the same below-capacity exactness contract as
+    * q_heavy_hitters; the truncating regime is SketchSpec's job.
+    */
+  val topTermsRollup: Q = (s, dir) =>
+    graft.llm.Sketches.topTermsRollup(Tables.documents(s, dir), "source", "lang", "text",
+        sketchK = 256, top = 5)
+      .orderBy("grp", "rank")
+
+  val topTermsRollupSql: String =
+    """WITH wds AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS w
+      |  FROM documents),
+      |ps AS (SELECT source AS grp, w, count(*) AS cnt FROM wds GROUP BY 1, 2),
+      |tt AS (SELECT 'total' AS grp, w, CAST(sum(cnt) AS BIGINT) AS cnt FROM ps GROUP BY 2),
+      |u AS (SELECT * FROM ps UNION ALL SELECT * FROM tt)
+      |SELECT grp, rank, term, cnt FROM (
+      |  SELECT grp, w AS term, cnt,
+      |    row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, w) AS rank FROM u)
+      |WHERE rank <= 5 ORDER BY grp, rank""".stripMargin
+
   /** Misra–Gries heavy hitters (Sketches.topTermsSketch): per-source
     * top-5 terms from the bounded-counter aggregate. sketchK=256 sits
     * far above any source's distinct-word count (31 at sf0.1), so the
@@ -2097,6 +2158,8 @@ object LlmQueries {
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
     "q_sketch_rollup" -> sketchRollup,
+    "q_quantile_rollup" -> quantileRollup,
+    "q_topterms_rollup" -> topTermsRollup,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantile_sketch" -> quantileSketch,
     "q_semantic_dedup" -> semanticDedup,
@@ -2163,6 +2226,8 @@ object LlmQueries {
     "q_lang_confusion" -> langConfusionSql,
     "q_distinct_kmv" -> distinctKmvSql,
     "q_sketch_rollup" -> sketchRollupSql,
+    "q_quantile_rollup" -> quantileRollupSql,
+    "q_topterms_rollup" -> topTermsRollupSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_semantic_dedup" -> semanticDedupSql,

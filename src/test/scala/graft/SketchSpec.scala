@@ -142,6 +142,69 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(p50 - 10000.0) < 3500.0, s"sampled p50=$p50, want ~10000")
   }
 
+  test("bottom-k pairs roll-up == direct sample, including past capacity and key ties") {
+    // 3 sub-slices of a 3000-value group, k=32: merged pair sketches
+    // must equal the one-pass sample (capacity evicts, ties keep min)
+    val rows = (1L to 3000L).map(i => (s"s${i % 3}", i, (i % 977).toDouble))
+    val df = rows.toDF("sub", "id", "v")
+    val direct = Sketches.quantiles(
+        df.withColumn("g", lit("all")), "g", "id", col("v"), 32, Seq(0.5, 0.9))
+      .collect().head
+    val rolled = Sketches.quantileRollup(
+        df.withColumn("g", lit("all")), "g", "sub", "id", col("v"), 32, Seq(0.5, 0.9))
+      .orderBy("grp").collect()
+    // one group: its per-group row AND the total row must both equal direct
+    assert(rolled.length == 2)
+    rolled.foreach { r =>
+      assert(r.getLong(1) == direct.getLong(1), s"n_sample: $r vs $direct")
+      assert(r.getDouble(2) == direct.getDouble(2) && r.getDouble(3) == direct.getDouble(3),
+        s"quantiles must be bit-identical: $r vs $direct")
+    }
+    // partition-count invariance of the merged path
+    val rolled13 = Sketches.quantileRollup(
+        df.repartition(13).withColumn("g", lit("all")), "g", "sub", "id", col("v"), 32, Seq(0.5, 0.9))
+      .orderBy("grp").collect()
+    assert(rolled.map(_.toSeq).toSeq == rolled13.map(_.toSeq).toSeq)
+  }
+
+  test("MG merge aggregate: exact below capacity, bounds hold when truncating") {
+    import graft.functions.{HeavyHitters, HeavyHittersMerge}
+    import org.apache.spark.sql.graft.Bridge
+    // exact regime: tiny vocabulary, k far above it — rolled top terms
+    // equal plain counts at both levels (the oracle contract)
+    val tiny = Seq(
+      (1L, "sub1", "a a a b c"), (2L, "sub1", "b b a"), (3L, "sub2", "c c c c b"))
+      .toDF("doc_id", "sub", "text").withColumn("g", lit("all"))
+    val rolled = Sketches.topTermsRollup(tiny, "g", "sub", "text", sketchK = 16, top = 3)
+      .orderBy("grp", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = Seq(("all", 1L, "c", 5L), ("all", 2L, "a", 4L), ("all", 3L, "b", 4L))
+    assert(rolled.toSeq == expected ++ expected.map { case (_, rk, t, c) => ("total", rk, t, c) },
+      s"got ${rolled.toSeq}")
+
+    // truncating regime: skewed sub-sketches merged at k=4 — the merge
+    // aggregate must keep the MG guarantees (presence of hot terms,
+    // never overcount, undercount <= n/(k+1))
+    val words = Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++ (1 to 60).map(i => s"cold$i")
+    val n = words.size
+    val k = 4
+    val docsDf = new scala.util.Random(7).shuffle(words).grouped(10).toSeq
+      .zipWithIndex.map { case (g, i) => (s"sub${i % 5}", g.mkString(" ")) }
+      .toDF("sub", "text")
+    val fine = docsDf.groupBy(col("sub"))
+      .agg(Bridge.column(HeavyHitters(
+        Bridge.expression(split(col("text"), " ")), k).toAggregateExpression()).as("hh"))
+    val merged = fine.repartition(3)
+      .agg(Bridge.column(HeavyHittersMerge(
+        Bridge.expression(col("hh")), k).toAggregateExpression()).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.contains("hot"), s"got $merged")
+    assert(merged("hot") <= 400 && merged("hot") >= 400 - n / (k + 1), s"hot=${merged("hot")}")
+    assert(merged.size <= k)
+  }
+
   test("duplicate values across docs never double-fill the sketch") {
     // two docs with identical text: union of hash sets == each set
     val dup = Seq((1L, "one two three four five six"), (2L, "one two three four five six"))
