@@ -249,10 +249,13 @@ case class HeavyHittersMerge(
     val arr = child.eval(input)
     if (arr != null) {
       val a = arr.asInstanceOf[ArrayData]
-      addAndTruncate(buf, (0 until a.numElements()).iterator.map { i =>
-        val s = a.getStruct(i, 2)
-        (s.getUTF8String(0).toString, s.getLong(1))
-      })
+      // null elements skipped — SQL callers can hand-build arrays
+      addAndTruncate(buf, (0 until a.numElements()).iterator
+        .filter(i => !a.isNullAt(i))
+        .map { i =>
+          val s = a.getStruct(i, 2)
+          (s.getUTF8String(0).toString, s.getLong(1))
+        })
     }
     buf
   }

@@ -240,8 +240,12 @@ case class BottomKMerge(
       val n = a.numElements()
       var i = 0
       while (i < n) {
-        val s = a.getStruct(i, 2)
-        BottomKBuf.insert(buf, k, s.getLong(0), s.getDouble(1))
+        // the Scala path never emits null elements (containsNull=false),
+        // but SQL callers can hand-build arrays — skip, don't NPE
+        if (!a.isNullAt(i)) {
+          val s = a.getStruct(i, 2)
+          BottomKBuf.insert(buf, k, s.getLong(0), s.getDouble(1))
+        }
         i += 1
       }
     }

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+
+import Similarity.dot
+
+/** Persisted IVF index — the 100 TB shape of [[Similarity.ivfTopK]]
+  * made a real storage layout instead of a scaladoc claim: the corpus
+  * is bucketed ONCE by its coarse-quantizer cell (one shuffle at build
+  * time) into cell-partitioned parquet, and a probe reads ONLY the
+  * `nProbe` cells its queries rank highest — partition pruning instead
+  * of a corpus scan, with `nProbe` the standard recall knob.
+  *
+  * Layout under `dir`:
+  *  - `centroids/` — the (cid, cv, cn) quantizer table, `numCentroids`
+  *    rows (constant-size, broadcastable; the probe must use the SAME
+  *    centroids the build assigned with, so they persist next to the
+  *    cells rather than being re-derived);
+  *  - `cells/` — (vid, v, nrm) partitioned by `cell` (each vector in
+  *    exactly its top-centroid cell, ties to the lower cid — identical
+  *    assignment to [[Similarity.ivfTopK]]).
+  *
+  * Reference scope: ralf maintains queryable feature tables as
+  * persisted state (`ralf/table.py:150-210` point/bulk lookups); this
+  * is the same persist-once / probe-cheaply economy for the ANN
+  * surface, built purely from Spark partitioned storage.
+  */
+object IvfIndex {
+
+  /** The persisted schema of `cells/` — declared explicitly at read
+    * time so the `cell` partition column comes back as LONG (partition
+    * value inference would narrow small cids to int, and the resulting
+    * cast in probe filters can defeat partition pruning).
+    */
+  private val cellsSchema = StructType(Seq(
+    StructField("vid", LongType, nullable = false),
+    StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("nrm", DoubleType, nullable = false),
+    StructField("cell", LongType, nullable = false)))
+
+  /** Build the index: one O(corpus × numCentroids) assignment pass
+    * (broadcast quantizer, same shape as every IVF operator here), one
+    * shuffle into the cell layout.
+    */
+  def write(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      numCentroids: Int
+  ): Unit = {
+    val p = Similarity.prepared(emb, idCol, vecCol)
+    // feeds its own write AND the assignment crossJoin — barrier once
+    val cents = Similarity.centroidSample(p, numCentroids).localCheckpoint(false)
+    val cellRank = row_number().over(
+      Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
+    val assigned = p.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", cellRank)
+      .filter(col("crk") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Probe the persisted index: rank the (tiny) centroid table per
+    * query, take each query's `nProbe` best cells, and scan ONLY those
+    * partitions of `cells/`. The probed cell-id set is control-plane
+    * sized (≤ min(queries × nProbe, numCentroids)), so it is collected
+    * to the driver and planted as a static partition filter — the scan
+    * lists and reads just the probed directories (the same driver-side
+    * routing economy as the bucketed point-query path). Queries need
+    * not be index members; a query that IS a member never matches
+    * itself. Result-identical to [[Similarity.ivfTopK]] run in one job
+    * over the same corpus, params and query set.
+    */
+  def probe(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val q = Similarity.prepared(queries, idCol, vecCol)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cellRank = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid")))
+    // feeds the probed-cell collect AND the scoring join — barrier once
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("qcos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crk", cellRank)
+      .filter(col("crk") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
+      .localCheckpoint(false)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpus = spark.read.schema(cellsSchema).parquet(s"$dir/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val scored = corpus.as("n")
+      .join(broadcast(probes),
+        col("n.cell") === probes("cell") && col("qid") =!= col("n.vid"))
+      .select(
+        col("qid"),
+        col("n.vid").as("nid"),
+        (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine"))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+  }
+}

@@ -25,7 +25,7 @@ object Similarity {
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Vectors with precomputed norms; `v` is array<double>. */
-  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[llm] def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(
       col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v")
@@ -39,7 +39,7 @@ object Similarity {
     * slice; a hash sample spreads seeds uniformly regardless of how ids
     * were assigned (ADVICE r4 / VERDICT r4 item 6).
     */
-  private def centroidSample(p: DataFrame, n: Int): DataFrame =
+  private[llm] def centroidSample(p: DataFrame, n: Int): DataFrame =
     p.orderBy(graft.functions.GraftFunctions.strhash(col("vid")), col("vid")).limit(n)
       .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
 

@@ -580,6 +580,24 @@ object LlmQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank")
 
+  /** The PERSISTED IVF path (IvfIndex.write + probe): the corpus is
+    * bucketed once into cell-partitioned parquet, then probed with
+    * partition pruning — and must return the IDENTICAL rows as the
+    * one-job ivfTopK, so it shares q_ann_ivf's oracle verbatim.
+    * PlanSpec pins the pruned scan.
+    */
+  val annIvfIndex: Q = (s, dir) => {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    graft.llm.IvfIndex.write(Tables.embeddings(s, dir), "vec_id", "embedding",
+      idx, numCentroids = 64)
+    graft.llm.IvfIndex.probe(s, idx,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   val annIvfSql: String =
     s"""WITH $normCte,
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
@@ -2134,6 +2152,7 @@ object LlmQueries {
     "q_ann_lsh_probe" -> annLshProbe,
     "q_ann_lsh_learned" -> annLshLearned,
     "q_ann_ivf" -> annIvf,
+    "q_ann_ivf_index" -> annIvfIndex,
     "q_ann_ivf_kmeans" -> annIvfKmeans,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
@@ -2202,6 +2221,7 @@ object LlmQueries {
     "q_ann_lsh_probe" -> annLshProbeSql,
     "q_ann_lsh_learned" -> annLshLearnedSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_index" -> annIvfSql, // the persisted path must reproduce the one-job result
     "q_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,

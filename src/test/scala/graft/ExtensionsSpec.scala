@@ -62,6 +62,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(bk == List(("g", Seq(2.0, 9.0)), ("h", Seq(5.0))), s"got $bk")
   }
 
+  test("sketch MERGE aggregates resolve in SQL and roll sub-sketches up") {
+    val s2 = Bridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
+    import s2.implicits._
+    Seq(("g", "s1", Seq("a", "a", "b"), 1L, 2.0), ("g", "s2", Seq("a"), 2L, 9.0),
+      ("g", "s2", Seq("b"), 3L, 5.0))
+      .toDF("k", "sub", "ws", "id", "v").createOrReplaceTempView("rk_in")
+    // fine sketches per (k, sub), merged per k — pure SQL, two levels
+    val hh = s2.sql(
+        """SELECT k, graft_heavy_hitters_merge(hh, 8) AS hh FROM (
+          |  SELECT k, sub, graft_heavy_hitters(ws, 8) AS hh FROM rk_in GROUP BY k, sub)
+          |GROUP BY k""".stripMargin)
+      .as[(String, Seq[(String, Long)])].collect().toList
+    assert(hh == List(("g", Seq(("a", 3L), ("b", 2L)))), s"got $hh")
+    val bk = s2.sql(
+        """SELECT k, graft_bottomk_merge(pairs, 2) AS pairs FROM (
+          |  SELECT k, sub, graft_bottomk_pairs(id, v, 2) AS pairs FROM rk_in GROUP BY k, sub)
+          |GROUP BY k""".stripMargin)
+      .as[(String, Seq[(Long, Double)])].collect().toList
+    // bottom-2 keys of {1, 2, 3} -> pairs (1, 2.0), (2, 9.0) in key order
+    assert(bk == List(("g", Seq((1L, 2.0), (2L, 9.0)))), s"got $bk")
+  }
+
   test("KMV aggregate resolves in SQL (analyzer wraps the AggregateFunction)") {
     val s2 = Bridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
     import s2.implicits._

@@ -233,6 +233,28 @@ class PlanSpec extends SparkSpec {
       s"per-(doc,bigram) counts must combine map-side before the shuffle:\n$plan")
   }
 
+  test("IvfIndex probe: the cells scan prunes to the probed partitions") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
+    val emb = Tables.embeddings(spark, dir)
+    graft.llm.IvfIndex.write(emb, "vec_id", "embedding", idx, numCentroids = 16)
+    val probed = graft.llm.IvfIndex.probe(spark, idx,
+      emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5, nProbe = 2)
+    // the whole point of the persisted layout: the corpus scan carries a
+    // static partition filter on cell, so only probed directories are read
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"the cells scan must prune on the probed cell set:\n$plan")
+    // and the persisted path is result-identical to the one-job operator
+    val viaIndex = probed.select("qid", "rank", "nid", "cosine")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.llm.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vid") % 100 === 0, k = 5, numCentroids = 16, nProbe = 2)
+      .select("qid", "rank", "nid", "cosine")
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == direct, "index probe must equal ivfTopK")
+  }
+
   test("langConfusion: the prediction is inlined — zero joins, one scan") {
     val plan = planOf(graft.llm.TextAnalysis.langConfusion(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang"))
