@@ -490,6 +490,34 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot == chain, "single-batch gate must equal the CorpusFrame chain")
   }
 
+  test("streaming corpus monitor: sketch state across micro-batches == batch sketches") {
+    import graft.streaming.CorpusMonitor
+    val docsDf = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source").as("grp"), col("doc_id"), col("text"))
+    // batch reference: the identical projection, one shot over everything
+    val batch = CorpusMonitor.stats(docsDf).orderBy("grp").collect().map(_.toSeq).toSeq
+
+    // streaming: the same docs across three micro-batches — the state
+    // store must carry the O(k) sketch buffers between batches, and the
+    // final emitted row per group must CONVERGE to the batch sketch
+    // (exact regime: hhK=64 far above the 31-word vocabulary)
+    val rows = docsDf.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val slices = new scala.util.Random(5).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, Long, String)]
+    val stream = CorpusMonitor.stats(in.toDS().toDF("grp", "doc_id", "text"))
+    val q = stream.writeStream.format("memory").queryName("t_monitor")
+      .outputMode(OutputMode.Update()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    // Update-mode memory sink appends every emitted revision; n_docs is
+    // monotone per group, so the latest state is the max-n_docs row
+    val streamed = spark.table("t_monitor").collect()
+      .groupBy(_.getString(0)).map { case (_, rs) => rs.maxBy(_.getLong(1)).toSeq }
+      .toSeq.sortBy(_.head.asInstanceOf[String])
+    assert(streamed == batch,
+      s"streamed final sketches must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("compaction crash recovery: a staged fold finishes without loss or double-count") {
     import graft.streaming.CurationGate
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
