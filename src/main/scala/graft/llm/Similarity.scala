@@ -24,12 +24,21 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Vectors with precomputed norms; `v` is array<double>. */
+  /** Vectors with precomputed norms; `v` is array<double>. Zero-norm
+    * vectors are quarantined here (cosine is undefined for them, and
+    * every operator downstream divides by the norm — Spark would emit
+    * NaN where DuckDB float division yields NULL, the silent oracle
+    * divergence family ADVICE r5 flagged on sq8's scale): they join no
+    * similarity result, the same drop-don't-garbage rule the media
+    * decoder applies to undecodable payloads. The oracle's shared norm
+    * CTE carries the identical `nrm > 0` filter.
+    */
   private[llm] def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(
       col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v")
     ).withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
 
   /** Deterministic constant-size centroid seed: the `n` vectors with
     * the smallest `strhash(vid)` (vid tiebreak). Hash order is as

@@ -387,10 +387,11 @@ object LlmQueries {
       s"list_transform(range(1, ${dims + 1}), ${v}i -> $a[CAST(${v}i AS INT)] * $b[CAST(${v}i AS INT)])), " +
       s"(${v}a, ${v}x) -> ${v}a + ${v}x)"
 
+  // `WHERE nrm > 0` mirrors Similarity.prepared's zero-vector quarantine
   private val normCte: String =
     s"""p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v,
-       |  sqrt(${dotSql("v", "v", 64, "n")}) AS nrm FROM p)""".stripMargin
+       |n AS (SELECT * FROM (SELECT vec_id, v,
+       |  sqrt(${dotSql("v", "v", 64, "n")}) AS nrm FROM p) WHERE nrm > 0)""".stripMargin
 
   val embedNearDup: Q = (s, dir) =>
     Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)
@@ -1273,7 +1274,8 @@ object LlmQueries {
        |pooled AS (SELECT doc_id, cell, CAST(sum(b) AS DOUBLE) / count(*) AS f
        |           FROM px GROUP BY 1, 2),
        |vecs AS (SELECT doc_id AS vec_id, list(f ORDER BY cell) AS v FROM pooled GROUP BY doc_id),
-       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v", dims, "n")}) AS nrm FROM vecs),
+       |n AS (SELECT * FROM (SELECT vec_id, v,
+       |  sqrt(${dotSql("v", "v", dims, "n")}) AS nrm FROM vecs) WHERE nrm > 0),
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
        |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "ch")}, vec_id LIMIT $MmNearDupCentroids),
        |rk AS (

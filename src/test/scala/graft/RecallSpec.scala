@@ -54,6 +54,16 @@ class RecallSpec extends SparkSpec {
     assert(sq8 >= 0.9, s"sq8 recall regressed: $sq8")
   }
 
+  test("zero-norm vectors are quarantined — no NaN cosine ever leaves an operator") {
+    import spark.implicits._
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairs(tiny, "vec_id", "embedding", minCosine = -1.0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)),
+      "the zero vector must join no similarity result")
+    assert(out.forall(r => !r.getDouble(2).isNaN))
+  }
+
   test("multimodal bridge: IVF over decoded image vectors finds brute-force neighbors") {
     // documents → REAL P5 decode → 4×4 mean-pooled vectors (the
     // q_mm_neardup feature path), then the standard ANN operators run
