@@ -62,6 +62,74 @@ object Mixture {
           .otherwise(lit(0.0)).as("epochs"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023): waterfill the token
+    * budget UNIFORMLY across slices, capping each slice at `maxEpochs`
+    * repeats of its actual tokens — the fairness-first alternative to
+    * temperature sampling (a slice never repeats more than the epoch
+    * cap however small it is, and no slice dominates however big).
+    * Every slice gets min(cap, θ) tokens where the water level θ
+    * spreads the remaining budget evenly over the uncapped slices.
+    *
+    * Determinism discipline: the SATURATION DECISION is pure integer
+    * arithmetic — slice (by ascending (cap, grp)) saturates iff
+    * cap·(slices remaining) < budget − (saturated-cap prefix), all
+    * longs — and θ is ONE double division of exact long operands, so
+    * both engines agree bit-for-bit with no mid-chain rounding.
+    *
+    * Scale shape: one aggregate keyed by the slice touches the corpus
+    * once; everything after runs on the slice frame (10²–10³ rows —
+    * the rank/prefix triangle join is O(slices²) on that constant-size
+    * frame, deliberately NOT a global-order window, which would
+    * serialize through one task and log WindowExec's move-everything
+    * warning).
+    */
+  def unimaxAllocation(
+      docs: DataFrame,
+      groupCol: String,
+      tokensCol: Column,
+      budgetTokens: Long,
+      maxEpochs: Int
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val per = docs
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol.cast("long")).as("tokens"))
+      .withColumn("cap", col("tokens") * maxEpochs)
+      .localCheckpoint(false) // feeds both triangle-join sides + the count
+    val below = per.select(col("grp").as("bgrp"), col("cap").as("bcap"))
+    val ranked = per
+      .join(below,
+        col("bcap") < col("cap") || (col("bcap") === col("cap") && col("bgrp") < col("grp")),
+        "left")
+      .groupBy(col("grp"), col("n_docs"), col("tokens"), col("cap"))
+      .agg(
+        coalesce(sum(col("bcap")), lit(0L)).as("prefix"),
+        count(col("bgrp")).as("nbelow"))
+    val nTot = per.agg(count(lit(1)).as("n"))
+    // integer saturation test; the capped set is a prefix of the
+    // (cap, grp) order, so the water level is shared by every survivor
+    val flagged = ranked.crossJoin(broadcast(nTot))
+      .withColumn("capped",
+        col("cap") * (col("n") - col("nbelow")) < lit(budgetTokens) - col("prefix"))
+      .localCheckpoint(false) // feeds the saturation totals + the output
+    val sat = flagged.agg(
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("sat_tokens"),
+      sum(when(col("capped"), lit(0L)).otherwise(lit(1L))).as("n_uncapped"))
+    val theta = (lit(budgetTokens) - col("sat_tokens")).cast("double") /
+      col("n_uncapped").cast("double")
+    val alloc = when(col("capped"), col("cap").cast("double")).otherwise(theta)
+    flagged.crossJoin(broadcast(sat))
+      .select(
+        col("grp"),
+        col("n_docs"),
+        col("tokens"),
+        col("cap").as("cap_tokens"),
+        alloc.as("alloc_tokens"),
+        when(col("tokens") > 0L, alloc / col("tokens").cast("double"))
+          .otherwise(lit(0.0)).as("epochs"))
+  }
+
   /** Per-slice distribution drift: KL(slice word distribution ‖ corpus
     * word distribution) — the provenance audit a mixture pipeline runs
     * before trusting slice weights (a slice whose vocabulary diverges

@@ -422,6 +422,41 @@ object TextAnalysis {
       .drop("len_rank", "grp_n")
   }
 
+  /** Gopher duplicate-line repetition metrics (Rae et al. 2021, A1.1 —
+    * the other half of the repetition gate next to [[repetition]]'s
+    * word ratios): per-doc duplicate-line fraction (excess repeats over
+    * distinct lines) and the fraction of line characters living in
+    * duplicated lines — boilerplate headers/footers repeat whole lines,
+    * which word-level ratios under-detect.
+    *
+    * Scale shape: same as [[repetition]] — explode → (doc, line) count
+    * → per-doc aggregate, both map-side combined; no per-doc O(n²)
+    * lambda. `pass`-style guards: n_lines ≥ 1 always (split of "" is
+    * [""]); all-empty-line docs get a NULL char fraction instead of
+    * 0/0.
+    */
+  def lineRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lc = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), "\n")).as("l"))
+      .groupBy(col("doc"), col("l")).agg(count(lit(1)).as("c"))
+    lc.groupBy(col("doc"))
+      .agg(
+        sum(col("c")).as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        sum(col("c") * length(col("l"))).as("line_chars"),
+        sum(when(col("c") > 1L, col("c") * length(col("l"))).otherwise(lit(0L)))
+          .as("dup_chars"))
+      .select(
+        col("doc"),
+        col("n_lines"),
+        col("n_distinct_lines"),
+        round((col("n_lines") - col("n_distinct_lines")).cast("double") / col("n_lines"), 6)
+          .as("dup_line_frac"),
+        when(col("line_chars") > 0,
+          round(col("dup_chars").cast("double") / col("line_chars"), 6))
+          .as("dup_line_char_frac"))
+  }
+
   /** Rolling-hash document fingerprint (TextOps.fingerprint) plus summary
     * stats — the join key for cross-corpus contamination checks.
     */

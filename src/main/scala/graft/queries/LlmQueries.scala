@@ -1495,6 +1495,85 @@ object LlmQueries {
        |FROM sc GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
   }
 
+  /** Gopher duplicate-line metrics (TextAnalysis.lineRepetition). The
+    * corpus is single-line, so the query plants deterministic line
+    * breaks first — every second inter-word space becomes a newline
+    * (regex `(\S+ \S+) ` → `$1\n`; global replace scans left-to-right
+    * non-overlapping identically under Java regex and RE2), giving
+    * two-word lines over a 31-word vocabulary that genuinely repeat —
+    * the metrics gate REAL duplication, not zeros.
+    */
+  val dupLines: Q = (s, dir) => {
+    val seeded = Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
+    TextAnalysis.lineRepetition(seeded, "doc_id", "text").orderBy("doc")
+  }
+
+  val dupLinesSql: String =
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS text FROM documents),
+      |lc AS (
+      |  SELECT doc_id, l, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM seeded)
+      |  GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+      |    count(*) AS n_distinct_lines,
+      |    CAST(sum(c * length(l)) AS BIGINT) AS line_chars,
+      |    CAST(sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END) AS BIGINT) AS dup_chars
+      |  FROM lc GROUP BY 1)
+      |SELECT doc_id AS doc, n_lines, n_distinct_lines,
+      |  round(CAST(n_lines - n_distinct_lines AS DOUBLE) / n_lines, 6) AS dup_line_frac,
+      |  CASE WHEN line_chars > 0
+      |    THEN round(CAST(dup_chars AS DOUBLE) / line_chars, 6) END AS dup_line_char_frac
+      |FROM ag ORDER BY doc""".stripMargin
+
+  /** UniMax waterfill allocation (Mixture.unimaxAllocation): uniform
+    * budget split with a hard per-slice epoch cap — the saturation set
+    * is decided in pure integer arithmetic and the water level is one
+    * double division of exact longs, so the oracle replays the whole
+    * fill bit-for-bit. Budget 26000 at maxEpochs 1 sits inside the
+    * per-source token spread at sf0.01, so BOTH regimes appear: small
+    * sources saturate at 1 epoch, large ones share the water level.
+    */
+  val mixtureUnimax: Q = (s, dir) =>
+    graft.llm.Mixture.unimaxAllocation(
+        Tables.documents(s, dir), "source",
+        size(TextOps.words(col("text"))), budgetTokens = 26000L, maxEpochs = 1)
+      .orderBy("grp")
+
+  val mixtureUnimaxSql: String =
+    s"""WITH wt AS (
+       |  SELECT source, len(list_filter(string_split(text, ' '), wx -> wx <> '')) AS t
+       |  FROM documents),
+       |per AS (SELECT source AS grp, count(*) AS n_docs,
+       |          CAST(sum(t) AS BIGINT) AS tokens, CAST(sum(t) * 1 AS BIGINT) AS cap
+       |        FROM wt GROUP BY 1),
+       |rk AS (
+       |  SELECT a.grp, a.n_docs, a.tokens, a.cap,
+       |    coalesce(CAST(sum(b.cap) AS BIGINT), 0) AS prefix,
+       |    CAST(count(b.grp) AS BIGINT) AS nbelow
+       |  FROM per a LEFT JOIN per b
+       |    ON b.cap < a.cap OR (b.cap = a.cap AND b.grp < a.grp)
+       |  GROUP BY 1, 2, 3, 4),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+       |fl AS (SELECT rk.*, (cap * (n - nbelow) < 26000 - prefix) AS capped
+       |       FROM rk CROSS JOIN nt),
+       |st AS (SELECT coalesce(CAST(sum(CASE WHEN capped THEN cap END) AS BIGINT), 0) AS sat,
+       |              CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS nun
+       |       FROM fl)
+       |SELECT grp, n_docs, tokens, cap AS cap_tokens,
+       |  CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |       ELSE CAST(26000 - sat AS DOUBLE) / CAST(nun AS DOUBLE) END AS alloc_tokens,
+       |  CASE WHEN tokens > 0 THEN
+       |    (CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |          ELSE CAST(26000 - sat AS DOUBLE) / CAST(nun AS DOUBLE) END)
+       |      / CAST(tokens AS DOUBLE)
+       |  ELSE 0.0 END AS epochs
+       |FROM fl CROSS JOIN st ORDER BY grp""".stripMargin
+
   /** Per-source distinct-shingle cardinality by KMV sketch
     * (Sketches.distinctShingles, k = 256): bounded O(k) aggregation
     * state per group; the oracle rebuilds the same order statistics
@@ -2171,7 +2250,9 @@ object LlmQueries {
     "q_mm_frames" -> mmFrames,
     "q_mm_neardup" -> mmNearDup,
     "q_dup_spans" -> dupSpans,
+    "q_dup_lines" -> dupLines,
     "q_mixture_weights" -> mixtureWeights,
+    "q_mixture_unimax" -> mixtureUnimax,
     "q_source_divergence" -> sourceDivergence,
     "q_length_trim" -> lengthTrim,
     "q_chunk_docs" -> chunkDocs,
@@ -2240,7 +2321,9 @@ object LlmQueries {
     "q_mm_frames" -> mmFramesSql,
     "q_mm_neardup" -> mmNearDupSql,
     "q_dup_spans" -> dupSpansSql,
+    "q_dup_lines" -> dupLinesSql,
     "q_mixture_weights" -> mixtureWeightsSql,
+    "q_mixture_unimax" -> mixtureUnimaxSql,
     "q_source_divergence" -> sourceDivergenceSql,
     "q_length_trim" -> lengthTrimSql,
     "q_chunk_docs" -> chunkDocsSql,

@@ -184,6 +184,45 @@ class LlmSpec extends SparkSpec {
     assert(relaxed.forall(p => p == true || p == false), "pass must never be null")
   }
 
+  test("lineRepetition: duplicate lines and their chars are counted exactly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b\nc d\na b"), // "a b" twice: 1 excess repeat of 3 lines, 6 of 9 chars dup
+      (2L, "x\ny\nz"),       // no duplicate lines
+      (3L, "")               // one empty line: zero line chars -> NULL char fraction
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineRepetition(d, "doc_id", "text").orderBy("doc").collect()
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 2)
+    assert(out(0).getDouble(3) == 0.333333 && out(0).getDouble(4) == 0.666667)
+    assert(out(1).getDouble(3) == 0.0 && out(1).getDouble(4) == 0.0)
+    assert(out(2).getLong(1) == 1 && out(2).isNullAt(4))
+  }
+
+  test("unimaxAllocation: caps bind, water level uniform, budget exactly spent") {
+    import spark.implicits._
+    val d = Seq(("s1", 10L), ("s2", 100L), ("s3", 200L), ("s4", 800L)).toDF("src", "toks")
+    val out = graft.llm.Mixture.unimaxAllocation(d, "src", col("toks"),
+        budgetTokens = 600L, maxEpochs = 2)
+      .orderBy("grp").collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // caps 20/200/400/1600; waterfill 600: s1 saturates (2 epochs), the
+    // rest share theta = (600-20)/3
+    val theta = 580.0 / 3.0
+    assert(out("s1") == ((20L, 20.0, 2.0)), s"got ${out("s1")}")
+    Seq("s2", "s3", "s4").foreach { g =>
+      assert(out(g)._2 == theta, s"$g must sit at the water level, got ${out(g)}")
+    }
+    assert(math.abs(out.values.map(_._2).sum - 600.0) < 1e-9, "budget must be exactly spent")
+    // epoch cap respected everywhere
+    assert(out.values.forall { case (cap, alloc, ep) => alloc <= cap && ep <= 2.0 })
+
+    // budget above the total cap: every slice saturates, remainder unfilled
+    val all = graft.llm.Mixture.unimaxAllocation(d, "src", col("toks"),
+        budgetTokens = 10000L, maxEpochs = 2)
+      .collect().map(r => (r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(all.forall { case (cap, alloc, ep) => alloc == cap.toDouble && ep == 2.0 })
+  }
+
   test("chunkDocs: boundaries exact, chunks reassemble the token stream") {
     import spark.implicits._
     val docs = Seq(
