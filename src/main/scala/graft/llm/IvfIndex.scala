@@ -63,7 +63,12 @@ object IvfIndex {
       .filter(col("crk") === 1)
       .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    // the ONE build shuffle: co-locate each cell before the partitioned
+    // write — without it every write task fans out a file into every
+    // cell directory (tasks × cells small files; measured 4× slower at
+    // sf0.1), where one shuffle gives one well-sized file per cell
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
   /** Probe the persisted index: rank the (tiny) centroid table per
