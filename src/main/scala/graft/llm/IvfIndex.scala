@@ -71,6 +71,82 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Incremental maintenance: assign NEW vectors to the PERSISTED
+    * quantizer — frozen, so cell ids stay stable and no existing
+    * partition ever rewrites — and write them under `cells-b<epoch>/`
+    * with the same cell partitioning. [[probe]] unions the base root
+    * and every epoch root (partition pruning applies per root), so
+    * appended vectors are searchable immediately; [[compactEpochs]]
+    * folds the epoch roots back into `cells/` between runs (the
+    * CurationGate small-dirs economy). Replay-idempotent: an epoch
+    * overwrites its own root.
+    *
+    * The frozen quantizer is the honest trade of every IVF system:
+    * cells drift as the distribution does, and the rebuild (a fresh
+    * [[write]]) is a deliberate, occasional operation — never an
+    * implicit side effect of ingest.
+    */
+  def appendEpoch(
+      spark: SparkSession,
+      dir: String,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      epoch: Long
+  ): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val p = Similarity.prepared(emb, idCol, vecCol)
+    val cellRank = row_number().over(
+      Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
+    val assigned = p.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", cellRank)
+      .filter(col("crk") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells-b$epoch")
+  }
+
+  /** Fold every `cells-b<epoch>/` root into the base `cells/` layout
+    * and delete the epoch roots — run BETWEEN probe workloads (same
+    * contract as CurationGate.compact): the rewrite stages to a
+    * dot-dir before any delete, so a crash leaves the original roots
+    * intact. Returns the number of epoch roots folded.
+    */
+  def compactEpochs(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val epochs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("cells-b\\d+"))
+      .map(_.getPath.toString)
+    if (epochs.isEmpty) return 0
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact-cells")
+    (s"$dir/cells" +: epochs)
+      .map(r => spark.read.schema(cellsSchema).parquet(r))
+      .reduce(_ unionAll _)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/cells"), true)
+    epochs.foreach(e => fs.delete(new org.apache.hadoop.fs.Path(e), true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/cells"))
+    epochs.size
+  }
+
+  /** Every cell root currently backing the index: the base plus any
+    * un-compacted epoch appends.
+    */
+  private def cellRoots(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("cells-b\\d+"))
+        .map(_.getPath.toString)
+    s"$dir/cells" +: epochs
+  }
+
   /** Probe the persisted index: rank the (tiny) centroid table per
     * query, take each query's `nProbe` best cells, and scan ONLY those
     * partitions of `cells/`. The probed cell-id set is control-plane
@@ -105,8 +181,13 @@ object IvfIndex {
       .localCheckpoint(false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val corpus = spark.read.schema(cellsSchema).parquet(s"$dir/cells")
-      .filter(col("cell").isin(probedCells: _*))
+    // one pruned scan per cell root (base + appended epochs), unioned —
+    // a single multi-root read would break partition discovery (each
+    // root carries its own cell=N layout)
+    val corpus = cellRoots(spark, dir)
+      .map(r => spark.read.schema(cellsSchema).parquet(r)
+        .filter(col("cell").isin(probedCells: _*)))
+      .reduce(_ unionAll _)
     val scored = corpus.as("n")
       .join(broadcast(probes),
         col("n.cell") === probes("cell") && col("qid") =!= col("n.vid"))

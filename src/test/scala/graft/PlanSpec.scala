@@ -255,6 +255,60 @@ class PlanSpec extends SparkSpec {
     assert(viaIndex == direct, "index probe must equal ivfTopK")
   }
 
+  test("IvfIndex lifecycle: append against the frozen quantizer, probe across roots, compact") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{IvfIndex, Similarity}
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-life").toString
+    val emb = Tables.embeddings(spark, dir).localCheckpoint(false)
+    val (oldHalf, newHalf) = (emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+    IvfIndex.write(oldHalf, "vec_id", "embedding", idx, numCentroids = 16)
+    IvfIndex.appendEpoch(spark, idx, newHalf, "vec_id", "embedding", epoch = 1L)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+
+    // reference: the same assignment math over the union, against the
+    // PERSISTED (first-half) quantizer — built from public operators
+    def refProbe(): Set[Seq[Any]] = {
+      val cents = spark.read.parquet(s"$idx/centroids")
+      val p = emb
+        .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+        .filter(col("nrm") > 0)
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = p.crossJoin(broadcast(cents))
+        .withColumn("ccos", Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crk", org.apache.spark.sql.functions.row_number().over(rk))
+        .localCheckpoint(false)
+      val corpus = assigned.filter(col("crk") === 1)
+        .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
+      val qs = assigned.filter(col("crk") <= 2).filter(col("vid") % 100 === 0)
+        .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cid").as("cell"))
+      val scored = corpus.as("n")
+        .join(broadcast(qs), col("n.cell") === qs("cell") && col("qid") =!= col("n.vid"))
+        .select(col("qid"), col("n.vid").as("nid"),
+          (Similarity.dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine"))
+      val rn = org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+      scored.withColumn("rank", rn).filter(col("rank") <= 5)
+        .select("qid", "rank", "nid", "cosine").collect().map(_.toSeq).toSet
+    }
+    val expected = refProbe()
+    def probed(): Set[Seq[Any]] =
+      IvfIndex.probe(spark, idx, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+        .select("qid", "rank", "nid", "cosine").collect().map(_.toSeq).toSet
+    assert(probed() == expected, "probe across base + epoch roots must equal the reference")
+    // epoch replay (restart before offset commit) overwrites its own root
+    IvfIndex.appendEpoch(spark, idx, newHalf, "vec_id", "embedding", epoch = 1L)
+    assert(probed() == expected, "epoch replay must be idempotent")
+    // compaction folds the epoch into the base without changing results
+    assert(IvfIndex.compactEpochs(spark, idx) == 1)
+    val roots = new java.io.File(idx).listFiles().map(_.getName).toSet
+    assert(!roots.exists(_.startsWith("cells-b")) && roots.contains("cells"), s"got $roots")
+    assert(probed() == expected, "compaction must preserve probe results")
+    assert(IvfIndex.compactEpochs(spark, idx) == 0, "second compaction is a no-op")
+  }
+
   test("langConfusion: the prediction is inlined — zero joins, one scan") {
     val plan = planOf(graft.llm.TextAnalysis.langConfusion(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang"))
