@@ -109,34 +109,82 @@ object IvfIndex {
 
   /** Fold every `cells-b<epoch>/` root into the base `cells/` layout
     * and delete the epoch roots — run BETWEEN probe workloads (same
-    * contract as CurationGate.compact): the rewrite stages to a
-    * dot-dir before any delete, so a crash leaves the original roots
-    * intact. Returns the number of epoch roots folded.
+    * contract as CurationGate.compact). Crash-safe protocol: the
+    * rewrite stages to a dot-dir, then a MANIFEST of the folded root
+    * names commits the fold (it is written only after the stage
+    * completes), then the folded roots delete and the stage renames
+    * into place. A crash before the manifest leaves the originals
+    * intact (the stage is discarded); a crash after it is finished by
+    * [[finishStagedCompact]] from the manifest — epoch roots appended
+    * AFTER the crash are not listed and survive, so recovery neither
+    * loses nor double-counts. Returns the number of epoch roots folded.
     */
   def compactEpochs(spark: SparkSession, dir: String): Int = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    finishStagedCompact(spark, dir)
     val epochs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("cells-b\\d+"))
-      .map(_.getPath.toString)
+      .map(_.getPath.getName)
     if (epochs.isEmpty) return 0
-    val tmp = new org.apache.hadoop.fs.Path(root, ".compact-cells")
-    (s"$dir/cells" +: epochs)
-      .map(r => spark.read.schema(cellsSchema).parquet(r))
+    val tmp = new org.apache.hadoop.fs.Path(root, StageDir)
+    (("cells" +: epochs): Seq[String])
+      .map(r => spark.read.schema(cellsSchema).parquet(s"$dir/$r"))
       .reduce(_ unionAll _)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/cells"), true)
-    epochs.foreach(e => fs.delete(new org.apache.hadoop.fs.Path(e), true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/cells"))
+    writeManifest(fs, tmp, "cells" +: epochs)
+    finishStagedCompact(spark, dir)
     epochs.size
   }
 
+  private val StageDir = ".compact-cells"
+  private val ManifestFile = ".folded-roots"
+
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      roots: Seq[String]
+  ): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, ManifestFile), true)
+    try out.write(roots.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Finish (or discard) an interrupted [[compactEpochs]]: a staged
+    * dir WITH its manifest is committed — delete whichever manifest
+    * roots still exist and rename the stage to `cells/`; without the
+    * manifest the fold never committed and the stage is discarded,
+    * originals intact. Returns true if a committed stage was finished.
+    */
+  private[graft] def finishStagedCompact(spark: SparkSession, dir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, StageDir)
+    if (!fs.exists(tmp)) return false
+    val manifest = new org.apache.hadoop.fs.Path(tmp, ManifestFile)
+    if (!fs.exists(manifest)) {
+      fs.delete(tmp, true)
+      return false
+    }
+    val in = fs.open(manifest)
+    val roots =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    roots.foreach(r => fs.delete(new org.apache.hadoop.fs.Path(root, r), true))
+    fs.delete(manifest, false)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, "cells"))
+    true
+  }
+
   /** Every cell root currently backing the index: the base plus any
-    * un-compacted epoch appends.
+    * un-compacted epoch appends. Self-healing: a committed-but-
+    * interrupted compaction is finished first (one existence check
+    * when nothing is staged), so a probe between a compaction crash
+    * and the next maintenance run still sees a complete index.
     */
   private def cellRoots(spark: SparkSession, dir: String): Seq[String] = {
+    finishStagedCompact(spark, dir)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochs =

@@ -309,6 +309,55 @@ class PlanSpec extends SparkSpec {
     assert(IvfIndex.compactEpochs(spark, idx) == 0, "second compaction is a no-op")
   }
 
+  test("IvfIndex compaction crash recovery: a committed stage finishes without loss") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.llm.IvfIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, Seq.tabulate(4)(j => (i % 7 + j + 1).toDouble))).toDF("vec_id", "embedding")
+    IvfIndex.write(mk(1L to 20L), "vec_id", "embedding", idx, numCentroids = 4)
+    IvfIndex.appendEpoch(spark, idx, mk(21L to 30L), "vec_id", "embedding", epoch = 1L)
+    val queries = mk(Seq(5L))
+    def probed(): Set[Seq[Any]] =
+      IvfIndex.probe(spark, idx, queries, "vec_id", "embedding", k = 3, nProbe = 2)
+        .select("qid", "rank", "nid", "cosine").collect().map(_.toSeq).toSet
+    val expected = probed()
+
+    // stage the fold exactly as compactEpochs would and COMMIT it (the
+    // manifest is the commit record), then crash in the worst window:
+    // both source roots already deleted, stage not yet renamed
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("nrm", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType)))
+    Seq(s"$idx/cells", s"$idx/cells-b1")
+      .map(r => spark.read.schema(schema).parquet(r))
+      .reduce(_ unionAll _)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/.compact-cells")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = fs.create(new org.apache.hadoop.fs.Path(s"$idx/.compact-cells/.folded-roots"), true)
+    mf.write("cells\ncells-b1".getBytes("UTF-8")); mf.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/cells"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/cells-b1"), true)
+
+    // the probe path self-heals from the committed stage
+    assert(probed() == expected, "recovered index must serve the identical results")
+    val roots = new java.io.File(idx).listFiles().map(_.getName).toSet
+    assert(roots.contains("cells") && !roots.exists(_.startsWith(".compact")) &&
+      !roots.exists(_.startsWith("cells-b")), s"got $roots")
+
+    // an UNCOMMITTED stage (no manifest) is discarded, originals intact
+    val junk = new java.io.File(s"$idx/.compact-cells"); junk.mkdirs()
+    assert(IvfIndex.compactEpochs(spark, idx) == 0)
+    assert(probed() == expected)
+    assert(!new java.io.File(s"$idx/.compact-cells").exists())
+  }
+
   test("langConfusion: the prediction is inlined — zero joins, one scan") {
     val plan = planOf(graft.llm.TextAnalysis.langConfusion(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang"))
