@@ -99,6 +99,22 @@ object GraftFunctions {
         FunctionIdentifier("graft_heavy_hitters_merge"),
         new ExpressionInfo(classOf[HeavyHittersMerge].getName, "graft_heavy_hitters_merge"),
         (es: Seq[Expression]) => HeavyHittersMerge(es(0), intLit(es(1), "counter budget k"))
+      ),
+      (
+        FunctionIdentifier("graft_bloom_build"),
+        new ExpressionInfo(classOf[BloomBuild].getName, "graft_bloom_build"),
+        (es: Seq[Expression]) =>
+          BloomBuild(es(0), intLit(es(1), "bloom bit count"), intLit(es(2), "bloom hash count"))
+      ),
+      (
+        FunctionIdentifier("graft_bloom_or"),
+        new ExpressionInfo(classOf[BloomOr].getName, "graft_bloom_or"),
+        (es: Seq[Expression]) => BloomOr(es(0))
+      ),
+      (
+        FunctionIdentifier("graft_bloom_contains"),
+        new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+        (es: Seq[Expression]) => BloomContains(es(0), es(1))
       )
     )
 

@@ -38,6 +38,75 @@ object Dedup {
       )
       .drop("text_md5")
 
+  /** The accumulated-corpus membership artifact for [[bloomGate]]: a
+    * bloom filter over the corpus's text strhashes, built distributed
+    * (each task folds its partition into a bitset, partials OR — the
+    * exchange carries one fixed-size bitset per task) and collected as
+    * ONE driver-side byte array. Size ~10 bits/expected distinct doc
+    * for ~1% false positives; in a real deployment this persists next
+    * to the corpus and rolls forward per epoch by OR
+    * ([[Sketches.bloomOrAgg]]) instead of being rebuilt.
+    */
+  def corpusBloom(
+      corpus: DataFrame,
+      textCol: String,
+      numBits: Int,
+      numHashes: Int = 5
+  ): Array[Byte] =
+    corpus
+      .agg(Sketches.bloomAgg(strhash(col(textCol)), numBits, numHashes).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Incremental-ingest exact-dedup gate: for each doc of `newDocs`
+    * (the incoming batch), is its text already in `accumulated` (the
+    * corpus so far)? Exactness rides the (strhash, md5) wide-hash
+    * convention of [[exact]]; `bloom` ([[corpusBloom]] over
+    * `accumulated`) only prunes the plan:
+    *
+    *  - bloom-NEGATIVE docs are definitely new — they resolve in the
+    *    batch scan itself (a codegen'd filter on the plan-literal
+    *    artifact) and never touch the accumulated side at all;
+    *  - only the bloom-POSITIVE sliver (true duplicates + the designed
+    *    false-positive rate) carries into the exact confirm join, whose
+    *    verdict overrides any false positive.
+    *
+    * At 100 TB the confirm join's probe side is therefore O(dup rate +
+    * FPP) of the batch, not the batch — and when a batch has no
+    * positives at all, AQE sees an empty probe side. Catalyst's
+    * InferFiltersFromConstraints additionally propagates the probe
+    * through the join's h-key equality onto the ACCUMULATED side, so
+    * its key derivation also skips non-candidate rows (PlanSpec shows
+    * the inferred scan filter). The accumulated
+    * side here derives its distinct (h, m) key set inline; a real
+    * deployment reads the persisted dedup-key artifact (the
+    * [[graft.state.BucketedDir]] layout) instead of re-scanning corpus
+    * text. Output: `doc`, `is_dup` — EXACTLY the answer of the
+    * un-pre-filtered join (one-sided bloom error; BloomSpec pins
+    * equality, PlanSpec pins the pruned join input).
+    */
+  def bloomGate(
+      newDocs: DataFrame,
+      accumulated: DataFrame,
+      idCol: String,
+      textCol: String,
+      bloom: Array[Byte]
+  ): DataFrame = {
+    val keyed = newDocs.select(
+      col(idCol).as("doc"),
+      strhash(col(textCol)).as("h"),
+      md5(col(textCol).cast("binary")).as("m"))
+    val accKeys = accumulated
+      .select(strhash(col(textCol)).as("h"), md5(col(textCol).cast("binary")).as("m"))
+      .distinct()
+    val mayHit = Sketches.bloomContains(lit(bloom), col("h"))
+    val definitelyNew = keyed.filter(!mayHit)
+      .select(col("doc"), lit(false).as("is_dup"))
+    val resolved = keyed.filter(mayHit)
+      .join(accKeys.withColumn("hit", lit(true)), Seq("h", "m"), "left")
+      .select(col("doc"), coalesce(col("hit"), lit(false)).as("is_dup"))
+    definitelyNew.unionAll(resolved)
+  }
+
   /** MinHash + LSH near-dup pairs.
     *
     * Plan shape: (1) per-doc signature — narrow, no shuffle;

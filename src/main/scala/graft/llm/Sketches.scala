@@ -294,4 +294,26 @@ object Sketches {
       array_sort(transform(col("pairs"), p => p.getField("value"))).as("smp"))
     quantileSelect(toSmp(perGroup), qs).unionAll(quantileSelect(toSmp(total), qs))
   }
+
+  /** The bloom-build aggregate as a Column over a `bigint` key column
+    * ([[graft.functions.BloomBuild]]).
+    */
+  def bloomAgg(keys: Column, numBits: Int, numHashes: Int): Column =
+    Bridge.column(
+      graft.functions.BloomBuild(Bridge.expression(keys), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** OR-merge of already-built bloom artifacts
+    * ([[graft.functions.BloomOr]]) — the roll-up form.
+    */
+  def bloomOrAgg(artifacts: Column): Column =
+    Bridge.column(
+      graft.functions.BloomOr(Bridge.expression(artifacts)).toAggregateExpression())
+
+  /** Membership probe against a bloom artifact (false ⇒ definitely
+    * absent; [[graft.functions.BloomContains]]).
+    */
+  def bloomContains(artifact: Column, key: Column): Column =
+    Bridge.column(graft.functions.BloomContains(
+      Bridge.expression(artifact), Bridge.expression(key)))
 }

@@ -311,6 +311,30 @@ object LlmQueries {
        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_doc FROM xmh)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Incremental-ingest exact gate with a bloom pre-filter
+    * (Dedup.bloomGate): docs with doc_id % 3 == 0 play the incoming
+    * batch; the accumulated corpus is everything else PLUS the % 6 == 0
+    * half of the batch (a re-ingest overlap, so the gate sees real
+    * duplicates). The bloom — built distributed over the accumulated
+    * strhashes — resolves definitely-new batch docs in the scan
+    * itself; only bloom-positives reach the exact (strhash, md5)
+    * confirm join, whose verdict the oracle reproduces with plain text
+    * equality: the bloom changes the plan economics, never the answer.
+    */
+  val dedupBloomGate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val acc = docs.filter(col("doc_id") % 3 =!= 0 || col("doc_id") % 6 === 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val bloom = Dedup.corpusBloom(acc, "text", numBits = 1 << 20)
+    Dedup.bloomGate(batch, acc, "doc_id", "text", bloom).orderBy("doc")
+  }
+
+  val dedupBloomGateSql: String =
+    """SELECT b.doc_id AS doc,
+      |  EXISTS(SELECT 1 FROM documents a
+      |         WHERE (a.doc_id % 3 <> 0 OR a.doc_id % 6 = 0) AND a.text = b.text) AS is_dup
+      |FROM documents b WHERE b.doc_id % 3 = 0 ORDER BY doc""".stripMargin
+
   // ----------------------------------------------------------- simhash
 
   private val simhashCte: String = {
@@ -2217,6 +2241,7 @@ object LlmQueries {
     "q_dedup_jaccard_capped" -> dedupJaccardCapped,
     "q_dedup_against_pairs" -> dedupAgainstPairs,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_dedup_bloom_gate" -> dedupBloomGate,
     "q_lm_commonness" -> lmCommonness,
     "q_source_overlap" -> sourceOverlap,
     "q_split_assign" -> splitAssign,
@@ -2288,6 +2313,7 @@ object LlmQueries {
     "q_dedup_jaccard_capped" -> dedupJaccardCappedSql,
     "q_dedup_against_pairs" -> dedupAgainstPairsSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_bloom_gate" -> dedupBloomGateSql,
     "q_lm_commonness" -> lmCommonnessSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_split_assign" -> splitAssignSql,

@@ -384,6 +384,28 @@ class PlanSpec extends SparkSpec {
       s"map-side partial aggregate must sit below the exchange:\n$plan")
   }
 
+  test("bloomGate: the probe filter sits below the confirm join; exchanges text-free") {
+    val docs = Tables.documents(spark, dir)
+    val acc = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0)
+    val bloom = graft.llm.Dedup.corpusBloom(acc, "text", 1 << 14)
+    val plan = planOf(graft.llm.Dedup.bloomGate(docs, acc, "doc_id", "text", bloom))
+    // the definitely-new branch resolves in the scan itself (a negated
+    // probe filter, no join above it) ...
+    assert(plan.contains("NOT graft_bloom_contains"),
+      s"bloom-negative docs must resolve scan-side:\n$plan")
+    // ... and the confirm join's probe side carries the positive filter
+    // BELOW the join (plan text after the join line), so only
+    // bloom-positive docs ever enter it
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && plan.indexOf("graft_bloom_contains", joinIdx) > joinIdx,
+      s"bloom probe must prune the join input, not post-filter it:\n$plan")
+    // and the confirm join's exchanges carry (h, md5) keys, never text
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { line =>
+      assert(!line.matches(""".*[(, ]text#\d.*"""),
+        s"the gate exchange must be text-free:\n$line")
+    }
+  }
+
   test("semanticDedup: survivor anti-join is NOT hint-broadcast") {
     withNoAutoBroadcast {
       val plan = planOf(graft.llm.Similarity.semanticDedup(
