@@ -331,11 +331,23 @@ object Dedup {
   def minhashAgainstSigs(
       newSigs: DataFrame,
       oldSigs: DataFrame,
-      minJaccard: Double
+      minJaccard: Double,
+      oldBandBloom: Option[Array[Byte]] = None
   ): DataFrame = {
     def bandsOf(s: DataFrame) = s
       .select(col("doc"), posexplode(TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
-    val candidates = bandsOf(newSigs).as("a")
+    // bloom-pruned handoff: a (band, digest) that is bloom-NEGATIVE
+    // against the accumulated side's band bloom ([[sigBandBloom]])
+    // matches nothing in the join by construction, so dropping it at the
+    // probe scan changes the plan economics, never the candidate set
+    // (one-sided error). A new doc whose bands are ALL negative — the
+    // common case when most of a batch is genuinely new — never reaches
+    // the exchange at all.
+    val probe = oldBandBloom.fold(bandsOf(newSigs)) { bloom =>
+      bandsOf(newSigs).filter(
+        Sketches.bloomContains(lit(bloom), sigBandKey(col("band"), col("digest"))))
+    }
+    val candidates = probe.as("a")
       .join(bandsOf(oldSigs).as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest"))
       .select(col("a.doc").as("new_doc"), col("b.doc").as("old_doc"))
@@ -349,6 +361,27 @@ object Dedup {
         TextOps.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }
+
+  /** The bloom key of one LSH band cell: band index fused with its
+    * digest through `xxhash64` so equal digests in DIFFERENT bands
+    * never alias (the band join is positional). Shared by build
+    * ([[sigBandBloom]]) and probe ([[minhashAgainstSigs]]).
+    */
+  private[graft] def sigBandKey(band: Column, digest: Column): Column =
+    xxhash64(band, digest)
+
+  /** Bloom artifact over a signature table's (band, digest) cells — the
+    * companion a pipeline persists NEXT TO [[signatures]] so the next
+    * snapshot's against-join probes only its maybe-colliding bands.
+    * OR-mergeable per epoch ([[Sketches.bloomOrAgg]]): the accumulated
+    * corpus's band bloom is the OR of the per-epoch artifacts, never a
+    * re-scan. Size for bands-per-doc × expected docs keys.
+    */
+  def sigBandBloom(sigs: DataFrame, numBits: Int, numHashes: Int = 5): Array[Byte] =
+    sigs
+      .select(posexplode(TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
+      .agg(Sketches.bloomAgg(sigBandKey(col("band"), col("digest")), numBits, numHashes))
+      .head().getAs[Array[Byte]](0)
 
   def minhashAgainstPairs(
       newDocs: DataFrame,

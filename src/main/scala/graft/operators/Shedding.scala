@@ -90,6 +90,48 @@ object Shedding {
     df.filter(pmod(draw, lit(1000000L)) < threshold)
   }
 
+  /** Weight-proportional sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-Res): every row draws the key
+    * u^(1/w) — u a uniform in (0,1], w its positive weight — and the k
+    * largest keys per group win, which selects each row with
+    * probability proportional to its weight at every prefix. This is
+    * the mixture-building draw ("sample sources by token count") that
+    * [[sampleFractions]]'s per-group RATE cut cannot express: here
+    * heavy docs beat light docs WITHIN a group, k is exact per group,
+    * and no rate table is needed.
+    *
+    * Determinism and cross-engine parity: u comes from the same
+    * squared-hash draw as [[sampleFractions]] (salt `'wsmp:'`,
+    * +1 so u is never 0), and rows rank by ln(u)/w — monotone in
+    * u^(1/w) for w > 0, so the SAME sample, with one transcendental
+    * instead of pow. The ranking key is deliberately NOT in the
+    * output: both engines agree on the selected SET (a boundary tie
+    * within 1 ulp would need two keys equal to ~2^-52), while the key
+    * bytes themselves could differ in the last ulp between libm
+    * implementations.
+    *
+    * Scale shape: the draw is a narrow projection; selection runs on
+    * the [[graft.plans.TopKPerKey]] bounded heap — one shuffle keyed by
+    * the group, O(k) state per group, no per-group sort.
+    */
+  def weightedSample(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weight: Column,
+      k: Int
+  ): DataFrame = {
+    require(!df.columns.contains("es_key"), "weightedSample stages an es_key column")
+    val h = graft.functions.GraftFunctions.strhash(
+      concat(lit("wsmp:"), col(idCol).cast("string")))
+    val u = (pmod(h * h, lit(1000000007L)) + lit(1L)).cast("double") / lit(1000000008.0)
+    val keyed = df.withColumn("es_key", log(u) / weight.cast("double"))
+    graft.plans.TopKPerKey(
+      spark, keyed, Seq(groupCol), Seq("es_key" -> true, idCol -> false), k)
+      .drop("es_key")
+  }
+
   /** `newer_processing_time` / `later_complete_time`
     * (load_shedding_policy.py:10-11,60-61): drop an update unless it is
     * newer than the table's current value. Processed in arrival order

@@ -293,6 +293,26 @@ object LlmQueries {
     s"""WITH $crossMinhashCtes
        |SELECT new_doc, old_doc, est_jaccard FROM xmh ORDER BY new_doc, old_doc""".stripMargin
 
+  /** [[dedupAgainstPairs]] through the bloom-pruned signature handoff:
+    * the accumulated side's (band, digest) bloom ([[Dedup.sigBandBloom]])
+    * filters the new side's band probe before the candidate join, so
+    * docs whose bands are all bloom-negative never reach the exchange.
+    * Oracle is IDENTICAL to the unpruned variant — one-sided bloom
+    * error can only pass through (band, digest) cells the join would
+    * reject anyway, so the pair set is unchanged; only the plan
+    * economics differ (DuckDB knows nothing of the bloom).
+    */
+  val dedupAgainstBloomed: Q = (s, dir) => {
+    val (newDocs, oldDocs) = splitDocs(s, dir)
+    val newSigs = Dedup.signatures(newDocs, "doc_id", "text").localCheckpoint(false)
+    val oldSigs = Dedup.signatures(oldDocs, "doc_id", "text").localCheckpoint(false)
+    val bloom = Dedup.sigBandBloom(oldSigs, numBits = 1 << 20)
+    Dedup.minhashAgainstSigs(newSigs, oldSigs, minJaccard = 0.6, Some(bloom))
+      .orderBy("new_doc", "old_doc")
+  }
+
+  val dedupAgainstBloomedSql: String = dedupAgainstPairsSql
+
   /** The end-user incremental API: per-source survivor counts of the new
     * snapshot after dropping docs near-dupping the accumulated corpus.
     */
@@ -935,6 +955,34 @@ object LlmQueries {
        |  CASE WHEN source = 'src0' THEN 500000
        |       WHEN source = 'src1' THEN 250000 ELSE 100000 END
        |ORDER BY doc_id""".stripMargin
+
+  /** Weight-proportional sampling without replacement
+    * (Shedding.weightedSample, Efraimidis–Spirakis A-Res): 8 docs per
+    * source drawn proportional to document length. The oracle replays
+    * the exact key — ln of the squared-hash uniform over the length
+    * weight — with a window rank; the selected SET matches because the
+    * ranking is deterministic and the key itself never leaves the plan.
+    */
+  val sampleWeighted: Q = (s, dir) =>
+    graft.operators.Shedding.weightedSample(
+        s, Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", greatest(length(col("text")), lit(1)), k = 8)
+      .select(col("source"), col("doc_id"), length(col("text")).as("doc_len"))
+      .orderBy("source", "doc_id")
+
+  val sampleWeightedSql: String =
+    s"""SELECT source, doc_id, doc_len FROM (
+       |  SELECT source, doc_id, doc_len,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ln(u) / w DESC, doc_id) AS rk
+       |  FROM (
+       |    SELECT source, doc_id, length(text) AS doc_len,
+       |      CAST(GREATEST(length(text), 1) AS DOUBLE) AS w,
+       |      CAST((hv * hv) % 1000000007 + 1 AS DOUBLE) / 1000000008.0 AS u
+       |    FROM (SELECT source, doc_id, text,
+       |            ${strhashSql("'wsmp:' || CAST(doc_id AS VARCHAR)", "w")} AS hv
+       |          FROM documents)))
+       |WHERE rk <= 8 ORDER BY source, doc_id""".stripMargin
 
   /** Concat-and-chop packing of each source's docs into 256-token
     * training sequences (TextAnalysis.packSequences).
@@ -2240,6 +2288,7 @@ object LlmQueries {
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_jaccard_capped" -> dedupJaccardCapped,
     "q_dedup_against_pairs" -> dedupAgainstPairs,
+    "q_dedup_against_bloomed" -> dedupAgainstBloomed,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_bloom_gate" -> dedupBloomGate,
     "q_lm_commonness" -> lmCommonness,
@@ -2267,6 +2316,7 @@ object LlmQueries {
     "q_decontaminate" -> decontaminate,
     "q_sample_quota" -> sampleQuota,
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_weighted" -> sampleWeighted,
     "q_pack_sequences" -> packSequences,
     "q_text_tokens" -> textTokens,
     "q_text_fingerprint" -> textFingerprint,
@@ -2312,6 +2362,7 @@ object LlmQueries {
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_jaccard_capped" -> dedupJaccardCappedSql,
     "q_dedup_against_pairs" -> dedupAgainstPairsSql,
+    "q_dedup_against_bloomed" -> dedupAgainstBloomedSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_bloom_gate" -> dedupBloomGateSql,
     "q_lm_commonness" -> lmCommonnessSql,
@@ -2339,6 +2390,7 @@ object LlmQueries {
     "q_decontaminate" -> decontaminateSql,
     "q_sample_quota" -> sampleQuotaSql,
     "q_sample_stratified" -> sampleStratifiedSql,
+    "q_sample_weighted" -> sampleWeightedSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,

@@ -55,9 +55,11 @@ object CurationGate {
       acceptedSigs: Option[DataFrame],
       minQuality: Double,
       maxOverlap: Double,
-      minJaccard: Double
+      minJaccard: Double,
+      accBandBloom: Option[Array[Byte]] = None
   ): DataFrame =
-    gateStages(batch, evalShingles, acceptedSigs, minQuality, maxOverlap, minJaccard).accepted
+    gateStages(batch, evalShingles, acceptedSigs, minQuality, maxOverlap, minJaccard,
+      accBandBloom).accepted
 
   /** The gate chain with every stage's survivor frame exposed — the
     * funnel-observability handle. `accepted` is what [[gateBatch]]
@@ -79,7 +81,8 @@ object CurationGate {
       acceptedSigs: Option[DataFrame],
       minQuality: Double,
       maxOverlap: Double,
-      minJaccard: Double
+      minJaccard: Double,
+      accBandBloom: Option[Array[Byte]] = None
   ): GateStages = {
     val quality = CorpusFrame(batch, "doc_id", "text").filterQuality(minQuality)
     val decon = quality.decontaminateAgainstShingles(evalShingles, maxOverlap)
@@ -95,9 +98,12 @@ object CurationGate {
         // the incremental stage: drop batch docs near-dupping anything
         // already accepted (same anti-join shape as Dedup.dedupAgainst,
         // on the persisted signatures — no broadcast hint, the
-        // accumulated side is the BIG side at scale)
+        // accumulated side is the BIG side at scale). When the epoch-
+        // rolled band bloom is present, batch docs whose bands are all
+        // bloom-negative never enter the join (one-sided error — the
+        // accepted set is unchanged, StreamingSpec pins equality).
         val newSigs = Dedup.signatures(near.df, "doc_id", "text").localCheckpoint(false)
-        val matched = Dedup.minhashAgainstSigs(newSigs, old, minJaccard)
+        val matched = Dedup.minhashAgainstSigs(newSigs, old, minJaccard, accBandBloom)
           .select(col("new_doc").as("doc_id"))
         near.df.join(matched, Seq("doc_id"), "left_anti")
     }
@@ -118,14 +124,16 @@ object CurationGate {
       maxOverlap: Double,
       minJaccard: Double,
       availableNow: Boolean = true,
-      funnelDir: Option[String] = None
+      funnelDir: Option[String] = None,
+      bloomDir: Option[String] = None,
+      bloomBits: Int = 1 << 22
   ): StreamingQuery = {
     val w = docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (b: Dataset[StreamDoc], epoch: Long) =>
         runEpoch(spark, b.toDF().select(col("docId").as("doc_id"), col("text")),
           evalShingles, acceptedDir, sigDir, epoch, minQuality, maxOverlap, minJaccard,
-          funnelDir)
+          funnelDir, bloomDir, bloomBits)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
@@ -148,16 +156,27 @@ object CurationGate {
       minQuality: Double,
       maxOverlap: Double,
       minJaccard: Double,
-      funnelDir: Option[String] = None
+      funnelDir: Option[String] = None,
+      bloomDir: Option[String] = None,
+      bloomBits: Int = 1 << 22
   ): Unit = {
     val stages = gateStages(batch, evalShingles,
       readAccumulated(spark, sigDir, beforeEpoch = Some(epoch)),
-      minQuality, maxOverlap, minJaccard)
+      minQuality, maxOverlap, minJaccard,
+      bloomDir.flatMap(bd => readBandBloom(spark, bd, beforeEpoch = epoch)))
     val kept = stages.accepted
       .localCheckpoint(false) // one computation feeds both writes
     kept.write.mode("overwrite").parquet(s"$acceptedDir/b$epoch")
-    Dedup.signatures(kept, "doc_id", "text")
-      .write.mode("overwrite").parquet(s"$sigDir/b$epoch")
+    val keptSigs = Dedup.signatures(kept, "doc_id", "text").localCheckpoint(false)
+    keptSigs.write.mode("overwrite").parquet(s"$sigDir/b$epoch")
+    // the epoch's band-bloom companion: one tiny artifact row per epoch,
+    // same overwrite-idempotent b<epoch> layout. The NEXT epoch's gate
+    // ORs all earlier artifacts ([[readBandBloom]]) instead of ever
+    // re-scanning signatures; compact() folds bloom dirs as-is (the
+    // read-side OR is row-order-independent).
+    bloomDir.foreach { bd =>
+      writeBandBloom(spark, Dedup.sigBandBloom(keptSigs, bloomBits), s"$bd/b$epoch")
+    }
     // per-epoch funnel observability — the streaming counterpart of the
     // batch curation funnel: one (stage, survivors) row per gate stage,
     // published next to the epoch's accepted docs with the same
@@ -284,6 +303,33 @@ object CurationGate {
         false
       }
     }
+  }
+
+  /** The accumulated band bloom: OR of every per-epoch artifact strictly
+    * below `beforeEpoch` ([[graft.llm.Sketches.bloomOrAgg]] over the
+    * artifact rows — epochs-many tiny rows, a control-plane-sized
+    * aggregate). None until a first epoch has published one.
+    */
+  private[graft] def readBandBloom(
+      spark: SparkSession,
+      bloomDir: String,
+      beforeEpoch: Long
+  ): Option[Array[Byte]] =
+    readAccumulated(spark, bloomDir, beforeEpoch = Some(beforeEpoch)).map { arts =>
+      arts.agg(graft.llm.Sketches.bloomOrAgg(col("bloom")).as("bloom"))
+        .head().getAs[Array[Byte]](0)
+    }.filter(_.nonEmpty)
+
+  /** One artifact row, explicit schema (library code must not derive
+    * product encoders for driver-side constants — REPL rule).
+    */
+  private def writeBandBloom(spark: SparkSession, bloom: Array[Byte], dir: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val schema = StructType(Seq(StructField("bloom", BinaryType, nullable = false)))
+    val rows = java.util.Collections.singletonList(Row(bloom))
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   private def readAccumulated(

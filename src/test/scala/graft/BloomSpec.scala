@@ -117,6 +117,30 @@ class BloomSpec extends SparkSpec {
       "split must exercise both dup and new docs")
   }
 
+  test("bloom-pruned signature handoff: identical pairs, genuinely pruned probe") {
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newSigs = Dedup.signatures(newDocs, "doc_id", "text").localCheckpoint(false)
+    val oldSigs = Dedup.signatures(oldDocs, "doc_id", "text").localCheckpoint(false)
+    val bloom = Dedup.sigBandBloom(oldSigs, Bits, Hashes)
+    def pairs(b: Option[Array[Byte]]) =
+      Dedup.minhashAgainstSigs(newSigs, oldSigs, 0.6, b)
+        .orderBy("new_doc", "old_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs(Some(bloom)) == pairs(None) && pairs(None).nonEmpty,
+      "bloom pruning must not change the pair set")
+    // the probe is REALLY pruned: most new-side band cells are absent
+    // from the old side and must die at the filter
+    val bands = newSigs.select(
+      posexplode(graft.llm.TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
+    val total = bands.count()
+    val kept = bands.filter(
+      Sketches.bloomContains(lit(bloom), Dedup.sigBandKey(col("band"), col("digest"))))
+      .count()
+    assert(kept < total / 2,
+      s"expected the bloom to prune most of the probe, kept $kept of $total")
+  }
+
   test("a batch with no accumulated overlap resolves every doc bloom-negative or via confirm") {
     // empty-accumulated edge: the bloom is all-zero bits, every probe is
     // false, and the gate answers all-new without touching the join path

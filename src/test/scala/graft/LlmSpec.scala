@@ -274,6 +274,27 @@ class LlmSpec extends SparkSpec {
     assert(a == run(), "the draw must be reproducible")
   }
 
+  test("weightedSample: exact k per group, weight-biased, deterministic") {
+    // weights 1..200: the length-proportional draw must visibly favor
+    // heavy rows over the uniform draw on the same ids
+    val d = (1L to 200L).map(i => (i, s"src${i % 2}", i.toDouble)).toDF("doc_id", "source", "w")
+    def run(w: org.apache.spark.sql.Column) =
+      graft.operators.Shedding.weightedSample(spark, d, "source", "doc_id", w, k = 20)
+        .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val weighted = run(col("w"))
+    assert(weighted.size == 40 && weighted.groupBy(_._1).forall(_._2.size == 20))
+    assert(weighted == run(col("w")), "the draw must be reproducible")
+    val uniform = run(org.apache.spark.sql.functions.lit(1.0))
+    assert(weighted != uniform, "weights must change the sample")
+    def meanId(s: Set[(String, Long)]) = s.map(_._2).sum.toDouble / s.size
+    assert(meanId(weighted) > meanId(uniform),
+      s"weight∝id must pull the sample toward heavy ids " +
+        s"(${meanId(weighted)} vs ${meanId(uniform)})")
+    // es_key never leaks into the output
+    assert(!graft.operators.Shedding.weightedSample(spark, d, "source", "doc_id", col("w"), 3)
+      .columns.contains("es_key"))
+  }
+
   test("packSequences: straddling docs span sequences, offsets chain per group") {
     val d = Seq((1L, "g", 100L), (2L, "g", 200L), (3L, "g", 56L), (4L, "g", 10L))
       .toDF("doc_id", "source", "tokens")

@@ -406,6 +406,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom-pruned handoff: probe filter sits below the band candidate join") {
+    val docs = Tables.documents(spark, dir)
+    val newSigs = graft.llm.Dedup.signatures(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1), "doc_id", "text")
+    val oldSigs = graft.llm.Dedup.signatures(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), "doc_id", "text")
+    val bloom = graft.llm.Dedup.sigBandBloom(oldSigs, 1 << 14)
+    val plan = planOf(
+      graft.llm.Dedup.minhashAgainstSigs(newSigs, oldSigs, 0.6, Some(bloom)))
+    // tree text prints root-first, so "below the join" = after it in
+    // text: the probe filter must appear under the topmost join, never
+    // as a post-filter above every join
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && plan.indexOf("graft_bloom_contains", joinIdx) > joinIdx,
+      s"the probe filter must prune a join input:\n$plan")
+  }
+
   test("semanticDedup: survivor anti-join is NOT hint-broadcast") {
     withNoAutoBroadcast {
       val plan = planOf(graft.llm.Similarity.semanticDedup(

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, posexplode}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingFeatures
@@ -488,6 +488,62 @@ class StreamingSpec extends SparkSpec {
       .dedupNear(minJ)
       .df.select("doc_id").as[Long].collect().toSet
     assert(oneShot == chain, "single-batch gate must equal the CorpusFrame chain")
+  }
+
+  test("bloom-pruned streaming gate == unpruned gate; band blooms roll forward") {
+    import graft.streaming.StreamingFeatures.StreamDoc
+    import graft.streaming.CurationGate
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val evalDocs = all.filter(col("doc_id") % 97 === 0).select(col("text"))
+    val evalShingles = graft.llm.Dedup.evalShingleSet(evalDocs, "text")
+      .localCheckpoint(false)
+    val (minQ, maxOv, minJ) = (0.35, 0.5, 0.6)
+    val bits = 1 << 18
+
+    val docs = all.as[(Long, String)].collect().map { case (id, t) => StreamDoc(id, t) }
+    val (b1, b2) = docs.partition(_.docId % 2 == 0)
+    val accDir = java.nio.file.Files.createTempDirectory("graft-bgate-acc").toString
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-bgate-sig").toString
+    val bloomDir = java.nio.file.Files.createTempDirectory("graft-bgate-bloom").toString
+    val in = MemoryStream[StreamDoc]
+    val q = CurationGate.start(spark, in.toDS(), evalShingles, accDir, sigDir,
+      minQuality = minQ, maxOverlap = maxOv, minJaccard = minJ, availableNow = false,
+      bloomDir = Some(bloomDir), bloomBits = bits)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = CurationGate.readAccepted(spark, accDir).get
+      .select("doc_id").as[Long].collect().toSet
+
+    // identical accepted set to the UNPRUNED batch fold over the same
+    // slices — the bloom changes plan economics, never the answer
+    val in1 = all.filter(col("doc_id") % 2 === 0)
+    val in2 = all.filter(col("doc_id") % 2 === 1)
+    val g1 = CurationGate.gateBatch(in1, evalShingles, None, minQ, maxOv, minJ)
+      .localCheckpoint(false)
+    val sigs1 = graft.llm.Dedup.signatures(g1, "doc_id", "text").localCheckpoint(false)
+    val g2 = CurationGate.gateBatch(in2, evalShingles, Some(sigs1), minQ, maxOv, minJ)
+    val unpruned = (g1.select("doc_id").as[Long].collect() ++
+      g2.select("doc_id").as[Long].collect()).toSet
+    assert(streamed == unpruned, "bloomed gate must equal the unpruned gate")
+
+    // each epoch published its artifact; the rolled-forward bloom has NO
+    // false negatives over the accumulated signature table's band cells
+    val bloomDirs = new java.io.File(bloomDir).listFiles().map(_.getName)
+      .filter(_.matches("b\\d+")).toSet
+    assert(bloomDirs == Set("b0", "b1"), s"expected per-epoch artifacts, got $bloomDirs")
+    val rolled = CurationGate.readBandBloom(spark, bloomDir, beforeEpoch = 2L).get
+    val sigs = spark.read.parquet(s"$sigDir/b0", s"$sigDir/b1")
+    val misses = sigs
+      .select(posexplode(graft.llm.TextOps.bandDigests(col("sig"))).as(Seq("band", "digest")))
+      .filter(!graft.llm.Sketches.bloomContains(
+        lit(rolled), graft.llm.Dedup.sigBandKey(col("band"), col("digest"))))
+      .count()
+    assert(misses == 0, s"rolled bloom must cover every accumulated band cell, $misses missed")
+
+    // before any epoch exists the roll-up is None (empty OR sentinel)
+    assert(CurationGate.readBandBloom(spark, bloomDir, beforeEpoch = 0L).isEmpty)
   }
 
   test("streaming corpus monitor: sketch state across micro-batches == batch sketches") {
