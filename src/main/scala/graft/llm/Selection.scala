@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.strhash
+
 /** Budget-constrained corpus selection: keep the best documents, by a
   * deterministic ranking, until a token budget fills — the "select B
   * tokens of training data" step a pretraining pipeline runs after
@@ -129,5 +131,73 @@ object Selection {
       .select(col(idCol), col("tokens"),
         pmod(col("rk") - 1, lit(nShards)).as("shard"),
         lit(nShards).as("n_shards"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document by the log-likelihood ratio of a TARGET
+    * hashed bag-of-words model over a RAW model — the
+    * domain-relevance score whose exponential is the importance weight
+    * DSIR resamples by (compose with [[graft.operators.Shedding]]'s
+    * weighted sampler, or cut a prefix with [[selectByBudget]]).
+    *
+    * Model: words hash into `numBuckets` buckets
+    * (`pmod(strhash(w), B)`); the target model counts tokens of docs
+    * matching `targetPred`, the raw model counts the rest; both are
+    * add-one smoothed, so buckets unseen in one class still get finite
+    * ratios. Per doc: Σ_buckets n(doc,b) · log(p_t(b) / p_r(b)).
+    *
+    * Cross-engine FP discipline: each bucket's log ratio is
+    * ln( ((c_t+1)·(R+B)) / ((c_r+1)·(T+B)) ) with both products EXACT
+    * long arithmetic (documented precondition: class tokens × class
+    * tokens stays under 2^53 — hash-bucket models are built per corpus
+    * SLICE long before that bound binds), ONE double divide and one
+    * ln, quantized to DECIMAL(18,6); the per-doc score is then an
+    * exact decimal dot product n·lr — order-independent, so shuffle
+    * order can't move a bit.
+    *
+    * Scale shape: the corpus is tokenized ONCE into per-(doc, bucket)
+    * counts (map-side combined — the exchange carries at most
+    * min(doc_len, B) rows per doc, never raw tokens); the bucket
+    * models re-aggregate THAT frame (B-row output), the log-ratio
+    * table is a broadcast at any corpus size (B rows, fixed by
+    * config), and the final per-doc sum partial-aggregates below its
+    * exchange. Docs with zero words have no bucket rows and drop out
+    * (mirrored by the oracle's unnest).
+    *
+    * Output: id, `is_target`, `n_tokens`, `dsir_score` (double).
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      numBuckets: Int = 1 << 12
+  ): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val bLit = lit(numBuckets.toLong)
+    val db = docs
+      .select(col(idCol), targetPred.as("is_target"),
+        explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("is_target"),
+        pmod(strhash(col("w")), bLit).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds both the bucket models and the scoring pass
+    val model = db.groupBy(col("b")).agg(
+      coalesce(sum(when(col("is_target"), col("n"))), lit(0L)).as("ct"),
+      coalesce(sum(when(!col("is_target"), col("n"))), lit(0L)).as("cr"))
+    val tot = model.agg(
+      coalesce(sum(col("ct")), lit(0L)).as("t"),
+      coalesce(sum(col("cr")), lit(0L)).as("r"))
+    val lr = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(((col("ct") + 1L) * (col("r") + bLit)).cast("double") /
+          ((col("cr") + 1L) * (col("t") + bLit)).cast("double")), 6)
+          .cast("decimal(18,6)").as("lr"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy(col(idCol), col("is_target"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lr")).cast("double").as("dsir_score"))
   }
 }

@@ -2060,6 +2060,42 @@ object LlmQueries {
        |FROM o WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR importance weights (Selection.dsirWeights): English docs play
+    * the target slice; every doc scored by the hashed-unigram
+    * log-likelihood ratio of the add-one-smoothed target model over
+    * the raw model (4096 buckets). The oracle replays the hash
+    * bucketing, both models, the per-bucket quantized log ratio, and
+    * the exact decimal dot product.
+    */
+  val dsirWeights: Q = (s, dir) =>
+    graft.llm.Selection.dsirWeights(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", numBuckets = 4096)
+      .orderBy("doc_id")
+
+  val dsirWeightsSql: String =
+    s"""WITH wt AS (
+       |  SELECT doc_id, (lang = 'en') AS is_target,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, is_target, ${strhashSql("w", "d")} % 4096 AS b
+       |  FROM (SELECT doc_id, is_target, unnest(ws) AS w FROM wt)),
+       |db AS (SELECT doc_id, is_target, b, count(*) AS n FROM tok GROUP BY 1, 2, 3),
+       |model AS (SELECT b,
+       |    sum(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
+       |    sum(CASE WHEN NOT is_target THEN n ELSE 0 END) AS cr
+       |  FROM db GROUP BY 1),
+       |tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM model),
+       |lr AS (SELECT b,
+       |    CAST(round(ln(CAST((ct+1)*(r+4096) AS DOUBLE)
+       |      / CAST((cr+1)*(t+4096) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+       |  FROM model CROSS JOIN tot)
+       |SELECT d.doc_id, d.is_target, CAST(sum(d.n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(d.n * l.lr) AS DOUBLE) AS dsir_score
+       |FROM db d JOIN lr l USING (b)
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   /** Round-4 composite curation chain — the NEW stages composed end to
     * end under one oracle: per-source length trimming → span-dup
     * filter (drop docs >80% copied spans, df computed over the TRIMMED
@@ -2346,6 +2382,7 @@ object LlmQueries {
     "q_containment" -> containmentPairs,
     "q_select_budget" -> selectBudget,
     "q_shard_balanced" -> shardBalanced,
+    "q_dsir_weights" -> dsirWeights,
     "q_curation_select" -> curationSelect,
     "q_boilerplate" -> boilerplate,
     "q_curation_funnel" -> curationFunnel,
@@ -2420,6 +2457,7 @@ object LlmQueries {
     "q_containment" -> containmentPairsSql,
     "q_select_budget" -> selectBudgetSql,
     "q_shard_balanced" -> shardBalancedSql,
+    "q_dsir_weights" -> dsirWeightsSql,
     "q_curation_select" -> curationSelectSql,
     "q_boilerplate" -> boilerplateSql,
     "q_curation_funnel" -> curationFunnelSql,

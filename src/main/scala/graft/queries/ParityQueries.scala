@@ -360,6 +360,38 @@ object ParityQueries {
       |  ON e.user_id = p.user_id AND e.event_id BETWEEN p.ws AND p.we
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Bucketed interval-overlap join (Joins.intervalJoin): same-user
+    * view windows ([id, id+40]) against purchase windows ([id, id+50])
+    * that overlap — both sides are ranges, so the oracle states the
+    * two-sided overlap predicate while the Spark side earns the rows
+    * from the dedup-free (key, bucket) equi-join plan.
+    */
+  val intervalJoin: Q = (s, dir) => {
+    val e = events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("event_id").as("v_start"), (col("event_id") + 40).as("v_end"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("event_id").as("p_start"), (col("event_id") + 50).as("p_end"))
+    Joins.intervalJoin(views, purchases,
+        "user_id", "v_start", "v_end", "p_start", "p_end", bucketWidth = 64)
+      .select(col("user_id"), col("v_id"), col("p_id"),
+        greatest(col("v_start"), col("p_start")).as("ov_start"),
+        least(col("v_end"), col("p_end")).as("ov_end"))
+      .orderBy("user_id", "v_id", "p_id")
+  }
+
+  val intervalJoinSql: String =
+    """SELECT v.user_id, v.v_id, p.p_id,
+      |  greatest(v.vs, p.ps) AS ov_start, least(v.ve, p.pe) AS ov_end
+      |FROM (SELECT user_id, event_id AS v_id, event_id AS vs, event_id + 40 AS ve
+      |      FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, event_id AS p_id, event_id AS ps, event_id + 50 AS pe
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id AND v.vs <= p.pe AND p.ps <= v.ve
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val asofJoinSql: String =
     """WITH u AS (
       |  SELECT user_id, event_id, event_id AS ord, CAST(NULL AS DOUBLE) AS rv, 0 AS ir
@@ -529,6 +561,7 @@ object ParityQueries {
     "q_dim_join" -> dimJoin,
     "q_asof_join" -> asofJoin,
     "q_range_join" -> rangeJoin,
+    "q_interval_join" -> intervalJoin,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -554,6 +587,7 @@ object ParityQueries {
     "q_dim_join" -> dimJoinSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
+    "q_interval_join" -> intervalJoinSql,
     "q_shed_sample" -> shedSampleSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -99,6 +99,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin: bucketed plan ≡ naive overlap join, duplicate-free, any width") {
+    val rng = new scala.util.Random(11)
+    def ivals(n: Int, tag: String) = (1 to n).map { i =>
+      val s = rng.nextLong(2000L) - 1000L
+      ("k" + rng.nextInt(4), s, s + rng.nextLong(250L) - 15L, i.toLong) // ~6% malformed
+    }.toDF("key", s"${tag}s", s"${tag}e", s"${tag}id")
+    val lhs = ivals(120, "l")
+    val rhs = ivals(80, "r")
+    // empty (malformed) intervals overlap nothing — part of the semantics
+    val naive = lhs.filter(col("ls") <= col("le"))
+      .join(rhs.filter(col("rs") <= col("re")),
+        lhs("key") === rhs("key") && col("ls") <= col("re") && col("rs") <= col("le"))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toList.sorted
+    assert(naive.nonEmpty, "fixture must produce overlaps")
+    for (w <- Seq(1L, 7L, 64L, 5000L)) {
+      // LIST equality: a pair emitted once per shared bucket would fail here
+      val got = Joins.intervalJoin(lhs, rhs, "key", "ls", "le", "rs", "re", bucketWidth = w)
+        .select(col("lid"), col("rid")).as[(Long, Long)].collect().toList.sorted
+      assert(got == naive, s"width $w: ${got.size} vs ${naive.size} pairs")
+    }
+  }
+
   test("keepIncreasing ≡ reference drop_smaller_values: keeps prefix-max strict increases") {
     val kept = Shedding.keepIncreasing(stream, "key", col("ord"), col("value"))
       .orderBy("key", "ord").select("key", "value").as[(String, Double)].collect().toList

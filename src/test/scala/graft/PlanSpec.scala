@@ -224,6 +224,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin: two-sided overlap rides a (key, bucket) equi-join") {
+    withNoAutoBroadcast {
+      import spark.implicits._
+      val lhs = Seq(("k", 0L, 30L, 1L)).toDF("key", "ls", "le", "lid")
+      val rhs = Seq(("k", 20L, 90L, 1L)).toDF("key", "rs", "re", "rid")
+      val plan = planOf(
+        graft.operators.Joins.intervalJoin(lhs, rhs, "key", "ls", "le", "rs", "re", 16L))
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"overlap predicate must ride a bucket equi-join, not a loop join:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a keyed hash/merge join:\n$plan")
+    }
+  }
+
   test("qualityRules: bigram aggregate partial-combines below the exchange") {
     val plan = planOf(graft.llm.TextAnalysis.qualityRules(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))

@@ -76,4 +76,25 @@ class SelectionSpec extends SparkSpec {
     assert(loads.size == nShards)
     loads.foreach(l => assert(l <= avg + maxDoc, s"load $l vs avg $avg + max $maxDoc"))
   }
+
+  test("dsirWeights: target-vocabulary docs outscore raw-vocabulary docs") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha", "en"),
+      (2L, "alpha alpha beta alpha", "en"),
+      (3L, "beta beta beta beta", "de"),
+      (4L, "beta gamma beta beta", "de"),
+      (5L, "alpha alpha alpha beta", "de"), // raw-slice doc with target vocab
+      (6L, "beta beta beta alpha", "en"),   // target-slice doc with raw vocab
+      (7L, "", "en")                        // no words: drops out entirely
+    ).toDF("doc_id", "text", "lang")
+    val out = Selection
+      .dsirWeights(docs, "doc_id", "text", col("lang") === "en", numBuckets = 4096)
+      .select(col("doc_id"), col("dsir_score")).as[(Long, Double)].collect().toMap
+    // relevance follows the doc's VOCABULARY, not its slice label
+    assert(out(5L) > out(6L))
+    assert(out(1L) > out(3L))
+    // and is monotone in target-vocabulary share
+    assert(out(1L) > out(2L) && out(2L) > out(6L))
+    assert(!out.contains(7L))
+  }
 }
