@@ -382,6 +382,31 @@ object ParityQueries {
       .orderBy("user_id", "v_id", "p_id")
   }
 
+  /** Z-order layout audit (Layout.zorderStats): events quantized to a
+    * 10-bit (user_id, event_id) grid, bucketed by aligned z-ranges of
+    * size 2^10 (level 5) — each bucket's min/max must bound BOTH
+    * dimensions inside a 32-wide rectangle, the per-file pruning
+    * tightness a z-ordered write produces. The oracle replays the
+    * Morton interleave with unrolled integer shifts.
+    */
+  val zorderStats: Q = (s, dir) =>
+    graft.operators.Layout.zorderStats(
+        events(s, dir).select(col("user_id"), col("event_id")),
+        "user_id", "event_id", bits = 10, level = 5)
+      .orderBy("zbucket")
+
+  val zorderStatsSql: String = {
+    val z = (0 until 10).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH g AS (
+       |  SELECT user_id & 1023 AS x, event_id & 1023 AS y FROM events),
+       |z AS (SELECT x, y, ($z) >> 10 AS zbucket FROM g)
+       |SELECT zbucket, count(*) AS n,
+       |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
   val intervalJoinSql: String =
     """SELECT v.user_id, v.v_id, p.p_id,
       |  greatest(v.vs, p.ps) AS ov_start, least(v.ve, p.pe) AS ov_end
@@ -562,6 +587,7 @@ object ParityQueries {
     "q_asof_join" -> asofJoin,
     "q_range_join" -> rangeJoin,
     "q_interval_join" -> intervalJoin,
+    "q_zorder_stats" -> zorderStats,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -588,6 +614,7 @@ object ParityQueries {
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
     "q_interval_join" -> intervalJoinSql,
+    "q_zorder_stats" -> zorderStatsSql,
     "q_shed_sample" -> shedSampleSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,
