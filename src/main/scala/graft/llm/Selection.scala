@@ -165,22 +165,26 @@ object Selection {
     * exchange. Docs with zero words have no bucket rows and drop out
     * (mirrored by the oracle's unnest).
     *
-    * Output: id, `is_target`, `n_tokens`, `dsir_score` (double).
+    * Output: id, `is_target`, any `payloadCols` (doc attributes riding
+    * the single scan — no second corpus join downstream), `n_tokens`,
+    * `dsir_score` (double).
     */
   def dsirWeights(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       targetPred: Column,
-      numBuckets: Int = 1 << 12
+      numBuckets: Int = 1 << 12,
+      payloadCols: Seq[String] = Nil
   ): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val bLit = lit(numBuckets.toLong)
+    val payload = payloadCols.map(col)
     val db = docs
-      .select(col(idCol), targetPred.as("is_target"),
-        explode(TextOps.words(col(textCol))).as("w"))
-      .groupBy(col(idCol), col("is_target"),
-        pmod(strhash(col("w")), bLit).as("b"))
+      .select(col(idCol) +: targetPred.as("is_target") +: payload :+
+        explode(TextOps.words(col(textCol))).as("w"): _*)
+      .groupBy(col(idCol) +: col("is_target") +: payload :+
+        pmod(strhash(col("w")), bLit).as("b"): _*)
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(false) // feeds both the bucket models and the scoring pass
     val model = db.groupBy(col("b")).agg(
@@ -195,9 +199,40 @@ object Selection {
           ((col("cr") + 1L) * (col("t") + bLit)).cast("double")), 6)
           .cast("decimal(18,6)").as("lr"))
     db.join(broadcast(lr), Seq("b"))
-      .groupBy(col(idCol), col("is_target"))
+      .groupBy(col(idCol) +: col("is_target") +: payload: _*)
       .agg(
         sum(col("n")).as("n_tokens"),
         sum(col("n") * col("lr")).cast("double").as("dsir_score"))
+  }
+
+  /** The DSIR resampling step: draw `k` docs PER `groupCol` slice,
+    * without replacement, with probability proportional to the
+    * exponentiated [[dsirWeights]] score — via the Gumbel top-k
+    * identity (key = score + Gumbel(0,1), take the k largest), which
+    * never materializes exp(score) and so never overflows however
+    * confident the score. The Gumbel draw rides the repo's
+    * deterministic squared-hash uniform, so both engines select the
+    * same set; ranking runs on [[graft.plans.TopKPerKey]] (per-key
+    * heaps, never a global window).
+    */
+  def dsirResample(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      targetPred: Column,
+      k: Int,
+      numBuckets: Int = 1 << 12
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = dsirWeights(docs, idCol, textCol, targetPred, numBuckets,
+      payloadCols = Seq(groupCol))
+    val h = strhash(concat(lit("dsir:"), col(idCol).cast("string")))
+    val u = (pmod(h * h, lit(1000000007L)) + lit(1L)).cast("double") / lit(1000000008.0)
+    val keyed = scored.withColumn("g_key", col("dsir_score") + -log(-log(u)))
+    graft.plans.TopKPerKey(
+      spark, keyed, Seq(groupCol), Seq("g_key" -> true, idCol -> false), k)
+      .drop("g_key")
   }
 }

@@ -2096,6 +2096,54 @@ object LlmQueries {
        |FROM db d JOIN lr l USING (b)
        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  /** DSIR importance RESAMPLING end to end (Selection.dsirResample):
+    * 6 docs per source drawn ∝ exp(dsir_score) without replacement via
+    * the Gumbel top-k identity — exp never materializes, the Gumbel
+    * noise rides the deterministic squared-hash uniform, and the
+    * per-source rank runs on TopKPerKey heaps. The oracle replays
+    * score, noise, and rank with a window.
+    */
+  val dsirSelect: Q = (s, dir) =>
+    graft.llm.Selection.dsirResample(
+        s, Tables.documents(s, dir), "doc_id", "text", "source",
+        col("lang") === "en", k = 6, numBuckets = 4096)
+      .select(col("source"), col("doc_id"), col("is_target"),
+        col("n_tokens"), col("dsir_score"))
+      .orderBy("source", "doc_id")
+
+  val dsirSelectSql: String =
+    s"""WITH wt AS (
+       |  SELECT doc_id, source, (lang = 'en') AS is_target,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, source, is_target, ${strhashSql("w", "d")} % 4096 AS b
+       |  FROM (SELECT doc_id, source, is_target, unnest(ws) AS w FROM wt)),
+       |db AS (SELECT doc_id, source, is_target, b, count(*) AS n
+       |       FROM tok GROUP BY 1, 2, 3, 4),
+       |model AS (SELECT b,
+       |    sum(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
+       |    sum(CASE WHEN NOT is_target THEN n ELSE 0 END) AS cr
+       |  FROM db GROUP BY 1),
+       |tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM model),
+       |lr AS (SELECT b,
+       |    CAST(round(ln(CAST((ct+1)*(r+4096) AS DOUBLE)
+       |      / CAST((cr+1)*(t+4096) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+       |  FROM model CROSS JOIN tot),
+       |sc AS (SELECT d.doc_id, d.source, d.is_target,
+       |    CAST(sum(d.n) AS BIGINT) AS n_tokens,
+       |    CAST(sum(d.n * l.lr) AS DOUBLE) AS dsir_score
+       |  FROM db d JOIN lr l USING (b) GROUP BY 1, 2, 3),
+       |g AS (SELECT *, dsir_score + -ln(-ln(u)) AS gk FROM (
+       |  SELECT *, CAST((hv * hv) % 1000000007 + 1 AS DOUBLE) / 1000000008.0 AS u
+       |  FROM (SELECT sc.*,
+       |          ${strhashSql("'dsir:' || CAST(doc_id AS VARCHAR)", "g")} AS hv
+       |        FROM sc)))
+       |SELECT source, doc_id, is_target, n_tokens, dsir_score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY gk DESC, doc_id) AS rk FROM g)
+       |WHERE rk <= 6 ORDER BY source, doc_id""".stripMargin
+
   /** Round-4 composite curation chain — the NEW stages composed end to
     * end under one oracle: per-source length trimming → span-dup
     * filter (drop docs >80% copied spans, df computed over the TRIMMED
@@ -2383,6 +2431,7 @@ object LlmQueries {
     "q_select_budget" -> selectBudget,
     "q_shard_balanced" -> shardBalanced,
     "q_dsir_weights" -> dsirWeights,
+    "q_dsir_select" -> dsirSelect,
     "q_curation_select" -> curationSelect,
     "q_boilerplate" -> boilerplate,
     "q_curation_funnel" -> curationFunnel,
@@ -2458,6 +2507,7 @@ object LlmQueries {
     "q_select_budget" -> selectBudgetSql,
     "q_shard_balanced" -> shardBalancedSql,
     "q_dsir_weights" -> dsirWeightsSql,
+    "q_dsir_select" -> dsirSelectSql,
     "q_curation_select" -> curationSelectSql,
     "q_boilerplate" -> boilerplateSql,
     "q_curation_funnel" -> curationFunnelSql,

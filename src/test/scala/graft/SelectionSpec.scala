@@ -97,4 +97,23 @@ class SelectionSpec extends SparkSpec {
     assert(out(1L) > out(2L) && out(2L) > out(6L))
     assert(!out.contains(7L))
   }
+
+  test("dsirResample: exact k per group, deterministic, score-biased") {
+    val docs = (0L until 40L).map { i =>
+      val grp = if (i % 2 == 0) "g0" else "g1"
+      // doc 0 / 1: overwhelmingly target vocabulary -> dominant score
+      val text = if (i < 2) Seq.fill(60)("alpha").mkString(" ")
+      else Seq.fill(8)(if (i % 3 == 0) "beta" else "gamma").mkString(" ")
+      (i, grp, text, if (i % 5 == 0) "en" else "de")
+    }.toDF("doc_id", "grp", "text", "lang")
+    def run() = Selection
+      .dsirResample(spark, docs, "doc_id", "text", "grp",
+        col("lang") === "en", k = 6, numBuckets = 4096)
+      .select(col("grp"), col("doc_id")).as[(String, Long)].collect().toSet
+    val got = run()
+    assert(got.groupBy(_._1).forall(_._2.size == 6), s"want 6 per group: $got")
+    assert(got == run(), "the drawn set must be identical across runs")
+    // a score dominant by tens of nats survives any Gumbel noise
+    assert(got.contains(("g0", 0L)) && got.contains(("g1", 1L)))
+  }
 }
