@@ -247,6 +247,20 @@ class PlanSpec extends SparkSpec {
       s"per-(doc,bigram) counts must combine map-side before the shuffle:\n$plan")
   }
 
+  test("dsirWeights: bucket models broadcast; per-doc sum partial-combines") {
+    val plan = planOf(graft.llm.Selection.dsirWeights(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en", numBuckets = 512))
+    // the log-ratio table is B rows at ANY corpus size — it must come
+    // to the corpus as a broadcast, never shuffle the corpus to it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bucket log-ratio join must broadcast:\n$plan")
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_sum")
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      s"the per-doc decimal dot product must combine map-side:\n$plan")
+  }
+
   test("IvfIndex probe: the cells scan prunes to the probed partitions") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
