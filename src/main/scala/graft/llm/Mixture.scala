@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.strhash
+
 /** Domain-mixture weighting: allocate a training token budget across
   * corpus slices (sources / domains / languages) by temperature-scaled
   * size — the standard pretraining-mix recipe (weight ∝ tokensᵅ with
@@ -128,6 +130,49 @@ object Mixture {
         alloc.as("alloc_tokens"),
         when(col("tokens") > 0L, alloc / col("tokens").cast("double"))
           .otherwise(lit(0.0)).as("epochs"))
+  }
+
+  /** EXECUTE a mixture allocation: emit every document of slice g
+    * `epochs(g)` times — `floor(epochs)` full repeats, plus one more
+    * with probability `frac(epochs)` decided per doc by the
+    * deterministic squared-hash uniform — turning the
+    * [[temperatureWeights]] / [[unimaxAllocation]] tables into the
+    * actual repeated training stream. Expected token mass per slice
+    * equals the allocation; the draw is engine-replayable, so the
+    * exact emitted multiset is reproducible anywhere.
+    *
+    * `alloc` is any frame with (`grp`, `epochs`) — the output shape of
+    * both allocators. Scale shape: the allocation is slice-sized and
+    * BROADCAST; the repeat is a narrow explode of sequence(1, n) — the
+    * corpus is scanned once and nothing shuffles. Determinism: epochs
+    * arrives as one double identical in both engines; floor/frac/
+    * compare are identical IEEE ops on it.
+    *
+    * Output: id, group, `n_reps`, `rep` (1..n_reps); docs drawing 0
+    * repeats drop out.
+    */
+  def materialize(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      alloc: DataFrame
+  ): DataFrame = {
+    val h = strhash(concat(lit("mix:"), col(idCol).cast("string")))
+    val u = (pmod(h * h, lit(1000000007L)) + lit(1L)).cast("double") / lit(1000000008.0)
+    // fresh internal names: the caller's group column may itself be
+    // called "grp"/"epochs" (the allocators' output names)
+    val mg = graft.core.Names.fresh(docs.columns.toSeq, "_mix_grp")
+    val me = graft.core.Names.fresh(docs.columns.toSeq :+ mg, "_mix_epochs")
+    val frac = col(me) - floor(col(me))
+    docs.select(col(idCol), col(groupCol))
+      .join(broadcast(alloc.select(col("grp").as(mg), col("epochs").as(me))),
+        col(groupCol) === col(mg))
+      .withColumn("n_reps",
+        floor(col(me)).cast("long") +
+          when(u < frac, lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_reps") > 0L)
+      .select(col(idCol), col(groupCol), col("n_reps"),
+        explode(sequence(lit(1L), col("n_reps"))).as("rep"))
   }
 
   /** Per-slice distribution drift: KL(slice word distribution ‖ corpus

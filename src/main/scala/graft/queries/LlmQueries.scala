@@ -1484,6 +1484,48 @@ object LlmQueries {
        |       ELSE 0.0 END AS epochs
        |FROM ww ORDER BY grp""".stripMargin
 
+  /** Mixture EXECUTION (Mixture.materialize over temperatureWeights):
+    * the 1M-token √-temperature allocation turned into the actual
+    * repeated doc stream — floor(epochs) full repeats per doc plus a
+    * deterministic-hash fractional draw. The oracle composes the
+    * allocation CTEs with generate_series.
+    */
+  val mixtureMaterialize: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val alloc = graft.llm.Mixture.temperatureWeights(
+      docs, "source", size(TextOps.words(col("text"))), budgetTokens = 1000000L)
+    graft.llm.Mixture.materialize(docs, "source", "doc_id", alloc)
+      .orderBy("source", "doc_id", "rep")
+  }
+
+  val mixtureMaterializeSql: String =
+    s"""WITH wt AS (
+       |  SELECT source, len(list_filter(string_split(text, ' '), wx -> wx <> '')) AS tokens
+       |  FROM documents),
+       |per AS (SELECT source AS grp, CAST(sum(tokens) AS BIGINT) AS tokens
+       |        FROM wt GROUP BY 1),
+       |w AS (SELECT grp, tokens,
+       |        CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w_d FROM per),
+       |tot AS (SELECT sum(w_d) AS w_tot FROM w),
+       |ep AS (SELECT grp,
+       |  CASE WHEN tokens > 0 THEN
+       |    floor(1000000.0 * (CASE WHEN CAST(w_tot AS DOUBLE) > 0
+       |      THEN CAST(w_d AS DOUBLE) / CAST(w_tot AS DOUBLE) ELSE 0.0 END))
+       |      / CAST(tokens AS DOUBLE)
+       |  ELSE 0.0 END AS epochs
+       |  FROM w CROSS JOIN tot),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(epochs) AS BIGINT)
+       |      + CASE WHEN CAST((hv * hv) % 1000000007 + 1 AS DOUBLE) / 1000000008.0
+       |                  < epochs - floor(epochs) THEN 1 ELSE 0 END AS n_reps
+       |  FROM (SELECT doc_id, source,
+       |          ${strhashSql("'mix:' || CAST(doc_id AS VARCHAR)", "m")} AS hv
+       |        FROM documents) d
+       |  JOIN ep ON d.source = ep.grp)
+       |SELECT doc_id, source, n_reps, unnest(generate_series(1, n_reps)) AS rep
+       |FROM r WHERE n_reps > 0 ORDER BY source, doc_id, rep""".stripMargin
+
   /** Per-source KL divergence from the corpus word distribution
     * (Mixture.sourceDivergence): the drift audit behind mixture
     * weighting. Terms quantize to DECIMAL(18,6), totals are exact
@@ -2412,6 +2454,7 @@ object LlmQueries {
     "q_dup_lines" -> dupLines,
     "q_mixture_weights" -> mixtureWeights,
     "q_mixture_unimax" -> mixtureUnimax,
+    "q_mixture_materialize" -> mixtureMaterialize,
     "q_source_divergence" -> sourceDivergence,
     "q_length_trim" -> lengthTrim,
     "q_chunk_docs" -> chunkDocs,
@@ -2488,6 +2531,7 @@ object LlmQueries {
     "q_dup_lines" -> dupLinesSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_mixture_unimax" -> mixtureUnimaxSql,
+    "q_mixture_materialize" -> mixtureMaterializeSql,
     "q_source_divergence" -> sourceDivergenceSql,
     "q_length_trim" -> lengthTrimSql,
     "q_chunk_docs" -> chunkDocsSql,

@@ -223,6 +223,24 @@ class LlmSpec extends SparkSpec {
     assert(all.forall { case (cap, alloc, ep) => alloc == cap.toDouble && ep == 2.0 })
   }
 
+  test("materialize: full repeats exact, fractional draw in {0,1}, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b"))
+      .toDF("doc_id", "grp")
+    val alloc = Seq(("a", 3.0), ("b", 0.5)).toDF("grp", "epochs")
+    def run() = graft.llm.Mixture.materialize(docs, "grp", "doc_id", alloc)
+      .select(col("doc_id"), col("rep")).as[(Long, Long)].collect().toList.sorted
+    val got = run()
+    val reps = got.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sorted }
+    // integer epochs: every slice-a doc appears exactly 1..3
+    (1L to 20L).foreach(d => assert(reps(d) == List(1L, 2L, 3L), s"doc $d: ${reps.get(d)}"))
+    // fractional epochs: slice-b docs appear 0 or 1 times, and roughly half
+    val bReps = (21L to 40L).map(d => reps.get(d).map(_.size).getOrElse(0))
+    assert(bReps.forall(n => n == 0 || n == 1))
+    assert(bReps.sum > 3 && bReps.sum < 17, s"~half of slice b expected, got ${bReps.sum}")
+    assert(got == run(), "the emitted multiset must be identical across runs")
+  }
+
   test("chunkDocs: boundaries exact, chunks reassemble the token stream") {
     import spark.implicits._
     val docs = Seq(
