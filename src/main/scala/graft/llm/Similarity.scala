@@ -488,4 +488,42 @@ object Similarity {
     val rn = row_number().over(Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
     scored.withColumn("rank", rn).filter(col("rank") <= k)
   }
+
+  /** Per-label centroid directions and their pairwise cosines — the
+    * corpus-level semantic audit (how close are two slices' embedding
+    * masses?) behind mixture and dedup decisions. The centroid is the
+    * elementwise SUM of the label's decimal-quantized elements, not a
+    * float mean: the direction is identical (cosine never sees
+    * magnitude) and exact decimal sums are order-independent, so the
+    * oracle mirrors it bit-for-bit (the [[ivfTopK]] refinement
+    * pattern). Zero-norm vectors are quarantined as everywhere; a
+    * label whose sum itself collapses to zero gets a NULL cosine (the
+    * NaN-vs-NULL guard family).
+    *
+    * Scale shape: one narrow posexplode + a (label, dim) map-side
+    * combined aggregate (labels × dims rows through the exchange — a
+    * constant next to the corpus), then an all-pairs join on the
+    * label-count-sized frame.
+    */
+  def labelCentroidSim(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val cents = emb
+      .select(col(labelCol).as("lbl"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .select(col("lbl"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy(col("lbl"), col("j"))
+      .agg(sum(col("x").cast("decimal(38,12)")).as("sx"))
+      .groupBy(col("lbl"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("sx")))),
+        e => e.getField("sx").cast("double")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .localCheckpoint(false) // feeds both sides of the pairwise join
+    val a = cents.select(col("lbl").as("label_a"), col("cv").as("va"), col("cn").as("na"))
+    val b = cents.select(col("lbl").as("label_b"), col("cv").as("vb"), col("cn").as("nb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+          .otherwise(lit(null).cast("double")).as("cosine"))
+  }
 }

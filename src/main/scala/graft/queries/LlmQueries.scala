@@ -442,6 +442,31 @@ object LlmQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Per-label centroid cosine matrix (Similarity.labelCentroidSim):
+    * decimal-exact elementwise sums give each label's centroid
+    * direction; the oracle replays sums, norms, and the strict-fold
+    * cosines.
+    */
+  val labelCentroids: Q = (s, dir) =>
+    Similarity.labelCentroidSim(Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy("label_a", "label_b")
+
+  val labelCentroidsSql: String =
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT * FROM (SELECT label, v,
+       |  sqrt(${dotSql("v", "v", 64, "n")}) AS nrm FROM e) WHERE nrm > 0),
+       |sums AS (
+       |  SELECT label, kj AS j, SUM(CAST(v[CAST(kj AS INT)] AS DECIMAL(38,12))) AS sx
+       |  FROM n, (SELECT unnest(range(1, 65)) AS kj)
+       |  GROUP BY label, kj),
+       |m1 AS (SELECT label, list(CAST(sx AS DOUBLE) ORDER BY j) AS cv FROM sums GROUP BY label),
+       |m2 AS (SELECT label, cv, sqrt(${dotSql("cv", "cv", 64, "m")}) AS cn FROM m1)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  CASE WHEN a.cn > 0 AND b.cn > 0
+       |    THEN round(${dotSql("a.cv", "b.cv", 64, "d")} / (a.cn * b.cn), 6) END AS cosine
+       |FROM m2 a JOIN m2 b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
+
   val embedNearDupSql: String =
     s"""WITH $normCte
        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
@@ -2426,6 +2451,7 @@ object LlmQueries {
     "q_bm25_search" -> bm25Search,
     "q_text_simhash" -> textSimhash,
     "q_embed_neardup" -> embedNearDup,
+    "q_label_centroids" -> labelCentroids,
     "q_ann_topk" -> annTopK,
     "q_ann_sq8" -> annSq8,
     "q_ann_topk_plan" -> annTopKPlan,
@@ -2503,6 +2529,7 @@ object LlmQueries {
     "q_bm25_search" -> bm25SearchSql,
     "q_text_simhash" -> textSimhashSql,
     "q_embed_neardup" -> embedNearDupSql,
+    "q_label_centroids" -> labelCentroidsSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_sq8" -> annSq8Sql,
     "q_ann_topk_plan" -> annTopKSql,

@@ -129,4 +129,24 @@ class RecallSpec extends SparkSpec {
     assert(learned > agnostic,
       s"learned planes ($learned) must beat data-agnostic planes ($agnostic) on clustered data")
   }
+
+  test("labelCentroidSim: co-directed labels near 1, orthogonal near 0, zero-norm dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def vec(axis: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = scale; a
+    }
+    val rows =
+      (1 to 5).map(i => (0, vec(0, i.toFloat))) ++    // label 0: +x mass
+        (1 to 5).map(i => (1, vec(7, i.toFloat))) ++  // label 1: +y mass (orthogonal)
+        (1 to 5).map(i => (2, vec(0, 2.0f * i))) ++   // label 2: +x again (co-directed)
+        Seq((3, Array.fill(64)(0.0f)))                // label 3: only a zero vector
+    val emb = rows.toDF("label", "embedding")
+    val sim = Similarity.labelCentroidSim(emb, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(sim((0, 2)) == 1.0, s"co-directed centroids must hit cosine 1: ${sim((0, 2))}")
+    assert(sim((0, 1)) == 0.0 && sim((1, 2)) == 0.0, "orthogonal centroids must be 0")
+    // the zero-vector-only label has no surviving mass: it appears in no pair
+    assert(!sim.keySet.exists { case (a, b) => a == 3 || b == 3 })
+  }
 }
