@@ -38,6 +38,68 @@ object Dedup {
       )
       .drop("text_md5")
 
+  /** Canonical text form for near-exact dedup (the C4/CCNet
+    * normalization step): lowercase, punctuation → space, whitespace
+    * collapsed, trimmed — so trivially-perturbed copies (casing,
+    * punctuation, spacing) hash identically. Character classes are
+    * spelled explicitly (`a-z0-9`, space/tab/newline) so Java and
+    * DuckDB regex engines agree; a codegen'd projection, no shuffle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 \t\n]", " "),
+      "[ \t\n]+", " "))
+
+  /** [[exact]] over the [[normalizeText]] canonical form — catches the
+    * casing/punctuation/whitespace near-copies byte-exact dedup cannot
+    * see, at byte-exact cost (same text-free (strhash, md5) exchange).
+    */
+  def exactNormalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(docs.select(col(idCol), normalizeText(col(textCol)).as(textCol)),
+      idCol, textCol)
+
+  /** Cross-document line dedup (the CCNet paragraph-dedup shape): drop
+    * every line that appears in more than `maxDocFrequency` distinct
+    * documents (boilerplate headers/footers/navigation), reassemble
+    * each document from its surviving lines in original order.
+    *
+    * Scale shape: lines explode narrow; the document-frequency
+    * aggregate is keyed by the LINE HASH (map-side combined — the
+    * exchange carries (line-hash, doc) pairs, then ≤1 count row per
+    * distinct line); the verdict joins back by hash and the
+    * reassembly groups by doc. Line text itself never shuffles for the
+    * frequency count — only for the final reassembly of surviving
+    * lines, which is output-sized. Output: doc, `n_lines`,
+    * `n_dropped`, `text` (survivors joined by newline; a doc whose
+    * every line drops keeps a row with empty text).
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFrequency: Int
+  ): DataFrame = {
+    require(maxDocFrequency > 0, s"maxDocFrequency must be positive, got $maxDocFrequency")
+    val lines = docs
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", strhash(col("line")))
+      .localCheckpoint(false) // feeds the frequency count and the verdict join
+    val freq = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc")).as("ndocs"))
+    lines.join(freq, Seq("lh"))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("ndocs") > maxDocFrequency, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("\n",
+          transform(
+            array_sort(filter(
+              collect_list(struct(col("pos"), col("ndocs"), col("line"))),
+              e => e.getField("ndocs") <= maxDocFrequency)),
+            e => e.getField("line"))).as("text"))
+  }
+
   /** The accumulated-corpus membership artifact for [[bloomGate]]: a
     * bloom filter over the corpus's text strhashes, built distributed
     * (each task folds its partition into a bitset, partials OR — the

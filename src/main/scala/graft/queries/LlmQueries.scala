@@ -58,6 +58,54 @@ object LlmQueries {
        |  min(doc_id) AS canonical_id, count(*) AS n_copies
        |FROM documents GROUP BY 1, md5(text) ORDER BY text_hash, canonical_id""".stripMargin
 
+  /** Near-exact dedup over the C4/CCNet canonical text form
+    * (Dedup.exactNormalized): lowercase, punctuation → space,
+    * whitespace collapsed — casing/punctuation/spacing near-copies
+    * now hash together; the exchange stays the text-free
+    * (strhash, md5) key.
+    */
+  val dedupNormalized: Q = (s, dir) =>
+    Dedup.exactNormalized(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("text_hash", "canonical_id")
+
+  val dedupNormalizedSql: String =
+    s"""WITH nt AS (SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 \t\n]', ' ', 'g'), '[ \t\n]+', ' ', 'g')) AS ntext
+       |  FROM documents)
+       |SELECT ${strhashSql("ntext", "h")} AS text_hash,
+       |  min(doc_id) AS canonical_id, count(*) AS n_copies
+       |FROM nt GROUP BY 1, md5(ntext) ORDER BY text_hash, canonical_id""".stripMargin
+
+  /** Cross-document line dedup (Dedup.lineDedup, the CCNet
+    * paragraph-dedup shape) over the two-word-line seeding of
+    * `q_dup_lines`: lines living in more than 10 distinct docs
+    * (shared boilerplate) drop; docs reassemble from survivors in
+    * order. The oracle replays the hash-keyed document frequency and
+    * the ordered reassembly.
+    */
+  val lineDedupQ: Q = (s, dir) => {
+    val seeded = Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
+    Dedup.lineDedup(seeded, "doc_id", "text", maxDocFrequency = 10).orderBy("doc")
+  }
+
+  val lineDedupSql: String =
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |    regexp_replace(text, '(\\S+ \\S+) ', '\\1' || chr(10), 'g') AS text FROM documents),
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM seeded),
+       |l AS (SELECT doc_id, unnest(la) AS line,
+       |        unnest(range(1, len(la)+1)) AS pos FROM ls),
+       |lx AS (SELECT doc_id, pos, line, ${strhashSql("line", "q")} AS lh FROM l),
+       |f AS (SELECT lh, count(DISTINCT doc_id) AS ndocs FROM lx GROUP BY 1)
+       |SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN ndocs > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  COALESCE(string_agg(CASE WHEN ndocs <= 10 THEN line END, chr(10) ORDER BY pos),
+       |    '') AS text
+       |FROM lx JOIN f USING (lh) GROUP BY 1 ORDER BY doc""".stripMargin
+
   // ----------------------------------------------------- minhash + LSH
 
   val dedupMinhash: Q = (s, dir) =>
@@ -2442,6 +2490,8 @@ object LlmQueries {
     "q_dedup_against_bloomed" -> dedupAgainstBloomed,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_bloom_gate" -> dedupBloomGate,
+    "q_dedup_normalized" -> dedupNormalized,
+    "q_line_dedup" -> lineDedupQ,
     "q_lm_commonness" -> lmCommonness,
     "q_source_overlap" -> sourceOverlap,
     "q_split_assign" -> splitAssign,
@@ -2520,6 +2570,8 @@ object LlmQueries {
     "q_dedup_against_bloomed" -> dedupAgainstBloomedSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_bloom_gate" -> dedupBloomGateSql,
+    "q_dedup_normalized" -> dedupNormalizedSql,
+    "q_line_dedup" -> lineDedupSql,
     "q_lm_commonness" -> lmCommonnessSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_split_assign" -> splitAssignSql,

@@ -223,6 +223,39 @@ class LlmSpec extends SparkSpec {
     assert(all.forall { case (cap, alloc, ep) => alloc == cap.toDouble && ep == 2.0 })
   }
 
+  test("normalizeText: casing/punct/whitespace collapse; near-copies merge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "HELLO... world\t"),
+      (4L, "goodbye world")
+    ).toDF("doc_id", "text")
+    val norm = docs.select(graft.llm.Dedup.normalizeText(col("text")).as("n"))
+      .as[String].collect().toSet
+    assert(norm == Set("hello world", "goodbye world"))
+    val groups = graft.llm.Dedup.exactNormalized(docs, "doc_id", "text")
+      .select(col("canonical_id"), col("n_copies")).as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("lineDedup: boilerplate lines drop everywhere, survivors keep order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "FOOTER\nalpha one\nbeta two"),
+      (2L, "gamma three\nFOOTER\ndelta four"),
+      (3L, "FOOTER\nepsilon five"),
+      (4L, "FOOTER") // all lines boilerplate
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.lineDedup(docs, "doc_id", "text", maxDocFrequency = 2)
+      .select(col("doc"), col("n_lines"), col("n_dropped"), col("text"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 1L, "alpha one\nbeta two")))
+    assert(out(2L) == ((2L, 3L, 1L, "gamma three\ndelta four")))
+    assert(out(3L) == ((3L, 2L, 1L, "epsilon five")))
+    assert(out(4L) == ((4L, 1L, 1L, "")), "a fully-boilerplate doc keeps an empty row")
+  }
+
   test("materialize: full repeats exact, fractional draw in {0,1}, deterministic") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b"))
