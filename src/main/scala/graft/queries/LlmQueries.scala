@@ -2044,6 +2044,52 @@ object LlmQueries {
        |JOIN s$BpeSteps s USING (w)
        |GROUP BY doc_id ORDER BY doc""".stripMargin
 
+  /** Tokenizer fertility audit per source (Bpe.tokenCount composed
+    * with per-doc word counts): BPE tokens emitted per whitespace word
+    * — the standard tokenizer-QA number (a slice whose fertility runs
+    * hot pays proportionally more sequence length for the same text).
+    * Doc-keyed inner join of two linear passes; zero-word docs drop
+    * from both engines alike (no token rows to join).
+    */
+  val bpeFertility: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.llm.Bpe.learnMerges(s, docs, "text", BpeSteps)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = graft.llm.Bpe.tokenCount(docs, "doc_id", "text", merges)
+    docs.select(col("doc_id").as("doc"), col("source"),
+        size(TextOps.words(col("text"))).cast("long").as("n_words"))
+      .join(counts, "doc")
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("words"), sum(col("bpe_tokens")).as("bpe_tokens"))
+      .select(col("source"), col("words"), col("bpe_tokens"),
+        when(col("words") > 0L,
+          round(col("bpe_tokens").cast("double") / col("words").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("fertility"))
+      .orderBy("source")
+  }
+
+  val bpeFertilitySql: String =
+    s"""WITH $bpeCtes,
+       |tc AS (
+       |  SELECT doc_id,
+       |    CAST(sum(len(list_filter(string_split(s.sp, ' '), sx -> sx <> ''))) AS BIGINT)
+       |      AS bpe_tokens
+       |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS w
+       |        FROM documents) d
+       |  JOIN s$BpeSteps s USING (w)
+       |  GROUP BY doc_id),
+       |wd AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), wx -> wx <> '')) AS BIGINT) AS n_words
+       |  FROM documents)
+       |SELECT source, CAST(sum(n_words) AS BIGINT) AS words,
+       |  CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  CASE WHEN sum(n_words) > 0 THEN
+       |    round(CAST(sum(bpe_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 6)
+       |  END AS fertility
+       |FROM wd JOIN tc USING (doc_id) GROUP BY source ORDER BY source""".stripMargin
+
   /** The actual token SEQUENCE under the learned vocabulary
     * (Bpe.tokenize on a 1-in-20 doc slice — counts are covered by
     * q_bpe_tokens; this pins token identity AND order): one row per
@@ -2545,6 +2591,7 @@ object LlmQueries {
     "q_semantic_dedup" -> semanticDedup,
     "q_bpe_merges" -> bpeMerges,
     "q_bpe_tokens" -> bpeTokens,
+    "q_bpe_fertility" -> bpeFertility,
     "q_bpe_tokenize" -> bpeTokenize,
     "q_containment" -> containmentPairs,
     "q_select_budget" -> selectBudget,
@@ -2625,6 +2672,7 @@ object LlmQueries {
     "q_semantic_dedup" -> semanticDedupSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokens" -> bpeTokensSql,
+    "q_bpe_fertility" -> bpeFertilitySql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_containment" -> containmentPairsSql,
     "q_select_budget" -> selectBudgetSql,
