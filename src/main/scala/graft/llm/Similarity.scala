@@ -489,6 +489,40 @@ object Similarity {
     scored.withColumn("rank", rn).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for retrieval/embedding training: for each
+    * query anchor, the `k` MOST similar vectors whose cosine stays
+    * BELOW `dupCeiling` — near enough to be informative negatives,
+    * not so near they're latent duplicates/positives (the standard
+    * mining rule; near-dups above the ceiling are exactly what
+    * [[semanticDedup]] removes). Same broadcast-scored shape as
+    * [[bruteTopK]] with the ceiling applied BEFORE ranking, so
+    * excluded near-dups never occupy a heap slot; swap the scoring
+    * source for [[ivfTopK]]'s probes at corpus scale.
+    */
+  def hardNegatives(
+      spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      dupCeiling: Double
+  ): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    val q = p.filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = p.as("n").join(broadcast(q), col("qid") =!= col("n.vid"))
+      .select(
+        col("qid"),
+        col("n.vid").as("nid"),
+        (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine"))
+      .filter(col("cosine") < dupCeiling)
+    graft.plans.TopKPerKey(
+        spark, scored, Seq("qid"), Seq("cosine" -> true, "nid" -> false), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+  }
+
   /** Per-label centroid directions and their pairwise cosines — the
     * corpus-level semantic audit (how close are two slices' embedding
     * masses?) behind mixture and dedup decisions. The centroid is the

@@ -542,6 +542,31 @@ object LlmQueries {
        |  FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Hard-negative mining (Similarity.hardNegatives): per anchor the 5
+    * most similar vectors BELOW the 0.3 near-dup ceiling — informative
+    * negatives for retrieval training with latent positives excluded
+    * before ranking. Oracle: brute scoring + the ceiling + a window
+    * rank.
+    */
+  val hardNegativesQ: Q = (s, dir) =>
+    Similarity.hardNegatives(s, Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5, dupCeiling = 0.3)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  val hardNegativesSql: String =
+    s"""WITH $normCte
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |      ${dotSql("q.v", "b.v", 64, "d")} / (q.nrm * b.nrm) AS cosine
+       |    FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id)
+       |  WHERE cosine < 0.3)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Scalar-quantized ANN (Similarity.sq8TopK): int8-range codes + one
     * scale per vector, candidates ranked by quantized cosine, exact
     * re-rank of the rerankDepth×k survivors. The oracle replays the
@@ -2549,6 +2574,7 @@ object LlmQueries {
     "q_embed_neardup" -> embedNearDup,
     "q_label_centroids" -> labelCentroids,
     "q_ann_topk" -> annTopK,
+    "q_hard_negatives" -> hardNegativesQ,
     "q_ann_sq8" -> annSq8,
     "q_ann_topk_plan" -> annTopKPlan,
     "q_ann_lsh" -> annLsh,
@@ -2630,6 +2656,7 @@ object LlmQueries {
     "q_embed_neardup" -> embedNearDupSql,
     "q_label_centroids" -> labelCentroidsSql,
     "q_ann_topk" -> annTopKSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_ann_sq8" -> annSq8Sql,
     "q_ann_topk_plan" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,

@@ -130,6 +130,29 @@ class RecallSpec extends SparkSpec {
       s"learned planes ($learned) must beat data-agnostic planes ($agnostic) on clustered data")
   }
 
+  test("hardNegatives: near-dups excluded before ranking, ceiling respected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val emb = Seq(
+      (100L, vec(0 -> 1.0f)),             // anchor (qid % 100 == 0)
+      (1L, vec(0 -> 2.0f)),               // exact-direction dup: cosine 1
+      (2L, vec(0 -> 1.0f, 1 -> 1.0f)),    // cos ~0.707 — the hard negative
+      (3L, vec(1 -> 1.0f)),               // orthogonal
+      (4L, vec(0 -> 1.0f, 1 -> 3.0f))     // cos ~0.316
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(spark, emb, "vec_id", "embedding",
+        col("vid") % 100 === 0, k = 3, dupCeiling = 0.9)
+      .select(col("nid"), col("cosine"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(!got.exists(_._1 == 1L), "the near-dup must never appear")
+    assert(got.forall(_._2 < 0.9), "every negative must sit below the ceiling")
+    assert(got.sortBy(_._3).map(_._1).toList == List(2L, 4L, 3L),
+      s"hardest-first order expected: ${got.toList}")
+  }
+
   test("labelCentroidSim: co-directed labels near 1, orthogonal near 0, zero-norm dropped") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
