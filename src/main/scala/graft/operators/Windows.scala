@@ -230,4 +230,45 @@ object Windows {
       sum(isStart).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1
     )
   }
+
+  /** Exponentially time-decayed per-key aggregate — the recency-biased
+    * feature every feature store serves (decayed activity counts /
+    * value sums): Σ value·e^(-(t_ref − t)/halflife·ln2), with `t_ref`
+    * the key's OWN newest ordinal, so a key's feature is
+    * scale-invariant in absolute clock position.
+    *
+    * Cross-engine FP discipline: each row's decayed term is a short
+    * identical IEEE chain (one exp over a double built from exact long
+    * operands), quantized to DECIMAL(18,6); the per-key total is an
+    * exact decimal sum — order-independent, shuffle order can't move a
+    * bit. Scale shape: one key-partitioned window for the per-key max
+    * ordinal + one map-side-combined aggregate — a single shuffle on
+    * the key, no self-join.
+    *
+    * Output per key: `n_events`, `decayed_sum` (of `valueCol`),
+    * `decayed_count` (value ≡ 1).
+    */
+  def decayedSum(
+      df: DataFrame,
+      key: String,
+      ord: Column,
+      valueCol: Column,
+      halfLife: Long
+  ): DataFrame = {
+    require(halfLife > 0, s"halfLife must be positive, got $halfLife")
+    val tRef = max(ord).over(Window.partitionBy(col(key)))
+    // ln2 as the explicit double literal (= Math.log(2.0)) so the
+    // oracle states the identical constant instead of trusting both
+    // engines' ln(2) to round the same way
+    val decay = exp((ord - tRef).cast("double") / lit(halfLife.toDouble)
+      * lit(0.6931471805599453))
+    df.select(col(key), ord.as("_ord"), valueCol.cast("double").as("_v"),
+        round(decay * valueCol.cast("double"), 6).cast("decimal(18,6)").as("_dv"),
+        round(decay, 6).cast("decimal(18,6)").as("_dc"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("_dv")).cast("double").as("decayed_sum"),
+        sum(col("_dc")).cast("double").as("decayed_count"))
+  }
 }

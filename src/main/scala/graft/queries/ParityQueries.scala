@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.core.FeatureFrame
-import graft.operators.{Joins, Shedding, Upsert, Windows}
+import graft.operators.{Funnel, Joins, Shedding, Upsert, Windows}
 import graft.sources.Sources
 
 /** The ralf-parity query corpus (SURVEY.md §2): one named query per
@@ -382,6 +382,57 @@ object ParityQueries {
       .orderBy("user_id", "v_id", "p_id")
   }
 
+  /** Exponentially decayed per-user features (Windows.decayedSum): the
+    * recency-biased activity aggregate a feature store serves, anchored
+    * at each user's own newest event. Per-row decay terms quantize to
+    * DECIMAL(18,6) (the shared ln2 literal is stated in BOTH engines),
+    * per-user totals are exact decimal sums.
+    */
+  val decayedFeatures: Q = (s, dir) =>
+    Windows.decayedSum(events(s, dir), "user_id", col("event_id"),
+        col("value"), halfLife = 500L)
+      .orderBy("user_id")
+
+  val decayedFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT user_id, event_id, value,
+      |    max(event_id) OVER (PARTITION BY user_id) AS tref FROM events),
+      |t AS (SELECT user_id,
+      |  CAST(round(exp(CAST(event_id - tref AS DOUBLE) / 500.0 * 0.6931471805599453)
+      |    * value, 6) AS DECIMAL(18,6)) AS dv,
+      |  CAST(round(exp(CAST(event_id - tref AS DOUBLE) / 500.0 * 0.6931471805599453),
+      |    6) AS DECIMAL(18,6)) AS dc
+      |  FROM m)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(dv) AS DOUBLE) AS decayed_sum,
+      |  CAST(sum(dc) AS DOUBLE) AS decayed_count
+      |FROM t GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Ordered conversion funnel (Funnel.ordered): view → click →
+    * purchase per user by greedy earliest completion; the oracle
+    * replays each stage with a min-after-previous join chain.
+    */
+  val eventFunnel: Q = (s, dir) =>
+    Funnel.ordered(events(s, dir), "user_id", col("event_id"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  val eventFunnelSql: String =
+    """WITH base AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+      |s0 AS (SELECT user_id, min(event_id) AS step0_ord
+      |       FROM events WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(event_id) AS step1_ord
+      |       FROM events e JOIN s0 USING (user_id)
+      |       WHERE event_type = 'click' AND event_id > step0_ord GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(event_id) AS step2_ord
+      |       FROM events e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'purchase' AND event_id > step1_ord GROUP BY 1)
+      |SELECT base.user_id, CAST(n_events AS BIGINT) AS n_events,
+      |  step0_ord, step1_ord, step2_ord
+      |FROM base LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+      |  LEFT JOIN s2 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Z-order layout audit (Layout.zorderStats): events quantized to a
     * 10-bit (user_id, event_id) grid, bucketed by aligned z-ranges of
     * size 2^10 (level 5) — each bucket's min/max must bound BOTH
@@ -588,6 +639,8 @@ object ParityQueries {
     "q_range_join" -> rangeJoin,
     "q_interval_join" -> intervalJoin,
     "q_zorder_stats" -> zorderStats,
+    "q_decayed_features" -> decayedFeatures,
+    "q_event_funnel" -> eventFunnel,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -615,6 +668,8 @@ object ParityQueries {
     "q_range_join" -> rangeJoinSql,
     "q_interval_join" -> intervalJoinSql,
     "q_zorder_stats" -> zorderStatsSql,
+    "q_decayed_features" -> decayedFeaturesSql,
+    "q_event_funnel" -> eventFunnelSql,
     "q_shed_sample" -> shedSampleSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -297,4 +297,39 @@ class OperatorSpec extends SparkSpec {
       .select("key", "rv").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(out == Map("a" -> Some(2.0), "c" -> None))
   }
+
+  test("decayedSum: half-life decay exact on power-of-two gaps, anchored per key") {
+    // gaps of 0/1/2 half-lives from the key's own newest event give
+    // decay factors 1 / 0.5 / 0.25 — exactly representable, so the
+    // quantized decimal sum is exact
+    val ev = Seq(
+      ("a", 0L, 8.0), ("a", 500L, 4.0), ("a", 1000L, 2.0),
+      ("b", 9000L, 6.0) // different clock position: decay 1.0 regardless
+    ).toDF("key", "ord", "v")
+    val out = graft.operators.Windows.decayedSum(ev, "key", col("ord"), col("v"), 500L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out("a") == ((3L, 8.0 * 0.25 + 4.0 * 0.5 + 2.0, 1.75)))
+    assert(out("b") == ((1L, 6.0, 1.0)))
+  }
+
+  test("Funnel.ordered: greedy earliest completion; stalls leave NULLs") {
+    val ev = Seq(
+      // u1: full conversion, click BEFORE the view doesn't count
+      (1L, 10L, "click"), (1L, 20L, "view"), (1L, 30L, "click"), (1L, 40L, "purchase"),
+      // u2: purchase precedes its click -> funnel stalls at click
+      (2L, 10L, "view"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+      // u3: view only
+      (3L, 5L, "view"), (3L, 6L, "error")
+    ).toDF("user_id", "event_id", "event_type")
+    val out = graft.operators.Funnel.ordered(
+        ev, "user_id", col("event_id"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+    assert(out.toList == List(
+      (1L, Some(20L), Some(30L), Some(40L)),
+      (2L, Some(10L), Some(30L), None),
+      (3L, Some(5L), None, None)))
+  }
 }
