@@ -356,6 +356,61 @@ object StreamingFeatures {
       }
   }
 
+  /** Decayed-feature state: the key's newest seen ordinal and the
+    * decayed aggregates AS OF that ordinal. */
+  final case class DecayState(key: String, tRef: Long, decayedSum: Double,
+      decayedCount: Double, nEvents: Long)
+
+  /** Streaming twin of [[graft.operators.Windows.decayedSum]]: per-key
+    * exponential half-life decay maintained incrementally in O(1)
+    * state. The state stores aggregates anchored at the key's newest
+    * ordinal; when a newer event arrives the whole aggregate RESCALES
+    * by 2^(-(Δ)/halfLife) before the new event folds in (the standard
+    * incremental-decay trick — no event history kept). Late events
+    * (ord <= tRef) fold in pre-decayed against the current anchor.
+    * Equality with the batch operator is up to FP associativity: the
+    * batch side sums independently-quantized terms, the stream folds —
+    * StreamingSpec pins agreement within 1e-9 · n.
+    */
+  def decayedSumStream(
+      spark: SparkSession,
+      updates: Dataset[Update],
+      halfLife: Long
+  ): Dataset[DecayState] = {
+    import spark.implicits._
+    require(halfLife > 0, s"halfLife must be positive, got $halfLife")
+    updates
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[DecayState]) =>
+          var cur = state.getOption.getOrElse(DecayState(key, Long.MinValue, 0.0, 0.0, 0L))
+          batch.toSeq.sortBy(u => (u.ord, u.value)).foreach { u =>
+            cur = foldDecay(cur, u, halfLife)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
+  /** One decay-fold step (exposed for direct spec coverage of the
+    * late-arrival branch, which a single sorted micro-batch never
+    * takes). */
+  private[graft] def foldDecay(cur: DecayState, u: Update, halfLife: Long): DecayState = {
+    val ln2 = 0.6931471805599453
+    def factor(delta: Long): Double = math.exp(delta.toDouble / halfLife * ln2)
+    if (cur.nEvents == 0L)
+      DecayState(u.key, u.ord, u.value, 1.0, 1L)
+    else if (u.ord > cur.tRef) {
+      val f = factor(cur.tRef - u.ord) // < 1: old mass decays
+      DecayState(u.key, u.ord,
+        cur.decayedSum * f + u.value, cur.decayedCount * f + 1.0, cur.nEvents + 1L)
+    } else {
+      val f = factor(u.ord - cur.tRef) // late event pre-decays
+      DecayState(u.key, cur.tRef,
+        cur.decayedSum + u.value * f, cur.decayedCount + f, cur.nEvents + 1L)
+    }
+  }
+
   /** Stateful shedding gate (make_mean_policy,
     * ralf/policies/load_shedding_policy.py:41-50) on a live stream: pass
     * an update through only if it moved >= thresh from the last KEPT

@@ -74,6 +74,46 @@ class StreamingSpec extends SparkSpec {
     assert(fin == ((55.0, 10L)))
   }
 
+  test("streaming decayed features: incremental rescale matches the direct fold") {
+    val events = Seq(
+      Update("a", 0L, 8.0), Update("a", 500L, 4.0), Update("a", 1000L, 2.0),
+      Update("a", 750L, 6.0), // late relative to 1000 when folded in order
+      Update("b", 9000L, 6.0))
+    val in = MemoryStream[Update]
+    in.addData(events: _*)
+    val out = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.decayedSumStream(spark, in.toDS(), halfLife = 500L),
+      "t_decay")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._4) }
+    // direct order-independent reference: sum of terms anchored at max ord
+    def ref(evs: Seq[Update]): (Long, Double, Double) = {
+      val tRef = evs.map(_.ord).max
+      val terms = evs.map(u => (u.value * math.exp((u.ord - tRef).toDouble / 500.0
+        * 0.6931471805599453), math.exp((u.ord - tRef).toDouble / 500.0 * 0.6931471805599453)))
+      (tRef, terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    val (ta, sa, ca) = ref(events.filter(_.key == "a"))
+    val a = out("a")
+    assert(a._1 == ta && a._4 == 4L)
+    assert(math.abs(a._2 - sa) < 1e-9 && math.abs(a._3 - ca) < 1e-9,
+      s"stream ${a._2}/${a._3} vs direct $sa/$ca")
+    assert(out("b") == ((9000L, 6.0, 1.0, 1L)))
+
+    // late-arrival branch (a sorted single batch never takes it): the
+    // same four events folded with 750 arriving LAST agree with the
+    // same order-independent reference
+    import graft.streaming.StreamingFeatures.{foldDecay, DecayState}
+    val lateOrder = Seq(
+      Update("a", 0L, 8.0), Update("a", 500L, 4.0), Update("a", 1000L, 2.0),
+      Update("a", 750L, 6.0))
+    val folded = lateOrder.foldLeft(DecayState("a", Long.MinValue, 0.0, 0.0, 0L))(
+      (s, u) => foldDecay(s, u, 500L))
+    assert(folded.tRef == ta && folded.nEvents == 4L)
+    assert(math.abs(folded.decayedSum - sa) < 1e-9 && math.abs(folded.decayedCount - ca) < 1e-9)
+  }
+
   test("parquet feature-table sink merges micro-batches; point query reads latest") {
     val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val in = MemoryStream[Update]
