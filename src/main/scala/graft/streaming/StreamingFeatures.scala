@@ -411,6 +411,45 @@ object StreamingFeatures {
     }
   }
 
+  /** A typed event for the streaming funnel. */
+  final case class TypedEvent(key: String, ord: Long, etype: String)
+
+  /** Streaming funnel state: how many steps the key has completed and
+    * the matched ordinal per completed step. */
+  final case class FunnelProgress(key: String, nEvents: Long, stepOrds: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.Funnel.ordered]]: per-key
+    * conversion progress maintained online. Greedy earliest-completion
+    * matching IS the in-order scan — an event advances the funnel iff
+    * it is the next expected step and strictly after the previous
+    * match — so the streamed state equals the batch operator's row on
+    * the same events (StreamingSpec pins equality). O(steps) state per
+    * key; events never buffer.
+    */
+  def funnelStream(
+      spark: SparkSession,
+      events: Dataset[TypedEvent],
+      steps: Seq[String]
+  ): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[TypedEvent], state: GroupState[FunnelProgress]) =>
+          var cur = state.getOption.getOrElse(FunnelProgress(key, 0L, Seq.empty))
+          batch.toSeq.sortBy(e => (e.ord, e.etype)).foreach { e =>
+            val step = cur.stepOrds.length
+            val advances = step < steps.length && e.etype == steps(step) &&
+              (cur.stepOrds.isEmpty || e.ord > cur.stepOrds.last)
+            cur = FunnelProgress(key, cur.nEvents + 1L,
+              if (advances) cur.stepOrds :+ e.ord else cur.stepOrds)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Stateful shedding gate (make_mean_policy,
     * ralf/policies/load_shedding_policy.py:41-50) on a live stream: pass
     * an update through only if it moved >= thresh from the last KEPT

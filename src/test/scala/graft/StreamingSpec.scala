@@ -114,6 +114,31 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(folded.decayedSum - sa) < 1e-9 && math.abs(folded.decayedCount - ca) < 1e-9)
   }
 
+  test("streaming funnel progress equals the batch greedy matching") {
+    import graft.streaming.StreamingFeatures.TypedEvent
+    val events = Seq(
+      TypedEvent("u1", 10L, "click"), TypedEvent("u1", 20L, "view"),
+      TypedEvent("u1", 30L, "click"), TypedEvent("u1", 40L, "purchase"),
+      TypedEvent("u2", 10L, "view"), TypedEvent("u2", 30L, "click"),
+      TypedEvent("u2", 20L, "purchase"),
+      TypedEvent("u3", 5L, "view"), TypedEvent("u3", 6L, "error"))
+    val steps = Seq("view", "click", "purchase")
+    val in = MemoryStream[TypedEvent]
+    in.addData(events: _*)
+    val streamed = StreamingFeatures.runToMemory(
+      spark, StreamingFeatures.funnelStream(spark, in.toDS(), steps), "t_funnel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2)._3 }
+    val batch = graft.operators.Funnel.ordered(
+        events.toDF().select(col("key").as("user_id"), col("ord"), col("etype")),
+        "user_id", col("ord"), col("etype"), steps)
+      .collect().map { r =>
+        r.getString(0) -> (2 to 4).flatMap(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+      }.toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed("u1") == Seq(20L, 30L, 40L))
+  }
+
   test("parquet feature-table sink merges micro-batches; point query reads latest") {
     val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val in = MemoryStream[Update]
