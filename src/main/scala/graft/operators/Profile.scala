@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.strhash
+
+/** One-pass table profiling — the data-quality snapshot a pipeline
+  * records before trusting an ingest: per column, row/null counts, a
+  * KMV distinct estimate, and numeric min/max. ALL columns profile in
+  * ONE aggregate over ONE scan (a fixed number of agg buffers per
+  * column, map-side combined, single output row reshaped to
+  * column-rows afterwards) — never a per-column job, never a distinct
+  * shuffle.
+  *
+  * Values hash through their canonical STRING form for the KMV sketch;
+  * callers profile columns whose string form is engine-stable
+  * (integers, strings — floating-point formatting differs between
+  * engines, so hash such columns through an explicit quantization if
+  * needed). NULLs count but never enter the sketch (the KMV null-skip
+  * rule). min/max run over `try_cast(double)` — NULL for
+  * non-numeric columns.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val p = graft.functions.StrHash.P
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      val d = expr(s"try_cast($c AS DOUBLE)")
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        graft.llm.Sketches.kmvAgg(array(strhash(col(c).cast("string"))), k)
+          .as(s"_mins_$c"),
+        min(d).as(s"_min_$c"),
+        max(d).as(s"_max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = one.select(explode(array(cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_nulls"),
+        col(s"_mins_$c").as("mins"),
+        col(s"_min_$c").as("min_val"),
+        col(s"_max_$c").as("max_val"))
+    }: _*)).as("s")).select(col("s.*"))
+    rows.select(
+      col("col_name"), col("n_rows"), col("n_nulls"),
+      when(size(col("mins")) < k, size(col("mins")).cast("double"))
+        .otherwise(lit((k - 1).toLong * p).cast("double") /
+          element_at(col("mins"), k).cast("double")).as("est_distinct"),
+      col("min_val"), col("max_val"))
+  }
+}

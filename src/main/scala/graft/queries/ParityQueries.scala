@@ -433,6 +433,36 @@ object ParityQueries {
       |  LEFT JOIN s2 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** One-pass table profile (Profile.profile) over the hash-stable
+    * events columns: row/null counts, KMV distinct estimates, numeric
+    * min/max — all columns in one aggregate over one scan. The oracle
+    * replays the bottom-64 KMV estimate per column.
+    */
+  val profileEvents: Q = (s, dir) =>
+    graft.operators.Profile.profile(
+        events(s, dir), Seq("event_id", "user_id", "event_type", "props"))
+      .orderBy("col_name")
+
+  val profileEventsSql: String = {
+    val p = graft.llm.TextOps.P
+    def strhashSql(e: String, v: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, length($e)+1), ${v}i -> CAST(ascii(substring($e, CAST(${v}i AS INT), 1)) AS BIGINT))), " +
+        s"(${v}a, ${v}c) -> (${v}a*31 + ${v}c) % $p)"
+    def one(c: String): String =
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE $c IS NULL) AS n_nulls,
+         |  (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |     ELSE CAST(${63L * p} AS DOUBLE) / CAST(max(x) AS DOUBLE) END
+         |   FROM (SELECT DISTINCT ${strhashSql(s"CAST($c AS VARCHAR)", "h")} AS x
+         |         FROM events WHERE $c IS NOT NULL ORDER BY x LIMIT 64)) AS est_distinct,
+         |  (SELECT min(TRY_CAST($c AS DOUBLE)) FROM events) AS min_val,
+         |  (SELECT max(TRY_CAST($c AS DOUBLE)) FROM events) AS max_val""".stripMargin
+    Seq("event_id", "user_id", "event_type", "props").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** Z-order layout audit (Layout.zorderStats): events quantized to a
     * 10-bit (user_id, event_id) grid, bucketed by aligned z-ranges of
     * size 2^10 (level 5) — each bucket's min/max must bound BOTH
@@ -641,6 +671,7 @@ object ParityQueries {
     "q_zorder_stats" -> zorderStats,
     "q_decayed_features" -> decayedFeatures,
     "q_event_funnel" -> eventFunnel,
+    "q_profile_events" -> profileEvents,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -670,6 +701,7 @@ object ParityQueries {
     "q_zorder_stats" -> zorderStatsSql,
     "q_decayed_features" -> decayedFeaturesSql,
     "q_event_funnel" -> eventFunnelSql,
+    "q_profile_events" -> profileEventsSql,
     "q_shed_sample" -> shedSampleSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -313,6 +313,21 @@ class OperatorSpec extends SparkSpec {
     assert(out("b") == ((1L, 6.0, 1.0)))
   }
 
+  test("Profile.profile: counts, nulls, exact small-cardinality estimates, min/max") {
+    val df = Seq(
+      (1L, Option("x"), 1.5), (2L, Option("y"), -2.0),
+      (3L, Option.empty[String], 0.0), (4L, Option("x"), 9.5)
+    ).toDF("id", "tag", "v")
+    val out = graft.operators.Profile.profile(df, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), Option(r.get(4)), Option(r.get(5)))))
+      .toMap
+    // below the sketch capacity the KMV estimate is EXACT
+    assert(out("id") == ((4L, 0L, 4.0, Some(1.0), Some(4.0))))
+    assert(out("tag") == ((4L, 1L, 2.0, None, None)),
+      "nulls counted but excluded from the sketch; non-numeric min/max NULL")
+  }
+
   test("Funnel.ordered: greedy earliest completion; stalls leave NULLs") {
     val ev = Seq(
       // u1: full conversion, click BEFORE the view doesn't count
