@@ -52,4 +52,28 @@ object Profile {
           element_at(col("mins"), k).cast("double")).as("est_distinct"),
       col("min_val"), col("max_val"))
   }
+
+  /** Referential-integrity audit: child rows whose `childKey` matches
+    * no `parentKey` (orphans — a broken FK after a partial ingest or a
+    * bad dedup). One anti-join keyed on the FK (the parent side
+    * reduces to DISTINCT keys FIRST, so the join input is O(distinct
+    * parents) — broadcastable for dimension tables) and one aggregate.
+    * Output (one row): `relation`, `n_child`, `n_orphans`,
+    * `min_orphan_key` (NULL when intact).
+    */
+  def integrity(
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String,
+      relation: String
+  ): DataFrame = {
+    val orphans = child.select(col(childKey).as("_ck"))
+      .join(parent.select(col(parentKey).as("_ck")).distinct(), Seq("_ck"), "left_anti")
+    val n = child.agg(count(lit(1)).as("n_child"))
+    n.crossJoin(
+        orphans.agg(count(lit(1)).as("n_orphans"), min(col("_ck")).as("min_orphan_key")))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_orphans"), col("min_orphan_key"))
+  }
 }

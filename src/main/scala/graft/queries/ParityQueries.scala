@@ -463,6 +463,30 @@ object ParityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Referential-integrity audit (Profile.integrity): orphaned
+    * lineitems and orders. The oracle states the anti-join directly.
+    */
+  val integrityCheck: Q = (s, dir) =>
+    graft.operators.Profile.integrity(
+        Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey",
+        "lineitem->orders")
+      .unionAll(graft.operators.Profile.integrity(
+        Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey",
+        "orders->customer"))
+      .orderBy("relation")
+
+  val integrityCheckSql: String =
+    """SELECT 'lineitem->orders' AS relation,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+      |  CAST(count(*) AS BIGINT) AS n_orphans, min(l_orderkey) AS min_orphan_key
+      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |UNION ALL
+      |SELECT 'orders->customer' AS relation,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+      |  CAST(count(*) AS BIGINT) AS n_orphans, min(o_custkey) AS min_orphan_key
+      |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |ORDER BY relation""".stripMargin
+
   /** Z-order layout audit (Layout.zorderStats): events quantized to a
     * 10-bit (user_id, event_id) grid, bucketed by aligned z-ranges of
     * size 2^10 (level 5) — each bucket's min/max must bound BOTH
@@ -672,6 +696,7 @@ object ParityQueries {
     "q_decayed_features" -> decayedFeatures,
     "q_event_funnel" -> eventFunnel,
     "q_profile_events" -> profileEvents,
+    "q_integrity_check" -> integrityCheck,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -702,6 +727,7 @@ object ParityQueries {
     "q_decayed_features" -> decayedFeaturesSql,
     "q_event_funnel" -> eventFunnelSql,
     "q_profile_events" -> profileEventsSql,
+    "q_integrity_check" -> integrityCheckSql,
     "q_shed_sample" -> shedSampleSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,

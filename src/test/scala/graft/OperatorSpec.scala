@@ -328,6 +328,18 @@ class OperatorSpec extends SparkSpec {
       "nulls counted but excluded from the sketch; non-numeric min/max NULL")
   }
 
+  test("Profile.integrity: orphans counted and witnessed; intact FK clean") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 5L, 7L).toDF("fk")
+    val bad = graft.operators.Profile.integrity(child, "fk", parent, "pk", "c->p")
+      .collect().head
+    assert((bad.getString(0), bad.getLong(1), bad.getLong(2), bad.getLong(3)) ==
+      (("c->p", 5L, 2L, 5L)))
+    val ok = graft.operators.Profile.integrity(parent, "pk", parent, "pk", "self")
+      .collect().head
+    assert(ok.getLong(2) == 0L && ok.isNullAt(3))
+  }
+
   test("Funnel.ordered: greedy earliest completion; stalls leave NULLs") {
     val ev = Seq(
       // u1: full conversion, click BEFORE the view doesn't count
