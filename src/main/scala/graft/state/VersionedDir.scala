@@ -87,4 +87,44 @@ object VersionedDir {
     }
     nextV
   }
+
+  /** Read a SPECIFIC committed version (None if absent/uncommitted) —
+    * the time-travel read under [[diffVersions]] and rollback audits.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): Option[DataFrame] = {
+    val hfs = fs(spark, root)
+    committedVersions(hfs, new Path(root))
+      .find(p => versionOf(p.getName).contains(version))
+      .map(p => spark.read.parquet(p.toString))
+  }
+
+  /** Snapshot diff between two committed versions: one row per key
+    * present in either, with `status` added / removed / changed /
+    * unchanged — the audit a feature-store publish runs before trusting
+    * a swap ("this batch touched 0.1% of keys, not 90%"). Row equality
+    * is a deterministic fingerprint (xxhash64 over the non-key columns
+    * in sorted-name order) computed scan-side, so the full-outer join
+    * carries (key, one long) per side, never the rows themselves.
+    */
+  def diffVersions(
+      spark: SparkSession,
+      root: String,
+      oldVersion: Long,
+      newVersion: Long,
+      keyCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def keyed(v: Long, fpName: String): DataFrame = {
+      val df = readVersion(spark, root, v).getOrElse(
+        throw new IllegalArgumentException(s"version $v not committed under $root"))
+      val rest = df.columns.filterNot(_ == keyCol).sorted.map(col)
+      df.select(col(keyCol).as("key"), xxhash64(rest: _*).as(fpName))
+    }
+    keyed(oldVersion, "fp_old").join(keyed(newVersion, "fp_new"), Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

@@ -93,4 +93,22 @@ class ConnectorSpec extends SparkSpec {
     val vdirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("v")).map(_.getName)
     assert(vdirs.length <= 2, s"superseded versions must be pruned, found: ${vdirs.mkString(",")}")
   }
+
+  test("diffVersions: added/removed/changed/unchanged between snapshots") {
+    import scala.jdk.CollectionConverters._
+    val root = tmp("graft-pqdiff")
+    def snap(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(
+        rows.map { case (k, v) => Row(k, v) }.asJava, schema)
+    val v0 = graft.state.VersionedDir.publish(spark, root,
+      snap(1L -> "a", 2L -> "b", 3L -> "c"))
+    val v1 = graft.state.VersionedDir.publish(spark, root,
+      snap(2L -> "b", 3L -> "C2", 4L -> "d"))
+    val got = graft.state.VersionedDir.diffVersions(spark, root, v0, v1, "key")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // time-travel read of the superseded version still works (within keepVersions)
+    val old = graft.state.VersionedDir.readVersion(spark, root, v0)
+    assert(old.map(_.count()) == Some(3L))
+  }
 }
