@@ -199,6 +199,33 @@ object Joins {
       .drop(bkt)
   }
 
+  /** Skew-safe equi-join for a HOT-KEY big side against a
+    * non-broadcastable-but-smaller right side: the big side salts its
+    * key with `pmod(xxhash64(saltBy), saltFactor)` (pick `saltBy` as a
+    * column that varies WITHIN a key — an event/row id — so one hot
+    * key's rows spread across `saltFactor` partitions), the right side
+    * replicates once per salt, and the join runs on (key, salt). Each
+    * big row meets exactly the one replica carrying its salt, so the
+    * result is row-for-row the plain join — only the partitioning
+    * changes. This is the manual form of AQE's skew split for the
+    * cases AQE can't see (skew born mid-stage, or a persisted layout);
+    * prefer `broadcast()` when the right side fits.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltBy: Column,
+      saltFactor: Int
+  ): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val s = graft.core.Names.fresh(big.columns.toSeq ++ right.columns, "_salt")
+    val b = big.withColumn(s, pmod(xxhash64(saltBy), lit(saltFactor.toLong)))
+    val r = right.withColumn(s,
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1L))))
+    b.join(r, Seq(key, s)).drop(s)
+  }
+
   /** Exact consume-once pairing (ralf/operators/join.py:35-56): left
     * records buffer per key; each arriving right record consumes the
     * oldest buffered left. In arrival order this pairs the i-th left

@@ -463,6 +463,35 @@ object ParityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Skew-salted equi-join (Joins.saltedJoin): events (salted by
+    * event_id) against a per-user aggregate table — row-for-row the
+    * plain join, partitioned hot-key-safe. The oracle states the plain
+    * join.
+    */
+  val saltedJoinQ: Q = (s, dir) => {
+    val e = events(s, dir)
+    val perUser = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"),
+        // exact decimal sum: a shuffle-order double sum would not
+        // hash-match the oracle
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("user_value"))
+    Joins.saltedJoin(
+        e.select(col("user_id"), col("event_id"), col("event_type")),
+        perUser, "user_id", col("event_id"), saltFactor = 8)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("user_events"), col("user_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT e.user_id, e.event_id, u.user_events, u.user_value
+      |FROM events e
+      |JOIN (SELECT user_id, count(*) AS user_events,
+      |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS user_value
+      |      FROM events GROUP BY 1) u USING (user_id)
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Referential-integrity audit (Profile.integrity): orphaned
     * lineitems and orders. The oracle states the anti-join directly.
     */
@@ -697,6 +726,7 @@ object ParityQueries {
     "q_event_funnel" -> eventFunnel,
     "q_profile_events" -> profileEvents,
     "q_integrity_check" -> integrityCheck,
+    "q_salted_join" -> saltedJoinQ,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -728,6 +758,7 @@ object ParityQueries {
     "q_event_funnel" -> eventFunnelSql,
     "q_profile_events" -> profileEventsSql,
     "q_integrity_check" -> integrityCheckSql,
+    "q_salted_join" -> saltedJoinSql,
     "q_shed_sample" -> shedSampleSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -328,6 +328,21 @@ class OperatorSpec extends SparkSpec {
       "nulls counted but excluded from the sketch; non-numeric min/max NULL")
   }
 
+  test("saltedJoin ≡ plain join row-for-row, including duplicate multiplicity") {
+    val rng = new scala.util.Random(13)
+    val big = (1 to 400).map(i => ("k" + rng.nextInt(3), i.toLong, rng.nextInt(5)))
+      .toDF("key", "bid", "bv")
+    val right = Seq(("k0", 10.0), ("k1", 20.0), ("k1", 21.0), ("k3", 9.0))
+      .toDF("key", "rv") // k1 duplicated: each big k1 row must emit twice
+    val plain = big.join(right, Seq("key"))
+      .select(col("bid"), col("rv")).as[(Long, Double)].collect().toList.sorted
+    for (f <- Seq(1, 4, 16)) {
+      val got = Joins.saltedJoin(big, right, "key", col("bid"), saltFactor = f)
+        .select(col("bid"), col("rv")).as[(Long, Double)].collect().toList.sorted
+      assert(got == plain, s"saltFactor $f: ${got.size} vs ${plain.size} rows")
+    }
+  }
+
   test("Profile.integrity: orphans counted and witnessed; intact FK clean") {
     val parent = Seq(1L, 2L).toDF("pk")
     val child = Seq(1L, 1L, 2L, 5L, 7L).toDF("fk")
