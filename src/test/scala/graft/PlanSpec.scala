@@ -247,6 +247,22 @@ class PlanSpec extends SparkSpec {
       s"per-(doc,bigram) counts must combine map-side before the shuffle:\n$plan")
   }
 
+  test("Profile.profile: every column profiles in ONE scan of the table") {
+    val plan = planOf(graft.operators.Profile.profile(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      Seq("doc_id", "lang", "source")))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single table scan, found $scans:\n$plan")
+  }
+
+  test("lineDedup: the document-frequency aggregate partial-combines") {
+    val plan = planOf(graft.llm.Dedup.lineDedup(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 4))
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0 && plan.indexOf("partial_count", exIdx) > exIdx,
+      s"line doc-frequency must combine map-side below its exchange:\n$plan")
+  }
+
   test("dsirWeights: bucket models broadcast; per-doc sum partial-combines") {
     val plan = planOf(graft.llm.Selection.dsirWeights(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
