@@ -1624,6 +1624,66 @@ object LlmQueries {
        |SELECT doc_id, source, n_reps, unnest(generate_series(1, n_reps)) AS rep
        |FROM r WHERE n_reps > 0 ORDER BY source, doc_id, rep""".stripMargin
 
+  /** This session's stages composed end to end under ONE oracle — the
+    * DSIR-era pretraining selection chain: normalized exact dedup
+    * keeps each canonical doc (C4/CCNet near-copies collapse to the
+    * min-id survivor), DSIR scores the survivors against the English
+    * target, and the 20k-token budget cut keeps the top-scored prefix
+    * (rank quantized to the score's 6-decimal form; id tiebreak). One
+    * lazy plan: the dedup survivor set anti-drives the scoring scan,
+    * the bucket models broadcast, the cumsum runs the two-pass
+    * distributed shape.
+    */
+  val dsirPipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val canon = Dedup.exactNormalized(docs, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val survivors = docs.join(canon, "doc_id")
+    val scored = graft.llm.Selection.dsirWeights(
+      survivors, "doc_id", "text", col("lang") === "en", numBuckets = 4096)
+    val ranked = scored.select(col("doc_id"),
+      round(col("dsir_score"), 6).as("score"), col("n_tokens"))
+    graft.llm.Selection.selectByBudget(
+        ranked, "doc_id", "score", col("n_tokens"), budgetTokens = 20000L)
+      .orderBy("doc_id")
+  }
+
+  val dsirPipelineSql: String =
+    s"""WITH nt AS (SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 \t\n]', ' ', 'g'), '[ \t\n]+', ' ', 'g')) AS ntext
+       |  FROM documents),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM nt
+       |          GROUP BY ${strhashSql("ntext", "h")}, md5(ntext)),
+       |sv AS (SELECT d.* FROM documents d JOIN canon USING (doc_id)),
+       |wt AS (
+       |  SELECT doc_id, (lang = 'en') AS is_target,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM sv),
+       |tok AS (
+       |  SELECT doc_id, is_target, ${strhashSql("w", "d")} % 4096 AS b
+       |  FROM (SELECT doc_id, is_target, unnest(ws) AS w FROM wt)),
+       |db AS (SELECT doc_id, is_target, b, count(*) AS n FROM tok GROUP BY 1, 2, 3),
+       |model AS (SELECT b,
+       |    sum(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
+       |    sum(CASE WHEN NOT is_target THEN n ELSE 0 END) AS cr
+       |  FROM db GROUP BY 1),
+       |tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM model),
+       |lr AS (SELECT b,
+       |    CAST(round(ln(CAST((ct+1)*(r+4096) AS DOUBLE)
+       |      / CAST((cr+1)*(t+4096) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+       |  FROM model CROSS JOIN tot),
+       |sc AS (SELECT d.doc_id,
+       |    round(CAST(sum(d.n * l.lr) AS DOUBLE), 6) AS score,
+       |    CAST(sum(d.n) AS BIGINT) AS n_tokens
+       |  FROM db d JOIN lr l USING (b) GROUP BY 1),
+       |o AS (SELECT doc_id, score, n_tokens AS tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM sc)
+       |SELECT doc_id, score, tokens, cum_tokens
+       |FROM o WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
+
   /** Per-source KL divergence from the corpus word distribution
     * (Mixture.sourceDivergence): the drift audit behind mixture
     * weighting. Terms quantize to DECIMAL(18,6), totals are exact
@@ -2624,6 +2684,7 @@ object LlmQueries {
     "q_shard_balanced" -> shardBalanced,
     "q_dsir_weights" -> dsirWeights,
     "q_dsir_select" -> dsirSelect,
+    "q_dsir_pipeline" -> dsirPipeline,
     "q_curation_select" -> curationSelect,
     "q_boilerplate" -> boilerplate,
     "q_curation_funnel" -> curationFunnel,
@@ -2706,6 +2767,7 @@ object LlmQueries {
     "q_shard_balanced" -> shardBalancedSql,
     "q_dsir_weights" -> dsirWeightsSql,
     "q_dsir_select" -> dsirSelectSql,
+    "q_dsir_pipeline" -> dsirPipelineSql,
     "q_curation_select" -> curationSelectSql,
     "q_boilerplate" -> boilerplateSql,
     "q_curation_funnel" -> curationFunnelSql,
