@@ -99,6 +99,27 @@ object TokenHash {
     }
   }
 
+  /** POSITIONED word-n-gram shingle hashes: slot i is the hash of the
+    * shingle starting at word i — ordered, NON-distinct (unlike
+    * [[shingleHashes]], duplicates stay so corpus-level occurrence
+    * counts see within-doc repeats), and EMPTY when the doc has fewer
+    * than n words (a short doc has no n-word span to cut).
+    */
+  def shingleHashesPos(u: UTF8String, n: Int): ArrayData = {
+    val s = u.toString
+    val ws = wordBounds(s)
+    if (ws.length < n) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](ws.length - n + 1)
+      var i = 0
+      while (i <= ws.length - n) {
+        out(i) = shingleHash(s, ws, i, n)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** SimHash feature hashes: per word-bigram g, strhash(g + "#")*P +
     * strhash(g), with multiplicity; [pairHash(text)] when fewer than 2
     * words (TextOps.simhashFeatures semantics).
@@ -189,6 +210,19 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** `shingleHashesPos(text, n)` as a codegen-capable expression. */
+case class ShingleHashesPos(child: Expression, n: Int)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.shingleHashesPos(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.shingleHashesPos($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesPos =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes_pos"
 }
 
 /** ASCII char-class counting over raw UTF-8 bytes. A-Z/a-z occupy

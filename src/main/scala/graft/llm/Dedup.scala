@@ -650,6 +650,73 @@ object Dedup {
         (col("dup_spans").cast("double") / col("n_spans").cast("double")).as("dup_fraction"))
   }
 
+  /** Duplicated-span REMOVAL — the cut stage behind the
+    * [[spanDuplication]] audit (the ExactSubstr policy of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better":
+    * a span repeated anywhere in the corpus is excised from every
+    * occurrence, not just the copies). Reference analogue: the
+    * reference only measures duplication; this is the pipeline stage a
+    * curation run applies afterwards.
+    *
+    * Semantics: every w-word span whose space-joined-text hash occurs
+    * >= 2 times corpus-wide — within-doc repeats count, hence the
+    * positioned NON-distinct [[TextOps.shingleHashesPos]] — marks its w
+    * word positions covered; each doc reassembles from its uncovered
+    * words in order. Docs with < w words pass through whole (they have
+    * no w-span). Output per input doc: `doc`, `n_words`, `n_removed`,
+    * and `clean_hash` = strhash of the space-joined surviving words
+    * (strhash("") = 0 for a fully-excised doc — identical in DuckDB's
+    * empty-list fold).
+    *
+    * Shape (same economy as [[lineDedup]]): one corpus scan checkpointed
+    * feeds spans, words, and the final length join; the frequency
+    * aggregate map-side combines on the span hash; the covered-position
+    * exchanges carry (doc, int) pairs only; the word-level anti-join is
+    * the one text-bearing shuffle (word-granular, O(corpus) — the same
+    * volume lineDedup moves at line grain). No broadcast hint on the
+    * dup-span side: the span vocabulary is corpus-sized; AQE broadcasts
+    * when it is actually small.
+    */
+  def removeDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3
+  ): DataFrame = {
+    require(w > 0, s"span width must be positive, got $w")
+    val base = docs
+      .select(
+        col(idCol).as("doc"),
+        TextOps.words(col(textCol)).as("ws"),
+        TextOps.shingleHashesPos(col(textCol), w).as("sh"))
+      .localCheckpoint(false) // feeds spans, words, and the length join
+    val ex = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "x")))
+    val dup = ex.groupBy(col("x")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("x"))
+    val cov = ex.join(dup, Seq("x"))
+      .select(col("doc"), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("cp"))
+      .distinct()
+    val wp = base.select(col("doc"), posexplode(col("ws")).as(Seq("pos", "wd")))
+    val kept = wp.as("wp").join(
+      cov.as("cv"),
+      col("wp.doc") === col("cv.doc") && col("wp.pos") === col("cv.cp"),
+      "left_anti")
+    val agg = kept.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("wd")))),
+          e => e.getField("wd"))).as("clean"))
+    base.select(col("doc"), size(col("ws")).as("n_words"))
+      .join(agg, Seq("doc"), "left")
+      .select(
+        col("doc"),
+        col("n_words"),
+        (col("n_words").cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .cast("int").as("n_removed"),
+        strhash(coalesce(col("clean"), lit(""))).as("clean_hash"))
+  }
+
   /** Corpus-audit overlap matrix: for every pair of corpus slices
     * (`groupCol`, e.g. source / crawl snapshot / domain), how many
     * distinct shingle hashes they share, plus the slice-level Jaccard —

@@ -77,6 +77,16 @@ object TextOps {
     Bridge.column(graft.functions.ShingleHashes(Bridge.expression(text), 3))
   }
 
+  /** Positioned NON-distinct word-n-gram shingle hashes: slot i hashes
+    * the span starting at word i; empty for docs with < n words. The
+    * span-removal dedup keys on these (position matters there, and
+    * within-doc repeats must count toward the corpus frequency).
+    */
+  def shingleHashesPos(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.ShingleHashesPos(Bridge.expression(text), n))
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** k-element MinHash signature over a distinct-hash array `xs`:

@@ -1553,6 +1553,46 @@ object LlmQueries {
        |    / CAST(count(*) AS DOUBLE) AS dup_fraction
        |FROM ex JOIN dfq USING (x) GROUP BY ex.doc_id ORDER BY doc""".stripMargin
 
+  /** Duplicated-span removal (Dedup.removeDupSpans, w=3): the cut
+    * stage behind `q_dup_spans` — every 3-word span occurring >= 2
+    * times corpus-wide (within-doc repeats count) is excised from every
+    * doc; docs reassemble from surviving words. The oracle replays the
+    * positioned span hashes, the corpus frequency, the covered-position
+    * anti-join, and the ordered reassembly, hashing the cleaned text.
+    */
+  val spanRemoval: Q = (s, dir) =>
+    Dedup.removeDupSpans(Tables.documents(s, dir), "doc_id", "text", w = 3)
+      .orderBy("doc")
+
+  val spanRemovalSql: String =
+    s"""WITH wt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, CAST(si - 1 AS INT) AS pos,
+       |    array_to_string(ws[CAST(si AS INT):CAST(si + 2 AS INT)], ' ') AS sg
+       |  FROM wt, unnest(range(1, len(ws) - 1)) AS t(si)),
+       |ex AS (SELECT doc_id, pos, ${strhashSql("sg", "sr")} AS x FROM sp),
+       |dfq AS (SELECT x FROM ex GROUP BY x HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT e.doc_id, e.pos + CAST(o AS INT) AS cp
+       |  FROM ex e JOIN dfq USING (x), unnest(range(0, 3)) AS t(o)),
+       |wp AS (
+       |  SELECT doc_id, CAST(wi - 1 AS INT) AS pos, ws[CAST(wi AS INT)] AS wd
+       |  FROM wt, unnest(range(1, len(ws) + 1)) AS t(wi)),
+       |keptw AS (
+       |  SELECT p.doc_id, p.pos, p.wd FROM wp p
+       |  LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.cp
+       |  WHERE c.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(wd, ' ' ORDER BY pos) AS clean
+       |  FROM keptw GROUP BY doc_id)
+       |SELECT wt.doc_id AS doc, CAST(len(ws) AS INT) AS n_words,
+       |  CAST(len(ws) - COALESCE(n_kept, 0) AS INT) AS n_removed,
+       |  ${strhashSql("COALESCE(clean, '')", "ch")} AS clean_hash
+       |FROM wt LEFT JOIN agg USING (doc_id) ORDER BY doc""".stripMargin
+
   /** Square-root-temperature mixture weights over sources
     * (Mixture.temperatureWeights): a 1M-token budget allocated
     * ∝ √tokens per source.
@@ -2659,6 +2699,7 @@ object LlmQueries {
     "q_mm_frames" -> mmFrames,
     "q_mm_neardup" -> mmNearDup,
     "q_dup_spans" -> dupSpans,
+    "q_span_removal" -> spanRemoval,
     "q_dup_lines" -> dupLines,
     "q_mixture_weights" -> mixtureWeights,
     "q_mixture_unimax" -> mixtureUnimax,
@@ -2742,6 +2783,7 @@ object LlmQueries {
     "q_mm_frames" -> mmFramesSql,
     "q_mm_neardup" -> mmNearDupSql,
     "q_dup_spans" -> dupSpansSql,
+    "q_span_removal" -> spanRemovalSql,
     "q_dup_lines" -> dupLinesSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_mixture_unimax" -> mixtureUnimaxSql,

@@ -256,6 +256,29 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == ((4L, 1L, 1L, "")), "a fully-boilerplate doc keeps an empty row")
   }
 
+  test("removeDupSpans: corpus-repeated spans cut everywhere, words rejoin in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "see the quick brown fox run"),
+      (3L, "tiny doc"), // < w words: no span to cut
+      (4L, "x y z x y z x y z") // within-doc repeats alone cover everything
+    ).toDF("doc_id", "text")
+    def h(s: String): Long = {
+      import org.apache.spark.sql.functions.lit
+      docs.sparkSession.range(1)
+        .select(graft.functions.GraftFunctions.strhash(lit(s))).as[Long].head()
+    }
+    val out = graft.llm.Dedup.removeDupSpans(docs, "doc_id", "text", w = 3)
+      .select(col("doc"), col("n_words"), col("n_removed"), col("clean_hash"))
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    // "the quick brown" and "quick brown fox" repeat across docs 1 and 2
+    assert(out(1L) == ((1L, 5, 4, h("jumps"))))
+    assert(out(2L) == ((2L, 6, 4, h("see run"))))
+    assert(out(3L) == ((3L, 2, 0, h("tiny doc"))), "short docs pass through whole")
+    assert(out(4L) == ((4L, 9, 9, 0L)), "a fully-excised doc hashes to strhash(\"\") = 0")
+  }
+
   test("materialize: full repeats exact, fractional draw in {0,1}, deterministic") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b"))
