@@ -263,6 +263,21 @@ class PlanSpec extends SparkSpec {
       s"line doc-frequency must combine map-side below its exchange:\n$plan")
   }
 
+  test("removeDupSpans: span frequency partial-combines; covered positions int-only") {
+    val plan = planOf(graft.llm.Dedup.removeDupSpans(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", w = 3))
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0 && plan.indexOf("partial_count", exIdx) > exIdx,
+      s"the span-frequency aggregate must combine map-side below its exchange:\n$plan")
+    // the covered-position dedup exchanges (doc, cp) pairs — ints only,
+    // never text; the one text-bearing shuffle is the word anti-join
+    val covLine = plan.linesIterator
+      .find(l => l.contains("Exchange hashpartitioning") && l.contains("cp#"))
+    assert(covLine.isDefined, s"expected a covered-position exchange:\n$plan")
+    assert(!covLine.get.contains("wd#") && !covLine.get.contains("text#"),
+      s"the covered-position exchange must carry ints only:\n${covLine.get}")
+  }
+
   test("dsirWeights: bucket models broadcast; per-doc sum partial-combines") {
     val plan = planOf(graft.llm.Selection.dsirWeights(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
