@@ -123,7 +123,7 @@ object IvfIndex {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
-    finishStagedCompact(spark, dir)
+    finishStagedCompact(spark, dir, discardUncommitted = true)
     val epochs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("cells-b\\d+"))
       .map(_.getPath.getName)
@@ -153,18 +153,41 @@ object IvfIndex {
 
   /** Finish (or discard) an interrupted [[compactEpochs]]: a staged
     * dir WITH its manifest is committed — delete whichever manifest
-    * roots still exist and rename the stage to `cells/`; without the
-    * manifest the fold never committed and the stage is discarded,
-    * originals intact. Returns true if a committed stage was finished.
+    * roots still exist (idempotent; the manifest still commits the
+    * stage), rename the stage to `cells/` with the manifest riding
+    * INSIDE it (a dot-file, so parquet readers ignore it), and only
+    * then remove the manifest. At every crash point the full dataset
+    * exists either as the committed stage or as the renamed `cells/`,
+    * and re-running this finisher completes the fold. (The prior
+    * protocol deleted the manifest BEFORE the rename; a crash between
+    * the two left a manifest-less — i.e. "uncommitted" — stage whose
+    * discard on the next pass lost the dataset, the folded roots having
+    * already been removed.)
+    *
+    * A stage WITHOUT a manifest never committed. Only the compaction
+    * writer discards it (`discardUncommitted = true`, about to restage
+    * anyway); the read path leaves it alone, so a probe can never
+    * delete a stage an in-flight [[compactEpochs]] is still writing.
+    * Returns true if a committed stage was finished.
     */
-  private[graft] def finishStagedCompact(spark: SparkSession, dir: String): Boolean = {
+  private[graft] def finishStagedCompact(
+      spark: SparkSession,
+      dir: String,
+      discardUncommitted: Boolean = false
+  ): Boolean = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(root, "cells")
     val tmp = new org.apache.hadoop.fs.Path(root, StageDir)
-    if (!fs.exists(tmp)) return false
+    if (!fs.exists(tmp)) {
+      // crash window: stage already renamed into place, manifest not yet
+      // removed — finish that last (cosmetic) step; no-op otherwise
+      fs.delete(new org.apache.hadoop.fs.Path(live, ManifestFile), false)
+      return false
+    }
     val manifest = new org.apache.hadoop.fs.Path(tmp, ManifestFile)
     if (!fs.exists(manifest)) {
-      fs.delete(tmp, true)
+      if (discardUncommitted) fs.delete(tmp, true)
       return false
     }
     val in = fs.open(manifest)
@@ -172,8 +195,8 @@ object IvfIndex {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
       finally in.close()
     roots.foreach(r => fs.delete(new org.apache.hadoop.fs.Path(root, r), true))
-    fs.delete(manifest, false)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, "cells"))
+    fs.rename(tmp, live)
+    fs.delete(new org.apache.hadoop.fs.Path(live, ManifestFile), false)
     true
   }
 

@@ -410,11 +410,70 @@ class PlanSpec extends SparkSpec {
     assert(roots.contains("cells") && !roots.exists(_.startsWith(".compact")) &&
       !roots.exists(_.startsWith("cells-b")), s"got $roots")
 
-    // an UNCOMMITTED stage (no manifest) is discarded, originals intact
+    // crash window AFTER the rename, BEFORE the manifest delete: the
+    // live cells/ still carries the .folded-roots dot-file — readers
+    // ignore it, and the next finish pass removes it
+    val mf2 = fs.create(new org.apache.hadoop.fs.Path(s"$idx/cells/.folded-roots"), true)
+    mf2.write("cells\ncells-b1".getBytes("UTF-8")); mf2.close()
+    assert(probed() == expected, "a stale in-place manifest must not change results")
+    assert(!new java.io.File(s"$idx/cells/.folded-roots").exists(),
+      "the probe's finish pass must clear the stale manifest")
+
+    // an UNCOMMITTED stage (no manifest) is left alone by the READ path
+    // (it may be an in-flight compaction's stage) ...
     val junk = new java.io.File(s"$idx/.compact-cells"); junk.mkdirs()
+    assert(probed() == expected, "probe must serve from the originals")
+    assert(new java.io.File(s"$idx/.compact-cells").exists(),
+      "the read path must never delete a manifest-less stage out from under a writer")
+    // ... and discarded only by the compaction WRITER, originals intact
     assert(IvfIndex.compactEpochs(spark, idx) == 0)
     assert(probed() == expected)
     assert(!new java.io.File(s"$idx/.compact-cells").exists())
+  }
+
+  test("IvfIndex crash recovery is re-runnable from every committed intermediate state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.llm.IvfIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-crash2").toString
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, Seq.tabulate(4)(j => (i % 5 + j + 1).toDouble))).toDF("vec_id", "embedding")
+    IvfIndex.write(mk(1L to 20L), "vec_id", "embedding", idx, numCentroids = 4)
+    IvfIndex.appendEpoch(spark, idx, mk(21L to 30L), "vec_id", "embedding", epoch = 1L)
+    val queries = mk(Seq(7L))
+    def probed(): Set[Seq[Any]] =
+      IvfIndex.probe(spark, idx, queries, "vec_id", "embedding", k = 3, nProbe = 2)
+        .select("qid", "rank", "nid", "cosine").collect().map(_.toSeq).toSet
+    val expected = probed()
+
+    // commit a stage, then crash with the folded roots ONLY PARTIALLY
+    // deleted (cells gone, the epoch root still present): the manifest
+    // must still drive recovery to completion — under the old protocol
+    // a crash after the manifest delete left this state unrecoverable
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("nrm", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType)))
+    Seq(s"$idx/cells", s"$idx/cells-b1")
+      .map(r => spark.read.schema(schema).parquet(r))
+      .reduce(_ unionAll _)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/.compact-cells")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = fs.create(new org.apache.hadoop.fs.Path(s"$idx/.compact-cells/.folded-roots"), true)
+    mf.write("cells\ncells-b1".getBytes("UTF-8")); mf.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/cells"), true)
+    // cells-b1 deliberately left behind — the partial-delete crash
+
+    assert(probed() == expected, "recovery must finish the fold from the manifest")
+    val roots = new java.io.File(idx).listFiles().map(_.getName).toSet
+    assert(roots.contains("cells") && !roots.exists(_.startsWith("cells-b")) &&
+      !roots.exists(_.startsWith(".compact")), s"got $roots")
+    assert(!new java.io.File(s"$idx/cells/.folded-roots").exists(),
+      "the manifest must be removed after the rename")
   }
 
   test("langConfusion: the prediction is inlined — zero joins, one scan") {
