@@ -103,6 +103,42 @@ object BloomKernels {
     while (i < words.length) { words(i) = bb.getLong; i += 1 }
     words
   }
+
+  /** Number of addressable bits in a serialized artifact. */
+  def numBits(artifact: Array[Byte]): Long =
+    (artifact.length - HeaderBytes).toLong << 3
+
+  /** Set-bit count of a serialized artifact — the saturation telemetry
+    * behind the fill-ratio rebuild policy (a bloom gate whose fill
+    * ratio approaches 1 still answers correctly but prunes nothing).
+    */
+  def popcount(artifact: Array[Byte]): Long = {
+    var n = 0L
+    var i = HeaderBytes
+    while (i < artifact.length) {
+      n += java.lang.Integer.bitCount(artifact(i) & 0xFF)
+      i += 1
+    }
+    n
+  }
+
+  /** Driver-side OR of two same-shape artifacts (the byte-level twin of
+    * [[BloomOr]]'s aggregate merge, for artifacts already collected).
+    * Shapes must match — a bloom dir's bit size is fixed for its life;
+    * resizing means a rebuild into a fresh dir.
+    */
+  def or(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length && readHeader(a) == readHeader(b),
+      s"bloom artifacts disagree in shape (${a.length}/${readHeader(a)} vs " +
+        s"${b.length}/${readHeader(b)}); resize requires a rebuild into a fresh dir")
+    val out = a.clone()
+    var i = HeaderBytes
+    while (i < out.length) {
+      out(i) = (out(i) | b(i)).toByte
+      i += 1
+    }
+    out
+  }
 }
 
 /** Builds the bloom artifact from a `bigint` key column (one key per

@@ -160,7 +160,12 @@ object Dedup {
     val accKeys = accumulated
       .select(strhash(col(textCol)).as("h"), md5(col(textCol).cast("binary")).as("m"))
       .distinct()
-    val mayHit = Sketches.bloomContains(lit(bloom), col("h"))
+    // NULL text hashes to NULL: without the coalesce such a row failed
+    // BOTH branch filters and vanished from the output (ADVICE r6),
+    // breaking the one-row-per-input-doc shape. NULL text is
+    // definitely-new by contract (it equals no stored text; the confirm
+    // join could never match its NULL keys either).
+    val mayHit = coalesce(Sketches.bloomContains(lit(bloom), col("h")), lit(false))
     val definitelyNew = keyed.filter(!mayHit)
       .select(col("doc"), lit(false).as("is_dup"))
     val resolved = keyed.filter(mayHit)
@@ -483,6 +488,25 @@ object Dedup {
     * (skew on ubiquitous shingles is the hazard at scale — a stopword-
     * shingle frequency cap is the standard mitigation).
     */
+  /** Shared prelude of [[jaccardPairs]] / [[containmentPairs]] /
+    * [[groupOverlap]]: an exploded `(key, x)` shingle frame with the
+    * ubiquitous-shingle frequency cap applied (maxFreq > 0 drops
+    * shingles present under more than `maxFreq` distinct keys BEFORE
+    * any self-join — "stopword" shingles contribute m² join rows each
+    * while barely moving overlap scores), localCheckpoint'ed because
+    * every caller feeds it to a size lookup plus both self-join sides.
+    */
+  private def cappedShingleFrame(ex: DataFrame, maxFreq: Int): DataFrame = {
+    val capped =
+      if (maxFreq <= 0) ex
+      else {
+        val freq = ex.groupBy(col("x")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxFreq).select(col("x"))
+        ex.join(freq, "x")
+      }
+    capped.localCheckpoint(false)
+  }
+
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -490,24 +514,11 @@ object Dedup {
       minJaccard: Double,
       maxShingleDocFreq: Int = 0
   ): DataFrame = {
-    val raw = docs.select(
-      col(idCol).as("doc"),
-      TextOps.shingleHashes(col(textCol)).as("xs")
-    )
-    // Skew mitigation (maxShingleDocFreq > 0): drop shingles appearing
-    // in more than F docs BEFORE the self-join — ubiquitous
-    // ("stopword") shingles contribute m^2 join rows each while barely
-    // moving near-dup Jaccard. The jaccard is then over the capped
-    // shingle sets — documented, oracle-mirrored semantics.
-    val exAll = raw.select(col("doc"), explode(col("xs")).as("x"))
-    val ex0 =
-      if (maxShingleDocFreq <= 0) exAll
-      else {
-        val freq = exAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDocFreq).select(col("x"))
-        exAll.join(freq, "x")
-      }
-    val ex = ex0.localCheckpoint(false) // feeds the size lookup and both join sides
+    // capped semantics: the jaccard is over the capped shingle sets —
+    // documented, oracle-mirrored (see [[cappedShingleFrame]])
+    val ex = cappedShingleFrame(
+      docs.select(col(idCol).as("doc"), explode(TextOps.shingleHashes(col(textCol))).as("x")),
+      maxShingleDocFreq)
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.x") === col("b.x") && col("a.doc") < col("b.doc"))
@@ -540,18 +551,9 @@ object Dedup {
       minContainment: Double,
       maxShingleDocFreq: Int = 0
   ): DataFrame = {
-    val raw = docs.select(
-      col(idCol).as("doc"),
-      TextOps.shingleHashes(col(textCol)).as("xs"))
-    val exAll = raw.select(col("doc"), explode(col("xs")).as("x"))
-    val ex0 =
-      if (maxShingleDocFreq <= 0) exAll
-      else {
-        val freq = exAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDocFreq).select(col("x"))
-        exAll.join(freq, "x")
-      }
-    val ex = ex0.localCheckpoint(false) // feeds the size lookup and both join sides
+    val ex = cappedShingleFrame(
+      docs.select(col(idCol).as("doc"), explode(TextOps.shingleHashes(col(textCol))).as("x")),
+      maxShingleDocFreq)
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.x") === col("b.x") && col("a.doc") < col("b.doc"))
@@ -661,29 +663,45 @@ object Dedup {
     * Semantics: every w-word span whose space-joined-text hash occurs
     * >= 2 times corpus-wide — within-doc repeats count, hence the
     * positioned NON-distinct [[TextOps.shingleHashesPos]] — marks its w
-    * word positions covered; each doc reassembles from its uncovered
-    * words in order. Docs with < w words pass through whole (they have
-    * no w-span). Output per input doc: `doc`, `n_words`, `n_removed`,
-    * and `clean_hash` = strhash of the space-joined surviving words
-    * (strhash("") = 0 for a fully-excised doc — identical in DuckDB's
-    * empty-list fold).
+    * word positions covered; adjacent covered positions merge into
+    * MAXIMAL RUNS, and only runs of at least `minRunWords` words are
+    * excised (the Lee et al. length threshold: the paper cuts repeated
+    * substrings of ≥ ~50 tokens, NOT every repeated n-gram — at
+    * span-level excision a common trigram would shred most real
+    * documents, the round-6 verdict's misuse warning). Each doc
+    * reassembles from its surviving words in order. Docs with < w
+    * words pass through whole (they have no w-span);
+    * `minRunWords <= w` degenerates to per-span excision (every
+    * covered run is already ≥ w long). Output per input doc: `doc`,
+    * `n_words`, `n_removed`, and `clean_hash` = strhash of the
+    * space-joined surviving words (strhash("") = 0 for a fully-excised
+    * doc — identical in DuckDB's empty-list fold).
     *
     * Shape (same economy as [[lineDedup]]): one corpus scan checkpointed
     * feeds spans, words, and the final length join; the frequency
     * aggregate map-side combines on the span hash; the covered-position
-    * exchanges carry (doc, int) pairs only; the word-level anti-join is
-    * the one text-bearing shuffle (word-granular, O(corpus) — the same
-    * volume lineDedup moves at line grain). No broadcast hint on the
-    * dup-span side: the span vocabulary is corpus-sized; AQE broadcasts
-    * when it is actually small.
+    * exchanges carry (doc, int) pairs only — the run merge is an
+    * islands computation (cp − row_number per doc) over that same
+    * int-only frame, one doc-keyed window, no new shuffle grain; the
+    * word-level anti-join is the one text-bearing shuffle
+    * (word-granular, O(corpus) — the same volume lineDedup moves at
+    * line grain). No broadcast hint on the dup-span side: the span
+    * vocabulary is corpus-sized; AQE broadcasts when it is actually
+    * small.
+    *
+    * Defaults (w = 10, minRunWords = 50): sensitive 10-gram probes,
+    * excision only for ≥ 50-word duplicated regions — the paper's
+    * operating point, not the shred-everything one.
     */
   def removeDupSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      w: Int = 3
+      w: Int = 10,
+      minRunWords: Int = 50
   ): DataFrame = {
     require(w > 0, s"span width must be positive, got $w")
+    require(minRunWords > 0, s"minRunWords must be positive, got $minRunWords")
     val base = docs
       .select(
         col(idCol).as("doc"),
@@ -693,9 +711,24 @@ object Dedup {
     val ex = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "x")))
     val dup = ex.groupBy(col("x")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("x"))
-    val cov = ex.join(dup, Seq("x"))
+    val covAll = ex.join(dup, Seq("x"))
       .select(col("doc"), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("cp"))
       .distinct()
+    // maximal-run threshold: merge adjacent covered positions into
+    // islands (cp − row_number is constant within a run) and keep only
+    // runs >= minRunWords; skipped when the threshold cannot bind
+    // (every covered run is >= w positions by construction)
+    val cov =
+      if (minRunWords <= w) covAll
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val byDoc = Window.partitionBy(col("doc")).orderBy(col("cp"))
+        covAll
+          .withColumn("isl", col("cp") - row_number().over(byDoc))
+          .withColumn("rl", count(lit(1)).over(Window.partitionBy(col("doc"), col("isl"))))
+          .filter(col("rl") >= minRunWords)
+          .select(col("doc"), col("cp"))
+      }
     val wp = base.select(col("doc"), posexplode(col("ws")).as(Seq("pos", "wd")))
     val kept = wp.as("wp").join(
       cov.as("cv"),
@@ -739,17 +772,10 @@ object Dedup {
       textCol: String,
       maxShingleGroupFreq: Int = 0
   ): DataFrame = {
-    val gxAll = docs
-      .select(col(groupCol).as("grp"), explode(TextOps.shingleHashes(col(textCol))).as("x"))
-      .distinct()
-    val gx0 =
-      if (maxShingleGroupFreq <= 0) gxAll
-      else {
-        val freq = gxAll.groupBy(col("x")).agg(count(lit(1)).as("gf"))
-          .filter(col("gf") <= maxShingleGroupFreq).select(col("x"))
-        gxAll.join(freq, "x")
-      }
-    val gx = gx0.localCheckpoint(false) // feeds the size lookup and both join sides
+    val gx = cappedShingleFrame(
+      docs.select(col(groupCol).as("grp"), explode(TextOps.shingleHashes(col(textCol))).as("x"))
+        .distinct(),
+      maxShingleGroupFreq)
     val sizes = gx.groupBy(col("grp")).agg(count(lit(1)).as("n"))
     gx.as("a")
       .join(gx.as("b"), col("a.x") === col("b.x") && col("a.grp") < col("b.grp"))

@@ -41,20 +41,78 @@ object IvfIndex {
     StructField("nrm", DoubleType, nullable = false),
     StructField("cell", LongType, nullable = false)))
 
+  /** The SQ8 companion columns an `sq8 = true` index stores next to the
+    * full vectors: `qv` int8 codes (1/8 the bytes of `v`) and the code
+    * norm `qn`. Declared separately so the CANDIDATE scan reads only
+    * this narrow block — column pruning is what makes the quantized
+    * stage a real IO cut, not just smaller arithmetic.
+    */
+  private val sq8Schema = StructType(Seq(
+    StructField("vid", LongType, nullable = false),
+    StructField("qv", ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false),
+      nullable = false),
+    StructField("qn", DoubleType, nullable = false),
+    StructField("cell", LongType, nullable = false)))
+
+  private def storageSchema(sq8: Boolean): StructType =
+    if (!sq8) cellsSchema
+    else StructType(cellsSchema.fields.dropRight(1) ++ sq8Schema.fields.tail)
+
+  /** Does a persisted index carry the SQ8 block? (One footer read.) */
+  private def hasSq8(spark: SparkSession, dir: String): Boolean =
+    spark.read.parquet(s"$dir/cells").schema.fieldNames.contains("qv")
+
+  /** Add the SQ8 block to a frame carrying `v`: codes are
+    * `floor(x·127/max|x|)` with the all-zero vector quantized to the
+    * zero code vector (the [[Similarity.sq8TopK]] formula — exact
+    * doubles in both engines, so the oracle replays it). The vmax scan
+    * materializes behind a checkpoint before the per-element lambda
+    * (CollapseProject re-inlines projections into lambda bodies — the
+    * O(d²)-per-row HOF hazard, repo invariant).
+    */
+  private def withSq8(df: DataFrame): DataFrame = {
+    val withMax = df
+      .withColumn("vmax", array_max(transform(col("v"), x => abs(x))))
+      .localCheckpoint(false)
+    withMax
+      .withColumn("qvd", transform(col("v"), x =>
+        when(col("vmax") > 0, floor(x * lit(127.0) / col("vmax")))
+          .otherwise(lit(0.0)).cast("double")))
+      .withColumn("qn", Similarity.norm(col("qvd")))
+      .withColumn("qv", col("qvd").cast("array<tinyint>"))
+      .drop("qvd", "vmax")
+  }
+
   /** Build the index: one O(corpus × numCentroids) assignment pass
     * (broadcast quantizer, same shape as every IVF operator here), one
     * shuffle into the cell layout.
+    *
+    * `refineIters` > 0 runs [[Similarity.refineCentroids]]'s Lloyd
+    * iterations on the hash-sampled seed before anything persists — the
+    * k-means-refined quantizer for clustered corpora (VERDICT r6 top
+    * item; RecallSpec measures the lift on a separable corpus — on
+    * UNIFORM embeddings refinement is a no-gain knob, same finding as
+    * [[Similarity.ivfTopK]]'s flag). The refined table persists under
+    * `centroids/` like any quantizer: probes and epoch appends read the
+    * PERSISTED centroids, so they follow the refined cells with no code
+    * change, and the build-time choice is frozen into the index — the
+    * same one-time-trained / forever-probed economy as FAISS's trained
+    * coarse quantizer.
     */
   def write(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       dir: String,
-      numCentroids: Int
+      numCentroids: Int,
+      refineIters: Int = 0,
+      sq8: Boolean = false
   ): Unit = {
     val p = Similarity.prepared(emb, idCol, vecCol)
     // feeds its own write AND the assignment crossJoin — barrier once
-    val cents = Similarity.centroidSample(p, numCentroids).localCheckpoint(false)
+    val cents = Similarity
+      .refineCentroids(p, Similarity.centroidSample(p, numCentroids), refineIters)
+      .localCheckpoint(false)
     val cellRank = row_number().over(
       Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
     val assigned = p.crossJoin(broadcast(cents))
@@ -67,7 +125,7 @@ object IvfIndex {
     // write — without it every write task fans out a file into every
     // cell directory (tasks × cells small files; measured 4× slower at
     // sf0.1), where one shuffle gives one well-sized file per cell
-    assigned.repartition(col("cell"))
+    (if (sq8) withSq8(assigned) else assigned).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -103,7 +161,9 @@ object IvfIndex {
       .withColumn("crk", cellRank)
       .filter(col("crk") === 1)
       .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
-    assigned.repartition(col("cell"))
+    // an epoch inherits the index's storage shape — an SQ8 index keeps
+    // quantizing appends with the same frozen formula
+    (if (hasSq8(spark, dir)) withSq8(assigned) else assigned).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells-b$epoch")
   }
 
@@ -129,8 +189,9 @@ object IvfIndex {
       .map(_.getPath.getName)
     if (epochs.isEmpty) return 0
     val tmp = new org.apache.hadoop.fs.Path(root, StageDir)
+    val schema = storageSchema(hasSq8(spark, dir))
     (("cells" +: epochs): Seq[String])
-      .map(r => spark.read.schema(cellsSchema).parquet(s"$dir/$r"))
+      .map(r => spark.read.schema(schema).parquet(s"$dir/$r"))
       .reduce(_ unionAll _)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
@@ -228,6 +289,17 @@ object IvfIndex {
     * not be index members; a query that IS a member never matches
     * itself. Result-identical to [[Similarity.ivfTopK]] run in one job
     * over the same corpus, params and query set.
+    *
+    * `sq8Rerank` > 0 (requires an `sq8 = true` index) runs the
+    * [[Similarity.sq8TopK]] funnel INSIDE the probed cells: the
+    * candidate scan reads ONLY the int8 code block (`qv`, `qn` —
+    * 1/8 the vector bytes, column-pruned), ranks by quantized cosine,
+    * and only the top `sq8Rerank × k` per query pay the full-precision
+    * dot — via a SECOND pruned scan of the probed cells restricted to
+    * the candidate ids, which are control-plane sized (≤ queries ×
+    * sq8Rerank × k) and planted as a driver-side `isin` over `vid`, so
+    * parquet row-group stats skip everything else. Same quantization
+    * formula as sq8TopK, so the whole funnel stays oracle-replayable.
     */
   def probe(
       spark: SparkSession,
@@ -236,7 +308,8 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int
+      nProbe: Int,
+      sq8Rerank: Int = 0
   ): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
     val q = Similarity.prepared(queries, idCol, vecCol)
@@ -255,19 +328,69 @@ object IvfIndex {
     // one pruned scan per cell root (base + appended epochs), unioned —
     // a single multi-root read would break partition discovery (each
     // root carries its own cell=N layout)
-    val corpus = cellRoots(spark, dir)
-      .map(r => spark.read.schema(cellsSchema).parquet(r)
+    def prunedScan(schema: StructType): DataFrame = cellRoots(spark, dir)
+      .map(r => spark.read.schema(schema).parquet(r)
         .filter(col("cell").isin(probedCells: _*)))
       .reduce(_ unionAll _)
-    val scored = corpus.as("n")
-      .join(broadcast(probes),
-        col("n.cell") === probes("cell") && col("qid") =!= col("n.vid"))
-      .select(
-        col("qid"),
-        col("n.vid").as("nid"),
-        (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine"))
     val rn = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
-    scored.withColumn("rank", rn).filter(col("rank") <= k)
+    if (sq8Rerank <= 0) {
+      val scored = prunedScan(cellsSchema).as("n")
+        .join(broadcast(probes),
+          col("n.cell") === probes("cell") && col("qid") =!= col("n.vid"))
+        .select(
+          col("qid"),
+          col("n.vid").as("nid"),
+          (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine"))
+      scored.withColumn("rank", rn).filter(col("rank") <= k)
+    } else {
+      require(hasSq8(spark, dir),
+        s"sq8Rerank requires an index built with sq8 = true under $dir")
+      // query-side codes (each vector its own scale — the sq8TopK
+      // formula); the vmax barrier is the usual CollapseProject guard
+      val qMax = probes
+        .withColumn("qmax", array_max(transform(col("qv"), x => abs(x))))
+        .localCheckpoint(false)
+      val qCodes = qMax
+        .withColumn("qqv", transform(col("qv"), x =>
+          when(col("qmax") > 0, floor(x * lit(127.0) / col("qmax")))
+            .otherwise(lit(0.0)).cast("double")))
+        .withColumn("qqn", Similarity.norm(col("qqv")))
+        .drop("qmax")
+      // stage 1 — candidates from the NARROW code block only
+      val approx = prunedScan(sq8Schema).as("n")
+        .join(broadcast(qCodes),
+          col("n.cell") === qCodes("cell") && col("qid") =!= col("n.vid"))
+        .select(col("qid"), col("n.vid").as("nid"),
+          (dot(col("qqv"), col("n.qv").cast("array<double>")) /
+            (col("qqn") * col("n.qn"))).as("qcos"))
+      val crk = row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("nid")))
+      // the candidate PAIR set is control-plane sized by construction
+      // (≤ queries × sq8Rerank × k two-long rows), so it collects in
+      // ONE action — stage 1 runs exactly once with no checkpoint, and
+      // the pairs re-enter the plan as a local relation
+      val candRows = approx.withColumn("crk", crk)
+        .filter(col("crk") <= sq8Rerank * k)
+        .select(col("qid"), col("nid"))
+        .collect()
+      val candIds = candRows.map(_.getLong(1)).distinct.toSeq
+      val cands = spark.createDataFrame(
+        java.util.Arrays.asList(candRows: _*),
+        StructType(Seq(
+          StructField("qid", LongType, nullable = false),
+          StructField("nid", LongType, nullable = false))))
+      // stage 2 — exact re-rank: full vectors of the candidates only
+      // (partition filter + driver-planted id set → row-group skipping)
+      val full = prunedScan(cellsSchema)
+        .filter(col("vid").isin(candIds: _*))
+        .select(col("vid").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+      val exact = cands
+        .join(full, Seq("nid"))
+        .join(broadcast(probes.select(col("qid"), col("qv"), col("qn")).distinct()), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cosine"))
+      exact.withColumn("rank", rn).filter(col("rank") <= k)
+    }
   }
 }

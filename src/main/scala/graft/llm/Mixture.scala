@@ -79,11 +79,17 @@ object Mixture {
     * both engines agree bit-for-bit with no mid-chain rounding.
     *
     * Scale shape: one aggregate keyed by the slice touches the corpus
-    * once; everything after runs on the slice frame (10²–10³ rows —
-    * the rank/prefix triangle join is O(slices²) on that constant-size
-    * frame, deliberately NOT a global-order window, which would
-    * serialize through one task and log WindowExec's move-everything
-    * warning).
+    * once; the (cap, grp)-ascending prefix/rank then runs the
+    * [[Selection.selectByBudget]] two-pass machinery — range-repartition
+    * + in-partition sort, per-partition (count, cap-sum) totals to the
+    * driver (two longs per partition — control-plane at any slice
+    * count), offsets broadcast back — never a single-partition global
+    * window, and never the O(slices²) triangle join this used before
+    * round 7 (a per-domain web mixture has 10⁵–10⁶ slices, where
+    * 10¹⁰⁺ pairs through a nested-loop join is a wall; PlanSpec pins
+    * the nested-loop's absence). The saturation totals and the water
+    * level collapse to TWO driver-side longs (θ stays the same single
+    * double division, just evaluated once on the driver).
     */
   def unimaxAllocation(
       docs: DataFrame,
@@ -98,30 +104,29 @@ object Mixture {
       .groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n_docs"), sum(tokensCol.cast("long")).as("tokens"))
       .withColumn("cap", col("tokens") * maxEpochs)
-      .localCheckpoint(false) // feeds both triangle-join sides + the count
-    val below = per.select(col("grp").as("bgrp"), col("cap").as("bcap"))
-    val ranked = per
-      .join(below,
-        col("bcap") < col("cap") || (col("bcap") === col("cap") && col("bgrp") < col("grp")),
-        "left")
-      .groupBy(col("grp"), col("n_docs"), col("tokens"), col("cap"))
-      .agg(
-        coalesce(sum(col("bcap")), lit(0L)).as("prefix"),
-        count(col("bgrp")).as("nbelow"))
-    val nTot = per.agg(count(lit(1)).as("n"))
-    // integer saturation test; the capped set is a prefix of the
-    // (cap, grp) order, so the water level is shared by every survivor
-    val flagged = ranked.crossJoin(broadcast(nTot))
+    val pf = graft.core.GlobalOrder
+      .withPrefix(per, Seq(col("cap").asc, col("grp").asc), col("cap"),
+        cumName = "_cum", rankName = "_rk")
+    // exclusive prefix / 0-based rank from the inclusive pair; integer
+    // saturation test — the capped set is a prefix of the (cap, grp)
+    // order, so the water level is shared by every survivor
+    val flagged = pf.df
+      .withColumn("prefix", col("_cum") - col("cap"))
+      .withColumn("nbelow", col("_rk") - lit(1L))
       .withColumn("capped",
-        col("cap") * (col("n") - col("nbelow")) < lit(budgetTokens) - col("prefix"))
+        col("cap") * (lit(pf.totalRows) - col("nbelow")) < lit(budgetTokens) - col("prefix"))
       .localCheckpoint(false) // feeds the saturation totals + the output
-    val sat = flagged.agg(
-      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("sat_tokens"),
-      sum(when(col("capped"), lit(0L)).otherwise(lit(1L))).as("n_uncapped"))
-    val theta = (lit(budgetTokens) - col("sat_tokens")).cast("double") /
-      col("n_uncapped").cast("double")
+    val Seq(satTokens, nUncapped) = {
+      val r = flagged.agg(
+        coalesce(sum(when(col("capped"), col("cap"))), lit(0L)),
+        coalesce(sum(when(col("capped"), lit(0L)).otherwise(lit(1L))), lit(0L))).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    // θ: ONE double division of exact long operands (driver-evaluated;
+    // unused — and possibly non-finite — when every slice saturates)
+    val theta = lit((budgetTokens - satTokens).toDouble / nUncapped.toDouble)
     val alloc = when(col("capped"), col("cap").cast("double")).otherwise(theta)
-    flagged.crossJoin(broadcast(sat))
+    flagged
       .select(
         col("grp"),
         col("n_docs"),

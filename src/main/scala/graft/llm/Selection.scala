@@ -46,35 +46,12 @@ object Selection {
   ): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val base = docs.select(col(idCol), col(rankCol), tokensCol.cast("long").as("tokens"))
-    val parts = math.max(base.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    // stable materialization: the partition ids used for the offset
-    // lookup MUST be the ones the final pass reads
-    val sorted = base
-      .repartitionByRange(parts, col(rankCol).desc, col(idCol))
-      .sortWithinPartitions(col(rankCol).desc, col(idCol))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(false)
-    // one long per partition — control-plane sized at any corpus scale
-    val partTotals = sorted.groupBy(col("pid")).agg(sum(col("tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsetRows = (0 until parts).map { p =>
-      (p, (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum)
-    }
-    // broadcast-joined offsets table, NOT a per-partition when-chain: a
-    // 100 TB sort spans thousands of range partitions, and a
-    // thousand-branch conditional blows up codegen; the join stays a
-    // constant-size broadcast at any partition count
-    val spark = docs.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val offsets = spark.createDataFrame(
-      java.util.Arrays.asList(offsetRows.map { case (p, off) => Row(p, off) }: _*),
-      StructType(Seq(StructField("pid", IntegerType, nullable = false),
-        StructField("p_off", LongType, nullable = false))))
-    val w = Window.partitionBy(col("pid")).orderBy(col(rankCol).desc, col(idCol))
-    sorted
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("cum_tokens", sum(col("tokens")).over(w) + col("p_off"))
+    // the two-pass machinery lives in GlobalOrder (shared with
+    // shardBalanced and Mixture.unimaxAllocation since round 7)
+    graft.core.GlobalOrder
+      .withPrefix(base, Seq(col(rankCol).desc, col(idCol).asc), col("tokens"),
+        cumName = "cum_tokens", rankName = "_grk")
+      .df
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col(rankCol), col("tokens"), col("cum_tokens"))
   }
@@ -103,31 +80,11 @@ object Selection {
   ): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val base = docs.select(col(idCol), tokensCol.cast("long").as("tokens"))
-    val parts = math.max(base.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val sorted = base
-      .repartitionByRange(parts, col("tokens").desc, col(idCol))
-      .sortWithinPartitions(col("tokens").desc, col(idCol))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(false)
-    val stats = sorted.groupBy(col("pid"))
-      .agg(count(lit(1)).as("n"), sum(col("tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val totalTokens = stats.values.map(_._2).sum
-    val nShards = math.max(1L, (totalTokens + budgetTokens - 1) / budgetTokens)
-    val offsetRows = (0 until parts).map { p =>
-      (p, (0 until p).map(q => stats.get(q).map(_._1).getOrElse(0L)).sum)
-    }
-    val spark = docs.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val offsets = spark.createDataFrame(
-      java.util.Arrays.asList(offsetRows.map { case (p, off) => Row(p, off) }: _*),
-      StructType(Seq(StructField("pid", IntegerType, nullable = false),
-        StructField("p_off", LongType, nullable = false))))
-    val w = Window.partitionBy(col("pid")).orderBy(col("tokens").desc, col(idCol))
-    sorted
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("rk", row_number().over(w).cast("long") + col("p_off"))
+    val pf = graft.core.GlobalOrder
+      .withPrefix(base, Seq(col("tokens").desc, col(idCol).asc), col("tokens"),
+        cumName = "_cum", rankName = "rk")
+    val nShards = math.max(1L, (pf.totalSum + budgetTokens - 1) / budgetTokens)
+    pf.df
       .select(col(idCol), col("tokens"),
         pmod(col("rk") - 1, lit(nShards)).as("shard"),
         lit(nShards).as("n_shards"))

@@ -52,6 +52,40 @@ object Similarity {
     p.orderBy(graft.functions.GraftFunctions.strhash(col("vid")), col("vid")).limit(n)
       .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
 
+  /** Lloyd refinement of a (cid, cv, cn) quantizer — the k-means
+    * upgrade for CLUSTERED corpora, shared by [[ivfTopK]]'s
+    * `refineIters` path and [[IvfIndex.write]] (iters = 0 returns the
+    * seed unchanged). Each iteration: assign every vector to its best
+    * centroid (same O(corpus × numCentroids) broadcast shape as the
+    * quantizer), move each centroid to its cell's elementwise
+    * decimal-exact SUM (same direction as the mean — cosine never sees
+    * magnitude — but order-independent, so the DuckDB oracle mirrors it
+    * bit-for-bit); empty cells keep their position.
+    */
+  private[llm] def refineCentroids(p: DataFrame, cents0: DataFrame, iters: Int): DataFrame =
+    (1 to iters).foldLeft(cents0) { (c, _) =>
+      val rk = row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
+      val assign = p.crossJoin(broadcast(c))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crk", rk)
+        .filter(col("crk") === 1)
+        .select(col("cid"), col("v"))
+      val sums = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cid"), col("j"))
+        .agg(sum(col("x").cast("decimal(38,12)")).as("sx"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("j"), col("sx")))),
+          e => e.getField("sx").cast("double")).as("ncv"))
+        .withColumn("ncn", norm(col("ncv")))
+      c.join(sums, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("ncv"), col("cv")).as("cv"),
+          coalesce(col("ncn"), col("cn")).as("cn"))
+        .localCheckpoint(false)
+    }
+
   /** Near-duplicate pairs: cosine(a, b) >= minCosine over all pairs.
     *
     * Brute-force formulation (id-inequality join). Correct baseline; the
@@ -230,38 +264,7 @@ object Similarity {
       refineIters: Int = 0
   ): DataFrame = {
     val p = prepared(emb, idCol, vecCol)
-    val cents0 = centroidSample(p, numCentroids)
-    // Optional Lloyd refinement (refineIters > 0) — the k-means upgrade
-    // for CLUSTERED corpora (flag-gated, default off: measured on this
-    // repo's uniform synthetic embeddings it regresses recall, see class
-    // scaladoc). Each iteration: assign every vector to its best
-    // centroid (same O(corpus × numCentroids) broadcast shape as the
-    // quantizer), move each centroid to its cell's elementwise
-    // decimal-exact SUM (same direction as the mean — cosine never sees
-    // magnitude — but order-independent, so the DuckDB oracle mirrors it
-    // bit-for-bit); empty cells keep their position.
-    val cents = (1 to refineIters).foldLeft(cents0) { (c, _) =>
-      val rk = row_number().over(
-        Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
-      val assign = p.crossJoin(broadcast(c))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crk", rk)
-        .filter(col("crk") === 1)
-        .select(col("cid"), col("v"))
-      val sums = assign
-        .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
-        .groupBy(col("cid"), col("j"))
-        .agg(sum(col("x").cast("decimal(38,12)")).as("sx"))
-        .groupBy(col("cid"))
-        .agg(transform(sort_array(collect_list(struct(col("j"), col("sx")))),
-          e => e.getField("sx").cast("double")).as("ncv"))
-        .withColumn("ncn", norm(col("ncv")))
-      c.join(sums, Seq("cid"), "left")
-        .select(col("cid"),
-          coalesce(col("ncv"), col("cv")).as("cv"),
-          coalesce(col("ncn"), col("cn")).as("cn"))
-        .localCheckpoint(false)
-    }
+    val cents = refineCentroids(p, centroidSample(p, numCentroids), refineIters)
     // rank centroids per vector by cosine, ties to the lower cid
     val cellRank = row_number().over(
       Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))

@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * i-1 ordinal (the greedy earliest-completion matching; a key that
   * never reaches step i has NULL from there on).
   *
-  * Scale shape: each stage filters the events to that step's slice
-  * (usually a small fraction) and equi-joins the previous stage's
+  * Scale shape: the event source is scanned ONCE — a (key, ord, type)
+  * projection materializes behind a localCheckpoint barrier (the
+  * removeDupSpans/dsirWeights one-scan discipline; before round 7 each
+  * stage's filter re-planned a fresh scan of `df`, so a 4-step funnel
+  * read the events table 5 times) and every step slice filters THAT
+  * narrow frame. Each stage equi-joins the previous stage's
   * ONE-ROW-PER-KEY frame — key-partitioned shuffles whose inputs are
   * step-sized and key-count-sized, never events × events; every
   * aggregate partial-combines map-side. No global windows, no
@@ -30,11 +34,15 @@ object Funnel {
       steps: Seq[String]
   ): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    var acc = df.groupBy(col(key)).agg(count(lit(1)).as("n_events"))
+    // the one scan: everything downstream (n_events + every step
+    // slice) derives from this narrow checkpointed projection
+    val base = df.select(col(key), ord.as("_o"), typeCol.as("_t"))
+      .localCheckpoint(false)
+    var acc = base.groupBy(col(key)).agg(count(lit(1)).as("n_events"))
     var prev: Option[String] = None
     steps.zipWithIndex.foreach { case (st, i) =>
       val cn = s"step${i}_ord"
-      val slice = df.filter(typeCol === st).select(col(key), ord.as("_o"))
+      val slice = base.filter(col("_t") === st).select(col(key), col("_o"))
       val eligible = prev match {
         case None => slice
         case Some(pc) =>

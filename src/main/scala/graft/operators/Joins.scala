@@ -19,6 +19,47 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Floor division as (x - pmod(x, w)) div w: exact long arithmetic
+    * (IntegralDivide — Column./ would detour through doubles), floor
+    * (not truncate-toward-zero) semantics for negative ordinals, and
+    * identical to DuckDB's integer `//`. Shared by every bucketed
+    * non-equi join below.
+    */
+  private def floorDiv(x: Column, bucketWidth: Long): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    Bridge.column(IntegralDivide(
+      Bridge.expression((x - pmod(x, lit(bucketWidth))).cast("long")),
+      Literal(bucketWidth)))
+  }
+
+  /** The wider of two ordinal types for [[asOfJoin]]'s tagged union —
+    * equal types pass through; mixed NUMERIC types widen to the higher
+    * precedence side (int+long → long, long+double → double) so a wide
+    * right ordinal never silently narrows into the left's type (the
+    * old behavior, which could misorder the union when a long ordinal
+    * truncated to int). Mixed non-numeric types have no safe common
+    * ordering — fail loudly.
+    */
+  private def widerOrdType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType
+  ): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    if (a == b) a
+    else {
+      val rank: Map[DataType, Int] = Map(
+        ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4,
+        FloatType -> 5, DoubleType -> 6)
+      (rank.get(a), rank.get(b)) match {
+        case (Some(ra), Some(rb)) => if (ra >= rb) a else b
+        case _ => throw new IllegalArgumentException(
+          s"asOfJoin ordinals have incompatible types $a vs $b; " +
+            "cast them to a common orderable type first")
+      }
+    }
+  }
+
   /** Left enrichment against the right side reduced to latest-per-key.
     * The reduction happens BEFORE the join, so the join input is
     * O(distinct right keys); when that is small (a dimension table or a
@@ -77,10 +118,11 @@ object Joins {
     val rv = graft.core.Names.fresh(leftCols.toSeq, "_rv")
     val ir = graft.core.Names.fresh(leftCols.toSeq :+ rv, "_ir")
     val ordc = graft.core.Names.fresh(leftCols.toSeq ++ Seq(rv, ir), "_ord")
+    val ordType = widerOrdType(left.schema(leftOrd).dataType, right.schema(rightOrd).dataType)
     val l = left
       .withColumn(rv, lit(null).cast(right.schema(rightVal).dataType))
       .withColumn(ir, lit(0))
-      .withColumn(ordc, col(leftOrd))
+      .withColumn(ordc, col(leftOrd).cast(ordType))
     val r = right.select(
       leftCols.map {
         case c if c == key => col(key)
@@ -88,7 +130,7 @@ object Joins {
       } ++ Seq(
         col(rightVal).as(rv),
         lit(1).as(ir),
-        col(rightOrd).cast(left.schema(leftOrd).dataType).as(ordc)): _*)
+        col(rightOrd).cast(ordType).as(ordc)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ordc).asc, col(ir).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -128,22 +170,12 @@ object Joins {
       bucketWidth: Long
   ): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    // floor division as (x - pmod(x, w)) div w: exact long arithmetic
-    // (IntegralDivide — Column./ would detour through doubles), floor
-    // (not truncate-toward-zero) semantics for negative ordinals, and
-    // identical to DuckDB's integer `//`
-    def floorDiv(x: Column): Column = {
-      import org.apache.spark.sql.graft.Bridge
-      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
-      Bridge.column(IntegralDivide(
-        Bridge.expression((x - pmod(x, lit(bucketWidth))).cast("long")),
-        Literal(bucketWidth)))
-    }
     val bkt = graft.core.Names.fresh(left.columns.toSeq ++ right.columns, "_bkt")
-    val l = left.withColumn(bkt, floorDiv(col(ordCol)))
+    val l = left.withColumn(bkt, floorDiv(col(ordCol), bucketWidth))
     val r = right
       .filter(col(startCol) <= col(endCol)) // malformed intervals match nothing
-      .withColumn(bkt, explode(sequence(floorDiv(col(startCol)), floorDiv(col(endCol)))))
+      .withColumn(bkt, explode(sequence(
+        floorDiv(col(startCol), bucketWidth), floorDiv(col(endCol), bucketWidth))))
     l.join(r, Seq(key, bkt))
       .filter(col(ordCol) >= col(startCol) && col(ordCol) <= col(endCol))
       .drop(bkt)
@@ -180,22 +212,16 @@ object Joins {
       bucketWidth: Long
   ): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def floorDiv(x: Column): Column = {
-      import org.apache.spark.sql.graft.Bridge
-      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
-      Bridge.column(IntegralDivide(
-        Bridge.expression((x - pmod(x, lit(bucketWidth))).cast("long")),
-        Literal(bucketWidth)))
-    }
     val bkt = graft.core.Names.fresh(left.columns.toSeq ++ right.columns, "_bkt")
     def explodeSide(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(s) <= col(e)) // malformed intervals match nothing
-        .withColumn(bkt, explode(sequence(floorDiv(col(s)), floorDiv(col(e)))))
+        .withColumn(bkt, explode(sequence(
+          floorDiv(col(s), bucketWidth), floorDiv(col(e), bucketWidth))))
     explodeSide(left, lStartCol, lEndCol)
       .join(explodeSide(right, rStartCol, rEndCol), Seq(key, bkt))
       .filter(
         col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol) &&
-          col(bkt) === floorDiv(greatest(col(lStartCol), col(rStartCol))))
+          col(bkt) === floorDiv(greatest(col(lStartCol), col(rStartCol)), bucketWidth))
       .drop(bkt)
   }
 

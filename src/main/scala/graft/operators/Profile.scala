@@ -27,7 +27,10 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     val p = graft.functions.StrHash.P
     val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
-      val d = expr(s"try_cast($c AS DOUBLE)")
+      // backtick-quote the interpolated name (escaping embedded
+      // backticks) — a hyphenated/spaced column otherwise mis-parses
+      // inside the try_cast SQL fragment (ADVICE r6)
+      val d = expr(s"try_cast(`${c.replace("`", "``")}` AS DOUBLE)")
       Seq(
         count(col(c)).as(s"_nn_$c"),
         graft.llm.Sketches.kmvAgg(array(strhash(col(c).cast("string"))), k)

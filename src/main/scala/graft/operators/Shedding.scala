@@ -98,7 +98,9 @@ object Shedding {
     * the mixture-building draw ("sample sources by token count") that
     * [[sampleFractions]]'s per-group RATE cut cannot express: here
     * heavy docs beat light docs WITHIN a group, k is exact per group,
-    * and no rate table is needed.
+    * and no rate table is needed. Rows with NULL or non-positive weight
+    * are dropped before the draw (p ∝ w ≤ 0 means never eligible) — the
+    * A-Res key is undefined there.
     *
     * Determinism and cross-engine parity: u comes from the same
     * squared-hash draw as [[sampleFractions]] (salt `'wsmp:'`,
@@ -126,7 +128,12 @@ object Shedding {
     val h = graft.functions.GraftFunctions.strhash(
       concat(lit("wsmp:"), col(idCol).cast("string")))
     val u = (pmod(h * h, lit(1000000007L)) + lit(1L)).cast("double") / lit(1000000008.0)
-    val keyed = df.withColumn("es_key", log(u) / weight.cast("double"))
+    // non-positive weights are ineligible, not garbage (ADVICE r6): w = 0
+    // made ln(u)/w = -Inf (silently unselectable) and w < 0 flipped the
+    // key's sign, INVERTING the bias — drop such rows explicitly, the
+    // documented "weight-proportional" contract (p ∝ w ≤ 0 means never)
+    val keyed = df.filter(weight.cast("double") > 0.0)
+      .withColumn("es_key", log(u) / weight.cast("double"))
     graft.plans.TopKPerKey(
       spark, keyed, Seq(groupCol), Seq("es_key" -> true, idCol -> false), k)
       .drop("es_key")

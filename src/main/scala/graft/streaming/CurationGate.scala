@@ -160,10 +160,10 @@ object CurationGate {
       bloomDir: Option[String] = None,
       bloomBits: Int = 1 << 22
   ): Unit = {
+    val priorBloom = bloomDir.flatMap(bd => readBandBloom(spark, bd, beforeEpoch = epoch))
     val stages = gateStages(batch, evalShingles,
       readAccumulated(spark, sigDir, beforeEpoch = Some(epoch)),
-      minQuality, maxOverlap, minJaccard,
-      bloomDir.flatMap(bd => readBandBloom(spark, bd, beforeEpoch = epoch)))
+      minQuality, maxOverlap, minJaccard, priorBloom)
     val kept = stages.accepted
       .localCheckpoint(false) // one computation feeds both writes
     kept.write.mode("overwrite").parquet(s"$acceptedDir/b$epoch")
@@ -173,9 +173,17 @@ object CurationGate {
     // same overwrite-idempotent b<epoch> layout. The NEXT epoch's gate
     // ORs all earlier artifacts ([[readBandBloom]]) instead of ever
     // re-scanning signatures; compact() folds bloom dirs as-is (the
-    // read-side OR is row-order-independent).
+    // read-side OR is row-order-independent). The row carries
+    // saturation telemetry next to the bytes (VERDICT r6 item 4): the
+    // ACCUMULATED fill ratio as of this epoch — once it crosses ~0.5
+    // the gate still answers correctly (one-sided error) but most
+    // probes come back maybe-positive and the pruning economy is gone;
+    // the documented rebuild policy (README) re-sizes into a FRESH
+    // bloom dir at that threshold.
     bloomDir.foreach { bd =>
-      writeBandBloom(spark, Dedup.sigBandBloom(keptSigs, bloomBits), s"$bd/b$epoch")
+      val art = Dedup.sigBandBloom(keptSigs, bloomBits)
+      val acc = priorBloom.fold(art)(graft.functions.BloomKernels.or(_, art))
+      writeBandBloom(spark, art, acc, s"$bd/b$epoch")
     }
     // per-epoch funnel observability — the streaming counterpart of the
     // batch curation funnel: one (stage, survivors) row per gate stage,
@@ -320,14 +328,34 @@ object CurationGate {
         .head().getAs[Array[Byte]](0)
     }.filter(_.nonEmpty)
 
-  /** One artifact row, explicit schema (library code must not derive
-    * product encoders for driver-side constants — REPL rule).
+  /** One artifact row plus its saturation telemetry — `n_bits` /
+    * `n_set` / `fill` describe THIS epoch's artifact, `acc_n_set` /
+    * `acc_fill` the accumulated OR as of this epoch (the number the
+    * rebuild policy watches; it is monotone across epochs). Explicit
+    * schema (library code must not derive product encoders for
+    * driver-side constants — REPL rule).
     */
-  private def writeBandBloom(spark: SparkSession, bloom: Array[Byte], dir: String): Unit = {
+  private def writeBandBloom(
+      spark: SparkSession,
+      bloom: Array[Byte],
+      accBloom: Array[Byte],
+      dir: String
+  ): Unit = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
-    val schema = StructType(Seq(StructField("bloom", BinaryType, nullable = false)))
-    val rows = java.util.Collections.singletonList(Row(bloom))
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StructField, StructType}
+    import graft.functions.BloomKernels
+    val schema = StructType(Seq(
+      StructField("bloom", BinaryType, nullable = false),
+      StructField("n_bits", LongType, nullable = false),
+      StructField("n_set", LongType, nullable = false),
+      StructField("fill", DoubleType, nullable = false),
+      StructField("acc_n_set", LongType, nullable = false),
+      StructField("acc_fill", DoubleType, nullable = false)))
+    val bits = BloomKernels.numBits(bloom)
+    val set = BloomKernels.popcount(bloom)
+    val accSet = BloomKernels.popcount(accBloom)
+    val rows = java.util.Collections.singletonList(Row(
+      bloom, bits, set, set.toDouble / bits, accSet, accSet.toDouble / bits))
     spark.createDataFrame(rows, schema)
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }

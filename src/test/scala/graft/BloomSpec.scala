@@ -141,6 +141,26 @@ class BloomSpec extends SparkSpec {
       s"expected the bloom to prune most of the probe, kept $kept of $total")
   }
 
+  test("bloomGate: NULL-text docs keep their row and resolve definitely-new") {
+    // ADVICE r6: strhash(NULL) is NULL, so the probe was NULL and the
+    // row failed BOTH branch filters — vanishing instead of answering
+    val acc = docs.filter(col("doc_id") % 4 =!= 0)
+    val bloom = Dedup.corpusBloom(acc, "text", Bits, Hashes)
+    val nulled = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("text"))
+    val dups = docs.filter(col("doc_id") % 4 === 1).select(col("doc_id"), col("text"))
+    val batch = nulled.unionAll(dups)
+    val nNull = nulled.count()
+    val nDup = dups.count()
+    val out = Dedup.bloomGate(batch, acc, "doc_id", "text", bloom)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(out.size == nNull + nDup, "one output row per input doc, NULL text included")
+    assert(out.count { case (d, isDup) => d % 4 == 0 && !isDup } == nNull,
+      "every NULL-text doc must keep its row and resolve definitely-new")
+    assert(out.count { case (d, isDup) => d % 4 == 1 && isDup } == nDup,
+      "accumulated-corpus docs still confirm as dups")
+  }
+
   test("a batch with no accumulated overlap resolves every doc bloom-negative or via confirm") {
     // empty-accumulated edge: the bloom is all-zero bits, every probe is
     // false, and the gate answers all-new without touching the join path

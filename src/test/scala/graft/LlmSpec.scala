@@ -269,7 +269,8 @@ class LlmSpec extends SparkSpec {
       docs.sparkSession.range(1)
         .select(graft.functions.GraftFunctions.strhash(lit(s))).as[Long].head()
     }
-    val out = graft.llm.Dedup.removeDupSpans(docs, "doc_id", "text", w = 3)
+    val out = graft.llm.Dedup
+      .removeDupSpans(docs, "doc_id", "text", w = 3, minRunWords = 1)
       .select(col("doc"), col("n_words"), col("n_removed"), col("clean_hash"))
       .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
     // "the quick brown" and "quick brown fox" repeat across docs 1 and 2
@@ -277,6 +278,36 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) == ((2L, 6, 4, h("see run"))))
     assert(out(3L) == ((3L, 2, 0, h("tiny doc"))), "short docs pass through whole")
     assert(out(4L) == ((4L, 9, 9, 0L)), "a fully-excised doc hashes to strhash(\"\") = 0")
+  }
+
+  test("removeDupSpans: a short repeated phrase SURVIVES under the run threshold") {
+    import spark.implicits._
+    // the Lee et al. operating point: a common trigram repeated across
+    // docs is NOT excised — only duplicated REGIONS >= minRunWords are
+    val longDup = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val docs = Seq(
+      (1L, s"intro one the quick fox closes here and then $longDup"),
+      (2L, s"other text the quick fox appears again tail $longDup"),
+      (3L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    def h(s: String): Long =
+      docs.sparkSession.range(1)
+        .select(graft.functions.GraftFunctions.strhash(lit(s))).as[Long].head()
+    val out = graft.llm.Dedup
+      .removeDupSpans(docs, "doc_id", "text", w = 3, minRunWords = 6)
+      .select(col("doc"), col("n_words"), col("n_removed"), col("clean_hash"))
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    // "the quick fox" covers a 3-position run (< 6) in each doc — kept;
+    // the 8-word passage covers an 8-position run (>= 6) — excised
+    assert(out(1L) == ((1L, 17, 8, h("intro one the quick fox closes here and then"))))
+    assert(out(2L) == ((2L, 16, 8, h("other text the quick fox appears again tail"))))
+    assert(out(3L) == ((3L, 4, 0, h("unrelated words only here"))))
+    // per-span excision at the same w cuts the phrase too
+    val perSpan = graft.llm.Dedup
+      .removeDupSpans(docs, "doc_id", "text", w = 3, minRunWords = 1)
+      .select(col("doc"), col("n_removed")).as[(Long, Int)].collect().toMap
+    assert(perSpan(1L) == 11 && perSpan(2L) == 11,
+      "control: without the threshold the trigram run is cut as well")
   }
 
   test("materialize: full repeats exact, fractional draw in {0,1}, deterministic") {
@@ -367,6 +398,24 @@ class LlmSpec extends SparkSpec {
     // es_key never leaks into the output
     assert(!graft.operators.Shedding.weightedSample(spark, d, "source", "doc_id", col("w"), 3)
       .columns.contains("es_key"))
+  }
+
+  test("weightedSample drops non-positive weights instead of sampling garbage") {
+    // ADVICE r6: w = 0 yielded ln(u)/0 = -Inf (silently unselectable)
+    // and w < 0 INVERTED the bias — such rows must be ineligible, and
+    // the positive-weight draw must be unaffected by their presence
+    val good = (1L to 50L).map(i => (i, "s", i.toDouble))
+    val bad = Seq((900L, "s", 0.0), (901L, "s", -5.0))
+    val d = (good ++ bad).toDF("doc_id", "source", "w")
+    val picked = graft.operators.Shedding
+      .weightedSample(spark, d, "source", "doc_id", col("w"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.size == 10 && !picked.contains(900L) && !picked.contains(901L))
+    val cleanOnly = graft.operators.Shedding
+      .weightedSample(spark, good.toDF("doc_id", "source", "w"), "source", "doc_id",
+        col("w"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked == cleanOnly, "ineligible rows must not perturb the draw")
   }
 
   test("packSequences: straddling docs span sequences, offsets chain per group") {

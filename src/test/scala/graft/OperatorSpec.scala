@@ -235,6 +235,36 @@ class OperatorSpec extends SparkSpec {
     assert(out == (1L to 100L).toList)
   }
 
+  test("asOfJoin widens mixed ordinal types instead of narrowing the right side") {
+    // ADVICE r6: a LONG right ordinal silently cast to the left's INT
+    // could wrap and misorder the union — both sides must widen. The
+    // right ord below only orders correctly as a long.
+    val left = Seq(("a", 3), ("a", 10)).toDF("key", "ord")
+    val right = Seq(
+      ("a", 2L, 1.0),
+      ("a", 1L + (1L << 32), 99.0) // wraps to 1 if narrowed to int
+    ).toDF("key", "rord", "rval")
+    val out = Joins.asOfJoin(left, right, "key", "ord", "rord", "rval")
+      .collect().map(r => (r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set((3, Some(1.0)), (10, Some(1.0))),
+      "the future (1+2^32) right row must stay in the future")
+    val bad = Seq(("a", "x", 1.0)).toDF("key", "rord", "rval")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfJoin(left, bad, "key", "ord", "rord", "rval")
+    }
+    assert(e.getMessage.contains("incompatible"))
+  }
+
+  test("Profile.profile quotes column names needing backticks") {
+    val df = Seq((1L, 2.0), (2L, 4.0)).toDF("the-id", "v x")
+    val out = graft.operators.Profile.profile(df, Seq("the-id", "v x"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(4)))))
+      .toMap
+    assert(out("the-id") == ((2L, Some(1.0))))
+    assert(out("v x") == ((2L, Some(2.0))))
+  }
+
   test("asOfJoin keeps caller columns named like its staging columns (_rv/_ir/_ord)") {
     // ADVICE r2: withColumn silently replaces on collision and the final
     // drop then destroys user data — staging names must dodge the caller's

@@ -207,7 +207,7 @@ class PlanSpec extends SparkSpec {
     // with no PARTITION BY serializes the corpus through one task
     assert(!plan.matches("(?s).*Window \\[[^\\]]*windowspecdefinition\\(score.*"),
       s"no window may order globally without a pid partition:\n$plan")
-    assert(plan.contains("windowspecdefinition(pid"),
+    assert(plan.contains("windowspecdefinition(_pid"),
       s"the cumsum window must partition by pid:\n$plan")
   }
 
@@ -255,6 +255,22 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected a single table scan, found $scans:\n$plan")
   }
 
+  test("Funnel.ordered: the events relation is scanned once, behind the checkpoint") {
+    // VERDICT r6 item 1: each step's filter used to re-plan a fresh
+    // scan of the source (N+1 scans for an N-step funnel). The narrow
+    // (key, ord, type) projection now materializes once; the final plan
+    // must contain ZERO direct parquet scans — every slice reads the
+    // checkpointed frame.
+    import org.apache.spark.sql.functions._
+    val plan = planOf(graft.operators.Funnel.ordered(
+      Tables.events(spark, dir), "user_id", col("event_id"), col("event_type"),
+      Seq("view", "click", "purchase")))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"expected all stages to read the one checkpointed scan, found $scans:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed (key, ord, type) frame in the plan:\n$plan")
+  }
+
   test("lineDedup: the document-frequency aggregate partial-combines") {
     val plan = planOf(graft.llm.Dedup.lineDedup(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 4))
@@ -265,7 +281,8 @@ class PlanSpec extends SparkSpec {
 
   test("removeDupSpans: span frequency partial-combines; covered positions int-only") {
     val plan = planOf(graft.llm.Dedup.removeDupSpans(
-      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", w = 3))
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      w = 3, minRunWords = 1))
     val exIdx = plan.indexOf("Exchange hashpartitioning")
     assert(exIdx >= 0 && plan.indexOf("partial_count", exIdx) > exIdx,
       s"the span-frequency aggregate must combine map-side below its exchange:\n$plan")
@@ -276,6 +293,42 @@ class PlanSpec extends SparkSpec {
     assert(covLine.isDefined, s"expected a covered-position exchange:\n$plan")
     assert(!covLine.get.contains("wd#") && !covLine.get.contains("text#"),
       s"the covered-position exchange must carry ints only:\n${covLine.get}")
+  }
+
+  test("unimaxAllocation: no nested-loop/cartesian anywhere in the visible plan") {
+    // VERDICT r6 item 5: the saturation prefix used to ride an
+    // O(slices²) non-equi triangle join, and the θ/slice-count totals
+    // rode single-row crossJoins (BroadcastNestedLoopJoin) — the
+    // prefix now runs GlobalOrder's two-pass machinery and θ collapses
+    // to a driver literal, so no nested-loop survives.
+    import org.apache.spark.sql.functions._
+    val plan = planOf(graft.llm.Mixture.unimaxAllocation(
+      spark.read.parquet(s"$dir/documents.parquet"), "source",
+      size(graft.llm.TextOps.words(col("text"))), budgetTokens = 26000L, maxEpochs = 1))
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the allocation must not plan any nested-loop/cartesian join:\n$plan")
+  }
+
+  test("GlobalOrder.withPrefix: broadcast offsets, pid-partitioned window, no global sort") {
+    // the shared two-pass prefix seam (selectByBudget / shardBalanced /
+    // unimaxAllocation): offsets join as a BROADCAST at any partition
+    // count, the running window partitions by pid (never a
+    // single-partition global window), and the range sort materializes
+    // once behind the checkpoint
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("t"))
+    val pf = graft.core.GlobalOrder.withPrefix(
+      base, Seq(col("t").desc, col("doc_id").asc), col("t"), "cum", "rk")
+    assert(pf.totalRows == base.count())
+    val plan = planOf(pf.df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the partition-offsets join must broadcast:\n$plan")
+    assert(plan.contains("windowspecdefinition(_pid"),
+      s"the running window must partition by pid:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the sorted partitioning must be materialized once:\n$plan")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
   test("dsirWeights: bucket models broadcast; per-doc sum partial-combines") {
@@ -312,6 +365,69 @@ class PlanSpec extends SparkSpec {
       .select("qid", "rank", "nid", "cosine")
       .collect().map(_.toSeq).toSet
     assert(viaIndex == direct, "index probe must equal ivfTopK")
+  }
+
+  test("IvfIndex SQ8 probe: candidate scan reads only the code block, re-rank id-pruned") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-sq8-plan").toString
+    val emb = Tables.embeddings(spark, dir)
+    graft.llm.IvfIndex.write(emb, "vec_id", "embedding", idx, numCentroids = 16,
+      sq8 = true)
+    // the candidate stage executes inside probe() (one control-plane
+    // collect), so its plan is captured via a listener rather than the
+    // returned frame
+    val stagePlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        stagePlans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val probed =
+      try {
+        val p = graft.llm.IvfIndex.probe(spark, idx,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 5, nProbe = 2, sq8Rerank = 3)
+        p.collect() // drive the final stage under the listener too
+        p
+      } finally {
+        // listener events post asynchronously — give the bus a moment
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (System.nanoTime() < deadline && !stagePlans.toArray(Array.empty[String])
+            .exists(_.contains("qv:array<tinyint>"))) Thread.sleep(100)
+        spark.listenerManager.unregister(listener)
+      }
+    val plan = probed.queryExecution.executedPlan.toString
+    // stage 1 must be the NARROW scan: int8 codes without the full
+    // vector column — that column pruning is the 1/8-bytes IO economy
+    import scala.jdk.CollectionConverters._
+    assert(stagePlans.asScala.exists(_.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("qv:array<tinyint>") &&
+          !l.contains("v:array<double>"))),
+      s"expected a code-block-only candidate scan among:\n${stagePlans.asScala.mkString("\n---\n")}")
+    // stage 2 (exact re-rank) reads full vectors but only for the
+    // driver-planted candidate id set (vid In (...)) on pruned cells
+    assert(plan.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("v:array<double>") &&
+          !l.contains("qv:array<tinyint>")),
+      s"expected a full-vector re-rank scan:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(vid[^\\]]*\\].*"),
+      s"the re-rank scan must push the candidate id set:\n$plan")
+    // no one-job twin exists at this exact shape (sq8TopK funnels over
+    // the whole corpus, this funnels within probed cells), so pin the
+    // quality floor instead: exact re-rank of 3k candidates must
+    // recover the plain probe's in-cell top-k on most queries (the
+    // oracle pins the exact result end-to-end)
+    val viaSq8 = probed.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = graft.llm.IvfIndex.probe(spark, idx,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = viaSq8.intersect(plain).size.toDouble / plain.size
+    assert(overlap >= 0.8, s"SQ8 re-rank must recover most exact in-cell top-k, got $overlap")
   }
 
   test("IvfIndex lifecycle: append against the frozen quantizer, probe across roots, compact") {
@@ -508,8 +624,10 @@ class PlanSpec extends SparkSpec {
     val bloom = graft.llm.Dedup.corpusBloom(acc, "text", 1 << 14)
     val plan = planOf(graft.llm.Dedup.bloomGate(docs, acc, "doc_id", "text", bloom))
     // the definitely-new branch resolves in the scan itself (a negated
-    // probe filter, no join above it) ...
-    assert(plan.contains("NOT graft_bloom_contains"),
+    // probe filter — NULL-coalesced to false since round 7, so NULL
+    // text resolves definitely-new instead of vanishing — no join
+    // above it) ...
+    assert(plan.contains("NOT coalesce(graft_bloom_contains"),
       s"bloom-negative docs must resolve scan-side:\n$plan")
     // ... and the confirm join's probe side carries the positive filter
     // BELOW the join (plan text after the join line), so only

@@ -91,25 +91,29 @@ class RecallSpec extends SparkSpec {
     assert(ivf4 >= ivf2, "recall must not shrink with probes")
   }
 
-  test("k-means refinement lifts IVF recall on a clustered corpus") {
+  // 8 well-separated cluster centers in 16 dims, 320 points = center +
+  // small noise: the corpus shape where trained centroids are the
+  // standard upgrade (the repo's synthetic embeddings are uniform, so
+  // the default stays refineIters = 0 — see Similarity scaladoc).
+  // Shared by the k-means and persisted-index tests below.
+  private lazy val clusteredEmb: DataFrame = {
     import spark.implicits._
-    // 8 well-separated cluster centers in 16 dims, 320 points = center +
-    // small noise: the corpus shape where trained centroids are the
-    // standard upgrade (the repo's synthetic embeddings are uniform, so
-    // the default stays refineIters = 0 — see Similarity scaladoc).
     val rnd = new scala.util.Random(42)
     val centers = Array.fill(8, 16)(rnd.nextGaussian())
     val pts = (0 until 320).map { i =>
       val c = centers(i % 8)
       (i.toLong, c.map(x => x + rnd.nextGaussian() * 1.0).toSeq)
     }
-    val cdf = pts.toDF("vec_id", "embedding")
-    cdf.localCheckpoint(true).createOrReplaceTempView("clustered_emb")
-    val cemb = spark.table("clustered_emb")
+    pts.toDF("vec_id", "embedding").localCheckpoint(true)
+  }
+  private lazy val ctruth: Set[(Long, Long)] = pairs(
+    Similarity.bruteTopK(clusteredEmb, "vec_id", "embedding", col("vid") % 40 === 0, 5))
+  private def crecall(df: DataFrame): Double =
+    pairs(df).intersect(ctruth).size.toDouble / ctruth.size
+
+  test("k-means refinement lifts IVF recall on a clustered corpus") {
+    val cemb = clusteredEmb
     val q = col("vid") % 40 === 0
-    val ctruth = pairs(Similarity.bruteTopK(cemb, "vec_id", "embedding", q, 5))
-    def crecall(df: DataFrame) =
-      pairs(df).intersect(ctruth).size.toDouble / ctruth.size
     val fixed = crecall(Similarity.ivfTopK(
       cemb, "vec_id", "embedding", q, 5, numCentroids = 8, nProbe = 1))
     val refined = crecall(Similarity.ivfTopK(
@@ -128,6 +132,36 @@ class RecallSpec extends SparkSpec {
     info(s"agnostic=$agnostic learned=$learned")
     assert(learned > agnostic,
       s"learned planes ($learned) must beat data-agnostic planes ($agnostic) on clustered data")
+  }
+
+  test("persisted IVF index: refined quantizer >= sampled quantizer at equal nProbe") {
+    // VERDICT r6 top item: IvfIndex.write now accepts the Lloyd-refined
+    // quantizer; the refined index's recall must floor at (here: beat)
+    // the hash-sampled-quantizer index probed identically, and the
+    // persisted lifecycle must reproduce the one-job refined operator.
+    val cemb = clusteredEmb
+    val queries = cemb.filter(col("vec_id") % 40 === 0)
+    val idxS = java.nio.file.Files.createTempDirectory("graft-ivf-recall-s").toString
+    val idxR = java.nio.file.Files.createTempDirectory("graft-ivf-recall-r").toString
+    graft.llm.IvfIndex.write(cemb, "vec_id", "embedding", idxS, numCentroids = 8)
+    graft.llm.IvfIndex.write(cemb, "vec_id", "embedding", idxR,
+      numCentroids = 8, refineIters = 4)
+    val sampled = crecall(graft.llm.IvfIndex.probe(
+      spark, idxS, queries, "vec_id", "embedding", k = 5, nProbe = 1))
+    val refined = crecall(graft.llm.IvfIndex.probe(
+      spark, idxR, queries, "vec_id", "embedding", k = 5, nProbe = 1))
+    info(s"index sampled=$sampled refined=$refined")
+    assert(refined >= sampled,
+      s"refined-index recall ($refined) must floor at the sampled index ($sampled)")
+    assert(refined >= 0.6, s"refined 1-probe index recall regressed: $refined")
+    // lifecycle ≡ one-job: the persisted refined probe returns the same
+    // pairs as ivfTopK with the same refinement
+    val oneJob = pairs(Similarity.ivfTopK(
+      cemb, "vec_id", "embedding", col("vid") % 40 === 0, 5,
+      numCentroids = 8, nProbe = 1, refineIters = 4))
+    val viaIndex = pairs(graft.llm.IvfIndex.probe(
+      spark, idxR, queries, "vec_id", "embedding", k = 5, nProbe = 1))
+    assert(viaIndex == oneJob, "persisted refined lifecycle must equal the one-job operator")
   }
 
   test("hardNegatives: near-dups excluded before ranking, ceiling respected") {

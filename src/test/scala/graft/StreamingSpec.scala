@@ -609,6 +609,25 @@ class StreamingSpec extends SparkSpec {
 
     // before any epoch exists the roll-up is None (empty OR sentinel)
     assert(CurationGate.readBandBloom(spark, bloomDir, beforeEpoch = 0L).isEmpty)
+
+    // saturation telemetry rides each artifact row (VERDICT r6 item 4):
+    // per-epoch fill plus the ACCUMULATED fill the rebuild policy
+    // watches — monotone across epochs, consistent with the bytes, and
+    // strictly growing here (both epochs accept docs with fresh bands)
+    val tele = spark.read.parquet(s"$bloomDir/b0", s"$bloomDir/b1")
+      .select("n_bits", "n_set", "fill", "acc_n_set", "acc_fill")
+      .orderBy("acc_n_set")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(tele.length == 2)
+    tele.foreach { case (nBits, nSet, fill, accSet, accFill) =>
+      assert(nBits == (1L << 18))
+      assert(nSet > 0 && fill == nSet.toDouble / nBits)
+      assert(accSet >= nSet && accFill == accSet.toDouble / nBits)
+      assert(accFill < 0.5, "test corpus must sit far from the rebuild threshold")
+    }
+    assert(tele(0)._4 < tele(1)._4, "accumulated fill must grow as epochs accrue")
+    assert(tele(1)._4 == graft.functions.BloomKernels.popcount(rolled),
+      "the last epoch's acc_n_set must equal the rolled artifact's popcount")
   }
 
   test("streaming corpus monitor: sketch state across micro-batches == batch sketches") {
