@@ -20,6 +20,15 @@ import graft.functions.GraftFunctions.strhash
   * needed). NULLs count but never enter the sketch (the KMV null-skip
   * rule). min/max run over `try_cast(double)` — NULL for
   * non-numeric columns.
+  *
+  * Works identically on a STREAMING frame (the CorpusMonitor shape):
+  * the projection is one streaming-legal global aggregate — the KMV
+  * buffer serializes into the state store via TypedImperativeAggregate,
+  * count/min/max are native mergeable buffers, and the reshape is a
+  * stateless projection above it — so an always-on ingest monitor and
+  * the batch data-quality snapshot share THIS function (run the stream
+  * in Complete mode; state is columns × O(k) regardless of stream
+  * length; StreamingSpec pins streamed-final ≡ batch).
   */
 object Profile {
 

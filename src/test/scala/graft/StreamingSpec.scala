@@ -658,6 +658,35 @@ class StreamingSpec extends SparkSpec {
       s"streamed final sketches must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming profile: the batch projection runs as-is under Complete mode") {
+    // VERDICT r6 stretch item: ingest monitoring and the batch
+    // data-quality snapshot share ONE projection — Profile.profile is a
+    // single global aggregate (KMV buffer through the state store, the
+    // CorpusMonitor shape) plus a stateless reshape, so the SAME
+    // function runs on the stream and its final table equals the batch
+    // profile over the same rows.
+    val docsDf = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val batch = graft.operators.Profile.profile(docsDf, Seq("doc_id", "lang", "n_chars"))
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+
+    val rows = docsDf.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val slices = new scala.util.Random(7).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, String, Long)]
+    val stream = graft.operators.Profile.profile(
+      in.toDS().toDF("doc_id", "lang", "n_chars"), Seq("doc_id", "lang", "n_chars"))
+    val q = stream.writeStream.format("memory").queryName("t_profile")
+      .outputMode(OutputMode.Complete()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    // Complete mode rewrites the sink each trigger: the table IS the
+    // final profile
+    val streamed = spark.table("t_profile")
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed-final profile must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("compaction crash recovery: a staged fold finishes without loss or double-count") {
     import graft.streaming.CurationGate
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
