@@ -484,6 +484,33 @@ class PlanSpec extends SparkSpec {
     assert(IvfIndex.compactEpochs(spark, idx) == 0, "second compaction is a no-op")
   }
 
+  test("IvfIndex SQ8 lifecycle: appends inherit the code block, compaction preserves it") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.IvfIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-sq8-life").toString
+    val emb = Tables.embeddings(spark, dir).localCheckpoint(false)
+    val (oldHalf, newHalf) = (emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+    IvfIndex.write(oldHalf, "vec_id", "embedding", idx, numCentroids = 16, sq8 = true)
+    // an epoch append against an SQ8 index must quantize itself — the
+    // epoch root carries the same storage shape as the base
+    IvfIndex.appendEpoch(spark, idx, newHalf, "vec_id", "embedding", epoch = 1L)
+    assert(spark.read.parquet(s"$idx/cells-b1").schema.fieldNames.contains("qv"),
+      "the epoch root must inherit the SQ8 code block")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def probed(): Set[Seq[Any]] =
+      IvfIndex.probe(spark, idx, queries, "vec_id", "embedding",
+          k = 5, nProbe = 2, sq8Rerank = 3)
+        .select("qid", "rank", "nid", "cosine").collect().map(_.toSeq).toSet
+    val before = probed()
+    assert(before.nonEmpty)
+    // compaction folds the epoch without losing the code columns, and
+    // the SQ8 probe answers identically
+    assert(IvfIndex.compactEpochs(spark, idx) == 1)
+    assert(spark.read.parquet(s"$idx/cells").schema.fieldNames.contains("qv"),
+      "compaction must preserve the SQ8 code block")
+    assert(probed() == before, "compaction must preserve SQ8 probe results")
+  }
+
   test("IvfIndex compaction crash recovery: a committed stage finishes without loss") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
