@@ -162,6 +162,81 @@ object Selection {
         sum(col("n") * col("lr")).cast("double").as("dsir_score"))
   }
 
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", arXiv:1911.00359): score every document by the per-token
+    * CROSS-ENTROPY of a hashed bag-of-words language model trained on
+    * a REFERENCE slice (`refPred` — the wiki-like high-quality subset;
+    * CCNet trains a KenLM there and buckets the crawl into
+    * head/middle/tail by perplexity — cross-entropy is ln(ppl), the
+    * same order, so thresholds translate directly). Companion to
+    * [[dsirWeights]]: DSIR scores target-vs-raw contrast, this scores
+    * absolute closeness to the reference distribution — the classic
+    * quality filter.
+    *
+    * Model: words hash into `numBuckets` buckets; reference counts are
+    * add-one smoothed over the bucket space, so buckets unseen in the
+    * reference back off to the floor 1/(T+B) instead of -∞. Per doc:
+    * ce = −Σ_b n(doc,b)·ln(p_ref(b)) / n_tokens.
+    *
+    * Cross-engine FP discipline (the [[dsirWeights]] pattern): each
+    * bucket's log-prob is ln of ONE double division of exact long
+    * operands ((c_b+1) / (T+B)), quantized round(6) → DECIMAL per
+    * term; the per-doc dot product is an exact decimal sum, and the
+    * final ce is one negation and one division of bit-identical
+    * operands — so the raw double hash-matches. (Perplexity itself is
+    * deliberately NOT emitted: exp of an aggregated double is the one
+    * op whose last ulp may differ between engines' libm; callers
+    * threshold in ln-space, which is order-identical.)
+    *
+    * Scale shape: identical to [[dsirWeights]] — the corpus tokenizes
+    * ONCE into per-(doc, bucket) counts (map-side combined), the
+    * reference model is a ≤B-row broadcast at any corpus size, and the
+    * per-doc sum partial-aggregates below its exchange. Docs with zero
+    * words drop out (no bucket rows — mirrored by the oracle's
+    * unnest).
+    *
+    * Output: id, `is_ref`, any `payloadCols`, `n_tokens`,
+    * `cross_entropy` (double, nats per token).
+    */
+  def lmCrossEntropy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refPred: Column,
+      numBuckets: Int = 1 << 12,
+      payloadCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val bLit = lit(numBuckets.toLong)
+    val payload = payloadCols.map(col)
+    val db = docs
+      .select(col(idCol) +: refPred.as("is_ref") +: payload :+
+        explode(TextOps.words(col(textCol))).as("w"): _*)
+      .groupBy(col(idCol) +: col("is_ref") +: payload :+
+        pmod(strhash(col("w")), bLit).as("b"): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds the reference model and the scoring pass
+    val model = db.filter(col("is_ref")).groupBy(col("b"))
+      .agg(sum(col("n")).as("cb"))
+    val tot = model.agg(coalesce(sum(col("cb")), lit(0L)).as("t"))
+    val scored = db
+      .join(broadcast(model), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        round(log((coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+          (col("t") + bLit).cast("double")), 6).cast("decimal(18,6)"))
+    scored
+      .groupBy(col(idCol) +: col("is_ref") +: payload: _*)
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lp")).as("lps"))
+      .select(col(idCol) +: col("is_ref") +: payload :+
+        col("n_tokens") :+
+        (-(col("lps").cast("double")) / col("n_tokens").cast("double"))
+          .as("cross_entropy"): _*)
+  }
+
   /** The DSIR resampling step: draw `k` docs PER `groupCol` slice,
     * without replacement, with probability proportional to the
     * exponentiated [[dsirWeights]] score — via the Gumbel top-k

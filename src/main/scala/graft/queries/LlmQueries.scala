@@ -2483,6 +2483,49 @@ object LlmQueries {
        |FROM o WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
   }
 
+  /** CCNet perplexity-filter stage (Selection.lmCrossEntropy): a
+    * hashed-unigram LM trains on the English reference slice and every
+    * doc scores by per-token cross-entropy against it, then buckets
+    * head/middle/tail at fixed ln-space thresholds (the CCNet
+    * ppl-bucketing, thresholded in ln(ppl) — order-identical). The
+    * oracle replays the hash bucketing, the add-one reference model,
+    * the per-bucket quantized log-prob, the exact decimal dot product,
+    * and the bucket cut.
+    */
+  val lmPerplexity: Q = (s, dir) =>
+    graft.llm.Selection.lmCrossEntropy(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", numBuckets = 4096, payloadCols = Seq("source"))
+      .select(col("doc_id"), col("is_ref"), col("source"), col("n_tokens"),
+        col("cross_entropy"),
+        when(col("cross_entropy") < 3.697, "head")
+          .when(col("cross_entropy") < 3.704, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+
+  val lmPerplexitySql: String =
+    s"""WITH wt AS (
+       |  SELECT doc_id, (lang = 'en') AS is_ref, source,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, is_ref, source, ${strhashSql("w", "d")} % 4096 AS b
+       |  FROM (SELECT doc_id, is_ref, source, unnest(ws) AS w FROM wt)),
+       |db AS (SELECT doc_id, is_ref, source, b, count(*) AS n FROM tok GROUP BY 1, 2, 3, 4),
+       |model AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM db WHERE is_ref GROUP BY 1),
+       |tot AS (SELECT coalesce(CAST(sum(cb) AS BIGINT), 0) AS t FROM model),
+       |sc AS (SELECT d.doc_id, d.is_ref, d.source, d.n,
+       |    CAST(round(ln(CAST(coalesce(m.cb, 0) + 1 AS DOUBLE)
+       |      / CAST(t + 4096 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM db d LEFT JOIN model m USING (b) CROSS JOIN tot),
+       |ag AS (SELECT doc_id, is_ref, source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    -CAST(sum(n * lp) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS cross_entropy
+       |  FROM sc GROUP BY 1, 2, 3)
+       |SELECT doc_id, is_ref, source, n_tokens, cross_entropy,
+       |  CASE WHEN cross_entropy < 3.697 THEN 'head'
+       |       WHEN cross_entropy < 3.704 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM ag ORDER BY doc_id""".stripMargin
+
   /** DSIR importance weights (Selection.dsirWeights): English docs play
     * the target slice; every doc scored by the hashed-unigram
     * log-likelihood ratio of the add-one-smoothed target model over
@@ -2864,6 +2907,7 @@ object LlmQueries {
     "q_select_budget" -> selectBudget,
     "q_shard_balanced" -> shardBalanced,
     "q_dsir_weights" -> dsirWeights,
+    "q_lm_perplexity" -> lmPerplexity,
     "q_dsir_select" -> dsirSelect,
     "q_dsir_pipeline" -> dsirPipeline,
     "q_curation_select" -> curationSelect,
@@ -2951,6 +2995,7 @@ object LlmQueries {
     "q_select_budget" -> selectBudgetSql,
     "q_shard_balanced" -> shardBalancedSql,
     "q_dsir_weights" -> dsirWeightsSql,
+    "q_lm_perplexity" -> lmPerplexitySql,
     "q_dsir_select" -> dsirSelectSql,
     "q_dsir_pipeline" -> dsirPipelineSql,
     "q_curation_select" -> curationSelectSql,

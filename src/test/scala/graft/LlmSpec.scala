@@ -400,6 +400,32 @@ class LlmSpec extends SparkSpec {
       .columns.contains("es_key"))
   }
 
+  test("lmCrossEntropy: reference-like docs score lower, unseen words back off") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, true, "the cat sat on the mat"),
+      (2L, true, "the dog sat on the rug"),
+      (3L, false, "the cat sat on the mat"),        // ref-identical non-ref doc
+      (4L, false, "zygote quasar bungee flux jolt"), // all unseen words
+      (5L, false, "")                                // zero words: drops out
+    ).toDF("doc_id", "is_ref", "text")
+    val out = graft.llm.Selection.lmCrossEntropy(
+        docs, "doc_id", "text", col("is_ref"), numBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "zero-word docs drop out")
+    val ce = out.view.mapValues(_._3).toMap
+    assert(ce(1L) == ce(3L), "the score depends on text alone, not membership")
+    assert(ce(4L) > ce(1L) && ce(4L) > ce(2L),
+      s"off-distribution text must score higher cross-entropy: $ce")
+    // unseen buckets back off to the add-one floor ln((T+B)/1) = the max
+    // possible per-token cost; with every word unseen the doc's ce IS
+    // that floor (up to the per-term quantization)
+    val t = 12L // reference tokens: 2 docs x 6 words
+    val floor = -math.log(1.0 / (t + (1 << 12)))
+    assert(math.abs(ce(4L) - floor) < 1e-4, s"${ce(4L)} vs floor $floor")
+  }
+
   test("weightedSample drops non-positive weights instead of sampling garbage") {
     // ADVICE r6: w = 0 yielded ln(u)/0 = -Inf (silently unselectable)
     // and w < 0 INVERTED the bias — such rows must be ineligible, and
