@@ -219,6 +219,111 @@ object Similarity {
     exact.withColumn("rank", rn).filter(col("rank") <= k)
   }
 
+  /** Product-quantized top-k with exact re-rank (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI —
+    * the ADC+R variant): vectors split into `m` subspaces of
+    * `dims / m` dimensions; each subspace quantizes to one of `ksub`
+    * codewords (nearest by L2, ties to the lower code), so a vector
+    * compresses to m small codes — at m=8 that is 8 BYTES per vector,
+    * an 8× cut over [[sq8TopK]]'s d codes and 64× over the raw
+    * doubles. A query never touches codes directly: it precomputes the
+    * m × ksub table of subspace dot products against every codeword
+    * (the ADC table), candidate scores are table LOOKUPS summed over
+    * subspaces, and the top `rerankDepth × k` per query pay the
+    * full-precision cosine.
+    *
+    * Codebooks are deterministic and DRIVER-BUILT (the
+    * [[lshTopKLearned]] precedent): the `ksub` corpus vectors with the
+    * smallest `strhash(vid)` (hash-spread like [[centroidSample]]),
+    * sliced per subspace — a ksub × dims constant collected once and
+    * embedded as literals; at any corpus size this is a broadcast-
+    * scale artifact (production systems train codebooks the same way:
+    * once, on a sample, off the hot path).
+    *
+    * Cross-engine determinism: sub-distances are strict left-to-right
+    * folds of exact IEEE ops (Σ (x−c)² via zip_with + [[dot]]); the
+    * argmin tie-breaks by code; each ADC table entry is quantized
+    * round(6) → DECIMAL, so the per-candidate sum over subspaces is
+    * EXACT decimal arithmetic — shuffle order cannot move a bit and
+    * the DuckDB oracle replays the whole funnel.
+    *
+    * Scale shape: encode is one corpus × (m·ksub) broadcast pass with
+    * a map-side-combined argmin (no window); the ADC table is
+    * queries × m × ksub and broadcasts; the candidate aggregate
+    * carries m tiny rows per (query, vector) pair with partial sums
+    * below the exchange. At 100 TB the codes column rides the
+    * [[IvfIndex]] cell layout so ADC runs inside probed cells only —
+    * this operator is the corpus-wide baseline of that composition.
+    */
+  def pqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      dims: Int = 64,
+      rerankDepth: Int = 3
+  ): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must split evenly into m ($m) subspaces")
+    require(ksub > 0, s"ksub must be positive, got $ksub")
+    val dsub = dims / m
+    val p = prepared(emb, idCol, vecCol).localCheckpoint(false) // feeds encode, queries, re-rank
+    // driver-side codebook sample: ksub lowest-strhash vectors, code
+    // index = the deterministic sample order
+    val sample = p
+      .orderBy(graft.functions.GraftFunctions.strhash(col("vid")), col("vid")).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length == ksub,
+      s"corpus has ${sample.length} vectors, need $ksub for the PQ codebook")
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val cbRows = for {
+      s <- 0 until m
+      c <- 0 until ksub
+    } yield Row(s, c, sample(c).slice(s * dsub, (s + 1) * dsub).toSeq)
+    val codebook = spark.createDataFrame(
+      java.util.Arrays.asList(cbRows: _*),
+      StructType(Seq(
+        StructField("s", IntegerType, nullable = false),
+        StructField("c", IntegerType, nullable = false),
+        StructField("cw", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val sub = slice(col("v"), col("s") * dsub + 1, lit(dsub))
+    val diff = zip_with(sub, col("cw"), (x, y) => x - y)
+    // encode: argmin_c ||v_s − c||² per (vid, s) — min over an exact
+    // (l2, c) struct, map-side combinable (no window over the corpus)
+    val codes = p.crossJoin(broadcast(codebook))
+      .withColumn("l2", dot(diff, diff))
+      .groupBy(col("vid"), col("s"))
+      .agg(min(struct(col("l2"), col("c"))).getField("c").as("code"))
+    val qsub = slice(col("qv"), col("s") * dsub + 1, lit(dsub))
+    val qadc = p.filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(codebook))
+      .select(col("qid"), col("s"), col("c"),
+        round(dot(qsub, col("cw")), 6).cast("decimal(18,6)").as("pdot"))
+    val approx = codes.as("e")
+      .join(broadcast(qadc),
+        qadc("s") === col("e.s") && qadc("c") === col("e.code") && col("qid") =!= col("e.vid"))
+      .groupBy(col("qid"), col("e.vid").as("nid"))
+      .agg(sum(col("pdot")).cast("double").as("adc"))
+    val crk = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid")))
+    val cands = approx.withColumn("crk", crk)
+      .filter(col("crk") <= rerankDepth * k)
+      .select(col("qid"), col("nid"))
+    val exact = cands
+      .join(p.select(col("vid").as("qid"), col("v").as("quv"), col("nrm").as("qun")), "qid")
+      .join(p.select(col("vid").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("quv"), col("nv")) / (col("qun") * col("nn"))).as("cosine"))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
+    exact.withColumn("rank", rn).filter(col("rank") <= k)
+  }
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer
     * (every vector is assigned to its highest-cosine centroid), then
     * each query searches its `nProbe` nearest cells.

@@ -607,6 +607,62 @@ object LlmQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM ex)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Product-quantized ANN (Similarity.pqTopK, ADC+R): 8 subspaces ×
+    * 16 codewords from the hash-spread sample, L2 argmin encode, a
+    * decimal-quantized ADC table per query, exact re-rank of the top
+    * 15. The oracle replays codebook construction, the strict-fold
+    * sub-distances, the argmin tie-break, the ADC lookup-sum, and the
+    * re-rank.
+    */
+  val annPq: Q = (s, dir) =>
+    Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  val annPqSql: String = {
+    val l2 =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8), " +
+        "pi -> (t.v[CAST(b.s*8 + pi + 1 AS INT)] - b.cw[CAST(pi + 1 AS INT)]) " +
+        "* (t.v[CAST(b.s*8 + pi + 1 AS INT)] - b.cw[CAST(pi + 1 AS INT)]))), " +
+        "(pa, px) -> pa + px)"
+    val qdot =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8), " +
+        "qi -> q.qv[CAST(b.s*8 + qi + 1 AS INT)] * b.cw[CAST(qi + 1 AS INT)])), " +
+        "(qa, qx) -> qa + qx)"
+    s"""WITH $normCte,
+       |smp0 AS (SELECT vec_id, v FROM n
+       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "p1")}, vec_id LIMIT 16),
+       |smp AS (SELECT v, row_number() OVER (
+       |    ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "p2")}, vec_id) - 1 AS c
+       |  FROM smp0),
+       |cb AS (SELECT sx.s, smp.c,
+       |    list_transform(range(1, 9), ci -> v[CAST(sx.s*8 + ci AS INT)]) AS cw
+       |  FROM smp, (SELECT unnest(range(0, 8)) AS s) sx),
+       |enc0 AS (SELECT t.vec_id AS vid, b.s, b.c, $l2 AS l2 FROM n t, cb b),
+       |enc AS (SELECT vid, s, c AS code FROM (
+       |    SELECT vid, s, c, row_number() OVER (PARTITION BY vid, s ORDER BY l2, c) AS rk
+       |    FROM enc0) WHERE rk = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id % 100 = 0),
+       |qadc AS (SELECT q.qid, b.s, b.c,
+       |    CAST(round($qdot, 6) AS DECIMAL(18,6)) AS pdot
+       |  FROM q, cb b),
+       |ap AS (SELECT a.qid, e.vid AS nid, CAST(sum(a.pdot) AS DOUBLE) AS adc
+       |  FROM enc e JOIN qadc a ON a.s = e.s AND a.c = e.code AND a.qid <> e.vid
+       |  GROUP BY 1, 2),
+       |ck AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS crk
+       |    FROM ap) WHERE crk <= 15),
+       |ex AS (
+       |  SELECT qid, nid, ${dotSql("a.v", "b.v", 64, "e")} / (a.nrm * b.nrm) AS cosine
+       |  FROM ck JOIN n a ON a.vec_id = qid JOIN n b ON b.vec_id = nid)
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM ex)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   /** Same top-k, computed by the custom bounded-heap physical operator
     * (graft.plans.TopKPerKey) — identical oracle proves plan
     * equivalence.
@@ -2864,6 +2920,7 @@ object LlmQueries {
     "q_ann_ivf_index" -> annIvfIndex,
     "q_ann_ivf_index_refined" -> annIvfIndexRefined,
     "q_ann_ivf_sq8" -> annIvfSq8,
+    "q_ann_pq" -> annPq,
     "q_ann_ivf_kmeans" -> annIvfKmeans,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
@@ -2952,6 +3009,7 @@ object LlmQueries {
     "q_ann_ivf_index" -> annIvfSql, // the persisted path must reproduce the one-job result
     "q_ann_ivf_index_refined" -> annIvfKmeansSql, // refined lifecycle ≡ one-job refined
     "q_ann_ivf_sq8" -> annIvfSq8Sql,
+    "q_ann_pq" -> annPqSql,
     "q_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,

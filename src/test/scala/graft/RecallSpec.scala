@@ -44,6 +44,20 @@ class RecallSpec extends SparkSpec {
     assert(ivf8 > ivf2, "recall must scale with probes")
   }
 
+  test("PQ ADC ranking finds real neighbors; recall scales with rerank depth") {
+    // 8-byte codes (8 subspaces × 16 codewords): much lossier than
+    // SQ8's 64 codes, so the ADC ranking is a coarse funnel — the
+    // rerank knob buys recall back, the PQ trade
+    val pq3 = recall(pairs(Similarity.pqTopK(
+      emb, "vec_id", "embedding", col("vid") % 100 === 0, 5, rerankDepth = 3)))
+    val pq10 = recall(pairs(Similarity.pqTopK(
+      emb, "vec_id", "embedding", col("vid") % 100 === 0, 5, rerankDepth = 10)))
+    info(s"pq rerank3=$pq3 rerank10=$pq10")
+    assert(pq3 >= 0.38, s"PQ rerank-3 recall regressed: $pq3 (measured 0.44)")
+    assert(pq10 > pq3, "recall must scale with rerank depth")
+    assert(pq10 >= 0.58, s"PQ rerank-10 recall regressed: $pq10 (measured 0.64)")
+  }
+
   test("SQ8 quantize + re-rank recovers (nearly) the exact top-k") {
     // int8 quantization barely perturbs cosine order, and the exact
     // re-rank of the 3k candidate pool repairs the rest — recall must
