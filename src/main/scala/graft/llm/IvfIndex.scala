@@ -54,13 +54,32 @@ object IvfIndex {
     StructField("qn", DoubleType, nullable = false),
     StructField("cell", LongType, nullable = false)))
 
-  private def storageSchema(sq8: Boolean): StructType =
-    if (!sq8) cellsSchema
-    else StructType(cellsSchema.fields.dropRight(1) ++ sq8Schema.fields.tail)
+  /** The PQ companion column an index with `pqM > 0` stores: `pqc` =
+    * the m subspace codes, positional (code for subspace s at index
+    * s). m BYTES per vector — the [[Similarity.pqTopK]] memory point,
+    * here as a persisted cell column the ADC stage scans instead of
+    * the vectors.
+    */
+  private val pqField = StructField("pqc",
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false), nullable = false)
 
-  /** Does a persisted index carry the SQ8 block? (One footer read.) */
-  private def hasSq8(spark: SparkSession, dir: String): Boolean =
-    spark.read.parquet(s"$dir/cells").schema.fieldNames.contains("qv")
+  private val pqScanSchema = StructType(Seq(
+    cellsSchema.fields.head, pqField, cellsSchema.fields.last))
+
+  private def storageSchema(sq8: Boolean, pq: Boolean): StructType =
+    StructType(
+      (cellsSchema.fields.dropRight(1) ++
+        (if (sq8) sq8Schema.fields.tail.dropRight(1) else Array.empty[StructField]) ++
+        (if (pq) Array(pqField) else Array.empty[StructField])) :+
+        cellsSchema.fields.last)
+
+  /** Which companion blocks does a persisted index carry? (One footer
+    * read.)
+    */
+  private def storedBlocks(spark: SparkSession, dir: String): (Boolean, Boolean) = {
+    val names = spark.read.parquet(s"$dir/cells").schema.fieldNames
+    (names.contains("qv"), names.contains("pqc"))
+  }
 
   /** Add the SQ8 block to a frame carrying `v`: codes are
     * `floor(x·127/max|x|)` with the all-zero vector quantized to the
@@ -106,7 +125,9 @@ object IvfIndex {
       dir: String,
       numCentroids: Int,
       refineIters: Int = 0,
-      sq8: Boolean = false
+      sq8: Boolean = false,
+      pqM: Int = 0,
+      pqKsub: Int = 16
   ): Unit = {
     val p = Similarity.prepared(emb, idCol, vecCol)
     // feeds its own write AND the assignment crossJoin — barrier once
@@ -115,11 +136,22 @@ object IvfIndex {
       .localCheckpoint(false)
     val cellRank = row_number().over(
       Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid")))
-    val assigned = p.crossJoin(broadcast(cents))
+    val assigned0 = p.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("crk", cellRank)
       .filter(col("crk") === 1)
       .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
+    // the PQ book builds from the SAME prepared corpus and persists
+    // next to the quantizer — appends and probes encode against the
+    // frozen book, like the frozen coarse quantizer
+    val assigned = if (pqM <= 0) assigned0 else {
+      val a = assigned0.localCheckpoint(false) // feeds encode and the code join
+      val dims = p.select(size(col("v"))).head().getInt(0)
+      require(dims % pqM == 0, s"dims ($dims) must split evenly into pqM ($pqM) subspaces")
+      val book = Similarity.pqCodebook(p, pqM, pqKsub, dims / pqM).localCheckpoint(false)
+      book.write.mode("overwrite").parquet(s"$dir/pqbook")
+      a.join(pqCodesColumn(a, book, dims / pqM), Seq("vid"))
+    }
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     // the ONE build shuffle: co-locate each cell before the partitioned
     // write — without it every write task fans out a file into every
@@ -128,6 +160,15 @@ object IvfIndex {
     (if (sq8) withSq8(assigned) else assigned).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
+
+  /** `(vid, pqc)` — the positional code array from
+    * [[Similarity.pqEncode]]'s tall frame.
+    */
+  private def pqCodesColumn(frame: DataFrame, book: DataFrame, dsub: Int): DataFrame =
+    Similarity.pqEncode(frame.select(col("vid"), col("v")), book, dsub)
+      .groupBy(col("vid"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        e => e.getField("code")).cast("array<tinyint>").as("pqc"))
 
   /** Incremental maintenance: assign NEW vectors to the PERSISTED
     * quantizer — frozen, so cell ids stay stable and no existing
@@ -162,8 +203,16 @@ object IvfIndex {
       .filter(col("crk") === 1)
       .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
     // an epoch inherits the index's storage shape — an SQ8 index keeps
-    // quantizing appends with the same frozen formula
-    (if (hasSq8(spark, dir)) withSq8(assigned) else assigned).repartition(col("cell"))
+    // quantizing appends with the same frozen formula, a PQ index
+    // encodes them against the persisted frozen book
+    val (sq8, pq) = storedBlocks(spark, dir)
+    val withPq = if (!pq) assigned else {
+      val a = assigned.localCheckpoint(false) // feeds encode and the code join
+      val book = spark.read.parquet(s"$dir/pqbook")
+      val dsub = book.select(size(col("cw"))).head().getInt(0)
+      a.join(pqCodesColumn(a, book, dsub), Seq("vid"))
+    }
+    (if (sq8) withSq8(withPq) else withPq).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells-b$epoch")
   }
 
@@ -189,7 +238,7 @@ object IvfIndex {
       .map(_.getPath.getName)
     if (epochs.isEmpty) return 0
     val tmp = new org.apache.hadoop.fs.Path(root, StageDir)
-    val schema = storageSchema(hasSq8(spark, dir))
+    val schema = (storageSchema _).tupled(storedBlocks(spark, dir))
     (("cells" +: epochs): Seq[String])
       .map(r => spark.read.schema(schema).parquet(s"$dir/$r"))
       .reduce(_ unionAll _)
@@ -300,6 +349,15 @@ object IvfIndex {
     * sq8Rerank × k) and planted as a driver-side `isin` over `vid`, so
     * parquet row-group stats skip everything else. Same quantization
     * formula as sq8TopK, so the whole funnel stays oracle-replayable.
+    *
+    * `pqRerank` > 0 (requires an index built with `pqM > 0`; mutually
+    * exclusive with sq8Rerank) is the FAISS IVFPQ shape: the candidate
+    * stage scans only the m-BYTE `pqc` code column of the probed
+    * cells, scores by ADC lookup-sums against the PERSISTED frozen
+    * codebook (each table entry decimal-quantized, so sums are exact
+    * — [[Similarity.pqTopK]]'s discipline inside cells), and the top
+    * `pqRerank × k` per query re-rank exactly through the same
+    * id-pruned full-vector scan.
     */
   def probe(
       spark: SparkSession,
@@ -309,8 +367,11 @@ object IvfIndex {
       vecCol: String,
       k: Int,
       nProbe: Int,
-      sq8Rerank: Int = 0
+      sq8Rerank: Int = 0,
+      pqRerank: Int = 0
   ): DataFrame = {
+    require(sq8Rerank <= 0 || pqRerank <= 0,
+      "sq8Rerank and pqRerank are mutually exclusive candidate funnels")
     val cents = spark.read.parquet(s"$dir/centroids")
     val q = Similarity.prepared(queries, idCol, vecCol)
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -334,17 +395,38 @@ object IvfIndex {
       .reduce(_ unionAll _)
     val rn = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
-    if (sq8Rerank <= 0) {
-      val scored = prunedScan(cellsSchema).as("n")
-        .join(broadcast(probes),
-          col("n.cell") === probes("cell") && col("qid") =!= col("n.vid"))
-        .select(
-          col("qid"),
-          col("n.vid").as("nid"),
-          (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine"))
-      scored.withColumn("rank", rn).filter(col("rank") <= k)
-    } else {
-      require(hasSq8(spark, dir),
+    // shared exact-re-rank tail: the candidate PAIR set is
+    // control-plane sized by construction (≤ queries × rerank × k
+    // two-long rows), so the approximate stage collects in ONE action
+    // — it runs exactly once with no checkpoint, the pairs re-enter
+    // the plan as a local relation, and the full-vector scan is pruned
+    // by partition filter PLUS the driver-planted candidate id set
+    // (parquet row-group stats skip everything else)
+    def exactRerank(approx: DataFrame, scoreCol: String, rerank: Int): DataFrame = {
+      val crk = row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col(scoreCol).desc, col("nid")))
+      val candRows = approx.withColumn("crk", crk)
+        .filter(col("crk") <= rerank * k)
+        .select(col("qid"), col("nid"))
+        .collect()
+      val candIds = candRows.map(_.getLong(1)).distinct.toSeq
+      val cands = spark.createDataFrame(
+        java.util.Arrays.asList(candRows: _*),
+        StructType(Seq(
+          StructField("qid", LongType, nullable = false),
+          StructField("nid", LongType, nullable = false))))
+      val full = prunedScan(cellsSchema)
+        .filter(col("vid").isin(candIds: _*))
+        .select(col("vid").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+      val exact = cands
+        .join(full, Seq("nid"))
+        .join(broadcast(probes.select(col("qid"), col("qv"), col("qn")).distinct()), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cosine"))
+      exact.withColumn("rank", rn).filter(col("rank") <= k)
+    }
+    if (sq8Rerank > 0) {
+      require(storedBlocks(spark, dir)._1,
         s"sq8Rerank requires an index built with sq8 = true under $dir")
       // query-side codes (each vector its own scale — the sq8TopK
       // formula); the vmax barrier is the usual CollapseProject guard
@@ -357,40 +439,44 @@ object IvfIndex {
             .otherwise(lit(0.0)).cast("double")))
         .withColumn("qqn", Similarity.norm(col("qqv")))
         .drop("qmax")
-      // stage 1 — candidates from the NARROW code block only
+      // stage 1 — candidates from the NARROW sq8 code block only
       val approx = prunedScan(sq8Schema).as("n")
         .join(broadcast(qCodes),
           col("n.cell") === qCodes("cell") && col("qid") =!= col("n.vid"))
         .select(col("qid"), col("n.vid").as("nid"),
           (dot(col("qqv"), col("n.qv").cast("array<double>")) /
             (col("qqn") * col("n.qn"))).as("qcos"))
-      val crk = row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("nid")))
-      // the candidate PAIR set is control-plane sized by construction
-      // (≤ queries × sq8Rerank × k two-long rows), so it collects in
-      // ONE action — stage 1 runs exactly once with no checkpoint, and
-      // the pairs re-enter the plan as a local relation
-      val candRows = approx.withColumn("crk", crk)
-        .filter(col("crk") <= sq8Rerank * k)
-        .select(col("qid"), col("nid"))
-        .collect()
-      val candIds = candRows.map(_.getLong(1)).distinct.toSeq
-      val cands = spark.createDataFrame(
-        java.util.Arrays.asList(candRows: _*),
-        StructType(Seq(
-          StructField("qid", LongType, nullable = false),
-          StructField("nid", LongType, nullable = false))))
-      // stage 2 — exact re-rank: full vectors of the candidates only
-      // (partition filter + driver-planted id set → row-group skipping)
-      val full = prunedScan(cellsSchema)
-        .filter(col("vid").isin(candIds: _*))
-        .select(col("vid").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
-      val exact = cands
-        .join(full, Seq("nid"))
-        .join(broadcast(probes.select(col("qid"), col("qv"), col("qn")).distinct()), Seq("qid"))
-        .select(col("qid"), col("nid"),
-          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cosine"))
-      exact.withColumn("rank", rn).filter(col("rank") <= k)
+      exactRerank(approx, "qcos", sq8Rerank)
+    } else if (pqRerank > 0) {
+      require(storedBlocks(spark, dir)._2,
+        s"pqRerank requires an index built with pqM > 0 under $dir")
+      val book = spark.read.parquet(s"$dir/pqbook")
+      val dsub = book.select(size(col("cw"))).head().getInt(0)
+      val qadc = Similarity.pqAdcTable(
+          probes.select(col("qid"), col("qv")).distinct(), book, dsub)
+        .select(col("qid").as("aqid"), col("s").as("as"), col("c").as("ac"), col("pdot"))
+      // stage 1 — the m-BYTE code column of the probed cells, exploded
+      // tall and summed through the decimal ADC table
+      val codesTall = prunedScan(pqScanSchema)
+        .select(col("vid"), col("cell"), posexplode(col("pqc")).as(Seq("s", "code")))
+      val approx = codesTall
+        .join(broadcast(probes.select(col("qid"), col("cell"))), Seq("cell"))
+        .filter(col("qid") =!= col("vid"))
+        .join(broadcast(qadc),
+          col("aqid") === col("qid") && col("as") === col("s") &&
+            col("ac") === col("code").cast("int"))
+        .groupBy(col("qid"), col("vid").as("nid"))
+        .agg(sum(col("pdot")).cast("double").as("adc"))
+      exactRerank(approx, "adc", pqRerank)
+    } else {
+      val scored = prunedScan(cellsSchema).as("n")
+        .join(broadcast(probes),
+          col("n.cell") === probes("cell") && col("qid") =!= col("n.vid"))
+        .select(
+          col("qid"),
+          col("n.vid").as("nid"),
+          (dot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm"))).as("cosine"))
+      scored.withColumn("rank", rn).filter(col("rank") <= k)
     }
   }
 }

@@ -270,40 +270,11 @@ object Similarity {
     require(ksub > 0, s"ksub must be positive, got $ksub")
     val dsub = dims / m
     val p = prepared(emb, idCol, vecCol).localCheckpoint(false) // feeds encode, queries, re-rank
-    // driver-side codebook sample: ksub lowest-strhash vectors, code
-    // index = the deterministic sample order
-    val sample = p
-      .orderBy(graft.functions.GraftFunctions.strhash(col("vid")), col("vid")).limit(ksub)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    require(sample.length == ksub,
-      s"corpus has ${sample.length} vectors, need $ksub for the PQ codebook")
-    val spark = emb.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
-    val cbRows = for {
-      s <- 0 until m
-      c <- 0 until ksub
-    } yield Row(s, c, sample(c).slice(s * dsub, (s + 1) * dsub).toSeq)
-    val codebook = spark.createDataFrame(
-      java.util.Arrays.asList(cbRows: _*),
-      StructType(Seq(
-        StructField("s", IntegerType, nullable = false),
-        StructField("c", IntegerType, nullable = false),
-        StructField("cw", ArrayType(DoubleType, containsNull = false), nullable = false))))
-    val sub = slice(col("v"), col("s") * dsub + 1, lit(dsub))
-    val diff = zip_with(sub, col("cw"), (x, y) => x - y)
-    // encode: argmin_c ||v_s − c||² per (vid, s) — min over an exact
-    // (l2, c) struct, map-side combinable (no window over the corpus)
-    val codes = p.crossJoin(broadcast(codebook))
-      .withColumn("l2", dot(diff, diff))
-      .groupBy(col("vid"), col("s"))
-      .agg(min(struct(col("l2"), col("c"))).getField("c").as("code"))
-    val qsub = slice(col("qv"), col("s") * dsub + 1, lit(dsub))
-    val qadc = p.filter(queryPred)
-      .select(col("vid").as("qid"), col("v").as("qv"))
-      .crossJoin(broadcast(codebook))
-      .select(col("qid"), col("s"), col("c"),
-        round(dot(qsub, col("cw")), 6).cast("decimal(18,6)").as("pdot"))
+    val codebook = pqCodebook(p, m, ksub, dsub)
+    val codes = pqEncode(p, codebook, dsub)
+    val qadc = pqAdcTable(
+      p.filter(queryPred).select(col("vid").as("qid"), col("v").as("qv")),
+      codebook, dsub)
     val approx = codes.as("e")
       .join(broadcast(qadc),
         qadc("s") === col("e.s") && qadc("c") === col("e.code") && col("qid") =!= col("e.vid"))
@@ -322,6 +293,62 @@ object Similarity {
     val rn = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid")))
     exact.withColumn("rank", rn).filter(col("rank") <= k)
+  }
+
+  /** The PQ codebook frame (s, c, cw): the `ksub` lowest-strhash
+    * corpus vectors (code index = the deterministic sample order),
+    * sliced per subspace. Driver-collected — a ksub × dims constant at
+    * any corpus size — shared by [[pqTopK]] and the persisted
+    * [[IvfIndex]] PQ cells (which write it next to the quantizer so
+    * appends and probes encode against the FROZEN book).
+    */
+  private[llm] def pqCodebook(p: DataFrame, m: Int, ksub: Int, dsub: Int): DataFrame = {
+    val sample = p
+      .orderBy(graft.functions.GraftFunctions.strhash(col("vid")), col("vid")).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length == ksub,
+      s"corpus has ${sample.length} vectors, need $ksub for the PQ codebook")
+    val spark = p.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val cbRows = for {
+      s <- 0 until m
+      c <- 0 until ksub
+    } yield Row(s, c, sample(c).slice(s * dsub, (s + 1) * dsub).toSeq)
+    spark.createDataFrame(
+      java.util.Arrays.asList(cbRows: _*),
+      StructType(Seq(
+        StructField("s", IntegerType, nullable = false),
+        StructField("c", IntegerType, nullable = false),
+        StructField("cw", ArrayType(DoubleType, containsNull = false), nullable = false))))
+  }
+
+  /** PQ encode: `(vid, s, code)` — argmin_c ||v_s − c||² per
+    * (vid, s), ties to the lower code. Strict-fold exact arithmetic
+    * (zip_with difference + [[dot]]); the argmin is a map-side
+    * combinable min over an exact (l2, c) struct — no corpus window.
+    * Input frame needs (vid, v).
+    */
+  private[llm] def pqEncode(p: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
+    val sub = slice(col("v"), col("s") * dsub + 1, lit(dsub))
+    val diff = zip_with(sub, col("cw"), (x, y) => x - y)
+    p.crossJoin(broadcast(codebook))
+      .withColumn("l2", dot(diff, diff))
+      .groupBy(col("vid"), col("s"))
+      .agg(min(struct(col("l2"), col("c"))).getField("c").as("code"))
+  }
+
+  /** Per-query ADC table `(qid, s, c, pdot)`: subspace dot products
+    * against every codeword, each entry quantized round(6) → DECIMAL
+    * so candidate lookup-sums are exact decimal arithmetic. Input
+    * frame needs (qid, qv).
+    */
+  private[llm] def pqAdcTable(queries: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
+    val qsub = slice(col("qv"), col("s") * dsub + 1, lit(dsub))
+    queries
+      .crossJoin(broadcast(codebook))
+      .select(col("qid"), col("s"), col("c"),
+        round(dot(qsub, col("cw")), 6).cast("decimal(18,6)").as("pdot"))
   }
 
   /** IVF-style approximate top-k: a deterministic coarse quantizer

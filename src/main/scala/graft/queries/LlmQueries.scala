@@ -886,6 +886,80 @@ object LlmQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM ex)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** The FAISS IVFPQ lifecycle (IvfIndex.write pqM = 8 + probe
+    * pqRerank = 3): cells persist 8-byte PQ codes next to the vectors,
+    * the codebook persists frozen next to the quantizer, and the probe
+    * scores candidates by decimal ADC lookup-sums over ONLY the code
+    * column of the probed cells before the id-pruned exact re-rank.
+    * The oracle composes the IVF cell assignment with the PQ
+    * encode/ADC funnel restricted to each query's probed cells.
+    */
+  val annIvfPq: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-ivf-index-pq-q").toString
+    graft.llm.IvfIndex.write(Tables.embeddings(s, dir), "vec_id", "embedding",
+      idx, numCentroids = 64, pqM = 8)
+    graft.llm.IvfIndex.probe(s, idx,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nProbe = 4, pqRerank = 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfPqSql: String = {
+    val l2 =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8), " +
+        "pi -> (t.v[CAST(b.s*8 + pi + 1 AS INT)] - b.cw[CAST(pi + 1 AS INT)]) " +
+        "* (t.v[CAST(b.s*8 + pi + 1 AS INT)] - b.cw[CAST(pi + 1 AS INT)]))), " +
+        "(pa, px) -> pa + px)"
+    val qdot =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8), " +
+        "qi -> q.qfv[CAST(b.s*8 + qi + 1 AS INT)] * b.cw[CAST(qi + 1 AS INT)])), " +
+        "(qa, qx) -> qa + qx)"
+    s"""WITH $normCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "cc")}, vec_id LIMIT 64),
+       |rk AS (
+       |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c.cv", 64, "a")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |  FROM n, c),
+       |asg AS (SELECT vid, v, nrm, cell FROM rk WHERE crk = 1),
+       |smp0 AS (SELECT vec_id, v FROM n
+       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "p1")}, vec_id LIMIT 16),
+       |smp AS (SELECT v, row_number() OVER (
+       |    ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "p2")}, vec_id) - 1 AS c
+       |  FROM smp0),
+       |cb AS (SELECT sx.s, smp.c,
+       |    list_transform(range(1, 9), ci -> v[CAST(sx.s*8 + ci AS INT)]) AS cw
+       |  FROM smp, (SELECT unnest(range(0, 8)) AS s) sx),
+       |enc0 AS (SELECT t.vid, b.s, b.c, $l2 AS l2 FROM asg t, cb b),
+       |enc AS (SELECT vid, s, c AS code FROM (
+       |    SELECT vid, s, c, row_number() OVER (PARTITION BY vid, s ORDER BY l2, c) AS rk
+       |    FROM enc0) WHERE rk = 1),
+       |q AS (SELECT vid AS qid, v AS qfv, cell FROM rk
+       |      WHERE crk <= 4 AND vid % 100 = 0),
+       |qadc AS (SELECT q.qid, b.s, b.c,
+       |    CAST(round($qdot, 6) AS DECIMAL(18,6)) AS pdot
+       |  FROM (SELECT DISTINCT qid, qfv FROM q) q, cb b),
+       |ap AS (SELECT q.qid, t2.vid AS nid, CAST(sum(a.pdot) AS DOUBLE) AS adc
+       |  FROM q JOIN asg t2 ON t2.cell = q.cell AND t2.vid <> q.qid
+       |  JOIN enc e ON e.vid = t2.vid
+       |  JOIN qadc a ON a.qid = q.qid AND a.s = e.s AND a.c = e.code
+       |  GROUP BY 1, 2),
+       |ck AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS crk
+       |    FROM ap) WHERE crk <= 15),
+       |ex AS (
+       |  SELECT qid, nid, ${dotSql("a.v", "b.v", 64, "e")} / (a.nrm * b.nrm) AS cosine
+       |  FROM ck JOIN n a ON a.vec_id = qid JOIN n b ON b.vec_id = nid)
+       |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM ex)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   val annIvfSql: String =
     s"""WITH $normCte,
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
@@ -2921,6 +2995,7 @@ object LlmQueries {
     "q_ann_ivf_index_refined" -> annIvfIndexRefined,
     "q_ann_ivf_sq8" -> annIvfSq8,
     "q_ann_pq" -> annPq,
+    "q_ann_ivf_pq" -> annIvfPq,
     "q_ann_ivf_kmeans" -> annIvfKmeans,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
@@ -3010,6 +3085,7 @@ object LlmQueries {
     "q_ann_ivf_index_refined" -> annIvfKmeansSql, // refined lifecycle ≡ one-job refined
     "q_ann_ivf_sq8" -> annIvfSq8Sql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_ivf_pq" -> annIvfPqSql,
     "q_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,

@@ -484,6 +484,58 @@ class PlanSpec extends SparkSpec {
     assert(IvfIndex.compactEpochs(spark, idx) == 0, "second compaction is a no-op")
   }
 
+  test("IvfIndex PQ probe: candidate scan reads only the m-byte codes; lifecycle holds") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.IvfIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-pq-plan").toString
+    val emb = Tables.embeddings(spark, dir).localCheckpoint(false)
+    val (oldHalf, newHalf) = (emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+    IvfIndex.write(oldHalf, "vec_id", "embedding", idx, numCentroids = 16, pqM = 8)
+    // the frozen codebook persists next to the quantizer
+    assert(spark.read.parquet(s"$idx/pqbook").count() == 8 * 16)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val stagePlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        stagePlans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val before =
+      try {
+        val p = IvfIndex.probe(spark, idx, queries, "vec_id", "embedding",
+          k = 5, nProbe = 2, pqRerank = 3)
+        val rows = p.select("qid", "rank", "nid", "cosine").collect().map(_.toSeq).toSet
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (System.nanoTime() < deadline && !stagePlans.toArray(Array.empty[String])
+            .exists(_.contains("pqc:array<tinyint>"))) Thread.sleep(100)
+        rows
+      } finally spark.listenerManager.unregister(listener)
+    // the ADC stage scans the 8-byte code column, never the vectors
+    import scala.jdk.CollectionConverters._
+    assert(stagePlans.asScala.exists(_.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("pqc:array<tinyint>") &&
+          !l.contains("v:array<double>"))),
+      s"expected a code-only ADC scan among:\n${stagePlans.asScala.mkString("\n---\n")}")
+    // appends encode against the persisted frozen book; compaction
+    // preserves the code column and the probe answer
+    IvfIndex.appendEpoch(spark, idx, newHalf, "vec_id", "embedding", epoch = 1L)
+    assert(spark.read.parquet(s"$idx/cells-b1").schema.fieldNames.contains("pqc"))
+    val withEpoch = IvfIndex.probe(spark, idx, queries, "vec_id", "embedding",
+        k = 5, nProbe = 2, pqRerank = 3)
+      .select("qid", "rank", "nid", "cosine").collect().map(_.toSeq).toSet
+    assert(withEpoch.nonEmpty && withEpoch != before,
+      "the appended half must change the candidate pool")
+    assert(IvfIndex.compactEpochs(spark, idx) == 1)
+    assert(spark.read.parquet(s"$idx/cells").schema.fieldNames.contains("pqc"))
+    val afterCompact = IvfIndex.probe(spark, idx, queries, "vec_id", "embedding",
+        k = 5, nProbe = 2, pqRerank = 3)
+      .select("qid", "rank", "nid", "cosine").collect().map(_.toSeq).toSet
+    assert(afterCompact == withEpoch, "compaction must preserve PQ probe results")
+  }
+
   test("IvfIndex SQ8 lifecycle: appends inherit the code block, compaction preserves it") {
     import org.apache.spark.sql.functions._
     import graft.llm.IvfIndex
