@@ -1941,6 +1941,62 @@ object LlmQueries {
     * the bucket models broadcast, the cumsum runs the two-pass
     * distributed shape.
     */
+  /** The CCNet-era curation chain composed end to end under ONE oracle
+    * — the round-7 sibling of `q_dsir_pipeline`: normalized exact
+    * dedup keeps canonical docs, the perplexity filter scores
+    * survivors against the English reference model and drops the tail
+    * bucket, and the token budget fills best-quality-first
+    * (lowest cross-entropy). One lazy plan: dedup anti-join → one
+    * tokenize → broadcast model → decimal dot → two-pass budget
+    * cumsum.
+    */
+  val ccnetPipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val canon = Dedup.exactNormalized(docs, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val survivors = docs.join(canon, "doc_id")
+    val scored = graft.llm.Selection.lmCrossEntropy(
+      survivors, "doc_id", "text", col("lang") === "en", numBuckets = 4096)
+    val head = scored.filter(col("cross_entropy") < 3.704)
+      .select(col("doc_id"), round(-col("cross_entropy"), 6).as("score"), col("n_tokens"))
+    graft.llm.Selection.selectByBudget(
+        head, "doc_id", "score", col("n_tokens"), budgetTokens = 10000L)
+      .orderBy("doc_id")
+  }
+
+  val ccnetPipelineSql: String =
+    s"""WITH nt AS (SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 \t\n]', ' ', 'g'), '[ \t\n]+', ' ', 'g')) AS ntext
+       |  FROM documents),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM nt
+       |          GROUP BY ${strhashSql("ntext", "h")}, md5(ntext)),
+       |sv AS (SELECT d.* FROM documents d JOIN canon USING (doc_id)),
+       |wt AS (
+       |  SELECT doc_id, (lang = 'en') AS is_ref,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM sv),
+       |tok AS (
+       |  SELECT doc_id, is_ref, ${strhashSql("w", "d")} % 4096 AS b
+       |  FROM (SELECT doc_id, is_ref, unnest(ws) AS w FROM wt)),
+       |db AS (SELECT doc_id, is_ref, b, count(*) AS n FROM tok GROUP BY 1, 2, 3),
+       |model AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM db WHERE is_ref GROUP BY 1),
+       |tot AS (SELECT coalesce(CAST(sum(cb) AS BIGINT), 0) AS t FROM model),
+       |lsc AS (SELECT d.doc_id, d.n,
+       |    CAST(round(ln(CAST(coalesce(m.cb, 0) + 1 AS DOUBLE)
+       |      / CAST(t + 4096 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM db d LEFT JOIN model m USING (b) CROSS JOIN tot),
+       |ag AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    -CAST(sum(n * lp) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ce
+       |  FROM lsc GROUP BY 1),
+       |hd AS (SELECT doc_id, round(-ce, 6) AS score, n_tokens FROM ag WHERE ce < 3.704),
+       |o AS (SELECT doc_id, score, n_tokens AS tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM hd)
+       |SELECT doc_id, score, tokens, cum_tokens
+       |FROM o WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin
+
   val dsirPipeline: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val canon = Dedup.exactNormalized(docs, "doc_id", "text")
@@ -3042,6 +3098,7 @@ object LlmQueries {
     "q_lm_perplexity" -> lmPerplexity,
     "q_dsir_select" -> dsirSelect,
     "q_dsir_pipeline" -> dsirPipeline,
+    "q_ccnet_pipeline" -> ccnetPipeline,
     "q_curation_select" -> curationSelect,
     "q_boilerplate" -> boilerplate,
     "q_curation_funnel" -> curationFunnel,
@@ -3132,6 +3189,7 @@ object LlmQueries {
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_dsir_select" -> dsirSelectSql,
     "q_dsir_pipeline" -> dsirPipelineSql,
+    "q_ccnet_pipeline" -> ccnetPipelineSql,
     "q_curation_select" -> curationSelectSql,
     "q_boilerplate" -> boilerplateSql,
     "q_curation_funnel" -> curationFunnelSql,
