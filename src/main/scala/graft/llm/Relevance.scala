@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,5 +169,72 @@ object Relevance {
         (monotonically_increasing_id() + 1).cast("long").as("rank"),
         col("doc"), col("n_terms_hit"),
         col("score_sum").cast("double").as("score"))
+  }
+
+  /** DCG position weights 1/log2(rank+1) for ranks 1..k, pre-rounded
+    * to 6 decimals ON THE DRIVER so both engines consume identical
+    * DECIMAL literals — the shared-literal discipline (Windows
+    * .decayedSum's ln2) extended to a whole table of constants: the
+    * oracle SQL is generated from this same sequence, so no engine
+    * ever evaluates log2 and libm last-ulp differences cannot exist.
+    */
+  private[graft] def dcgWeights(k: Int): IndexedSeq[java.math.BigDecimal] =
+    (1 to k).map { i =>
+      new java.math.BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** Retrieval-quality evaluation: per-query recall@k, MRR and nDCG@k
+    * of a candidate ranking against a ground-truth top-k — the metric
+    * suite that grades an ANN index (LSH / IVF / PQ funnels) against
+    * the brute-force truth it approximates. Both inputs are
+    * `(qid, rank, nid)` frames as produced by the Similarity top-k
+    * operators; relevance is binary membership in the truth set.
+    *
+    * Exactness: DCG terms are the driver-shared DECIMAL(18,6) weights
+    * (`dcgWeights`), summed exactly; recall and MRR are ratios of
+    * integers ≤ k, whose decimal expansions terminate well inside 6
+    * digits (k ≤ 10), so the final round(…, 6) is boundary-safe.
+    *
+    * Scale shape: inputs are queries×k rows — already the SMALL side
+    * of any pipeline (the corpus never enters this operator). One
+    * (qid, nid) equi-join marks hits, two per-qid aggregations with
+    * map-side combine, one qid join to stitch truth-side norms
+    * (n_truth, ideal DCG) to candidate-side sums. Queries missing from
+    * the candidate frame (index returned nothing) still emit a row
+    * with zero metrics — evaluation never silently drops a query.
+    */
+  def rankingMetrics(truth: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    require(k > 0 && k <= 10,
+      s"k must be in 1..10 (ratio round(,6) boundary-safety argument), got $k")
+    val ws = dcgWeights(k)
+    def wOf(r: Column): Column =
+      (1 to k).foldLeft(lit(null).cast("decimal(18,6)")) { (acc, i) =>
+        when(r === i, lit(ws(i - 1)).cast("decimal(18,6)")).otherwise(acc)
+      }
+    val zeroDec = lit(new java.math.BigDecimal(0).setScale(6)).cast("decimal(18,6)")
+
+    val t = truth.select(col("qid"), col("rank"), col("nid")).filter(col("rank") <= k)
+    val c = cand.select(col("qid"), col("rank"), col("nid")).filter(col("rank") <= k)
+
+    val truthAgg = t.groupBy(col("qid")).agg(
+      count(lit(1)).as("n_truth"),
+      sum(wOf(col("rank"))).as("idcg"))
+    val marked = c.join(
+      t.select(col("qid"), col("nid"), lit(1).as("rel")), Seq("qid", "nid"), "left")
+    val candAgg = marked.groupBy(col("qid")).agg(
+      sum(coalesce(col("rel"), lit(0))).as("n_hits"),
+      min(when(col("rel") === 1, col("rank"))).as("first_hit"),
+      sum(when(col("rel") === 1, wOf(col("rank"))).otherwise(zeroDec)).as("dcg"))
+
+    truthAgg.join(candAgg, Seq("qid"), "left").select(
+      col("qid"),
+      col("n_truth"),
+      coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+      round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_truth"), 6)
+        .as("recall"),
+      coalesce(round(lit(1.0) / col("first_hit"), 6), lit(0.0)).as("mrr"),
+      round(coalesce(col("dcg"), zeroDec).cast("double") / col("idcg").cast("double"), 6)
+        .as("ndcg"))
   }
 }

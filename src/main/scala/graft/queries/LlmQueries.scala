@@ -699,6 +699,51 @@ object LlmQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Retrieval-quality evaluation (Relevance.rankingMetrics): the PQ
+    * funnel's per-query recall@5 / MRR / nDCG@5 against the
+    * brute-force truth — the metric suite that grades every ANN
+    * funnel, as a first-class oracled operator rather than a spec-only
+    * number (PQ at its default re-rank depth is deliberately lossy, so
+    * the metrics have real spread). DCG weights are driver-shared
+    * DECIMAL(18,6) literals (no engine ever evaluates log2); the
+    * oracle nests the proven brute and PQ oracles as the truth and
+    * candidate subqueries and replays the hit join and both per-query
+    * aggregations.
+    */
+  val annEval: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val qp = col("vid") % 100 === 0
+    val truth = Similarity.bruteTopK(emb, "vec_id", "embedding", qp, k = 5)
+    val cand = Similarity.pqTopK(emb, "vec_id", "embedding", qp, k = 5)
+    graft.llm.Relevance.rankingMetrics(truth, cand, k = 5).orderBy("qid")
+  }
+
+  val annEvalSql: String = {
+    val ws = graft.llm.Relevance.dcgWeights(5)
+    def wCase(r: String): String =
+      s"CASE $r " + (1 to 5).map(i =>
+        s"WHEN $i THEN CAST(${ws(i - 1).toPlainString} AS DECIMAL(18,6))").mkString(" ") +
+        " END"
+    s"""WITH tr AS (SELECT qid, rank, nid FROM ($annTopKSql)),
+       |cd AS (SELECT qid, rank, nid FROM ($annPqSql)),
+       |ta AS (SELECT qid, count(*) AS n_truth, sum(${wCase("rank")}) AS idcg
+       |  FROM tr GROUP BY 1),
+       |cr AS (SELECT c.qid, c.rank,
+       |    CASE WHEN t.nid IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM cd c LEFT JOIN tr t ON t.qid = c.qid AND t.nid = c.nid),
+       |ca AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_hits,
+       |    min(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+       |    sum(CASE WHEN rel = 1 THEN ${wCase("rank")}
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS dcg
+       |  FROM cr GROUP BY 1)
+       |SELECT ta.qid, n_truth, COALESCE(n_hits, 0) AS n_hits,
+       |  round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_truth, 6) AS recall,
+       |  COALESCE(round(1.0 / first_hit, 6), 0.0) AS mrr,
+       |  round(CAST(COALESCE(dcg, CAST(0 AS DECIMAL(18,6))) AS DOUBLE)
+       |    / CAST(idcg AS DOUBLE), 6) AS ndcg
+       |FROM ta LEFT JOIN ca ON ca.qid = ta.qid ORDER BY ta.qid""".stripMargin
+  }
+
   /** Data-adaptive LSH (Similarity.lshTopKLearned): 6 hyperplanes built
     * as differences of the 12 lowest-id corpus vectors — deterministic
     * and driver-computed, so the oracle can REBUILD the identical planes
@@ -3044,6 +3089,7 @@ object LlmQueries {
     "q_ann_sq8" -> annSq8,
     "q_ann_topk_plan" -> annTopKPlan,
     "q_ann_lsh" -> annLsh,
+    "q_ann_eval" -> annEval,
     "q_ann_lsh_probe" -> annLshProbe,
     "q_ann_lsh_learned" -> annLshLearned,
     "q_ann_ivf" -> annIvf,
@@ -3135,6 +3181,7 @@ object LlmQueries {
     "q_ann_sq8" -> annSq8Sql,
     "q_ann_topk_plan" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_eval" -> annEvalSql,
     "q_ann_lsh_probe" -> annLshProbeSql,
     "q_ann_lsh_learned" -> annLshLearnedSql,
     "q_ann_ivf" -> annIvfSql,

@@ -47,4 +47,54 @@ class RelevanceSpec extends SparkSpec {
     assert(got(0) == ((1L, 3L, s(2, 3))), s"got ${got(0)}, want d3 at ${s(2, 3)}")
     assert(got(1) == ((2L, 2L, s(1, 2))), s"got ${got(1)}, want d2 at ${s(1, 2)}")
   }
+
+  // ------------------------------------------- retrieval eval metrics
+
+  private def rankFrame(rows: Seq[(Long, Int, Long)]) = {
+    import spark.implicits._
+    rows.toDF("qid", "rank", "nid")
+  }
+
+  test("rankingMetrics: perfect candidates score 1.0 on all metrics") {
+    val truth = rankFrame(Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L)))
+    val got = Relevance.rankingMetrics(truth, truth, k = 3).collect().head
+    assert(got.getAs[Long]("n_truth") == 3 && got.getAs[Long]("n_hits") == 3)
+    assert(got.getAs[Double]("recall") == 1.0)
+    assert(got.getAs[Double]("mrr") == 1.0)
+    assert(got.getAs[Double]("ndcg") == 1.0)
+  }
+
+  test("rankingMetrics: partial hit — hand-computed recall/MRR/nDCG") {
+    val truth = rankFrame(Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L)))
+    val cand = rankFrame(Seq((1L, 1, 99L), (1L, 2, 20L), (1L, 3, 98L)))
+    val got = Relevance.rankingMetrics(truth, cand, k = 3).collect().head
+    val w = Relevance.dcgWeights(3).map(_.doubleValue)
+    assert(got.getAs[Long]("n_hits") == 1)
+    assert(got.getAs[Double]("recall") ==
+      BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getAs[Double]("mrr") == 0.5, "first hit at candidate rank 2")
+    val wantNdcg = BigDecimal(w(1) / (w(0) + w(1) + w(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("ndcg") == wantNdcg)
+  }
+
+  test("rankingMetrics: query missing from candidates still emits a zero row") {
+    val truth = rankFrame(Seq((1L, 1, 10L), (2L, 1, 10L), (2L, 2, 20L)))
+    val cand = rankFrame(Seq((1L, 1, 10L)))
+    val got = Relevance.rankingMetrics(truth, cand, k = 3)
+      .collect().map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(got.size == 2, "no query may be dropped")
+    assert(got(1L).getAs[Double]("recall") == 1.0)
+    val z = got(2L)
+    assert(z.getAs[Long]("n_hits") == 0 && z.getAs[Double]("recall") == 0.0 &&
+      z.getAs[Double]("mrr") == 0.0 && z.getAs[Double]("ndcg") == 0.0)
+  }
+
+  test("rankingMetrics: ranks beyond k are ignored on both sides") {
+    val truth = rankFrame(Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L)))
+    val cand = rankFrame(Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L)))
+    val got = Relevance.rankingMetrics(truth, cand, k = 2).collect().head
+    assert(got.getAs[Long]("n_truth") == 2, "truth rank 3 must be cut at k=2")
+    assert(got.getAs[Long]("n_hits") == 2 && got.getAs[Double]("ndcg") == 1.0)
+  }
 }
