@@ -282,4 +282,82 @@ object Joins {
       "inner"
     ).drop(r(rightPrefix + key)).drop(r("_seq"))
   }
+
+  /** All deletion-neighborhood variants of `str`, hashed: the string
+    * itself plus every single-character deletion, each reduced to
+    * xxhash64 immediately so the variant TEXT never leaves the
+    * projection. Two strings within edit distance 1 always share a
+    * variant (equal → the string itself; substitution at i → both
+    * sides' del_i; insertion/deletion → the shorter string equals one
+    * deletion of the longer), so joining on variant hashes is a
+    * LOSSLESS candidate superset — the FastSS / SymSpell blocking
+    * scheme — and 64-bit hash collisions only ever ADD candidates,
+    * which the exact confirm filter removes.
+    */
+  private def delVariantHashes(str: Column): Column = {
+    val idxs = when(length(str) > 0, sequence(lit(1), length(str)))
+      .otherwise(array().cast("array<int>"))
+    val dels = transform(idxs, i =>
+      concat(str.substr(lit(1), i - 1), str.substr(i + 1, length(str) - i)))
+    array_distinct(transform(concat(array(str), dels), v => xxhash64(v)))
+  }
+
+  /** Fuzzy (edit-distance) equi-style join — record linkage without a
+    * nested loop. Emits every (left, right) pair whose strings are
+    * within `maxDist` Levenshtein edits, found via deletion-neighborhood
+    * blocking: each side explodes to ~len+1 variant HASHES (16 bytes a
+    * row — the exchange carries ids and hashes, never variant text),
+    * candidates are the hash-equal pairs, and an exact
+    * `levenshtein(a, b) <= maxDist` confirm makes the output identical
+    * to the naive all-pairs join (the OperatorSpec equivalence).
+    *
+    * Currently `maxDist = 1` (single-deletion neighborhood); deeper
+    * radii need the recursive deletion set (SymSpell) or PassJoin
+    * segment blocking — same join shape, bigger neighborhoods.
+    *
+    * Scale shape: one variant-hash equi-join (never a cross product),
+    * `distinct` on candidate id pairs BEFORE strings re-attach, so
+    * full text only shuffles for confirmed candidates. A
+    * corpus-frequent string (boilerplate titles) makes its variant
+    * hashes hot keys — cap or pre-dedup exact duplicates first
+    * (Dedup.exact) as the pipeline normally does anyway.
+    */
+  def fuzzyJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      rightId: String,
+      leftStr: String,
+      rightStr: String,
+      maxDist: Int = 1
+  ): DataFrame = {
+    require(maxDist == 1,
+      s"deletion-neighborhood blocking is exact for maxDist = 1 only, got $maxDist")
+    val lv = left
+      .select(col(leftId).as("id_a"),
+        explode(delVariantHashes(col(leftStr))).as("vh"))
+    val rv = right
+      .select(col(rightId).as("id_b"),
+        explode(delVariantHashes(col(rightStr))).as("vh"))
+    val cand = lv.join(rv, "vh").select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(left.select(col(leftId).as("id_a"), col(leftStr).as("str_a")), "id_a")
+      .join(right.select(col(rightId).as("id_b"), col(rightStr).as("str_b")), "id_b")
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"), col("dist"))
+  }
+
+  /** Self-join form of [[fuzzyJoin]]: unordered near-duplicate pairs
+    * (id_a < id_b) within one table — the entity-resolution shape
+    * (near-identical titles / names / addresses).
+    */
+  def fuzzySelfPairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int = 1
+  ): DataFrame =
+    fuzzyJoin(df, df, idCol, idCol, strCol, strCol, maxDist)
+      .filter(col("id_a") < col("id_b"))
 }

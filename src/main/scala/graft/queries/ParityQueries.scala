@@ -492,6 +492,49 @@ object ParityQueries {
       |WHERE e.event_type = 'purchase'
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Fuzzy entity-resolution self-join (Joins.fuzzySelfPairs): all
+    * title pairs within 1 Levenshtein edit, found via deletion-
+    * neighborhood (FastSS/SymSpell) blocking + exact confirm. Titles
+    * are each document's first 4 words; every third doc gets a planted
+    * mutated twin (append / first-char drop / first-char substitution,
+    * one per residue class) so all three edit kinds appear. The oracle
+    * is the NAIVE all-pairs Levenshtein join — the blocking must be a
+    * lossless superset, so the outputs are identical (the
+    * q_range_join adjudication pattern).
+    */
+  val fuzzyJoinQ: Q = (s, dir) => {
+    val titles0 = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat_ws(" ",
+        slice(filter(split(col("text"), " "), w => w =!= ""), 1, 4)).as("title"))
+    val base = titles0.select(col("doc_id").as("id"), col("title"))
+    val mutated = titles0.filter(col("doc_id") % 3 === 0).select(
+      (col("doc_id") + 1000000L).as("id"),
+      when(col("doc_id") % 9 === 0, concat(col("title"), lit("x")))
+        .when(col("doc_id") % 9 === 3, expr("substring(title, 2)"))
+        .otherwise(concat(lit("z"), expr("substring(title, 2)"))).as("title"))
+    Joins.fuzzySelfPairs(base.unionAll(mutated), "id", "title", maxDist = 1)
+      .orderBy("id_a", "id_b")
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH t0 AS (SELECT doc_id,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), fw -> fw <> ''), 1, 4), ' ') AS title
+      |  FROM documents),
+      |base AS (SELECT doc_id AS id, title FROM t0),
+      |m AS (SELECT doc_id + 1000000 AS id,
+      |    CASE WHEN doc_id % 9 = 0 THEN title || 'x'
+      |         WHEN doc_id % 9 = 3 THEN substring(title, 2)
+      |         ELSE 'z' || substring(title, 2) END AS title
+      |  FROM t0 WHERE doc_id % 3 = 0),
+      |c AS (SELECT * FROM base UNION ALL SELECT * FROM m)
+      |SELECT a.id AS id_a, b.id AS id_b, a.title AS str_a, b.title AS str_b,
+      |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+      |FROM c a JOIN c b ON a.id < b.id
+      |WHERE levenshtein(a.title, b.title) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Referential-integrity audit (Profile.integrity): orphaned
     * lineitems and orders. The oracle states the anti-join directly.
     */
@@ -727,6 +770,7 @@ object ParityQueries {
     "q_profile_events" -> profileEvents,
     "q_integrity_check" -> integrityCheck,
     "q_salted_join" -> saltedJoinQ,
+    "q_fuzzy_join" -> fuzzyJoinQ,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -760,6 +804,7 @@ object ParityQueries {
     "q_integrity_check" -> integrityCheckSql,
     "q_salted_join" -> saltedJoinSql,
     "q_shed_sample" -> shedSampleSql,
+    "q_fuzzy_join" -> fuzzyJoinSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_source_counter" -> sourceCounterSql,

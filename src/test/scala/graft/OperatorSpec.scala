@@ -121,6 +121,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("fuzzySelfPairs ≡ naive all-pairs Levenshtein, incl. empty/1-char edges") {
+    val rng = new scala.util.Random(13)
+    // short strings over a 2-letter alphabet: natural distance-1 pairs
+    // of every kind (equal, substitution, insertion, deletion), plus
+    // the degenerate edges
+    val strs = Seq("", "a", "b", "ab") ++
+      (1 to 80).map(_ => (1 to (2 + rng.nextInt(4))).map(_ => ('a' + rng.nextInt(2)).toChar).mkString)
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "title")
+    val naive = df.as("x").crossJoin(df.as("y"))
+      .filter(col("x.id") < col("y.id") &&
+        levenshtein(col("x.title"), col("y.title")) <= 1)
+      .select(col("x.id"), col("y.id")).as[(Long, Long)].collect().toList.sorted
+    assert(naive.nonEmpty, "fixture must produce fuzzy matches")
+    val got = Joins.fuzzySelfPairs(df, "id", "title", maxDist = 1)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toList.sorted
+    assert(got == naive, s"${got.size} vs ${naive.size} pairs")
+    // dist column is the exact edit distance
+    val dists = Joins.fuzzySelfPairs(df, "id", "title").collect()
+    assert(dists.forall(r => r.getAs[Long]("dist") <= 1))
+  }
+
   test("keepIncreasing ≡ reference drop_smaller_values: keeps prefix-max strict increases") {
     val kept = Shedding.keepIncreasing(stream, "key", col("ord"), col("value"))
       .orderBy("key", "ord").select("key", "value").as[(String, Double)].collect().toList
