@@ -535,6 +535,29 @@ object ParityQueries {
       |WHERE levenshtein(a.title, b.title) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** PageRank over the customer↔supplier trade graph (Graph.pageRank):
+    * 5 damped power iterations on the bipartite who-buys-from-whom
+    * edge list (both directions, so the walk is ergodic), node ids
+    * encoded 2·custkey / 2·suppkey+1. The oracle unrolls all five
+    * iterations with the identical quantization, generated by
+    * Graph.pageRankSql from the same constants.
+    */
+  val pageRankQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5).orderBy("node")
+  }
+
+  val pageRankSql: String = {
+    val cs = """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+    graft.operators.Graph.pageRankSql(
+      s"$cs UNION ALL SELECT dst, src FROM ($cs)", iters = 5)
+  }
+
   /** Referential-integrity audit (Profile.integrity): orphaned
     * lineitems and orders. The oracle states the anti-join directly.
     */
@@ -771,6 +794,7 @@ object ParityQueries {
     "q_integrity_check" -> integrityCheck,
     "q_salted_join" -> saltedJoinQ,
     "q_fuzzy_join" -> fuzzyJoinQ,
+    "q_pagerank" -> pageRankQ,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -806,6 +830,7 @@ object ParityQueries {
     "q_shed_sample" -> shedSampleSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_shed_increasing" -> shedIncreasingSql,
+    "q_pagerank" -> pageRankSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_source_counter" -> sourceCounterSql,
     "q_source_fake" -> sourceFakeSql,

@@ -142,6 +142,27 @@ class OperatorSpec extends SparkSpec {
     assert(dists.forall(r => r.getAs[Long]("dist") <= 1))
   }
 
+  test("pageRank: cycle symmetry, mass conservation, hub dominance, dangling redistribution") {
+    import graft.operators.Graph
+    // directed 4-cycle: perfect symmetry — every rank EXACTLY equal
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val cr = Graph.pageRank(cyc, "src", "dst", iters = 5).collect()
+      .map(_.getAs[Double]("rank")).toSet
+    assert(cr.size == 1, s"cycle ranks must be identical, got $cr")
+    assert(math.abs(cr.head - 0.25) < 1e-6)
+
+    // star into a dangling hub: hub outranks every leaf; dangling mass
+    // redistributes so total stays ~1 (not leaking to 0.15-base only)
+    val star = (1L to 10L).map(i => (i, 0L)).toDF("src", "dst")
+    val sr = Graph.pageRank(star, "src", "dst", iters = 10).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(sr(0L) > sr(1L) * 3, s"hub must dominate: ${sr(0L)} vs ${sr(1L)}")
+    assert(cr.sum * 4 > 0.999 && sr.values.sum > 0.999 && sr.values.sum < 1.001,
+      s"mass must be conserved, got ${sr.values.sum}")
+    // leaves are symmetric — identical ranks
+    assert((1L to 10L).map(sr).toSet.size == 1)
+  }
+
   test("keepIncreasing ≡ reference drop_smaller_values: keeps prefix-max strict increases") {
     val kept = Shedding.keepIncreasing(stream, "key", col("ord"), col("value"))
       .orderBy("key", "ord").select("key", "value").as[(String, Double)].collect().toList
