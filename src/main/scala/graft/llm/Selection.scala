@@ -237,6 +237,81 @@ object Selection {
           .as("cross_entropy"): _*)
   }
 
+  /** Interpolated-bigram cross-entropy — [[lmCrossEntropy]]'s model
+    * upgraded one Markov order (the KenLM-direction step CCNet's real
+    * scorer takes): each token scores under
+    * `ln(λ·P_bg(w|prev) + (1−λ)·P_ug(w))` with add-one smoothing on
+    * BOTH hashed models — `P_bg = (c(prev,w)+1)/(c(prev·)+B)`,
+    * `P_ug = (c(w)+1)/(T+B)` — and `prev` of a document's first token
+    * is the reserved start context (bucket id B, outside 0..B−1).
+    *
+    * Token adjacency is built IN ARRAY LAND: the words array zips with
+    * its own 1-shifted self before the explode, so no per-doc window
+    * shuffle exists — the only exchanges are the (doc, prev_b, w_b)
+    * count aggregation and the model joins. Both models are
+    * group-by-bucket aggregates of the SAME counted frame (one corpus
+    * tokenization, localCheckpoint'd); at any corpus size the models
+    * are ≤ B² + B rows — pick `numBuckets` so they broadcast. λ and
+    * 1−λ are driver-computed shared literals; per-token log-probs
+    * quantize round(,6)→DECIMAL before the exact count-weighted sums
+    * (the repo's transcendental-parity pattern).
+    */
+  def lmCrossEntropyBigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refPred: Column,
+      lambda: Double = 0.7,
+      numBuckets: Int = 1 << 12,
+      payloadCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val bLit = lit(numBuckets.toLong)
+    val payload = payloadCols.map(col)
+    val ws = TextOps.words(col(textCol))
+    // prev[i] = words[i-1]; prev[0] = NULL → start-context bucket B
+    val prevArr = when(size(ws) > 0,
+      concat(array(lit(null).cast("string")), slice(ws, lit(1), size(ws) - 1)))
+      .otherwise(array().cast("array<string>"))
+    val db = docs
+      .select(col(idCol) +: refPred.as("is_ref") +: payload :+
+        explode(arrays_zip(ws.as("w"), prevArr.as("p"))).as("z"): _*)
+      .groupBy(col(idCol) +: col("is_ref") +: payload :+
+        pmod(strhash(col("z.w")), bLit).as("wb") :+
+        coalesce(pmod(strhash(col("z.p")), bLit), bLit).as("pb"): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds both models and the scoring pass
+    val ref = db.filter(col("is_ref"))
+    val ug = ref.groupBy(col("wb").as("u_wb")).agg(sum(col("n")).as("cb"))
+    val bg = ref.groupBy(col("pb").as("b_pb"), col("wb").as("b_wb"))
+      .agg(sum(col("n")).as("c2"))
+    val ctx = ref.groupBy(col("pb").as("c_pb")).agg(sum(col("n")).as("c1"))
+    val tot = ug.agg(coalesce(sum(col("cb")), lit(0L)).as("t"))
+    val lamLit = lit(lambda)
+    val omLit = lit(1.0 - lambda)
+    val pBg = (coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + bLit).cast("double")
+    val pUg = (coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+      (col("t") + bLit).cast("double")
+    val scored = db
+      .join(broadcast(bg), col("pb") === col("b_pb") && col("wb") === col("b_wb"), "left")
+      .join(broadcast(ctx), col("pb") === col("c_pb"), "left")
+      .join(broadcast(ug), col("wb") === col("u_wb"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        round(log(lamLit * pBg + omLit * pUg), 6).cast("decimal(18,6)"))
+    scored
+      .groupBy(col(idCol) +: col("is_ref") +: payload: _*)
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lp")).as("lps"))
+      .select(col(idCol) +: col("is_ref") +: payload :+
+        col("n_tokens") :+
+        (-(col("lps").cast("double")) / col("n_tokens").cast("double"))
+          .as("cross_entropy"): _*)
+  }
+
   /** The DSIR resampling step: draw `k` docs PER `groupCol` slice,
     * without replacement, with probability proportional to the
     * exponentiated [[dsirWeights]] score — via the Gumbel top-k

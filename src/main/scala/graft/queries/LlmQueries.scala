@@ -2757,6 +2757,59 @@ object LlmQueries {
        |       WHEN cross_entropy < 3.704 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM ag ORDER BY doc_id""".stripMargin
 
+  /** Interpolated-bigram LM cross-entropy
+    * (Selection.lmCrossEntropyBigram): the q_lm_perplexity model one
+    * Markov order up — ln(0.7·P_bg(w|prev) + 0.3·P_ug(w)) per token,
+    * add-one smoothing on both hashed models, reserved start context
+    * for each document's first token. The oracle replays the zipped
+    * adjacency (list indexing), both models, the shared λ literals,
+    * and the quantized log-prob dot product.
+    */
+  val lmPerplexityBigram: Q = (s, dir) =>
+    graft.llm.Selection.lmCrossEntropyBigram(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", lambda = 0.7, numBuckets = 4096,
+        payloadCols = Seq("source"))
+      .orderBy("doc_id")
+
+  val lmPerplexityBigramSql: String = {
+    val om = new java.math.BigDecimal(1.0 - 0.7).toPlainString
+    val wHash = strhashSql("ws[CAST(pos AS INT)]", "wc")
+    val pHash = strhashSql("ws[CAST(pos - 1 AS INT)]", "pc")
+    s"""WITH wt AS (
+       |  SELECT doc_id, (lang = 'en') AS is_ref, source,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, is_ref, source, $wHash % 4096 AS wb,
+       |    CASE WHEN pos = 1 THEN 4096 ELSE $pHash % 4096 END AS pb
+       |  FROM (SELECT doc_id, is_ref, source, ws,
+       |          unnest(range(1, len(ws)+1)) AS pos FROM wt)),
+       |db AS (SELECT doc_id, is_ref, source, wb, pb, count(*) AS n
+       |  FROM tok GROUP BY 1, 2, 3, 4, 5),
+       |ug AS (SELECT wb, CAST(sum(n) AS BIGINT) AS cb FROM db WHERE is_ref GROUP BY 1),
+       |bg AS (SELECT pb, wb, CAST(sum(n) AS BIGINT) AS c2 FROM db WHERE is_ref GROUP BY 1, 2),
+       |ctx AS (SELECT pb, CAST(sum(n) AS BIGINT) AS c1 FROM db WHERE is_ref GROUP BY 1),
+       |tot AS (SELECT coalesce(CAST(sum(cb) AS BIGINT), 0) AS t FROM ug),
+       |sc AS (SELECT d.doc_id, d.is_ref, d.source, d.n,
+       |    CAST(round(ln(
+       |      CAST(0.7 AS DOUBLE) *
+       |        (CAST(coalesce(b.c2, 0) + 1 AS DOUBLE) / CAST(coalesce(c.c1, 0) + 4096 AS DOUBLE))
+       |      + CAST($om AS DOUBLE) *
+       |        (CAST(coalesce(u.cb, 0) + 1 AS DOUBLE) / CAST(t + 4096 AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS lp
+       |  FROM db d
+       |  LEFT JOIN bg b ON b.pb = d.pb AND b.wb = d.wb
+       |  LEFT JOIN ctx c ON c.pb = d.pb
+       |  LEFT JOIN ug u ON u.wb = d.wb
+       |  CROSS JOIN tot),
+       |ag AS (SELECT doc_id, is_ref, source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    -CAST(sum(n * lp) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS cross_entropy
+       |  FROM sc GROUP BY 1, 2, 3)
+       |SELECT doc_id, is_ref, source, n_tokens, cross_entropy
+       |FROM ag ORDER BY doc_id""".stripMargin
+  }
+
   /** DSIR importance weights (Selection.dsirWeights): English docs play
     * the target slice; every doc scored by the hashed-unigram
     * log-likelihood ratio of the add-one-smoothed target model over
@@ -3142,6 +3195,7 @@ object LlmQueries {
     "q_shard_balanced" -> shardBalanced,
     "q_dsir_weights" -> dsirWeights,
     "q_lm_perplexity" -> lmPerplexity,
+    "q_lm_perplexity_bigram" -> lmPerplexityBigram,
     "q_dsir_select" -> dsirSelect,
     "q_dsir_pipeline" -> dsirPipeline,
     "q_ccnet_pipeline" -> ccnetPipeline,
@@ -3235,6 +3289,7 @@ object LlmQueries {
     "q_dsir_weights" -> dsirWeightsSql,
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_dsir_select" -> dsirSelectSql,
+    "q_lm_perplexity_bigram" -> lmPerplexityBigramSql,
     "q_dsir_pipeline" -> dsirPipelineSql,
     "q_ccnet_pipeline" -> ccnetPipelineSql,
     "q_curation_select" -> curationSelectSql,

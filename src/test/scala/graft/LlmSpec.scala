@@ -426,6 +426,34 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(ce(4L) - floor) < 1e-4, s"${ce(4L)} vs floor $floor")
   }
 
+  test("lmCrossEntropyBigram: word order matters, interpolation backs off to unigram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, true, "a b a b a b a b"),  // strongly ordered reference
+      (2L, true, "a b a b a b"),
+      (3L, false, "a b a b"),          // in-order eval doc
+      (4L, false, "b a b a"),          // same bag of words, reversed order
+      (5L, false, "q r s t")           // all-unseen: pure add-one floor
+    ).toDF("doc_id", "is_ref", "text")
+    val bg = graft.llm.Selection.lmCrossEntropyBigram(
+        docs, "doc_id", "text", col("is_ref"), lambda = 0.7, numBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    val ug = graft.llm.Selection.lmCrossEntropy(
+        docs, "doc_id", "text", col("is_ref"), numBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    // the unigram model cannot see order; the bigram model must
+    assert(ug(3L) == ug(4L), "unigram CE is order-blind")
+    assert(bg(3L) < bg(4L),
+      s"in-order doc must score lower bigram CE: ${bg(3L)} vs ${bg(4L)}")
+    // the interpolated model still separates on-distribution text from
+    // noise. (No claim that bigram CE < unigram CE here: with B = 4096
+    // and single-digit counts, add-one smoothing's c1+B denominator
+    // washes out the conditioning advantage — on a toy corpus the
+    // bigram term is a penalty, which is exactly why CCNet-scale
+    // models train on a large reference slice.)
+    assert(bg(5L) > bg(3L) && bg(5L) > bg(4L))
+  }
+
   test("weightedSample drops non-positive weights instead of sampling garbage") {
     // ADVICE r6: w = 0 yielded ln(u)/0 = -Inf (silently unselectable)
     // and w < 0 INVERTED the bias — such rows must be ineligible, and
