@@ -2810,6 +2810,44 @@ object LlmQueries {
        |FROM ag ORDER BY doc_id""".stripMargin
   }
 
+  /** Bradley–Terry preference aggregation (Preference.bradleyTerry):
+    * pairwise comparisons derived from the event stream — within each
+    * user's timeline, consecutive events of different types duel and
+    * the higher `value` wins (ties and same-type pairs skipped) — then
+    * 3 MM iterations rate the 5 event types. The oracle replays the
+    * lag-window match derivation and the unrolled fixed-point MM fit
+    * (Preference.bradleyTerrySql, generated from the same constants).
+    */
+  val preferenceBt: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val m = Tables.events(s, dir)
+      .select(col("event_type").as("cur_t"), col("value").as("cur_v"),
+        lag("event_type", 1).over(w).as("prev_t"),
+        lag("value", 1).over(w).as("prev_v"))
+      .filter(col("prev_t").isNotNull && col("prev_t") =!= col("cur_t") &&
+        col("cur_v") =!= col("prev_v"))
+      .select(
+        when(col("cur_v") > col("prev_v"), col("cur_t"))
+          .otherwise(col("prev_t")).as("winner"),
+        when(col("cur_v") > col("prev_v"), col("prev_t"))
+          .otherwise(col("cur_t")).as("loser"))
+    graft.llm.Preference.bradleyTerry(m, "winner", "loser", iters = 3)
+      .orderBy("item")
+  }
+
+  val preferenceBtSql: String = {
+    val matches =
+      """SELECT CASE WHEN cur_v > prev_v THEN cur_t ELSE prev_t END AS winner,
+        |       CASE WHEN cur_v > prev_v THEN prev_t ELSE cur_t END AS loser
+        |FROM (SELECT event_type AS cur_t, value AS cur_v,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t,
+        |        lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v
+        |      FROM events)
+        |WHERE prev_t IS NOT NULL AND prev_t <> cur_t AND cur_v <> prev_v""".stripMargin
+    graft.llm.Preference.bradleyTerrySql(matches, iters = 3)
+  }
+
   /** DSIR importance weights (Selection.dsirWeights): English docs play
     * the target slice; every doc scored by the hashed-unigram
     * log-likelihood ratio of the add-one-smoothed target model over
@@ -3196,6 +3234,7 @@ object LlmQueries {
     "q_dsir_weights" -> dsirWeights,
     "q_lm_perplexity" -> lmPerplexity,
     "q_lm_perplexity_bigram" -> lmPerplexityBigram,
+    "q_preference_bt" -> preferenceBt,
     "q_dsir_select" -> dsirSelect,
     "q_dsir_pipeline" -> dsirPipeline,
     "q_ccnet_pipeline" -> ccnetPipeline,
@@ -3291,6 +3330,7 @@ object LlmQueries {
     "q_dsir_select" -> dsirSelectSql,
     "q_lm_perplexity_bigram" -> lmPerplexityBigramSql,
     "q_dsir_pipeline" -> dsirPipelineSql,
+    "q_preference_bt" -> preferenceBtSql,
     "q_ccnet_pipeline" -> ccnetPipelineSql,
     "q_curation_select" -> curationSelectSql,
     "q_boilerplate" -> boilerplateSql,

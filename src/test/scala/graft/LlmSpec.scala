@@ -454,6 +454,26 @@ class LlmSpec extends SparkSpec {
     assert(bg(5L) > bg(3L) && bg(5L) > bg(4L))
   }
 
+  test("bradleyTerry: transitive dominance recovered, zero-win floor, mass ~1") {
+    import spark.implicits._
+    // A beats B 9:1, B beats C 9:1, A beats C 9:1; D loses everything
+    def duels(w: String, l: String, wn: Int, ln: Int) =
+      Seq.fill(wn)((w, l)) ++ Seq.fill(ln)((l, w))
+    val m = (duels("A", "B", 9, 1) ++ duels("B", "C", 9, 1) ++
+      duels("A", "C", 9, 1) ++ Seq.fill(5)(("A", "D")) ++ Seq.fill(5)(("C", "D")))
+      .toDF("winner", "loser")
+    val got = graft.llm.Preference.bradleyTerry(m, "winner", "loser", iters = 5)
+      .collect().map(r => r.getAs[String]("item") ->
+        ((r.getAs[Long]("wins"), r.getAs[Double]("rating")))).toMap
+    assert(got("A")._2 > got("B")._2 && got("B")._2 > got("C")._2 &&
+      got("C")._2 > got("D")._2, s"dominance order must hold: $got")
+    assert(got("D")._1 == 0L, "D never wins")
+    assert(got("D")._2 >= 1e-9, "zero-win items sit at the nano floor, not 0/NaN")
+    val mass = got.values.map(_._2).sum
+    assert(mass > 0.999 && mass < 1.001, s"ratings must normalize, got $mass")
+    assert(got("A")._1 == 23L && got("B")._1 == 10L)
+  }
+
   test("weightedSample drops non-positive weights instead of sampling garbage") {
     // ADVICE r6: w = 0 yielded ln(u)/0 = -Inf (silently unselectable)
     // and w < 0 INVERTED the bias — such rows must be ineligible, and
