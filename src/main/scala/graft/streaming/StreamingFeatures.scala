@@ -738,6 +738,72 @@ object StreamingFeatures {
     * any source) to completion of available data, collecting to an
     * in-memory table. Used by tests and the local demo.
     */
+  /** A weighted-sampling candidate: group + id + weight. */
+  final case class WeightedDoc(group: String, id: Long, weight: Double)
+
+  /** A current selection entry emitted after each micro-batch. */
+  final case class WeightedKeep(group: String, id: Long, weight: Double, esKey: Double)
+
+  // parallel primitive arrays, public like every state class here: the
+  // encoder's generated deserializer needs reflective constructor
+  // access (a private List[case class] state tripped it)
+  final case class WSampleState(
+      ids: Array[Long], weights: Array[Double], keys: Array[Double])
+
+  /** The A-Res key for one candidate — the EXACT JVM replica of
+    * [[graft.operators.Shedding.weightedSample]]'s column expression
+    * (same "wsmp:" salt, same squared-strhash uniform, StrictMath.log
+    * because Spark's Log expression evaluates through StrictMath), so
+    * the streamed selection can equal the batch selection bit-for-bit.
+    */
+  private[graft] def aresKey(id: Long, weight: Double): Double = {
+    val h = graft.functions.StrHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("wsmp:" + id))
+    val u = (h * h % 1000000007L + 1L).toDouble / 1000000008.0
+    StrictMath.log(u) / weight
+  }
+
+  /** Streaming twin of [[graft.operators.Shedding.weightedSample]]:
+    * Efraimidis–Spirakis A-Res top-k per group maintained
+    * incrementally. State is the group's k best (esKey desc, id asc)
+    * entries — O(k) per group, order-insensitive because A-Res keys
+    * are a deterministic function of (id, weight) alone; each
+    * micro-batch folds its candidates (non-positive weights
+    * ineligible, the batch contract) and emits the group's CURRENT
+    * selection, so after any prefix of the stream the emitted set
+    * equals the batch operator run on that prefix (StreamingSpec pins
+    * final-state equality and the mid-stream prefix).
+    */
+  def weightedSampleStream(
+      spark: SparkSession,
+      docs: Dataset[WeightedDoc],
+      k: Int
+  ): Dataset[WeightedKeep] = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val better = (a: WeightedKeep, b: WeightedKeep) =>
+      a.esKey > b.esKey || (a.esKey == b.esKey && a.id < b.id)
+    docs
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[WeightedDoc], state: GroupState[WSampleState]) =>
+          var entries = state.getOption.map { s =>
+            s.ids.indices.toList.map(i =>
+              WeightedKeep(group, s.ids(i), s.weights(i), s.keys(i)))
+          }.getOrElse(Nil)
+          batch.foreach { d =>
+            if (d.weight > 0.0) {
+              val e = WeightedKeep(group, d.id, d.weight, aresKey(d.id, d.weight))
+              entries = (e :: entries).sortWith(better).take(k)
+            }
+          }
+          state.update(WSampleState(
+            entries.map(_.id).toArray, entries.map(_.weight).toArray,
+            entries.map(_.esKey).toArray))
+          entries.iterator
+      }
+  }
+
   def runToMemory[T](
       spark: SparkSession,
       ds: Dataset[T],

@@ -65,6 +65,40 @@ class StreamingSpec extends SparkSpec {
     assert(wins.values.map(_.sum).toList.sorted == batch)
   }
 
+  test("streaming weighted sample: prefix and final selections equal the batch A-Res") {
+    import graft.streaming.StreamingFeatures.WeightedDoc
+    val all = (1L to 120L).map(i =>
+      WeightedDoc(if (i % 2 == 0) "g1" else "g2", i, 1.0 + (i % 7).toDouble))
+    val (b1, b2) = all.partition(_.id <= 60)
+    def batchSel(docs: Seq[WeightedDoc]): Set[(String, Long)] =
+      graft.operators.Shedding.weightedSample(
+          spark, docs.toDF("group", "id", "weight"), "group", "id", col("weight"), k = 8)
+        .select("group", "id").as[(String, Long)].collect().toSet
+    val in = MemoryStream[WeightedDoc]
+    // continuous trigger: AvailableNow would fold both adds into ONE
+    // micro-batch and never exercise the cross-batch state handoff
+    val q = StreamingFeatures.weightedSampleStream(spark, in.toDS(), k = 8)
+      .writeStream.format("memory").queryName("t_wsamp")
+      .outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      // snapshot after batch 1 IS the prefix selection
+      val prefix = spark.table("t_wsamp")
+        .select("group", "id").as[(String, Long)].collect().toSet
+      assert(prefix == batchSel(b1), "mid-stream selection must equal batch-on-prefix")
+      in.addData(b2: _*); q.processAllAvailable()
+      // every final member was emitted in some batch and dominates all
+      // other emitted rows by esKey — so the per-group top-k over the
+      // distinct emitted rows is the final selection
+      val fin = spark.table("t_wsamp").distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy(e => (-e._3, e._2)).take(8)
+        }.map(e => (e._1, e._2)).toSet
+      assert(fin == batchSel(all), "final selection must equal batch-on-everything")
+    } finally q.stop()
+  }
+
   test("streaming running sum accumulates per key") {
     val in = MemoryStream[Update]
     in.addData((1 to 10).map(i => Update("k", i.toLong, i.toDouble)): _*)
