@@ -220,4 +220,44 @@ object Mixture {
         count(lit(1)).as("n_distinct"),
         sum(col("term")).cast("double").as("kl_divergence"))
   }
+
+  /** The deterministic TRAINING ORDER — the last mile after mixing and
+    * selection: in what sequence do samples reach the trainer. Each
+    * slice orders internally by the curriculum (`qualityCol` desc, id
+    * asc — easiest/highest-quality first) and takes stratified
+    * fractional positions `(j + 0.5) / n_slice` in [0, 1); the global
+    * order by position then interleaves every slice proportionally to
+    * its size — at any step prefix, each slice has contributed ≈ its
+    * mixture share, while the curriculum decays in lockstep across
+    * slices. (Repeat-epoch streams: run [[materialize]] first and feed
+    * the repeated docs here with the copy index folded into the id.)
+    *
+    * Position parity is free — one add and one divide on identical
+    * operands in both engines; the global step number comes from the
+    * two-pass [[graft.core.GlobalOrder]] machinery, NEVER a
+    * single-partition window. Per-slice j/n ride an ordinary
+    * slice-partitioned window (the slice is the natural partition).
+    */
+  def trainingOrder(
+      docs: DataFrame,
+      idCol: String,
+      sliceCol: String,
+      qualityCol: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sliceCol)).orderBy(col("_q").desc, col(idCol).asc)
+    val cnt = Window.partitionBy(col(sliceCol))
+    val staged = docs.select(col(idCol), col(sliceCol), qualityCol.as("_q"))
+      .withColumn("_j", row_number().over(w).cast("long") - 1L)
+      .withColumn("_ns", count(lit(1)).over(cnt))
+      .withColumn("pos",
+        (col("_j").cast("double") + lit(0.5)) / col("_ns").cast("double"))
+    graft.core.GlobalOrder
+      .withPrefix(staged,
+        Seq(col("pos").asc, col(sliceCol).asc, col("_j").asc),
+        lit(1L), cumName = "_cum", rankName = "step")
+      .df
+      .select(col("step"), col(sliceCol), col(idCol),
+        (col("_j") + 1L).as("slice_rank"), col("pos"))
+  }
 }

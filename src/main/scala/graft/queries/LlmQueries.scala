@@ -1995,6 +1995,30 @@ object LlmQueries {
     * tokenize → broadcast model → decimal dot → two-pass budget
     * cumsum.
     */
+  /** Deterministic training order (Mixture.trainingOrder): per-source
+    * curriculum (longest docs first, id ties) interleaved by
+    * stratified fractional position so every step prefix holds ≈ each
+    * source's proportional share. The oracle replays the per-slice
+    * windows, the position arithmetic (identical IEEE ops), and the
+    * global order.
+    */
+  val trainingOrderQ: Q = (s, dir) =>
+    graft.llm.Mixture.trainingOrder(
+        Tables.documents(s, dir), "doc_id", "source", col("n_chars"))
+      .orderBy("step")
+
+  val trainingOrderSql: String =
+    """WITH s AS (SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+      |      AS BIGINT) - 1 AS j,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+      |  FROM documents),
+      |p AS (SELECT doc_id, source, j,
+      |    (CAST(j AS DOUBLE) + 0.5) / CAST(ns AS DOUBLE) AS pos FROM s)
+      |SELECT CAST(row_number() OVER (ORDER BY pos, source, j) AS BIGINT) AS step,
+      |  source, doc_id, j + 1 AS slice_rank, pos
+      |FROM p ORDER BY step""".stripMargin
+
   val ccnetPipeline: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val canon = Dedup.exactNormalized(docs, "doc_id", "text")
@@ -3212,6 +3236,7 @@ object LlmQueries {
     "q_mixture_weights" -> mixtureWeights,
     "q_mixture_unimax" -> mixtureUnimax,
     "q_mixture_materialize" -> mixtureMaterialize,
+    "q_training_order" -> trainingOrderQ,
     "q_source_divergence" -> sourceDivergence,
     "q_length_trim" -> lengthTrim,
     "q_chunk_docs" -> chunkDocs,
@@ -3307,6 +3332,7 @@ object LlmQueries {
     "q_mixture_unimax" -> mixtureUnimaxSql,
     "q_mixture_materialize" -> mixtureMaterializeSql,
     "q_source_divergence" -> sourceDivergenceSql,
+    "q_training_order" -> trainingOrderSql,
     "q_length_trim" -> lengthTrimSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pii_redact" -> piiRedactSql,

@@ -474,6 +474,32 @@ class LlmSpec extends SparkSpec {
     assert(got("A")._1 == 23L && got("B")._1 == 10L)
   }
 
+  test("trainingOrder: proportional interleave, per-slice curriculum decay") {
+    import spark.implicits._
+    // slice a: 100 docs, slice b: 50 — a must appear ~2x as often in
+    // every prefix
+    val docs = ((1L to 100L).map(i => (i, "a", (1000 - i).toDouble)) ++
+      (101L to 150L).map(i => (i, "b", (1000 - i).toDouble)))
+      .toDF("id", "slice", "q")
+    val got = graft.llm.Mixture.trainingOrder(docs, "id", "slice", col("q"))
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("slice"),
+        r.getAs[Long]("id"), r.getAs[Long]("slice_rank")))
+    assert(got.length == 150 && got.map(_._1).toSeq == (1L to 150L))
+    // proportionality: every 30-step prefix window stays near 2:1
+    for (p <- Seq(30, 60, 90, 120)) {
+      val na = got.take(p).count(_._2 == "a")
+      assert(math.abs(na - p * 2.0 / 3) <= 1.5, s"prefix $p: $na a-docs")
+    }
+    // curriculum: within each slice, slice_rank (quality-desc order)
+    // strictly increases along the global order
+    for (s <- Seq("a", "b")) {
+      val ranks = got.filter(_._2 == s).map(_._4).toSeq
+      assert(ranks == ranks.sorted && ranks.distinct == ranks,
+        s"slice $s must decay in curriculum order")
+    }
+  }
+
   test("weightedSample drops non-positive weights instead of sampling garbage") {
     // ADVICE r6: w = 0 yielded ln(u)/0 = -Inf (silently unselectable)
     // and w < 0 INVERTED the bias — such rows must be ineligible, and
