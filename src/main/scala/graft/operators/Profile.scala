@@ -88,4 +88,33 @@ object Profile {
       .select(lit(relation).as("relation"), col("n_child"),
         col("n_orphans"), col("min_orphan_key"))
   }
+
+  /** k-anonymity audit + suppression — the privacy gate next to
+    * [[graft.llm.TextAnalysis.piiRedact]]: a row is k-anonymous when
+    * at least k rows share its full quasi-identifier combination
+    * (Sweeney 2002). Returns the input with `class_size` (the row's
+    * equivalence-class population) and `suppressed` (true when
+    * class_size < k — the rows a release must drop or generalize).
+    *
+    * Shape: ONE aggregate keyed by the quasi columns (map-side
+    * combined; classes are vocabulary-sized) joined back on the same
+    * keys — both sides partition identically, and AQE broadcasts the
+    * class table when it is actually small. Never a window over the
+    * full table. NULL quasi values form their own class (null-safe
+    * join keys), matching the GROUP BY the audit is defined by.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymize needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    // class keys renamed before the join: the class table derives from
+    // df, and same-name keys trip the ambiguous-self-join check
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val renamed = quasiCols.foldLeft(classes)((d, c) =>
+      d.withColumnRenamed(c, "_qc_" + c))
+    val cond = quasiCols.map(c => col(c) <=> col("_qc_" + c)).reduce(_ && _)
+    df.join(renamed, cond)
+      .select(df.columns.map(col) :+ col("class_size") :+
+        (col("class_size") < k).as("suppressed"): _*)
+  }
 }

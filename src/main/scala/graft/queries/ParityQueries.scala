@@ -558,6 +558,28 @@ object ParityQueries {
       s"$cs UNION ALL SELECT dst, src FROM ($cs)", iters = 5)
   }
 
+  /** k-anonymity audit (Profile.kAnonymize): every event tagged with
+    * its quasi-identifier equivalence-class size over
+    * (event_type, value band) and the k=5 suppression verdict. The
+    * oracle states the class count + join directly.
+    */
+  val kAnonymityQ: Q = (s, dir) => {
+    val e = events(s, dir).select(
+      col("event_id"), col("event_type"),
+      floor(col("value") / 50.0).cast("long").as("v_band"))
+    graft.operators.Profile.kAnonymize(e, Seq("event_type", "v_band"), k = 5)
+      .orderBy("event_id")
+  }
+
+  val kAnonymitySql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(floor(value / 50.0) AS BIGINT) AS v_band FROM events),
+      |c AS (SELECT event_type, v_band, count(*) AS class_size
+      |  FROM e GROUP BY 1, 2)
+      |SELECT e.event_id, e.event_type, e.v_band, c.class_size,
+      |  c.class_size < 5 AS suppressed
+      |FROM e JOIN c USING (event_type, v_band) ORDER BY event_id""".stripMargin
+
   /** Referential-integrity audit (Profile.integrity): orphaned
     * lineitems and orders. The oracle states the anti-join directly.
     */
@@ -795,6 +817,7 @@ object ParityQueries {
     "q_salted_join" -> saltedJoinQ,
     "q_fuzzy_join" -> fuzzyJoinQ,
     "q_pagerank" -> pageRankQ,
+    "q_k_anonymity" -> kAnonymityQ,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -832,6 +855,7 @@ object ParityQueries {
     "q_shed_increasing" -> shedIncreasingSql,
     "q_pagerank" -> pageRankSql,
     "q_priority_trace" -> priorityTraceSql,
+    "q_k_anonymity" -> kAnonymitySql,
     "q_source_counter" -> sourceCounterSql,
     "q_source_fake" -> sourceFakeSql,
     "q_source_file" -> sourceFileSql

@@ -163,6 +163,23 @@ class OperatorSpec extends SparkSpec {
     assert((1L to 10L).map(sr).toSet.size == 1)
   }
 
+  test("kAnonymize: class sizes, suppression verdicts, NULLs form their own class") {
+    import graft.operators.Profile
+    val rows = Seq(
+      (1L, "a", Some(1)), (2L, "a", Some(1)), (3L, "a", Some(1)), // class of 3
+      (4L, "a", Some(2)),                                          // singleton
+      (5L, "b", None), (6L, "b", None)                             // NULL class of 2
+    ).toDF("id", "qa", "qb")
+    val got = Profile.kAnonymize(rows, Seq("qa", "qb"), k = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("class_size"), r.getAs[Boolean]("suppressed")))).toMap
+    assert(got.size == 6, "every input row must come back exactly once")
+    assert(got(1L) == ((3L, false)) && got(2L) == ((3L, false)) && got(3L) == ((3L, false)))
+    assert(got(4L) == ((1L, true)), "singleton class must suppress at k=3")
+    assert(got(5L) == ((2L, true)) && got(6L) == ((2L, true)),
+      "NULL quasi values must group together (null-safe keys), class of 2 < k")
+  }
+
   test("keepIncreasing ≡ reference drop_smaller_values: keeps prefix-max strict increases") {
     val kept = Shedding.keepIncreasing(stream, "key", col("ord"), col("value"))
       .orderBy("key", "ord").select("key", "value").as[(String, Double)].collect().toList
