@@ -316,4 +316,88 @@ object Sketches {
   def bloomContains(artifact: Column, key: Column): Column =
     Bridge.column(graft.functions.BloomContains(
       Bridge.expression(artifact), Bridge.expression(key)))
+
+  /** Join-cardinality estimation WITHOUT running the join — the
+    * planner-style "how big would A ⋈ B be?" answer from two O(k)
+    * sketches (Beyer et al. 2007's KMV set algebra): per side a KMV
+    * sketch over the DISTINCT join-key hashes, the union sketch as the
+    * bottom-k of the two sketch sets (the bottom-k of a union of
+    * bottom-k sets IS the union's bottom-k), the Jaccard estimate as
+    * the fraction of union-sketch members present in BOTH sides, and
+    *
+    *   inter ≈ jaccard · union,
+    *   |A ⋈ B| ≈ inter · (rows_A / d_A) · (rows_B / d_B)
+    *
+    * — the uniform-frequency assumption every cost-based optimizer
+    * starts from. Deterministic given the hash, so the DuckDB oracle
+    * replays the sketches and arithmetic bit-for-bit.
+    *
+    * Scale shape: each side is ONE aggregate (count + an O(k) KMV
+    * buffer, map-side combined — the exchange carries ≤ k longs per
+    * task); the estimate itself is a 1×1 crossJoin of two single-row
+    * frames and pure array arithmetic. The tables never co-shuffle —
+    * that is the point.
+    */
+  def joinCardinality(
+      left: DataFrame,
+      leftKey: Column,
+      right: DataFrame,
+      rightKey: Column,
+      k: Int = 256
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val p = graft.functions.StrHash.P
+    // the raw polynomial hash of a SHORT key ("12345") never wraps the
+    // modulus — its values concentrate near zero and the order-statistic
+    // estimator (which assumes uniform on [0, P)) inflates by orders of
+    // magnitude (340× measured on sequential orderkeys). One squaring
+    // (the Shedding sampling uniformizer) still carries arithmetic
+    // structure from sequential keys (+49% measured); squaring TWICE
+    // mod P mixes to within the estimator's own ±1/√(k−2) noise
+    // (+4.5% at k=256, vs −6.4% for ideal uniform hashes on the same
+    // draw). Collisions of the 4-to-1 map are negligible at sketch
+    // scales.
+    def keyHash(key: Column): Column = {
+      val h = graft.functions.GraftFunctions.strhash(key.cast("string"))
+      val q = pmod(h * h, lit(p))
+      pmod(q * q, lit(p))
+    }
+    def side(df: DataFrame, key: Column, tag: String): DataFrame = df.agg(
+      count(lit(1)).as(s"rows_$tag"),
+      kmvAgg(array(keyHash(key)), k).as(s"mins_$tag"))
+    def est(mins: Column): Column =
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit((k - 1).toLong * p).cast("double") /
+          element_at(mins, k).cast("double"))
+    val u = slice(array_sort(array_union(col("mins_a"), col("mins_b"))), 1, k)
+    side(left, leftKey, "a").crossJoin(side(right, rightKey, "b"))
+      .withColumn("mins_u", u)
+      .withColumn("est_a", est(col("mins_a")))
+      .withColumn("est_b", est(col("mins_b")))
+      .withColumn("est_union", est(col("mins_u")))
+      .withColumn("m_both",
+        size(array_intersect(array_intersect(col("mins_u"), col("mins_a")),
+          col("mins_b"))).cast("long"))
+      .withColumn("jaccard_est",
+        when(size(col("mins_u")) > 0,
+          round(col("m_both").cast("double") / size(col("mins_u")).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("inter_est",
+        when(size(col("mins_u")) > 0,
+          round(col("m_both").cast("double") / size(col("mins_u")).cast("double") *
+            col("est_union"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("est_join_rows",
+        when(col("est_a") > 0 && col("est_b") > 0,
+          round(col("m_both").cast("double") / size(col("mins_u")).cast("double") *
+            col("est_union") *
+            (col("rows_a").cast("double") / col("est_a")) *
+            (col("rows_b").cast("double") / col("est_b")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("rows_a"), col("rows_b"),
+        round(col("est_a"), 6).as("est_distinct_a"),
+        round(col("est_b"), 6).as("est_distinct_b"),
+        round(col("est_union"), 6).as("est_union"),
+        col("m_both"), col("jaccard_est"), col("inter_est"), col("est_join_rows"))
+  }
 }

@@ -1995,6 +1995,60 @@ object LlmQueries {
     * tokenize → broadcast model → decimal dot → two-pass budget
     * cumsum.
     */
+  /** Join-cardinality estimation (Sketches.joinCardinality): "how big
+    * is orders ⋈ lineitem?" answered from two O(k) KMV sketches and
+    * never a join — the planner-style estimate (true answer ≈ every
+    * lineitem matches, so est_join_rows should land near |lineitem|).
+    * The oracle replays both sketches (rank-k over distinct key
+    * hashes), the union bottom-k, the Jaccard membership count, and
+    * the uniform-frequency arithmetic.
+    */
+  val joinEstimate: Q = (s, dir) =>
+    graft.llm.Sketches.joinCardinality(
+      Tables.orders(s, dir), col("o_orderkey"),
+      Tables.lineitem(s, dir), col("l_orderkey"), k = 256)
+
+  val joinEstimateSql: String = {
+    val kP = 255L * TextOps.P
+    val aH = strhashSql("CAST(o_orderkey AS VARCHAR)", "ja")
+    val bH = strhashSql("CAST(l_orderkey AS VARCHAR)", "jb")
+    def est(m: String): String =
+      s"CASE WHEN len($m) < 256 THEN CAST(len($m) AS DOUBLE) " +
+        s"ELSE CAST($kP AS DOUBLE) / CAST($m[256] AS DOUBLE) END"
+    s"""WITH ah AS (SELECT DISTINCT (q * q) % ${TextOps.P} AS h
+       |  FROM (SELECT (sh * sh) % ${TextOps.P} AS q
+       |        FROM (SELECT $aH AS sh FROM orders))),
+       |bh AS (SELECT DISTINCT (q * q) % ${TextOps.P} AS h
+       |  FROM (SELECT (sh * sh) % ${TextOps.P} AS q
+       |        FROM (SELECT $bH AS sh FROM lineitem))),
+       |am AS (SELECT list(h ORDER BY h) AS ma FROM (SELECT h FROM ah ORDER BY h LIMIT 256)),
+       |bm AS (SELECT list(h ORDER BY h) AS mb FROM (SELECT h FROM bh ORDER BY h LIMIT 256)),
+       |ra AS (SELECT CAST(count(*) AS BIGINT) AS rows_a FROM orders),
+       |rb AS (SELECT CAST(count(*) AS BIGINT) AS rows_b FROM lineitem),
+       |base AS (SELECT rows_a, rows_b, ma, mb,
+       |    list_slice(list_sort(list_distinct(ma || mb)), 1, 256) AS mu
+       |  FROM ra, rb, am, bm),
+       |c AS (SELECT rows_a, rows_b, mu,
+       |    ${est("ma")} AS est_a, ${est("mb")} AS est_b, ${est("mu")} AS est_u,
+       |    CAST(len(list_filter(mu, ux ->
+       |      list_contains(ma, ux) AND list_contains(mb, ux))) AS BIGINT) AS m_both
+       |  FROM base)
+       |SELECT rows_a, rows_b,
+       |  round(est_a, 6) AS est_distinct_a, round(est_b, 6) AS est_distinct_b,
+       |  round(est_u, 6) AS est_union, m_both,
+       |  CASE WHEN len(mu) > 0
+       |    THEN round(CAST(m_both AS DOUBLE) / CAST(len(mu) AS DOUBLE), 6)
+       |    ELSE 0.0 END AS jaccard_est,
+       |  CASE WHEN len(mu) > 0
+       |    THEN round(CAST(m_both AS DOUBLE) / CAST(len(mu) AS DOUBLE) * est_u, 6)
+       |    ELSE 0.0 END AS inter_est,
+       |  CASE WHEN est_a > 0 AND est_b > 0
+       |    THEN round(CAST(m_both AS DOUBLE) / CAST(len(mu) AS DOUBLE) * est_u
+       |      * (CAST(rows_a AS DOUBLE) / est_a) * (CAST(rows_b AS DOUBLE) / est_b), 6)
+       |    ELSE 0.0 END AS est_join_rows
+       |FROM c""".stripMargin
+  }
+
   /** Deterministic training order (Mixture.trainingOrder): per-source
     * curriculum (longest docs first, id ties) interleaved by
     * stratified fractional position so every step prefix holds ≈ each
@@ -3237,6 +3291,7 @@ object LlmQueries {
     "q_mixture_unimax" -> mixtureUnimax,
     "q_mixture_materialize" -> mixtureMaterialize,
     "q_training_order" -> trainingOrderQ,
+    "q_join_estimate" -> joinEstimate,
     "q_source_divergence" -> sourceDivergence,
     "q_length_trim" -> lengthTrim,
     "q_chunk_docs" -> chunkDocs,
@@ -3334,6 +3389,7 @@ object LlmQueries {
     "q_source_divergence" -> sourceDivergenceSql,
     "q_training_order" -> trainingOrderSql,
     "q_length_trim" -> lengthTrimSql,
+    "q_join_estimate" -> joinEstimateSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pii_redact" -> piiRedactSql,
     "q_lang_confusion" -> langConfusionSql,

@@ -213,4 +213,30 @@ class SketchSpec extends SparkSpec {
       .collect().head
     assert(whole.getAs[Long]("n_mins") === 4L) // 6 words -> 4 shingles
   }
+
+  test("joinCardinality: overlap regimes + accuracy within sketch noise") {
+    def frame(ids: Seq[Long], copies: Int) =
+      ids.flatMap(i => Seq.fill(copies)(i)).toDF("key")
+    // half-overlapping key sets, right side 3 rows per key
+    val a = frame(1L to 4000L, 1)
+    val b = frame(2001L to 6000L, 3)
+    val got = Sketches.joinCardinality(a, col("key"), b, col("key"), k = 256)
+      .collect().head
+    val trueJoin = 2000.0 * 3 // keys 2001..4000, 3 copies each
+    assert(math.abs(got.getAs[Double]("est_distinct_a") - 4000) < 4000 * 0.25)
+    assert(math.abs(got.getAs[Double]("est_join_rows") - trueJoin) < trueJoin * 0.35,
+      s"est ${got.getAs[Double]("est_join_rows")} vs true $trueJoin")
+    // disjoint keys: jaccard and join estimates collapse to ~0
+    val dj = Sketches.joinCardinality(
+      frame(1L to 1000L, 1), col("key"),
+      frame(100001L to 101000L, 1), col("key"), k = 256).collect().head
+    assert(dj.getAs[Double]("jaccard_est") <= 0.02 &&
+      dj.getAs[Double]("est_join_rows") <= 1000 * 0.05)
+    // identical sides: jaccard exactly 1, estimate ~ |A| (1 copy each)
+    val idt = Sketches.joinCardinality(
+      frame(1L to 3000L, 1), col("key"),
+      frame(1L to 3000L, 1), col("key"), k = 256).collect().head
+    assert(idt.getAs[Double]("jaccard_est") == 1.0)
+    assert(math.abs(idt.getAs[Double]("est_join_rows") - 3000) < 3000 * 0.25)
+  }
 }
