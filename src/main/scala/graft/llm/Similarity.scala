@@ -129,6 +129,85 @@ object Similarity {
     scored.withColumn("rank", rn).filter(col("rank") <= k)
   }
 
+  /** Diversity-aware top-k: Maximal Marginal Relevance (Carbonell &
+    * Goldstein 1998) — greedy selection where round j picks the
+    * candidate maximizing `λ·rel − (1−λ)·max_{s∈S} sim(d, s)`, so
+    * near-duplicates of an already-picked result are penalized out of
+    * the remaining slots (the retrieval-side twin of SemDeDup).
+    * Candidate relevances and the candidate pairwise-similarity
+    * matrix (both DECIMAL(18,6)-quantized) compute ONCE up front;
+    * each greedy round is then an anti-join (drop selected), a
+    * max-penalty aggregate against the selected set, and a per-query
+    * argmax — all on queries×candDepth frames, localCheckpoint'd per
+    * round so the growing selection never re-executes.
+    *
+    * Output: (qid, rank, nid, score) — rank is selection order, score
+    * the MMR objective at pick time (round 1 has no penalty term, so
+    * its score is λ·rel).
+    *
+    * Exactness: λ quantizes to DECIMAL(18,6) on the driver (1−λ
+    * derived exactly from it), so each score is two decimal products
+    * and a subtract — EXACT arithmetic end to end, no double round()
+    * anywhere (a first cut scored in doubles and DuckDB's round(sc,6)
+    * disagreed in the last digit). Scale: candidates here come from
+    * [[bruteTopK]] (the oracle-able baseline); at corpus scale feed
+    * the same rounds from an IVF/PQ probe — the MMR stage itself only
+    * touches queries × candDepth rows plus the per-query candDepth²
+    * sim matrix.
+    */
+  def mmrTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      candDepth: Int = 20,
+      lambda: Double = 0.7
+  ): DataFrame = {
+    require(k >= 1 && candDepth >= k,
+      s"need candDepth >= k >= 1, got k=$k candDepth=$candDepth")
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val lamDec = new java.math.BigDecimal(lambda)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    val omDec = java.math.BigDecimal.ONE.setScale(6).subtract(lamDec)
+    val lam = lit(lamDec).cast("decimal(18,6)")
+    val om = lit(omDec).cast("decimal(18,6)")
+    val p = prepared(emb, idCol, vecCol)
+    val cand = bruteTopK(emb, idCol, vecCol, queryPred, candDepth)
+      .select(col("qid"), col("nid"),
+        round(col("cosine"), 6).cast("decimal(18,6)").as("rel"))
+      .localCheckpoint(false)
+    val sims = cand.select(col("qid"), col("nid").as("na"))
+      .join(cand.select(col("qid"), col("nid").as("nb")), "qid")
+      .filter(col("na") =!= col("nb"))
+      .join(p.select(col("vid").as("na"), col("v").as("va"), col("nrm").as("nna")), "na")
+      .join(p.select(col("vid").as("nb"), col("v").as("vb"), col("nrm").as("nnb")), "nb")
+      .select(col("qid"), col("na").as("nid"), col("nb"),
+        round(dot(col("va"), col("vb")) / (col("nna") * col("nnb")), 6)
+          .cast("decimal(18,6)").as("sim"))
+      .localCheckpoint(false)
+    def pick(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("_sc").desc, col("nid"))))
+      .filter(col("_rk") === 1)
+      .select(col("qid"), lit(rank.toLong).as("rank"), col("nid"),
+        col("_sc").cast("double").as("score"))
+    var sel = pick(cand.withColumn("_sc", lam * col("rel")), rank = 1)
+      .localCheckpoint(false)
+    for (j <- 2 to k) {
+      val remaining = cand
+        .join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+      val scored = remaining
+        .join(sel.select(col("qid"), col("nid").as("nb")), "qid")
+        .join(sims, Seq("qid", "nid", "nb"))
+        .groupBy(col("qid"), col("nid"), col("rel"))
+        .agg(max(col("sim")).as("pen"))
+        .withColumn("_sc", lam * col("rel") - om * col("pen"))
+      sel = sel.unionAll(pick(scored, j)).localCheckpoint(false)
+    }
+    sel
+  }
+
   /** [[bruteTopK]] on the custom bounded-heap operator
     * (graft.plans.TopKPerKey) instead of a WindowExec rank: the scored
     * pairs stream through per-key heaps without a partition sort. The

@@ -744,6 +744,65 @@ object LlmQueries {
        |FROM ta LEFT JOIN ca ON ca.qid = ta.qid ORDER BY ta.qid""".stripMargin
   }
 
+  /** Diversity-aware retrieval (Similarity.mmrTopK): 5 greedy MMR
+    * rounds over the brute top-20 candidates — each pick maximizes
+    * 0.7·rel − 0.3·max-sim-to-selected, pushing near-duplicates of
+    * already-picked results out of the remaining slots. The oracle
+    * unrolls all five rounds over the same quantized rel/sim tables
+    * with shared λ literals.
+    */
+  val annMmr: Q = (s, dir) =>
+    Similarity.mmrTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") % 100 === 0, k = 5, candDepth = 20)
+      .orderBy("qid", "rank")
+
+  val annMmrSql: String = {
+    val sc1 = "CAST(0.700000 AS DECIMAL(18,6)) * rel"
+    val scJ = "CAST(0.700000 AS DECIMAL(18,6)) * rel - " +
+      "CAST(0.300000 AS DECIMAL(18,6)) * pen"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH $normCte,
+         |cd AS (SELECT qid, nid, CAST(round(cos, 6) AS DECIMAL(18,6)) AS rel FROM (
+         |  SELECT q.vec_id AS qid, b.vec_id AS nid,
+         |    ${dotSql("q.v", "b.v", 64, "d")} / (q.nrm * b.nrm) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.v", "b.v", 64, "r")} / (q.nrm * b.nrm) DESC, b.vec_id) AS rank
+         |  FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id)
+         |  WHERE rank <= 20),
+         |sm AS (SELECT a.qid, a.nid, b.nid AS nb,
+         |    CAST(round(${dotSql("x.v", "y.v", 64, "s")} / (x.nrm * y.nrm), 6)
+         |      AS DECIMAL(18,6)) AS sim
+         |  FROM cd a JOIN cd b ON a.qid = b.qid AND a.nid <> b.nid
+         |  JOIN n x ON x.vec_id = a.nid JOIN n y ON y.vec_id = b.nid),
+         |s1 AS (SELECT qid, 1 AS rank, nid, CAST(sc AS DOUBLE) AS score FROM (
+         |  SELECT qid, nid, $sc1 AS sc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY $sc1 DESC, nid) AS rk
+         |  FROM cd) WHERE rk = 1),
+         |a1 AS (SELECT * FROM s1)""".stripMargin)
+    for (j <- 2 to 5) {
+      val prev = s"a${j - 1}"
+      sb.append(",\n")
+      sb.append(
+        s"""p$j AS (SELECT c.qid, c.nid, c.rel, max(m.sim) AS pen
+           |  FROM cd c JOIN $prev s ON s.qid = c.qid
+           |  JOIN sm m ON m.qid = c.qid AND m.nid = c.nid AND m.nb = s.nid
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+           |    WHERE x.qid = c.qid AND x.nid = c.nid)
+           |  GROUP BY 1, 2, 3),
+           |s$j AS (SELECT qid, $j AS rank, nid, CAST(sc AS DOUBLE) AS score FROM (
+           |  SELECT qid, nid, $scJ AS sc,
+           |    row_number() OVER (PARTITION BY qid ORDER BY $scJ DESC, nid) AS rk
+           |  FROM p$j) WHERE rk = 1),
+           |a$j AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$j)""".stripMargin)
+    }
+    sb.append(
+      """
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, score
+        |FROM a5 ORDER BY qid, rank""".stripMargin)
+    sb.toString
+  }
+
   /** Data-adaptive LSH (Similarity.lshTopKLearned): 6 hyperplanes built
     * as differences of the 12 lowest-id corpus vectors — deterministic
     * and driver-computed, so the oracle can REBUILD the identical planes
@@ -3259,6 +3318,7 @@ object LlmQueries {
     "q_ann_topk_plan" -> annTopKPlan,
     "q_ann_lsh" -> annLsh,
     "q_ann_eval" -> annEval,
+    "q_ann_mmr" -> annMmr,
     "q_ann_lsh_probe" -> annLshProbe,
     "q_ann_lsh_learned" -> annLshLearned,
     "q_ann_ivf" -> annIvf,
@@ -3356,6 +3416,7 @@ object LlmQueries {
     "q_ann_lsh" -> annLshSql,
     "q_ann_eval" -> annEvalSql,
     "q_ann_lsh_probe" -> annLshProbeSql,
+    "q_ann_mmr" -> annMmrSql,
     "q_ann_lsh_learned" -> annLshLearnedSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_index" -> annIvfSql, // the persisted path must reproduce the one-job result

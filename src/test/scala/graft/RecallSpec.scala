@@ -220,4 +220,38 @@ class RecallSpec extends SparkSpec {
     // the zero-vector-only label has no surviving mass: it appears in no pair
     assert(!sim.keySet.exists { case (a, b) => a == 3 || b == 3 })
   }
+
+  test("mmrTopK diversifies: near-dup cluster capped, rank-1 = plain rank-1") {
+    import spark.implicits._
+    // query 0 at e1. ids 1-4: a near-identical cluster at (0.9, 0.45, 0)
+    // — sim within the cluster ≈ 1 while sim to the diverse candidates
+    // ≈ 0.6, so after one cluster pick the penalty hits the cluster
+    // much harder than the equally-relevant diverse directions. (If the
+    // cluster sits ON the query direction, penalty ≈ relevance for
+    // every candidate and MMR with λ > 0.5 provably cannot diversify —
+    // the first fixture did exactly that.)
+    def v(x: Double, y: Double, z: Double) = {
+      val a = Array.fill(8)(0.0f); a(0) = x.toFloat; a(1) = y.toFloat; a(2) = z.toFloat
+      a.toSeq
+    }
+    val rows = Seq(
+      (0L, v(1, 0, 0)),
+      (1L, v(0.91, 0.45, 0)), (2L, v(0.91, 0.451, 0)),
+      (3L, v(0.91, 0.452, 0)), (4L, v(0.91, 0.453, 0)),
+      (5L, v(0.9, -0.45, 0)), (6L, v(0.9, 0, 0.45)), (7L, v(0.9, 0, -0.45)),
+      (8L, v(0.9, -0.32, -0.32))
+    ).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteTopK(rows, "vec_id", "embedding", col("vid") === 0, 5)
+      .select("nid").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L, 3L, 4L, 5L) || plain.intersect(Set(1L, 2L, 3L, 4L)).size == 4,
+      s"plain top-5 must be dominated by the near-dup cluster: $plain")
+    val mmr = Similarity.mmrTopK(rows, "vec_id", "embedding", col("vid") === 0,
+        k = 5, candDepth = 8, lambda = 0.7)
+      .orderBy("rank").collect().map(r => r.getAs[Long]("nid"))
+    assert(mmr.head == 1L, "rank 1 must equal the plain argmax (empty penalty)")
+    assert(mmr.toSet.intersect(Set(1L, 2L, 3L, 4L)).size <= 2,
+      s"MMR must cap the near-dup cluster, got ${mmr.toList}")
+    assert(mmr.toSet.intersect(Set(5L, 6L, 7L, 8L)).size >= 3,
+      s"MMR must spend slots on diverse directions, got ${mmr.toList}")
+  }
 }
