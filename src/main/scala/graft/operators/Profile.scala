@@ -89,6 +89,31 @@ object Profile {
         col("n_orphans"), col("min_orphan_key"))
   }
 
+  /** Data-contract expectations — the declarative quality gate a
+    * pipeline runs before publishing a table (the Great-Expectations
+    * shape): each rule is a boolean Column; the report gives, per
+    * rule, the table size, the violation count, and the pass verdict.
+    * A NULL rule evaluation counts as a violation (an expectation you
+    * cannot prove is an expectation not met) — wrap with
+    * `coalesce(..., lit(true))` to opt NULLs out per rule.
+    *
+    * ALL rules evaluate in ONE aggregate over ONE scan (conditional
+    * sums, map-side combined), and the per-rule rows reshape from the
+    * single result row via explode — never a per-rule job.
+    */
+  def expect(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expect needs at least one rule")
+    val aggs = count(lit(1)).as("_n") +: rules.zipWithIndex.map { case ((_, c), i) =>
+      sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(s"_v$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("_n"), explode(array(rules.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("rule"), col(s"_v$i").as("nv"))
+      }: _*)).as("_r"))
+      .select(col("_r.rule").as("rule"), col("_n").as("n_rows"),
+        col("_r.nv").as("n_violations"), (col("_r.nv") === 0L).as("pass"))
+  }
+
   /** k-anonymity audit + suppression — the privacy gate next to
     * [[graft.llm.TextAnalysis.piiRedact]]: a row is k-anonymous when
     * at least k rows share its full quasi-identifier combination

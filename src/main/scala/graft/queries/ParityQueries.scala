@@ -558,6 +558,42 @@ object ParityQueries {
       s"$cs UNION ALL SELECT dst, src FROM ($cs)", iters = 5)
   }
 
+  /** Data-contract expectations (Profile.expect): five declarative
+    * rules over lineitem evaluated in one aggregate over one scan.
+    * The oracle computes the same conditional sums and unpivots.
+    */
+  val expectationsQ: Q = (s, dir) =>
+    graft.operators.Profile.expect(Tables.lineitem(s, dir), Seq(
+      "quantity_in_range" -> col("l_quantity").between(1, 50),
+      "price_positive" -> (col("l_extendedprice") > 0),
+      "discount_bounds" -> col("l_discount").between(0, 0.1),
+      "returnflag_enum" -> col("l_returnflag").isin("A", "N", "R"),
+      "linenumber_positive" -> (col("l_linenumber") >= 1),
+      // deliberately tight: the report must also SHOW a failing verdict
+      "quantity_small" -> (col("l_quantity") <= 25)))
+      .orderBy("rule")
+
+  val expectationsSql: String = {
+    val rules = Seq(
+      "quantity_in_range" -> "l_quantity BETWEEN 1 AND 50",
+      "price_positive" -> "l_extendedprice > 0",
+      "discount_bounds" -> "l_discount BETWEEN 0 AND 0.1",
+      "returnflag_enum" -> "l_returnflag IN ('A', 'N', 'R')",
+      "linenumber_positive" -> "l_linenumber >= 1",
+      "quantity_small" -> "l_quantity <= 25")
+    val sums = rules.zipWithIndex.map { case ((_, p), i) =>
+      s"CAST(sum(CASE WHEN NOT coalesce($p, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+    }.mkString(",\n  ")
+    val branches = rules.zipWithIndex.map { case ((n, _), i) =>
+      s"SELECT '$n' AS rule, n AS n_rows, v$i AS n_violations, v$i = 0 AS pass FROM a"
+    }.mkString("\nUNION ALL ")
+    s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  $sums
+       |  FROM lineitem)
+       |$branches
+       |ORDER BY rule""".stripMargin
+  }
+
   /** k-anonymity audit (Profile.kAnonymize): every event tagged with
     * its quasi-identifier equivalence-class size over
     * (event_type, value band) and the k=5 suppression verdict. The
@@ -818,6 +854,7 @@ object ParityQueries {
     "q_fuzzy_join" -> fuzzyJoinQ,
     "q_pagerank" -> pageRankQ,
     "q_k_anonymity" -> kAnonymityQ,
+    "q_expectations" -> expectationsQ,
     "q_shed_sample" -> shedSample,
     "q_shed_increasing" -> shedIncreasing,
     "q_shed_mean_policy" -> shedMeanPolicy,
@@ -857,6 +894,7 @@ object ParityQueries {
     "q_priority_trace" -> priorityTraceSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_source_counter" -> sourceCounterSql,
+    "q_expectations" -> expectationsSql,
     "q_source_fake" -> sourceFakeSql,
     "q_source_file" -> sourceFileSql
   )

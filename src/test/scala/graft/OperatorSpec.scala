@@ -163,6 +163,26 @@ class OperatorSpec extends SparkSpec {
     assert((1L to 10L).map(sr).toSet.size == 1)
   }
 
+  test("expect: violation counts, NULL-fails-by-default, opt-out, one scan") {
+    import graft.operators.Profile
+    val df = Seq((1, Some(5)), (2, Some(50)), (3, None), (4, Some(7)))
+      .toDF("id", "v")
+    val got = Profile.expect(df, Seq(
+      "v_small" -> (col("v") < 10),              // NULL row counts as violation
+      "v_small_nulls_ok" -> coalesce(col("v") < 10, lit(true)),
+      "id_positive" -> (col("id") > 0)))
+      .collect().map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass")))).toMap
+    assert(got("v_small") == ((2L, false)), "50 and the NULL row violate")
+    assert(got("v_small_nulls_ok") == ((1L, false)), "only 50 violates with the opt-out")
+    assert(got("id_positive") == ((0L, true)))
+    // all rules ride ONE aggregate over ONE scan of the input
+    val plan = Profile.expect(df, Seq("a" -> (col("id") > 0), "b" -> (col("v") < 10)))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size <= 1,
+      s"expect must not re-scan per rule:\n$plan")
+  }
+
   test("kAnonymize: class sizes, suppression verdicts, NULLs form their own class") {
     import graft.operators.Profile
     val rows = Seq(
