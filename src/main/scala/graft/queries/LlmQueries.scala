@@ -718,14 +718,19 @@ object LlmQueries {
     graft.llm.Relevance.rankingMetrics(truth, cand, k = 5).orderBy("qid")
   }
 
-  val annEvalSql: String = {
+  /** The per-qid recall/MRR/nDCG oracle for rankingMetrics over any
+    * candidate SQL (truth = the brute top-5). Shared by q_ann_eval and
+    * the q_ann_shootout macro-average so the metric replay can't
+    * drift.
+    */
+  private def rankingEvalSql(candSql: String): String = {
     val ws = graft.llm.Relevance.dcgWeights(5)
     def wCase(r: String): String =
       s"CASE $r " + (1 to 5).map(i =>
         s"WHEN $i THEN CAST(${ws(i - 1).toPlainString} AS DECIMAL(18,6))").mkString(" ") +
         " END"
     s"""WITH tr AS (SELECT qid, rank, nid FROM ($annTopKSql)),
-       |cd AS (SELECT qid, rank, nid FROM ($annPqSql)),
+       |cd AS (SELECT qid, rank, nid FROM ($candSql)),
        |ta AS (SELECT qid, count(*) AS n_truth, sum(${wCase("rank")}) AS idcg
        |  FROM tr GROUP BY 1),
        |cr AS (SELECT c.qid, c.rank,
@@ -742,6 +747,56 @@ object LlmQueries {
        |  round(CAST(COALESCE(dcg, CAST(0 AS DECIMAL(18,6))) AS DOUBLE)
        |    / CAST(idcg AS DOUBLE), 6) AS ndcg
        |FROM ta LEFT JOIN ca ON ca.qid = ta.qid ORDER BY ta.qid""".stripMargin
+  }
+
+  val annEvalSql: String = rankingEvalSql(annPqSql)
+
+  /** ANN method shootout: the three lossy funnels (PQ, SQ8, multi-probe
+    * LSH) macro-averaged under rankingMetrics against the shared brute
+    * truth — the comparison table an index-tuning session reads.
+    * Per-query metrics (already 6-decimal) quantize to DECIMAL(18,6),
+    * sum exactly, divide by the query count once. The oracle reuses
+    * the shared rankingEvalSql per method and the three proven
+    * candidate oracles.
+    */
+  val annShootout: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val qp = col("vid") % 100 === 0
+    val truth = Similarity.bruteTopK(emb, "vec_id", "embedding", qp, k = 5)
+    def macroEval(cand: DataFrame, tag: String): DataFrame =
+      graft.llm.Relevance.rankingMetrics(truth, cand, k = 5)
+        .select(lit(tag).as("method"), col("recall"), col("mrr"), col("ndcg"))
+        .groupBy(col("method"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          round(sum(col("recall").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_recall"),
+          round(sum(col("mrr").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_mrr"),
+          round(sum(col("ndcg").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_ndcg"))
+    macroEval(Similarity.pqTopK(emb, "vec_id", "embedding", qp, k = 5), "pq")
+      .unionAll(macroEval(
+        Similarity.sq8TopK(emb, "vec_id", "embedding", qp, k = 5, rerankDepth = 3), "sq8"))
+      .unionAll(macroEval(
+        Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", qp, k = 5), "lsh_probe"))
+      .orderBy("method")
+  }
+
+  // lazy: annLshProbeSql initializes later in the file
+  lazy val annShootoutSql: String = {
+    def branch(candSql: String, tag: String): String =
+      s"""SELECT '$tag' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_recall,
+         |  round(CAST(sum(CAST(mrr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_mrr,
+         |  round(CAST(sum(CAST(ndcg AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_ndcg
+         |FROM (${rankingEvalSql(candSql)})""".stripMargin
+    Seq(branch(annPqSql, "pq"), branch(annSq8Sql, "sq8"),
+      branch(annLshProbeSql, "lsh_probe"))
+      .mkString("", "\nUNION ALL ", "\nORDER BY method")
   }
 
   /** Diversity-aware retrieval (Similarity.mmrTopK): 5 greedy MMR
@@ -3319,6 +3374,7 @@ object LlmQueries {
     "q_ann_lsh" -> annLsh,
     "q_ann_eval" -> annEval,
     "q_ann_mmr" -> annMmr,
+    "q_ann_shootout" -> annShootout,
     "q_ann_lsh_probe" -> annLshProbe,
     "q_ann_lsh_learned" -> annLshLearned,
     "q_ann_ivf" -> annIvf,
@@ -3417,6 +3473,7 @@ object LlmQueries {
     "q_ann_eval" -> annEvalSql,
     "q_ann_lsh_probe" -> annLshProbeSql,
     "q_ann_mmr" -> annMmrSql,
+    "q_ann_shootout" -> annShootoutSql,
     "q_ann_lsh_learned" -> annLshLearnedSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_index" -> annIvfSql, // the persisted path must reproduce the one-job result
