@@ -317,6 +317,57 @@ object Sketches {
     Bridge.column(graft.functions.BloomContains(
       Bridge.expression(artifact), Bridge.expression(key)))
 
+  /** Robust outlier detection — per-group median/MAD modified z-score
+    * (Iglewicz & Hoaglin's 0.6745·(x−med)/MAD > 3.5 rule), with both
+    * statistics read off the SAME deterministic bottom-k sample the
+    * quantile sketch uses: the median is the sample's lower-median
+    * order statistic, the MAD the lower median of the |x − med| array
+    * — pure array arithmetic on the O(k) sample, no second scan and
+    * no second shuffle. Mean/stddev z-scores break exactly when you
+    * need them (the outliers inflate the stddev); median/MAD have a
+    * 50% breakdown point.
+    *
+    * Output: only the flagged rows, with the group's (n_sample, med,
+    * mad) and the modified z. Groups whose MAD is 0 (over half the
+    * sample identical) flag nothing — documented, not NaN. Shape: one
+    * sketch aggregate keyed by the group, the group-stats table joins
+    * back broadcast (groups are vocabulary-sized), flagging is a
+    * codegen'd filter on the scan.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: Column,
+      k: Int,
+      threshold: Double = 3.5
+  ): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    val agg = Bridge.column(graft.functions.BottomKSample(
+      Bridge.expression(sampleKey(col(idCol))),
+      Bridge.expression(valueCol.cast("double")),
+      k).toAggregateExpression())
+    val m = size(col("smp"))
+    val lowerMedian = (idx: Column, arr: Column) => element_at(arr, idx)
+    val medIdx = ((m + lit(1)) / lit(2)).cast("int")
+    // internal group alias avoids ambiguity when the caller's group
+    // column is itself named "grp"
+    val stats = df.groupBy(col(groupCol).as("_ro_grp")).agg(agg.as("smp"))
+      .select(col("_ro_grp"), col("smp"), m.cast("long").as("n_sample"),
+        when(m > 0, lowerMedian(medIdx, col("smp"))).as("med"))
+      .select(col("_ro_grp"), col("n_sample"), col("med"),
+        when(col("n_sample") > 0,
+          lowerMedian(((col("n_sample") + lit(1)) / lit(2)).cast("int"),
+            array_sort(transform(col("smp"), x => abs(x - col("med"))))))
+          .as("mad"))
+    df.join(broadcast(stats), col(groupCol) === col("_ro_grp"))
+      .withColumn("value", valueCol.cast("double"))
+      .withColumn("mz", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      .filter(col("mad") > 0 && abs(col("mz")) > threshold)
+      .select(col(groupCol), col(idCol), col("value"), col("n_sample"),
+        col("med"), col("mad"), round(col("mz"), 6).as("mz"))
+  }
+
   /** Join-cardinality estimation WITHOUT running the join — the
     * planner-style "how big would A ⋈ B be?" answer from two O(k)
     * sketches (Beyer et al. 2007's KMV set algebra): per side a KMV

@@ -2488,6 +2488,56 @@ object LlmQueries {
        |  max(CASE WHEN vi = CAST(floor(0.9 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p90
        |FROM srt GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** Robust outlier detection (Sketches.robustOutliers): planted
+    * 50× value spikes (event_id % 997) flagged by the per-type
+    * median/MAD modified z-score read off the deterministic bottom-128
+    * sample. The oracle replays the sample, both lower-median order
+    * statistics, and the flag arithmetic.
+    */
+  val robustOutliersQ: Q = (s, dir) => {
+    val seeded = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"),
+      when(col("event_id") % 997 === 0, col("value") * 50.0)
+        .otherwise(col("value")).as("v"))
+    graft.llm.Sketches.robustOutliers(seeded, "event_type", "event_id", col("v"),
+        k = 128)
+      .orderBy("event_id")
+  }
+
+  val robustOutliersSql: String =
+    s"""WITH seeded AS (SELECT event_id, event_type,
+       |    CASE WHEN event_id % 997 = 0 THEN value * 50.0 ELSE value END AS v
+       |  FROM events),
+       |keyed AS (SELECT grp, vv, (h * h) % $P AS key FROM (
+       |    SELECT event_type AS grp, v AS vv,
+       |      ${strhashSql("'qtl:' || CAST(event_id AS VARCHAR)", "ro")} AS h
+       |    FROM seeded)),
+       |dedup AS (SELECT grp, key, min(vv) AS vv FROM keyed GROUP BY 1, 2),
+       |topk AS (SELECT grp, vv FROM (
+       |    SELECT grp, vv, row_number() OVER (PARTITION BY grp ORDER BY key) AS rk
+       |    FROM dedup) WHERE rk <= 128),
+       |srt AS (SELECT grp, vv,
+       |    row_number() OVER (PARTITION BY grp ORDER BY vv) AS vi,
+       |    count(*) OVER (PARTITION BY grp) AS m FROM topk),
+       |med AS (SELECT grp, max(m) AS m,
+       |    max(CASE WHEN vi = (m + 1) // 2 THEN vv END) AS med
+       |  FROM srt GROUP BY grp),
+       |dev AS (SELECT s.grp, abs(s.vv - d.med) AS av
+       |  FROM srt s JOIN med d USING (grp)),
+       |devs AS (SELECT grp, av,
+       |    row_number() OVER (PARTITION BY grp ORDER BY av) AS ai,
+       |    count(*) OVER (PARTITION BY grp) AS dm FROM dev),
+       |mads AS (SELECT grp, max(CASE WHEN ai = (dm + 1) // 2 THEN av END) AS mad
+       |  FROM devs GROUP BY grp),
+       |stats AS (SELECT med.grp, CAST(med.m AS BIGINT) AS n_sample, med.med, mads.mad
+       |  FROM med JOIN mads USING (grp))
+       |SELECT e.event_type, e.event_id, e.v AS value, s.n_sample, s.med, s.mad,
+       |  round(CAST(0.6745 AS DOUBLE) * (e.v - s.med) / s.mad, 6) AS mz
+       |FROM seeded e JOIN stats s ON s.grp = e.event_type
+       |WHERE s.mad > 0
+       |  AND abs(CAST(0.6745 AS DOUBLE) * (e.v - s.med) / s.mad) > 3.5
+       |ORDER BY event_id""".stripMargin
+
   /** Hierarchical quantile-sketch roll-up (Sketches.quantileRollup):
     * per-(source, lang) bottom-64 samples in PAIRS form, merged to
     * source and corpus level by re-aggregating the pair arrays. The
@@ -3419,6 +3469,7 @@ object LlmQueries {
     "q_topterms_rollup" -> topTermsRollup,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantile_sketch" -> quantileSketch,
+    "q_robust_outliers" -> robustOutliersQ,
     "q_semantic_dedup" -> semanticDedup,
     "q_bpe_merges" -> bpeMerges,
     "q_bpe_tokens" -> bpeTokens,
@@ -3518,6 +3569,7 @@ object LlmQueries {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_semantic_dedup" -> semanticDedupSql,
+    "q_robust_outliers" -> robustOutliersSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokens" -> bpeTokensSql,
     "q_bpe_fertility" -> bpeFertilitySql,

@@ -214,6 +214,26 @@ class SketchSpec extends SparkSpec {
     assert(whole.getAs[Long]("n_mins") === 4L) // 6 words -> 4 shingles
   }
 
+  test("robustOutliers: planted spike flagged, inliers quiet, MAD=0 group silent") {
+    // group g: values 10..20 (med 15, MAD 3 on the full sample) + one
+    // spike at 1000; group z: constant values -> MAD 0 -> no flags even
+    // for a deviating row? No: constant EXCEPT one row -> MAD stays 0
+    // (majority identical), group must stay silent by contract
+    val g = (0 to 10).map(i => (i.toLong, "g", 10.0 + i)) :+ (99L, "g", 1000.0)
+    val z = (100 to 110).map(i => (i.toLong, "z", 7.0)) :+ (199L, "z", 500.0)
+    val df = (g ++ z).toDF("id", "grp", "v")
+    val got = Sketches.robustOutliers(df, "grp", "id", col("v"), k = 64)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"), r.getAs[Double]("mz")))
+    assert(got.map(t => (t._1, t._2)).toSet == Set(("g", 99L)),
+      s"only the g-spike may flag (z has MAD 0): ${got.toList}")
+    val mz = got.head._3
+    // sample is below k, so med/MAD are exact: med 15 or 15.5-adjacent
+    // (lower median of 12 values = 6th = 15), MAD = lower median of
+    // |x-15| sorted = 3; mz = 0.6745*(1000-15)/3
+    assert(math.abs(mz - BigDecimal(0.6745 * 985 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"mz $mz")
+  }
+
   test("joinCardinality: overlap regimes + accuracy within sketch noise") {
     def frame(ids: Seq[Long], copies: Int) =
       ids.flatMap(i => Seq.fill(copies)(i)).toDF("key")
