@@ -325,6 +325,48 @@ object TextAnalysis {
       redacted.as("redacted_text"))
   }
 
+  /** Standalone 16-digit runs: RE2 has no lookarounds (and the oracle
+    * runs on RE2), so the boundary is a captured context group and the
+    * number is group 2. Two candidates separated by a SINGLE non-digit
+    * collide on the consumed boundary (the second is missed) —
+    * acceptable for detection counts; redaction uses the bare run
+    * pattern, which over-redacts inside longer digit runs (the safe
+    * direction for a release gate).
+    */
+  val CcCandidatePattern = "(^|[^0-9])([0-9]{16})($|[^0-9])"
+  val CcRunPattern = "[0-9]{16}"
+
+  /** Credit-card detection with Luhn checksum validation — the PII
+    * family member where a regex alone is not enough: any 16-digit run
+    * is a CANDIDATE, but only checksum-valid numbers are actual card
+    * numbers (ISO/IEC 7812 Luhn; doubling every second digit from the
+    * right, subtract 9 above 9, total ≡ 0 mod 10). Output per doc:
+    * candidate count, Luhn-valid count, and the over-redaction-safe
+    * rewrite (every 16-digit window → `<CC>`). One codegen'd
+    * projection — the Luhn fold is a fixed-16 HOF aggregate per
+    * candidate, no UDF, no shuffle.
+    */
+  def ccDetect(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def luhnOk(c: Column): Column = {
+      val total = aggregate(
+        sequence(lit(1), lit(16)),
+        lit(0),
+        (acc, i) => {
+          val dv = ascii(c.substr(i, lit(1))) - 48
+          acc + when(i % 2 === 1,
+            when(dv * 2 > 9, dv * 2 - 9).otherwise(dv * 2)).otherwise(dv)
+        })
+      total % 10 === 0
+    }
+    val cands = regexp_extract_all(t, lit(CcCandidatePattern), lit(2))
+    docs.select(
+      col(idCol).as("doc"),
+      size(cands).cast("long").as("n_cc_candidates"),
+      size(filter(cands, c => luhnOk(c))).cast("long").as("n_cc_valid"),
+      regexp_replace(t, lit(CcRunPattern), lit("<CC>")).as("redacted_text"))
+  }
+
   /** Long-document chunking: split each document into consecutive
     * `maxTokens`-word pieces (the C4-style length normalizer — downstream
     * stages want bounded inputs, and a single 10M-token doc must not

@@ -1330,6 +1330,43 @@ object LlmQueries {
        |FROM seeded ORDER BY doc""".stripMargin
   }
 
+  /** Luhn-validated credit-card PII (TextAnalysis.ccDetect): docs
+    * seeded with a checksum-VALID test card (4111…1111, doc_id % 5 = 0)
+    * or a checksum-INVALID near-miss (…1112, doc_id % 5 = 3) — both
+    * count as candidates, only the valid one as a card; every 16-digit
+    * window redacts. The oracle replays the context-group extraction,
+    * the 16-step Luhn fold, and the rewrite.
+    */
+  val ccDetectQ: Q = (s, dir) => {
+    val seeded = Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" card 4111111111111111 ok")))
+        .when(col("doc_id") % 5 === 3, concat(col("text"), lit(" card 4111111111111112 ok")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.ccDetect(seeded, "doc_id", "text").orderBy("doc")
+  }
+
+  val ccDetectSql: String = {
+    val (cp, rp) = (TextAnalysis.CcCandidatePattern, TextAnalysis.CcRunPattern)
+    val dig = "(ascii(substring(c, CAST(li AS INT), 1)) - 48)"
+    val luhn =
+      s"list_reduce(list_prepend(0, list_transform(range(1, 17), li -> " +
+        s"CASE WHEN li % 2 = 1 THEN CASE WHEN $dig * 2 > 9 THEN $dig * 2 - 9 " +
+        s"ELSE $dig * 2 END ELSE $dig END)), (la, lx) -> la + lx) % 10 = 0"
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' card 4111111111111111 ok'
+       |         WHEN doc_id % 5 = 3 THEN text || ' card 4111111111111112 ok'
+       |         ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id AS doc,
+       |  CAST(len(regexp_extract_all(text, '$cp', 2)) AS BIGINT) AS n_cc_candidates,
+       |  CAST(len(list_filter(regexp_extract_all(text, '$cp', 2), c -> $luhn))
+       |    AS BIGINT) AS n_cc_valid,
+       |  regexp_replace(text, '$rp', '<CC>', 'g') AS redacted_text
+       |FROM seeded ORDER BY doc""".stripMargin
+  }
+
   /** Long-doc chunking (TextAnalysis.chunkDocs, 30-word windows): the
     * C4-style length normalizer — chunk boundaries, sizes and the
     * re-joined chunk text all oracle-exact.
@@ -3462,6 +3499,7 @@ object LlmQueries {
     "q_length_trim" -> lengthTrim,
     "q_chunk_docs" -> chunkDocs,
     "q_pii_redact" -> piiRedact,
+    "q_cc_detect" -> ccDetectQ,
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
     "q_sketch_rollup" -> sketchRollup,
@@ -3562,6 +3600,7 @@ object LlmQueries {
     "q_chunk_docs" -> chunkDocsSql,
     "q_pii_redact" -> piiRedactSql,
     "q_lang_confusion" -> langConfusionSql,
+    "q_cc_detect" -> ccDetectSql,
     "q_distinct_kmv" -> distinctKmvSql,
     "q_sketch_rollup" -> sketchRollupSql,
     "q_quantile_rollup" -> quantileRollupSql,

@@ -500,6 +500,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ccDetect: Luhn gate separates valid cards from digit noise") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay with 4111111111111111 now"),        // Luhn-valid
+      (2L, "pay with 4111111111111112 now"),        // candidate, invalid
+      (3L, "ref 12345678901234567890 is an id"),    // 20-digit run: no standalone candidate
+      (4L, "card 5500005555555559 works"),          // another valid test number
+      (5L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.ccDetect(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[Long]("n_cc_candidates"), r.getAs[Long]("n_cc_valid"),
+          r.getAs[String]("redacted_text")))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1)
+    assert(got(2L)._1 == 1 && got(2L)._2 == 0, "near-miss must fail the checksum")
+    assert(got(3L)._1 == 0, "a longer digit run is not a standalone candidate")
+    assert(got(3L)._3.contains("<CC>"), "redaction stays over-safe inside long runs")
+    assert(got(4L) == ((1L, 1L, "card <CC> works")))
+    assert(got(5L) == ((0L, 0L, "no digits at all")))
+  }
+
   test("weightedSample drops non-positive weights instead of sampling garbage") {
     // ADVICE r6: w = 0 yielded ln(u)/0 = -Inf (silently unselectable)
     // and w < 0 INVERTED the bias — such rows must be ineligible, and
