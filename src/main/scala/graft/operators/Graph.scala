@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** Iterative graph analytics over edge-list DataFrames. First member:
   * PageRank (Page et al. 1999, "The PageRank Citation Ranking") — the
   * classic link-quality signal web-curation pipelines rank domains
-  * with (harmonic-centrality stand-in at Common-Crawl scale).
+  * with (harmonic-centrality stand-in at Common-Crawl scale) — plus
+  * its personalized variant (restart mass over a seed set: proximity
+  * ranking to a trusted whitelist, the TrustRank shape).
   *
   * Cross-engine FP discipline — fixed-point, not round(): ranks live
   * as BIGINT nano-units (Σ ≈ 1e9) between iterations. Every
@@ -50,23 +52,61 @@ object Graph {
       dstCol: String,
       iters: Int = 5,
       damping: Double = 0.85
+  ): DataFrame =
+    run(edges, srcCol, dstCol, seeds = None, iters, damping)
+
+  /** Personalized PageRank: the restart distribution concentrates on
+    * `seeds` (a frame with a `node` column) instead of all nodes —
+    * both the (1−d) teleport and the dangling mass return to the seed
+    * set, so ranks measure random-walk proximity TO the seeds
+    * (TrustRank / topic-sensitive PageRank). Seeds outside the graph
+    * are ignored; at least one seed must be a graph node.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iters: Int = 5,
+      damping: Double = 0.85
+  ): DataFrame =
+    run(edges, srcCol, dstCol, Some(seeds), iters, damping)
+
+  private def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Option[DataFrame],
+      iters: Int,
+      damping: Double
   ): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(false)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(false)
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // uniform PageRank IS the personalized walk seeded on every node —
+    // one code path, one oracle generator, `sf` the restart indicator
+    val nodes = seeds match {
+      case None => nodes0.select(col("node"), lit(1).as("sf")).localCheckpoint(false)
+      case Some(s) => nodes0
+        .join(s.select(col("node"), lit(1).as("_sf")).distinct(), Seq("node"), "left")
+        .select(col("node"), coalesce(col("_sf"), lit(0)).as("sf"))
+        .localCheckpoint(false)
+    }
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // node count: a control-plane scalar (one distributed agg). The
+    // seed count: a control-plane scalar (one distributed agg). The
     // driver-side doubles below repeat the exact op sequence the
-    // oracle runs in-engine (floor(1e9/n + 0.5), ((1-d)/n)*1e9), so
-    // the shared constants are bit-identical without shipping n.
-    val n = nodes.count()
-    val r0 = math.floor(Scale.toDouble / n + 0.5).toLong
-    val baseScaled = (1.0 - damping) / n * Scale.toDouble
+    // oracle runs in-engine (floor(1e9/sn + 0.5), ((1-d)/sn)*1e9), so
+    // the shared constants are bit-identical without shipping sn.
+    val sn = nodes.agg(sum(col("sf"))).collect()(0).getLong(0)
+    require(sn > 0, "at least one seed must be a node of the graph")
+    val r0 = math.floor(Scale.toDouble / sn + 0.5).toLong
+    val baseScaled = (1.0 - damping) / sn * Scale.toDouble
 
-    var r = nodes.select(col("node"), lit(r0).as("rank"))
+    var r = nodes.select(col("node"), col("sf"),
+      when(col("sf") === 1, lit(r0)).otherwise(lit(0L)).as("rank"))
     for (_ <- 1 to iters) {
       val share = r.join(outdeg, col("node") === col("src"))
         .select(col("src").as("s"),
@@ -77,15 +117,16 @@ object Graph {
         .agg(sum(col("share")).as("csum"))
       val dang = r.join(outdeg.select(col("src")), col("node") === col("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-        .select(floor(col("dsum").cast("double") / lit(n.toDouble) + lit(0.5))
+        .select(floor(col("dsum").cast("double") / lit(sn.toDouble) + lit(0.5))
           .as("dshare"))
       r = nodes
         .join(contrib, col("node") === col("cnode"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
+        .select(col("node"), col("sf"),
           floor(
-            lit(baseScaled) +
-              lit(damping) * (coalesce(col("csum"), lit(0L)) + col("dshare")).cast("double") +
+            when(col("sf") === 1, lit(baseScaled)).otherwise(lit(0.0)) +
+              lit(damping) * (coalesce(col("csum"), lit(0L)) +
+                when(col("sf") === 1, col("dshare")).otherwise(lit(0L))).cast("double") +
               lit(0.5)).as("rank"))
         .localCheckpoint(false)
     }
@@ -93,24 +134,40 @@ object Graph {
       (col("rank").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
-  /** The DuckDB oracle for [[pageRank]], unrolled: `edgesSql` must
-    * yield (src, dst) rows. Generated from the same constants so both
-    * engines run bit-identical arithmetic; kept next to the operator
-    * so the two can never drift.
+  /** The DuckDB oracle for [[pageRank]] / [[personalizedPageRank]],
+    * unrolled: `edgesSql` must yield (src, dst) rows; `seedsSql`, when
+    * given, must yield seed `node` rows. Generated from the same
+    * constants so both engines run bit-identical arithmetic; kept next
+    * to the operator so the two can never drift.
     */
-  def pageRankSql(edgesSql: String, iters: Int = 5, damping: Double = 0.85): String = {
+  def pageRankSql(
+      edgesSql: String,
+      iters: Int = 5,
+      damping: Double = 0.85,
+      seedsSql: Option[String] = None
+  ): String = {
     val d = s"CAST(${new java.math.BigDecimal(damping).toPlainString} AS DOUBLE)"
     val oneMinus =
       s"CAST(${new java.math.BigDecimal(1.0 - damping).toPlainString} AS DOUBLE)"
-    val nD = "(SELECT CAST(n AS DOUBLE) FROM nn)"
+    val snD = "(SELECT CAST(sn AS DOUBLE) FROM ss)"
+    val nodesCte = seedsSql match {
+      case None =>
+        "nodes AS (SELECT node, 1 AS sf FROM nodes0)"
+      case Some(sql) =>
+        s"""sd AS (SELECT DISTINCT node FROM ($sql)),
+           |nodes AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS sf
+           |  FROM nodes0 n LEFT JOIN sd s ON s.node = n.node)""".stripMargin
+    }
     val sb = new StringBuilder
     sb.append(
       s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |nodes0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |$nodesCte,
+         |ss AS (SELECT CAST(sum(sf) AS BIGINT) AS sn FROM nodes),
          |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-         |r0 AS (SELECT node,
-         |  CAST(floor(CAST($Scale AS DOUBLE) / $nD + 0.5) AS BIGINT) AS rank
+         |r0 AS (SELECT node, sf, CASE WHEN sf = 1
+         |  THEN CAST(floor(CAST($Scale AS DOUBLE) / $snD + 0.5) AS BIGINT)
+         |  ELSE 0 END AS rank
          |  FROM nodes)""".stripMargin)
     for (i <- 1 to iters) {
       val prev = s"r${i - 1}"
@@ -123,11 +180,13 @@ object Graph {
            |cs$i AS (SELECT e.dst AS cnode, CAST(SUM(sh.share) AS BIGINT) AS csum
            |  FROM e JOIN sh$i sh ON sh.s = e.src GROUP BY 1),
            |dg$i AS (SELECT CAST(floor(
-           |    CAST(COALESCE(SUM(r.rank), 0) AS DOUBLE) / $nD + 0.5) AS BIGINT) AS dshare
+           |    CAST(COALESCE(SUM(r.rank), 0) AS DOUBLE) / $snD + 0.5) AS BIGINT) AS dshare
            |  FROM $prev r WHERE r.node NOT IN (SELECT src FROM outdeg)),
-           |r$i AS (SELECT nd.node,
-           |  CAST(floor($oneMinus / $nD * CAST($Scale AS DOUBLE) +
-           |      $d * CAST(COALESCE(cs.csum, 0) + dg.dshare AS DOUBLE) +
+           |r$i AS (SELECT nd.node, nd.sf,
+           |  CAST(floor(CASE WHEN nd.sf = 1
+           |      THEN $oneMinus / $snD * CAST($Scale AS DOUBLE) ELSE 0.0 END +
+           |      $d * CAST(COALESCE(cs.csum, 0) +
+           |        CASE WHEN nd.sf = 1 THEN dg.dshare ELSE 0 END AS DOUBLE) +
            |      0.5) AS BIGINT) AS rank
            |  FROM nodes nd
            |  LEFT JOIN cs$i cs ON cs.cnode = nd.node

@@ -551,12 +551,36 @@ object ParityQueries {
     graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5).orderBy("node")
   }
 
-  val pageRankSql: String = {
+  private val tradeEdgesSql: String = {
     val cs = """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
                |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
-    graft.operators.Graph.pageRankSql(
-      s"$cs UNION ALL SELECT dst, src FROM ($cs)", iters = 5)
+    s"$cs UNION ALL SELECT dst, src FROM ($cs)"
   }
+
+  val pageRankSql: String =
+    graft.operators.Graph.pageRankSql(tradeEdgesSql, iters = 5)
+
+  /** Personalized PageRank (Graph.personalizedPageRank): the restart
+    * mass concentrates on nation-0 suppliers, so ranks measure
+    * random-walk proximity to that trusted seed set (the TrustRank
+    * shape). Same fixed-point arithmetic, seed-aware oracle.
+    */
+  val pageRankPersonalizedQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables.supplier(s, dir).filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    graft.operators.Graph.personalizedPageRank(edges, "src", "dst", seeds, iters = 5)
+      .orderBy("node")
+  }
+
+  val pageRankPersonalizedSql: String =
+    graft.operators.Graph.pageRankSql(tradeEdgesSql, iters = 5,
+      seedsSql = Some(
+        "SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0"))
 
   /** Data-contract expectations (Profile.expect): five declarative
     * rules over lineitem evaluated in one aggregate over one scan.
@@ -853,6 +877,7 @@ object ParityQueries {
     "q_salted_join" -> saltedJoinQ,
     "q_fuzzy_join" -> fuzzyJoinQ,
     "q_pagerank" -> pageRankQ,
+    "q_pagerank_ppr" -> pageRankPersonalizedQ,
     "q_k_anonymity" -> kAnonymityQ,
     "q_expectations" -> expectationsQ,
     "q_shed_sample" -> shedSample,
@@ -891,6 +916,7 @@ object ParityQueries {
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_pagerank" -> pageRankSql,
+    "q_pagerank_ppr" -> pageRankPersonalizedSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_source_counter" -> sourceCounterSql,

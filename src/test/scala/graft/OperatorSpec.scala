@@ -161,6 +161,22 @@ class OperatorSpec extends SparkSpec {
       s"mass must be conserved, got ${sr.values.sum}")
     // leaves are symmetric — identical ranks
     assert((1L to 10L).map(sr).toSet.size == 1)
+
+    // personalized restart: on the symmetric cycle, seeding node 1
+    // breaks the tie. 40 iterations (10 full cycle periods — mass
+    // rotates with period 4, so short runs leave a transient bulge
+    // mid-cycle) land on the analytic fixed point
+    // r1 = 0.15/(1 − 0.85⁴), r_{k+1} = 0.85·r_k.
+    val pr = Graph.personalizedPageRank(cyc, "src", "dst",
+        Seq(Tuple1(1L)).toDF("node"), iters = 40).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    val r1 = 0.15 / (1.0 - math.pow(0.85, 4))
+    for ((n, want) <- Seq(1L -> r1, 2L -> r1 * 0.85,
+        3L -> r1 * 0.85 * 0.85, 4L -> r1 * math.pow(0.85, 3)))
+      // residual transient after 40 rounds is O(0.85^40 / (1-0.85^4)) ≈ 2e-3
+      assert(math.abs(pr(n) - want) < 3e-3, s"node $n: ${pr(n)} vs analytic $want")
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L) && pr(3L) > pr(4L))
+    assert(pr.values.sum > 0.999 && pr.values.sum < 1.001)
   }
 
   test("expect: violation counts, NULL-fails-by-default, opt-out, one scan") {
