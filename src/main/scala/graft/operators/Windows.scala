@@ -216,6 +216,53 @@ object Windows {
       .withColumn("running_count", count(lit(1)).over(frame))
   }
 
+  /** Trailing-window least-squares trend — the slope feature ("is this
+    * key's metric rising?") a feature store serves next to the window
+    * averages: per key, the OLS slope of (ord, value) over the last
+    * `windowSize` rows, emitted for complete windows only.
+    *
+    * Cross-engine exactness by INTEGER sufficient statistics: values
+    * are 2-decimal, so round(v·100) is a bit-exact cent long (the
+    * tumbling-digest precedent); x is the integer ordinal. n, Σx, Σy,
+    * Σxy, Σx² accumulate as exact longs over the window frame, the
+    * slope numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² are
+    * exact long arithmetic, and only the final division (num/den,
+    * then /100 back to value units) touches doubles — identical in
+    * both engines, round(,6) on output. Duplicate ordinals that
+    * degenerate the window (den = 0) yield NULL, never NaN.
+    *
+    * Shape: one key-partitioned shuffle + in-partition sort; all five
+    * statistics ride THE SAME window frame, so Spark evaluates them in
+    * a single WindowExec pass.
+    */
+  def rollingSlope(
+      df: DataFrame,
+      key: String,
+      ord: Column,
+      valueCol: Column,
+      windowSize: Int
+  ): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    val frame = Window.partitionBy(col(key)).orderBy(ord)
+      .rowsBetween(-(windowSize - 1), Window.currentRow)
+    val seq = Window.partitionBy(col(key)).orderBy(ord)
+    val x = ord.cast("long")
+    val yc = round(valueCol * 100).cast("long")
+    val n = count(lit(1)).over(frame)
+    val sx = sum(x).over(frame)
+    val sy = sum(yc).over(frame)
+    val sxy = sum(x * yc).over(frame)
+    val sxx = sum(x * x).over(frame)
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    df
+      .withColumn("_rn", row_number().over(seq))
+      .withColumn("slope",
+        when(den =!= 0L, round(num.cast("double") / den.cast("double") / 100.0, 6)))
+      .filter(col("_rn") >= windowSize)
+      .drop("_rn")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * key's previous event exceeds `maxGap` (in `ord` units). session_id
     * = running count of session starts per key — the classic

@@ -191,6 +191,37 @@ object ParityQueries {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_count
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** Trailing-window OLS trend (Windows.rollingSlope, w=8): per-user
+    * slope of (event_id, value) over the last 8 events — integer
+    * sufficient statistics (cent-exact y), one division at the end.
+    * The oracle states the same five window sums.
+    */
+  val rollingSlopeQ: Q = (s, dir) =>
+    Windows.rollingSlope(
+        events(s, dir).select("user_id", "event_id", "value"),
+        "user_id", col("event_id"), col("value"), windowSize = 8)
+      .select(col("user_id"), col("event_id"), col("slope"))
+      .orderBy("user_id", "event_id")
+
+  val rollingSlopeSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER win AS rn,
+      |    count(*) OVER (win ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS n,
+      |    sum(event_id) OVER (win ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sx,
+      |    sum(CAST(round(value * 100) AS BIGINT))
+      |      OVER (win ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sy,
+      |    sum(event_id * CAST(round(value * 100) AS BIGINT))
+      |      OVER (win ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sxy,
+      |    sum(event_id * event_id)
+      |      OVER (win ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sxx
+      |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT user_id, event_id,
+      |  CASE WHEN n * sxx - sx * sx <> 0
+      |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) END AS slope
+      |FROM w WHERE rn >= 8 ORDER BY user_id, event_id""".stripMargin
+
   /** Gap-based sessionization over the event stream (event_id gap > 40
     * starts a new session), rolled up to per-session stats.
     */
@@ -862,6 +893,7 @@ object ParityQueries {
     "q_sliding_perkey_plan" -> slidingPerKeyPlan,
     "q_sessionize" -> sessionize,
     "q_running_sum" -> runningSum,
+    "q_rolling_slope" -> rollingSlopeQ,
     "q_percentile_features" -> percentileFeatures,
     "q_enrich_latest_join" -> enrichLatestJoin,
     "q_sequence_join" -> sequenceJoin,
@@ -899,6 +931,7 @@ object ParityQueries {
     "q_sliding_perkey_plan" -> slidingPerKeyPlanSql,
     "q_sessionize" -> sessionizeSql,
     "q_running_sum" -> runningSumSql,
+    "q_rolling_slope" -> rollingSlopeSql,
     "q_percentile_features" -> percentileFeaturesSql,
     "q_enrich_latest_join" -> enrichLatestJoinSql,
     "q_sequence_join" -> sequenceJoinSql,

@@ -121,6 +121,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("rollingSlope: exact OLS on linear data, trailing-window locality, den=0 -> NULL") {
+    import graft.operators.Windows
+    // key a: value = 2.5 + 0.75·ord (exactly representable in cents)
+    // for ords 0..9, then a level burst — the window must localize
+    val a = (0 to 9).map(i => ("a", i.toLong, 2.5 + 0.75 * i)) ++
+      (10 to 15).map(i => ("a", i.toLong, 10.0))
+    // key b: all events at ONE ordinal — degenerate window
+    val b = (0 to 7).map(i => ("b", 5L, i.toDouble))
+    val df = (a ++ b).toDF("key", "ord", "v")
+    val got = Windows.rollingSlope(df, "key", col("ord"), col("v"), windowSize = 4)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("ord"),
+        Option(r.getAs[java.lang.Double]("slope")))).toList
+    val aOut = got.filter(_._1 == "a").sortBy(_._2)
+    assert(aOut.head._2 == 3L, "first complete window ends at the 4th row")
+    // fully inside the linear ramp: slope exactly 0.75
+    assert(aOut.filter(_._2 <= 9).forall(_._3.contains(0.75)), s"$aOut")
+    // fully inside the flat burst: slope exactly 0
+    assert(aOut.filter(_._2 >= 13).forall(_._3.contains(0.0)))
+    assert(got.filter(_._1 == "b").forall(_._3.isEmpty),
+      "identical ordinals degenerate the regression: NULL, never NaN")
+  }
+
   test("fuzzySelfPairs ≡ naive all-pairs Levenshtein, incl. empty/1-char edges") {
     val rng = new scala.util.Random(13)
     // short strings over a 2-letter alphabet: natural distance-1 pairs
