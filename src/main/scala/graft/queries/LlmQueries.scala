@@ -1367,6 +1367,46 @@ object LlmQueries {
        |FROM seeded ORDER BY doc""".stripMargin
   }
 
+  /** Release-gate capstone: the four governance families composed into
+    * ONE pre-publish report — data contracts (Profile.expect),
+    * k-anonymity suppression pressure (Profile.kAnonymize), Luhn-valid
+    * card PII (TextAnalysis.ccDetect) and robust outliers
+    * (Sketches.robustOutliers) — each reduced to (gate, n_flagged,
+    * pass). Composes the REGISTERED queries, so every branch is an
+    * already-adjudicated operator; the oracle nests the four proven
+    * oracles the same way.
+    */
+  val releaseGate: Q = (s, dir) => {
+    val exp = ParityQueries.expectationsQ(s, dir)
+      .select(concat(lit("contract:"), col("rule")).as("gate"),
+        col("n_violations").as("n_flagged"), col("pass"))
+    val kan = ParityQueries.kAnonymityQ(s, dir).filter(col("suppressed"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .select(lit("privacy:k_anonymity").as("gate"), col("n_flagged"),
+        (col("n_flagged") === 0L).as("pass"))
+    val cc = ccDetectQ(s, dir)
+      .agg(sum(col("n_cc_valid")).as("n_flagged"))
+      .select(lit("privacy:cc_numbers").as("gate"), col("n_flagged"),
+        (col("n_flagged") === 0L).as("pass"))
+    val outl = robustOutliersQ(s, dir)
+      .agg(count(lit(1)).as("n_flagged"))
+      .select(lit("quality:outliers").as("gate"), col("n_flagged"),
+        (col("n_flagged") === 0L).as("pass"))
+    exp.unionAll(kan).unionAll(cc).unionAll(outl).orderBy("gate")
+  }
+
+  lazy val releaseGateSql: String =
+    s"""SELECT 'contract:' || rule AS gate, n_violations AS n_flagged, pass
+       |FROM (${ParityQueries.expectationsSql})
+       |UNION ALL SELECT 'privacy:k_anonymity', count(*), count(*) = 0
+       |FROM (${ParityQueries.kAnonymitySql}) WHERE suppressed
+       |UNION ALL SELECT 'privacy:cc_numbers', CAST(sum(n_cc_valid) AS BIGINT),
+       |  CAST(sum(n_cc_valid) AS BIGINT) = 0
+       |FROM ($ccDetectSql)
+       |UNION ALL SELECT 'quality:outliers', count(*), count(*) = 0
+       |FROM ($robustOutliersSql)
+       |ORDER BY gate""".stripMargin
+
   /** Long-doc chunking (TextAnalysis.chunkDocs, 30-word windows): the
     * C4-style length normalizer — chunk boundaries, sizes and the
     * re-joined chunk text all oracle-exact.
@@ -3500,6 +3540,7 @@ object LlmQueries {
     "q_chunk_docs" -> chunkDocs,
     "q_pii_redact" -> piiRedact,
     "q_cc_detect" -> ccDetectQ,
+    "q_release_gate" -> releaseGate,
     "q_lang_confusion" -> langConfusion,
     "q_distinct_kmv" -> distinctKmv,
     "q_sketch_rollup" -> sketchRollup,
@@ -3601,6 +3642,7 @@ object LlmQueries {
     "q_pii_redact" -> piiRedactSql,
     "q_lang_confusion" -> langConfusionSql,
     "q_cc_detect" -> ccDetectSql,
+    "q_release_gate" -> releaseGateSql,
     "q_distinct_kmv" -> distinctKmvSql,
     "q_sketch_rollup" -> sketchRollupSql,
     "q_quantile_rollup" -> quantileRollupSql,
