@@ -749,4 +749,55 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("LeftAnti"), s"anti-join must survive:\n$plan")
     }
   }
+
+  test("fuzzyJoin: hash-keyed candidate join, variant text never in the vh exchange") {
+    withNoAutoBroadcast {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val df = Seq((1L, "alpha"), (2L, "alphb"), (3L, "gamma")).toDF("id", "title")
+      val plan = planOf(graft.operators.Joins.fuzzySelfPairs(df, "id", "title"))
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"deletion-neighborhood blocking must ride an equi-join:\n$plan")
+      // the variant-keyed exchanges carry (id, vh) only — title text
+      // re-attaches AFTER the candidate distinct
+      val vhLines = plan.linesIterator.filter(_.contains("hashpartitioning(vh")).toList
+      assert(vhLines.nonEmpty, s"expected vh-keyed exchanges:\n$plan")
+      assert(vhLines.forall(!_.contains("title")),
+        s"variant exchange must not carry the string column:\n$vhLines")
+    }
+  }
+
+  test("joinCardinality: the two tables NEVER co-shuffle — no keyed join at all") {
+    withNoAutoBroadcast {
+      import org.apache.spark.sql.functions._
+      val plan = planOf(graft.llm.Sketches.joinCardinality(
+        Tables.orders(spark, dir), col("o_orderkey"),
+        Tables.lineitem(spark, dir), col("l_orderkey"), k = 16))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"the estimate must come from sketches, not a join of the tables:\n$plan")
+      // the only join is the 1x1 stitch of two single-row aggregates
+      // (a CartesianProduct of single rows with broadcast disabled)
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+        s"expected exactly the single-row crossJoin:\n$plan")
+      // each side folds its sketch map-side before the single-partition
+      // exchange — the wire carries <= k longs per task
+      assert(plan.contains("partial_graft_kmv_distinct"),
+        s"sketch must partial-combine below the exchange:\n$plan")
+    }
+  }
+
+  test("trainingOrder: per-slice windows partition by the slice, step rides GlobalOrder") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val plan = planOf(graft.llm.Mixture.trainingOrder(docs, "doc_id", "source",
+      col("n_chars")))
+    // every window must carry a partition spec — a partitionless window
+    // serializes the corpus through one task (and Catalyst strips
+    // foldable partition keys, so there is no cheating it)
+    assert(!plan.matches("(?s).*windowspecdefinition\\((pos|_j).*"),
+      s"the global step must come from GlobalOrder, not a global window:\n$plan")
+    assert(plan.contains("windowspecdefinition(source") ||
+      plan.contains("windowspecdefinition(_pid"),
+      s"expected slice- and pid-partitioned windows:\n$plan")
+  }
 }
