@@ -1833,6 +1833,54 @@ object LlmQueries {
         encode(col("text").substr(lit(1), h * 16), "UTF-8")).as("payload"))
   }
 
+  /** Real RIFF/WAVE media: PCM16 samples derived from the text
+    * (s_i = ascii(c_i) − 96 — lowercase letters positive, spaces and
+    * digits negative, so sign structure exists for the zero-crossing
+    * feature), serialized through Multimodal.encodeWav.
+    */
+  private def wavMedia(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val samples = t.map(c => (c - 96).toShort).toArray
+        Multimodal.MediaRow(id, "audio/wav", 44 + 2 * samples.length,
+          Multimodal.encodeWav(samples, 8000))
+      }.toDF()
+  }
+
+  /** Real WAV decode (Multimodal.decodeAudio): the payloads round-trip
+    * through an actual RIFF chunk walk + PCM16 validation; features
+    * (duration, peak, zero crossings, RMS) are integer-exact until one
+    * division + sqrt. The oracle computes the same features from the
+    * sample formula directly — if the codec pair mis-encoded or
+    * mis-decoded a single byte, the hashes split.
+    */
+  val mmAudio: Q = (s, dir) =>
+    Multimodal.decodeAudio(s, wavMedia(s, dir)).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), col("zero_crossings"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy("doc_id")
+
+  val mmAudioSql: String =
+    """WITH sm AS (SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text)+1),
+      |      ai -> ascii(substring(text, CAST(ai AS INT), 1)) - 96) AS s
+      |  FROM documents)
+      |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  (n * 1000) // 8000 AS duration_ms,
+      |  CAST(COALESCE(list_max(list_transform(s, px -> abs(px))), 0) AS INT) AS peak,
+      |  CAST(COALESCE(list_sum(list_transform(range(2, CAST(n AS INT) + 1), zi ->
+      |      CASE WHEN s[CAST(zi AS INT)] <> 0 AND s[CAST(zi - 1 AS INT)] <> 0
+      |        AND ((s[CAST(zi AS INT)] < 0) <> (s[CAST(zi - 1 AS INT)] < 0))
+      |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings,
+      |  CASE WHEN n = 0 THEN 0.0
+      |    ELSE round(sqrt(CAST(list_sum(list_transform(s, qx -> qx * qx)) AS DOUBLE)
+      |      / n), 6) END AS rms
+      |FROM sm ORDER BY doc_id""".stripMargin
+
   val mmImage: Q = (s, dir) => {
     val media = p5Media(s, dir, minChars = 16)
     Multimodal.decodeImages(s, media).toDF()
@@ -3524,6 +3572,7 @@ object LlmQueries {
     "q_text_fingerprint" -> textFingerprint,
     "q_mm_decode" -> mmDecode,
     "q_mm_image" -> mmImage,
+    "q_mm_audio" -> mmAudio,
     "q_mm_frames" -> mmFrames,
     "q_mm_neardup" -> mmNearDup,
     "q_dup_spans" -> dupSpans,
@@ -3625,6 +3674,7 @@ object LlmQueries {
     "q_text_fingerprint" -> textFingerprintSql,
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_image" -> mmImageSql,
+    "q_mm_audio" -> mmAudioSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_neardup" -> mmNearDupSql,
     "q_dup_spans" -> dupSpansSql,

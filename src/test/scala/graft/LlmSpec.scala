@@ -521,6 +521,36 @@ class LlmSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, "no digits at all")))
   }
 
+  test("WAV codec: round-trip exact; parser validates instead of trusting") {
+    import graft.llm.Multimodal.{decodeWav, encodeWav}
+    val samples = Array[Short](0, 100, -200, 32767, -32768, 5)
+    val wav = encodeWav(samples, 8000)
+    val Some((rate, got)) = decodeWav(wav)
+    assert(rate == 8000 && got.toSeq == samples.toSeq, "round-trip must be bit-exact")
+
+    // unknown chunk before data must be SKIPPED (real WAVs carry LIST)
+    val withList = {
+      val data = wav.drop(36) // "data" + len + samples
+      val fmt = wav.slice(12, 36)
+      val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+      val body = fmt ++ list ++ data
+      val out = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(4 + body.length).put("WAVE".getBytes).put(body)
+      out.array()
+    }
+    assert(decodeWav(withList).exists(_._2.toSeq == samples.toSeq),
+      "parser must walk the chunk list, not hardcode offsets")
+
+    // corruption rejects, never garbage
+    assert(decodeWav(wav.take(20)).isEmpty, "truncated header")
+    assert(decodeWav("RIFX".getBytes ++ wav.drop(4)).isEmpty, "bad magic")
+    val truncated = wav.dropRight(3) // data chunk shorter than declared
+    assert(decodeWav(truncated).isEmpty, "truncated data must reject")
+    val stereo = wav.clone; stereo(22) = 2 // channels = 2
+    assert(decodeWav(stereo).isEmpty, "only mono PCM16 is in contract")
+  }
+
   test("weightedSample drops non-positive weights instead of sampling garbage") {
     // ADVICE r6: w = 0 yielded ln(u)/0 = -Inf (silently unselectable)
     // and w < 0 INVERTED the bias — such rows must be ineligible, and
