@@ -804,6 +804,65 @@ object StreamingFeatures {
       }
   }
 
+  /** Trailing-window slope state: the last `windowSize` (ord, cent)
+    * pairs, oldest first — parallel primitive arrays (the
+    * encoder-safe state shape).
+    */
+  final case class SlopeState(ords: Array[Long], cents: Array[Long])
+
+  /** One emitted trend point; `slope` is None until the window fills
+    * or when duplicate ordinals degenerate the regression.
+    */
+  final case class SlopePoint(key: String, ord: Long, slope: Option[Double])
+
+  /** Streaming twin of [[graft.operators.Windows.decayedSum]]'s
+    * sibling [[graft.operators.Windows.rollingSlope]]: the per-key
+    * trailing-window OLS trend maintained in O(windowSize) state. The
+    * sufficient statistics are the same exact longs as the batch
+    * operator (cent-quantized y, integer x), so for an in-order
+    * stream every emitted slope is BIT-IDENTICAL to the batch window
+    * at the same (key, ord) — StreamingSpec pins equality across a
+    * two-micro-batch feed. In-order contract as in funnelStream; the
+    * state is the ring itself, so a re-sort variant would only change
+    * the fold order, not the state size.
+    */
+  def rollingSlopeStream(
+      spark: SparkSession,
+      updates: Dataset[Update],
+      windowSize: Int
+  ): Dataset[SlopePoint] = {
+    import spark.implicits._
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[SlopeState]) =>
+          var ords = state.getOption.map(_.ords).getOrElse(Array.emptyLongArray)
+          var cents = state.getOption.map(_.cents).getOrElse(Array.emptyLongArray)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SlopePoint]
+          batch.toSeq.sortBy(u => (u.ord, u.value)).foreach { u =>
+            val yc = math.round(u.value * 100)
+            ords = (ords :+ u.ord).takeRight(windowSize)
+            cents = (cents :+ yc).takeRight(windowSize)
+            if (ords.length == windowSize) {
+              val n = windowSize.toLong
+              val sx = ords.sum
+              val sy = cents.sum
+              val sxy = ords.zip(cents).map { case (a, b) => a * b }.sum
+              val sxx = ords.map(a => a * a).sum
+              val den = n * sxx - sx * sx
+              val slope =
+                if (den == 0L) None
+                else Some(BigDecimal((n * sxy - sx * sy).toDouble / den.toDouble / 100.0)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              out += SlopePoint(key, u.ord, slope)
+            }
+          }
+          state.update(SlopeState(ords, cents))
+          out.iterator
+      }
+  }
+
   def runToMemory[T](
       spark: SparkSession,
       ds: Dataset[T],

@@ -99,6 +99,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling slope: bit-identical to the batch window across micro-batches") {
+    val evs = (1 to 30).map(i =>
+      Update(if (i % 2 == 0) "a" else "b", i.toLong, (i % 7) + 0.25 * i))
+    val (b1, b2) = evs.partition(_.ord <= 15)
+    val in = MemoryStream[Update]
+    val q = StreamingFeatures.rollingSlopeStream(spark, in.toDS(), windowSize = 4)
+      .writeStream.format("memory").queryName("t_slope").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("t_slope")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val batch = graft.operators.Windows.rollingSlope(
+          evs.toDF("key", "ord", "v"), "key",
+          org.apache.spark.sql.functions.col("ord"),
+          org.apache.spark.sql.functions.col("v"), windowSize = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          Option(r.getAs[java.lang.Double]("slope")).map(_.doubleValue)).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"same complete windows must emit: ${streamed.keySet} vs ${batch.keySet}")
+      for ((k, v) <- batch)
+        assert(streamed(k) == v, s"window $k: streamed ${streamed(k)} vs batch $v")
+    } finally q.stop()
+  }
+
   test("streaming running sum accumulates per key") {
     val in = MemoryStream[Update]
     in.addData((1 to 10).map(i => Update("k", i.toLong, i.toDouble)): _*)
