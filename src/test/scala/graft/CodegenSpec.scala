@@ -38,7 +38,11 @@ class CodegenSpec extends SparkSpec {
   private def hasCodegenSpan(p: SparkPlan): Boolean = p.exists {
     case _: WholeStageCodegenExec => true
     case a: AdaptiveSparkPlanExec => hasCodegenSpan(a.executedPlan)
-    case _                        => false
+    // AQE stage wrappers hold their subtree as a member, not a child —
+    // a bare `exists` never descends into them
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      hasCodegenSpan(q.plan)
+    case _ => false
   }
 
   test("simhashDocs stage is whole-stage-codegen'd and compiles") {
@@ -78,6 +82,31 @@ class CodegenSpec extends SparkSpec {
       assert(df.count() > 0)
       assert(hasCodegenSpan(df.queryExecution.executedPlan),
         s"alpha-count projection must sit inside a codegen span, got:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("ccDetect's Luhn HOF fold compiles under whole-stage codegen") {
+    withNoCodegenFallback {
+      val df = graft.llm.TextAnalysis.ccDetect(docs, "doc_id", "text")
+      assert(df.count() > 0)
+      assert(hasCodegenSpan(df.queryExecution.executedPlan),
+        s"the checksum projection must sit inside a codegen span:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("rollingSlope's window statistics compile under whole-stage codegen") {
+    withNoCodegenFallback {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.events(spark, dir).select("user_id", "event_id", "value")
+      val df = graft.operators.Windows.rollingSlope(
+        e, "user_id", col("event_id"), col("value"), windowSize = 4)
+      // collect() executes THIS dataset's queryExecution (count()
+      // would plan a separate aggregate), finalizing the AQE plan so
+      // the codegen spans are visible. WindowExec itself never
+      // codegens; the projections and filters around it must compile.
+      assert(df.collect().length > 0)
+      assert(hasCodegenSpan(df.queryExecution.executedPlan),
+        s"slope arithmetic must sit inside a codegen span:\n${df.queryExecution.executedPlan}")
     }
   }
 }
