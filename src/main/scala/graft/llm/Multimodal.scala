@@ -362,6 +362,62 @@ object Multimodal {
     }
   }
 
+  /** A decoded clip's segment-pooled amplitude profile. */
+  final case class AudioVector(doc_id: Long, n_samples: Long, vec: Array[Double])
+
+  /** Decode WAV payloads into fixed-length amplitude-profile vectors —
+    * the audio twin of [[imageVectors]]: the sample stream splits into
+    * `segments` equal spans (sample i lands in span i·S div n) and
+    * each feature is the span's mean |amplitude|. Integer-exact sums,
+    * one IEEE division per span, so the DuckDB oracle replays the
+    * vector bit-for-bit; clips shorter than the grid (or that fail to
+    * decode) are dropped. Output feeds every [[Similarity]] operator.
+    */
+  def audioVectors(
+      spark: SparkSession,
+      media: DataFrame,
+      segments: Int = 16
+  ): Dataset[AudioVector] = {
+    import spark.implicits._
+    require(segments >= 1, s"segments must be >= 1, got $segments")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.payload).flatMap { case (_, s) =>
+          if (s.length < segments) None
+          else {
+            val sums = new Array[Long](segments)
+            val cnts = new Array[Long](segments)
+            var i = 0
+            while (i < s.length) {
+              val seg = (i.toLong * segments / s.length).toInt
+              sums(seg) += math.abs(s(i).toInt)
+              cnts(seg) += 1
+              i += 1
+            }
+            Some(AudioVector(r.doc_id, s.length.toLong,
+              Array.tabulate(segments)(c => sums(c).toDouble / cnts(c))))
+          }
+        }
+      }
+    }
+  }
+
+  /** Audio near-duplicate pruning: [[audioVectors]] →
+    * [[Similarity.semanticDedup]] — clips whose amplitude profiles
+    * cluster and exceed the cosine threshold drop within their cell,
+    * mirroring [[imageSemanticDedup]].
+    */
+  def audioSemanticDedup(
+      spark: SparkSession,
+      media: DataFrame,
+      minCosine: Double,
+      numCentroids: Int,
+      segments: Int = 16
+  ): DataFrame =
+    Similarity.semanticDedup(
+      audioVectors(spark, media, segments).toDF(), "doc_id", "vec",
+      minCosine, numCentroids)
+
   /** Frame sampling stub: every media row fans out to `frames` sampled
     * "frames" (deterministic offsets), the shape of video-frame
     * extraction — one input row, n output rows, batch-friendly.

@@ -1881,6 +1881,29 @@ object LlmQueries {
       |      / n), 6) END AS rms
       |FROM sm ORDER BY doc_id""".stripMargin
 
+  /** Audio → embedding bridge (Multimodal.audioSemanticDedup): real
+    * WAV decode → 16-segment amplitude profiles → SemDeDup over the
+    * clip vectors — the audio twin of q_mm_neardup, under the shared
+    * semanticDedup oracle tail.
+    */
+  val mmAudioNearDup: Q = (s, dir) =>
+    Multimodal.audioSemanticDedup(s, wavMedia(s, dir),
+        minCosine = MmNearDupCosine, numCentroids = MmNearDupCentroids,
+        segments = 16)
+      .orderBy("vid")
+
+  // lazy: the MmNearDup* constants initialize later in the file
+  lazy val mmAudioNearDupSql: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE length(text) >= 16),
+       |px AS (SELECT doc_id, ((bi - 1) * 16) // n AS cell,
+       |    abs(ascii(substring(text, CAST(bi AS INT), 1)) - 96) AS b
+       |  FROM (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS bi FROM d)),
+       |pooled AS (SELECT doc_id, cell, CAST(sum(b) AS DOUBLE) / count(*) AS f
+       |           FROM px GROUP BY 1, 2),
+       |vecs AS (SELECT doc_id AS vec_id, list(f ORDER BY cell) AS v FROM pooled GROUP BY doc_id),
+       |${semanticDedupTailSql(16, MmNearDupCentroids, MmNearDupCosine)}""".stripMargin
+
   val mmImage: Q = (s, dir) => {
     val media = p5Media(s, dir, minChars = 16)
     Multimodal.decodeImages(s, media).toDF()
@@ -1934,6 +1957,28 @@ object LlmQueries {
         gridW = MmGrid, gridH = MmGrid)
       .orderBy("vid")
 
+  /** The semanticDedup replay (normalize → hash-sampled centroids →
+    * cell assignment → within-cell drop) over any `vecs(vec_id, v)`
+    * CTE — shared by the image and audio embedding bridges.
+    */
+  private def semanticDedupTailSql(dims: Int, centroids: Int, cosine: Double): String =
+    s"""n AS (SELECT * FROM (SELECT vec_id, v,
+       |  sqrt(${dotSql("v", "v", dims, "n")}) AS nrm FROM vecs) WHERE nrm > 0),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "ch")}, vec_id LIMIT $centroids),
+       |rk AS (
+       |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c.cv", dims, "a")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |  FROM n, c),
+       |asg AS (SELECT vid, v, nrm, cell FROM rk WHERE crk = 1),
+       |drp AS (
+       |  SELECT DISTINCT b.vid AS vid
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
+       |  WHERE ${dotSql("a.v", "b.v", dims, "d")} / (a.nrm * b.nrm) >= $cosine)
+       |SELECT s.vid, s.cell FROM asg s
+       |WHERE s.vid NOT IN (SELECT vid FROM drp) ORDER BY vid""".stripMargin
+
   val mmNearDupSql: String = {
     val dims = MmGrid * MmGrid
     s"""WITH d AS (
@@ -1947,22 +1992,7 @@ object LlmQueries {
        |pooled AS (SELECT doc_id, cell, CAST(sum(b) AS DOUBLE) / count(*) AS f
        |           FROM px GROUP BY 1, 2),
        |vecs AS (SELECT doc_id AS vec_id, list(f ORDER BY cell) AS v FROM pooled GROUP BY doc_id),
-       |n AS (SELECT * FROM (SELECT vec_id, v,
-       |  sqrt(${dotSql("v", "v", dims, "n")}) AS nrm FROM vecs) WHERE nrm > 0),
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
-       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "ch")}, vec_id LIMIT $MmNearDupCentroids),
-       |rk AS (
-       |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
-       |    row_number() OVER (PARTITION BY n.vec_id
-       |      ORDER BY ${dotSql("n.v", "c.cv", dims, "a")} / (n.nrm * c.cn) DESC, c.cid) AS crk
-       |  FROM n, c),
-       |asg AS (SELECT vid, v, nrm, cell FROM rk WHERE crk = 1),
-       |drp AS (
-       |  SELECT DISTINCT b.vid AS vid
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
-       |  WHERE ${dotSql("a.v", "b.v", dims, "d")} / (a.nrm * b.nrm) >= $MmNearDupCosine)
-       |SELECT s.vid, s.cell FROM asg s
-       |WHERE s.vid NOT IN (SELECT vid FROM drp) ORDER BY vid""".stripMargin
+       |${semanticDedupTailSql(dims, MmNearDupCentroids, MmNearDupCosine)}""".stripMargin
   }
 
   // ---------------------------------------------------------- registry
@@ -3573,6 +3603,7 @@ object LlmQueries {
     "q_mm_decode" -> mmDecode,
     "q_mm_image" -> mmImage,
     "q_mm_audio" -> mmAudio,
+    "q_mm_audio_neardup" -> mmAudioNearDup,
     "q_mm_frames" -> mmFrames,
     "q_mm_neardup" -> mmNearDup,
     "q_dup_spans" -> dupSpans,
@@ -3675,6 +3706,7 @@ object LlmQueries {
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_image" -> mmImageSql,
     "q_mm_audio" -> mmAudioSql,
+    "q_mm_audio_neardup" -> mmAudioNearDupSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_neardup" -> mmNearDupSql,
     "q_dup_spans" -> dupSpansSql,
