@@ -72,18 +72,43 @@ object Graph {
   ): DataFrame =
     run(edges, srcCol, dstCol, Some(seeds), iters, damping)
 
+  /** Weighted PageRank: each out-edge carries a positive integer
+    * weight (duplicate (src, dst) rows sum), and a node distributes
+    * rank ∝ weight/Σ out-weights — trade volume, link count, co-click
+    * strength. Same fixed-point discipline; the uniform variant is
+    * weight ≡ 1 through the identical op sequence.
+    */
+  def weightedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: org.apache.spark.sql.Column,
+      iters: Int = 5,
+      damping: Double = 0.85
+  ): DataFrame =
+    run(edges, srcCol, dstCol, seeds = None, iters, damping, Some(weightCol))
+
   private def run(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       seeds: Option[DataFrame],
       iters: Int,
-      damping: Double
+      damping: Double,
+      weight: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(false)
+    // uniform = every edge at weight 1: r·1.0 is the identical double,
+    // so unifying the weighted op sequence changes no uniform result
+    val e = (weight match {
+      case None => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().withColumn("w", lit(1L))
+      case Some(wc) => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"), wc.cast("long").as("w"))
+        .filter(col("w") > 0)
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    }).localCheckpoint(false)
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // uniform PageRank IS the personalized walk seeded on every node —
@@ -95,7 +120,7 @@ object Graph {
         .select(col("node"), coalesce(col("_sf"), lit(0)).as("sf"))
         .localCheckpoint(false)
     }
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     // seed count: a control-plane scalar (one distributed agg). The
     // driver-side doubles below repeat the exact op sequence the
     // oracle runs in-engine (floor(1e9/sn + 0.5), ((1-d)/sn)*1e9), so
@@ -108,12 +133,14 @@ object Graph {
     var r = nodes.select(col("node"), col("sf"),
       when(col("sf") === 1, lit(r0)).otherwise(lit(0L)).as("rank"))
     for (_ <- 1 to iters) {
-      val share = r.join(outdeg, col("node") === col("src"))
-        .select(col("src").as("s"),
-          floor(col("rank").cast("double") / col("deg").cast("double") + lit(0.5))
-            .as("share"))
-      val contrib = e.join(share, col("src") === col("s"))
-        .groupBy(col("dst").as("cnode"))
+      val share = e
+        .join(r.select(col("node"), col("rank")), col("node") === col("src"))
+        .join(outdeg.select(col("src").as("_os"), col("deg")), col("_os") === col("src"))
+        .select(col("dst").as("cnode"),
+          floor(col("rank").cast("double") * col("w").cast("double") /
+            col("deg").cast("double") + lit(0.5)).as("share"))
+      val contrib = share
+        .groupBy(col("cnode"))
         .agg(sum(col("share")).as("csum"))
       val dang = r.join(outdeg.select(col("src")), col("node") === col("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
@@ -144,7 +171,8 @@ object Graph {
       edgesSql: String,
       iters: Int = 5,
       damping: Double = 0.85,
-      seedsSql: Option[String] = None
+      seedsSql: Option[String] = None,
+      weighted: Boolean = false
   ): String = {
     val d = s"CAST(${new java.math.BigDecimal(damping).toPlainString} AS DOUBLE)"
     val oneMinus =
@@ -160,11 +188,18 @@ object Graph {
     }
     val sb = new StringBuilder
     sb.append(
-      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+      (if (weighted)
+        s"""WITH e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+           |  FROM ($edgesSql) WHERE w > 0 GROUP BY 1, 2),""".stripMargin
+      else
+        s"""WITH e AS (SELECT src, dst, CAST(1 AS BIGINT) AS w
+           |  FROM (SELECT DISTINCT src, dst FROM ($edgesSql))),""".stripMargin) +
+      s"""
+         |
          |nodes0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |$nodesCte,
          |ss AS (SELECT CAST(sum(sf) AS BIGINT) AS sn FROM nodes),
-         |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |outdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY 1),
          |r0 AS (SELECT node, sf, CASE WHEN sf = 1
          |  THEN CAST(floor(CAST($Scale AS DOUBLE) / $snD + 0.5) AS BIGINT)
          |  ELSE 0 END AS rank
@@ -173,12 +208,13 @@ object Graph {
       val prev = s"r${i - 1}"
       sb.append(",\n")
       sb.append(
-        s"""sh$i AS (SELECT r.node AS s,
-           |  CAST(floor(CAST(r.rank AS DOUBLE) / CAST(od.deg AS DOUBLE) + 0.5)
-           |    AS BIGINT) AS share
-           |  FROM $prev r JOIN outdeg od ON od.src = r.node),
-           |cs$i AS (SELECT e.dst AS cnode, CAST(SUM(sh.share) AS BIGINT) AS csum
-           |  FROM e JOIN sh$i sh ON sh.s = e.src GROUP BY 1),
+        s"""sh$i AS (SELECT e.dst AS cnode,
+           |  CAST(floor(CAST(r.rank AS DOUBLE) * CAST(e.w AS DOUBLE)
+           |    / CAST(od.deg AS DOUBLE) + 0.5) AS BIGINT) AS share
+           |  FROM e JOIN $prev r ON r.node = e.src
+           |  JOIN outdeg od ON od.src = e.src),
+           |cs$i AS (SELECT cnode, CAST(SUM(share) AS BIGINT) AS csum
+           |  FROM sh$i GROUP BY 1),
            |dg$i AS (SELECT CAST(floor(
            |    CAST(COALESCE(SUM(r.rank), 0) AS DOUBLE) / $snD + 0.5) AS BIGINT) AS dshare
            |  FROM $prev r WHERE r.node NOT IN (SELECT src FROM outdeg)),

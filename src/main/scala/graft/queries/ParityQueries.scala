@@ -671,6 +671,33 @@ object ParityQueries {
       |  c.class_size < 5 AS suppressed
       |FROM e JOIN c USING (event_type, v_band) ORDER BY event_id""".stripMargin
 
+  /** Weighted PageRank (Graph.weightedPageRank): the same trade graph
+    * but rank flows in proportion to TRADE VOLUME — every lineitem
+    * contributes one unit of weight to its (customer, supplier) edge,
+    * so a supplier shipping 40 lines to one customer pulls 40× the
+    * rank of a single-line relationship. Duplicate unit edges sum
+    * inside the operator; the oracle runs the generator in weighted
+    * mode over the same unit-weight edge stream.
+    */
+  val pageRankWeightedQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"),
+        lit(1L).as("w"))
+    val edges = cs.unionAll(
+      cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    graft.operators.Graph.weightedPageRank(edges, "src", "dst", col("w"), iters = 5)
+      .orderBy("node")
+  }
+
+  val pageRankWeightedSql: String = {
+    val cs = """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, 1 AS w
+               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+    graft.operators.Graph.pageRankSql(
+      s"$cs UNION ALL SELECT dst, src, w FROM ($cs)", iters = 5, weighted = true)
+  }
+
   /** Referential-integrity audit (Profile.integrity): orphaned
     * lineitems and orders. The oracle states the anti-join directly.
     */
@@ -910,6 +937,7 @@ object ParityQueries {
     "q_fuzzy_join" -> fuzzyJoinQ,
     "q_pagerank" -> pageRankQ,
     "q_pagerank_ppr" -> pageRankPersonalizedQ,
+    "q_pagerank_weighted" -> pageRankWeightedQ,
     "q_k_anonymity" -> kAnonymityQ,
     "q_expectations" -> expectationsQ,
     "q_shed_sample" -> shedSample,
@@ -950,6 +978,7 @@ object ParityQueries {
     "q_shed_increasing" -> shedIncreasingSql,
     "q_pagerank" -> pageRankSql,
     "q_pagerank_ppr" -> pageRankPersonalizedSql,
+    "q_pagerank_weighted" -> pageRankWeightedSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_source_counter" -> sourceCounterSql,

@@ -199,6 +199,15 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(pr(n) - want) < 3e-3, s"node $n: ${pr(n)} vs analytic $want")
     assert(pr(1L) > pr(2L) && pr(2L) > pr(3L) && pr(3L) > pr(4L))
     assert(pr.values.sum > 0.999 && pr.values.sum < 1.001)
+
+    // weighted: node 1 splits 9:1 between 2 and 3 — the heavy edge
+    // pulls proportionally more rank; duplicate unit edges must sum
+    val we = (Seq.fill(9)((1L, 2L)) ++ Seq((1L, 3L), (2L, 1L), (3L, 1L)))
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val wr = Graph.weightedPageRank(we, "src", "dst", col("w"), iters = 20)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(wr(2L) > wr(3L) * 3, s"9:1 weights must skew the split: $wr")
+    assert(wr.values.sum > 0.999 && wr.values.sum < 1.001)
   }
 
   test("expect: violation counts, NULL-fails-by-default, opt-out, one scan") {
