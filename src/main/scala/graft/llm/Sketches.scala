@@ -368,6 +368,38 @@ object Sketches {
         col("med"), col("mad"), round(col("mz"), 6).as("mz"))
   }
 
+  /** Skew advisor — the pre-join diagnosis for
+    * [[graft.operators.Joins.saltedJoin]]: the table's heaviest join
+    * keys and their row shares, with a salt recommendation whenever a
+    * single key exceeds `saltThreshold` of the table (one hot key =
+    * one straggler task however many partitions the shuffle has). ONE
+    * aggregate over ONE scan: total count + a Misra–Gries top-key
+    * sketch fold together map-side, the advisor rows unpack from the
+    * single result row. Exact (oracle-pinned) while distinct keys stay
+    * ≤ sketchK; MG's n/(k+1) undercount bound beyond.
+    */
+  def skewAdvisor(
+      df: DataFrame,
+      keyCol: String,
+      sketchK: Int,
+      top: Int,
+      saltThreshold: Double = 0.1
+  ): DataFrame = {
+    require(top >= 1 && sketchK >= top, s"need sketchK >= top >= 1, got $sketchK/$top")
+    val share = col("e.cnt").cast("double") / col("n").cast("double")
+    df
+      .agg(count(lit(1)).as("n"),
+        heavyHittersAgg(array(col(keyCol).cast("string")), sketchK).as("hh"))
+      .select(col("n"), posexplode(slice(col("hh"), 1, top)).as(Seq("pos", "e")))
+      .select(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("e.term").as("key"),
+        col("e.cnt").as("cnt"),
+        col("n").as("n_rows"),
+        round(share, 6).as("share"),
+        (share > saltThreshold).as("salt_recommended"))
+  }
+
   /** Join-cardinality estimation WITHOUT running the join — the
     * planner-style "how big would A ⋈ B be?" answer from two O(k)
     * sketches (Beyer et al. 2007's KMV set algebra): per side a KMV

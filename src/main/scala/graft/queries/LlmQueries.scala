@@ -2761,6 +2761,28 @@ object LlmQueries {
     * same below-capacity exactness contract the KMV oracle pins; the
     * approximate regime is SketchSpec's job.
     */
+  /** Skew advisor (Sketches.skewAdvisor): events' hottest event_type
+    * keys with row shares and the salting verdict — 5 keys at ~20%
+    * each, all far above the 10% one-hot-key-one-straggler threshold.
+    * The oracle computes the exact counts (sketchK ≥ distinct keys →
+    * the MG sketch is the exact count map, the oracle-pinned regime).
+    */
+  val skewAdvisorQ: Q = (s, dir) =>
+    graft.llm.Sketches.skewAdvisor(Tables.events(s, dir), "event_type",
+        sketchK = 64, top = 5)
+      .orderBy("rank")
+
+  val skewAdvisorSql: String =
+    """SELECT rank, key, cnt, n_rows, round(share, 6) AS share,
+      |  share > 0.1 AS salt_recommended
+      |FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank,
+      |    key, cnt, n_rows, CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share
+      |  FROM (SELECT event_type AS key, count(*) AS cnt,
+      |          (SELECT count(*) FROM events) AS n_rows
+      |        FROM events GROUP BY 1))
+      |WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   val heavyHitters: Q = (s, dir) =>
     graft.llm.Sketches.topTermsSketch(Tables.documents(s, dir), "source", "text",
         sketchK = 256, top = 5)
@@ -3627,6 +3649,7 @@ object LlmQueries {
     "q_quantile_rollup" -> quantileRollup,
     "q_topterms_rollup" -> topTermsRollup,
     "q_heavy_hitters" -> heavyHitters,
+    "q_skew_advisor" -> skewAdvisorQ,
     "q_quantile_sketch" -> quantileSketch,
     "q_robust_outliers" -> robustOutliersQ,
     "q_semantic_dedup" -> semanticDedup,
@@ -3730,6 +3753,7 @@ object LlmQueries {
     "q_quantile_rollup" -> quantileRollupSql,
     "q_topterms_rollup" -> topTermsRollupSql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_skew_advisor" -> skewAdvisorSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_robust_outliers" -> robustOutliersSql,

@@ -234,6 +234,18 @@ class SketchSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"mz $mz")
   }
 
+  test("skewAdvisor: hot key flagged, uniform keys pass, shares exact below capacity") {
+    val rows = (Seq.fill(600)("hot") ++ (1 to 400).map(i => s"k${i % 40}"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val got = Sketches.skewAdvisor(rows, "key", sketchK = 64, top = 3)
+      .orderBy("rank").collect()
+    assert(got(0).getAs[String]("key") == "hot")
+    assert(got(0).getAs[Long]("cnt") == 600L && got(0).getAs[Double]("share") == 0.6)
+    assert(got(0).getAs[Boolean]("salt_recommended"))
+    assert(!got(1).getAs[Boolean]("salt_recommended"),
+      s"1% keys must not be flagged: ${got.toList}")
+  }
+
   test("joinCardinality: overlap regimes + accuracy within sketch noise") {
     def frame(ids: Seq[Long], copies: Int) =
       ids.flatMap(i => Seq.fill(copies)(i)).toDF("key")
