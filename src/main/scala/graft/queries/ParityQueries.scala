@@ -909,6 +909,29 @@ object ParityQueries {
       |FROM region CROSS JOIN range(0, 3) kk(k)
       |ORDER BY key, r_regionkey""".stripMargin
 
+  /** JSONL round-trip (Sources.jsonl): the documents metadata written
+    * as JSON lines and read back with an explicit schema — the
+    * corpus-dump interchange format. The oracle is the original
+    * table: a single mangled value or type would split the hashes.
+    */
+  val sourceJsonl: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_jsonl_roundtrip").getAbsolutePath
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    Sources.jsonl(s, tmp, Some(schema))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val sourceJsonlSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -947,7 +970,8 @@ object ParityQueries {
     "q_priority_trace" -> priorityTrace,
     "q_source_counter" -> sourceCounter,
     "q_source_fake" -> sourceFake,
-    "q_source_file" -> sourceFile
+    "q_source_file" -> sourceFile,
+    "q_source_jsonl" -> sourceJsonl
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -984,6 +1008,7 @@ object ParityQueries {
     "q_source_counter" -> sourceCounterSql,
     "q_expectations" -> expectationsSql,
     "q_source_fake" -> sourceFakeSql,
-    "q_source_file" -> sourceFileSql
+    "q_source_file" -> sourceFileSql,
+    "q_source_jsonl" -> sourceJsonlSql
   )
 }

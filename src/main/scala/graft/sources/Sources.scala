@@ -52,6 +52,21 @@ object Sources {
     }
   }
 
+  /** JSON-lines source — the interchange format LLM-corpus dumps ship
+    * in (one JSON document per line). An explicit schema keeps the
+    * read single-pass (inference scans the data twice) and pins column
+    * types against drift across shards; pass None only for ad-hoc
+    * exploration.
+    */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: Option[StructType] = None
+  ): DataFrame = schema match {
+    case Some(s) => spark.read.schema(s).json(path)
+    case None    => spark.read.json(path)
+  }
+
   /** Parquet feature source — the batch ingest path for everything in
     * /root/testdata. Column pruning + predicate pushdown reach the scan.
     */
