@@ -1,0 +1,187 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.functions.{GraftFunctions, StrHash}
+
+/** Persisted inverted index — the lexical twin of [[IvfIndex]]: the
+  * corpus tokenizes ONCE at build time into term-bucket-partitioned
+  * posting lists, and a BM25 probe reads ONLY the buckets its query
+  * terms hash into — partition pruning instead of a corpus scan, with
+  * scoring cost proportional to the matching postings.
+  *
+  * Layout under `dir`:
+  *  - `postings/` — `(term, doc, tf, dl)` partitioned by `bucket =
+  *    strhash(term) mod nBuckets`. Doc length is DENORMALIZED onto
+  *    every posting (one extra long) so a probe needs no corpus-sized
+  *    doc-length side table — the impact-style index trade: pay
+  *    8 bytes/posting at build, never join at query time.
+  *  - `stats/` — one row `(n_docs, sum_dl, n_buckets)`: the corpus
+  *    scalars BM25 needs, plus the frozen bucket modulus (the probe
+  *    must route with the SAME hash the build partitioned with — the
+  *    IvfIndex frozen-quantizer rule, here for a hash function).
+  *
+  * Incremental maintenance mirrors [[IvfIndex.appendEpoch]]: an epoch
+  * writes `postings-b<epoch>/` + `stats-b<epoch>/` against the frozen
+  * modulus; probes union all roots (pruning applies per root) and SUM
+  * the stats rows, so an appended index scores IDENTICALLY to a fresh
+  * build over the concatenated corpus — term df is counted from the
+  * pruned postings themselves (all of a term's postings live in one
+  * bucket per root), never persisted, so it can't go stale.
+  *
+  * Reference scope: ralf's persisted queryable tables
+  * (`ralf/table.py:150-210`) — the persist-once / probe-cheaply
+  * economy, here for ranked lexical retrieval.
+  */
+object TextIndex {
+
+  /** Declared read schema: the `bucket` partition column comes back
+    * LONG (partition-value inference narrows small bucket ids to INT
+    * and the resulting comparison cast can defeat partition pruning —
+    * repo invariant, see IvfIndex.cellsSchema).
+    */
+  private val postingsSchema = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("doc", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("dl", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false)))
+
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
+      .select(col("doc"), size(col("ws")).cast("long").as("dl"), col("ws"))
+
+  private def postingsOf(base: DataFrame, nBuckets: Int): DataFrame =
+    base
+      .select(col("doc"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy(col("doc"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(GraftFunctions.strhash(col("term")), lit(nBuckets.toLong)))
+
+  private def statsOf(base: DataFrame, nBuckets: Int): DataFrame =
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets.toLong))
+
+  /** Build the index: ONE text-bearing explode into the (doc, dl, term)
+    * exchange with map-side combine, then one shuffle to co-locate each
+    * bucket before the partitioned write (without it every write task
+    * fans a file into every bucket directory — the tasks × buckets
+    * small-files trap measured on IvfIndex).
+    */
+  def write(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      nBuckets: Int
+  ): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val base = tokenized(docs, idCol, textCol).localCheckpoint(false)
+    statsOf(base, nBuckets).write.mode("overwrite").parquet(s"$dir/stats")
+    postingsOf(base, nBuckets).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+  }
+
+  /** Append new documents under the FROZEN bucket modulus. Replay-
+    * idempotent: an epoch overwrites its own roots. Doc ids must be
+    * new (an inverted index has no in-place update; re-ingesting a doc
+    * double-counts it, same contract as IvfIndex epoch membership).
+    */
+  def appendEpoch(
+      spark: SparkSession,
+      dir: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      epoch: Long
+  ): Unit = {
+    val nBuckets = spark.read.parquet(s"$dir/stats")
+      .head().getAs[Long]("n_buckets").toInt
+    val base = tokenized(docs, idCol, textCol).localCheckpoint(false)
+    statsOf(base, nBuckets).write.mode("overwrite").parquet(s"$dir/stats-b$epoch")
+    postingsOf(base, nBuckets).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings-b$epoch")
+  }
+
+  private def epochRoots(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("postings-b\\d+"))
+      .map(_.getPath.getName.stripPrefix("postings-b").toLong)
+      .sorted
+  }
+
+  /** BM25-ranked top-k for a bag-of-words query against the persisted
+    * index — result-identical to [[Relevance.bm25]] run over the same
+    * (concatenated) corpus with the same parameters.
+    *
+    * The probed bucket ids are computed ON THE DRIVER with the same
+    * StrHash the build partitioned by (≤ queryTerms buckets — control-
+    * plane sized by construction) and planted as a static partition
+    * filter, so each root's scan lists and reads only those
+    * directories; the term filter then prunes row groups inside them.
+    * No corpus-sized join: doc length rides on the postings, corpus
+    * scalars come from the unioned one-row stats tables, and per-term
+    * df aggregates from the pruned scan itself.
+    */
+  def probe(
+      spark: SparkSession,
+      dir: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val statsRoots = s"$dir/stats" +:
+      epochRoots(spark, dir).map(e => s"$dir/stats-b$e")
+    val statsAll = statsRoots.map(spark.read.parquet(_)).reduce(_ unionAll _)
+    val nBuckets = statsAll.select(col("n_buckets")).head().getLong(0)
+    val stats = statsAll.agg(
+      sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val buckets = queryTerms
+      .map(t => StrHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString(t)) % nBuckets)
+      .distinct
+    val postingRoots = s"$dir/postings" +:
+      epochRoots(spark, dir).map(e => s"$dir/postings-b$e")
+    val matched = postingRoots
+      .map(r => spark.read.schema(postingsSchema).parquet(r)
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isInCollection(queryTerms)))
+      .reduce(_ unionAll _)
+      .localCheckpoint(false) // feeds df AND scoring — the pruned scan runs once
+    val df = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val scored = matched
+      .join(broadcast(df), "term") // ≤ queryTerms rows — a genuine constant
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / nD)
+      .withColumn(
+        "s_d",
+        round(
+          log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5)) *
+            (tfD * (k1 + 1.0)) /
+            (tfD + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / col("avgdl"))),
+          6
+        ).cast("decimal(18,6)"))
+    scored
+      .groupBy(col("doc"))
+      .agg(sum(col("s_d")).as("score_sum"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_sum").desc, col("doc"))
+      .limit(k)
+      // rank the ≤k survivors without WindowExec (see Relevance.bm25)
+      .coalesce(1)
+      .sortWithinPartitions(col("score_sum").desc, col("doc"))
+      .select(
+        (monotonically_increasing_id() + 1).cast("long").as("rank"),
+        col("doc"), col("n_terms_hit"),
+        col("score_sum").cast("double").as("score"))
+  }
+}

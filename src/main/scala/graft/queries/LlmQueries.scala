@@ -3570,6 +3570,67 @@ object LlmQueries {
        |SELECT csize, count(*) AS n_clusters, CAST(sum(csize) AS BIGINT) AS n_docs
        |FROM cs GROUP BY csize ORDER BY csize""".stripMargin
 
+  // ------------------------------------------------------ classification
+
+  /** Multinomial Naive Bayes language classifier
+    * (Classify.nbTrainScore): train on the corpus's own `lang` labels,
+    * score every document, emit (doc, actual, pred, score) — the
+    * in-engine "quality/domain classifier" stage of the curation
+    * recipe, with closed-form training so the full train→score chain
+    * has an exact oracle. Every ln lands once per model row under the
+    * per-term round(,6)→DECIMAL→exact-sum discipline.
+    */
+  val nbClassify: Q = (s, dir) =>
+    graft.llm.Classify.nbTrainScore(s, Tables.documents(s, dir), "doc_id", "text", "lang")
+      .orderBy("doc")
+
+  val nbClassifySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id AS doc, lang AS actual,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc, actual, wd AS term, count(*) AS tf
+       |  FROM (SELECT doc, actual, unnest(ws) AS wd FROM base) u
+       |  GROUP BY 1, 2, 3),
+       |ct AS (
+       |  SELECT actual AS label, term, CAST(sum(tf) AS BIGINT) AS cnt
+       |  FROM tf GROUP BY 1, 2),
+       |tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM ct GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT term) AS v FROM ct),
+       |nd AS (SELECT count(*) AS n FROM base),
+       |pri AS (
+       |  SELECT actual AS label,
+       |    CAST(round(ln(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS lp
+       |  FROM base CROSS JOIN nd GROUP BY actual, n),
+       |model AS (
+       |  SELECT t.label, vt.term,
+       |    CAST(round(ln((CAST(coalesce(ct.cnt, 0) AS DOUBLE) + 1.0) /
+       |      (CAST(t.tot AS DOUBLE) + CAST(voc.v AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS llh
+       |  FROM (SELECT DISTINCT term FROM ct) vt
+       |  CROSS JOIN tot t
+       |  LEFT JOIN ct ON ct.label = t.label AND ct.term = vt.term
+       |  CROSS JOIN voc),
+       |scored AS (
+       |  SELECT tf.doc, m.label, pri.lp + sum(CAST(tf.tf AS DECIMAL(18,0)) * m.llh) AS total
+       |  FROM tf JOIN model m USING (term) JOIN pri ON pri.label = m.label
+       |  GROUP BY tf.doc, m.label, pri.lp),
+       |best AS (
+       |  SELECT doc, label AS pred_t, total FROM (
+       |    SELECT doc, label, total,
+       |      row_number() OVER (PARTITION BY doc ORDER BY total DESC, label) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1),
+       |fb AS (SELECT label AS fb_label, lp AS fb_lp FROM pri
+       |       ORDER BY lp DESC, label LIMIT 1)
+       |SELECT base.doc, base.actual,
+       |  coalesce(best.pred_t, fb.fb_label) AS pred,
+       |  coalesce(CAST(best.total AS DOUBLE), CAST(fb.fb_lp AS DOUBLE)) AS score
+       |FROM base LEFT JOIN best ON base.doc = best.doc CROSS JOIN fb
+       |ORDER BY base.doc""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -3671,7 +3732,8 @@ object LlmQueries {
     "q_boilerplate" -> boilerplate,
     "q_curation_funnel" -> curationFunnel,
     "q_curation_gate" -> curationGate,
-    "q_dedup_histogram" -> dedupHistogram
+    "q_dedup_histogram" -> dedupHistogram,
+    "q_nb_classify" -> nbClassify
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3775,6 +3837,7 @@ object LlmQueries {
     "q_boilerplate" -> boilerplateSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_curation_gate" -> curationGateSql,
-    "q_dedup_histogram" -> dedupHistogramSql
+    "q_dedup_histogram" -> dedupHistogramSql,
+    "q_nb_classify" -> nbClassifySql
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.llm.Classify
+
+/** Multinomial-NB train→score on a constructed corpus with
+  * hand-computed posteriors, plus the operator's shape contracts
+  * (one row per doc, token-less fallback, tie-breaking).
+  *
+  * Corpus: two "en" docs over {the, cat}, one "fr" doc over {le, chat}.
+  * V = {the, cat, le, chat} (|V| = 4); en tokens = 4, fr tokens = 2.
+  */
+class ClassifySpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat", "en"),
+      (2L, "the the", "en"),
+      (3L, "le chat", "fr"),
+      (4L, "", "en") // token-less: must fall back to the top prior
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  private lazy val got =
+    Classify.nbTrainScore(spark, docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getAs[Long]("doc") ->
+        (r.getAs[String]("actual"), r.getAs[String]("pred"), r.getAs[Double]("score")))
+      .toMap
+
+  private def q6(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+
+  test("one output row per input doc, predictions recover the labels") {
+    assert(got.size == 4)
+    assert(got(1L)._2 == "en" && got(2L)._2 == "en" && got(3L)._2 == "fr")
+  }
+
+  test("winning score is the quantized lprior + sum(tf * llh)") {
+    // doc 1 under en: lp = ln(3/4); llh(en,the) = ln((3+1)/(4+4)),
+    // llh(en,cat) = ln((1+1)/(4+4)) — each rounded to 6dp pre-sum.
+    val expected = q6(math.log(3.0 / 4))
+      .add(q6(math.log(4.0 / 8))).add(q6(math.log(2.0 / 8)))
+    assert(math.abs(got(1L)._3 - expected.doubleValue()) < 1e-9)
+  }
+
+  test("token-less doc falls back to the highest-prior class") {
+    // priors: en = ln(3/4) > fr = ln(1/4)
+    assert(got(4L)._2 == "en")
+    assert(math.abs(got(4L)._3 - q6(math.log(3.0 / 4)).doubleValue()) < 1e-9)
+  }
+
+  test("cross-class evidence flows through the smoothed zero counts") {
+    // doc 3 under en uses the alpha-smoothed zero counts:
+    // ln((0+1)/(4+4)) per term — fr must still win on its own counts.
+    val frScore = q6(math.log(1.0 / 4))
+      .add(q6(math.log(2.0 / 6))).add(q6(math.log(2.0 / 6)))
+    assert(math.abs(got(3L)._3 - frScore.doubleValue()) < 1e-9)
+    val enScore = q6(math.log(3.0 / 4))
+      .add(q6(math.log(1.0 / 8))).add(q6(math.log(1.0 / 8)))
+    assert(frScore.doubleValue() > enScore.doubleValue())
+  }
+}
