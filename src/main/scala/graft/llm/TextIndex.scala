@@ -154,13 +154,15 @@ object TextIndex {
         .filter(col("bucket").isin(buckets: _*))
         .filter(col("term").isInCollection(queryTerms)))
       .reduce(_ unionAll _)
-      .localCheckpoint(false) // feeds df AND scoring — the pruned scan runs once
-    val df = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // per-term df as a window count: the pruned scan runs ONCE and needs
+    // no df self-join (a checkpoint barrier would also hide the scan
+    // from the caller's executedPlan — the invisible-stage hazard)
+    val withDf = matched.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
     val nD = col("n_docs").cast("double")
     val dfD = col("df").cast("double")
     val tfD = col("tf").cast("double")
-    val scored = matched
-      .join(broadcast(df), "term") // ≤ queryTerms rows — a genuine constant
+    val scored = withDf
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / nD)
       .withColumn(

@@ -1758,8 +1758,13 @@ object LlmQueries {
   val bm25Search: Q = (s, dir) =>
     graft.llm.Relevance.bm25(s, Tables.documents(s, dir), "doc_id", "text", Bm25Terms, k = 10)
 
-  val bm25SearchSql: String = {
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+  /** Shared BM25 oracle builder (k1 = 1.2, b = 0.75): used verbatim by
+    * both the one-job q_bm25_search and the persisted-index
+    * q_text_index_search — the index lifecycle must reproduce the
+    * direct computation exactly, so they differ only in query terms.
+    */
+  private def bm25Sql(queryTerms: Seq[String], k: Int): String = {
+    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH base AS (
        |  SELECT doc_id AS doc, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
        |  FROM documents),
@@ -1784,8 +1789,35 @@ object LlmQueries {
        |  SELECT doc, count(*) AS n_terms_hit, CAST(sum(s_d) AS DOUBLE) AS score,
        |    row_number() OVER (ORDER BY sum(s_d) DESC, doc) AS rank
        |  FROM scored GROUP BY doc)
-       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
+
+  val bm25SearchSql: String = bm25Sql(Bm25Terms, 10)
+
+  /** Query terms for the persisted-index probe — distinct from
+    * [[Bm25Terms]] so the two queries exercise different buckets.
+    */
+  val TextIndexTerms: Seq[String] = Seq("scan", "filter", "spark")
+
+  /** The PERSISTED inverted-index path (TextIndex.write + probe): the
+    * corpus tokenizes once into term-bucket-partitioned postings with
+    * doc length denormalized on, then the probe reads only the query
+    * terms' buckets (driver-routed partition filter) — and must return
+    * the IDENTICAL ranking as the one-job Relevance.bm25, so the oracle
+    * is the shared bm25Sql over the same terms. PlanSpec pins the
+    * pruned scan.
+    */
+  val textIndexSearch: Q = (s, dir) => {
+    // ONE fixed path, overwritten per invocation (the ADVICE r6
+    // anti-leak rule — Bench min-of-3 must not accumulate index trees)
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-text-index-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 16)
+    graft.llm.TextIndex.probe(s, idx, TextIndexTerms, k = 10)
+  }
+
+  val textIndexSearchSql: String = bm25Sql(TextIndexTerms, 10)
 
   // --------------------------------------------------------- multimodal
 
@@ -3733,7 +3765,8 @@ object LlmQueries {
     "q_curation_funnel" -> curationFunnel,
     "q_curation_gate" -> curationGate,
     "q_dedup_histogram" -> dedupHistogram,
-    "q_nb_classify" -> nbClassify
+    "q_nb_classify" -> nbClassify,
+    "q_text_index_search" -> textIndexSearch
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3838,6 +3871,7 @@ object LlmQueries {
     "q_curation_funnel" -> curationFunnelSql,
     "q_curation_gate" -> curationGateSql,
     "q_dedup_histogram" -> dedupHistogramSql,
-    "q_nb_classify" -> nbClassifySql
+    "q_nb_classify" -> nbClassifySql,
+    "q_text_index_search" -> textIndexSearchSql
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Relevance, TextIndex}
+
+/** The persisted inverted index must be a pure storage re-layout of
+  * Relevance.bm25: identical ranking from a build+probe, identical
+  * again after epoch appends (stats summed, df re-counted from the
+  * union), and the probe's postings scan must carry the bucket
+  * partition filter — pruning is the point of the layout.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val terms = Seq("scan", "filter", "spark")
+
+  private def bm25Rows(docs: org.apache.spark.sql.DataFrame) =
+    Relevance.bm25(spark, docs, "doc_id", "text", terms, k = 10)
+      .collect().map(_.toSeq).toSeq
+
+  test("probe reproduces Relevance.bm25 exactly and prunes on bucket") {
+    val docs = Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+    TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 16)
+    val probed = TextIndex.probe(spark, idx, terms, k = 10)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
+      s"the postings scan must prune on the query terms' buckets:\n$plan")
+    assert(probed.collect().map(_.toSeq).toSeq == bm25Rows(docs))
+  }
+
+  test("epoch append scores identically to a fresh build over the union") {
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-ep").toString
+    TextIndex.write(first, "doc_id", "text", idx, nBuckets = 16)
+    TextIndex.appendEpoch(spark, idx, second, "doc_id", "text", epoch = 1L)
+    // df, n_docs, sum_dl must all reflect the concatenated corpus
+    assert(TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+      == bm25Rows(docs))
+  }
+
+  test("append is replay-idempotent: re-writing an epoch does not double-count") {
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-rp").toString
+    TextIndex.write(first, "doc_id", "text", idx, nBuckets = 16)
+    TextIndex.appendEpoch(spark, idx, second, "doc_id", "text", epoch = 1L)
+    TextIndex.appendEpoch(spark, idx, second, "doc_id", "text", epoch = 1L)
+    assert(TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+      == bm25Rows(docs))
+  }
+}
