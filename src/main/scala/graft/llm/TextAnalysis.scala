@@ -499,6 +499,69 @@ object TextAnalysis {
           .as("dup_line_char_frac"))
   }
 
+  /** Top-k term collocations by document-level pointwise mutual
+    * information — the WIMBD-style corpus-association audit (which
+    * word pairs co-occur far above chance: named entities, templated
+    * boilerplate, topic markers):
+    * `pmi(a,b) = ln(N · c(a,b) / (c(a) · c(b)))` over PRESENCE counts
+    * (a doc contributes once per pair regardless of tf — Church &
+    * Hanks 1990's document-window variant).
+    *
+    * Exactness: every count is an integer; the single ln of their
+    * rational lands once per OUTPUT pair and is rounded to 6 decimals
+    * into DECIMAL(18,6) BEFORE ranking, so order never depends on
+    * sub-ulp doubles; ties break (term_a, term_b).
+    *
+    * Scale shape: one (doc, term) distinct exchange with map-side
+    * combine feeds BOTH the pair self-join and the df table (checkpoint
+    * barrier, one tokenize). The pair space is Σ_doc t² where t is the
+    * doc's distinct CAPPED vocabulary — `maxDfFrac` drops hub terms
+    * first (stopword-class df makes pairs quadratic in corpus size;
+    * the same skew cap as the capped Jaccard join, fractional so the
+    * knob survives corpus growth), and `minPairDocs` prunes the long
+    * tail before ranking. df joins back on `term` with no broadcast
+    * hint (web vocabularies are unbounded); the global top-k resolves
+    * via TakeOrderedAndProject on the quantized score.
+    */
+  def pmiPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDfFrac: Double,
+      minPairDocs: Long,
+      k: Int
+  ): DataFrame = {
+    require(maxDfFrac > 0 && minPairDocs > 0 && k > 0,
+      s"maxDfFrac, minPairDocs, k must be positive, got $maxDfFrac, $minPairDocs, $k")
+    val present = docs
+      .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("term"))
+      .distinct()
+      .localCheckpoint(false) // feeds df AND both sides of the pair join
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val df = present.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df").cast("double") <= col("n_docs").cast("double") * maxDfFrac)
+      .drop("n_docs")
+    val kept = present.join(df, "term") // vocab-keyed, no broadcast hint
+    val pairs = kept.select(col("doc"), col("term").as("term_a"), col("df").as("df_a"))
+      .join(kept.select(col("doc"), col("term").as("term_b"), col("df").as("df_b")), "doc")
+      .filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("pair_docs"))
+      .filter(col("pair_docs") >= minPairDocs)
+    pairs
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_d",
+        round(log(
+          col("n_docs").cast("double") * col("pair_docs").cast("double") /
+            (col("df_a").cast("double") * col("df_b").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      .orderBy(col("pmi_d").desc, col("term_a"), col("term_b"))
+      .limit(k)
+      .select(col("term_a"), col("term_b"), col("pair_docs"),
+        col("df_a"), col("df_b"), col("pmi_d").cast("double").as("pmi"))
+  }
+
   /** Rolling-hash document fingerprint (TextOps.fingerprint) plus summary
     * stats — the join key for cross-corpus contamination checks.
     */

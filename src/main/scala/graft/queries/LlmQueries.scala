@@ -3663,6 +3663,39 @@ object LlmQueries {
        |FROM base LEFT JOIN best ON base.doc = best.doc CROSS JOIN fb
        |ORDER BY base.doc""".stripMargin
 
+  /** Top-50 term collocations by document-level PMI
+    * (TextAnalysis.pmiPairs): presence-count association mining with
+    * the fractional hub-term cap and a min-support floor. Integer
+    * counts throughout; the one ln per output pair is quantized
+    * round(6)→DECIMAL before ranking.
+    */
+  val pmiPairs: Q = (s, dir) =>
+    graft.llm.TextAnalysis.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxDfFrac = 0.9, minPairDocs = 5, k = 50)
+
+  val pmiPairsSql: String =
+    s"""WITH present AS (
+       |  SELECT DISTINCT doc_id AS doc, wd AS term
+       |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS wd
+       |        FROM documents) u),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |dfq AS (
+       |  SELECT term, count(*) AS df FROM present GROUP BY term
+       |  HAVING CAST(count(*) AS DOUBLE) <= (SELECT CAST(n_docs AS DOUBLE) FROM nd) * 0.9),
+       |kept AS (SELECT p.doc, p.term, dfq.df FROM present p JOIN dfq USING (term)),
+       |pairs AS (
+       |  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+       |    count(*) AS pair_docs
+       |  FROM kept a JOIN kept b ON a.doc = b.doc AND a.term < b.term
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING count(*) >= 5)
+       |SELECT term_a, term_b, pair_docs, df_a, df_b, CAST(pmi_d AS DOUBLE) AS pmi
+       |FROM (
+       |  SELECT *, CAST(round(ln(CAST(n_docs AS DOUBLE) * CAST(pair_docs AS DOUBLE) /
+       |      (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 6) AS DECIMAL(18,6)) AS pmi_d
+       |  FROM pairs CROSS JOIN nd)
+       |ORDER BY pmi_d DESC, term_a, term_b LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -3766,7 +3799,8 @@ object LlmQueries {
     "q_curation_gate" -> curationGate,
     "q_dedup_histogram" -> dedupHistogram,
     "q_nb_classify" -> nbClassify,
-    "q_text_index_search" -> textIndexSearch
+    "q_text_index_search" -> textIndexSearch,
+    "q_pmi_pairs" -> pmiPairs
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3872,6 +3906,7 @@ object LlmQueries {
     "q_curation_gate" -> curationGateSql,
     "q_dedup_histogram" -> dedupHistogramSql,
     "q_nb_classify" -> nbClassifySql,
-    "q_text_index_search" -> textIndexSearchSql
+    "q_text_index_search" -> textIndexSearchSql,
+    "q_pmi_pairs" -> pmiPairsSql
   )
 }

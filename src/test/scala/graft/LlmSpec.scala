@@ -774,6 +774,26 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeNetpbmPooled(pgm(2, 2, Array[Byte](1, 2, 3, 4)), 4, 4).isEmpty)
   }
 
+  test("pmiPairs: presence counts, hub cap, min support, hand-computed pmi") {
+    import spark.implicits._
+    // N=5; df: a=3, b=3, c=2, x=1; (a,b) co-occurs in 2 docs (d1's
+    // repeated 'a' must not inflate the presence count)
+    val corpus = Seq((1L, "a b a"), (2L, "a b"), (3L, "a c"), (4L, "b c"), (5L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.pmiPairs(corpus, "doc_id", "text",
+      maxDfFrac = 0.9, minPairDocs = 2, k = 10).collect()
+    assert(got.length == 1, "only (a,b) meets minPairDocs = 2")
+    val r = got.head
+    assert(r.getAs[String]("term_a") == "a" && r.getAs[String]("term_b") == "b")
+    assert(r.getAs[Long]("pair_docs") == 2L)
+    val expected = new java.math.BigDecimal(math.log(5.0 * 2 / 9))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(math.abs(r.getAs[Double]("pmi") - expected) < 1e-9)
+    // hub cap at 0.5: a and b (df 3 > 2.5) drop; no surviving pair co-occurs
+    assert(graft.llm.TextAnalysis.pmiPairs(corpus, "doc_id", "text",
+      maxDfFrac = 0.5, minPairDocs = 1, k = 10).count() == 0)
+  }
+
   test("multimodal: binary plumbing round-trips byte stats; frames fan out") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")
