@@ -562,6 +562,66 @@ object TextAnalysis {
         col("df_a"), col("df_b"), col("pmi_d").cast("double").as("pmi"))
   }
 
+  /** Feature-hashed bag-of-words document vectors (Weinberger et al.
+    * 2009's hashing trick): component j sums s(t)·tf(t) over terms with
+    * strhash(t) mod dims = j, sign s(t) = ±1 from a second hash — the
+    * deterministic, model-free text→vector bridge that lets the TEXT
+    * modality ride every [[Similarity]] operator (the [[Multimodal]]
+    * imageVectors/audioVectors pattern, completing the modality
+    * triangle). Components are INTEGER sums cast to double at the end,
+    * so the DuckDB oracle replays vectors bit-for-bit via the strhash
+    * replica.
+    *
+    * Scale shape: one text-bearing explode into the (doc, term)
+    * exchange with map-side combine, one (doc, bucket) aggregate, then
+    * a per-doc map assembly — never a dims-wide crossJoin of the
+    * corpus. Docs whose every component hashes to zero sum are kept
+    * (the zero vector) and dropped later by semanticDedup's nrm > 0
+    * guard, same as an all-silent audio clip.
+    */
+  def hashedVectors(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int
+  ): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val sign = when(
+      pmod(graft.functions.GraftFunctions.strhash(concat(lit("s"), col("term"))), lit(2L)) === 0,
+      lit(1L)).otherwise(lit(-1L))
+    docs
+      .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc"),
+        pmod(graft.functions.GraftFunctions.strhash(col("term")), lit(dims.toLong)).as("j"),
+        (sign * col("tf")).as("sv"))
+      .groupBy(col("doc"), col("j"))
+      .agg(sum(col("sv")).as("f"))
+      .groupBy(col("doc"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("f")))).as("m"))
+      .select(col("doc").as("vec_id"),
+        transform(sequence(lit(0L), lit(dims - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("v"))
+  }
+
+  /** Text near-duplicate pruning through the embedding path:
+    * [[hashedVectors]] → [[Similarity.semanticDedup]] — the SemDeDup
+    * recipe with the hashing trick standing in for a learned encoder,
+    * mirroring Multimodal.imageSemanticDedup / audioSemanticDedup.
+    */
+  def textSemanticDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCosine: Double,
+      numCentroids: Int,
+      dims: Int = 32
+  ): DataFrame =
+    Similarity.semanticDedup(
+      hashedVectors(docs, idCol, textCol, dims), "vec_id", "v",
+      minCosine, numCentroids)
+
   /** Rolling-hash document fingerprint (TextOps.fingerprint) plus summary
     * stats — the join key for cross-corpus contamination checks.
     */

@@ -3696,6 +3696,41 @@ object LlmQueries {
        |  FROM pairs CROSS JOIN nd)
        |ORDER BY pmi_d DESC, term_a, term_b LIMIT 50""".stripMargin
 
+  /** Text near-dup through the EMBEDDING path
+    * (TextAnalysis.textSemanticDedup): feature-hashed sign-TF vectors →
+    * Similarity.semanticDedup — the SemDeDup recipe with the hashing
+    * trick standing in for a learned encoder, completing the
+    * image/audio/text modality triangle on one shared dedup tail. The
+    * oracle replays the hashed vectors (integer sums via the strhash
+    * replica) into the shared semanticDedup tail.
+    */
+  private val TvDims = 32
+  private val TvCentroids = 16
+  private val TvCosine = 0.95
+
+  val textVecNearDup: Q = (s, dir) =>
+    graft.llm.TextAnalysis.textSemanticDedup(Tables.documents(s, dir), "doc_id", "text",
+        minCosine = TvCosine, numCentroids = TvCentroids, dims = TvDims)
+      .orderBy("vid")
+
+  val textVecNearDupSql: String =
+    s"""WITH tfq AS (
+       |  SELECT doc_id AS doc, wd AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), wx -> wx <> '')) AS wd
+       |        FROM documents) u
+       |  GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT doc, ${strhashSql("term", "tv")} % $TvDims AS j,
+       |    CAST(sum((CASE WHEN ${strhashSql("'s' || term", "sv")} % 2 = 0
+       |      THEN 1 ELSE -1 END) * tf) AS BIGINT) AS f
+       |  FROM tfq GROUP BY 1, 2),
+       |grid AS (SELECT doc, j FROM (SELECT DISTINCT doc FROM tfq) dg, range(0, $TvDims) t(j)),
+       |vecs AS (
+       |  SELECT g.doc AS vec_id, list(CAST(coalesce(c.f, 0) AS DOUBLE) ORDER BY g.j) AS v
+       |  FROM grid g LEFT JOIN cells c ON g.doc = c.doc AND g.j = c.j
+       |  GROUP BY g.doc),
+       |${semanticDedupTailSql(TvDims, TvCentroids, TvCosine)}""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -3800,7 +3835,8 @@ object LlmQueries {
     "q_dedup_histogram" -> dedupHistogram,
     "q_nb_classify" -> nbClassify,
     "q_text_index_search" -> textIndexSearch,
-    "q_pmi_pairs" -> pmiPairs
+    "q_pmi_pairs" -> pmiPairs,
+    "q_text_vec_neardup" -> textVecNearDup
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3907,6 +3943,7 @@ object LlmQueries {
     "q_dedup_histogram" -> dedupHistogramSql,
     "q_nb_classify" -> nbClassifySql,
     "q_text_index_search" -> textIndexSearchSql,
-    "q_pmi_pairs" -> pmiPairsSql
+    "q_pmi_pairs" -> pmiPairsSql,
+    "q_text_vec_neardup" -> textVecNearDupSql
   )
 }

@@ -794,6 +794,32 @@ class LlmSpec extends SparkSpec {
       maxDfFrac = 0.5, minPairDocs = 1, k = 10).count() == 0)
   }
 
+  test("hashedVectors: signed tf sums in hashed buckets, zero-filled; dups collapse") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dims = 8
+    def bucket(t: String) =
+      (graft.functions.StrHash.hash(UTF8String.fromString(t)) % dims).toInt
+    def sign(t: String) =
+      if (graft.functions.StrHash.hash(UTF8String.fromString("s" + t)) % 2 == 0) 1L else -1L
+    val corpus = Seq((1L, "a b a"), (2L, "a b a"), (3L, "c")).toDF("doc_id", "text")
+    val vecs = graft.llm.TextAnalysis.hashedVectors(corpus, "doc_id", "text", dims)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](r.fieldIndex("v")).toList)
+      .toMap
+    val expected1 = Array.fill(dims)(0.0)
+    expected1(bucket("a")) += sign("a") * 2.0
+    expected1(bucket("b")) += sign("b") * 1.0
+    assert(vecs(1L).toArray.toSeq == expected1.toSeq)
+    assert(vecs(1L) == vecs(2L), "identical docs must hash to identical vectors")
+    assert(vecs(3L).count(_ != 0.0) == 1)
+    // exact dup pair sits in one cell at cosine 1 — the later id drops
+    val kept = graft.llm.TextAnalysis.textSemanticDedup(corpus, "doc_id", "text",
+      minCosine = 0.9999, numCentroids = 2, dims = dims)
+      .collect().map(_.getAs[Long]("vid")).toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && kept.contains(3L))
+  }
+
   test("multimodal: binary plumbing round-trips byte stats; frames fan out") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")
