@@ -234,4 +234,67 @@ object Graph {
          |FROM r$iters ORDER BY node""".stripMargin)
     sb.toString
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected graph (self-loops and duplicate/reversed edges
+    * normalized away first) — the graph-quality audit next to
+    * [[pageRank]]: high-triangle neighborhoods are communities,
+    * zero-clustering hubs are link-spam shapes.
+    *
+    * Scale shape — degree-oriented wedge counting (Schank & Wagner
+    * 2005, the MapReduce-standard formulation): every edge orients
+    * from its lower to its higher endpoint in (degree, id) order, so
+    * each triangle is counted EXACTLY once at its lowest-degree apex
+    * and the wedge join fans out by the out-degree of that apex —
+    * Σ out-deg² is bounded where the naive per-node square is
+    * quadratic in hub degree (the skew economy: a 10⁷-degree hub
+    * contributes wedges only through edges pointing AT it). The
+    * (degree, id) order is packed into one long `deg·2³² + id` so
+    * orientation and wedge ordering are single integer compares
+    * through the joins (ids must be non-negative ints — require'd).
+    * Three shuffles total: degree count, the wedge self-join on the
+    * apex, the closing-edge equi-join; counts are exact integers and
+    * the coefficient is ONE IEEE division (never rounded — a rounded
+    * rational can land on a .5 boundary; the raw double is identical
+    * in both engines).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val idMax = 1L << 31
+    val und = edges
+      .select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // feeds degrees, orientation AND the closing join
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false) // feeds the okey joins AND the final report
+    val badId = deg.filter(col("node") < 0 || col("node") >= idMax).limit(1).count()
+    require(badId == 0, s"triangleCount requires node ids in [0, 2^31)")
+    val keyed = und
+      .join(deg.select(col("node").as("a"), (col("deg") * idMax + col("a")).as("ka")), "a")
+      .join(deg.select(col("node").as("b"), (col("deg") * idMax + col("b")).as("kb")), "b")
+    val oriented = keyed.select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
+        greatest(col("ka"), col("kb")).as("kv"))
+      .localCheckpoint(false) // both wedge sides + the closing edge set
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.u") === col("o2.u") && col("o1.kv") < col("o2.kv"))
+      .select(col("o1.u").as("u"), col("o1.v").as("v"), col("o2.v").as("w"))
+    val tri = wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(
+        col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2L).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

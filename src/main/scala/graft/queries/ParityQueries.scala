@@ -698,6 +698,50 @@ object ParityQueries {
       s"$cs UNION ALL SELECT dst, src, w FROM ($cs)", iters = 5, weighted = true)
   }
 
+  /** Per-node triangles + clustering coefficient
+    * (Graph.triangleCount) over the co-supplier graph — suppliers
+    * linked when they ship lines of the same order. The operator
+    * counts each triangle once at its lowest-(degree,id) apex
+    * (degree-oriented wedges); the oracle states the id-ordered
+    * three-way join directly — same triangle set, so results agree
+    * with no orientation replay.
+    */
+  val triangleCountQ: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val e = l.as("x")
+      .join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+    graft.operators.Graph.triangleCount(e, "src", "dst").orderBy("node")
+  }
+
+  val triangleCountSql: String =
+    """WITH und AS (
+      |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+      |deg AS (
+      |  SELECT node, count(*) AS deg
+      |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) u GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1
+      |  JOIN und e2 ON e1.b = e2.a
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pn AS (
+      |  SELECT node, count(*) AS triangles
+      |  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |        UNION ALL SELECT z FROM tri) t GROUP BY 1)
+      |SELECT deg.node, deg.deg,
+      |  CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+      |  CASE WHEN deg.deg >= 2
+      |    THEN CAST(coalesce(pn.triangles, 0) * 2 AS DOUBLE)
+      |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+      |    ELSE 0.0 END AS clustering
+      |FROM deg LEFT JOIN pn ON deg.node = pn.node
+      |ORDER BY deg.node""".stripMargin
+
   /** Referential-integrity audit (Profile.integrity): orphaned
     * lineitems and orders. The oracle states the anti-join directly.
     */
@@ -961,6 +1005,7 @@ object ParityQueries {
     "q_pagerank" -> pageRankQ,
     "q_pagerank_ppr" -> pageRankPersonalizedQ,
     "q_pagerank_weighted" -> pageRankWeightedQ,
+    "q_triangle_count" -> triangleCountQ,
     "q_k_anonymity" -> kAnonymityQ,
     "q_expectations" -> expectationsQ,
     "q_shed_sample" -> shedSample,
@@ -1003,6 +1048,7 @@ object ParityQueries {
     "q_pagerank" -> pageRankSql,
     "q_pagerank_ppr" -> pageRankPersonalizedSql,
     "q_pagerank_weighted" -> pageRankWeightedSql,
+    "q_triangle_count" -> triangleCountSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_source_counter" -> sourceCounterSql,

@@ -530,4 +530,25 @@ class OperatorSpec extends SparkSpec {
       (2L, Some(10L), Some(30L), None),
       (3L, Some(5L), None, None)))
   }
+
+  test("triangleCount: degree-oriented count matches hand graph; input normalizes") {
+    import spark.implicits._
+    // square 1-2-4-3 with diagonal 2-3 → triangles (1,2,3), (2,3,4);
+    // pendant edge 5-6; plus noise: dup, reversed dup, self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 6L),
+      (2L, 1L), (1L, 2L), (4L, 4L)
+    ).toDF("src", "dst")
+    val got = graft.operators.Graph.triangleCount(edges, "src", "dst")
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("triangles"), r.getAs[Double]("clustering")))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L)._1 == 3L && got(2L)._2 == 2L)
+    assert(math.abs(got(2L)._3 - 2.0 / 3.0) < 1e-12)
+    assert(got(3L)._1 == 3L && got(3L)._2 == 2L)
+    assert(got(4L) == ((2L, 1L, 1.0)))
+    assert(got(5L) == ((1L, 0L, 0.0)) && got(6L) == ((1L, 0L, 0.0)))
+  }
 }
