@@ -56,4 +56,45 @@ object Funnel {
     }
     acc
   }
+
+  /** Cohort retention matrix — the second classic behavior query next
+    * to [[ordered]]: users are cohorted by the period of their FIRST
+    * event (`period = ord floor-div periodSize`), and each (cohort,
+    * offset) cell counts how many of that cohort were active `offset`
+    * periods later, with the rate against the cohort's size.
+    *
+    * Scale shape: the event stream collapses to the distinct
+    * (user, period) activity matrix in one map-side-combined exchange
+    * (a checkpoint barrier shares it between the first-period
+    * aggregate and the activity join — both stay partitioned on the
+    * user key, so the join re-uses the exchange), then one
+    * (cohort, offset) aggregate. The per-cohort size table is
+    * periods-count rows — a genuine constant, hint-broadcast onto the
+    * cells. The rate is ONE IEEE division of exact longs (never
+    * rounded — the commonness discipline), so the oracle replays it
+    * bit-for-bit.
+    */
+  def cohortRetention(
+      df: DataFrame,
+      userCol: String,
+      ordCol: Column,
+      periodSize: Long
+  ): DataFrame = {
+    require(periodSize > 0, s"periodSize must be positive, got $periodSize")
+    val up = df
+      .select(col(userCol).as("u"), Joins.floorDiv(ordCol.cast("long"), periodSize).as("p"))
+      .distinct()
+      .localCheckpoint(false) // feeds cohort assignment AND the activity join
+    val cohorts = up.groupBy(col("u")).agg(min(col("p")).as("cohort"))
+      .localCheckpoint(false) // feeds sizes AND the activity join
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    val cells = up.join(cohorts, "u")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active_users"))
+    cells.join(broadcast(sizes), "cohort")
+      .select(
+        col("cohort"), col("offset"), col("cohort_users"), col("active_users"),
+        (col("active_users").cast("double") / col("cohort_users").cast("double"))
+          .as("retention"))
+  }
 }

@@ -25,7 +25,7 @@ object Joins {
     * identical to DuckDB's integer `//`. Shared by every bucketed
     * non-equi join below.
     */
-  private def floorDiv(x: Column, bucketWidth: Long): Column = {
+  private[operators] def floorDiv(x: Column, bucketWidth: Long): Column = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
     Bridge.column(IntegralDivide(

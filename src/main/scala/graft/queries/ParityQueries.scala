@@ -464,6 +464,30 @@ object ParityQueries {
       |  LEFT JOIN s2 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Cohort retention matrix (Funnel.cohortRetention): users cohorted
+    * by first-activity period (event_id floor-div 1000), each
+    * (cohort, offset) cell the count and rate of that cohort active
+    * `offset` periods later. Integer counts; the rate is one IEEE
+    * division, never rounded.
+    */
+  val cohortRetention: Q = (s, dir) =>
+    Funnel.cohortRetention(events(s, dir), "user_id", col("event_id"), periodSize = 1000L)
+      .orderBy("cohort", "offset")
+
+  val cohortRetentionSql: String =
+    """WITH up AS (SELECT DISTINCT user_id AS u, event_id // 1000 AS p FROM events),
+      |coh AS (SELECT u, min(p) AS cohort FROM up GROUP BY u),
+      |sizes AS (SELECT cohort, count(*) AS cohort_users FROM coh GROUP BY 1),
+      |cells AS (
+      |  SELECT coh.cohort, up.p - coh.cohort AS "offset", count(*) AS active_users
+      |  FROM up JOIN coh USING (u) GROUP BY 1, 2)
+      |SELECT cells.cohort, cells."offset",
+      |  CAST(sizes.cohort_users AS BIGINT) AS cohort_users,
+      |  CAST(cells.active_users AS BIGINT) AS active_users,
+      |  CAST(active_users AS DOUBLE) / CAST(cohort_users AS DOUBLE) AS retention
+      |FROM cells JOIN sizes USING (cohort)
+      |ORDER BY cohort, cells."offset"""".stripMargin
+
   /** One-pass table profile (Profile.profile) over the hash-stable
     * events columns: row/null counts, KMV distinct estimates, numeric
     * min/max — all columns in one aggregate over one scan. The oracle
@@ -998,6 +1022,7 @@ object ParityQueries {
     "q_zorder_stats" -> zorderStats,
     "q_decayed_features" -> decayedFeatures,
     "q_event_funnel" -> eventFunnel,
+    "q_cohort_retention" -> cohortRetention,
     "q_profile_events" -> profileEvents,
     "q_integrity_check" -> integrityCheck,
     "q_salted_join" -> saltedJoinQ,
@@ -1039,6 +1064,7 @@ object ParityQueries {
     "q_zorder_stats" -> zorderStatsSql,
     "q_decayed_features" -> decayedFeaturesSql,
     "q_event_funnel" -> eventFunnelSql,
+    "q_cohort_retention" -> cohortRetentionSql,
     "q_profile_events" -> profileEventsSql,
     "q_integrity_check" -> integrityCheckSql,
     "q_salted_join" -> saltedJoinSql,

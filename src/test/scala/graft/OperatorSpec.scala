@@ -531,6 +531,25 @@ class OperatorSpec extends SparkSpec {
       (3L, Some(5L), None, None)))
   }
 
+  test("cohortRetention: first-period cohorts, offset cells, exact rates") {
+    import spark.implicits._
+    // period 10: u1 active p0,p1,p2; u2 p0,p2 (two events in p0 count
+    // once); u3 p1 → cohorts {u1,u2}→0 (size 2), {u3}→1 (size 1)
+    val ev = Seq((1L, 1L), (1L, 12L), (1L, 25L), (2L, 3L), (2L, 7L), (2L, 22L), (3L, 15L))
+      .toDF("user_id", "event_id")
+    val got = graft.operators.Funnel
+      .cohortRetention(ev, "user_id", org.apache.spark.sql.functions.col("event_id"), 10L)
+      .collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset")) ->
+        (r.getAs[Long]("cohort_users"), r.getAs[Long]("active_users"), r.getAs[Double]("retention")))
+      .toMap
+    assert(got.size == 4)
+    assert(got((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(got((0L, 1L)) == ((2L, 1L, 0.5)))
+    assert(got((0L, 2L)) == ((2L, 2L, 1.0)))
+    assert(got((1L, 0L)) == ((1L, 1L, 1.0)))
+  }
+
   test("triangleCount: degree-oriented count matches hand graph; input normalizes") {
     import spark.implicits._
     // square 1-2-4-3 with diagonal 2-3 → triangles (1,2,3), (2,3,4);
