@@ -231,7 +231,35 @@ object RelationalQueries {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Top-25 association rules (Association.rules) over order baskets:
+    * parts co-bought in ≥2 orders, directed rules ranked by lift.
+    * Counts off distinct presence; confidence and lift are each one
+    * IEEE division of exact long products.
+    */
+  val assocRules: Q = (s, dir) =>
+    graft.operators.Association.rules(
+      graft.Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = 2L, k = 25)
+
+  val assocRulesSql: String =
+    """WITH ti AS (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem),
+      |nt AS (SELECT count(DISTINCT t) AS n_txn FROM ti),
+      |itn AS (SELECT i, count(*) AS n_i FROM ti GROUP BY 1),
+      |p AS (
+      |  SELECT x.i AS a, y.i AS b, count(*) AS n_ab
+      |  FROM ti x JOIN ti y ON x.t = y.t AND x.i < y.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |d AS (SELECT a, b, n_ab FROM p UNION ALL SELECT b, a, n_ab FROM p)
+      |SELECT d.a AS antecedent, d.b AS consequent,
+      |  CAST(d.n_ab AS BIGINT) AS support,
+      |  CAST(ia.n_i AS BIGINT) AS n_a, CAST(ib.n_i AS BIGINT) AS n_b,
+      |  CAST(d.n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS confidence,
+      |  CAST(nt.n_txn * d.n_ab AS DOUBLE) / CAST(ia.n_i * ib.n_i AS DOUBLE) AS lift
+      |FROM d JOIN itn ia ON ia.i = d.a JOIN itn ib ON ib.i = d.b CROSS JOIN nt
+      |ORDER BY lift DESC, antecedent, consequent LIMIT 25""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_assoc_rules" -> assocRules,
     "q_pricing_summary" -> pricingSummary,
     "q_revenue_change" -> revenueChange,
     "q_late_orders" -> lateOrders,
@@ -242,6 +270,7 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_assoc_rules" -> assocRulesSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_revenue_change" -> revenueChangeSql,
     "q_late_orders" -> lateOrdersSql,

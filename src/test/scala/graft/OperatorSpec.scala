@@ -531,6 +531,25 @@ class OperatorSpec extends SparkSpec {
       (3L, Some(5L), None, None)))
   }
 
+  test("associationRules: distinct presence, min support, lift ranking both directions") {
+    import spark.implicits._
+    // baskets: t1{1,2,3} t2{1,2} t3{1,3} t4{2,4,4} — the repeated 4
+    // counts once; N=4, n(1)=3 n(2)=3 n(3)=2 n(4)=1
+    val rows = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L), (40L, 2L), (40L, 4L), (40L, 4L)).toDF("txn", "item")
+    val got = graft.operators.Association.rules(rows, "txn", "item", minSupport = 2L, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"),
+        r.getAs[Long]("support"), r.getAs[Double]("confidence"), r.getAs[Double]("lift")))
+    // only {1,2} and {1,3} reach support 2; lift(1,3)=4*2/6, lift(1,2)=4*2/9
+    assert(got.map(t => (t._1, t._2)).toList ==
+      List((1L, 3L), (3L, 1L), (1L, 2L), (2L, 1L)))
+    val m = got.map(t => (t._1, t._2) -> t).toMap
+    assert(m((1L, 3L))._4 == 2.0 / 3.0 && m((3L, 1L))._4 == 1.0)
+    assert(m((1L, 3L))._5 == 8.0 / 6.0 && m((1L, 2L))._5 == 8.0 / 9.0)
+    assert(m((1L, 2L))._3 == 2L)
+  }
+
   test("cohortRetention: first-period cohorts, offset cells, exact rates") {
     import spark.implicits._
     // period 10: u1 active p0,p1,p2; u2 p0,p2 (two events in p0 count
