@@ -318,4 +318,35 @@ object Windows {
         sum(col("_dv")).cast("double").as("decayed_sum"),
         sum(col("_dc")).cast("double").as("decayed_count"))
   }
+
+  /** Equal-frequency discretization: every row gains `binName` =
+    * `floor((rank − 1) · nBins / N)` over the `sortCols` total order
+    * (callers tie-break by a unique id) — bin b holds ranks in
+    * [b·N/nBins, (b+1)·N/nBins), so bin sizes differ by at most one
+    * and the assignment is a pure function of the total order: exact,
+    * engine-reproducible, and identical to DuckDB's integer replay.
+    * The feature-engineering quantile cut (and the exact core an
+    * approximate binning would be validated against).
+    *
+    * Scale shape: the two-pass [[graft.core.GlobalOrder]] rank —
+    * range-repartition + in-partition sort with broadcast per-partition
+    * offsets, never a single-partition window. The bin arithmetic is
+    * one exact integral divide per row (N is driver-known from the
+    * offset pass, so no extra action).
+    */
+  def quantileBins(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      nBins: Int,
+      binName: String = "bin"
+  ): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val rk = graft.core.Names.fresh(df.columns.toSeq :+ binName, "_qb_rank")
+    val cm = graft.core.Names.fresh(df.columns.toSeq ++ Seq(binName, rk), "_qb_cum")
+    val pref = graft.core.GlobalOrder.withPrefix(df, sortCols, lit(1L), cm, rk)
+    pref.df
+      .withColumn(binName,
+        Joins.floorDiv((col(rk) - 1L) * nBins, math.max(pref.totalRows, 1L)))
+      .drop(rk, cm)
+  }
 }

@@ -464,6 +464,31 @@ object ParityQueries {
       |  LEFT JOIN s2 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Equal-frequency decile binning (Windows.quantileBins) of event
+    * values — two-pass GlobalOrder rank, exact integral bin
+    * arithmetic — summarized per bin. The oracle replays the
+    * (rank−1)·B // N cut over the same (value, event_id) total order.
+    */
+  val quantileBinsQ: Q = (s, dir) =>
+    graft.operators.Windows.quantileBins(
+        events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+        Seq(col("value"), col("event_id")), nBins = 10)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("bin")
+
+  val quantileBinsSql: String =
+    """WITH r AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (ORDER BY value, event_id) AS rk,
+      |    count(*) OVER () AS n
+      |  FROM events)
+      |SELECT (rk - 1) * 10 // n AS bin, count(*) AS n_rows,
+      |  min(value) AS vmin, max(value) AS vmax,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM r GROUP BY 1 ORDER BY bin""".stripMargin
+
   /** Cohort retention matrix (Funnel.cohortRetention): users cohorted
     * by first-activity period (event_id floor-div 1000), each
     * (cohort, offset) cell the count and rate of that cohort active
@@ -1023,6 +1048,7 @@ object ParityQueries {
     "q_decayed_features" -> decayedFeatures,
     "q_event_funnel" -> eventFunnel,
     "q_cohort_retention" -> cohortRetention,
+    "q_quantile_bins" -> quantileBinsQ,
     "q_profile_events" -> profileEvents,
     "q_integrity_check" -> integrityCheck,
     "q_salted_join" -> saltedJoinQ,
@@ -1065,6 +1091,7 @@ object ParityQueries {
     "q_decayed_features" -> decayedFeaturesSql,
     "q_event_funnel" -> eventFunnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
+    "q_quantile_bins" -> quantileBinsSql,
     "q_profile_events" -> profileEventsSql,
     "q_integrity_check" -> integrityCheckSql,
     "q_salted_join" -> saltedJoinSql,

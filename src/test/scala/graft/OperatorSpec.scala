@@ -531,6 +531,21 @@ class OperatorSpec extends SparkSpec {
       (3L, Some(5L), None, None)))
   }
 
+  test("quantileBins: equal-frequency cut sizes differ by at most one") {
+    import spark.implicits._
+    // 10 rows into 4 bins: (rank-1)*4/10 → sizes 3,2,3,2
+    val rows = (1L to 10L).map(i => (i, i * 7 % 11)).toDF("id", "v")
+    val got = graft.operators.Windows
+      .quantileBins(rows, Seq(org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("id")), nBins = 4)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("bin"))
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes == Map(0L -> 3, 1L -> 2, 2L -> 3, 3L -> 2))
+    // bin is monotone in the sort order
+    val byV = got.sortBy(_._1).map(_._2)
+    assert(byV.zip(byV.tail).forall { case (a, b) => a <= b })
+  }
+
   test("associationRules: distinct presence, min support, lift ranking both directions") {
     import spark.implicits._
     // baskets: t1{1,2,3} t2{1,2} t3{1,3} t4{2,4,4} — the repeated 4
