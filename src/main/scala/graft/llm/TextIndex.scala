@@ -61,7 +61,8 @@ object TextIndex {
       .withColumn("bucket", pmod(GraftFunctions.strhash(col("term")), lit(nBuckets.toLong)))
 
   private def statsOf(base: DataFrame, nBuckets: Int): DataFrame =
-    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    base.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")) // empty base bootstraps cleanly
       .withColumn("n_buckets", lit(nBuckets.toLong))
 
   /** Build the index: ONE text-bearing explode into the (doc, dl, term)
@@ -104,6 +105,30 @@ object TextIndex {
     postingsOf(base, nBuckets).repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings-b$epoch")
   }
+
+  /** Streaming ingest: every non-empty micro-batch appends as
+    * `epoch = batchId` against the frozen modulus — replay-idempotent
+    * because [[appendEpoch]] overwrites its own epoch roots, so a
+    * recovered batch lands exactly once (the CurationGate
+    * epoch-addressed-publish discipline). The caller builds the base
+    * index first ([[write]], possibly over an empty frame — stats
+    * bootstrap at zero); probes see each batch as soon as its epoch
+    * commits, and compaction remains a between-workloads maintenance
+    * call. Start with `.trigger(...)` / `.start()` on the returned
+    * writer.
+    */
+  def ingestStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          appendEpoch(batch.sparkSession, dir, batch.toDF(), idCol, textCol, epoch)
+      }
 
   private def epochRoots(spark: SparkSession, dir: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(dir)

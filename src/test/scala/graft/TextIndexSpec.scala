@@ -42,6 +42,35 @@ class TextIndexSpec extends SparkSpec {
       == bm25Rows(docs))
   }
 
+  test("streaming ingest: per-batch epochs, probe equals batch bm25 at every point") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-st").toString
+    // empty base: the frozen modulus exists before any data arrives
+    TextIndex.write(Tables.documents(spark, dir).filter(lit(false)),
+      "doc_id", "text", idx, nBuckets = 16)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // continuous trigger: AvailableNow would fold both adds into ONE
+    // micro-batch and never exercise the cross-epoch stats union
+    val q = TextIndex.ingestStream(
+      in.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      "doc_id", "text", idx).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+        == bm25Rows(Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)),
+        "mid-stream probe must equal batch bm25 over the ingested prefix")
+      in.addData(b2: _*); q.processAllAvailable()
+      assert(TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+        == bm25Rows(Tables.documents(spark, dir)),
+        "final probe must equal batch bm25 over everything")
+    } finally q.stop()
+  }
+
   test("append is replay-idempotent: re-writing an epoch does not double-count") {
     val docs = Tables.documents(spark, dir).localCheckpoint(false)
     val first = docs.filter(col("doc_id") % 2 === 0)
