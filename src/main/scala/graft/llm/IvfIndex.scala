@@ -237,78 +237,29 @@ object IvfIndex {
       .filter(s => s.isDirectory && s.getPath.getName.matches("cells-b\\d+"))
       .map(_.getPath.getName)
     if (epochs.isEmpty) return 0
-    val tmp = new org.apache.hadoop.fs.Path(root, StageDir)
+    val tmp = graft.state.StagedCompact.stagePath(dir, "cells")
     val schema = (storageSchema _).tupled(storedBlocks(spark, dir))
     (("cells" +: epochs): Seq[String])
       .map(r => spark.read.schema(schema).parquet(s"$dir/$r"))
       .reduce(_ unionAll _)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    writeManifest(fs, tmp, "cells" +: epochs)
+    graft.state.StagedCompact.commit(spark, dir, "cells", "cells" +: epochs)
     finishStagedCompact(spark, dir)
     epochs.size
   }
 
-  private val StageDir = ".compact-cells"
-  private val ManifestFile = ".folded-roots"
-
-  private def writeManifest(
-      fs: org.apache.hadoop.fs.FileSystem,
-      tmp: org.apache.hadoop.fs.Path,
-      roots: Seq[String]
-  ): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, ManifestFile), true)
-    try out.write(roots.mkString("\n").getBytes("UTF-8")) finally out.close()
-  }
-
-  /** Finish (or discard) an interrupted [[compactEpochs]]: a staged
-    * dir WITH its manifest is committed — delete whichever manifest
-    * roots still exist (idempotent; the manifest still commits the
-    * stage), rename the stage to `cells/` with the manifest riding
-    * INSIDE it (a dot-file, so parquet readers ignore it), and only
-    * then remove the manifest. At every crash point the full dataset
-    * exists either as the committed stage or as the renamed `cells/`,
-    * and re-running this finisher completes the fold. (The prior
-    * protocol deleted the manifest BEFORE the rename; a crash between
-    * the two left a manifest-less — i.e. "uncommitted" — stage whose
-    * discard on the next pass lost the dataset, the folded roots having
-    * already been removed.)
-    *
-    * A stage WITHOUT a manifest never committed. Only the compaction
-    * writer discards it (`discardUncommitted = true`, about to restage
-    * anyway); the read path leaves it alone, so a probe can never
-    * delete a stage an in-flight [[compactEpochs]] is still writing.
-    * Returns true if a committed stage was finished.
+  /** Finish (or discard) an interrupted [[compactEpochs]] — the
+    * [[graft.state.StagedCompact]] protocol (factored there in round 7
+    * so TextIndex shares it verbatim; see that scaladoc for the crash
+    * analysis) applied to the `cells/` dataset.
     */
   private[graft] def finishStagedCompact(
       spark: SparkSession,
       dir: String,
       discardUncommitted: Boolean = false
-  ): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(root, "cells")
-    val tmp = new org.apache.hadoop.fs.Path(root, StageDir)
-    if (!fs.exists(tmp)) {
-      // crash window: stage already renamed into place, manifest not yet
-      // removed — finish that last (cosmetic) step; no-op otherwise
-      fs.delete(new org.apache.hadoop.fs.Path(live, ManifestFile), false)
-      return false
-    }
-    val manifest = new org.apache.hadoop.fs.Path(tmp, ManifestFile)
-    if (!fs.exists(manifest)) {
-      if (discardUncommitted) fs.delete(tmp, true)
-      return false
-    }
-    val in = fs.open(manifest)
-    val roots =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
-      finally in.close()
-    roots.foreach(r => fs.delete(new org.apache.hadoop.fs.Path(root, r), true))
-    fs.rename(tmp, live)
-    fs.delete(new org.apache.hadoop.fs.Path(live, ManifestFile), false)
-    true
-  }
+  ): Boolean =
+    graft.state.StagedCompact.finish(spark, dir, "cells", discardUncommitted)
 
   /** Every cell root currently backing the index: the base plus any
     * un-compacted epoch appends. Self-healing: a committed-but-

@@ -12,24 +12,30 @@ import graft.functions.{GraftFunctions, StrHash}
   * terms hash into — partition pruning instead of a corpus scan, with
   * scoring cost proportional to the matching postings.
   *
-  * Layout under `dir`:
-  *  - `postings/` — `(term, doc, tf, dl)` partitioned by `bucket =
-  *    strhash(term) mod nBuckets`. Doc length is DENORMALIZED onto
-  *    every posting (one extra long) so a probe needs no corpus-sized
-  *    doc-length side table — the impact-style index trade: pay
-  *    8 bytes/posting at build, never join at query time.
-  *  - `stats/` — one row `(n_docs, sum_dl, n_buckets)`: the corpus
-  *    scalars BM25 needs, plus the frozen bucket modulus (the probe
-  *    must route with the SAME hash the build partitioned with — the
-  *    IvfIndex frozen-quantizer rule, here for a hash function).
+  * Layout under `dir`: each ROOT (`postings/` base, `postings-b<N>/`
+  * epochs) is one self-contained dataset — `(term, doc, tf, dl)`
+  * partitioned by `bucket = strhash(term) mod nBuckets`, plus a
+  * `.stats/` dot-dir (ignored by parquet partition discovery) holding
+  * one row `(n_docs, sum_dl, n_buckets)`. Doc length is DENORMALIZED
+  * onto every posting (one extra long) so a probe needs no
+  * corpus-sized doc-length side table — the impact-style index trade:
+  * pay 8 bytes/posting at build, never join at query time. The frozen
+  * modulus rides in the stats row (the probe must route with the SAME
+  * hash the build partitioned with — the IvfIndex frozen-quantizer
+  * rule, here for a hash function).
   *
   * Incremental maintenance mirrors [[IvfIndex.appendEpoch]]: an epoch
-  * writes `postings-b<epoch>/` + `stats-b<epoch>/` against the frozen
-  * modulus; probes union all roots (pruning applies per root) and SUM
-  * the stats rows, so an appended index scores IDENTICALLY to a fresh
-  * build over the concatenated corpus — term df is counted from the
-  * pruned postings themselves (all of a term's postings live in one
-  * bucket per root), never persisted, so it can't go stale.
+  * writes its root against the frozen modulus, and its `.stats` write
+  * is the COMMIT MARKER — a root without stats never finished and is
+  * skipped by probes (a crashed append heals on replay). Probes union
+  * all committed roots (pruning applies per root) and SUM the stats
+  * rows, so an appended index scores IDENTICALLY to a fresh build
+  * over the concatenated corpus — term df is counted from the pruned
+  * postings themselves (all of a term's postings live in one bucket
+  * per root), never persisted, so it can't go stale. Stats living
+  * INSIDE the root is what makes [[compactEpochs]]'s single-dataset
+  * swap atomic: a two-dataset layout could crash between the postings
+  * fold and the stats fold and double-count.
   *
   * Reference scope: ralf's persisted queryable tables
   * (`ralf/table.py:150-210`) — the persist-once / probe-cheaply
@@ -65,6 +71,15 @@ object TextIndex {
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl")) // empty base bootstraps cleanly
       .withColumn("n_buckets", lit(nBuckets.toLong))
 
+  /** Write one root: postings first, then the `.stats` commit marker
+    * inside it (overwrite of the root wipes both, so replay is clean).
+    */
+  private def writeRoot(base: DataFrame, nBuckets: Int, root: String): Unit = {
+    postingsOf(base, nBuckets).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(root)
+    statsOf(base, nBuckets).write.mode("overwrite").parquet(s"$root/.stats")
+  }
+
   /** Build the index: ONE text-bearing explode into the (doc, dl, term)
     * exchange with map-side combine, then one shuffle to co-locate each
     * bucket before the partitioned write (without it every write task
@@ -79,16 +94,19 @@ object TextIndex {
       nBuckets: Int
   ): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val base = tokenized(docs, idCol, textCol).localCheckpoint(false)
-    statsOf(base, nBuckets).write.mode("overwrite").parquet(s"$dir/stats")
-    postingsOf(base, nBuckets).repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    writeRoot(tokenized(docs, idCol, textCol).localCheckpoint(false),
+      nBuckets, s"$dir/postings")
   }
 
+  private def modulusOf(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/postings/.stats")
+      .head().getAs[Long]("n_buckets").toInt
+
   /** Append new documents under the FROZEN bucket modulus. Replay-
-    * idempotent: an epoch overwrites its own roots. Doc ids must be
-    * new (an inverted index has no in-place update; re-ingesting a doc
-    * double-counts it, same contract as IvfIndex epoch membership).
+    * idempotent: an epoch overwrites its own root, and the `.stats`
+    * write at the end commits it. Doc ids must be new (an inverted
+    * index has no in-place update; re-ingesting a doc double-counts
+    * it, same contract as IvfIndex epoch membership).
     */
   def appendEpoch(
       spark: SparkSession,
@@ -97,25 +115,20 @@ object TextIndex {
       idCol: String,
       textCol: String,
       epoch: Long
-  ): Unit = {
-    val nBuckets = spark.read.parquet(s"$dir/stats")
-      .head().getAs[Long]("n_buckets").toInt
-    val base = tokenized(docs, idCol, textCol).localCheckpoint(false)
-    statsOf(base, nBuckets).write.mode("overwrite").parquet(s"$dir/stats-b$epoch")
-    postingsOf(base, nBuckets).repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings-b$epoch")
-  }
+  ): Unit =
+    writeRoot(tokenized(docs, idCol, textCol).localCheckpoint(false),
+      modulusOf(spark, dir), s"$dir/postings-b$epoch")
 
   /** Streaming ingest: every non-empty micro-batch appends as
     * `epoch = batchId` against the frozen modulus — replay-idempotent
-    * because [[appendEpoch]] overwrites its own epoch roots, so a
+    * because [[appendEpoch]] overwrites its own epoch root, so a
     * recovered batch lands exactly once (the CurationGate
     * epoch-addressed-publish discipline). The caller builds the base
     * index first ([[write]], possibly over an empty frame — stats
     * bootstrap at zero); probes see each batch as soon as its epoch
-    * commits, and compaction remains a between-workloads maintenance
-    * call. Start with `.trigger(...)` / `.start()` on the returned
-    * writer.
+    * commits, and [[compactEpochs]] remains a between-workloads
+    * maintenance call. Start with `.trigger(...)` / `.start()` on the
+    * returned writer.
     */
   def ingestStream(
       docs: DataFrame,
@@ -130,14 +143,54 @@ object TextIndex {
           appendEpoch(batch.sparkSession, dir, batch.toDF(), idCol, textCol, epoch)
       }
 
-  private def epochRoots(spark: SparkSession, dir: String): Seq[Long] = {
+  /** Every committed root backing the index: the base plus epoch
+    * appends whose `.stats` marker exists (an epoch without it never
+    * finished — skipped, heals on replay). Self-healing: a committed-
+    * but-interrupted compaction is finished first, so a probe between
+    * a compaction crash and the next maintenance run still sees a
+    * complete index ([[graft.state.StagedCompact]]).
+    */
+  private def committedRoots(spark: SparkSession, dir: String): Seq[String] = {
+    graft.state.StagedCompact.finish(spark, dir, "postings")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("postings-b\\d+"))
-      .map(_.getPath.getName.stripPrefix("postings-b").toLong)
-      .sorted
+    val epochs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("postings-b\\d+"))
+        .map(_.getPath.getName)
+        .filter(n => fs.exists(new org.apache.hadoop.fs.Path(root, s"$n/.stats")))
+        .sortBy(_.stripPrefix("postings-b").toLong)
+    "postings" +: epochs
+  }
+
+  /** Fold every committed epoch root into the base `postings/` layout
+    * and delete the epoch roots — run BETWEEN probe workloads (the
+    * IvfIndex.compactEpochs contract). One staged dataset: the folded
+    * postings AND the summed stats both land in the stage before the
+    * manifest commits it, so the [[graft.state.StagedCompact]] swap is
+    * atomic for the whole root. Returns the number of roots folded.
+    */
+  def compactEpochs(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    graft.state.StagedCompact.finish(spark, dir, "postings", discardUncommitted = true)
+    val roots = committedRoots(spark, dir)
+    if (roots.size <= 1) return 0
+    val stage = graft.state.StagedCompact.stagePath(dir, "postings")
+    roots.map(r => spark.read.schema(postingsSchema).parquet(s"$dir/$r"))
+      .reduce(_ unionAll _)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    roots.map(r => spark.read.parquet(s"$dir/$r/.stats")).reduce(_ unionAll _)
+      .groupBy(col("n_buckets"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"), col("n_buckets"))
+      .write.mode("overwrite").parquet(s"$stage/.stats")
+    graft.state.StagedCompact.commit(spark, dir, "postings", roots)
+    graft.state.StagedCompact.finish(spark, dir, "postings")
+    roots.size - 1
   }
 
   /** BM25-ranked top-k for a bag-of-words query against the persisted
@@ -163,19 +216,17 @@ object TextIndex {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
-    val statsRoots = s"$dir/stats" +:
-      epochRoots(spark, dir).map(e => s"$dir/stats-b$e")
-    val statsAll = statsRoots.map(spark.read.parquet(_)).reduce(_ unionAll _)
+    val roots = committedRoots(spark, dir)
+    val statsAll = roots.map(r => spark.read.parquet(s"$dir/$r/.stats"))
+      .reduce(_ unionAll _)
     val nBuckets = statsAll.select(col("n_buckets")).head().getLong(0)
     val stats = statsAll.agg(
       sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val buckets = queryTerms
       .map(t => StrHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString(t)) % nBuckets)
       .distinct
-    val postingRoots = s"$dir/postings" +:
-      epochRoots(spark, dir).map(e => s"$dir/postings-b$e")
-    val matched = postingRoots
-      .map(r => spark.read.schema(postingsSchema).parquet(r)
+    val matched = roots
+      .map(r => spark.read.schema(postingsSchema).parquet(s"$dir/$r")
         .filter(col("bucket").isin(buckets: _*))
         .filter(col("term").isInCollection(queryTerms)))
       .reduce(_ unionAll _)

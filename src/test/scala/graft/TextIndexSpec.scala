@@ -82,4 +82,58 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
       == bm25Rows(docs))
   }
+
+  private def fsOf(p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("compaction folds epochs into one root; scores unchanged") {
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-cp").toString
+    TextIndex.write(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", idx, nBuckets = 16)
+    TextIndex.appendEpoch(spark, idx,
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", epoch = 1L)
+    TextIndex.appendEpoch(spark, idx,
+      docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", epoch = 2L)
+    assert(TextIndex.compactEpochs(spark, idx) == 2)
+    val fs = fsOf(idx)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).toSet
+    assert(names == Set("postings"), s"epoch roots must be gone, saw $names")
+    assert(TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+      == bm25Rows(docs))
+    assert(TextIndex.compactEpochs(spark, idx) == 0, "nothing left to fold")
+  }
+
+  test("crash windows: uncommitted epoch skipped; committed stage finished by probe") {
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-cw").toString
+    TextIndex.write(half, "doc_id", "text", idx, nBuckets = 16)
+    val fs = fsOf(idx)
+    // an append that died before its .stats commit marker: probes skip it
+    TextIndex.appendEpoch(spark, idx,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", epoch = 7L)
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "postings-b7/.stats"), true)
+    assert(TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+      == bm25Rows(half), "uncommitted epoch must be invisible")
+    // replay commits it
+    TextIndex.appendEpoch(spark, idx,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", epoch = 7L)
+    // a compaction that died right after its manifest commit: the next
+    // probe finishes the fold and scores the full corpus
+    val stage = graft.state.StagedCompact.stagePath(idx, "postings")
+    fs.rename(new org.apache.hadoop.fs.Path(idx, "postings"),
+      new org.apache.hadoop.fs.Path(idx, "postings-b0")) // pretend base was an epoch
+    // stage = everything, manifest lists both roots
+    TextIndex.write(docs, "doc_id", "text", s"$idx/.tmp-rebuild", nBuckets = 16)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/.tmp-rebuild/postings"), stage)
+    graft.state.StagedCompact.commit(spark, idx, "postings",
+      Seq("postings-b0", "postings-b7"))
+    assert(TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+      == bm25Rows(docs), "probe must finish the committed fold")
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).toSet
+    assert(!names.exists(_.startsWith("postings-b")), s"folded roots must be gone, saw $names")
+  }
 }
