@@ -235,6 +235,90 @@ object Graph {
     sb.toString
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, made deterministic): labels start as node ids; each of
+    * `iters` rounds, every node adopts the label most frequent among
+    * its neighbors, ties to the SMALLEST label (the usual random
+    * tie-break replaced by a total order so runs — and the oracle —
+    * are reproducible; fixed iterations, since sync LPA may oscillate
+    * rather than converge). Isolated endpoints keep their label.
+    *
+    * Exactness: labels and counts are integers end to end — nothing
+    * to quantize; the per-round argmax is a (count desc, label asc)
+    * window rank, identical in both engines.
+    *
+    * Scale shape: one shuffle per round — neighbor labels partial-
+    * count below the (node, label) exchange, the per-node argmax rides
+    * a node-partitioned window over that aggregate (rows = distinct
+    * neighbor labels per node, not edges), and the new label joins
+    * back on the node key. Each round ends in a lazy localCheckpoint —
+    * the [[pageRank]] lineage cap.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int
+  ): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val und = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(false)
+    val arg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to iters) {
+      val next = und
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(arg))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("node"), col("label").as("nlabel"))
+      labels = labels.join(next, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nlabel"), col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  /** The [[labelPropagation]] oracle generator: unrolled CTEs, one per
+    * round, over any `(src, dst)` edge SQL — the same
+    * integer argmax, so results agree exactly.
+    */
+  def labelPropagationSql(edgesSql: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e0 AS ($edgesSql),
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+         |  WHERE src <> dst),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+           |n$i AS (
+           |  SELECT dst AS node, label, count(*) AS c
+           |  FROM und JOIN l${i - 1} l ON l.node = und.src
+           |  GROUP BY 1, 2),
+           |b$i AS (
+           |  SELECT node, label AS nlabel FROM (
+           |    SELECT node, label,
+           |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           |    FROM n$i) WHERE rk = 1),
+           |l$i AS (
+           |  SELECT l.node, coalesce(b.nlabel, l.label) AS label
+           |  FROM l${i - 1} l LEFT JOIN b$i b ON b.node = l.node)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, label FROM l$iters ORDER BY node")
+    sb.toString
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected graph (self-loops and duplicate/reversed edges
     * normalized away first) — the graph-quality audit next to

@@ -747,6 +747,25 @@ object ParityQueries {
       s"$cs UNION ALL SELECT dst, src, w FROM ($cs)", iters = 5, weighted = true)
   }
 
+  /** Label-propagation communities (Graph.labelPropagation) over the
+    * trade graph: 4 deterministic sync rounds (most-frequent neighbor
+    * label, ties to the smallest), oracle unrolled by
+    * Graph.labelPropagationSql from the same constants.
+    */
+  val labelPropagationQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.labelPropagation(cs, "src", "dst", iters = 4).orderBy("node")
+  }
+
+  val labelPropagationSql: String =
+    graft.operators.Graph.labelPropagationSql(
+      """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+      iters = 4)
+
   /** Per-node triangles + clustering coefficient
     * (Graph.triangleCount) over the co-supplier graph — suppliers
     * linked when they ship lines of the same order. The operator
@@ -1057,6 +1076,7 @@ object ParityQueries {
     "q_pagerank_ppr" -> pageRankPersonalizedQ,
     "q_pagerank_weighted" -> pageRankWeightedQ,
     "q_triangle_count" -> triangleCountQ,
+    "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
     "q_expectations" -> expectationsQ,
     "q_shed_sample" -> shedSample,
@@ -1102,6 +1122,7 @@ object ParityQueries {
     "q_pagerank_ppr" -> pageRankPersonalizedSql,
     "q_pagerank_weighted" -> pageRankWeightedSql,
     "q_triangle_count" -> triangleCountSql,
+    "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_source_counter" -> sourceCounterSql,

@@ -531,6 +531,20 @@ class OperatorSpec extends SparkSpec {
       (3L, Some(5L), None, None)))
   }
 
+  test("labelPropagation: two triangles split across the bridge in 4 sync rounds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    // hand-traced sync rounds with ties-to-min: {1,2,3}→1, {4,5,6}→3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // iters = 0 is the identity labeling
+    val id0 = graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 0)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(id0.forall { case (n, l) => n == l } && id0.size == 6)
+  }
+
   test("quantileBins: equal-frequency cut sizes differ by at most one") {
     import spark.implicits._
     // 10 rows into 4 bins: (rank-1)*4/10 → sizes 3,2,3,2
