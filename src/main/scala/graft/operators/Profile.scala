@@ -142,4 +142,71 @@ object Profile {
       .select(df.columns.map(col) :+ col("class_size") :+
         (col("class_size") < k).as("suppressed"): _*)
   }
+
+  /** Shannon entropy per column — the distribution-shape profile next
+    * to [[profile]]'s distinct estimates (a near-zero-entropy "id"
+    * column is constant; an id-entropy "category" column is a key in
+    * disguise): `H = Σ (c/N)·ln(N/c)` over each column's value
+    * frequencies, NULL forming its own category.
+    *
+    * Cross-engine exactness: each value's term is a short identical
+    * IEEE chain (two divisions, one ln, one multiply) quantized
+    * round(6)→DECIMAL(18,6) before the exact per-column sum — the
+    * decayedSum transcendental discipline. Columns must be hash-stable
+    * (integer/string — the [[profile]] rule): the stack casts values
+    * to string group keys, and double→string formatting differs
+    * between engines.
+    *
+    * Shape: ONE scan — every column stacks into (column, value) pairs
+    * via a generator projection, then two map-side-combined
+    * aggregates; never a per-column job.
+    */
+  def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropy needs at least one column")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.c").as("c"), col("s.v").as("v"))
+    val counts = stacked.groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("c"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"))
+    counts.join(totals, "c") // column-keyed; both sides share the ancestor
+      .withColumn("term",
+        round((col("cnt").cast("double") / col("n").cast("double")) *
+          log(col("n").cast("double") / col("cnt").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("c"))
+      .agg(max(col("n")).as("n_rows"), max(col("n_distinct")).as("n_distinct"),
+        sum(col("term")).cast("double").as("entropy"))
+      .select(col("c").as("col_name"), col("n_rows"), col("n_distinct"), col("entropy"))
+  }
+
+  /** Functional-dependency audit — the schema-semantics check next to
+    * [[integrity]] and [[expect]]: does `lhs → rhs` hold, and if not,
+    * how badly? One row per candidate FD: determinant-group count,
+    * violating groups (those whose rows disagree on `rhs`), the worst
+    * group's distinct-rhs count, and the violation rate (one IEEE
+    * division of exact longs).
+    *
+    * Shape: one aggregate keyed by the determinant columns with
+    * map-side combine (count-distinct over `rhs` rewrites to a
+    * two-level aggregate — still one scan), then a four-long summary
+    * aggregate. NULL determinant values form their own group (GROUP BY
+    * semantics); NULL rhs counts as a distinct disagreement only
+    * against non-NULL values, matching count(DISTINCT) in both
+    * engines.
+    */
+  def fdAudit(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fdAudit needs at least one determinant column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("nd"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_violating"),
+        max(col("nd")).as("max_distinct"))
+      .select(
+        lit(s"${lhs.mkString(",")} -> $rhs").as("fd"),
+        col("n_groups"), col("n_violating"), col("max_distinct"),
+        (col("n_violating").cast("double") / col("n_groups").cast("double"))
+          .as("violation_rate"))
+  }
 }

@@ -319,6 +319,52 @@ object Windows {
         sum(col("_dc")).cast("double").as("decayed_count"))
   }
 
+  /** Trailing-window z-score anomaly flagging — the streaming-shaped
+    * outlier gate a feature pipeline runs per key ("is this event far
+    * outside this key's recent behavior?"): each row is scored against
+    * the statistics of its key's PRIOR `windowSize` rows (the current
+    * row is excluded so a spike cannot mask itself), emitted only when
+    * the lookback is complete.
+    *
+    * Cross-engine exactness by INTEGER sufficient statistics (the
+    * [[rollingSlope]] discipline): values quantize to cent longs; n,
+    * Σy, Σy² accumulate exactly over the frame, and
+    * `z = (y·n − Σy) / sqrt(n·Σy² − (Σy)²)` touches doubles only in
+    * the final sqrt and division — single IEEE ops, identical in both
+    * engines, so the raw z (and the threshold compare) replays
+    * bit-for-bit with no rounding. A zero-variance lookback yields
+    * NULL z and a false flag, never NaN.
+    *
+    * Shape: one key-partitioned shuffle + in-partition sort; all three
+    * statistics ride the same frame in a single WindowExec pass.
+    */
+  def rollingZScore(
+      df: DataFrame,
+      key: String,
+      ord: Column,
+      valueCol: Column,
+      windowSize: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val frame = Window.partitionBy(col(key)).orderBy(ord)
+      .rowsBetween(-windowSize, -1)
+    val seq = Window.partitionBy(col(key)).orderBy(ord)
+    val yc = round(valueCol * 100).cast("long")
+    val n = count(lit(1)).over(frame)
+    val sy = sum(yc).over(frame)
+    val syy = sum(yc * yc).over(frame)
+    val den = n * syy - sy * sy
+    df
+      .withColumn("_rn", row_number().over(seq))
+      .withColumn("z",
+        when(den > 0L, (yc * n - sy).cast("double") / sqrt(den.cast("double"))))
+      .filter(col("_rn") > windowSize)
+      .withColumn("is_anomaly", coalesce(abs(col("z")) >= threshold, lit(false)))
+      .drop("_rn")
+  }
+
   /** Equal-frequency discretization: every row gains `binName` =
     * `floor((rank − 1) · nBins / N)` over the `sortCols` total order
     * (callers tie-break by a unique id) — bin b holds ranks in

@@ -258,7 +258,56 @@ object RelationalQueries {
       |FROM d JOIN itn ia ON ia.i = d.a JOIN itn ib ON ib.i = d.b CROSS JOIN nt
       |ORDER BY lift DESC, antecedent, consequent LIMIT 25""".stripMargin
 
+  /** Functional-dependency audit (Profile.fdAudit) of three candidate
+    * FDs — one that holds (orders' key determines its customer) and
+    * two the schema violates. Integer counts; the violation rate is
+    * one IEEE division.
+    */
+  val fdAudit: Q = (s, dir) => {
+    val o = graft.Tables.orders(s, dir)
+    val l = graft.Tables.lineitem(s, dir)
+    graft.operators.Profile.fdAudit(o, Seq("o_orderkey"), "o_custkey")
+      .unionAll(graft.operators.Profile.fdAudit(l, Seq("l_orderkey"), "l_suppkey"))
+      .unionAll(graft.operators.Profile.fdAudit(l, Seq("l_partkey"), "l_suppkey"))
+      .orderBy("fd")
+  }
+
+  val fdAuditSql: String = {
+    def one(table: String, lhs: String, rhs: String): String =
+      s"""SELECT '$lhs -> $rhs' AS fd,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(max(nd) AS BIGINT) AS max_distinct,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS violation_rate
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd FROM $table GROUP BY 1) g""".stripMargin
+    s"""${one("orders", "o_orderkey", "o_custkey")}
+       |UNION ALL
+       |${one("lineitem", "l_orderkey", "l_suppkey")}
+       |UNION ALL
+       |${one("lineitem", "l_partkey", "l_suppkey")}
+       |ORDER BY fd""".stripMargin
+  }
+
+  /** CUBE roll-up of lineitem volume by (returnflag, linestatus) —
+    * every grouping-set margin in one pass (Spark rewrites the cube
+    * into a single expanded aggregate; money sums through DECIMAL per
+    * the oracle-parity rule).
+    */
+  val revenueCube: Q = (s, dir) =>
+    graft.Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+
+  val revenueCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_fd_audit" -> fdAudit,
+    "q_revenue_cube" -> revenueCube,
     "q_assoc_rules" -> assocRules,
     "q_pricing_summary" -> pricingSummary,
     "q_revenue_change" -> revenueChange,
@@ -270,6 +319,8 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fd_audit" -> fdAuditSql,
+    "q_revenue_cube" -> revenueCubeSql,
     "q_assoc_rules" -> assocRulesSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_revenue_change" -> revenueChangeSql,

@@ -531,6 +531,56 @@ class OperatorSpec extends SparkSpec {
       (3L, Some(5L), None, None)))
   }
 
+  test("fdAudit: holds/violated candidates with exact rates") {
+    import spark.implicits._
+    val rows = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("a")), (2L, Some("b")),
+      (3L, None)).toDF("k", "v")
+    val r = graft.operators.Profile.fdAudit(rows, Seq("k"), "v").collect().head
+    assert(r.getAs[String]("fd") == "k -> v")
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_violating") == 1L)
+    assert(r.getAs[Long]("max_distinct") == 2L)
+    assert(math.abs(r.getAs[Double]("violation_rate") - 1.0 / 3) < 1e-12)
+  }
+
+  test("entropy: hand distribution, NULL category, constant column is zero") {
+    import spark.implicits._
+    val rows = Seq((Some("a"), "c"), (Some("a"), "c"), (Some("b"), "c"), (None, "c"))
+      .toDF("x", "y")
+    val got = graft.operators.Profile.entropy(rows, Seq("x", "y"))
+      .collect().map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"), r.getAs[Double]("entropy")))
+      .toMap
+    def q6(d: Double) = new java.math.BigDecimal(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expected = q6(0.5 * math.log(2.0)) + 2 * q6(0.25 * math.log(4.0))
+    assert(got("x")._1 == 4L && got("x")._2 == 3L)
+    assert(math.abs(got("x")._3 - expected) < 1e-9)
+    assert(got("y") == ((4L, 1L, 0.0)))
+  }
+
+  test("rollingZScore: spike flags against the prior window; zero variance stays null") {
+    import spark.implicits._
+    val rows = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 11.0), (1L, 4L, 13.0),
+      (1L, 5L, 10.0), (1L, 6L, 90.0),
+      (2L, 1L, 5.0), (2L, 2L, 5.0), (2L, 3L, 5.0), (2L, 4L, 5.0), (2L, 5L, 5.0))
+      .toDF("k", "o", "v")
+    val got = graft.operators.Windows.rollingZScore(rows, "k",
+        org.apache.spark.sql.functions.col("o"),
+        org.apache.spark.sql.functions.col("v"), windowSize = 4, threshold = 3.0)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("o")) ->
+        (Option(r.getAs[Any]("z")).map(_.asInstanceOf[Double]), r.getAs[Boolean]("is_anomaly")))
+      .toMap
+    assert(got.size == 3, "only rows with a complete prior window emit")
+    // (1,5): lookback cents {1000,1200,1100,1300} → z = -600/sqrt(200000)
+    val z15 = got((1L, 5L))._1.get
+    assert(math.abs(z15 - (-600.0 / math.sqrt(200000.0))) < 1e-12 && !got((1L, 5L))._2)
+    val z16 = got((1L, 6L))._1.get
+    assert(z16 > 3.0 && got((1L, 6L))._2, "the spike must flag")
+    assert(got((2L, 5L)) == ((None, false)), "zero-variance lookback: NULL z, no flag")
+  }
+
   test("labelPropagation: two triangles split across the bridge in 4 sync rounds") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
