@@ -171,6 +171,42 @@ object Relevance {
         col("score_sum").cast("double").as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of any number of
+    * (doc, rank) rankings — the standard hybrid-search combiner (BM25
+    * list ⊕ ANN list) that needs no score calibration: each list
+    * contributes `1/(k0 + rank)` for the docs it ranked, fused score =
+    * the sum, ties toward the smaller doc id.
+    *
+    * Exactness: every reciprocal is quantized round(6)→DECIMAL(18,6)
+    * before the sum (the per-term transcendental discipline applied to
+    * rationals), so fusion totals are exact and the ordering is
+    * engine-identical.
+    *
+    * Scale shape: rankings are top-k lists — control-plane sized by
+    * construction; one union + one doc-keyed aggregate, global top-k
+    * via TakeOrderedAndProject, ranked in the ≤k coalesced survivors
+    * (the bm25 no-WindowExec tail).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 0 && k > 0, s"k0 must be >= 0 and k positive, got $k0, $k")
+    rankings
+      .map(_.select(col("doc"),
+        round(lit(1.0) / (col("rank") + lit(k0)).cast("double"), 6)
+          .cast("decimal(18,6)").as("rr")))
+      .reduce(_ unionAll _)
+      .groupBy(col("doc"))
+      .agg(sum(col("rr")).as("fused_d"), count(lit(1)).as("n_lists"))
+      .orderBy(col("fused_d").desc, col("doc"))
+      .limit(k)
+      .coalesce(1)
+      .sortWithinPartitions(col("fused_d").desc, col("doc"))
+      .select(
+        (monotonically_increasing_id() + 1).cast("long").as("rank"),
+        col("doc"), col("n_lists"),
+        col("fused_d").cast("double").as("fused"))
+  }
+
   /** DCG position weights 1/log2(rank+1) for ranks 1..k, pre-rounded
     * to 6 decimals ON THE DRIVER so both engines consume identical
     * DECIMAL literals — the shared-literal discipline (Windows

@@ -3696,6 +3696,47 @@ object LlmQueries {
        |  FROM pairs CROSS JOIN nd)
        |ORDER BY pmi_d DESC, term_a, term_b LIMIT 50""".stripMargin
 
+  /** Hybrid search (Relevance.rrfFuse): the BM25 lexical top-20 and a
+    * brute-cosine semantic top-20 (query = vector 0, ids shared with
+    * doc_id) fused by reciprocal-rank fusion with k0 = 60 — the
+    * calibration-free combiner; reciprocals quantize round(6)→DECIMAL
+    * before the exact fused sum (denominators 61..80 never land on a
+    * rounding boundary: the only power-of-2·5 values in range, 64 and
+    * 80, terminate within 6 digits).
+    */
+  private val HybridTerms: Seq[String] = Seq("merge", "sort", "query")
+
+  val hybridSearch: Q = (s, dir) => {
+    val lex = graft.llm.Relevance.bm25(s, Tables.documents(s, dir), "doc_id", "text",
+        HybridTerms, k = 20)
+      .select(col("doc"), col("rank"))
+    val sem = Similarity.bruteTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vid") === 0, k = 20)
+      .select(col("nid").as("doc"), col("rank").cast("long").as("rank"))
+    graft.llm.Relevance.rrfFuse(Seq(lex, sem), k0 = 60, k = 10)
+  }
+
+  val hybridSearchSql: String =
+    s"""WITH lex AS (SELECT doc, rank FROM (${bm25Sql(HybridTerms, 20)}) bq),
+       |$normCte,
+       |sem AS (
+       |  SELECT nid AS doc, rank FROM (
+       |    SELECT b.vec_id AS nid,
+       |      row_number() OVER (
+       |        ORDER BY ${dotSql("q.v", "b.v", 64, "r")} / (q.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |    FROM n q JOIN n b ON q.vec_id = 0 AND b.vec_id <> q.vec_id)
+       |  WHERE rank <= 20),
+       |u AS (
+       |  SELECT doc, CAST(round(1.0 / (rank + 60), 6) AS DECIMAL(18,6)) AS rr FROM lex
+       |  UNION ALL
+       |  SELECT doc, CAST(round(1.0 / (rank + 60), 6) AS DECIMAL(18,6)) FROM sem),
+       |f AS (SELECT doc, sum(rr) AS fused_d, count(*) AS n_lists FROM u GROUP BY 1)
+       |SELECT rank, doc, n_lists, fused FROM (
+       |  SELECT row_number() OVER (ORDER BY fused_d DESC, doc) AS rank, doc,
+       |    CAST(n_lists AS BIGINT) AS n_lists, CAST(fused_d AS DOUBLE) AS fused
+       |  FROM f)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   /** Text near-dup through the EMBEDDING path
     * (TextAnalysis.textSemanticDedup): feature-hashed sign-TF vectors →
     * Similarity.semanticDedup — the SemDeDup recipe with the hashing
@@ -3836,7 +3877,8 @@ object LlmQueries {
     "q_nb_classify" -> nbClassify,
     "q_text_index_search" -> textIndexSearch,
     "q_pmi_pairs" -> pmiPairs,
-    "q_text_vec_neardup" -> textVecNearDup
+    "q_text_vec_neardup" -> textVecNearDup,
+    "q_hybrid_search" -> hybridSearch
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3944,6 +3986,7 @@ object LlmQueries {
     "q_nb_classify" -> nbClassifySql,
     "q_text_index_search" -> textIndexSearchSql,
     "q_pmi_pairs" -> pmiPairsSql,
-    "q_text_vec_neardup" -> textVecNearDupSql
+    "q_text_vec_neardup" -> textVecNearDupSql,
+    "q_hybrid_search" -> hybridSearchSql
   )
 }

@@ -222,6 +222,38 @@ object ParityQueries {
       |      / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) END AS slope
       |FROM w WHERE rn >= 8 ORDER BY user_id, event_id""".stripMargin
 
+  /** Trailing-window z-score anomaly flags (Windows.rollingZScore):
+    * each event scored against its user's prior 20 events via integer
+    * sufficient statistics; z and the 3σ flag replay bit-for-bit (no
+    * rounding — sqrt and one division are single IEEE ops).
+    */
+  val rollingZScoreQ: Q = (s, dir) =>
+    graft.operators.Windows.rollingZScore(
+        events(s, dir).select("user_id", "event_id", "value"),
+        "user_id", col("event_id"), col("value"), windowSize = 20, threshold = 3.0)
+      .select("user_id", "event_id", "z", "is_anomaly")
+      .orderBy("user_id", "event_id")
+
+  val rollingZScoreSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS yc,
+      |    row_number() OVER win AS rn,
+      |    count(*) OVER (win ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS n,
+      |    sum(CAST(round(value * 100) AS BIGINT))
+      |      OVER (win ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sy,
+      |    sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+      |      OVER (win ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS syy
+      |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY event_id)),
+      |z AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN n * syy - sy * sy > 0
+      |      THEN CAST(yc * n - sy AS DOUBLE) / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+      |    END AS z
+      |  FROM w WHERE rn > 20)
+      |SELECT user_id, event_id, z, coalesce(abs(z) >= 3.0, false) AS is_anomaly
+      |FROM z ORDER BY user_id, event_id""".stripMargin
+
   /** Gap-based sessionization over the event stream (event_id gap > 40
     * starts a new session), rolled up to per-session stats.
     */
@@ -463,6 +495,31 @@ object ParityQueries {
       |FROM base LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
       |  LEFT JOIN s2 USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  /** Per-column Shannon entropy (Profile.entropy) over the
+    * hash-stable events columns — one stacked scan, per-value terms
+    * quantized round(6)→DECIMAL, exact sums.
+    */
+  val columnEntropy: Q = (s, dir) =>
+    graft.operators.Profile.entropy(events(s, dir), Seq("event_type", "user_id", "event_id"))
+      .orderBy("col_name")
+
+  val columnEntropySql: String =
+    """WITH st AS (
+      |  SELECT 'event_type' AS c, CAST(event_type AS VARCHAR) AS v FROM events
+      |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      |  UNION ALL SELECT 'event_id', CAST(event_id AS VARCHAR) FROM events),
+      |cnts AS (SELECT c, v, count(*) AS cnt FROM st GROUP BY 1, 2),
+      |tot AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_distinct
+      |        FROM cnts GROUP BY 1)
+      |SELECT c AS col_name, n AS n_rows, CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(sum(term) AS DOUBLE) AS entropy
+      |FROM (
+      |  SELECT cnts.c, tot.n, tot.n_distinct,
+      |    CAST(round((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+      |  FROM cnts JOIN tot USING (c)) t
+      |GROUP BY 1, n, n_distinct ORDER BY 1""".stripMargin
 
   /** Equal-frequency decile binning (Windows.quantileBins) of event
     * values — two-pass GlobalOrder rank, exact integral bin
@@ -767,28 +824,34 @@ object ParityQueries {
       iters = 4)
 
   /** Per-node triangles + clustering coefficient
-    * (Graph.triangleCount) over the co-supplier graph — suppliers
-    * linked when they ship lines of the same order. The operator
-    * counts each triangle once at its lowest-(degree,id) apex
-    * (degree-oriented wedges); the oracle states the id-ordered
-    * three-way join directly — same triangle set, so results agree
-    * with no orientation replay.
+    * (Graph.triangleCount) over the part co-purchase graph — parts
+    * linked when bought together in ≥ 2 orders (the support floor
+    * keeps the graph sparse; the co-SUPPLIER graph was measured 91%
+    * dense at sf0.1, a near-clique whose Θ(n³) triangle set is
+    * pathological for ANY exact counter). The operator counts each
+    * triangle once at its lowest-(degree,id) apex (degree-oriented
+    * wedges); the oracle states the id-ordered three-way join
+    * directly — same triangle set, so results agree with no
+    * orientation replay.
     */
   val triangleCountQ: Q = (s, dir) => {
-    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val e = l.as("x")
-      .join(l.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+    val ti = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("t"), col("l_partkey").as("i")).distinct()
+    val e = ti.as("x")
+      .join(ti.as("y"), col("x.t") === col("y.t") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("src"), col("y.i").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
     graft.operators.Graph.triangleCount(e, "src", "dst").orderBy("node")
   }
 
   val triangleCountSql: String =
-    """WITH und AS (
-      |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-      |  FROM lineitem x JOIN lineitem y
-      |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+    """WITH ti AS (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem),
+      |und AS (
+      |  SELECT x.i AS a, y.i AS b
+      |  FROM ti x JOIN ti y ON x.t = y.t AND x.i < y.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
       |deg AS (
       |  SELECT node, count(*) AS deg
       |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) u GROUP BY 1),
@@ -1068,6 +1131,8 @@ object ParityQueries {
     "q_event_funnel" -> eventFunnel,
     "q_cohort_retention" -> cohortRetention,
     "q_quantile_bins" -> quantileBinsQ,
+    "q_column_entropy" -> columnEntropy,
+    "q_rolling_zscore" -> rollingZScoreQ,
     "q_profile_events" -> profileEvents,
     "q_integrity_check" -> integrityCheck,
     "q_salted_join" -> saltedJoinQ,
@@ -1112,6 +1177,8 @@ object ParityQueries {
     "q_event_funnel" -> eventFunnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_quantile_bins" -> quantileBinsSql,
+    "q_column_entropy" -> columnEntropySql,
+    "q_rolling_zscore" -> rollingZScoreSql,
     "q_profile_events" -> profileEventsSql,
     "q_integrity_check" -> integrityCheckSql,
     "q_salted_join" -> saltedJoinSql,

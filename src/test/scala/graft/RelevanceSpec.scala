@@ -97,4 +97,19 @@ class RelevanceSpec extends SparkSpec {
     assert(got.getAs[Long]("n_truth") == 2, "truth rank 3 must be cut at k=2")
     assert(got.getAs[Long]("n_hits") == 2 && got.getAs[Double]("ndcg") == 1.0)
   }
+
+  test("rrfFuse: doc in both lists outranks both singles; quantized sums") {
+    import spark.implicits._
+    val l1 = Seq((1L, 1L), (2L, 2L)).toDF("doc", "rank")
+    val l2 = Seq((2L, 1L), (3L, 2L)).toDF("doc", "rank")
+    val got = Relevance.rrfFuse(Seq(l1, l2), k0 = 60, k = 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc"),
+        r.getAs[Long]("n_lists"), r.getAs[Double]("fused")))
+    def q6(d: Double) = new java.math.BigDecimal(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.map(t => (t._1, t._2)).toList == List((1L, 2L), (2L, 1L), (3L, 3L)))
+    val m = got.map(t => t._2 -> t).toMap
+    assert(m(2L)._3 == 2L && math.abs(m(2L)._4 - (q6(1.0 / 61) + q6(1.0 / 62))) < 1e-9)
+    assert(math.abs(m(1L)._4 - q6(1.0 / 61)) < 1e-9)
+  }
 }
