@@ -342,4 +342,71 @@ object Selection {
       spark, keyed, Seq(groupCol), Seq("g_key" -> true, idCol -> false), k)
       .drop("g_key")
   }
+
+  /** Greedy maximum-coverage selection (Nemhauser et al. 1978's
+    * (1 − 1/e) greedy): pick `k` documents that together cover the
+    * most DISTINCT shingles — the coverage-driven data-selection
+    * policy (diversity by construction: a doc near-duplicating an
+    * already-chosen one has near-zero marginal gain, so greedy
+    * coverage subsumes a dedup pass). Ties break toward the smaller
+    * doc id; rounds stop early once everything is covered.
+    *
+    * Output, one row per chosen doc: `(round, doc, gain,
+    * covered_total)` — the marginal distinct-shingle gain and the
+    * running coverage.
+    *
+    * Scale shape: greedy is INHERENTLY sequential — k rounds, each one
+    * anti-join + map-side-combined aggregate over the checkpointed
+    * (doc, shingle) table, with exactly ONE winner row collected per
+    * round (control-plane sized; the covered set stays distributed,
+    * growing behind per-round lazy checkpoints that also cap lineage).
+    * The k-scan cost is the honest price of the greedy guarantee; the
+    * at-scale knob is k, not the corpus.
+    */
+  def greedyCoverage(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(k > 0, s"k must be positive, got $k")
+    val sh = docs
+      .select(col(idCol).as("doc"), explode(TextOps.shingleHashes(col(textCol))).as("h"))
+      .localCheckpoint(false) // scanned once per round — materialize the tokenize
+    var covered = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(Seq(StructField("h", LongType, nullable = false))))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var total = 0L
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val win = sh.join(covered, Seq("h"), "left_anti")
+        .groupBy(col("doc")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc"))
+        .limit(1).collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val doc = win.head.getLong(0)
+        val gain = win.head.getLong(1)
+        total += gain
+        out += Row(r.toLong, doc, gain, total)
+        covered = covered
+          .unionAll(sh.filter(col("doc") === doc).select(col("h")))
+          .distinct()
+          .localCheckpoint(false)
+      }
+    }
+    // explicit-schema createDataFrame (repo invariant: no case-class
+    // toDF for driver-side constants)
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.toSeq: _*),
+      StructType(Seq(
+        StructField("round", LongType, nullable = false),
+        StructField("doc", LongType, nullable = false),
+        StructField("gain", LongType, nullable = false),
+        StructField("covered_total", LongType, nullable = false))))
+  }
 }

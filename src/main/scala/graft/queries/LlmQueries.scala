@@ -3737,6 +3737,40 @@ object LlmQueries {
        |  FROM f)
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** Greedy max-coverage selection (Selection.greedyCoverage): the 5
+    * documents whose union covers the most distinct shingles, with
+    * marginal gains and the running total. The oracle unrolls the 5
+    * greedy rounds as covered-set CTEs over the shared shingle-hash
+    * machinery.
+    */
+  val selectCoverage: Q = (s, dir) =>
+    graft.llm.Selection.greedyCoverage(s, Tables.documents(s, dir), "doc_id", "text", k = 5)
+
+  val selectCoverageSql: String = {
+    val rounds = 5
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH $xsCte,
+         |shq AS (SELECT doc_id AS doc, unnest(xh) AS h FROM xs),
+         |c0 AS (SELECT CAST(NULL AS BIGINT) AS h WHERE 1 = 0)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(
+        s""",
+           |w$i AS (
+           |  SELECT doc, count(*) AS gain FROM shq
+           |  WHERE h NOT IN (SELECT h FROM c${i - 1})
+           |  GROUP BY doc ORDER BY gain DESC, doc LIMIT 1),
+           |c$i AS (SELECT h FROM c${i - 1}
+           |        UNION SELECT shq.h FROM shq JOIN w$i USING (doc))""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to rounds).map(i =>
+      s"""SELECT $i AS round, doc, gain,
+         |  (SELECT count(*) FROM c$i) AS covered_total FROM w$i""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round"))
+    sb.toString
+  }
+
   /** Text near-dup through the EMBEDDING path
     * (TextAnalysis.textSemanticDedup): feature-hashed sign-TF vectors →
     * Similarity.semanticDedup — the SemDeDup recipe with the hashing
@@ -3878,7 +3912,8 @@ object LlmQueries {
     "q_text_index_search" -> textIndexSearch,
     "q_pmi_pairs" -> pmiPairs,
     "q_text_vec_neardup" -> textVecNearDup,
-    "q_hybrid_search" -> hybridSearch
+    "q_hybrid_search" -> hybridSearch,
+    "q_select_coverage" -> selectCoverage
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3987,6 +4022,7 @@ object LlmQueries {
     "q_text_index_search" -> textIndexSearchSql,
     "q_pmi_pairs" -> pmiPairsSql,
     "q_text_vec_neardup" -> textVecNearDupSql,
-    "q_hybrid_search" -> hybridSearchSql
+    "q_hybrid_search" -> hybridSearchSql,
+    "q_select_coverage" -> selectCoverageSql
   )
 }

@@ -863,6 +863,57 @@ object StreamingFeatures {
       }
   }
 
+  /** Trailing z-score state: the key's last `windowSize` cent values,
+    * oldest first.
+    */
+  final case class ZScoreState(cents: Array[Long])
+
+  /** One scored event; `z` is None until the lookback fills or when
+    * the lookback has zero variance (matching the batch NULL).
+    */
+  final case class ZScorePoint(key: String, ord: Long, z: Option[Double], isAnomaly: Boolean)
+
+  /** Streaming twin of [[graft.operators.Windows.rollingZScore]]: each
+    * in-order event is scored against the PRIOR `windowSize` events of
+    * its key — O(windowSize) ring state, the same exact cent-long
+    * sufficient statistics, the same single sqrt + division (Math.sqrt
+    * is the correctly-rounded IEEE root Spark's Sqrt evaluates), so
+    * every emitted z is BIT-IDENTICAL to the batch window at the same
+    * (key, ord). In-order contract as in [[rollingSlopeStream]].
+    */
+  def rollingZScoreStream(
+      spark: SparkSession,
+      updates: Dataset[Update],
+      windowSize: Int,
+      threshold: Double
+  ): Dataset[ZScorePoint] = {
+    import spark.implicits._
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[ZScoreState]) =>
+          var cents = state.getOption.map(_.cents).getOrElse(Array.emptyLongArray)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ZScorePoint]
+          batch.toSeq.sortBy(u => (u.ord, u.value)).foreach { u =>
+            val yc = math.round(u.value * 100)
+            if (cents.length == windowSize) {
+              val n = windowSize.toLong
+              val sy = cents.sum
+              val syy = cents.map(c => c * c).sum
+              val den = n * syy - sy * sy
+              val z = if (den > 0L) Some((yc * n - sy).toDouble / math.sqrt(den.toDouble))
+                      else None
+              out += ZScorePoint(key, u.ord, z, z.exists(v => math.abs(v) >= threshold))
+            }
+            cents = (cents :+ yc).takeRight(windowSize)
+          }
+          state.update(ZScoreState(cents))
+          out.iterator
+      }
+  }
+
   def runToMemory[T](
       spark: SparkSession,
       ds: Dataset[T],

@@ -116,4 +116,16 @@ class SelectionSpec extends SparkSpec {
     // a score dominant by tens of nats survives any Gumbel noise
     assert(got.contains(("g0", 0L)) && got.contains(("g1", 1L)))
   }
+
+  test("greedyCoverage: marginal gains, overlap discount, early exhaustion") {
+    import spark.implicits._
+    // shingles: d1 {abc,bcd}, d2 {abc}, d3 {xyz,yzw,zwv}, d4 {xyz}
+    val docs = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "x y z w v"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Selection.greedyCoverage(spark, docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // round 1 picks d3 (3 fresh), round 2 d1 (2 fresh); then every
+    // remaining doc has zero marginal gain -> greedy stops before k
+    assert(got == List((1L, 3L, 3L, 3L), (2L, 1L, 2L, 5L)))
+  }
 }

@@ -125,6 +125,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling z-score: bit-identical to the batch lookback across micro-batches") {
+    val evs = (1 to 30).map(i =>
+      Update(if (i % 2 == 0) "a" else "b", i.toLong, (i % 7) + 0.25 * i))
+    val (b1, b2) = evs.partition(_.ord <= 15)
+    val in = MemoryStream[Update]
+    val q = StreamingFeatures.rollingZScoreStream(spark, in.toDS(),
+        windowSize = 4, threshold = 1.5)
+      .writeStream.format("memory").queryName("t_zs").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("t_zs")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getBoolean(3))).toMap
+      val batch = graft.operators.Windows.rollingZScore(
+          evs.toDF("key", "ord", "v"), "key",
+          org.apache.spark.sql.functions.col("ord"),
+          org.apache.spark.sql.functions.col("v"), windowSize = 4, threshold = 1.5)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+            r.getAs[Boolean]("is_anomaly")))).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"same complete lookbacks must emit: ${streamed.keySet} vs ${batch.keySet}")
+      for ((k, v) <- batch)
+        assert(streamed(k) == v, s"event $k: streamed ${streamed(k)} vs batch $v")
+      assert(batch.values.exists(_._2), "the test stream must contain at least one anomaly")
+    } finally q.stop()
+  }
+
   test("streaming running sum accumulates per key") {
     val in = MemoryStream[Update]
     in.addData((1 to 10).map(i => Update("k", i.toLong, i.toDouble)): _*)
