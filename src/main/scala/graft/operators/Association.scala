@@ -41,7 +41,11 @@ object Association {
     val ti = df.select(col(txnCol).as("t"), col(itemCol).as("i"))
       .distinct()
       .localCheckpoint(false) // feeds N, item counts AND both pair sides
-    val n = ti.select(col("t")).distinct().agg(count(lit(1)).as("n_txn"))
+    // ONE long — collected directly rather than crossJoin'd as a
+    // single-row frame (a 1-row BroadcastNestedLoopJoin is harmless
+    // but muddies the no-nested-loop plan pin; control-plane collects
+    // re-enter as literals, repo note)
+    val nTxn = ti.select(col("t")).distinct().count()
     val itemN = ti.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val pairs = ti.as("x")
       .join(ti.as("y"), col("x.t") === col("y.t") && col("x.i") < col("y.i"))
@@ -55,12 +59,11 @@ object Association {
     directed
       .join(itemN.select(col("i").as("a"), col("n_i").as("n_a")), "a")
       .join(itemN.select(col("i").as("b"), col("n_i").as("n_b")), "b")
-      .crossJoin(broadcast(n))
       .select(
         col("a").as("antecedent"), col("b").as("consequent"),
         col("n_ab").as("support"), col("n_a"), col("n_b"),
         (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
-        ((col("n_txn") * col("n_ab")).cast("double") /
+        ((lit(nTxn) * col("n_ab")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
       .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
       .limit(k)

@@ -167,9 +167,12 @@ object Profile {
         struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("s"))
       .select(col("s.c").as("c"), col("s.v").as("v"))
     val counts = stacked.groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy(col("c"))
-      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"))
-    counts.join(totals, "c") // column-keyed; both sides share the ancestor
+    // per-column totals as windows over the counts — a totals JOIN
+    // would replan the scan for its own subtree (PlanSpec pins one)
+    val byCol = org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+    counts
+      .withColumn("n", sum(col("cnt")).over(byCol))
+      .withColumn("n_distinct", count(lit(1)).over(byCol))
       .withColumn("term",
         round((col("cnt").cast("double") / col("n").cast("double")) *
           log(col("n").cast("double") / col("cnt").cast("double")), 6)

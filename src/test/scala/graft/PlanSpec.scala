@@ -800,4 +800,33 @@ class PlanSpec extends SparkSpec {
       plan.contains("windowspecdefinition(_pid"),
       s"expected slice- and pid-partitioned windows:\n$plan")
   }
+
+  test("associationRules / triangleCount: quadratics stay inside equi-joins") {
+    // both pair stages join on the transaction/apex KEY with the
+    // ordering predicate as a post-join filter — the self-join must
+    // plan as a hash/sort-merge equi-join, never a nested loop over
+    // the corpus
+    import org.apache.spark.sql.functions._
+    val basket = planOf(graft.operators.Association.rules(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = 2L, k = 10))
+    assert(!basket.contains("NestedLoopJoin") && !basket.contains("CartesianProduct"),
+      s"basket pairs must ride the txn equi-join:\n$basket")
+    val tri = planOf(graft.operators.Graph.triangleCount(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")),
+      "src", "dst"))
+    assert(!tri.contains("NestedLoopJoin") && !tri.contains("CartesianProduct"),
+      s"wedge and closing joins must be equi-joins:\n$tri")
+  }
+
+  test("entropy: every requested column profiles off ONE scan of the table") {
+    val plan = planOf(graft.operators.Profile.entropy(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "user_id", "event_type"),
+      Seq("event_type", "user_id", "event_id")))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, saw $scans:\n$plan")
+  }
 }
