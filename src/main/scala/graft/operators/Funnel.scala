@@ -57,6 +57,29 @@ object Funnel {
     acc
   }
 
+  /** First-order Markov transition matrix over per-key event
+    * sequences — the "what happens after X" audit next to [[ordered]]
+    * (and the sanity model behind next-event prediction): for every
+    * (from, to) adjacent pair in a key's ord-sorted stream, the count
+    * and the row-conditional probability P(to | from).
+    *
+    * Scale shape: one key-partitioned window pairs each event with its
+    * successor (no self-join), one map-side-combined (from, to)
+    * aggregate, and the per-from totals ride a window over the counts
+    * (a totals join would replan the aggregate — the entropy lesson).
+    * The probability is one IEEE division of exact longs.
+    */
+  def transitions(df: DataFrame, key: String, ord: Column, typeCol: Column): DataFrame = {
+    val seq = org.apache.spark.sql.expressions.Window.partitionBy(col(key)).orderBy(ord)
+    val byFrom = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    df.select(col(key), typeCol.as("from_type"), lead(typeCol, 1).over(seq).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n")).over(byFrom))
+      .withColumn("prob", col("n").cast("double") / col("from_total").cast("double"))
+  }
+
   /** Cohort retention matrix — the second classic behavior query next
     * to [[ordered]]: users are cohorted by the period of their FIRST
     * event (`period = ord floor-div periodSize`), and each (cohort,

@@ -3737,6 +3737,35 @@ object LlmQueries {
        |  FROM f)
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** Corpus-wide top-25 word bigrams with occurrence and document
+    * frequencies — the WIMBD n-gram count report one order above
+    * q_top_terms (docs under two words contribute nothing; no
+    * whole-text fallback, unlike the SimHash feature bigrams).
+    */
+  val topBigrams: Q = (s, dir) => {
+    val w = TextOps.words(col("text"))
+    val bg = when(size(w) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(bg).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(25)
+  }
+
+  val topBigramsSql: String =
+    """WITH wt AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    bi -> ws[CAST(bi AS INT)] || ' ' || ws[CAST(bi + 1 AS INT)])) AS bigram
+      |  FROM wt)
+      |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+      |FROM u GROUP BY 1 ORDER BY n DESC, bigram LIMIT 25""".stripMargin
+
   /** Greedy max-coverage selection (Selection.greedyCoverage): the 5
     * documents whose union covers the most distinct shingles, with
     * marginal gains and the running total. The oracle unrolls the 5
@@ -3913,7 +3942,8 @@ object LlmQueries {
     "q_pmi_pairs" -> pmiPairs,
     "q_text_vec_neardup" -> textVecNearDup,
     "q_hybrid_search" -> hybridSearch,
-    "q_select_coverage" -> selectCoverage
+    "q_select_coverage" -> selectCoverage,
+    "q_top_bigrams" -> topBigrams
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4023,6 +4053,7 @@ object LlmQueries {
     "q_pmi_pairs" -> pmiPairsSql,
     "q_text_vec_neardup" -> textVecNearDupSql,
     "q_hybrid_search" -> hybridSearchSql,
-    "q_select_coverage" -> selectCoverageSql
+    "q_select_coverage" -> selectCoverageSql,
+    "q_top_bigrams" -> topBigramsSql
   )
 }

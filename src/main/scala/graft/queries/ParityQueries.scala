@@ -546,6 +546,28 @@ object ParityQueries {
       |  count(DISTINCT user_id) AS n_users
       |FROM r GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** Event-type transition matrix (Funnel.transitions): adjacent-pair
+    * counts per user stream and the conditional P(to | from) — one
+    * window pass, one aggregate, one division.
+    */
+  val eventTransitions: Q = (s, dir) =>
+    Funnel.transitions(events(s, dir).select("user_id", "event_id", "event_type"),
+        "user_id", col("event_id"), col("event_type"))
+      .orderBy("from_type", "to_type")
+
+  val eventTransitionsSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   /** Cohort retention matrix (Funnel.cohortRetention): users cohorted
     * by first-activity period (event_id floor-div 1000), each
     * (cohort, offset) cell the count and rate of that cohort active
@@ -1130,6 +1152,7 @@ object ParityQueries {
     "q_decayed_features" -> decayedFeatures,
     "q_event_funnel" -> eventFunnel,
     "q_cohort_retention" -> cohortRetention,
+    "q_event_transitions" -> eventTransitions,
     "q_quantile_bins" -> quantileBinsQ,
     "q_column_entropy" -> columnEntropy,
     "q_rolling_zscore" -> rollingZScoreQ,
@@ -1176,6 +1199,7 @@ object ParityQueries {
     "q_decayed_features" -> decayedFeaturesSql,
     "q_event_funnel" -> eventFunnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
+    "q_event_transitions" -> eventTransitionsSql,
     "q_quantile_bins" -> quantileBinsSql,
     "q_column_entropy" -> columnEntropySql,
     "q_rolling_zscore" -> rollingZScoreSql,

@@ -531,6 +531,24 @@ class OperatorSpec extends SparkSpec {
       (3L, Some(5L), None, None)))
   }
 
+  test("transitions: adjacent pairs per key, conditional probabilities") {
+    import spark.implicits._
+    // u1: A B A B → (A,B)×2, (B,A); u2: A A → (A,A); no cross-user pair
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "A")).toDF("user_id", "event_id", "event_type")
+    val got = graft.operators.Funnel.transitions(ev, "user_id",
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("from_total"), r.getAs[Double]("prob")))
+      .toMap
+    assert(got.size == 3)
+    assert(got(("A", "B")) == ((2L, 3L, 2.0 / 3.0)))
+    assert(got(("A", "A")) == ((1L, 3L, 1.0 / 3.0)))
+    assert(got(("B", "A")) == ((1L, 1L, 1.0)))
+  }
+
   test("fdAudit: holds/violated candidates with exact rates") {
     import spark.implicits._
     val rows = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("a")), (2L, Some("b")),
