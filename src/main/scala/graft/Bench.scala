@@ -44,7 +44,13 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
     val failed = ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // dev fast loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times a subset
+    // (pair with SPARK_GRAFT_BENCH_OUT so the committed artifact's
+    // full-corpus bench_out.json is not clobbered by a partial run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1).flatMap { case (name, fn) =>
       val times = (1 to runs).map { i =>
         // toRdd executes the query's own optimized plan (projections,
         // sorts and all) and counts InternalRows; a DataFrame count()

@@ -3743,11 +3743,18 @@ object LlmQueries {
     * whole-text fallback, unlike the SimHash feature bigrams).
     */
   val topBigrams: Q = (s, dir) => {
-    val w = TextOps.words(col("text"))
+    // the token array must MATERIALIZE before the transform lambda
+    // references it three times — CollapseProject would re-inline
+    // words(text) into the lambda body and re-tokenize per bigram
+    // (repo invariant; measured 3.7s → sub-second here)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .localCheckpoint(false)
+    val w = col("ws")
     val bg = when(size(w) < 2, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(w) - 2),
         i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-    Tables.documents(s, dir)
+    base
       .select(col("doc_id"), explode(bg).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
