@@ -395,4 +395,38 @@ object Windows {
         Joins.floorDiv((col(rk) - 1L) * nBins, math.max(pref.totalRows, 1L)))
       .drop(rk, cm)
   }
+
+  /** Per-GROUP equal-frequency discretization — [[quantileBins]]
+    * stratified by a group column (per-source quality bands, per-type
+    * value deciles): within each group, `binName` = `floor((rank − 1)
+    * · nBins / n_group)` over the `sortCols` order. Same
+    * at-most-one-size-spread and pure-function-of-order guarantees,
+    * per group.
+    *
+    * Shape: group-partitioned windows (rank + group size in one
+    * WindowExec pass — a size JOIN would replan the scan), then one
+    * exact integral divide per row; the partitionless-window hazard
+    * does not arise because the group key is a real column. Groups
+    * are assumed vocabulary-sized relative to the data (the usual
+    * stratification contract; a single giant group degenerates to the
+    * global sort [[quantileBins]] exists to avoid).
+    */
+  def groupQuantileBins(
+      df: DataFrame,
+      group: String,
+      sortCols: Seq[Column],
+      nBins: Int,
+      binName: String = "bin"
+  ): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val ordered = Window.partitionBy(col(group)).orderBy(sortCols: _*)
+    val whole = Window.partitionBy(col(group))
+    val num = (row_number().over(ordered).cast("long") - 1L) * nBins
+    val den = count(lit(1)).over(whole)
+    df.withColumn(binName,
+      Bridge.column(IntegralDivide(
+        Bridge.expression(num.cast("long")), Bridge.expression(den.cast("long")))))
+  }
 }

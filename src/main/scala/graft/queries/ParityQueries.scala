@@ -496,6 +496,29 @@ object ParityQueries {
       |  LEFT JOIN s2 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Per-type value quartiles (Windows.groupQuantileBins): stratified
+    * equal-frequency bands, summarized per (event_type, bin). The
+    * oracle replays the within-group (rank−1)·4 // n cut.
+    */
+  val groupQuantileBinsQ: Q = (s, dir) =>
+    graft.operators.Windows.groupQuantileBins(
+        events(s, dir).select(col("event_type"), col("event_id"), col("value")),
+        "event_type", Seq(col("value"), col("event_id")), nBins = 4)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      .orderBy("event_type", "bin")
+
+  val groupQuantileBinsSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, (rk - 1) * 4 // n AS bin, count(*) AS n_rows,
+      |  min(value) AS vmin, max(value) AS vmax
+      |FROM r GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
   /** Per-column Shannon entropy (Profile.entropy) over the
     * hash-stable events columns — one stacked scan, per-value terms
     * quantized round(6)→DECIMAL, exact sums.
@@ -1154,6 +1177,7 @@ object ParityQueries {
     "q_cohort_retention" -> cohortRetention,
     "q_event_transitions" -> eventTransitions,
     "q_quantile_bins" -> quantileBinsQ,
+    "q_group_quantile_bins" -> groupQuantileBinsQ,
     "q_column_entropy" -> columnEntropy,
     "q_rolling_zscore" -> rollingZScoreQ,
     "q_profile_events" -> profileEvents,
@@ -1201,6 +1225,7 @@ object ParityQueries {
     "q_cohort_retention" -> cohortRetentionSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_quantile_bins" -> quantileBinsSql,
+    "q_group_quantile_bins" -> groupQuantileBinsSql,
     "q_column_entropy" -> columnEntropySql,
     "q_rolling_zscore" -> rollingZScoreSql,
     "q_profile_events" -> profileEventsSql,

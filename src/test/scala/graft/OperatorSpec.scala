@@ -599,6 +599,22 @@ class OperatorSpec extends SparkSpec {
     assert(got((2L, 5L)) == ((None, false)), "zero-variance lookback: NULL z, no flag")
   }
 
+  test("groupQuantileBins: per-group cuts, independent group sizes") {
+    import spark.implicits._
+    // g1: 10 rows into 4 bins (3,2,3,2); g2: 2 rows → bins 0 and 2
+    val rows = ((1L to 10L).map(i => ("g1", i, i * 7 % 11)) ++
+      Seq(("g2", 1L, 5L), ("g2", 2L, 9L))).toDF("g", "id", "v")
+    val got = graft.operators.Windows.groupQuantileBins(rows, "g",
+        Seq(org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("id")), nBins = 4)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v")) -> r.getAs[Long]("bin"))
+      .toMap
+    val g1Sizes = got.collect { case ((g, _), b) if g == "g1" => b }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(g1Sizes == Map(0L -> 3, 1L -> 2, 2L -> 3, 3L -> 2))
+    assert(got(("g2", 5L)) == 0L && got(("g2", 9L)) == 2L)
+  }
+
   test("labelPropagation: two triangles split across the bridge in 4 sync rounds") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
