@@ -54,6 +54,12 @@ object Classify {
     * so V covers every term. Documents with no tokens fall back to the
     * highest-prior class (tie toward the smaller label) with score =
     * that prior — the operator never drops a document.
+    *
+    * Contract: labels must be non-NULL. A NULL label would form its
+    * own class whose ORDER position differs between engines (Spark
+    * sorts NULLS FIRST ascending, DuckDB NULLS LAST), silently
+    * breaking the argmax tie-break — label your corpus (or filter)
+    * before training.
     */
   def nbTrainScore(
       spark: SparkSession,

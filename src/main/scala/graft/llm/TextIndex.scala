@@ -164,6 +164,21 @@ object TextIndex {
     "postings" +: epochs
   }
 
+  /** Index health report — one row per committed root: its corpus
+    * share and the frozen modulus (the CurationGate bloom-telemetry
+    * discipline applied to the lexical index: maintenance decisions —
+    * "how many epoch roots has ingest accumulated, is it compaction
+    * time" — read off a frame, not a directory listing). Uncommitted
+    * roots are absent, exactly as probes see the index.
+    */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    val roots = committedRoots(spark, dir)
+    roots.map { r =>
+      spark.read.parquet(s"$dir/$r/.stats")
+        .select(lit(r).as("root"), col("n_docs"), col("sum_dl"), col("n_buckets"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Fold every committed epoch root into the base `postings/` layout
     * and delete the epoch roots — run BETWEEN probe workloads (the
     * IvfIndex.compactEpochs contract). One staged dataset: the folded

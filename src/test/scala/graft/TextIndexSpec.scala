@@ -83,6 +83,24 @@ class TextIndexSpec extends SparkSpec {
       == bm25Rows(docs))
   }
 
+  test("describe: one row per committed root; uncommitted epochs absent") {
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-de").toString
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx, nBuckets = 16)
+    TextIndex.appendEpoch(spark, idx,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", epoch = 3L)
+    val d = TextIndex.describe(spark, idx)
+      .collect().map(r => r.getAs[String]("root") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_buckets"))).toMap
+    assert(d.keySet == Set("postings", "postings-b3"))
+    assert(d.values.map(_._1).sum == docs.count())
+    assert(d.values.forall(_._2 == 16L))
+    // kill the epoch's commit marker: it must vanish from the report
+    fsOf(idx).delete(new org.apache.hadoop.fs.Path(idx, "postings-b3/.stats"), true)
+    assert(TextIndex.describe(spark, idx).collect().map(_.getString(0)).toSeq
+      == Seq("postings"))
+  }
+
   private def fsOf(p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
