@@ -1819,6 +1819,27 @@ object LlmQueries {
 
   val textIndexSearchSql: String = bm25Sql(TextIndexTerms, 10)
 
+  /** The index health report (TextIndex.describe) over a fresh
+    * single-root build: the persisted stats row must equal the corpus
+    * scalars recomputed from the documents table — the end-to-end
+    * check that the build's tokenize→stats path wrote the truth the
+    * probes will score with.
+    */
+  val textIndexHealth: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-text-index-health-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 16)
+    graft.llm.TextIndex.describe(s, idx)
+  }
+
+  val textIndexHealthSql: String =
+    """SELECT 'postings' AS root, count(*) AS n_docs,
+      |  CAST(sum(len(list_filter(string_split(text, ' '), wx -> wx <> ''))) AS BIGINT)
+      |    AS sum_dl,
+      |  CAST(16 AS BIGINT) AS n_buckets
+      |FROM documents""".stripMargin
+
   // --------------------------------------------------------- multimodal
 
   val mmDecode: Q = (s, dir) => {
@@ -3946,6 +3967,7 @@ object LlmQueries {
     "q_dedup_histogram" -> dedupHistogram,
     "q_nb_classify" -> nbClassify,
     "q_text_index_search" -> textIndexSearch,
+    "q_text_index_health" -> textIndexHealth,
     "q_pmi_pairs" -> pmiPairs,
     "q_text_vec_neardup" -> textVecNearDup,
     "q_hybrid_search" -> hybridSearch,
@@ -4057,6 +4079,7 @@ object LlmQueries {
     "q_dedup_histogram" -> dedupHistogramSql,
     "q_nb_classify" -> nbClassifySql,
     "q_text_index_search" -> textIndexSearchSql,
+    "q_text_index_health" -> textIndexHealthSql,
     "q_pmi_pairs" -> pmiPairsSql,
     "q_text_vec_neardup" -> textVecNearDupSql,
     "q_hybrid_search" -> hybridSearchSql,
