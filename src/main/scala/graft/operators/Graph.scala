@@ -28,12 +28,17 @@ import org.apache.spark.sql.functions._
   * by the same key) and partial-aggregates into per-`dst` BIGINT sums
   * below the exchange (8-byte rank units, never doubles or decimals,
   * through the wire). The dangling-mass correction is a one-row exact
-  * aggregate crossJoin'd back (broadcast, never a driver collect
-  * inside the loop), and each iteration ends in a lazy
+  * aggregate COLLECTED per round (one control-plane long re-entering
+  * as a literal — the Association.rules convention; the earlier
+  * `crossJoin(broadcast(...))` planned a one-row
+  * BroadcastNestedLoopJoin per iteration, harmless but against the
+  * repo's no-nested-loop plan invariant). The collect doubles as a
+  * per-round barrier: each iteration ends in a lazy
   * `localCheckpoint(false)` — without it the two references to the
   * previous round's ranks (shares + dangling scan) double the plan
   * per iteration, and at cluster scale the checkpoint is what caps
-  * lineage/recovery depth for long power-iteration runs.
+  * lineage/recovery depth for long power-iteration runs; the dangling
+  * aggregate's action materializes it round-by-round.
   */
 object Graph {
 
@@ -87,6 +92,23 @@ object Graph {
       damping: Double = 0.85
   ): DataFrame =
     run(edges, srcCol, dstCol, seeds = None, iters, damping, Some(weightCol))
+
+  /** Seeded AND weighted: TrustRank over edge strength — restart mass
+    * concentrates on `seeds` while rank flows in proportion to edge
+    * weight (trusted-whitelist proximity weighted by trade volume).
+    * The same [[run]] core with both options set; the oracle is
+    * [[pageRankSql]] with `seedsSql` and `weighted = true`.
+    */
+  def personalizedWeightedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      weightCol: org.apache.spark.sql.Column,
+      iters: Int = 5,
+      damping: Double = 0.85
+  ): DataFrame =
+    run(edges, srcCol, dstCol, Some(seeds), iters, damping, Some(weightCol))
 
   private def run(
       edges: DataFrame,
@@ -142,18 +164,21 @@ object Graph {
       val contrib = share
         .groupBy(col("cnode"))
         .agg(sum(col("share")).as("csum"))
-      val dang = r.join(outdeg.select(col("src")), col("node") === col("src"), "left_anti")
+      // dangling mass: ONE long, collected and re-entered as a literal
+      // (floor(toDouble / toDouble + 0.5) is the identical IEEE
+      // sequence the oracle runs in-engine, so the literal is
+      // bit-identical to the engine-side division it replaces)
+      val dsum = r.join(outdeg.select(col("src")), col("node") === col("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-        .select(floor(col("dsum").cast("double") / lit(sn.toDouble) + lit(0.5))
-          .as("dshare"))
+        .collect()(0).getLong(0)
+      val dshare = math.floor(dsum.toDouble / sn.toDouble + 0.5).toLong
       r = nodes
         .join(contrib, col("node") === col("cnode"), "left")
-        .crossJoin(broadcast(dang))
         .select(col("node"), col("sf"),
           floor(
             when(col("sf") === 1, lit(baseScaled)).otherwise(lit(0.0)) +
               lit(damping) * (coalesce(col("csum"), lit(0L)) +
-                when(col("sf") === 1, col("dshare")).otherwise(lit(0L))).cast("double") +
+                when(col("sf") === 1, lit(dshare)).otherwise(lit(0L))).cast("double") +
               lit(0.5)).as("rank"))
         .localCheckpoint(false)
     }
@@ -241,7 +266,11 @@ object Graph {
     * its neighbors, ties to the SMALLEST label (the usual random
     * tie-break replaced by a total order so runs — and the oracle —
     * are reproducible; fixed iterations, since sync LPA may oscillate
-    * rather than converge). Isolated endpoints keep their label.
+    * rather than converge). A node with edges but no same-round
+    * neighbor majority keeps its label. Self-loops are ignored, and
+    * the node set derives from the LOOP-FREE undirected edge list —
+    * a node whose only edges are self-loops is absent from the output
+    * entirely (the oracle generator shares this contract).
     *
     * Exactness: labels and counts are integers end to end — nothing
     * to quantize; the per-round argmax is a (count desc, label asc)

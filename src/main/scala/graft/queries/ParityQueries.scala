@@ -849,6 +849,36 @@ object ParityQueries {
       s"$cs UNION ALL SELECT dst, src, w FROM ($cs)", iters = 5, weighted = true)
   }
 
+  /** Seeded + weighted PageRank (Graph.personalizedWeightedPageRank):
+    * restart mass concentrated on nation-0 suppliers AND rank flowing
+    * in proportion to trade volume — trusted-proximity weighted by how
+    * much actually ships (the TrustRank-on-trade-volume composition).
+    * Oracle: the shared generator with BOTH options set.
+    */
+  val pageRankPprWeightedQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"),
+        lit(1L).as("w"))
+    val edges = cs.unionAll(
+      cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val seeds = Tables.supplier(s, dir).filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    graft.operators.Graph.personalizedWeightedPageRank(
+        edges, "src", "dst", seeds, col("w"), iters = 5)
+      .orderBy("node")
+  }
+
+  val pageRankPprWeightedSql: String = {
+    val cs = """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, 1 AS w
+               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+    graft.operators.Graph.pageRankSql(
+      s"$cs UNION ALL SELECT dst, src, w FROM ($cs)", iters = 5, weighted = true,
+      seedsSql = Some(
+        "SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0"))
+  }
+
   /** Label-propagation communities (Graph.labelPropagation) over the
     * trade graph: 4 deterministic sync rounds (most-frequent neighbor
     * label, ties to the smallest), oracle unrolled by
@@ -1187,6 +1217,7 @@ object ParityQueries {
     "q_pagerank" -> pageRankQ,
     "q_pagerank_ppr" -> pageRankPersonalizedQ,
     "q_pagerank_weighted" -> pageRankWeightedQ,
+    "q_pagerank_ppr_weighted" -> pageRankPprWeightedQ,
     "q_triangle_count" -> triangleCountQ,
     "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
@@ -1237,6 +1268,7 @@ object ParityQueries {
     "q_pagerank" -> pageRankSql,
     "q_pagerank_ppr" -> pageRankPersonalizedSql,
     "q_pagerank_weighted" -> pageRankWeightedSql,
+    "q_pagerank_ppr_weighted" -> pageRankPprWeightedSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,
