@@ -249,6 +249,17 @@ object IvfIndex {
     epochs.size
   }
 
+  /** Self-maintaining ingest — the [[graft.llm.TextIndex.compactIfNeeded]]
+    * twin: fold epoch roots when base + epochs exceed `maxRoots`
+    * (every probe unions and prunes per root, so unbounded epoch
+    * accumulation is per-probe cost creep). Returns roots folded
+    * (0 when under threshold).
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String, maxRoots: Int): Int = {
+    require(maxRoots >= 1, s"maxRoots must be >= 1, got $maxRoots")
+    if (cellRoots(spark, dir).size > maxRoots) compactEpochs(spark, dir) else 0
+  }
+
   /** Finish (or discard) an interrupted [[compactEpochs]] — the
     * [[graft.state.StagedCompact]] protocol (factored there in round 7
     * so TextIndex shares it verbatim; see that scaladoc for the crash

@@ -231,40 +231,7 @@ object TextIndex {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
-    val roots = committedRoots(spark, dir)
-    val statsAll = roots.map(r => spark.read.parquet(s"$dir/$r/.stats"))
-      .reduce(_ unionAll _)
-    val nBuckets = statsAll.select(col("n_buckets")).head().getLong(0)
-    val stats = statsAll.agg(
-      sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val buckets = queryTerms
-      .map(t => StrHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString(t)) % nBuckets)
-      .distinct
-    val matched = roots
-      .map(r => spark.read.schema(postingsSchema).parquet(s"$dir/$r")
-        .filter(col("bucket").isin(buckets: _*))
-        .filter(col("term").isInCollection(queryTerms)))
-      .reduce(_ unionAll _)
-    // per-term df as a window count: the pruned scan runs ONCE and needs
-    // no df self-join (a checkpoint barrier would also hide the scan
-    // from the caller's executedPlan — the invisible-stage hazard)
-    val withDf = matched.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
-    val nD = col("n_docs").cast("double")
-    val dfD = col("df").cast("double")
-    val tfD = col("tf").cast("double")
-    val scored = withDf
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl", col("sum_dl").cast("double") / nD)
-      .withColumn(
-        "s_d",
-        round(
-          log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5)) *
-            (tfD * (k1 + 1.0)) /
-            (tfD + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / col("avgdl"))),
-          6
-        ).cast("decimal(18,6)"))
-    scored
+    scoredPostings(spark, dir, queryTerms, k1, b)
       .groupBy(col("doc"))
       .agg(sum(col("s_d")).as("score_sum"), count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score_sum").desc, col("doc"))
@@ -276,5 +243,136 @@ object TextIndex {
         (monotonically_increasing_id() + 1).cast("long").as("rank"),
         col("doc"), col("n_terms_hit"),
         col("score_sum").cast("double").as("score"))
+  }
+
+  /** The shared match-and-score stage: pruned per-root scans unioned
+    * once over the given term set, per-term df as a window over the
+    * matched postings (the scan runs ONCE and needs no df self-join —
+    * a checkpoint barrier would also hide the scan from the caller's
+    * executedPlan, the invisible-stage hazard), per-posting BM25 term
+    * score quantized to DECIMAL(18,6). Asserts every committed root
+    * agrees on the frozen bucket modulus — a root written with a
+    * different modulus would silently mis-route the driver-computed
+    * bucket filter and return WRONG (not failing) results (ADVICE r7).
+    */
+  private def scoredPostings(
+      spark: SparkSession,
+      dir: String,
+      terms: Seq[String],
+      k1: Double,
+      b: Double
+  ): DataFrame = {
+    val roots = committedRoots(spark, dir)
+    val statsAll = roots.map(r => spark.read.parquet(s"$dir/$r/.stats"))
+      .reduce(_ unionAll _)
+    val moduli = statsAll.select(col("n_buckets")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(moduli.length == 1,
+      s"index roots disagree on the frozen bucket modulus (${moduli.mkString(", ")}) — " +
+        "every root must be written against the base index's n_buckets")
+    val nBuckets = moduli(0)
+    val stats = statsAll.agg(
+      sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val buckets = terms
+      .map(t => StrHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString(t)) % nBuckets)
+      .distinct
+    val matched = roots
+      .map(r => spark.read.schema(postingsSchema).parquet(s"$dir/$r")
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isInCollection(terms)))
+      .reduce(_ unionAll _)
+    val withDf = matched.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    withDf
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / nD)
+      .withColumn(
+        "s_d",
+        round(
+          log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5)) *
+            (tfD * (k1 + 1.0)) /
+            (tfD + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / col("avgdl"))),
+          6
+        ).cast("decimal(18,6)"))
+  }
+
+  /** Batch-query probe — the serving-shape twin of [[IvfIndex.probe]]:
+    * ONE pruned scan per root amortized across a whole query batch
+    * instead of a plan per query. `queries` is a (qid, terms) frame,
+    * collected to the driver (a serving batch is control-plane sized
+    * by construction — the caller bounds it, exactly as IvfIndex
+    * collects its probed cell ids); the union of all queries' bucket
+    * ids plants ONE static partition filter per root, per-term scores
+    * compute once per posting (BM25's s_d is query-independent), and
+    * each query's hits assemble via a broadcast join against the
+    * (qid, term) pairs. Per-qid top-k rides the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — never a global sort — and
+    * the final rank is a window over the ≤ k·|queries| survivors.
+    *
+    * Result contract: for every qid, the (rank, doc, n_terms_hit,
+    * score) rows equal `probe(spark, dir, termsOf(qid), k)` exactly
+    * (same decimal sums, same tie order).
+    */
+  def probeAll(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val collected = queries
+      .select(col(qidCol).cast("long").as("qid"), col(termsCol).as("terms"))
+      .collect()
+    require(collected.nonEmpty, "queries frame must be non-empty")
+    val pairs = collected.flatMap { r =>
+      val qid = r.getLong(0)
+      val ts = r.getSeq[String](1)
+      require(ts != null && ts.nonEmpty, s"query $qid has no terms")
+      ts.distinct.map(t => (qid, t))
+    }.distinct.toSeq
+    val allTerms = pairs.map(_._2).distinct
+    val scored = scoredPostings(spark, dir, allTerms, k1, b)
+    // (qid, term) pairs re-enter as an explicit-schema local relation
+    // (REPL-safe rule: no product-encoder toDF in library code)
+    val pairRows = new java.util.ArrayList[org.apache.spark.sql.Row](pairs.length)
+    pairs.foreach { case (q, t) =>
+      pairRows.add(org.apache.spark.sql.Row(q, t))
+    }
+    val pairDf = spark.createDataFrame(pairRows, StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("qterm", StringType, nullable = false))))
+    val perQuery = scored
+      .join(broadcast(pairDf), col("term") === col("qterm"))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("s_d")).as("score_sum"), count(lit(1)).as("n_terms_hit"))
+    val top = graft.plans.TopKPerKey(spark, perQuery,
+      keys = Seq("qid"), order = Seq(("score_sum", true), ("doc", false)), k = k)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score_sum").desc, col("doc"))).cast("long"))
+      .select(col("qid"), col("rank"), col("doc"), col("n_terms_hit"),
+        col("score_sum").cast("double").as("score"))
+  }
+
+  /** Self-maintaining ingest: fold epoch roots when their count
+    * exceeds `maxRoots` (base + epochs — the README bloom
+    * rebuild-policy discipline applied to root count: every probe
+    * unions and prunes per root, so unbounded epoch accumulation is a
+    * per-probe cost creep). Run it after [[appendEpoch]] batches or on
+    * a maintenance schedule; returns the number of roots folded (0
+    * when under threshold). Same between-probe-workloads contract as
+    * [[compactEpochs]].
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String, maxRoots: Int): Int = {
+    require(maxRoots >= 1, s"maxRoots must be >= 1, got $maxRoots")
+    if (committedRoots(spark, dir).size > maxRoots) compactEpochs(spark, dir) else 0
   }
 }

@@ -1840,6 +1840,45 @@ object LlmQueries {
       |  CAST(16 AS BIGINT) AS n_buckets
       |FROM documents""".stripMargin
 
+  /** Query batch for the multi-query probe: term sets overlap across
+    * queries (shared buckets) so the batch path exercises the
+    * one-scan-per-root amortization on a realistic mixture.
+    */
+  val TextIndexMultiQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("scan", "filter", "spark"),
+    2L -> Seq("merge", "vector", "window"),
+    3L -> Seq("filter", "merge", "query"))
+
+  /** Batch-query persisted-index probe (TextIndex.probeAll): ONE
+    * pruned scan per root amortized across the whole (qid, terms)
+    * batch, per-qid top-k via the bounded-heap TopKPerKey operator.
+    * The oracle applies the shared per-query bm25Sql PER QID and
+    * unions — the batch path must reproduce every single-query
+    * ranking exactly.
+    */
+  val textIndexMulti: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-text-index-multi-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 16)
+    // explicit-schema local relation (REPL-safe rule)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    TextIndexMultiQueries.foreach { case (q, ts) =>
+      rows.add(org.apache.spark.sql.Row(q, ts))
+    }
+    import org.apache.spark.sql.types._
+    val qdf = s.createDataFrame(rows, StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("terms", ArrayType(StringType, containsNull = false), nullable = false))))
+    graft.llm.TextIndex.probeAll(s, idx, qdf, "qid", "terms", k = 10)
+      .orderBy("qid", "rank")
+  }
+
+  val textIndexMultiSql: String =
+    TextIndexMultiQueries.map { case (q, ts) =>
+      s"SELECT CAST($q AS BIGINT) AS qid, * FROM (${bm25Sql(ts, 10)})"
+    }.mkString("\nUNION ALL\n") + "\nORDER BY qid, rank"
+
   // --------------------------------------------------------- multimodal
 
   val mmDecode: Q = (s, dir) => {
@@ -3967,6 +4006,7 @@ object LlmQueries {
     "q_dedup_histogram" -> dedupHistogram,
     "q_nb_classify" -> nbClassify,
     "q_text_index_search" -> textIndexSearch,
+    "q_text_index_multi" -> textIndexMulti,
     "q_text_index_health" -> textIndexHealth,
     "q_pmi_pairs" -> pmiPairs,
     "q_text_vec_neardup" -> textVecNearDup,
@@ -4079,6 +4119,7 @@ object LlmQueries {
     "q_dedup_histogram" -> dedupHistogramSql,
     "q_nb_classify" -> nbClassifySql,
     "q_text_index_search" -> textIndexSearchSql,
+    "q_text_index_multi" -> textIndexMultiSql,
     "q_text_index_health" -> textIndexHealthSql,
     "q_pmi_pairs" -> pmiPairsSql,
     "q_text_vec_neardup" -> textVecNearDupSql,

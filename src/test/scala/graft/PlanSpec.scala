@@ -476,8 +476,11 @@ class PlanSpec extends SparkSpec {
     // epoch replay (restart before offset commit) overwrites its own root
     IvfIndex.appendEpoch(spark, idx, newHalf, "vec_id", "embedding", epoch = 1L)
     assert(probed() == expected, "epoch replay must be idempotent")
-    // compaction folds the epoch into the base without changing results
-    assert(IvfIndex.compactEpochs(spark, idx) == 1)
+    // the maintenance hook is a no-op under threshold (base + 1 epoch),
+    // folds once over it — the self-maintaining-ingest contract
+    assert(IvfIndex.compactIfNeeded(spark, idx, maxRoots = 2) == 0,
+      "2 roots at maxRoots=2 is under threshold")
+    assert(IvfIndex.compactIfNeeded(spark, idx, maxRoots = 1) == 1)
     val roots = new java.io.File(idx).listFiles().map(_.getName).toSet
     assert(!roots.exists(_.startsWith("cells-b")) && roots.contains("cells"), s"got $roots")
     assert(probed() == expected, "compaction must preserve probe results")
@@ -819,6 +822,35 @@ class PlanSpec extends SparkSpec {
       "src", "dst"))
     assert(!tri.contains("NestedLoopJoin") && !tri.contains("CartesianProduct"),
       s"wedge and closing joins must be equi-joins:\n$tri")
+  }
+
+  test("TextIndex.probeAll: one pruned scan per root, not per query") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ti-multi-plan").toString
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    graft.llm.TextIndex.write(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, nBuckets = 16)
+    graft.llm.TextIndex.appendEpoch(spark, idx,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", epoch = 1L)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    Seq(1L -> Seq("scan", "filter"), 2L -> Seq("merge", "vector"),
+        3L -> Seq("spark", "window")).foreach { case (q, ts) =>
+      rows.add(org.apache.spark.sql.Row(q, ts))
+    }
+    import org.apache.spark.sql.types._
+    val qdf = spark.createDataFrame(rows, StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("terms", ArrayType(StringType, containsNull = false), nullable = false))))
+    val plan = planOf(graft.llm.TextIndex.probeAll(
+      spark, idx, qdf, "qid", "terms", k = 5))
+    // 3 queries, 2 roots: exactly 2 bucket-pruned postings scans — the
+    // batch amortization the serving shape exists for
+    val pruned = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("PartitionFilters") &&
+        l.contains("bucket"))
+    assert(pruned == 2, s"expected 2 pruned postings scans (one per root), got $pruned:\n$plan")
+    assert(plan.contains("TopKPerKey"),
+      s"per-qid top-k must ride the bounded-heap operator:\n$plan")
   }
 
   test("pageRank: no nested-loop join in any iteration stage") {

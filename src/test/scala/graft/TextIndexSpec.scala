@@ -123,6 +123,70 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.compactEpochs(spark, idx) == 0, "nothing left to fold")
   }
 
+  test("probeAll: every qid's ranking equals its single-query probe, across roots") {
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-ma").toString
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx, nBuckets = 16)
+    TextIndex.appendEpoch(spark, idx,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", epoch = 1L)
+    val batch: Seq[(Long, Seq[String])] = Seq(
+      5L -> Seq("scan", "filter", "spark"),
+      9L -> Seq("merge", "vector", "window"),
+      2L -> Seq("filter", "merge"))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    batch.foreach { case (q, ts) => rows.add(org.apache.spark.sql.Row(q, ts)) }
+    import org.apache.spark.sql.types._
+    val qdf = spark.createDataFrame(rows, StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("terms", ArrayType(StringType, containsNull = false), nullable = false))))
+    val multi = TextIndex.probeAll(spark, idx, qdf, "qid", "terms", k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.toSeq.drop(1)).toSeq }
+    batch.foreach { case (q, ts) =>
+      val single = TextIndex.probe(spark, idx, ts, k = 10).collect().map(_.toSeq).toSeq
+      assert(multi(q) == single, s"qid $q batch ranking must equal its single probe")
+    }
+  }
+
+  test("compactIfNeeded: ingest stays self-maintaining under maxRoots") {
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-cin").toString
+    val m = 2
+    TextIndex.write(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", idx, nBuckets = 16)
+    for (e <- 1 to 4) {
+      TextIndex.appendEpoch(spark, idx,
+        docs.filter(col("doc_id") % 5 === e), "doc_id", "text", epoch = e.toLong)
+      // before the hook at most m+1 roots can exist (threshold m folds
+      // on the NEXT call after crossing), after it at most m
+      val before = TextIndex.describe(spark, idx).count()
+      assert(before <= m + 1, s"roots before maintenance: $before")
+      TextIndex.compactIfNeeded(spark, idx, maxRoots = m)
+      val after = TextIndex.describe(spark, idx).count()
+      assert(after <= m, s"roots after maintenance: $after")
+    }
+    assert(TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+      == bm25Rows(docs), "maintenance must never change scores")
+    assert(TextIndex.compactIfNeeded(spark, idx, maxRoots = 2) == 0,
+      "single folded root is under every threshold")
+  }
+
+  test("probe fails loudly when roots disagree on the frozen modulus") {
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-mod").toString
+    TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 16)
+    // a root copied in from an index built with a DIFFERENT modulus:
+    // silent mis-routing is the failure mode the assertion prevents
+    val alien = java.nio.file.Files.createTempDirectory("graft-text-index-alien").toString
+    TextIndex.write(docs.limit(5), "doc_id", "text", alien, nBuckets = 8)
+    val fs = fsOf(idx)
+    fs.rename(new org.apache.hadoop.fs.Path(alien, "postings"),
+      new org.apache.hadoop.fs.Path(idx, "postings-b1"))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.probe(spark, idx, terms, k = 10).collect()
+    }
+    assert(e.getMessage.contains("frozen bucket modulus"), e.getMessage)
+  }
+
   test("crash windows: uncommitted epoch skipped; committed stage finished by probe") {
     val docs = Tables.documents(spark, dir).localCheckpoint(false)
     val half = docs.filter(col("doc_id") % 2 === 0)
