@@ -50,10 +50,24 @@ object Classify {
     *   llh(c, t)  = ln((cnt(c, t) + 1) / (tokens(c) + |V|)),  t ∈ V
     *   score(d,c) = lprior(c) + Σ_{t ∈ d ∩ V} tf(d, t) · llh(c, t)
     * Out-of-vocabulary terms at score time are ignored (the standard
-    * multinomial-NB OOV policy); here train and score corpora coincide
-    * so V covers every term. Documents with no tokens fall back to the
+    * multinomial-NB OOV policy). `minDf` prunes V to terms appearing in
+    * at least that many documents (df off the already-checkpointed
+    * token table): class token totals restrict to the kept vocabulary
+    * (the model stays a proper distribution over V), pruned terms
+    * simply have no model rows, so the OOV policy drops them at score
+    * time for free. At `minDf = 1` the code path — and therefore the
+    * plan and the oracle hash — is byte-identical to the unpruned
+    * operator. Documents with no in-vocabulary tokens fall back to the
     * highest-prior class (tie toward the smaller label) with score =
     * that prior — the operator never drops a document.
+    *
+    * Exchange volume note: the dense model means the scoring join on
+    * `term` fans every (doc, term) row by |classes| before the
+    * per-(doc, label) aggregate — fine at realistic label counts
+    * (2–100), and `minDf` is the lever when it isn't: pruning the
+    * long-tail vocabulary shrinks the model AND the tokens × classes
+    * fan-out together (tail terms are most of V but few of the
+    * postings that survive pruning).
     *
     * Contract: labels must be non-NULL. A NULL label would form its
     * own class whose ORDER position differs between engines (Spark
@@ -66,8 +80,10 @@ object Classify {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      labelCol: String
+      labelCol: String,
+      minDf: Int = 1
   ): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     val base = docs.select(
       col(idCol).as("doc"), col(labelCol).as("actual"),
       TextOps.words(col(textCol)).as("ws"))
@@ -79,11 +95,21 @@ object Classify {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
 
-    val classTerm = tf.groupBy(col("actual").as("label"), col("term"))
+    val classTermAll = tf.groupBy(col("actual").as("label"), col("term"))
       .agg(sum(col("tf")).as("cnt"))
       .localCheckpoint(false) // feeds totals, vocab AND the dense model
-    val classTot = classTerm.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
-    val vocab = classTerm.select(col("term")).distinct()
+    // minDf = 1 keeps the unpruned path verbatim (identical plan);
+    // otherwise df counts off the checkpointed token table gate both
+    // the vocabulary and the class-term counts
+    val (classTerm, vocab) =
+      if (minDf <= 1) (classTermAll, classTermAll.select(col("term")).distinct())
+      else {
+        val kept = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= minDf)
+          .select(col("term"))
+          .localCheckpoint(false) // feeds the count prune AND the model spine
+        (classTermAll.join(kept, Seq("term")), kept)
+      }
     val vSize = vocab.agg(count(lit(1)).as("v"))
 
     val nDocs = base.agg(count(lit(1)).as("n"))
@@ -94,6 +120,17 @@ object Classify {
         round(log(col("n_c").cast("double") / col("n").cast("double")), 6)
           .cast("decimal(18,6)").as("lp"))
       .localCheckpoint(false) // tiny; feeds the model AND the fallback row
+
+    // per-class token totals over V. Pruning can empty a class's kept
+    // counts entirely — it must still smooth (tot = 0), so the pruned
+    // branch spines totals off the full label set; the unpruned branch
+    // keeps its original one-aggregate shape (identical plan at minDf=1)
+    val classSums = classTerm.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    val classTot =
+      if (minDf <= 1) classSums
+      else priors.select(col("label"))
+        .join(classSums.withColumnRenamed("tot", "_t"), Seq("label"), "left")
+        .select(col("label"), coalesce(col("_t"), lit(0L)).as("tot"))
 
     // dense model: every (class, vocab-term) pair — zero counts smooth
     // to alpha/(tot + V). classTot is classes-sized: broadcast; vocab

@@ -66,8 +66,16 @@ object Funnel {
     * Scale shape: one key-partitioned window pairs each event with its
     * successor (no self-join), one map-side-combined (from, to)
     * aggregate, and the per-from totals ride a window over the counts
-    * (a totals join would replan the aggregate — the entropy lesson).
+    * — safe HERE because the window's input is the (from, to)
+    * aggregate (event-type-vocabulary², never rows-scaled; contrast
+    * the Profile.entropy fix, whose window ran over per-VALUE counts).
     * The probability is one IEEE division of exact longs.
+    *
+    * Streaming twin:
+    * [[graft.streaming.StreamingFeatures.transitionsStream]] — lead()
+    * is not stream-legal, so the twin folds an O(1) last-type state
+    * per key and emits adjacencies; aggregating them reproduces these
+    * counts exactly.
     */
   def transitions(df: DataFrame, key: String, ord: Column, typeCol: Column): DataFrame = {
     val seq = org.apache.spark.sql.expressions.Window.partitionBy(col(key)).orderBy(ord)

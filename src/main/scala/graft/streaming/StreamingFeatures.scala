@@ -450,6 +450,46 @@ object StreamingFeatures {
       }
   }
 
+  /** One adjacency emitted by [[transitionsStream]]: the key's
+    * previous event type, the arriving type, and the arriving ordinal
+    * (for per-epoch attribution).
+    */
+  final case class TransitionPair(key: String, fromType: String, toType: String, ord: Long)
+
+  /** Streaming twin of [[graft.operators.Funnel.transitions]]: the
+    * batch operator's `lead()` pairing is not stream-legal (a window
+    * over the future), but the adjacency fold IS — O(1) state per key
+    * (the last event type), each arriving event emits exactly one
+    * (from, to) pair against it. Aggregating the emitted pairs with
+    * `groupBy(from_type, to_type).count` equals the batch operator's
+    * counts over the same in-order stream — per-key adjacency is
+    * preserved across micro-batch boundaries by the state handoff
+    * (StreamingSpec pins stream ≡ batch including the probability
+    * recomputation). In-order contract as in [[funnelStream]]; ties on
+    * `ord` break by event type, so feed unique per-key ordinals for
+    * exact batch parity (the batch window's tie order is
+    * plan-dependent).
+    */
+  def transitionsStream(
+      spark: SparkSession,
+      events: Dataset[TypedEvent]
+  ): Dataset[TransitionPair] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[TypedEvent], state: GroupState[String]) =>
+          val out = Seq.newBuilder[TransitionPair]
+          var last = state.getOption
+          batch.toSeq.sortBy(e => (e.ord, e.etype)).foreach { e =>
+            last.foreach(f => out += TransitionPair(key, f, e.etype, e.ord))
+            last = Some(e.etype)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stateful shedding gate (make_mean_policy,
     * ralf/policies/load_shedding_policy.py:41-50) on a live stream: pass
     * an update through only if it moved >= thresh from the last KEPT
@@ -841,7 +881,13 @@ object StreamingFeatures {
           var cents = state.getOption.map(_.cents).getOrElse(Array.emptyLongArray)
           val out = scala.collection.mutable.ArrayBuffer.empty[SlopePoint]
           batch.toSeq.sortBy(u => (u.ord, u.value)).foreach { u =>
-            val yc = math.round(u.value * 100)
+            // HALF_UP, not math.round (floor(x+0.5)): the batch twin
+            // quantizes via Spark round = BigDecimal HALF_UP, and the
+            // two differ on negative half-cent boundaries (-12.5 →
+            // -13 vs -12) — ADVICE r7; same decimal-text BigDecimal
+            // Spark's Round constructs
+            val yc = BigDecimal(u.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
             ords = (ords :+ u.ord).takeRight(windowSize)
             cents = (cents :+ yc).takeRight(windowSize)
             if (ords.length == windowSize) {
@@ -897,7 +943,13 @@ object StreamingFeatures {
           var cents = state.getOption.map(_.cents).getOrElse(Array.emptyLongArray)
           val out = scala.collection.mutable.ArrayBuffer.empty[ZScorePoint]
           batch.toSeq.sortBy(u => (u.ord, u.value)).foreach { u =>
-            val yc = math.round(u.value * 100)
+            // HALF_UP, not math.round (floor(x+0.5)): the batch twin
+            // quantizes via Spark round = BigDecimal HALF_UP, and the
+            // two differ on negative half-cent boundaries (-12.5 →
+            // -13 vs -12) — ADVICE r7; same decimal-text BigDecimal
+            // Spark's Round constructs
+            val yc = BigDecimal(u.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
             if (cents.length == windowSize) {
               val n = windowSize.toLong
               val sy = cents.sum

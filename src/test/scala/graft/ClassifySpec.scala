@@ -50,6 +50,32 @@ class ClassifySpec extends SparkSpec {
     assert(math.abs(got(4L)._3 - q6(math.log(3.0 / 4)).doubleValue()) < 1e-9)
   }
 
+  test("minDf prunes the vocabulary: posteriors match the hand computation") {
+    // df: the=2, cat=1, le=1, chat=1 → minDf=2 keeps V = {the} (|V|=1).
+    // Kept counts: (en, the)=3; fr keeps nothing → tot(fr)=0 must still
+    // smooth. llh(en,the) = ln(4/4) = 0; llh(fr,the) = ln(1/1) = 0.
+    val pruned = Classify.nbTrainScore(spark, docs, "doc_id", "text", "lang", minDf = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc") ->
+        (r.getAs[String]("pred"), r.getAs[Double]("score")))
+      .toMap
+    assert(pruned.size == 4)
+    // every doc's in-V evidence is llh = 0, so priors decide: en wins
+    // everywhere — including doc 3, whose terms are ALL pruned and
+    // which must take the no-in-vocabulary-tokens fallback
+    val enPrior = q6(math.log(3.0 / 4)).doubleValue()
+    Seq(1L, 2L, 3L, 4L).foreach { d =>
+      assert(pruned(d)._1 == "en", s"doc $d must fall to the prior argmax")
+      assert(math.abs(pruned(d)._2 - enPrior) < 1e-9, s"doc $d score")
+    }
+    // and minDf = 1 must be byte-identical to the default path
+    val unpruned = Classify.nbTrainScore(spark, docs, "doc_id", "text", "lang", minDf = 1)
+      .collect().map(_.toSeq).toSet
+    val default = Classify.nbTrainScore(spark, docs, "doc_id", "text", "lang")
+      .collect().map(_.toSeq).toSet
+    assert(unpruned == default)
+  }
+
   test("cross-class evidence flows through the smoothed zero counts") {
     // doc 3 under en uses the alpha-smoothed zero counts:
     // ln((0+1)/(4+4)) per term — fr must still win on its own counts.

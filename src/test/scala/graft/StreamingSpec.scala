@@ -100,8 +100,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming rolling slope: bit-identical to the batch window across micro-batches") {
+    // -0.125·i lands cent values on NEGATIVE half-cent boundaries
+    // (e.g. -87.5), where math.round (floor(x+0.5) → -87) and the
+    // batch's BigDecimal HALF_UP (→ -88) disagree — ADVICE r7 pin
     val evs = (1 to 30).map(i =>
-      Update(if (i % 2 == 0) "a" else "b", i.toLong, (i % 7) + 0.25 * i))
+      Update(if (i % 2 == 0) "a" else "b", i.toLong, (i % 7) - 0.125 * i))
     val (b1, b2) = evs.partition(_.ord <= 15)
     val in = MemoryStream[Update]
     val q = StreamingFeatures.rollingSlopeStream(spark, in.toDS(), windowSize = 4)
@@ -126,8 +129,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming rolling z-score: bit-identical to the batch lookback across micro-batches") {
+    // negative half-cent boundaries as in the slope test (ADVICE r7)
     val evs = (1 to 30).map(i =>
-      Update(if (i % 2 == 0) "a" else "b", i.toLong, (i % 7) + 0.25 * i))
+      Update(if (i % 2 == 0) "a" else "b", i.toLong, (i % 7) - 0.125 * i))
     val (b1, b2) = evs.partition(_.ord <= 15)
     val in = MemoryStream[Update]
     val q = StreamingFeatures.rollingZScoreStream(spark, in.toDS(),
@@ -226,6 +230,47 @@ class StreamingSpec extends SparkSpec {
       }.toMap
     assert(streamed == batch, s"stream $streamed vs batch $batch")
     assert(streamed("u1") == Seq(20L, 30L, 40L))
+  }
+
+  test("streaming transitions: aggregated pairs equal the batch Markov matrix") {
+    import graft.streaming.StreamingFeatures.TypedEvent
+    // unique per-key ordinals (the documented contract); the u1/u2
+    // streams CROSS the micro-batch boundary, so the state handoff
+    // (last type per key) is what keeps the adjacency unbroken
+    val events = Seq(
+      TypedEvent("u1", 10L, "view"), TypedEvent("u1", 20L, "click"),
+      TypedEvent("u1", 30L, "view"), TypedEvent("u1", 40L, "purchase"),
+      TypedEvent("u2", 10L, "view"), TypedEvent("u2", 20L, "view"),
+      TypedEvent("u2", 30L, "click"),
+      TypedEvent("u3", 5L, "error"))
+    val (b1, b2) = events.partition(_.ord <= 20L)
+    val in = MemoryStream[TypedEvent]
+    val q = StreamingFeatures.transitionsStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("t_trans").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // fold the emitted pairs to the matrix the batch operator publishes
+    val pairs = spark.table("t_trans")
+      .groupBy(col("fromType").as("from_type"), col("toType").as("to_type"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val totals = pairs.collect().map(r => r.getString(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    val streamed = pairs.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(2).toDouble / totals(r.getString(0)).toDouble)))
+      .toMap
+    val batch = graft.operators.Funnel.transitions(
+        events.toDF().select(col("key").as("user_id"), col("ord"), col("etype")),
+        "user_id", col("ord"), col("etype"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getAs[Double]("prob"))))
+      .toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // the boundary-crossing adjacency really was counted
+    assert(streamed.contains(("click", "view")), "u1's cross-batch pair must exist")
   }
 
   test("parquet feature-table sink merges micro-batches; point query reads latest") {
