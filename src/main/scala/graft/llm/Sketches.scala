@@ -400,6 +400,103 @@ object Sketches {
         (share > saltThreshold).as("salt_recommended"))
   }
 
+  /** The count-min aggregate as a Column over an `array<string>` token
+    * column ([[graft.functions.CountMin]]) and its artifact-merge twin
+    * ([[graft.functions.CountMinMerge]]).
+    */
+  def cmsAgg(tokens: Column, depth: Int, width: Int): Column =
+    Bridge.column(graft.functions.CountMin(
+      Bridge.expression(tokens), depth, width).toAggregateExpression())
+
+  def cmsMergeAgg(sketches: Column): Column =
+    Bridge.column(
+      graft.functions.CountMinMerge(Bridge.expression(sketches)).toAggregateExpression())
+
+  /** Point-frequency estimate out of a [[cmsAgg]] artifact column: the
+    * minimum of the term's `depth` counters, routed by the SAME salted
+    * strhash the aggregate folded with ([[graft.functions.CmsHash]] —
+    * engine expression ≡ JVM fold ≡ DuckDB oracle, the frozen-hash
+    * triple). Never an undercount; overcount ≤ e·n/width w.p.
+    * 1 − e^−depth. Pure Column arithmetic — probing joins nothing.
+    */
+  def cmsEstimate(cms: Column, term: Column, depth: Int, width: Int): Column = {
+    val perRow = (0 until depth).map { r =>
+      val b = pmod(
+        graft.functions.GraftFunctions.strhash(
+          concat(lit(graft.functions.CmsHash.salt(r)), term.cast("string"))),
+        lit(width.toLong))
+      element_at(cms, (b + lit(r.toLong * width) + lit(1L)).cast("int"))
+    }
+    least(perRow: _*)
+  }
+
+  /** Per-group point-frequency estimates for a fixed probe-term list —
+    * the "how often does THIS term occur per source" gauge
+    * ([[topTermsSketch]] answers which terms are heavy; this answers
+    * arbitrary terms, heavy or not, from the same one-scan economy).
+    * ONE hash-aggregate keyed by the group (each task folds its token
+    * arrays into the depth×width buffer in place — no explode; the
+    * exchange carries depth×width longs per (task, group)), then the
+    * probe terms unpack as a generator projection over the single
+    * sketch row — never a (group, term) shuffle, never a second scan.
+    * Output: (grp, term, est), estimates exact while a group's bucket
+    * collisions are absent and ≥ truth always.
+    */
+  def termFrequencies(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      probes: Seq[String],
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    require(probes.nonEmpty, "termFrequencies needs at least one probe term")
+    val sketches = docs
+      .groupBy(col(groupCol).as("grp"))
+      .agg(cmsAgg(TextOps.words(col(textCol)), depth, width).as("cms"))
+    sketches
+      .select(col("grp"), explode(array(probes.map(lit): _*)).as("term"), col("cms"))
+      .select(col("grp"), col("term"),
+        cmsEstimate(col("cms"), col("term"), depth, width).as("est"))
+  }
+
+  /** Hierarchical count-min roll-up — the [[distinctRollup]] economy
+    * for point frequencies: fine (group, sub) sketches built once from
+    * the token stream, merged up by ELEMENTWISE ADDITION (count-min
+    * counters are linear, so every merged level is IDENTICAL to the
+    * sketch a direct pass builds — no truncation, unlike MG). Output:
+    * [[termFrequencies]]-shaped rows per group plus `totalLabel`
+    * corpus rows.
+    */
+  def termFrequencyRollup(
+      docs: DataFrame,
+      groupCol: String,
+      subCol: String,
+      textCol: String,
+      probes: Seq[String],
+      depth: Int,
+      width: Int,
+      totalLabel: String = "total"
+  ): DataFrame = {
+    require(probes.nonEmpty, "termFrequencyRollup needs at least one probe term")
+    val fine = docs
+      .groupBy(col(groupCol).as("grp"), col(subCol).as("sub"))
+      .agg(cmsAgg(TextOps.words(col(textCol)), depth, width).as("cms"))
+    val perGroup = fine
+      .groupBy(col("grp"))
+      .agg(cmsMergeAgg(col("cms")).as("cms"))
+      .localCheckpoint(false)
+    val total = perGroup
+      .select(lit(totalLabel).as("grp"), col("cms"))
+      .groupBy(col("grp"))
+      .agg(cmsMergeAgg(col("cms")).as("cms"))
+    def probe(df: DataFrame): DataFrame = df
+      .select(col("grp"), explode(array(probes.map(lit): _*)).as("term"), col("cms"))
+      .select(col("grp"), col("term"),
+        cmsEstimate(col("cms"), col("term"), depth, width).as("est"))
+    probe(perGroup).unionAll(probe(total))
+  }
+
   /** Join-cardinality estimation WITHOUT running the join — the
     * planner-style "how big would A ⋈ B be?" answer from two O(k)
     * sketches (Beyer et al. 2007's KMV set algebra): per side a KMV

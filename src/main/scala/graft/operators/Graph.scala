@@ -260,6 +260,93 @@ object Graph {
     sb.toString
   }
 
+  /** Bounded-hop single/multi-source shortest paths over a directed
+    * edge list — the proximity feature next to [[personalizedPageRank]]
+    * (hop distance to a trusted seed set is the classic TrustRank
+    * pre-filter, and min-cost distance is its weighted form): returns
+    * `(node, dist)` for every node reachable from `seeds` within
+    * `maxHops` edges, `dist` the minimum total edge weight over such
+    * paths (unit weights = BFS hop count). Exact for any graph whose
+    * relevant paths fit in `maxHops`; a larger bound only adds rounds.
+    *
+    * Exactness: distances are BIGINT end to end (weights are required
+    * positive integers; duplicate (src, dst) edges keep the MINIMUM
+    * weight) — min-plus relaxation over exact longs, so shuffle order
+    * cannot matter and the unrolled oracle ([[shortestPathsSql]])
+    * agrees bit-for-bit.
+    *
+    * Scale shape — the [[pageRank]] iteration economy: one shuffle per
+    * round (frontier joins edges on `src`, both sides partitioned by
+    * the key; the min re-aggregate partial-combines below its
+    * exchange), each round ends in a lazy localCheckpoint (lineage
+    * cap). Rows per round are bounded by reached nodes, never edges²;
+    * no windows, no nested loops, nothing collected but the seed
+    * `require` count.
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      maxHops: Int,
+      weight: Option[org.apache.spark.sql.Column] = None
+  ): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 50, s"maxHops must be in 0..50, got $maxHops")
+    val e = (weight match {
+      case None => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().withColumn("w", lit(1L))
+      case Some(wc) => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"), wc.cast("long").as("w"))
+        .filter(col("w") > 0)
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    }).localCheckpoint(false)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(false)
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
+  /** The [[shortestPaths]] oracle generator: unrolled min-plus CTEs,
+    * one per hop, over `(src, dst[, w])` edge SQL and seed `node` SQL —
+    * the same integer relaxation, so results agree exactly.
+    */
+  def shortestPathsSql(
+      edgesSql: String,
+      seedsSql: String,
+      maxHops: Int,
+      weighted: Boolean = false
+  ): String = {
+    val sb = new StringBuilder
+    sb.append(
+      (if (weighted)
+        s"""WITH e AS (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+           |  FROM ($edgesSql) WHERE w > 0 GROUP BY 1, 2),""".stripMargin
+      else
+        s"""WITH e AS (SELECT src, dst, CAST(1 AS BIGINT) AS w
+           |  FROM (SELECT DISTINCT src, dst FROM ($edgesSql))),""".stripMargin) +
+      s"""
+         |d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ($seedsSql))""".stripMargin)
+    for (i <- 1 to maxHops) {
+      sb.append(
+        s""",
+           |d$i AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst, d.dist + e.w FROM d${i - 1} d JOIN e ON e.src = d.node)
+           |  GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, dist FROM d$maxHops ORDER BY node")
+    sb.toString
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007, made deterministic): labels start as node ids; each of
     * `iters` rounds, every node adopts the label most frequent among

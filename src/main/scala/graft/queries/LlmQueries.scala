@@ -1840,6 +1840,53 @@ object LlmQueries {
       |  CAST(16 AS BIGINT) AS n_buckets
       |FROM documents""".stripMargin
 
+  /** Probe terms for the count-min query: corpus-frequent, mid, and
+    * absent terms — the absent one exercises pure-collision estimates.
+    */
+  val CmsProbes: Seq[String] = Seq("the", "merge", "vector", "window", "spark", "zzzz")
+
+  /** Count-min point frequencies (Sketches.termFrequencies): one
+    * depth×width sketch per source folded in ONE hash-aggregate (no
+    * explode, no (group, term) shuffle), probed for the fixed term
+    * list. Width 64 FORCES collisions, so the oracle — which rebuilds
+    * every (row, bucket) counter from exact term counts through the
+    * same salted strhash routing — pins the sketch arithmetic itself,
+    * not just exact counts.
+    */
+  val cmsFreq: Q = (s, dir) =>
+    graft.llm.Sketches.termFrequencies(Tables.documents(s, dir), "source", "text",
+        CmsProbes, depth = 4, width = 64)
+      .orderBy("grp", "term")
+
+  val cmsFreqSql: String = {
+    val d = 4
+    val w = 64
+    def bucketOf(e: String, v: String, r: Int) =
+      s"(${strhashSql(s"'${graft.functions.CmsHash.salt(r)}' || $e", v)}) % $w"
+    val bcCtes = (0 until d).map { r =>
+      s"""bc$r AS (SELECT source, ${bucketOf("term", s"x$r", r)} AS b,
+         |  CAST(sum(cnt) AS BIGINT) AS c FROM tc GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val probeList = CmsProbes.map(t => s"'$t'").mkString(", ")
+    val ests = (0 until d).map { r =>
+      s"coalesce((SELECT c FROM bc$r WHERE bc$r.source = s.source AND bc$r.b = " +
+        s"${bucketOf("p.term", s"q$r", r)}), CAST(0 AS BIGINT))"
+    }.mkString(",\n      ")
+    s"""WITH wt AS (
+       |  SELECT source, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tok AS (SELECT source, wd AS term FROM (SELECT source, unnest(ws) AS wd FROM wt)),
+       |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |probes AS (SELECT unnest([$probeList]) AS term),
+       |$bcCtes
+       |SELECT s.source AS grp, p.term,
+       |  least(
+       |      $ests) AS est
+       |FROM srcs s CROSS JOIN probes p
+       |ORDER BY grp, term""".stripMargin
+  }
+
   /** Query batch for the multi-query probe: term sets overlap across
     * queries (shared buckets) so the batch path exercises the
     * one-scan-per-root amortization on a realistic mixture.
@@ -3982,6 +4029,7 @@ object LlmQueries {
     "q_topterms_rollup" -> topTermsRollup,
     "q_heavy_hitters" -> heavyHitters,
     "q_skew_advisor" -> skewAdvisorQ,
+    "q_cms_freq" -> cmsFreq,
     "q_quantile_sketch" -> quantileSketch,
     "q_robust_outliers" -> robustOutliersQ,
     "q_semantic_dedup" -> semanticDedup,
@@ -4095,6 +4143,7 @@ object LlmQueries {
     "q_topterms_rollup" -> topTermsRollupSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_skew_advisor" -> skewAdvisorSql,
+    "q_cms_freq" -> cmsFreqSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_robust_outliers" -> robustOutliersSql,

@@ -879,6 +879,60 @@ object ParityQueries {
         "SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0"))
   }
 
+  /** Bounded-hop BFS distance (Graph.shortestPaths, unit weights):
+    * hop distance from the nation-0 supplier seed set over the
+    * undirected trade graph — the proximity pre-filter next to the
+    * personalized PageRank; 4 rounds of exact integer min-plus,
+    * oracle unrolled by the shared generator.
+    */
+  val shortestPathQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables.supplier(s, dir).filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    graft.operators.Graph.shortestPaths(edges, "src", "dst", seeds, maxHops = 4)
+      .orderBy("node")
+  }
+
+  val shortestPathSql: String =
+    graft.operators.Graph.shortestPathsSql(tradeEdgesSql,
+      "SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0",
+      maxHops = 4)
+
+  /** Weighted bounded-hop shortest paths: the same trade graph with
+    * each (customer, supplier) edge costing its cheapest line number
+    * (duplicate edges keep the MINIMUM weight inside the operator) —
+    * min-cost proximity instead of hop count, identical integer
+    * relaxation.
+    */
+  val shortestPathWeightedQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"),
+        col("l_linenumber").cast("long").as("w"))
+    val edges = cs.unionAll(
+      cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val seeds = Tables.supplier(s, dir).filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    graft.operators.Graph.shortestPaths(edges, "src", "dst", seeds,
+        maxHops = 4, weight = Some(col("w")))
+      .orderBy("node")
+  }
+
+  val shortestPathWeightedSql: String = {
+    val cs = """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, l_linenumber AS w
+               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+    graft.operators.Graph.shortestPathsSql(
+      s"$cs UNION ALL SELECT dst, src, w FROM ($cs)",
+      "SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0",
+      maxHops = 4, weighted = true)
+  }
+
   /** Label-propagation communities (Graph.labelPropagation) over the
     * trade graph: 4 deterministic sync rounds (most-frequent neighbor
     * label, ties to the smallest), oracle unrolled by
@@ -1218,6 +1272,8 @@ object ParityQueries {
     "q_pagerank_ppr" -> pageRankPersonalizedQ,
     "q_pagerank_weighted" -> pageRankWeightedQ,
     "q_pagerank_ppr_weighted" -> pageRankPprWeightedQ,
+    "q_shortest_path" -> shortestPathQ,
+    "q_shortest_path_weighted" -> shortestPathWeightedQ,
     "q_triangle_count" -> triangleCountQ,
     "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
@@ -1269,6 +1325,8 @@ object ParityQueries {
     "q_pagerank_ppr" -> pageRankPersonalizedSql,
     "q_pagerank_weighted" -> pageRankWeightedSql,
     "q_pagerank_ppr_weighted" -> pageRankPprWeightedSql,
+    "q_shortest_path" -> shortestPathSql,
+    "q_shortest_path_weighted" -> shortestPathWeightedSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -164,6 +164,33 @@ class OperatorSpec extends SparkSpec {
     assert(dists.forall(r => r.getAs[Long]("dist") <= 1))
   }
 
+  test("shortestPaths: hand graph — hops, min-cost, hop bound, unreachable absent") {
+    import graft.operators.Graph
+    // 5→1→2→3→4 with a w=10 shortcut 1→3 and a duplicate 1→2 edge
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 7L), (2L, 3L, 1L), (1L, 3L, 10L),
+        (3L, 4L, 2L), (5L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unit weights = BFS hop count; 5 only reaches INTO the seed — absent
+    val hops = m(Graph.shortestPaths(e, "src", "dst", seeds, maxHops = 4))
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L), s"got $hops")
+    // weighted: duplicate edge keeps min (5 not 7); 1→2→3 (6) beats the
+    // direct w=10 shortcut; 4 rides the 3-hop min-cost path (8)
+    val w3 = m(Graph.shortestPaths(e, "src", "dst", seeds, maxHops = 3,
+      weight = Some(col("w"))))
+    assert(w3 == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 8L), s"got $w3")
+    // the hop bound is real: at 2 hops node 4 only has the 12-cost
+    // path through the shortcut
+    val w2 = m(Graph.shortestPaths(e, "src", "dst", seeds, maxHops = 2,
+      weight = Some(col("w"))))
+    assert(w2(4L) == 12L && w2(3L) == 6L, s"got $w2")
+    // maxHops = 0: seeds only
+    assert(m(Graph.shortestPaths(e, "src", "dst", seeds, maxHops = 0))
+      == Map(1L -> 0L))
+  }
+
   test("pageRank: cycle symmetry, mass conservation, hub dominance, dangling redistribution") {
     import graft.operators.Graph
     // directed 4-cycle: perfect symmetry — every rank EXACTLY equal

@@ -271,4 +271,54 @@ class SketchSpec extends SparkSpec {
     assert(idt.getAs[Double]("jaccard_est") == 1.0)
     assert(math.abs(idt.getAs[Double]("est_join_rows") - 3000) < 3000 * 0.25)
   }
+
+  test("count-min: never undercounts, exact when buckets don't collide, partition-invariant") {
+    val tiny = Seq(
+      (1L, "g1", "a a a b"), (2L, "g1", "a b c"), (3L, "g2", "c c d"))
+      .toDF("doc_id", "grp0", "text")
+    val probes = Seq("a", "b", "c", "d", "zzz-absent")
+    def run(df: org.apache.spark.sql.DataFrame, width: Int) =
+      Sketches.termFrequencies(df, "grp0", "text", probes, depth = 4, width = width)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // wide sketch: 5-term vocabulary in 1024 buckets × 4 rows — the
+    // no-collision regime, so every estimate is the exact count
+    val exact = Map(
+      ("g1", "a") -> 4L, ("g1", "b") -> 2L, ("g1", "c") -> 1L,
+      ("g1", "d") -> 0L, ("g1", "zzz-absent") -> 0L,
+      ("g2", "a") -> 0L, ("g2", "b") -> 0L, ("g2", "c") -> 2L,
+      ("g2", "d") -> 1L, ("g2", "zzz-absent") -> 0L)
+    assert(run(tiny, 1024) == exact, s"got ${run(tiny, 1024)}")
+    // partition-count invariance: counters are a pure function of the
+    // input multiset
+    assert(run(tiny.repartition(7), 1024) == exact)
+    // narrow sketch (forced collisions): estimates only ever OVERcount
+    val narrow = run(tiny, 2)
+    exact.foreach { case (k, v) =>
+      assert(narrow(k) >= v, s"$k: narrow ${narrow(k)} must be >= exact $v")
+    }
+  }
+
+  test("count-min roll-up: merged artifact identical to the direct sketch") {
+    // counters are linear: source→corpus merge must equal the sketch
+    // built straight off the whole corpus, estimate for estimate
+    val probes = Seq("the", "merge", "vector", "window", "spark")
+    val direct = Sketches.termFrequencies(
+        docs.withColumn("all", lit("total")), "all", "text", probes,
+        depth = 4, width = 128)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val rolled = Sketches.termFrequencyRollup(
+        docs, "source", "doc_id", "text", probes, depth = 4, width = 128)
+      .filter(col("grp") === "total")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rolled == direct, s"rolled $rolled vs direct $direct")
+    // mismatched geometry fails loudly, never mis-adds
+    val s64 = docs.groupBy(col("source").as("grp"))
+      .agg(Sketches.cmsAgg(graft.llm.TextOps.words(col("text")), 4, 64).as("cms"))
+    val s128 = docs.groupBy(col("source").as("grp"))
+      .agg(Sketches.cmsAgg(graft.llm.TextOps.words(col("text")), 4, 128).as("cms"))
+    val e = intercept[Exception] {
+      s64.unionAll(s128).agg(Sketches.cmsMergeAgg(col("cms"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
