@@ -1,0 +1,181 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear algebra over the embedding column — the
+  * dimensionality-analysis stage of an embedding pipeline (OPQ-style
+  * rotation prep, drift monitoring, "is this embedding space
+  * collapsing onto one axis?"): second-moment (Gram) accumulation in
+  * one pass and principal-component projection, exact enough for a
+  * DuckDB oracle to replay bit-for-bit.
+  *
+  * Cross-engine FP discipline — the MMR exact-decimal route: each
+  * vector component quantizes ONCE (`round(cast(double), 6)` →
+  * DECIMAL(18,6), identical in both engines), and every product/sum
+  * after that is EXACT decimal arithmetic — order-free, so Spark's
+  * unordered aggregation and DuckDB's ordered fold agree exactly, and
+  * no intermediate ever rounds (no .5-ulp freedom anywhere). The
+  * operator is therefore defined as exact linear algebra over the
+  * 6-dp-quantized vectors.
+  *
+  * Scale shape: [[gram]] explodes each vector to (vid, i, q) rows —
+  * rows × d, one narrow generator, the quantization computed exactly
+  * once per element — behind a checkpoint barrier that feeds BOTH
+  * sides of the vid-keyed pair join (d²/2 pairs per vector, partial-
+  * aggregated map-side into d²/2 + d groups; the exchange carries
+  * groups × tasks rows, never rows × d²). The eigen step runs on the
+  * DRIVER over the collected d×d matrix (d² decimals — control-plane
+  * sized at any corpus scale; the corpus never moves), and the
+  * resulting component re-enters both engines as shared DECIMAL
+  * literals — the rankingMetrics DCG-weights discipline, so the
+  * projection needs no model table at all.
+  */
+object Embeddings {
+
+  private def qRows(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vid"),
+        posexplode(col(vecCol)).as(Seq("i0", "x")))
+      .select(col("vid"), (col("i0") + 1).cast("long").as("i"),
+        round(col("x").cast("double"), 6).cast("decimal(18,6)").as("q"))
+
+  /** Second-moment sheet of the quantized embedding matrix, one pass:
+    * for 1 ≤ i ≤ j ≤ d the exact decimal `Σ q_i·q_j` (upper-triangle
+    * Gram entries, `cnt` = vector count), plus one `j = -1` row per
+    * dimension carrying the first moment `Σ q_i` — everything the
+    * covariance needs, in one uniform oracle-friendly shape.
+    */
+  def gram(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val qr = qRows(df, idCol, vecCol)
+      .localCheckpoint(false) // feeds both pair sides AND the first moments
+    val pairs = qr.as("a")
+      .join(qr.as("b"),
+        col("a.vid") === col("b.vid") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("a.q") * col("b.q")).cast("double").as("g"))
+    val firsts = qr
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("cnt"), sum(col("q")).cast("double").as("g"))
+      .select(col("i"), lit(-1L).as("j"), col("cnt"), col("g"))
+    pairs.unionAll(firsts)
+  }
+
+  /** The dominant principal component of the quantized embeddings,
+    * computed from ONE distributed pass: [[gram]] collects to the
+    * driver (d² + d decimals), the covariance `C = G/n − m·mᵀ` and a
+    * deterministic power iteration (all-ones start, `iters` rounds,
+    * sign fixed so the largest-magnitude entry is positive) run in
+    * driver doubles, and the unit component quantizes to
+    * DECIMAL(18,6) entries. Returns (weights 1..d, projected mean,
+    * eigenvalue estimate) — the literals both the Spark projection
+    * and the generated oracle share.
+    */
+  def pcaComponent(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 100
+  ): (Seq[java.math.BigDecimal], java.math.BigDecimal, Double) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val rows = gram(df, idCol, vecCol).collect()
+    val d = rows.filter(_.getLong(1) == -1L).length
+    require(d >= 1, "pcaComponent needs at least one dimension")
+    val n = rows.find(_.getLong(1) == -1L).get.getLong(2).toDouble
+    val mean = new Array[Double](d)
+    val g = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt - 1
+      val j = r.getLong(1).toInt
+      if (j == -1) mean(i) = r.getDouble(3) / n
+      else { g(i)(j - 1) = r.getDouble(3); g(j - 1)(i) = r.getDouble(3) }
+    }
+    val c = Array.tabulate(d, d)((i, j) => g(i)(j) / n - mean(i) * mean(j))
+    var u = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val v = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * u(j)).sum)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      require(norm > 0, "power iteration collapsed — degenerate covariance")
+      u = v.map(_ / norm)
+      lambda = norm
+    }
+    // deterministic sign: the largest-|entry| coordinate points up
+    val kMax = (0 until d).maxBy(i => (math.abs(u(i)), -i))
+    if (u(kMax) < 0) u = u.map(x => -x)
+    def q6(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    val w = u.map(q6).toSeq
+    val projMean = q6((0 until d).map(i => mean(i) * u(i)).sum)
+    (w, projMean, lambda)
+  }
+
+  /** Project every vector onto shared component literals in EXACT
+    * FIXED POINT (the PageRank BIGINT discipline, because a d-term
+    * decimal addition chain trips Spark's precision-loss scale
+    * reduction around 38 digits): components quantize to micro-units
+    * (`round(6)` decimal × 10⁶, exact), weights enter as micro-unit
+    * long literals, so `Σ q·w − c` is exact integer arithmetic at
+    * scale 10¹², and the single closing division by 1e12 is one IEEE
+    * op both engines share. No joins, no model table: the weights are
+    * literals in the plan, exactly as in the generated oracle
+    * ([[pcaProjectSql]]). Bounds: |component| ≤ 10³ and |weight| ≤ 1
+    * keep `d ≤ 64` sums within long range with 10⁴ headroom.
+    */
+  def project(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      weights: Seq[java.math.BigDecimal],
+      center: java.math.BigDecimal
+  ): DataFrame = {
+    require(weights.nonEmpty, "project needs at least one weight")
+    val terms = weights.zipWithIndex.map { case (w, i0) =>
+      val qMicro = (round(element_at(col(vecCol), i0 + 1).cast("double"), 6)
+        .cast("decimal(18,6)") * lit(1000000L)).cast("long")
+      qMicro * lit(w.movePointRight(6).longValueExact)
+    }
+    val cPico = center.movePointRight(12).longValueExact
+    df.select(col(idCol).as("vid"),
+      ((terms.reduce(_ + _) - lit(cPico)).cast("double") / lit(1.0e12)).as("score"))
+  }
+
+  /** The [[project]] oracle generator — the same micro-unit literals
+    * over any `(vec_id, embedding)` table SQL.
+    */
+  def pcaProjectSql(
+      tableSql: String,
+      weights: Seq[java.math.BigDecimal],
+      center: java.math.BigDecimal
+  ): String = {
+    val terms = weights.zipWithIndex.map { case (w, i0) =>
+      s"CAST(CAST(round(CAST(embedding[${i0 + 1}] AS DOUBLE), 6) AS DECIMAL(18,6))" +
+        s" * 1000000 AS BIGINT) * CAST(${w.movePointRight(6).longValueExact} AS BIGINT)"
+    }.mkString("\n    + ")
+    val cPico = center.movePointRight(12).longValueExact
+    s"""SELECT vec_id AS vid,
+       |  CAST(($terms)
+       |    - CAST($cPico AS BIGINT) AS DOUBLE) / 1e12 AS score
+       |FROM ($tableSql) ORDER BY vid""".stripMargin
+  }
+
+  /** The [[gram]] oracle generator over the same table SQL. */
+  def gramSql(tableSql: String, dim: Int): String =
+    s"""WITH qx AS (
+       |  SELECT vec_id, ui AS i,
+       |    CAST(round(CAST(embedding[CAST(ui AS INT)] AS DOUBLE), 6) AS DECIMAL(18,6)) AS q
+       |  FROM ($tableSql), (SELECT unnest(range(1, ${dim + 1})) AS ui)),
+       |pairs AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(a.q * b.q) AS DOUBLE) AS g
+       |  FROM qx a JOIN qx b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |firsts AS (
+       |  SELECT i, CAST(-1 AS BIGINT) AS j, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(q) AS DOUBLE) AS g
+       |  FROM qx GROUP BY 1)
+       |SELECT i, j, cnt, g FROM pairs
+       |UNION ALL SELECT i, j, cnt, g FROM firsts
+       |ORDER BY i, j""".stripMargin
+}

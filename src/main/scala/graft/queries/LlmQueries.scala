@@ -1840,6 +1840,48 @@ object LlmQueries {
       |  CAST(16 AS BIGINT) AS n_buckets
       |FROM documents""".stripMargin
 
+  /** Embedding second-moment sheet (Embeddings.gram): the one-pass
+    * distributed half of PCA — upper-triangle exact-decimal Gram
+    * entries plus first-moment rows over the 6-dp-quantized vectors,
+    * the d² numbers the driver eigen step consumes. This IS the part
+    * that runs at corpus scale, so it carries the oracle; the
+    * driver-side power iteration is spec-covered (EmbeddingsSpec) and
+    * its output re-enters as shared literals (q_embed_project shape).
+    */
+  val embedGram: Q = (s, dir) =>
+    graft.llm.Embeddings.gram(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy("i", "j")
+
+  val embedGramSql: String =
+    graft.llm.Embeddings.gramSql("SELECT vec_id, embedding FROM embeddings", 64)
+
+  /** Shared projection literals for q_embed_project — a fixed
+    * deterministic direction (NOT data-derived: a static oracle string
+    * cannot carry data-dependent eigenvectors; the eigen step is
+    * spec-verified and produces literals of exactly this shape).
+    */
+  val ProjWeights: Seq[java.math.BigDecimal] = (1 to 64).map { i =>
+    new java.math.BigDecimal((i % 7) * 0.031 - 0.093)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+  }
+  val ProjCenter: java.math.BigDecimal =
+    new java.math.BigDecimal(0).setScale(6)
+
+  /** Exact-decimal projection of every embedding onto the shared
+    * weight literals (Embeddings.project): quantize-once components,
+    * exact decimal products/sums, the center constant subtracted last,
+    * one final double cast — the no-model-table projection the PCA
+    * component feeds at scale.
+    */
+  val embedProject: Q = (s, dir) =>
+    graft.llm.Embeddings.project(Tables.embeddings(s, dir), "vec_id", "embedding",
+        ProjWeights, ProjCenter)
+      .orderBy("vid")
+
+  val embedProjectSql: String =
+    graft.llm.Embeddings.pcaProjectSql(
+      "SELECT vec_id, embedding FROM embeddings", ProjWeights, ProjCenter)
+
   /** Probe terms for the count-min query: corpus-frequent, mid, and
     * absent terms — the absent one exercises pure-collision estimates.
     */
@@ -4030,6 +4072,8 @@ object LlmQueries {
     "q_heavy_hitters" -> heavyHitters,
     "q_skew_advisor" -> skewAdvisorQ,
     "q_cms_freq" -> cmsFreq,
+    "q_embed_gram" -> embedGram,
+    "q_embed_project" -> embedProject,
     "q_quantile_sketch" -> quantileSketch,
     "q_robust_outliers" -> robustOutliersQ,
     "q_semantic_dedup" -> semanticDedup,
@@ -4144,6 +4188,8 @@ object LlmQueries {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_skew_advisor" -> skewAdvisorSql,
     "q_cms_freq" -> cmsFreqSql,
+    "q_embed_gram" -> embedGramSql,
+    "q_embed_project" -> embedProjectSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_robust_outliers" -> robustOutliersSql,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Embeddings
+
+/** The PCA pipeline's driver-side eigen step (the distributed gram
+  * pass carries the DuckDB oracle; the power iteration and the
+  * literal-re-entry projection are pinned here): dominant-axis
+  * recovery on a constructed anisotropic cloud, gram/first-moment
+  * bookkeeping on a hand case, and end-to-end centered projection.
+  */
+class EmbeddingsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("gram: hand vectors — upper triangle, first moments, counts") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.gram(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // Σq1² = 1 + 9, Σq1q2 = 2 − 3, Σq2² = 4 + 1; firsts 4 and 1
+    assert(got == Map(
+      (1L, 1L) -> ((2L, 10.0)), (1L, 2L) -> ((2L, -1.0)), (2L, 2L) -> ((2L, 5.0)),
+      (1L, -1L) -> ((2L, 4.0)), (2L, -1L) -> ((2L, 1.0))), s"got $got")
+  }
+
+  test("pcaComponent recovers a planted dominant axis; projection is centered") {
+    // cloud along axis (3,4)/5 with a small orthogonal wobble and an
+    // off-origin mean — variance along the axis dominates 25:1
+    val axis = (0.6, 0.8)
+    val pts = (0 until 200).map { k =>
+      val t = (k % 41).toDouble / 4.0 - 5.0        // spread along the axis
+      val s = ((k % 7).toDouble - 3.0) / 30.0       // orthogonal wobble
+      (k.toLong, Seq(
+        (10.0 + t * axis._1 - s * axis._2).toFloat,
+        (20.0 + t * axis._2 + s * axis._1).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val (w, c, lambda) = Embeddings.pcaComponent(spark, df, "vec_id", "embedding")
+    val u = w.map(_.doubleValue)
+    val dot = math.abs(u(0) * axis._1 + u(1) * axis._2)
+    assert(dot > 0.999, s"component $u must align with the planted axis, |dot| = $dot")
+    assert(lambda > 1.0, s"dominant eigenvalue must carry the spread, got $lambda")
+    // unit length survives quantization
+    assert(math.abs(u.map(x => x * x).sum - 1.0) < 1e-4)
+    // the projected-mean literal centers the scores
+    val scores = Embeddings.project(df, "vec_id", "embedding", w, c)
+      .select(col("score")).as[Double].collect()
+    assert(math.abs(scores.sum / scores.length) < 1e-3,
+      s"centered projection must have ~zero mean, got ${scores.sum / scores.length}")
+    // and the score spread along u matches the eigenvalue scale-wise
+    val varAlong = scores.map(x => x * x).sum / scores.length
+    assert(varAlong > 0.8 * lambda && varAlong < 1.2 * lambda,
+      s"projected variance $varAlong vs eigenvalue $lambda")
+  }
+
+  test("project: exact fixed-point arithmetic matches the hand computation") {
+    val df = Seq((7L, Seq(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    def d6(x: Double) = new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    val got = Embeddings.project(df, "vec_id", "embedding",
+        Seq(d6(0.1), d6(-0.2)), d6(0.01))
+      .collect().head.getDouble(1)
+    // (0.5·0.1 + (−0.25)·(−0.2)) − 0.01 = 0.05 + 0.05 − 0.01 = 0.09
+    assert(got == 0.09, s"got $got")
+  }
+}
