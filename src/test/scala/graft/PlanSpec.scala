@@ -853,6 +853,31 @@ class PlanSpec extends SparkSpec {
       s"per-qid top-k must ride the bounded-heap operator:\n$plan")
   }
 
+  test("count-min: tokens fold inside the aggregate — no explode below, partial combine") {
+    val plan = planOf(graft.llm.Sketches.termFrequencies(
+      Tables.documents(spark, dir), "source", "text",
+      Seq("the", "merge"), depth = 4, width = 64))
+    // the ONLY generator is the probe-term unpack above the aggregate;
+    // the token stream must never explode (the buffer folds arrays in
+    // place — that is the no-(group,term)-shuffle economy)
+    val generates = "Generate explode".r.findAllIn(plan).length
+    assert(generates == 1, s"expected exactly the probe explode, got $generates:\n$plan")
+    assert(plan.contains("partial_graft_count_min"),
+      s"sketch buffers must partial-combine below the exchange:\n$plan")
+  }
+
+  test("Embeddings.gram: pair join off the shared quantized explode, no nested loop") {
+    val plan = planOf(graft.llm.Embeddings.gram(
+      Tables.embeddings(spark, dir), "vec_id", "embedding"))
+    assert(!plan.contains("FileScan parquet"),
+      s"the quantized explode must sit behind the checkpoint (one materialization):\n$plan")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rddScans >= 3,
+      s"both pair sides and the first moments must read the shared barrier, saw $rddScans:\n$plan")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the d²/2 pair expansion must ride the vid equi-join:\n$plan")
+  }
+
   test("pageRank: no nested-loop join in any iteration stage") {
     // the dangling-mass scalar is COLLECTED per round and re-enters as
     // a literal (the Association.rules convention) — the former

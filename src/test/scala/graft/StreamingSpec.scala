@@ -821,6 +821,34 @@ class StreamingSpec extends SparkSpec {
       s"streamed-final profile must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming count-min: the batch aggregate runs as-is under Complete mode") {
+    // CountMin is a TypedImperativeAggregate like the KMV/MG/bottom-k
+    // family — its depth×width buffer serializes through the state
+    // store, so the SAME termFrequencies projection monitors a live
+    // ingest; counters are linear, so the streamed-final sketch equals
+    // the batch sketch over the same rows (no below-capacity caveat,
+    // unlike MG)
+    val docsDf = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("text"))
+    val probes = Seq("the", "merge", "vector")
+    val batch = graft.llm.Sketches.termFrequencies(
+        docsDf, "source", "text", probes, depth = 4, width = 64)
+      .orderBy("grp", "term").collect().map(_.toSeq).toSeq
+    val rows = docsDf.collect().map(r => (r.getString(0), r.getString(1)))
+    val slices = new scala.util.Random(3).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, String)]
+    val stream = graft.llm.Sketches.termFrequencies(
+      in.toDS().toDF("source", "text"), "source", "text", probes, depth = 4, width = 64)
+    val q = stream.writeStream.format("memory").queryName("t_cms")
+      .outputMode(OutputMode.Complete()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("t_cms")
+      .orderBy("grp", "term").collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed-final count-min estimates must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("compaction crash recovery: a staged fold finishes without loss or double-count") {
     import graft.streaming.CurationGate
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
