@@ -30,6 +30,8 @@ import graft.state.Connector
   */
 final class FeatureServer(connector: Connector, port: Int = 0) {
 
+  import Wire.{jsonRow, jsonValue, queryParam, respond}
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   /** The key column's type, resolved ONCE at construction — resolving
@@ -51,53 +53,6 @@ final class FeatureServer(connector: Connector, port: Int = 0) {
     case StringType  => raw
     case other       => throw new IllegalArgumentException(s"unsupported key type $other")
   }
-
-  private def escapeJson(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '"'             => sb.append("\\\"")
-      case '\\'            => sb.append("\\\\")
-      case '\n'            => sb.append("\\n")
-      case '\r'            => sb.append("\\r")
-      case '\t'            => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c               => sb.append(c)
-    }
-    sb.toString
-  }
-
-  private def jsonValue(v: Any): String = v match {
-    case null       => "null"
-    case s: String  => "\"" + escapeJson(s) + "\""
-    case b: Boolean => b.toString
-    // JSON has no NaN/Infinity literal — emit null rather than break the wire
-    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
-    case f: java.lang.Float if f.isNaN || f.isInfinite  => "null"
-    case n: java.lang.Number => n.toString
-    case other               => jsonValue(other.toString)
-  }
-
-  private def jsonRow(r: Row): String =
-    r.schema.fields.zipWithIndex.map { case (f, i) =>
-      "\"" + f.name + "\":" + jsonValue(if (r.isNullAt(i)) null else r.get(i))
-    }.mkString("{", ",", "}")
-
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(bytes) finally os.close()
-  }
-
-  private def queryParam(ex: HttpExchange, name: String): Option[String] =
-    Option(ex.getRequestURI.getRawQuery).flatMap {
-      _.split("&").iterator
-        .map(_.split("=", 2))
-        .collectFirst { case Array(k, v) if k == name =>
-          java.net.URLDecoder.decode(v, "UTF-8")
-        }
-    }
 
   server.createContext("/point", (ex: HttpExchange) =>
     try {
@@ -127,4 +82,60 @@ final class FeatureServer(connector: Connector, port: Int = 0) {
   def boundPort: Int = server.getAddress.getPort
 
   def stop(): Unit = server.stop(0)
+}
+
+/** Shared wire-format helpers for the serving façades
+  * ([[FeatureServer]], [[SearchServer]]): strict JSON encoding (control
+  * characters escaped, NaN/Infinity as null — JSON has no literal for
+  * them) and the tiny query-string/response plumbing over the JDK
+  * server.
+  */
+private[serve] object Wire {
+
+  def escapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'             => sb.append("\\\"")
+      case '\\'            => sb.append("\\\\")
+      case '\n'            => sb.append("\\n")
+      case '\r'            => sb.append("\\r")
+      case '\t'            => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c               => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def jsonValue(v: Any): String = v match {
+    case null       => "null"
+    case s: String  => "\"" + escapeJson(s) + "\""
+    case b: Boolean => b.toString
+    // JSON has no NaN/Infinity literal — emit null rather than break the wire
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite  => "null"
+    case n: java.lang.Number => n.toString
+    case other               => jsonValue(other.toString)
+  }
+
+  def jsonRow(r: Row): String =
+    r.schema.fields.zipWithIndex.map { case (f, i) =>
+      "\"" + f.name + "\":" + jsonValue(if (r.isNullAt(i)) null else r.get(i))
+    }.mkString("{", ",", "}")
+
+  def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap {
+      _.split("&").iterator
+        .map(_.split("=", 2))
+        .collectFirst { case Array(k, v) if k == name =>
+          java.net.URLDecoder.decode(v, "UTF-8")
+        }
+    }
 }

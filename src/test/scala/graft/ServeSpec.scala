@@ -74,4 +74,54 @@ class ServeSpec extends SparkSpec {
       assert(r2.body() == """{"row":{"key":2,"name":"inf","score":null}}""")
     } finally srv.stop()
   }
+
+  test("search server: lexical and ANN probes over the persisted indexes") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val tidx = java.nio.file.Files.createTempDirectory("graft-srv-text").toString
+    graft.llm.TextIndex.write(docs, "doc_id", "text", tidx, nBuckets = 16)
+    val emb = Tables.embeddings(spark, sf)
+    val vidx = java.nio.file.Files.createTempDirectory("graft-srv-ivf").toString
+    graft.llm.IvfIndex.write(emb, "vec_id", "embedding", vidx, numCentroids = 8)
+    val srv = new graft.serve.SearchServer(spark, Some(tidx), Some(vidx))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // lexical: the wire ranking equals the direct pruned probe
+      val direct = graft.llm.TextIndex.probe(spark, tidx,
+        Seq("scan", "filter", "spark"), 5).collect()
+      val r = get(port, "/search?terms=scan,filter,spark&k=5")
+      assert(r.statusCode() == 200)
+      assert(r.body().startsWith(
+        s"""{"hits":[{"rank":1,"doc":${direct(0).getLong(1)}"""),
+        s"top hit must match the direct probe: ${r.body().take(120)}")
+      assert(r.body().split("\\{\"rank\"").length - 1 == direct.length)
+      // ANN: probing with vector 7's own embedding returns it at rank 1
+      val v = emb.filter(col("vec_id") === 7)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val a = get(port, s"/ann?vec=${v.map(_.toDouble).mkString(",")}&k=3&nProbe=4")
+      assert(a.statusCode() == 200)
+      assert(a.body().contains(""""nid":7"""), s"self-query must hit: ${a.body().take(200)}")
+      assert(a.body().startsWith("""{"hits":[{"rank":1,"""))
+      // error contract
+      assert(get(port, "/search").statusCode() == 400)
+      assert(get(port, "/search?terms=").statusCode() == 400)
+      assert(get(port, "/ann?vec=abc").statusCode() == 400)
+      assert(get(port, "/ann").statusCode() == 400)
+    } finally srv.stop()
+  }
+
+  test("search server with only one index: the other route answers 400, not 500") {
+    val sf = "/root/testdata/sf0.001"
+    val tidx = java.nio.file.Files.createTempDirectory("graft-srv-only").toString
+    graft.llm.TextIndex.write(Tables.documents(spark, sf), "doc_id", "text", tidx, nBuckets = 8)
+    val srv = new graft.serve.SearchServer(spark, Some(tidx), None)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      assert(get(port, "/ann?vec=1.0,2.0").statusCode() == 400)
+      assert(get(port, "/search?terms=scan").statusCode() == 200)
+    } finally srv.stop()
+  }
 }
