@@ -252,6 +252,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val graphGen: Gen[(List[(Long, Long, Long)], List[Long], Int)] = for {
+    nNodes <- Gen.choose(3, 10)
+    nEdges <- Gen.choose(2, 25)
+    edges <- Gen.listOfN(nEdges, for {
+      s <- Gen.choose(0, nNodes - 1)
+      d <- Gen.choose(0, nNodes - 1)
+      w <- Gen.choose(1, 9)
+    } yield (s.toLong, d.toLong, w.toLong))
+    nSeeds <- Gen.choose(1, 2)
+    seeds <- Gen.listOfN(nSeeds, Gen.choose(0, nNodes - 1).map(_.toLong))
+    hops <- Gen.choose(0, 6)
+  } yield (edges, seeds, hops)
+
+  test("property: shortestPaths == driver Bellman-Ford reference at every hop bound") {
+    forAll(graphGen, cases = 6) { case (edges, seeds, hops) =>
+      // reference: hop-bounded Bellman–Ford over the min-weight edge map
+      val eMin = edges.groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._3).min }
+      var ref = seeds.distinct.map(_ -> 0L).toMap
+      for (_ <- 1 to hops) {
+        val relaxed = ref.toSeq.flatMap { case (n, d0) =>
+          eMin.collect { case ((s, d), w) if s == n => d -> (d0 + w) }
+        }
+        ref = (ref.toSeq ++ relaxed).groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+      }
+      val got = graft.operators.Graph.shortestPaths(
+          edges.toDF("src", "dst", "w"), "src", "dst",
+          seeds.map(Tuple1(_)).toDF("node"), maxHops = hops, weight = Some(col("w")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref, s"edges=$edges seeds=$seeds hops=$hops: $got vs $ref")
+    }
+  }
+
+  private val vecGen: Gen[(List[Double], List[Double])] = for {
+    d <- Gen.choose(1, 8)
+    v <- Gen.listOfN(d, Gen.choose(-99999, 99999).map(_ / 1000.0))
+    w <- Gen.listOfN(d, Gen.choose(-999, 999).map(_ / 1000.0))
+  } yield (v, w)
+
+  test("property: fixed-point projection == BigDecimal replica, exactly") {
+    forAll(vecGen, cases = 8) { case (v, w) =>
+      def d6(x: Double) = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      val wq = w.map(d6)
+      val got = llm.Embeddings.project(
+          Seq((1L, v.map(_.toFloat))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", wq, d6(0.0))
+        .collect().head.getDouble(1)
+      // replica: micro-unit longs, one closing division — the operator's
+      // documented op sequence
+      val sum = v.zip(wq).map { case (x, wi) =>
+        d6(x.toFloat.toDouble).movePointRight(6).longValueExact *
+          wi.movePointRight(6).longValueExact
+      }.sum
+      assert(got == sum.toDouble / 1.0e12, s"v=$v w=$w: $got vs ${sum.toDouble / 1.0e12}")
+    }
+  }
+
   test("property: keepIncreasing output is strictly increasing per key and keeps the max") {
     forAll(streamGen) { rows =>
       if (rows.nonEmpty) {
