@@ -77,11 +77,32 @@ object Embeddings {
       idCol: String,
       vecCol: String,
       iters: Int = 100
-  ): (Seq[java.math.BigDecimal], java.math.BigDecimal, Double) = {
+  ): (Seq[java.math.BigDecimal], java.math.BigDecimal, Double) =
+    pcaComponents(spark, df, idCol, vecCol, nComponents = 1, iters).head
+
+  /** The leading `nComponents` principal components by Hotelling
+    * deflation over the ONE collected covariance (`C ← C − λ·u·uᵀ`
+    * after each extraction — no second distributed pass, ever):
+    * one (weights, projected mean, eigenvalue) triple per component,
+    * eigenvalues non-increasing, components mutually orthogonal
+    * (EmbeddingsSpec pins both). Each component's literals feed
+    * [[project]] independently — a k-component embedding map is k
+    * projection columns over one scan.
+    */
+  def pcaComponents(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nComponents: Int,
+      iters: Int = 100
+  ): Seq[(Seq[java.math.BigDecimal], java.math.BigDecimal, Double)] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(nComponents >= 1, s"nComponents must be >= 1, got $nComponents")
     val rows = gram(df, idCol, vecCol).collect()
-    val d = rows.filter(_.getLong(1) == -1L).length
-    require(d >= 1, "pcaComponent needs at least one dimension")
+    val d = rows.count(_.getLong(1) == -1L)
+    require(d >= 1, "pcaComponents needs at least one dimension")
+    require(nComponents <= d, s"nComponents $nComponents exceeds dimension $d")
     val n = rows.find(_.getLong(1) == -1L).get.getLong(2).toDouble
     val mean = new Array[Double](d)
     val g = Array.ofDim[Double](d, d)
@@ -92,23 +113,27 @@ object Embeddings {
       else { g(i)(j - 1) = r.getDouble(3); g(j - 1)(i) = r.getDouble(3) }
     }
     val c = Array.tabulate(d, d)((i, j) => g(i)(j) / n - mean(i) * mean(j))
-    var u = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var lambda = 0.0
-    for (_ <- 1 to iters) {
-      val v = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * u(j)).sum)
-      val norm = math.sqrt(v.map(x => x * x).sum)
-      require(norm > 0, "power iteration collapsed — degenerate covariance")
-      u = v.map(_ / norm)
-      lambda = norm
-    }
-    // deterministic sign: the largest-|entry| coordinate points up
-    val kMax = (0 until d).maxBy(i => (math.abs(u(i)), -i))
-    if (u(kMax) < 0) u = u.map(x => -x)
     def q6(x: Double): java.math.BigDecimal =
       new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
-    val w = u.map(q6).toSeq
-    val projMean = q6((0 until d).map(i => mean(i) * u(i)).sum)
-    (w, projMean, lambda)
+    (1 to nComponents).map { _ =>
+      var u = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val v = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * u(j)).sum)
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        require(norm > 0, "power iteration collapsed — degenerate covariance " +
+          "(fewer independent directions than nComponents)")
+        u = v.map(_ / norm)
+        lambda = norm
+      }
+      // deterministic sign: the largest-|entry| coordinate points up
+      val kMax = (0 until d).maxBy(i => (math.abs(u(i)), -i))
+      if (u(kMax) < 0) u = u.map(x => -x)
+      // deflate: remove the extracted direction's variance
+      for (i <- 0 until d; j <- 0 until d) c(i)(j) -= lambda * u(i) * u(j)
+      val projMean = q6((0 until d).map(i => mean(i) * u(i)).sum)
+      (u.map(q6).toSeq, projMean, lambda)
+    }
   }
 
   /** Project every vector onto shared component literals in EXACT

@@ -58,6 +58,27 @@ class EmbeddingsSpec extends SparkSpec {
       s"projected variance $varAlong vs eigenvalue $lambda")
   }
 
+  test("pcaComponents: deflation yields orthogonal components with ordered eigenvalues") {
+    // a 3-D cloud with planted variances 25 : 4 : ~0 along three known
+    // orthogonal axes — deflation must recover them in order
+    val pts = (0 until 300).map { k =>
+      val t = (k % 25).toDouble / 2.4 - 5.0   // big axis (1,0,0)
+      val s = ((k % 9).toDouble - 4.0) / 2.0  // mid axis (0, .6, .8)
+      (k.toLong, Seq(t.toFloat, (0.6 * s).toFloat, (0.8 * s).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val comps = Embeddings.pcaComponents(spark, df, "vec_id", "embedding", nComponents = 2)
+    val Seq((w1, _, l1), (w2, _, l2)) = comps
+    val u1 = w1.map(_.doubleValue)
+    val u2 = w2.map(_.doubleValue)
+    assert(l1 > l2, s"eigenvalues must be non-increasing: $l1 vs $l2")
+    assert(math.abs(u1(0)) > 0.999, s"first component must be the big axis, got $u1")
+    assert(math.abs(u2(1) * 0.6 + u2(2) * 0.8) > 0.999,
+      s"second component must be the mid axis, got $u2")
+    val dot = u1.zip(u2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-3, s"components must be orthogonal, dot = $dot")
+  }
+
   test("project: exact fixed-point arithmetic matches the hand computation") {
     val df = Seq((7L, Seq(0.5f, -0.25f))).toDF("vec_id", "embedding")
     def d6(x: Double) = new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
