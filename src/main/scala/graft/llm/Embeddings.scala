@@ -153,7 +153,8 @@ object Embeddings {
       idCol: String,
       vecCol: String,
       weights: Seq[java.math.BigDecimal],
-      center: java.math.BigDecimal
+      center: java.math.BigDecimal,
+      keep: Seq[String] = Nil
   ): DataFrame = {
     require(weights.nonEmpty, "project needs at least one weight")
     val terms = weights.zipWithIndex.map { case (w, i0) =>
@@ -162,8 +163,24 @@ object Embeddings {
       qMicro * lit(w.movePointRight(6).longValueExact)
     }
     val cPico = center.movePointRight(12).longValueExact
-    df.select(col(idCol).as("vid"),
-      ((terms.reduce(_ + _) - lit(cPico)).cast("double") / lit(1.0e12)).as("score"))
+    df.select(col(idCol).as("vid") +: keep.map(col) :+
+      ((terms.reduce(_ + _) - lit(cPico)).cast("double") / lit(1.0e12)).as("score"): _*)
+  }
+
+  /** The projection's SQL expression over an `embedding` column — the
+    * same micro-unit literals, for embedding the score inside larger
+    * generated oracles.
+    */
+  def projectExprSql(
+      weights: Seq[java.math.BigDecimal],
+      center: java.math.BigDecimal
+  ): String = {
+    val terms = weights.zipWithIndex.map { case (w, i0) =>
+      s"CAST(CAST(round(CAST(embedding[${i0 + 1}] AS DOUBLE), 6) AS DECIMAL(18,6))" +
+        s" * 1000000 AS BIGINT) * CAST(${w.movePointRight(6).longValueExact} AS BIGINT)"
+    }.mkString("\n    + ")
+    val cPico = center.movePointRight(12).longValueExact
+    s"CAST(($terms)\n    - CAST($cPico AS BIGINT) AS DOUBLE) / 1e12"
   }
 
   /** The [[project]] oracle generator — the same micro-unit literals
@@ -173,17 +190,10 @@ object Embeddings {
       tableSql: String,
       weights: Seq[java.math.BigDecimal],
       center: java.math.BigDecimal
-  ): String = {
-    val terms = weights.zipWithIndex.map { case (w, i0) =>
-      s"CAST(CAST(round(CAST(embedding[${i0 + 1}] AS DOUBLE), 6) AS DECIMAL(18,6))" +
-        s" * 1000000 AS BIGINT) * CAST(${w.movePointRight(6).longValueExact} AS BIGINT)"
-    }.mkString("\n    + ")
-    val cPico = center.movePointRight(12).longValueExact
+  ): String =
     s"""SELECT vec_id AS vid,
-       |  CAST(($terms)
-       |    - CAST($cPico AS BIGINT) AS DOUBLE) / 1e12 AS score
+       |  ${projectExprSql(weights, center)} AS score
        |FROM ($tableSql) ORDER BY vid""".stripMargin
-  }
 
   /** The [[gram]] oracle generator over the same table SQL. */
   def gramSql(tableSql: String, dim: Int): String =

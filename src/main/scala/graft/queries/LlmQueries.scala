@@ -1882,6 +1882,46 @@ object LlmQueries {
     graft.llm.Embeddings.pcaProjectSql(
       "SELECT vec_id, embedding FROM embeddings", ProjWeights, ProjCenter)
 
+  /** Embedding drift report — the capstone composing the projection
+    * with the deterministic quantile sketch: per label cohort, the
+    * distribution (p25/p50/p75 off the bottom-64-by-hash sample) of
+    * scores along the shared component direction. The monitoring
+    * query an embedding pipeline runs per ingest: a cohort whose
+    * projection quantiles shift is drifting along the dominant axis.
+    * Every stage is engine-replicable (fixed-point projection +
+    * the quantile sample's squared-hash key), so the whole composition
+    * hash-gates.
+    */
+  val embedDrift: Q = (s, dir) => {
+    val p = graft.llm.Embeddings.project(Tables.embeddings(s, dir),
+      "vec_id", "embedding", ProjWeights, ProjCenter, keep = Seq("label"))
+    graft.llm.Sketches.quantiles(p, "label", "vid", col("score"),
+        k = 64, qs = Seq(0.25, 0.5, 0.75))
+      .orderBy("grp")
+  }
+
+  val embedDriftSql: String =
+    s"""WITH scored AS (
+       |  SELECT label AS grp, vec_id,
+       |    ${graft.llm.Embeddings.projectExprSql(ProjWeights, ProjCenter)} AS v
+       |  FROM embeddings),
+       |keyed AS (SELECT grp, v, (h * h) % $P AS key FROM (
+       |    SELECT grp, v, ${strhashSql("'qtl:' || CAST(vec_id AS VARCHAR)", "ed")} AS h
+       |    FROM scored)),
+       |dedup AS (SELECT grp, key, min(v) AS v FROM keyed GROUP BY grp, key),
+       |topk AS (SELECT grp, v FROM (
+       |    SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY key) AS rk FROM dedup)
+       |  WHERE rk <= 64),
+       |srt AS (SELECT grp, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY v) AS vi,
+       |    count(*) OVER (PARTITION BY grp) AS m
+       |  FROM topk)
+       |SELECT grp, CAST(max(m) AS BIGINT) AS n_sample,
+       |  max(CASE WHEN vi = CAST(floor(0.25 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p25,
+       |  max(CASE WHEN vi = CAST(floor(0.5 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p50,
+       |  max(CASE WHEN vi = CAST(floor(0.75 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p75
+       |FROM srt GROUP BY grp ORDER BY grp""".stripMargin
+
   /** Probe terms for the count-min query: corpus-frequent, mid, and
     * absent terms — the absent one exercises pure-collision estimates.
     */
@@ -4074,6 +4114,7 @@ object LlmQueries {
     "q_cms_freq" -> cmsFreq,
     "q_embed_gram" -> embedGram,
     "q_embed_project" -> embedProject,
+    "q_embed_drift" -> embedDrift,
     "q_quantile_sketch" -> quantileSketch,
     "q_robust_outliers" -> robustOutliersQ,
     "q_semantic_dedup" -> semanticDedup,
@@ -4190,6 +4231,7 @@ object LlmQueries {
     "q_cms_freq" -> cmsFreqSql,
     "q_embed_gram" -> embedGramSql,
     "q_embed_project" -> embedProjectSql,
+    "q_embed_drift" -> embedDriftSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_robust_outliers" -> robustOutliersSql,
