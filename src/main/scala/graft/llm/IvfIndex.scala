@@ -216,6 +216,28 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells-b$epoch")
   }
 
+  /** Streaming ingest — the [[graft.llm.TextIndex.ingestStream]] twin:
+    * every non-empty micro-batch appends as `epoch = batchId` against
+    * the frozen quantizer (and the frozen SQ8 formula / PQ codebook
+    * when the index stores codes), so recovered batches land exactly
+    * once ([[appendEpoch]] overwrites its own root). Probes see each
+    * batch as soon as its epoch root lands; pair with
+    * [[compactIfNeeded]] for self-maintaining root counts. Start with
+    * `.trigger(...)` / `.start()` on the returned writer.
+    */
+  def ingestStream(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          appendEpoch(batch.sparkSession, dir, batch.toDF(), idCol, vecCol, epoch)
+      }
+
   /** Fold every `cells-b<epoch>/` root into the base `cells/` layout
     * and delete the epoch roots — run BETWEEN probe workloads (same
     * contract as CurationGate.compact). Crash-safe protocol: the

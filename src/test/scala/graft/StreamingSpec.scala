@@ -849,6 +849,47 @@ class StreamingSpec extends SparkSpec {
       s"streamed-final count-min estimates must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("IvfIndex streaming ingest: per-batch epochs searchable, maintenance folds them") {
+    import graft.llm.IvfIndex
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").localCheckpoint(false)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    // base index over the even half freezes the quantizer
+    IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      idx, numCentroids = 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def probed(): Set[Seq[Any]] =
+      IvfIndex.probe(spark, idx, queries, "vec_id", "embedding", k = 3, nProbe = 3)
+        .select("qid", "rank", "nid").collect().map(_.toSeq).toSet
+    val before = probed()
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = odd.partition(_._1 % 4 == 1)
+    val in = MemoryStream[(Long, Seq[Double])]
+    // continuous trigger so the two adds land as DISTINCT epochs
+    val q = IvfIndex.ingestStream(
+      in.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding")),
+      "vec_id", "embedding", idx).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val after = probed()
+    assert(after != before, "streamed vectors must join the candidate pool")
+    // full parity with a one-shot append of the same half
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-ivf-stream-ref").toString
+    IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      idx2, numCentroids = 8)
+    IvfIndex.appendEpoch(spark, idx2, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", epoch = 9L)
+    val ref = IvfIndex.probe(spark, idx2, queries, "vec_id", "embedding", k = 3, nProbe = 3)
+      .select("qid", "rank", "nid").collect().map(_.toSeq).toSet
+    assert(after == ref, "streamed epochs must score like one batch append")
+    // self-maintenance folds the two stream epochs
+    assert(IvfIndex.compactIfNeeded(spark, idx, maxRoots = 2) == 2)
+    assert(probed() == after, "compaction must not change results")
+  }
+
   test("compaction crash recovery: a staged fold finishes without loss or double-count") {
     import graft.streaming.CurationGate
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
