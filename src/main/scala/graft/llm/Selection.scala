@@ -409,4 +409,63 @@ object Selection {
         StructField("gain", LongType, nullable = false),
         StructField("covered_total", LongType, nullable = false))))
   }
+
+  /** Deterministic contrastive negative sampling — the pair-builder a
+    * contrastive/embedding training run needs (in-batch negatives made
+    * reproducible): for every anchor row, `k` negatives drawn from a
+    * SHARED hash-selected candidate pool, excluding the anchor itself
+    * and its own label class. Both draws are pure functions of the
+    * ids (the squared-strhash uniformizer — sequential ids sample
+    * uniformly), so resharding, re-running, or replaying in DuckDB
+    * yields the identical pairs.
+    *
+    * Scale shape: the pool is the bottom-`poolSize` rows by pool hash
+    * — one TakeOrderedAndProject, never a global sort — and the
+    * anchor × pool expansion rides a BROADCAST of those `poolSize`
+    * rows (anchors × poolSize work, the quadratic is capped by the
+    * pool knob, never anchors × corpus); the per-anchor top-k is a
+    * window over ≤ poolSize rows keyed by the anchor. A label-skewed
+    * corpus can starve a class (pool members all share its label) —
+    * size the pool a few multiples of k · classes.
+    *
+    * Output: (anchor, rank, neg_id, neg_label), rank 1..≤k by the
+    * pair hash (ties to the smaller candidate id).
+    */
+  def negativeSamples(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      k: Int,
+      poolSize: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(poolSize >= k, s"poolSize must be >= k, got $poolSize vs $k")
+    val p = graft.functions.StrHash.P
+    def sqHash(salt: String, c: Column): Column = {
+      val h = graft.functions.GraftFunctions.strhash(
+        concat(lit(salt), c.cast("string")))
+      pmod(h * h, lit(p))
+    }
+    val pool = df
+      .select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+        sqHash("negp:", col(idCol)).as("pk"))
+      .orderBy(col("pk"), col("neg_id"))
+      .limit(poolSize)
+      .select(col("neg_id"), col("neg_label"))
+    val anchors = df.select(col(idCol).as("anchor"), col(labelCol).as("_albl"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor")).orderBy(col("qk"), col("neg_id"))
+    // anchors × pool via crossJoin(broadcast(...)) — the IvfIndex
+    // quantization precedent: the nested loop is over the POOL KNOB
+    // (≤ poolSize rows), never the corpus
+    anchors
+      .crossJoin(broadcast(pool))
+      .filter(col("anchor") =!= col("neg_id") && !(col("_albl") <=> col("neg_label")))
+      .withColumn("qk",
+        sqHash("negq:", concat(col("anchor").cast("string"), lit(":"),
+          col("neg_id").cast("string"))))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor"), col("rank"), col("neg_id"), col("neg_label"))
+  }
 }

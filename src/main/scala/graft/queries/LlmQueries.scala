@@ -1922,6 +1922,36 @@ object LlmQueries {
        |  max(CASE WHEN vi = CAST(floor(0.75 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p75
        |FROM srt GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** Deterministic contrastive negatives (Selection.negativeSamples):
+    * 4 negatives per anchor from a shared 32-member hash pool,
+    * excluding the anchor's own label class — the reproducible
+    * pair-builder for contrastive training. Both draws replay in the
+    * oracle through the squared-strhash uniformizer.
+    */
+  val negSamples: Q = (s, dir) =>
+    graft.llm.Selection.negativeSamples(Tables.embeddings(s, dir),
+        "vec_id", "label", k = 4, poolSize = 32)
+      .orderBy("anchor", "rank")
+
+  val negSamplesSql: String = {
+    val pk = strhashSql("'negp:' || CAST(vec_id AS VARCHAR)", "np")
+    val qk = strhashSql("'negq:' || CAST(a.vec_id AS VARCHAR) || ':' || CAST(p.neg_id AS VARCHAR)", "nq")
+    s"""WITH pool AS (
+       |  SELECT neg_id, neg_label FROM (
+       |    SELECT vec_id AS neg_id, label AS neg_label, (h * h) % $P AS pk
+       |    FROM (SELECT vec_id, label, $pk AS h FROM embeddings))
+       |  ORDER BY pk, neg_id LIMIT 32),
+       |cand AS (
+       |  SELECT anchor, neg_id, neg_label, (h2 * h2) % $P AS qk FROM (
+       |    SELECT a.vec_id AS anchor, p.neg_id, p.neg_label, $qk AS h2
+       |    FROM embeddings a CROSS JOIN pool p
+       |    WHERE a.vec_id <> p.neg_id AND a.label IS DISTINCT FROM p.neg_label) t0)
+       |SELECT anchor, rank, neg_id, neg_label FROM (
+       |  SELECT anchor, neg_id, neg_label,
+       |    row_number() OVER (PARTITION BY anchor ORDER BY qk, neg_id) AS rank
+       |  FROM cand) WHERE rank <= 4 ORDER BY anchor, rank""".stripMargin
+  }
+
   /** Probe terms for the count-min query: corpus-frequent, mid, and
     * absent terms — the absent one exercises pure-collision estimates.
     */
@@ -4115,6 +4145,7 @@ object LlmQueries {
     "q_embed_gram" -> embedGram,
     "q_embed_project" -> embedProject,
     "q_embed_drift" -> embedDrift,
+    "q_neg_samples" -> negSamples,
     "q_quantile_sketch" -> quantileSketch,
     "q_robust_outliers" -> robustOutliersQ,
     "q_semantic_dedup" -> semanticDedup,
@@ -4232,6 +4263,7 @@ object LlmQueries {
     "q_embed_gram" -> embedGramSql,
     "q_embed_project" -> embedProjectSql,
     "q_embed_drift" -> embedDriftSql,
+    "q_neg_samples" -> negSamplesSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_robust_outliers" -> robustOutliersSql,

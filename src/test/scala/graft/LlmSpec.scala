@@ -830,4 +830,29 @@ class LlmSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(spark, media, frames = 3)
     assert(frames.count() == docs.count() * 3)
   }
+
+  test("negativeSamples: label-disjoint, anchor-free, k-capped, reshuffle-invariant") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = graft.llm.Selection.negativeSamples(emb, "vec_id", "label",
+        k = 4, poolSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, rk, n, nl) =>
+      assert(n != a, s"anchor $a sampled itself")
+      assert(nl != labelOf(a), s"anchor $a drew its own label class")
+      assert(labelOf(n) == nl, "negative label must be the candidate's own")
+      assert(rk >= 1 && rk <= 4)
+    }
+    // ranks are dense per anchor
+    got.groupBy(_._1).foreach { case (a, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"anchor $a ranks")
+    }
+    // a pure function of the ids: partitioning cannot change the draw
+    val re = graft.llm.Selection.negativeSamples(emb.repartition(13), "vec_id", "label",
+        k = 4, poolSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(re.sorted.toSeq == got.sorted.toSeq)
+  }
 }
