@@ -362,6 +362,54 @@ object TextIndex {
         col("score_sum").cast("double").as("score"))
   }
 
+  /** Pseudo-relevance-feedback expansion (Rocchio/RM3-lite, unweighted):
+    * probe, mine the top `fbDocs` hits' postings for their `fbTerms`
+    * strongest terms (summed tf, ties lexicographic, query terms
+    * excluded), and re-probe with the expanded bag — the classic
+    * recall lever for vocabulary-mismatch queries, entirely
+    * deterministic so the whole two-stage pipeline hash-gates against
+    * a DuckDB replay.
+    *
+    * Scale shape: stage 1 is a normal bucket-pruned [[probe]]; the
+    * feedback mine reads the `fbDocs` winners' postings via an
+    * id-pushed scan per root (ALL buckets, `doc IN (...)` pushed to
+    * parquet — the IvfIndex re-rank economy: the index is scanned for
+    * a handful of doc ids, never for the corpus); stage 2 is another
+    * pruned probe over query ∪ expansion buckets. Both collected sets
+    * (winner ids, expansion terms) are control-plane sized by the
+    * knobs.
+    */
+  def probeExpanded(
+      spark: SparkSession,
+      dir: String,
+      queryTerms: Seq[String],
+      k: Int,
+      fbDocs: Int = 3,
+      fbTerms: Int = 3,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      s"need fbDocs >= 1 and fbTerms >= 0, got $fbDocs/$fbTerms")
+    val winners = probe(spark, dir, queryTerms, fbDocs, k1, b)
+      .select(col("doc")).collect().map(_.getLong(0)).toSeq
+    val expansion =
+      if (winners.isEmpty || fbTerms == 0) Seq.empty[String]
+      else {
+        val roots = committedRoots(spark, dir)
+        roots
+          .map(r => spark.read.schema(postingsSchema).parquet(s"$dir/$r")
+            .filter(col("doc").isin(winners: _*)))
+          .reduce(_ unionAll _)
+          .filter(!col("term").isInCollection(queryTerms))
+          .groupBy(col("term")).agg(sum(col("tf")).as("ftf"))
+          .orderBy(col("ftf").desc, col("term"))
+          .limit(fbTerms)
+          .select(col("term")).collect().map(_.getString(0)).toSeq
+      }
+    probe(spark, dir, (queryTerms ++ expansion).distinct, k, k1, b)
+  }
+
   /** Self-maintaining ingest: fold epoch roots when their count
     * exceeds `maxRoots` (base + epochs — the README bloom
     * rebuild-policy discipline applied to root count: every probe

@@ -1999,6 +1999,77 @@ object LlmQueries {
        |ORDER BY grp, term""".stripMargin
   }
 
+  /** Two-stage pseudo-relevance-feedback oracle: base bm25 ranking →
+    * top fbDocs winners → their top-fbTerms expansion terms (summed
+    * tf, ties lexicographic, query terms excluded) → final bm25 over
+    * the union term set. Same formula text as bm25Sql; the expansion
+    * terms are DATA-DEPENDENT, so the oracle computes them in SQL
+    * exactly as the operator mines them from the index postings
+    * (index tf ≡ corpus tokenization, pinned by q_text_index_search).
+    */
+  private def bm25PrfSql(
+      queryTerms: Seq[String], k: Int, fbDocs: Int, fbTerms: Int): String = {
+    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
+    def sd(tfr: String, dfr: String) =
+      s"""CAST(round(
+         |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST($dfr.df AS DOUBLE) + 0.5) / (CAST($dfr.df AS DOUBLE) + 0.5)) *
+         |        (CAST($tfr.tf AS DOUBLE) * (1.2 + 1.0)) /
+         |        (CAST($tfr.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+         |      6) AS DECIMAL(18,6))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id AS doc, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |dlq AS (SELECT doc, len(ws) AS dl FROM base),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dlq),
+       |tfall AS (
+       |  SELECT doc, wd AS term, count(*) AS tf
+       |  FROM (SELECT doc, unnest(ws) AS wd FROM base) u GROUP BY 1, 2),
+       |tf0 AS (SELECT * FROM tfall WHERE term IN ($terms)),
+       |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+       |sc0 AS (
+       |  SELECT doc, ${sd("tf0", "df0")} AS s_d
+       |  FROM tf0 JOIN df0 USING (term) JOIN dlq USING (doc) CROSS JOIN stats),
+       |rank0 AS (SELECT doc, row_number() OVER (ORDER BY sum(s_d) DESC, doc) AS rank
+       |  FROM sc0 GROUP BY doc),
+       |fb AS (SELECT doc FROM rank0 WHERE rank <= $fbDocs),
+       |sel AS (SELECT term FROM (
+       |    SELECT t.term, CAST(sum(t.tf) AS BIGINT) AS ftf
+       |    FROM tfall t JOIN fb USING (doc)
+       |    WHERE t.term NOT IN ($terms)
+       |    GROUP BY t.term)
+       |  ORDER BY ftf DESC, term LIMIT $fbTerms),
+       |qt AS (SELECT DISTINCT term FROM (
+       |  SELECT unnest([$terms]) AS term UNION ALL SELECT term FROM sel)),
+       |tf1 AS (SELECT tfall.* FROM tfall JOIN qt USING (term)),
+       |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+       |sc1 AS (
+       |  SELECT doc, ${sd("tf1", "df1")} AS s_d
+       |  FROM tf1 JOIN df1 USING (term) JOIN dlq USING (doc) CROSS JOIN stats)
+       |SELECT rank, doc, n_terms_hit, score FROM (
+       |  SELECT doc, count(*) AS n_terms_hit, CAST(sum(s_d) AS DOUBLE) AS score,
+       |    row_number() OVER (ORDER BY sum(s_d) DESC, doc) AS rank
+       |  FROM sc1 GROUP BY doc)
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  /** PRF-expanded persisted-index search (TextIndex.probeExpanded):
+    * probe → mine the top-3 hits' postings for 3 expansion terms →
+    * re-probe with the union bag. The whole two-stage pipeline —
+    * including the data-dependent expansion — hash-gates against the
+    * SQL replay.
+    */
+  val textIndexRm3: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-text-index-rm3-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 16)
+    graft.llm.TextIndex.probeExpanded(s, idx, TextIndexTerms, k = 10,
+      fbDocs = 3, fbTerms = 3)
+  }
+
+  val textIndexRm3Sql: String = bm25PrfSql(TextIndexTerms, 10, 3, 3)
+
   /** Query batch for the multi-query probe: term sets overlap across
     * queries (shared buckets) so the batch path exercises the
     * one-scan-per-root amortization on a realistic mixture.
@@ -4171,6 +4242,7 @@ object LlmQueries {
     "q_nb_classify" -> nbClassify,
     "q_text_index_search" -> textIndexSearch,
     "q_text_index_multi" -> textIndexMulti,
+    "q_text_index_rm3" -> textIndexRm3,
     "q_text_index_health" -> textIndexHealth,
     "q_pmi_pairs" -> pmiPairs,
     "q_text_vec_neardup" -> textVecNearDup,
@@ -4289,6 +4361,7 @@ object LlmQueries {
     "q_nb_classify" -> nbClassifySql,
     "q_text_index_search" -> textIndexSearchSql,
     "q_text_index_multi" -> textIndexMultiSql,
+    "q_text_index_rm3" -> textIndexRm3Sql,
     "q_text_index_health" -> textIndexHealthSql,
     "q_pmi_pairs" -> pmiPairsSql,
     "q_text_vec_neardup" -> textVecNearDupSql,

@@ -170,6 +170,29 @@ class TextIndexSpec extends SparkSpec {
       "single folded root is under every threshold")
   }
 
+  test("probeExpanded: feedback terms recover a vocabulary-mismatch doc; fbTerms=0 == probe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark engine fast spark"),
+      (2L, "engine fast turbo power"), // never says "spark" — the mismatch case
+      (3L, "unrelated words entirely elsewhere")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-rm3").toString
+    TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 8)
+    val plain = TextIndex.probe(spark, idx, Seq("spark"), k = 3)
+      .select("doc").as[Long].collect().toSet
+    assert(plain == Set(1L), "only the literal match without expansion")
+    val expanded = TextIndex.probeExpanded(spark, idx, Seq("spark"), k = 3,
+        fbDocs = 1, fbTerms = 2)
+      .select("doc").as[Long].collect().toSet
+    // winner d1's top non-query terms (engine, fast) pull in d2
+    assert(expanded == Set(1L, 2L), s"expansion must recover the mismatch doc, got $expanded")
+    // fbTerms = 0 degenerates to the plain probe exactly
+    assert(TextIndex.probeExpanded(spark, idx, Seq("spark"), k = 3, fbDocs = 1, fbTerms = 0)
+        .collect().map(_.toSeq).toSeq
+      == TextIndex.probe(spark, idx, Seq("spark"), k = 3).collect().map(_.toSeq).toSeq)
+  }
+
   test("probe fails loudly when roots disagree on the frozen modulus") {
     val docs = Tables.documents(spark, dir).localCheckpoint(false)
     val idx = java.nio.file.Files.createTempDirectory("graft-text-index-mod").toString
