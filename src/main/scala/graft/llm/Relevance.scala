@@ -171,6 +171,74 @@ object Relevance {
         col("score_sum").cast("double").as("score"))
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    * 2001) — the language-modeling member of the ranking family next
+    * to [[bm25]]: `score(D) = Σ_{t ∈ Q} ln((tf + μ·ctf/T) / (dl + μ))`
+    * with ctf the term's corpus frequency and T the corpus token
+    * count. Candidates are docs matching ≥ 1 query term (the practical
+    * QL candidate set — smoothing then scores their ZERO-tf query
+    * terms too, which is what separates QL's ranking from BM25's);
+    * query terms absent from the corpus drop out (no evidence, and
+    * ln 0 otherwise).
+    *
+    * Cross-engine exactness: each term score is one identical IEEE
+    * chain (multiply, two divisions, add, ln) quantized
+    * round(6)→DECIMAL(18,6) before the exact per-doc sum — the bm25
+    * discipline; μ enters both engines as the same double literal.
+    *
+    * Scale shape: the term filter prunes the explode BEFORE the
+    * (doc, term) shuffle; the dense candidate × queryTerms expansion
+    * rides crossJoin(broadcast(ctf)) — |Q| rows, the capped-side
+    * precedent — and the global top-k resolves via
+    * TakeOrderedAndProject into the coalesced no-WindowExec tail.
+    */
+  def queryLikelihood(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      mu: Double = 2000.0
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0 && mu > 0, s"k and mu must be positive, got $k/$mu")
+    val base = docs.select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
+    val dl = base.select(col("doc"), size(col("ws")).cast("long").as("dl"))
+    val total = dl.agg(sum(col("dl")).as("t"))
+    val tf = base
+      .select(col("doc"), explode(col("ws")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds ctf, candidates AND the dense join
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val cands = tf.select(col("doc")).distinct()
+    val tf0 = coalesce(col("tf"), lit(0L)).cast("double")
+    val scored = cands
+      .crossJoin(broadcast(ctf))
+      .join(tf, Seq("doc", "term"), "left")
+      .join(dl, "doc")
+      .crossJoin(broadcast(total))
+      .withColumn("s_t",
+        round(log(
+          (tf0 + lit(mu) * col("ctf").cast("double") / col("t").cast("double")) /
+            (col("dl").cast("double") + lit(mu))), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("hit", when(coalesce(col("tf"), lit(0L)) > 0, 1L).otherwise(0L))
+    scored
+      .groupBy(col("doc"))
+      .agg(sum(col("s_t")).as("score_sum"), sum(col("hit")).as("n_terms_hit"))
+      .orderBy(col("score_sum").desc, col("doc"))
+      .limit(k)
+      .coalesce(1)
+      .sortWithinPartitions(col("score_sum").desc, col("doc"))
+      .select(
+        (monotonically_increasing_id() + 1).cast("long").as("rank"),
+        col("doc"), col("n_terms_hit"),
+        col("score_sum").cast("double").as("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of any number of
     * (doc, rank) rankings — the standard hybrid-search combiner (BM25
     * list ⊕ ANN list) that needs no score calibration: each list

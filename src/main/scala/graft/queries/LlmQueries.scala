@@ -1999,6 +1999,48 @@ object LlmQueries {
        |ORDER BY grp, term""".stripMargin
   }
 
+  /** Dirichlet query-likelihood search (Relevance.queryLikelihood):
+    * the language-modeling ranking next to bm25 over the same query
+    * terms — candidates score their zero-tf query terms through the
+    * smoothing, which is the behavioral difference the oracle pins.
+    */
+  val qlSearch: Q = (s, dir) =>
+    graft.llm.Relevance.queryLikelihood(s, Tables.documents(s, dir),
+      "doc_id", "text", Bm25Terms, k = 10)
+
+  val qlSearchSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val mu = new java.math.BigDecimal(2000.0).toPlainString
+    s"""WITH base AS (
+       |  SELECT doc_id AS doc, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |dlq AS (SELECT doc, len(ws) AS dl FROM base),
+       |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dlq),
+       |tf AS (
+       |  SELECT doc, wd AS term, count(*) AS tf
+       |  FROM (SELECT doc, unnest(ws) AS wd FROM base) u
+       |  WHERE wd IN ($terms)
+       |  GROUP BY 1, 2),
+       |ctfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+       |cand AS (SELECT DISTINCT doc FROM tf),
+       |dense AS (
+       |  SELECT c.doc, x.term, x.ctf, COALESCE(f.tf, 0) AS tf, d.dl, tt.t
+       |  FROM cand c CROSS JOIN ctfq x
+       |  LEFT JOIN tf f ON f.doc = c.doc AND f.term = x.term
+       |  JOIN dlq d ON d.doc = c.doc CROSS JOIN tt),
+       |sc AS (SELECT doc, tf,
+       |    CAST(round(ln(
+       |      (CAST(tf AS DOUBLE) + CAST($mu AS DOUBLE) * CAST(ctf AS DOUBLE) / CAST(t AS DOUBLE))
+       |        / (CAST(dl AS DOUBLE) + CAST($mu AS DOUBLE))), 6) AS DECIMAL(18,6)) AS s_t
+       |  FROM dense)
+       |SELECT rank, doc, n_terms_hit, score FROM (
+       |  SELECT doc, CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+       |    CAST(sum(s_t) AS DOUBLE) AS score,
+       |    row_number() OVER (ORDER BY sum(s_t) DESC, doc) AS rank
+       |  FROM sc GROUP BY doc)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   /** Two-stage pseudo-relevance-feedback oracle: base bm25 ranking →
     * top fbDocs winners → their top-fbTerms expansion terms (summed
     * tf, ties lexicographic, query terms excluded) → final bm25 over
@@ -4153,6 +4195,7 @@ object LlmQueries {
     "q_top_terms" -> topTerms,
     "q_tfidf_terms" -> tfidfTerms,
     "q_bm25_search" -> bm25Search,
+    "q_ql_search" -> qlSearch,
     "q_text_simhash" -> textSimhash,
     "q_embed_neardup" -> embedNearDup,
     "q_label_centroids" -> labelCentroids,
@@ -4272,6 +4315,7 @@ object LlmQueries {
     "q_top_terms" -> topTermsSql,
     "q_tfidf_terms" -> tfidfTermsSql,
     "q_bm25_search" -> bm25SearchSql,
+    "q_ql_search" -> qlSearchSql,
     "q_text_simhash" -> textSimhashSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_label_centroids" -> labelCentroidsSql,

@@ -112,4 +112,27 @@ class RelevanceSpec extends SparkSpec {
     assert(m(2L)._3 == 2L && math.abs(m(2L)._4 - (q6(1.0 / 61) + q6(1.0 / 62))) < 1e-9)
     assert(math.abs(m(1L)._4 - q6(1.0 / 61)) < 1e-9)
   }
+
+  test("queryLikelihood: smoothing scores missing query terms; hand computation") {
+    import spark.implicits._
+    // query-term corpus freqs: a:3 (d1:2, d2:1), b:1 (d2);
+    // T = ALL corpus tokens incl. the non-matching d3 = 4 + 3 + 4 = 11.
+    val docs = Seq(
+      (1L, "a a x y"),   // matches a, missing b — smoothing still scores b
+      (2L, "a b z"),
+      (3L, "x y z w")    // no match: not a candidate
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Relevance.queryLikelihood(spark, docs, "doc_id", "text",
+        Seq("a", "b"), k = 10, mu = 10.0)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L), s"only matching docs are candidates: ${got.keySet}")
+    def q6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def s(tf: Long, ctf: Long, dl: Long) =
+      q6(math.log((tf + 10.0 * ctf / 11.0) / (dl + 10.0)))
+    // d1: a(tf=2,ctf=3,dl=4), b(tf=0,ctf=1,dl=4); d2: a(1,3,3), b(1,1,3)
+    assert(math.abs(got(1L)._2 - (s(2, 3, 4) + s(0, 1, 4))) < 1e-9)
+    assert(math.abs(got(2L)._2 - (s(1, 3, 3) + s(1, 1, 3))) < 1e-9)
+    assert(got(1L)._1 == 1L && got(2L)._1 == 2L, "n_terms_hit counts only tf>0 terms")
+  }
 }
