@@ -216,6 +216,26 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells-b$epoch")
   }
 
+  /** Index health report — the [[graft.llm.TextIndex.describe]] twin:
+    * one row per cell root (base + un-compacted epochs) with its
+    * vector count and the stored code blocks, so maintenance decisions
+    * ("how many epoch roots, is it [[compactIfNeeded]] time, which
+    * funnels can probes use") read off a frame, not a directory
+    * listing. Counts come from parquet metadata (footer row counts —
+    * no data scan).
+    */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    val (sq8, pq) = storedBlocks(spark, dir)
+    val schema = storageSchema(sq8, pq)
+    cellRoots(spark, dir).map { r =>
+      val name = new org.apache.hadoop.fs.Path(r).getName
+      spark.read.schema(schema).parquet(r)
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(lit(name).as("root"), col("n_vecs"),
+          lit(sq8).as("has_sq8"), lit(pq).as("has_pq"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Streaming ingest — the [[graft.llm.TextIndex.ingestStream]] twin:
     * every non-empty micro-batch appends as `epoch = batchId` against
     * the frozen quantizer (and the frozen SQ8 formula / PQ codebook

@@ -255,13 +255,15 @@ object TextIndex {
     * different modulus would silently mis-route the driver-computed
     * bucket filter and return WRONG (not failing) results (ADVICE r7).
     */
-  private def scoredPostings(
+  /** The pruned-match stage shared by every scoring function: the
+    * bucket-routed per-root scans unioned once, plus the summed
+    * corpus-stats frame, with the frozen-modulus assertion.
+    */
+  private def prunedMatched(
       spark: SparkSession,
       dir: String,
-      terms: Seq[String],
-      k1: Double,
-      b: Double
-  ): DataFrame = {
+      terms: Seq[String]
+  ): (DataFrame, DataFrame) = {
     val roots = committedRoots(spark, dir)
     val statsAll = roots.map(r => spark.read.parquet(s"$dir/$r/.stats"))
       .reduce(_ unionAll _)
@@ -281,6 +283,17 @@ object TextIndex {
         .filter(col("bucket").isin(buckets: _*))
         .filter(col("term").isInCollection(terms)))
       .reduce(_ unionAll _)
+    (matched, stats)
+  }
+
+  private def scoredPostings(
+      spark: SparkSession,
+      dir: String,
+      terms: Seq[String],
+      k1: Double,
+      b: Double
+  ): DataFrame = {
+    val (matched, stats) = prunedMatched(spark, dir, terms)
     val withDf = matched.withColumn("df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
     val nD = col("n_docs").cast("double")
@@ -359,6 +372,55 @@ object TextIndex {
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
           .orderBy(col("score_sum").desc, col("doc"))).cast("long"))
       .select(col("qid"), col("rank"), col("doc"), col("n_terms_hit"),
+        col("score_sum").cast("double").as("score"))
+  }
+
+  /** Dirichlet query-likelihood ranking against the persisted index —
+    * result-identical to [[Relevance.queryLikelihood]] over the same
+    * (concatenated) corpus with the same μ: the index carries
+    * everything the LM needs (tf, denormalized dl, ctf summed from the
+    * pruned postings, T from the stats rows), so the smoothed-LM
+    * ranking gets the SAME bucket-pruned economy as the BM25 [[probe]]
+    * — one scoring family swap, zero extra storage. The dense
+    * candidate × query-terms expansion rides crossJoin(broadcast(ctf))
+    * (≤ |Q| rows); the matched frame checkpoints once because ctf,
+    * the candidate dl table, and the dense join all read it.
+    */
+  def probeQl(
+      spark: SparkSession,
+      dir: String,
+      queryTerms: Seq[String],
+      k: Int,
+      mu: Double = 2000.0
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0 && mu > 0, s"k and mu must be positive, got $k/$mu")
+    val (matched0, stats) = prunedMatched(spark, dir, queryTerms)
+    val matched = matched0.select(col("doc"), col("term"), col("tf"), col("dl"))
+      .localCheckpoint(false)
+    val ctf = matched.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val cands = matched.groupBy(col("doc")).agg(max(col("dl")).as("dl"))
+    val tf0 = coalesce(col("tf"), lit(0L)).cast("double")
+    cands
+      .crossJoin(broadcast(ctf))
+      .join(matched.select(col("doc"), col("term"), col("tf")),
+        Seq("doc", "term"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_t",
+        round(log(
+          (tf0 + lit(mu) * col("ctf").cast("double") / col("sum_dl").cast("double")) /
+            (col("dl").cast("double") + lit(mu))), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("hit", when(coalesce(col("tf"), lit(0L)) > 0, 1L).otherwise(0L))
+      .groupBy(col("doc"))
+      .agg(sum(col("s_t")).as("score_sum"), sum(col("hit")).as("n_terms_hit"))
+      .orderBy(col("score_sum").desc, col("doc"))
+      .limit(k)
+      .coalesce(1)
+      .sortWithinPartitions(col("score_sum").desc, col("doc"))
+      .select(
+        (monotonically_increasing_id() + 1).cast("long").as("rank"),
+        col("doc"), col("n_terms_hit"),
         col("score_sum").cast("double").as("score"))
   }
 

@@ -1999,6 +1999,23 @@ object LlmQueries {
        |ORDER BY grp, term""".stripMargin
   }
 
+  /** ANN index health report (IvfIndex.describe — the TextIndex
+    * health twin): the fresh single-root build's vector count must
+    * equal the corpus truth, with no code blocks stored.
+    */
+  val annIvfHealth: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-ivf-health-q").toString
+    graft.llm.IvfIndex.write(Tables.embeddings(s, dir), "vec_id", "embedding",
+      idx, numCentroids = 16)
+    graft.llm.IvfIndex.describe(s, idx)
+  }
+
+  val annIvfHealthSql: String =
+    """SELECT 'cells' AS root, count(*) AS n_vecs,
+      |  false AS has_sq8, false AS has_pq
+      |FROM embeddings""".stripMargin
+
   /** Dirichlet query-likelihood search (Relevance.queryLikelihood):
     * the language-modeling ranking next to bm25 over the same query
     * terms — candidates score their zero-tf query terms through the
@@ -2008,8 +2025,10 @@ object LlmQueries {
     graft.llm.Relevance.queryLikelihood(s, Tables.documents(s, dir),
       "doc_id", "text", Bm25Terms, k = 10)
 
-  val qlSearchSql: String = {
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+  val qlSearchSql: String = qlSql(Bm25Terms, 10)
+
+  private def qlSql(queryTerms: Seq[String], k: Int): String = {
+    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
     val mu = new java.math.BigDecimal(2000.0).toPlainString
     s"""WITH base AS (
        |  SELECT doc_id AS doc, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
@@ -2038,8 +2057,24 @@ object LlmQueries {
        |    CAST(sum(s_t) AS DOUBLE) AS score,
        |    row_number() OVER (ORDER BY sum(s_t) DESC, doc) AS rank
        |  FROM sc GROUP BY doc)
-       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
+
+  /** Query-likelihood over the PERSISTED index (TextIndex.probeQl):
+    * the same bucket-pruned economy as q_text_index_search with the
+    * smoothed-LM scoring family — must reproduce the one-job
+    * Relevance.queryLikelihood exactly, so the oracle is the shared
+    * qlSql over the index's terms.
+    */
+  val textIndexQl: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-text-index-ql-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 16)
+    graft.llm.TextIndex.probeQl(s, idx, TextIndexTerms, k = 10)
+  }
+
+  val textIndexQlSql: String = qlSql(TextIndexTerms, 10)
 
   /** Two-stage pseudo-relevance-feedback oracle: base bm25 ranking →
     * top fbDocs winners → their top-fbTerms expansion terms (summed
@@ -4196,6 +4231,7 @@ object LlmQueries {
     "q_tfidf_terms" -> tfidfTerms,
     "q_bm25_search" -> bm25Search,
     "q_ql_search" -> qlSearch,
+    "q_ann_ivf_health" -> annIvfHealth,
     "q_text_simhash" -> textSimhash,
     "q_embed_neardup" -> embedNearDup,
     "q_label_centroids" -> labelCentroids,
@@ -4286,6 +4322,7 @@ object LlmQueries {
     "q_text_index_search" -> textIndexSearch,
     "q_text_index_multi" -> textIndexMulti,
     "q_text_index_rm3" -> textIndexRm3,
+    "q_text_index_ql" -> textIndexQl,
     "q_text_index_health" -> textIndexHealth,
     "q_pmi_pairs" -> pmiPairs,
     "q_text_vec_neardup" -> textVecNearDup,
@@ -4316,6 +4353,7 @@ object LlmQueries {
     "q_tfidf_terms" -> tfidfTermsSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_ql_search" -> qlSearchSql,
+    "q_ann_ivf_health" -> annIvfHealthSql,
     "q_text_simhash" -> textSimhashSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_label_centroids" -> labelCentroidsSql,
@@ -4406,6 +4444,7 @@ object LlmQueries {
     "q_text_index_search" -> textIndexSearchSql,
     "q_text_index_multi" -> textIndexMultiSql,
     "q_text_index_rm3" -> textIndexRm3Sql,
+    "q_text_index_ql" -> textIndexQlSql,
     "q_text_index_health" -> textIndexHealthSql,
     "q_pmi_pairs" -> pmiPairsSql,
     "q_text_vec_neardup" -> textVecNearDupSql,

@@ -476,6 +476,11 @@ class PlanSpec extends SparkSpec {
     // epoch replay (restart before offset commit) overwrites its own root
     IvfIndex.appendEpoch(spark, idx, newHalf, "vec_id", "embedding", epoch = 1L)
     assert(probed() == expected, "epoch replay must be idempotent")
+    // the health report sees exactly the two roots with the full corpus
+    val desc = IvfIndex.describe(spark, idx).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(desc.keySet == Set("cells", "cells-b1"), s"got ${desc.keySet}")
+    assert(desc.values.sum == emb.count(), "root counts must partition the corpus")
     // the maintenance hook is a no-op under threshold (base + 1 epoch),
     // folds once over it — the self-maintaining-ingest contract
     assert(IvfIndex.compactIfNeeded(spark, idx, maxRoots = 2) == 0,

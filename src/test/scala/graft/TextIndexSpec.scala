@@ -170,6 +170,20 @@ class TextIndexSpec extends SparkSpec {
       "single folded root is under every threshold")
   }
 
+  test("probeQl reproduces Relevance.queryLikelihood exactly, across epoch roots") {
+    val docs = Tables.documents(spark, dir).localCheckpoint(false)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-ql").toString
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx, nBuckets = 16)
+    TextIndex.appendEpoch(spark, idx,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", epoch = 1L)
+    // ctf and T must reflect the concatenated corpus (stats summed,
+    // ctf from the unioned pruned postings) — same union contract as
+    // the BM25 probe
+    assert(TextIndex.probeQl(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+      == Relevance.queryLikelihood(spark, docs, "doc_id", "text", terms, k = 10)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("probeExpanded: feedback terms recover a vocabulary-mismatch doc; fbTerms=0 == probe") {
     import spark.implicits._
     val docs = Seq(
