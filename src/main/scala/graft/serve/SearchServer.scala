@@ -14,9 +14,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField,
   * nearest cells, never the corpus).
   *
   * Routes:
-  *   - `GET /search?terms=a,b,c[&k=10]` → 200
-  *     `{"hits": [{"rank":…,"doc":…,"n_terms_hit":…,"score":…}, …]}`
-  *     (400 on missing/empty terms; requires `textIndexDir`).
+  *   - `GET /search?terms=a,b,c[&k=10][&scorer=bm25|ql][&expand=N]` →
+  *     200 `{"hits": [{"rank":…,"doc":…,"n_terms_hit":…,"score":…}, …]}`
+  *     (400 on missing/empty terms or an unknown scorer; requires
+  *     `textIndexDir`). `scorer=ql` ranks by the Dirichlet
+  *     query-likelihood family over the same index; `expand=N` (bm25
+  *     only) adds N pseudo-relevance-feedback terms mined from the
+  *     top-3 hits before re-probing.
   *   - `GET /ann?vec=0.1,0.2,…[&k=5][&nProbe=4]` → 200
   *     `{"hits": [{"rank":…,"nid":…,"cosine":…}, …]}`
   *     (400 on a malformed vector; requires `ivfIndexDir`).
@@ -52,9 +56,23 @@ final class SearchServer(
           respond(ex, 400, """{"error":"empty terms parameter"}""")
         case (Some(dir), Some(ts)) =>
           val k = intParam(ex, "k", 10)
-          val hits = graft.llm.TextIndex.probe(spark, dir, ts.toSeq, k)
-            .collect().map(jsonRow)
-          respond(ex, 200, hits.mkString("""{"hits":[""", ",", "]}"))
+          val expand = intParam(ex, "expand", 0)
+          queryParam(ex, "scorer").getOrElse("bm25") match {
+            case "bm25" =>
+              val frame =
+                if (expand > 0)
+                  graft.llm.TextIndex.probeExpanded(spark, dir, ts.toSeq, k,
+                    fbDocs = 3, fbTerms = expand)
+                else graft.llm.TextIndex.probe(spark, dir, ts.toSeq, k)
+              respond(ex, 200,
+                frame.collect().map(jsonRow).mkString("""{"hits":[""", ",", "]}"))
+            case "ql" =>
+              respond(ex, 200,
+                graft.llm.TextIndex.probeQl(spark, dir, ts.toSeq, k)
+                  .collect().map(jsonRow).mkString("""{"hits":[""", ",", "]}"))
+            case other =>
+              respond(ex, 400, s"""{"error":${jsonValue(s"unknown scorer $other")}}""")
+          }
       }
     } catch { case e: Exception => respond(ex, 500, s"""{"error":${jsonValue(e.toString)}}""") })
 

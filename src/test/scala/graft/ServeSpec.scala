@@ -104,6 +104,19 @@ class ServeSpec extends SparkSpec {
       assert(a.statusCode() == 200)
       assert(a.body().contains(""""nid":7"""), s"self-query must hit: ${a.body().take(200)}")
       assert(a.body().startsWith("""{"hits":[{"rank":1,"""))
+      // scorer families over the same index: QL route equals the
+      // direct LM probe; unknown scorer is a 400
+      val qlDirect = graft.llm.TextIndex.probeQl(spark, tidx,
+        Seq("scan", "filter", "spark"), k = 5).collect()
+      val rql = get(port, "/search?terms=scan,filter,spark&k=5&scorer=ql")
+      assert(rql.statusCode() == 200)
+      assert(rql.body().startsWith(
+        s"""{"hits":[{"rank":1,"doc":${qlDirect(0).getLong(1)}"""),
+        s"QL top hit must match the direct probe: ${rql.body().take(120)}")
+      assert(get(port, "/search?terms=scan&scorer=zzz").statusCode() == 400)
+      // PRF expansion serves too (shape check: still a ranked list)
+      val rex = get(port, "/search?terms=scan&k=5&expand=2")
+      assert(rex.statusCode() == 200 && rex.body().startsWith("""{"hits":[{"rank":1"""))
       // error contract
       assert(get(port, "/search").statusCode() == 400)
       assert(get(port, "/search?terms=").statusCode() == 400)
