@@ -2060,6 +2060,65 @@ object LlmQueries {
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** Passage retrieval — chunk the corpus into 30-word windows
+    * (TextAnalysis.chunkDocs), index the CHUNKS (synthetic key
+    * doc·1000 + chunk_id — fine: ≤ 4 chunks/doc on this corpus), and
+    * BM25-probe at passage granularity: the RAG-style "which part of
+    * which document" answer the doc-level search can't give. Chunk
+    * re-tokenization is the identity on the sliced word arrays (words
+    * are space-free and non-empty), so the oracle scores the slices
+    * directly; the full chunk→index→probe pipeline hash-gates.
+    */
+  val passageSearch: Q = (s, dir) => {
+    val chunks = TextAnalysis
+      .chunkDocs(Tables.documents(s, dir), "doc_id", "text", maxTokens = 30)
+      .select((col("doc") * 1000 + col("chunk_id")).as("cid"), col("chunk_text"))
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-passage-index-q").toString
+    graft.llm.TextIndex.write(chunks, "cid", "chunk_text", idx, nBuckets = 16)
+    graft.llm.TextIndex.probe(s, idx, TextIndexTerms, k = 10)
+      .select(col("rank"),
+        expr("doc div 1000").as("doc_id"),
+        pmod(col("doc"), lit(1000L)).as("chunk_id"),
+        col("n_terms_hit"), col("score"))
+  }
+
+  val passageSearchSql: String = {
+    val terms = TextIndexTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH wt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |nn AS (SELECT doc_id, ws,
+       |    greatest(CAST(ceil(CAST(len(ws) AS DOUBLE) / 30) AS BIGINT), 1) AS n_chunks
+       |  FROM wt),
+       |chunks AS (
+       |  SELECT doc_id * 1000 + chunk_id AS doc,
+       |    list_slice(ws, CAST(chunk_id*30+1 AS INT), CAST(chunk_id*30+30 AS INT)) AS cws
+       |  FROM (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id FROM nn)),
+       |dlq AS (SELECT doc, len(cws) AS dl FROM chunks),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dlq),
+       |tf AS (
+       |  SELECT doc, wd AS term, count(*) AS tf
+       |  FROM (SELECT doc, unnest(cws) AS wd FROM chunks) u
+       |  WHERE wd IN ($terms)
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc, tf, df, dl,
+       |    CAST(round(
+       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |        (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       |        (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+       |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+       |      6) AS DECIMAL(18,6)) AS s_d
+       |  FROM tf JOIN dfq USING (term) JOIN dlq USING (doc) CROSS JOIN stats)
+       |SELECT rank, doc // 1000 AS doc_id, doc % 1000 AS chunk_id, n_terms_hit, score FROM (
+       |  SELECT doc, count(*) AS n_terms_hit, CAST(sum(s_d) AS DOUBLE) AS score,
+       |    row_number() OVER (ORDER BY sum(s_d) DESC, doc) AS rank
+       |  FROM scored GROUP BY doc)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   /** Query-likelihood over the PERSISTED index (TextIndex.probeQl):
     * the same bucket-pruned economy as q_text_index_search with the
     * smoothed-LM scoring family — must reproduce the one-job
@@ -4323,6 +4382,7 @@ object LlmQueries {
     "q_text_index_multi" -> textIndexMulti,
     "q_text_index_rm3" -> textIndexRm3,
     "q_text_index_ql" -> textIndexQl,
+    "q_passage_search" -> passageSearch,
     "q_text_index_health" -> textIndexHealth,
     "q_pmi_pairs" -> pmiPairs,
     "q_text_vec_neardup" -> textVecNearDup,
@@ -4445,6 +4505,7 @@ object LlmQueries {
     "q_text_index_multi" -> textIndexMultiSql,
     "q_text_index_rm3" -> textIndexRm3Sql,
     "q_text_index_ql" -> textIndexQlSql,
+    "q_passage_search" -> passageSearchSql,
     "q_text_index_health" -> textIndexHealthSql,
     "q_pmi_pairs" -> pmiPairsSql,
     "q_text_vec_neardup" -> textVecNearDupSql,
