@@ -171,6 +171,51 @@ object Relevance {
         col("score_sum").cast("double").as("score"))
   }
 
+  /** Deterministic snippet extraction for a hit list — the
+    * result-page stage after [[bm25]]/[[queryLikelihood]]: for each
+    * hit doc, the `window`-word span containing the MOST query-term
+    * occurrences (ties to the earliest span), its 1-based start
+    * position and hit count. Pure integer window scoring over the
+    * word array (no floats anywhere), so spans, counts, and the
+    * re-joined snippet text are oracle-exact.
+    *
+    * Scale shape: `hits` is a top-k list — control-plane sized by
+    * construction — broadcast onto the corpus scan (the id join prunes
+    * to k rows), and the O(n·window) span scoring runs on those k
+    * docs only. The (doc, ws) frame checkpoints because the word
+    * array feeds every lambda in the scoring projection
+    * (CollapseProject re-inlines projected arrays into HOF bodies —
+    * repo invariant).
+    */
+  def snippets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      hits: DataFrame,
+      hitCol: String,
+      queryTerms: Seq[String],
+      window: Int
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val base = docs
+      .join(broadcast(hits.select(col(hitCol).as("doc")).distinct()),
+        col(idCol) === col("doc"))
+      .select(col("doc"), TextOps.words(col(textCol)).as("ws"))
+      .localCheckpoint(false)
+    val scores = transform(
+      sequence(lit(1), greatest(size(col("ws")) - (window - 1), lit(1))),
+      i => size(filter(slice(col("ws"), i, lit(window)),
+        t => t.isInCollection(queryTerms))))
+    base
+      .withColumn("scores", scores)
+      .withColumn("start", array_position(col("scores"), array_max(col("scores"))))
+      .select(
+        col("doc"), col("start"),
+        element_at(col("scores"), col("start").cast("int")).cast("long").as("n_hits"),
+        array_join(slice(col("ws"), col("start").cast("int"), lit(window)), " ").as("snippet"))
+  }
+
   /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
     * 2001) — the language-modeling member of the ranking family next
     * to [[bm25]]: `score(D) = Σ_{t ∈ Q} ln((tf + μ·ctf/T) / (dl + μ))`

@@ -2060,6 +2060,39 @@ object LlmQueries {
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** Search-result snippets (Relevance.snippets): the bm25 top-10's
+    * best 8-word spans — max query-term occurrences, earliest tie —
+    * with start positions and hit counts, all integer-exact so the
+    * hit-list → span → re-joined-text pipeline hash-gates.
+    */
+  val searchSnippets: Q = (s, dir) => {
+    val hits = graft.llm.Relevance.bm25(s, Tables.documents(s, dir),
+      "doc_id", "text", Bm25Terms, k = 10)
+    graft.llm.Relevance.snippets(Tables.documents(s, dir), "doc_id", "text",
+        hits, "doc", Bm25Terms, window = 8)
+      .orderBy("doc")
+  }
+
+  val searchSnippetsSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH hits AS (SELECT doc FROM (${bm25Sql(Bm25Terms, 10)})),
+       |base AS (
+       |  SELECT doc, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents JOIN hits ON doc_id = doc),
+       |sc AS (
+       |  SELECT doc, ws,
+       |    list_transform(range(1, greatest(len(ws) - 7, 1) + 1),
+       |      si -> len(list_filter(list_slice(ws, CAST(si AS INT), CAST(si + 7 AS INT)),
+       |        sw -> sw IN ($terms)))) AS scores
+       |  FROM base)
+       |SELECT doc, CAST(list_position(scores, list_max(scores)) AS BIGINT) AS start,
+       |  CAST(scores[CAST(list_position(scores, list_max(scores)) AS INT)] AS BIGINT) AS n_hits,
+       |  array_to_string(list_slice(ws,
+       |    CAST(list_position(scores, list_max(scores)) AS INT),
+       |    CAST(list_position(scores, list_max(scores)) + 7 AS INT)), ' ') AS snippet
+       |FROM sc ORDER BY doc""".stripMargin
+  }
+
   /** Passage retrieval — chunk the corpus into 30-word windows
     * (TextAnalysis.chunkDocs), index the CHUNKS (synthetic key
     * doc·1000 + chunk_id — fine: ≤ 4 chunks/doc on this corpus), and
@@ -4383,6 +4416,7 @@ object LlmQueries {
     "q_text_index_rm3" -> textIndexRm3,
     "q_text_index_ql" -> textIndexQl,
     "q_passage_search" -> passageSearch,
+    "q_search_snippets" -> searchSnippets,
     "q_text_index_health" -> textIndexHealth,
     "q_pmi_pairs" -> pmiPairs,
     "q_text_vec_neardup" -> textVecNearDup,
@@ -4506,6 +4540,7 @@ object LlmQueries {
     "q_text_index_rm3" -> textIndexRm3Sql,
     "q_text_index_ql" -> textIndexQlSql,
     "q_passage_search" -> passageSearchSql,
+    "q_search_snippets" -> searchSnippetsSql,
     "q_text_index_health" -> textIndexHealthSql,
     "q_pmi_pairs" -> pmiPairsSql,
     "q_text_vec_neardup" -> textVecNearDupSql,

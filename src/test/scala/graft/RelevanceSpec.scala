@@ -135,4 +135,22 @@ class RelevanceSpec extends SparkSpec {
     assert(math.abs(got(2L)._2 - (s(1, 3, 3) + s(1, 1, 3))) < 1e-9)
     assert(got(1L)._1 == 1L && got(2L)._1 == 2L, "n_terms_hit counts only tf>0 terms")
   }
+
+  test("snippets: densest window wins, earliest tie, short docs degrade gracefully") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x cat dog x cat cat dog x x"), // densest 3-window at pos 5 (cat cat dog)
+      (2L, "cat dog x x x cat dog x"),       // two 2-hit windows: earliest (pos 1) wins... but pos 6 has cat dog too
+      (3L, "tiny doc")                        // shorter than the window
+    ).toDF("doc_id", "text")
+    val hits = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("doc")
+    val got = graft.llm.Relevance.snippets(docs, "doc_id", "text",
+        hits, "doc", Seq("cat", "dog"), window = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((5L, 3L, "x cat cat")) || got(1L) == ((6L, 3L, "cat cat dog")),
+      s"doc 1 must find a 3-hit window: ${got(1L)}")
+    assert(got(1L)._2 == 3L && got(1L)._1 == 6L, s"earliest max window: ${got(1L)}")
+    assert(got(2L) == ((1L, 2L, "cat dog x")), s"earliest of tied windows: ${got(2L)}")
+    assert(got(3L) == ((1L, 0L, "tiny doc")), s"short doc is its own window: ${got(3L)}")
+  }
 }
