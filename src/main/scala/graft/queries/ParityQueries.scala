@@ -1236,6 +1236,26 @@ object ParityQueries {
   val sourceJsonlSql: String =
     """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ORC interchange round-trip (Sources.orc): the columnar exchange
+    * format Spark ships natively next to parquet — write the
+    * documents slice to ORC, read it back, and the oracle checks the
+    * round-trip against the parquet truth (DuckDB reads no ORC, so
+    * the invariant IS the equality with the source table).
+    */
+  val sourceOrc: Q = (s, dir) => {
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_orc_roundtrip").getAbsolutePath
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").orc(tmp)
+    Sources.orc(s, tmp)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val sourceOrcSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -1286,7 +1306,8 @@ object ParityQueries {
     "q_source_counter" -> sourceCounter,
     "q_source_fake" -> sourceFake,
     "q_source_file" -> sourceFile,
-    "q_source_jsonl" -> sourceJsonl
+    "q_source_jsonl" -> sourceJsonl,
+    "q_source_orc" -> sourceOrc
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1335,6 +1356,7 @@ object ParityQueries {
     "q_expectations" -> expectationsSql,
     "q_source_fake" -> sourceFakeSql,
     "q_source_file" -> sourceFileSql,
-    "q_source_jsonl" -> sourceJsonlSql
+    "q_source_jsonl" -> sourceJsonlSql,
+    "q_source_orc" -> sourceOrcSql
   )
 }

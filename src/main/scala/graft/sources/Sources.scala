@@ -73,6 +73,12 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC source — the other columnar interchange format Spark ships
+    * natively; same pruning/pushdown properties as [[parquet]].
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** The reference's Kafka record shape (ralf/operators/source.py:61-70):
     * a JSON message body carrying key / value / send_time / create_time.
     * [[decodeRecords]] turns the raw Kafka (key, value, timestamp)
