@@ -110,6 +110,29 @@ object Graph {
   ): DataFrame =
     run(edges, srcCol, dstCol, Some(seeds), iters, damping, Some(weightCol))
 
+  /** Resume PageRank from a previous run's OUTPUT — the long-run
+    * restart economy: persist (node, rank) after N rounds, restart
+    * later, and `pageRankFrom(…, M)` lands BIT-IDENTICALLY on the
+    * N+M-round result. Exactness hinges on the handoff: output ranks
+    * are `nano / 1e9`, and re-quantizing with `floor(rank·1e9 + 0.5)`
+    * recovers the nano longs exactly (the two roundings err by
+    * ≤ n·4e−16 ≪ 0.5 at the 1e9 scale), so the resumed fixed-point
+    * state equals the uninterrupted one and every subsequent round is
+    * the identical integer arithmetic — which is why the EXISTING
+    * unrolled [[pageRankSql]] generator at N+M iterations oracles the
+    * split run verbatim. Uniform restart distribution (the
+    * [[pageRank]] variant); nodes absent from `init` resume at rank 0.
+    */
+  def pageRankFrom(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      init: DataFrame,
+      iters: Int = 5,
+      damping: Double = 0.85
+  ): DataFrame =
+    run(edges, srcCol, dstCol, seeds = None, iters, damping, init = Some(init))
+
   private def run(
       edges: DataFrame,
       srcCol: String,
@@ -117,7 +140,8 @@ object Graph {
       seeds: Option[DataFrame],
       iters: Int,
       damping: Double,
-      weight: Option[org.apache.spark.sql.Column] = None
+      weight: Option[org.apache.spark.sql.Column] = None,
+      init: Option[DataFrame] = None
   ): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
@@ -152,8 +176,16 @@ object Graph {
     val r0 = math.floor(Scale.toDouble / sn + 0.5).toLong
     val baseScaled = (1.0 - damping) / sn * Scale.toDouble
 
-    var r = nodes.select(col("node"), col("sf"),
-      when(col("sf") === 1, lit(r0)).otherwise(lit(0L)).as("rank"))
+    var r = init match {
+      case None => nodes.select(col("node"), col("sf"),
+        when(col("sf") === 1, lit(r0)).otherwise(lit(0L)).as("rank"))
+      case Some(i) => nodes
+        .join(i.select(col("node"),
+          floor(col("rank").cast("double") * lit(1.0e9) + lit(0.5)).as("_rn")),
+          Seq("node"), "left")
+        .select(col("node"), col("sf"), coalesce(col("_rn"), lit(0L)).as("rank"))
+        .localCheckpoint(false)
+    }
     for (_ <- 1 to iters) {
       val share = e
         .join(r.select(col("node"), col("rank")), col("node") === col("src"))

@@ -879,6 +879,27 @@ object ParityQueries {
         "SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0"))
   }
 
+  /** PageRank restart (Graph.pageRankFrom): 3 rounds, hand the OUTPUT
+    * ranks over, resume for 2 more — and hash-match the UNINTERRUPTED
+    * 5-round oracle verbatim (the long-run restart economy: the
+    * nano-unit requantization on resume is exact, so the split run IS
+    * the straight run).
+    */
+  val pageRankResumeQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false) // one trade-graph build feeds both legs
+    val firstLeg = graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+    graft.operators.Graph.pageRankFrom(edges, "src", "dst", firstLeg, iters = 2)
+      .orderBy("node")
+  }
+
+  // the resumed split run must equal the straight 5-iteration oracle
+  val pageRankResumeSql: String = pageRankSql
+
   /** Bounded-hop BFS distance (Graph.shortestPaths, unit weights):
     * hop distance from the nation-0 supplier seed set over the
     * undirected trade graph — the proximity pre-filter next to the
@@ -1292,6 +1313,7 @@ object ParityQueries {
     "q_pagerank_ppr" -> pageRankPersonalizedQ,
     "q_pagerank_weighted" -> pageRankWeightedQ,
     "q_pagerank_ppr_weighted" -> pageRankPprWeightedQ,
+    "q_pagerank_resume" -> pageRankResumeQ,
     "q_shortest_path" -> shortestPathQ,
     "q_shortest_path_weighted" -> shortestPathWeightedQ,
     "q_triangle_count" -> triangleCountQ,
@@ -1346,6 +1368,7 @@ object ParityQueries {
     "q_pagerank_ppr" -> pageRankPersonalizedSql,
     "q_pagerank_weighted" -> pageRankWeightedSql,
     "q_pagerank_ppr_weighted" -> pageRankPprWeightedSql,
+    "q_pagerank_resume" -> pageRankResumeSql,
     "q_shortest_path" -> shortestPathSql,
     "q_shortest_path_weighted" -> shortestPathWeightedSql,
     "q_triangle_count" -> triangleCountSql,

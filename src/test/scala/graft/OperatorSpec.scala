@@ -164,6 +164,19 @@ class OperatorSpec extends SparkSpec {
     assert(dists.forall(r => r.getAs[Long]("dist") <= 1))
   }
 
+  test("pageRankFrom: every split point resumes bit-identically to the straight run") {
+    import graft.operators.Graph
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val straight = Graph.pageRank(e, "src", "dst", iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (split <- 1 to 5) {
+      val first = Graph.pageRank(e, "src", "dst", iters = split)
+      val resumed = Graph.pageRankFrom(e, "src", "dst", first, iters = 6 - split)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(resumed == straight, s"split at $split must be exact: $resumed vs $straight")
+    }
+  }
+
   test("shortestPaths: hand graph — hops, min-cost, hop bound, unreachable absent") {
     import graft.operators.Graph
     // 5→1→2→3→4 with a w=10 shortcut 1→3 and a duplicate 1→2 edge
