@@ -307,13 +307,18 @@ object Graph {
     * cannot matter and the unrolled oracle ([[shortestPathsSql]])
     * agrees bit-for-bit.
     *
-    * Scale shape — the [[pageRank]] iteration economy: one shuffle per
-    * round (frontier joins edges on `src`, both sides partitioned by
-    * the key; the min re-aggregate partial-combines below its
-    * exchange), each round ends in a lazy localCheckpoint (lineage
-    * cap). Rows per round are bounded by reached nodes, never edges²;
-    * no windows, no nested loops, nothing collected but the seed
-    * `require` count.
+    * Scale shape — FRONTIER relaxation (delta-BFS): each round joins
+    * the edge list against only the nodes whose distance IMPROVED
+    * last round, not the whole reached set — on real graphs the
+    * frontier collapses after the first few hops, so late rounds cost
+    * a fraction of dist × edges (the naive shape this replaced). The
+    * min re-aggregate partial-combines below its node-keyed exchange;
+    * the frontier derives from a node-keyed equi-join against the
+    * previous distances; each round ends in a lazy localCheckpoint
+    * (lineage cap) and one control-plane emptiness probe EARLY-EXITS
+    * the loop once the frontier drains — `maxHops` is then a safe
+    * upper bound, not a forced cost (converged results are identical:
+    * further rounds relax nothing). No windows, no nested loops.
     */
   def shortestPaths(
       edges: DataFrame,
@@ -335,13 +340,28 @@ object Graph {
     var dist = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(false)
-    for (_ <- 1 to maxHops) {
-      val relaxed = dist
+    var frontier = dist
+    var hop = 0
+    var drained = false
+    while (hop < maxHops && !drained) {
+      val relaxed = frontier
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionAll(relaxed)
+      val next = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(false)
+      // improved-only frontier: new nodes, or a strictly smaller dist
+      frontier = next
+        .join(dist.select(col("node"), col("dist").as("_prev")), Seq("node"), "left")
+        .filter(col("_prev").isNull || col("dist") < col("_prev"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint(false)
+      dist = next
+      // ONE control-plane boolean per round (the pageRank dangling-
+      // collect precedent); an empty frontier means converged — every
+      // remaining round would relax nothing
+      drained = frontier.isEmpty
+      hop += 1
     }
     dist
   }
