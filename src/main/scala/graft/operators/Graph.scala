@@ -420,7 +420,11 @@ object Graph {
     * a node-partitioned window over that aggregate (rows = distinct
     * neighbor labels per node, not edges), and the new label joins
     * back on the node key. Each round ends in a lazy localCheckpoint —
-    * the [[pageRank]] lineage cap.
+    * the [[pageRank]] lineage cap — and one control-plane probe
+    * EARLY-EXITS once a round changes no label (a fixed point of the
+    * deterministic update: every remaining round is a no-op, so the
+    * result — and the fixed-iteration oracle — is unchanged and
+    * `iters` becomes a safe upper bound).
     */
   def labelPropagation(
       edges: DataFrame,
@@ -439,7 +443,9 @@ object Graph {
       .localCheckpoint(false)
     val arg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dst")).orderBy(col("c").desc, col("label"))
-    for (_ <- 1 to iters) {
+    var round = 0
+    var fixed = false
+    while (round < iters && !fixed) {
       val next = und
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"), col("label"))
@@ -447,9 +453,13 @@ object Graph {
         .withColumn("rk", row_number().over(arg))
         .filter(col("rk") === 1)
         .select(col("dst").as("node"), col("label").as("nlabel"))
-      labels = labels.join(next, Seq("node"), "left")
-        .select(col("node"), coalesce(col("nlabel"), col("label")).as("label"))
+      val updated = labels.join(next, Seq("node"), "left")
+        .select(col("node"), col("label").as("_old"),
+          coalesce(col("nlabel"), col("label")).as("label"))
         .localCheckpoint(false)
+      fixed = updated.filter(col("label") =!= col("_old")).isEmpty
+      labels = updated.select(col("node"), col("label"))
+      round += 1
     }
     labels
   }
