@@ -849,6 +849,36 @@ class StreamingSpec extends SparkSpec {
       s"streamed-final count-min estimates must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming transitions: random streams and split points still equal batch") {
+    import graft.streaming.StreamingFeatures.TypedEvent
+    val types = Array("view", "click", "buy", "err")
+    val rnd = new scala.util.Random(11)
+    for (caseNo <- 1 to 3) {
+      val events = (1 to 40).map { i =>
+        TypedEvent(s"u${rnd.nextInt(4)}", i.toLong * 10, types(rnd.nextInt(types.length)))
+      }
+      val cut = 10L * (5 + rnd.nextInt(30))
+      val (b1, b2) = events.partition(_.ord <= cut)
+      val in = MemoryStream[TypedEvent]
+      val name = s"t_trans_p$caseNo"
+      val q = StreamingFeatures.transitionsStream(spark, in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        if (b1.nonEmpty) { in.addData(b1: _*); q.processAllAvailable() }
+        if (b2.nonEmpty) { in.addData(b2: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .groupBy(col("fromType"), col("toType"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Funnel.transitions(
+          events.toDF().select(col("key").as("u"), col("ord"), col("etype")),
+          "u", col("ord"), col("etype"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"case $caseNo (cut $cut): $streamed vs $batch")
+    }
+  }
+
   test("IvfIndex streaming ingest: per-batch epochs searchable, maintenance folds them") {
     import graft.llm.IvfIndex
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").localCheckpoint(false)
