@@ -65,6 +65,27 @@ object Profile {
       col("min_val"), col("max_val"))
   }
 
+  /** Snapshot-over-snapshot drift report — [[profile]] applied to two
+    * table states and joined per column: row counts, null rates, and
+    * KMV distinct estimates side by side with the two drift gauges an
+    * ingest monitor alarms on (null-rate delta, distinct-count
+    * ratio). Each side is ONE aggregate over ONE scan (the [[profile]]
+    * shape); the join is cols-many rows. Every derived rate is a
+    * single IEEE division (or difference of two) over
+    * engine-deterministic inputs, so the whole report hash-gates.
+    */
+  def drift(cur: DataFrame, prev: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
+    def side(df: DataFrame, tag: String) = profile(df, cols, k).select(
+      col("col_name"),
+      col("n_rows").as(s"n_rows_$tag"),
+      (col("n_nulls").cast("double") / col("n_rows").cast("double"))
+        .as(s"null_rate_$tag"),
+      col("est_distinct").as(s"est_distinct_$tag"))
+    side(cur, "cur").join(side(prev, "prev"), "col_name")
+      .withColumn("null_rate_delta", col("null_rate_cur") - col("null_rate_prev"))
+      .withColumn("distinct_ratio", col("est_distinct_cur") / col("est_distinct_prev"))
+  }
+
   /** Referential-integrity audit: child rows whose `childKey` matches
     * no `parentKey` (orphans — a broken FK after a partial ingest or a
     * bad dedup). One anti-join keyed on the FK (the parent side

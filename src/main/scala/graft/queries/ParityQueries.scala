@@ -645,6 +645,47 @@ object ParityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Profile drift report (Profile.drift): the current events table
+    * against a half-size "previous snapshot" (event_id % 2 = 0) — per
+    * column, both sides' row counts / null rates / KMV distinct
+    * estimates plus the null-rate delta and distinct ratio. The oracle
+    * replays both profiles (the q_profile_events machinery per side)
+    * and the same single-division rates.
+    */
+  val profileDrift: Q = (s, dir) =>
+    graft.operators.Profile.drift(
+        events(s, dir),
+        events(s, dir).filter(col("event_id") % 2 === 0),
+        Seq("event_id", "event_type", "props"))
+      .orderBy("col_name")
+
+  val profileDriftSql: String = {
+    val p = graft.llm.TextOps.P
+    def strhashSql(e: String, v: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, length($e)+1), ${v}i -> CAST(ascii(substring($e, CAST(${v}i AS INT), 1)) AS BIGINT))), " +
+        s"(${v}a, ${v}c) -> (${v}a*31 + ${v}c) % $p)"
+    def side(c: String, from: String, v: String): String =
+      s"""(SELECT CAST(count(*) AS BIGINT) FROM $from) AS n_rows_$v,
+         |  CAST((SELECT CAST(count(*) AS BIGINT) FROM $from WHERE $c IS NULL) AS DOUBLE)
+         |    / CAST((SELECT CAST(count(*) AS BIGINT) FROM $from) AS DOUBLE) AS null_rate_$v,
+         |  (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |     ELSE CAST(${63L * p} AS DOUBLE) / CAST(max(x) AS DOUBLE) END
+         |   FROM (SELECT DISTINCT ${strhashSql(s"CAST($c AS VARCHAR)", v + "h")} AS x
+         |         FROM $from WHERE $c IS NOT NULL ORDER BY x LIMIT 64)) AS est_distinct_$v""".stripMargin
+    val prev = "(SELECT * FROM events WHERE event_id % 2 = 0)"
+    // deltas derive in an OUTER select: DuckDB rejects lateral alias
+    // references whose expressions contain subqueries
+    def one(c: String): String =
+      s"""SELECT *, null_rate_cur - null_rate_prev AS null_rate_delta,
+         |  est_distinct_cur / est_distinct_prev AS distinct_ratio
+         |FROM (SELECT '$c' AS col_name,
+         |  ${side(c, "events", "cur")},
+         |  ${side(c, prev, "prev")}) t_$c""".stripMargin
+    Seq("event_id", "event_type", "props").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** Skew-salted equi-join (Joins.saltedJoin): events (salted by
     * event_id) against a per-user aggregate table — row-for-row the
     * plain join, partitioned hot-key-safe. The oracle states the plain
@@ -1306,6 +1347,7 @@ object ParityQueries {
     "q_column_entropy" -> columnEntropy,
     "q_rolling_zscore" -> rollingZScoreQ,
     "q_profile_events" -> profileEvents,
+    "q_profile_drift" -> profileDrift,
     "q_integrity_check" -> integrityCheck,
     "q_salted_join" -> saltedJoinQ,
     "q_fuzzy_join" -> fuzzyJoinQ,
@@ -1359,6 +1401,7 @@ object ParityQueries {
     "q_column_entropy" -> columnEntropySql,
     "q_rolling_zscore" -> rollingZScoreSql,
     "q_profile_events" -> profileEventsSql,
+    "q_profile_drift" -> profileDriftSql,
     "q_integrity_check" -> integrityCheckSql,
     "q_salted_join" -> saltedJoinSql,
     "q_shed_sample" -> shedSampleSql,
