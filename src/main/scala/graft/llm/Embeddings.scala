@@ -19,46 +19,38 @@ import org.apache.spark.sql.functions._
   * operator is therefore defined as exact linear algebra over the
   * 6-dp-quantized vectors.
   *
-  * Scale shape: [[gram]] explodes each vector to (vid, i, q) rows —
-  * rows × d, one narrow generator, the quantization computed exactly
-  * once per element — behind a checkpoint barrier that feeds BOTH
-  * sides of the vid-keyed pair join (d²/2 pairs per vector, partial-
-  * aggregated map-side into d²/2 + d groups; the exchange carries
-  * groups × tasks rows, never rows × d²). The eigen step runs on the
-  * DRIVER over the collected d×d matrix (d² decimals — control-plane
-  * sized at any corpus scale; the corpus never moves), and the
-  * resulting component re-enters both engines as shared DECIMAL
-  * literals — the rankingMetrics DCG-weights discipline, so the
-  * projection needs no model table at all.
+  * Scale shape: [[gram]] is ONE Catalyst aggregate
+  * ([[graft.functions.GramSheet]]) — each task folds raw vectors into
+  * a d·(d+3)/2-cell exact fixed-point buffer in place (no explode, no
+  * join, no per-element shuffle rows), and the exchange carries one
+  * ~2·cells·8-byte buffer per task however large the corpus. The
+  * eigen step runs on the DRIVER over the collected d×d matrix (d²
+  * decimals — control-plane sized at any corpus scale; the corpus
+  * never moves), and the resulting component re-enters both engines
+  * as shared DECIMAL literals — the rankingMetrics DCG-weights
+  * discipline, so the projection needs no model table at all.
   */
 object Embeddings {
-
-  private def qRows(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("vid"),
-        posexplode(col(vecCol)).as(Seq("i0", "x")))
-      .select(col("vid"), (col("i0") + 1).cast("long").as("i"),
-        round(col("x").cast("double"), 6).cast("decimal(18,6)").as("q"))
 
   /** Second-moment sheet of the quantized embedding matrix, one pass:
     * for 1 ≤ i ≤ j ≤ d the exact decimal `Σ q_i·q_j` (upper-triangle
     * Gram entries, `cnt` = vector count), plus one `j = -1` row per
     * dimension carrying the first moment `Σ q_i` — everything the
-    * covariance needs, in one uniform oracle-friendly shape.
+    * covariance needs, in one uniform oracle-friendly shape. Computed
+    * by the [[graft.functions.GramSheet]] one-pass aggregate: values
+    * are bit-identical to the former explode + vid-self-join plan
+    * (same quantize-once decimals, exact sums, one closing double
+    * cast) with the shuffle shrunk from rows × d to tasks × d².
+    * `idCol` is retained for signature stability; the sheet depends
+    * only on the vector multiset.
     */
   def gram(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val qr = qRows(df, idCol, vecCol)
-      .localCheckpoint(false) // feeds both pair sides AND the first moments
-    val pairs = qr.as("a")
-      .join(qr.as("b"),
-        col("a.vid") === col("b.vid") && col("a.i") <= col("b.i"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("a.q") * col("b.q")).cast("double").as("g"))
-    val firsts = qr
-      .groupBy(col("i"))
-      .agg(count(lit(1)).as("cnt"), sum(col("q")).cast("double").as("g"))
-      .select(col("i"), lit(-1L).as("j"), col("cnt"), col("g"))
-    pairs.unionAll(firsts)
+    import org.apache.spark.sql.graft.Bridge
+    val sheet = Bridge.column(graft.functions.GramSheet(
+      Bridge.expression(col(vecCol))).toAggregateExpression())
+    df.select(col(vecCol))
+      .agg(sheet.as("sheet"))
+      .select(inline(col("sheet")))
   }
 
   /** The dominant principal component of the quantized embeddings,
@@ -157,9 +149,22 @@ object Embeddings {
       keep: Seq[String] = Nil
   ): DataFrame = {
     require(weights.nonEmpty, "project needs at least one weight")
+    require(weights.size <= 64,
+      s"project supports at most 64 dimensions (long-range headroom), got ${weights.size}")
+    weights.foreach { w =>
+      require(w.abs.compareTo(java.math.BigDecimal.ONE) <= 0,
+        s"project weights must satisfy |w| <= 1 (unit components), got $w")
+    }
     val terms = weights.zipWithIndex.map { case (w, i0) =>
-      val qMicro = (round(element_at(col(vecCol), i0 + 1).cast("double"), 6)
-        .cast("decimal(18,6)") * lit(1000000L)).cast("long")
+      val qDec = round(element_at(col(vecCol), i0 + 1).cast("double"), 6)
+        .cast("decimal(18,6)")
+      // out-of-contract components (|x| > 1e3) would silently wrap the
+      // non-ANSI long sum — fail loudly instead (ADVICE r8)
+      val qMicro = when(abs(qDec) <= lit(1000.0),
+          (qDec * lit(1000000L)).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"Embeddings.project: |$vecCol| component exceeds the 1e3 fixed-point bound: "),
+          qDec.cast("string"))).cast("long"))
       qMicro * lit(w.movePointRight(6).longValueExact)
     }
     val cPico = center.movePointRight(12).longValueExact

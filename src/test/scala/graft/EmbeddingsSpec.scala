@@ -28,6 +28,50 @@ class EmbeddingsSpec extends SparkSpec {
       (1L, -1L) -> ((2L, 4.0)), (2L, -1L) -> ((2L, 1.0))), s"got $got")
   }
 
+  test("gram: sheet is partition-invariant (buffer merge ≡ single fold)") {
+    val pts = (0 until 97).map(k =>
+      (k.toLong, Seq((k * 0.37 - 11.1).toFloat, (3.0 - k * 0.05).toFloat, (k % 5).toFloat)))
+    val df = pts.toDF("vec_id", "embedding")
+    def sheet(parts: Int) =
+      Embeddings.gram(df.repartition(parts), "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val one = sheet(1)
+    assert(one.size == 3 * 4 / 2 + 3)
+    assert(sheet(7) == one, "merged task buffers must equal the single-partition fold")
+  }
+
+  test("gram: ragged dimensions fail loudly (frozen-geometry contract)") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Embeddings.gram(df.repartition(1), "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("fixed-dimension") ||
+      Option(e.getCause).exists(_.getMessage.contains("fixed-dimension")),
+      s"expected the fixed-dimension require, got: ${e.getMessage}")
+  }
+
+  test("project: out-of-contract inputs fail loudly, not silently wrap") {
+    def d6(x: Double) = new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    val df = Seq((1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    // weight magnitude beyond 1
+    intercept[IllegalArgumentException] {
+      Embeddings.project(df, "vec_id", "embedding", Seq(d6(2.0), d6(0.1)), d6(0))
+    }
+    // more than 64 weights
+    intercept[IllegalArgumentException] {
+      Embeddings.project(df, "vec_id", "embedding", (1 to 65).map(_ => d6(0.1)), d6(0))
+    }
+    // component beyond the 1e3 fixed-point bound → raise_error at runtime
+    val wide = Seq((1L, Seq(2000.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Embeddings.project(wide, "vec_id", "embedding", Seq(d6(0.1), d6(0.1)), d6(0)).collect()
+    }
+    def anyMsg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("fixed-point bound")) || anyMsg(t.getCause))
+    assert(anyMsg(e), s"expected the fixed-point bound raise_error, got: ${e.getMessage}")
+  }
+
   test("pcaComponent recovers a planted dominant axis; projection is centered") {
     // cloud along axis (3,4)/5 with a small orthogonal wobble and an
     // off-origin mean — variance along the axis dominates 25:1

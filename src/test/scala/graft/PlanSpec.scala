@@ -871,16 +871,24 @@ class PlanSpec extends SparkSpec {
       s"sketch buffers must partial-combine below the exchange:\n$plan")
   }
 
-  test("Embeddings.gram: pair join off the shared quantized explode, no nested loop") {
+  test("Embeddings.gram: one-pass buffer fold — no explode, no join, partial combine") {
     val plan = planOf(graft.llm.Embeddings.gram(
       Tables.embeddings(spark, dir), "vec_id", "embedding"))
-    assert(!plan.contains("FileScan parquet"),
-      s"the quantized explode must sit behind the checkpoint (one materialization):\n$plan")
-    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
-    assert(rddScans >= 3,
-      s"both pair sides and the first moments must read the shared barrier, saw $rddScans:\n$plan")
-    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"the d²/2 pair expansion must ride the vid equi-join:\n$plan")
+    // the former plan exploded rows × d and self-joined on vid; the
+    // GramSheet aggregate folds raw vectors per task — the exchange
+    // carries one buffer per task, never a row per (vid, i) pair
+    val generates = "Generate ".r.findAllIn(plan).length
+    assert(generates == 1 && plan.contains("Generate inline"),
+      s"the ONLY generator is the d²-row sheet unpack above the aggregate " +
+        s"(vectors fold inside the buffer, never explode), got $generates:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the Gram sheet needs no self-join:\n$plan")
+    assert(plan.contains("partial_graft_gram"),
+      s"sheet buffers must partial-combine below the exchange:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"one corpus scan, saw $scans:\n$plan")
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"only the vector column may be read:\n$plan")
   }
 
   test("pageRank: no nested-loop join in any iteration stage") {
