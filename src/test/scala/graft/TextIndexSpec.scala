@@ -207,6 +207,61 @@ class TextIndexSpec extends SparkSpec {
       == TextIndex.probe(spark, idx, Seq("spark"), k = 3).collect().map(_.toSeq).toSeq)
   }
 
+  test("postings files are doc-ascending; the mining scan pushes the doc id set") {
+    val docs = Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-sort").toString
+    TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 16)
+    // layout: within EVERY part file, doc is ascending — the secondary
+    // sort that makes the doc-IN mining filter row-group-prunable
+    val fs = fsOf(idx)
+    val parts = fs.globStatus(
+      new org.apache.hadoop.fs.Path(idx, "postings/bucket=*/part-*")).toSeq
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val ds = spark.read.parquet(p.getPath.toString)
+        .select(col("doc")).collect().map(_.getLong(0)).toSeq
+      assert(ds == ds.sorted, s"file ${p.getPath} not doc-ascending")
+    }
+    // the feedback-mining scan runs eagerly inside probeExpanded —
+    // capture its plan via a listener and pin the pushed doc filter
+    val stagePlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        stagePlans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    import scala.jdk.CollectionConverters._
+    def minedPlan: Option[String] = stagePlans.asScala.find(p =>
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(doc[^\\]]*\\].*"))
+    spark.listenerManager.register(listener)
+    try {
+      TextIndex.probeExpanded(spark, idx, terms, k = 5, fbDocs = 2, fbTerms = 2).collect()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (System.nanoTime() < deadline && minedPlan.isEmpty) Thread.sleep(100)
+    } finally spark.listenerManager.unregister(listener)
+    assert(minedPlan.nonEmpty,
+      s"expected the mining scan to push In(doc, ...) to parquet among:\n${
+        stagePlans.asScala.mkString("\n---\n")}")
+  }
+
+  test("probeAll enforces the control-plane batch bound") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark engine"), (2L, "fast scan")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-bound").toString
+    TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 4)
+    val queries = Seq((1L, Seq("spark")), (2L, Seq("scan")), (3L, Seq("fast")))
+      .toDF("qid", "terms")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.probeAll(spark, idx, queries, "qid", "terms", k = 2, maxQueries = 2)
+    }
+    assert(e.getMessage.contains("control-plane"), e.getMessage)
+    // at the bound it runs fine
+    assert(TextIndex.probeAll(spark, idx, queries, "qid", "terms", k = 2, maxQueries = 3)
+      .count() > 0)
+  }
+
   test("probe fails loudly when roots disagree on the frozen modulus") {
     val docs = Tables.documents(spark, dir).localCheckpoint(false)
     val idx = java.nio.file.Files.createTempDirectory("graft-text-index-mod").toString
