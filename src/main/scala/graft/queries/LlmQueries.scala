@@ -4196,6 +4196,68 @@ object LlmQueries {
        |  FROM f)
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** Hybrid search over the PERSISTED index pair — the serving-path
+    * composition (VERDICT r9 item 4): lexical top-20 from the
+    * bucket-pruned inverted index ([[graft.llm.TextIndex.probe]]),
+    * semantic top-20 from the cell-pruned IVF index
+    * ([[graft.llm.IvfIndex.probe]], query = vector 0, 4 probes), fused
+    * by the same RRF k0 = 60 tail as q_hybrid_search. Both probes are
+    * pure storage re-layouts of their one-job twins, so the oracle
+    * reuses the two probe replicas (bm25Sql, the IVF cell-routing CTEs)
+    * under the shared fusion SQL — proving the persisted pair serves
+    * the same hybrid ranking end to end.
+    */
+  val hybridIndex: Q = (s, dir) => {
+    // ONE fixed path per index, overwritten per invocation (the ADVICE
+    // r6 anti-leak rule — Bench min-of-3 must not accumulate trees)
+    val tIdx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-hybrid-text-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      tIdx, nBuckets = 16)
+    val vIdx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-hybrid-ivf-q").toString
+    graft.llm.IvfIndex.write(Tables.embeddings(s, dir), "vec_id", "embedding",
+      vIdx, numCentroids = 64)
+    val lex = graft.llm.TextIndex.probe(s, tIdx, HybridTerms, k = 20)
+      .select(col("doc"), col("rank"))
+    val sem = graft.llm.IvfIndex.probe(s, vIdx,
+        Tables.embeddings(s, dir).filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 20, nProbe = 4)
+      .select(col("nid").as("doc"), col("rank").cast("long").as("rank"))
+    graft.llm.Relevance.rrfFuse(Seq(lex, sem), k0 = 60, k = 10)
+  }
+
+  val hybridIndexSql: String =
+    s"""WITH lex AS (SELECT doc, rank FROM (${bm25Sql(HybridTerms, 20)}) bq),
+       |$normCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |  ORDER BY ${strhashSql("CAST(vec_id AS VARCHAR)", "ch")}, vec_id LIMIT 64),
+       |rk AS (
+       |  SELECT n.vec_id AS vid, n.v AS v, n.nrm AS nrm, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c.cv", 64, "a")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |  FROM n, c),
+       |asg AS (SELECT vid, v, nrm, cell FROM rk WHERE crk = 1),
+       |qv AS (SELECT vid AS qid, v AS qv, nrm AS qn, cell FROM rk
+       |      WHERE crk <= 4 AND vid = 0),
+       |sem AS (
+       |  SELECT nid AS doc, rank FROM (
+       |    SELECT b.vid AS nid,
+       |      row_number() OVER (
+       |        ORDER BY ${dotSql("qv.qv", "b.v", 64, "r")} / (qv.qn * b.nrm) DESC, b.vid) AS rank
+       |    FROM qv JOIN asg b ON b.cell = qv.cell AND b.vid <> qv.qid)
+       |  WHERE rank <= 20),
+       |u AS (
+       |  SELECT doc, CAST(round(1.0 / (rank + 60), 6) AS DECIMAL(18,6)) AS rr FROM lex
+       |  UNION ALL
+       |  SELECT doc, CAST(round(1.0 / (rank + 60), 6) AS DECIMAL(18,6)) FROM sem),
+       |f AS (SELECT doc, sum(rr) AS fused_d, count(*) AS n_lists FROM u GROUP BY 1)
+       |SELECT rank, doc, n_lists, fused FROM (
+       |  SELECT row_number() OVER (ORDER BY fused_d DESC, doc) AS rank, doc,
+       |    CAST(n_lists AS BIGINT) AS n_lists, CAST(fused_d AS DOUBLE) AS fused
+       |  FROM f)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   /** Corpus-wide top-25 word bigrams with occurrence and document
     * frequencies — the WIMBD n-gram count report one order above
     * q_top_terms (docs under two words contribute nothing; no
@@ -4421,6 +4483,7 @@ object LlmQueries {
     "q_pmi_pairs" -> pmiPairs,
     "q_text_vec_neardup" -> textVecNearDup,
     "q_hybrid_search" -> hybridSearch,
+    "q_hybrid_index" -> hybridIndex,
     "q_select_coverage" -> selectCoverage,
     "q_top_bigrams" -> topBigrams
   )
@@ -4545,6 +4608,7 @@ object LlmQueries {
     "q_pmi_pairs" -> pmiPairsSql,
     "q_text_vec_neardup" -> textVecNearDupSql,
     "q_hybrid_search" -> hybridSearchSql,
+    "q_hybrid_index" -> hybridIndexSql,
     "q_select_coverage" -> selectCoverageSql,
     "q_top_bigrams" -> topBigramsSql
   )
