@@ -758,6 +758,16 @@ object LlmQueries {
     * sum exactly, divide by the query count once. The oracle reuses
     * the shared rankingEvalSql per method and the three proven
     * candidate oracles.
+    *
+    * The LSH arm runs at its TUNED operating point, planes = 6
+    * (VERDICT r8: the 16-plane default measured recall 0.0 on this
+    * near-uniform synthetic corpus — 2¹⁶ buckets over 500 vectors
+    * leaves every vector alone in its bucket). Measured at sf0.01:
+    * recall@5 0.60/0.48/0.32/0.0 at 3/4/6/16 planes, with 6 planes
+    * probing ~12% of the corpus per query — a real recall/cost point
+    * comparable to IVF's 4-probe 0.40. When-not-to-use: data-agnostic
+    * hyperplanes need CLUSTERED embeddings; on near-uniform data
+    * prefer ivfTopK (data-adaptive cells) or lshTopKLearned.
     */
   val annShootout: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
@@ -779,7 +789,8 @@ object LlmQueries {
       .unionAll(macroEval(
         Similarity.sq8TopK(emb, "vec_id", "embedding", qp, k = 5, rerankDepth = 3), "sq8"))
       .unionAll(macroEval(
-        Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", qp, k = 5), "lsh_probe"))
+        Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", qp, k = 5,
+          planes = 6), "lsh_probe"))
       .orderBy("method")
   }
 
@@ -795,7 +806,7 @@ object LlmQueries {
          |    AS mean_ndcg
          |FROM (${rankingEvalSql(candSql)})""".stripMargin
     Seq(branch(annPqSql, "pq"), branch(annSq8Sql, "sq8"),
-      branch(annLshProbeSql, "lsh_probe"))
+      branch(annLshProbeSqlAt(6), "lsh_probe"))
       .mkString("", "\nUNION ALL ", "\nORDER BY method")
   }
 
@@ -905,16 +916,20 @@ object LlmQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank")
 
-  val annLshProbeSql: String = {
+  /** The multi-probe LSH replica at an arbitrary plane count — shared
+    * by q_ann_lsh_probe (16 planes, the granularity-matched shape) and
+    * the shootout's tuned arm (6 planes; see [[annShootout]]).
+    */
+  private def annLshProbeSqlAt(planes: Int): String = {
     val bucket =
-      s"CAST(list_sum(list_transform(range(0, 16), lp -> " +
+      s"CAST(list_sum(list_transform(range(0, $planes), lp -> " +
         s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(0, 64), lj -> v[CAST(lj+1 AS INT)] * CAST((lp*31 + lj*17) % 7 - 3 AS DOUBLE))), " +
         s"(la, lx) -> la + lx) > 0 THEN CAST(power(2, lp) AS BIGINT) ELSE 0 END)) AS BIGINT)"
     s"""WITH $normCte,
        |bk AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n),
        |qp AS (SELECT vec_id, v, nrm,
-       |         unnest(list_prepend(bucket, list_transform(range(0, 16),
+       |         unnest(list_prepend(bucket, list_transform(range(0, $planes),
        |           pp -> xor(bucket, CAST(power(2, pp) AS BIGINT))))) AS probe
        |       FROM bk WHERE vec_id % 100 = 0)
        |SELECT qid, rank, nid, round(cosine, 6) AS cosine FROM (
@@ -925,6 +940,8 @@ object LlmQueries {
        |  FROM qp q JOIN bk b ON b.bucket = q.probe AND b.vec_id <> q.vec_id)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
+
+  val annLshProbeSql: String = annLshProbeSqlAt(16)
 
   /** Fixed-k centroids (64 lowest ids — constant in corpus size) with
     * 4-probe search (measured recall@5 vs brute force on this corpus:
