@@ -171,4 +171,128 @@ object Classify {
         coalesce(col("pred_t"), col("fb_label")).as("pred"),
         coalesce(col("total").cast("double"), col("fb_lp").cast("double")).as("score"))
   }
+
+  /** Classification evaluation of any (actual, pred) scored frame —
+    * the retrieval stack's rankingMetrics sibling: one row per class
+    * (support, tp, fp, fn, precision, recall, f1) plus the
+    * `(macro)` / `(micro)` summary rows. Labels compare as strings.
+    *
+    * Scale shape: ONE corpus aggregate — the (actual, pred)
+    * contingency table, map-side combined into ≤ classes² rows — then
+    * the metric math runs on the DRIVER over the collected counts and
+    * re-enters as a local relation (the Association.rules control-
+    * plane convention: one action, classes²-sized rows, and the
+    * caller's executedPlan sees the whole aggregate).
+    *
+    * Exactness: counts are exact longs; each per-class metric is ONE
+    * IEEE division of integers (f1 via its single-division form
+    * `2·tp / (2·tp + fp + fn)`), never rounded. Undefined metrics
+    * (zero denominator: a class never predicted has no precision, a
+    * pred-only class no recall) surface as NULL in per-class rows and
+    * count as 0 toward the macro means (the sklearn zero_division
+    * convention). Macro means follow the per-term round(,6)→DECIMAL→
+    * exact-sum→one-closing-division discipline; micro precision =
+    * recall = f1 = accuracy for single-label multiclass, emitted from
+    * the exact totals.
+    */
+  def evalMetrics(
+      spark: SparkSession,
+      scored: DataFrame,
+      actualCol: String = "actual",
+      predCol: String = "pred"
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cont = scored
+      .groupBy(col(actualCol).cast("string").as("a"), col(predCol).cast("string").as("p"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    require(cont.nonEmpty, "evalMetrics needs a non-empty scored frame")
+    val labels = cont.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
+    def q6(x: Double): java.math.BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).underlying
+    val perClass = labels.map { l =>
+      val support = cont.filter(_.getString(0) == l).map(_.getLong(2)).sum
+      val predN = cont.filter(_.getString(1) == l).map(_.getLong(2)).sum
+      val tp = cont.filter(r => r.getString(0) == l && r.getString(1) == l)
+        .map(_.getLong(2)).sum
+      val fp = predN - tp
+      val fn = support - tp
+      val precision = if (tp + fp > 0) Some(tp.toDouble / (tp + fp)) else None
+      val recall = if (tp + fn > 0) Some(tp.toDouble / (tp + fn)) else None
+      val f1 = if (2 * tp + fp + fn > 0) Some((2 * tp).toDouble / (2 * tp + fp + fn)) else None
+      (l, support, tp, fp, fn, precision, recall, f1)
+    }
+    val total = cont.map(_.getLong(2)).sum
+    val tpTot = perClass.map(_._3).sum
+    val acc = if (total > 0) tpTot.toDouble / total else 0.0
+    def macroOf(get: ((String, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double])) => Option[Double]): Double =
+      perClass.map(c => q6(get(c).getOrElse(0.0)))
+        .reduce(_ add _).doubleValue / perClass.length
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("(macro)", total, null, null, null,
+      macroOf(_._6), macroOf(_._7), macroOf(_._8)))
+    rows.add(Row("(micro)", total, tpTot, total - tpTot, total - tpTot, acc, acc, acc))
+    perClass.foreach { case (l, s, tp, fp, fn, p, r, f) =>
+      rows.add(Row(l, s, tp, fp, fn, p.orNull, r.orNull, f.orNull))
+    }
+    // explicit-schema local relation (REPL-safe rule: no product-encoder
+    // toDF in library code)
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("label", StringType, nullable = false),
+      StructField("support", LongType, nullable = false),
+      StructField("tp", LongType, nullable = true),
+      StructField("fp", LongType, nullable = true),
+      StructField("fn", LongType, nullable = true),
+      StructField("precision", DoubleType, nullable = true),
+      StructField("recall", DoubleType, nullable = true),
+      StructField("f1", DoubleType, nullable = true))))
+  }
+
+  /** The [[evalMetrics]] oracle generator over any scored-frame SQL
+    * producing (actual, pred) — the identical contingency → per-class
+    * divisions → quantized macro means, replayed in DuckDB.
+    */
+  def evalMetricsSql(scoredSql: String): String =
+    s"""WITH sc AS (
+       |  SELECT CAST(actual AS VARCHAR) AS a, CAST(pred AS VARCHAR) AS p
+       |  FROM ($scoredSql)),
+       |cont AS (SELECT a, p, count(*) AS n FROM sc GROUP BY 1, 2),
+       |lbl AS (SELECT a AS label FROM cont UNION SELECT p FROM cont),
+       |aa AS (SELECT a AS label, CAST(sum(n) AS BIGINT) AS support,
+       |    CAST(sum(CASE WHEN a = p THEN n ELSE 0 END) AS BIGINT) AS tp_a
+       |  FROM cont GROUP BY 1),
+       |pp AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS pred_n FROM cont GROUP BY 1),
+       |pc AS (SELECT l.label,
+       |    COALESCE(support, 0) AS support, COALESCE(tp_a, 0) AS tp,
+       |    COALESCE(pred_n, 0) - COALESCE(tp_a, 0) AS fp,
+       |    COALESCE(support, 0) - COALESCE(tp_a, 0) AS fn
+       |  FROM lbl l LEFT JOIN aa USING (label) LEFT JOIN pp USING (label)),
+       |pm AS (SELECT label, support, tp, fp, fn,
+       |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+       |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+       |    CASE WHEN 2*tp + fp + fn > 0
+       |      THEN CAST(2*tp AS DOUBLE) / (2*tp + fp + fn) END AS f1
+       |  FROM pc),
+       |tot AS (SELECT CAST(sum(support) AS BIGINT) AS total,
+       |    CAST(sum(tp) AS BIGINT) AS tp_tot, count(*) AS n_classes,
+       |    CAST(sum(CAST(round(COALESCE(prec, 0), 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS mp,
+       |    CAST(sum(CAST(round(COALESCE(rec, 0), 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS mr,
+       |    CAST(sum(CAST(round(COALESCE(f1, 0), 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS mf
+       |  FROM pm)
+       |SELECT label, support, tp, fp, fn, "precision", recall, f1 FROM (
+       |  SELECT '(macro)' AS label, total AS support,
+       |    CAST(NULL AS BIGINT) AS tp, CAST(NULL AS BIGINT) AS fp,
+       |    CAST(NULL AS BIGINT) AS fn,
+       |    mp AS "precision", mr AS recall, mf AS f1 FROM tot
+       |  UNION ALL
+       |  SELECT '(micro)', total, tp_tot, total - tp_tot, total - tp_tot,
+       |    CAST(tp_tot AS DOUBLE) / total, CAST(tp_tot AS DOUBLE) / total,
+       |    CAST(tp_tot AS DOUBLE) / total FROM tot
+       |  UNION ALL
+       |  SELECT label, support, tp, fp, fn, prec, rec, f1 FROM pm)
+       |ORDER BY label""".stripMargin
 }

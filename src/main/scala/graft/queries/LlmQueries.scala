@@ -4139,6 +4139,24 @@ object LlmQueries {
        |FROM base LEFT JOIN best ON base.doc = best.doc CROSS JOIN fb
        |ORDER BY base.doc""".stripMargin
 
+  /** Classification eval metrics (Classify.evalMetrics): per-class
+    * precision/recall/F1 + the (macro)/(micro) summary rows, grading
+    * the NB classifier's predictions against the corpus labels — the
+    * classification twin of q_ann_eval's rankingMetrics (VERDICT r9
+    * item 6). One contingency aggregate over the scored frame (exact
+    * integer counts), single-division metrics, quantized-decimal
+    * macro means; the oracle nests the full nbClassifySql replay
+    * under the shared evalMetricsSql.
+    */
+  val nbEval: Q = (s, dir) =>
+    graft.llm.Classify.evalMetrics(s,
+        graft.llm.Classify.nbTrainScore(s, Tables.documents(s, dir),
+          "doc_id", "text", "lang"))
+      .orderBy("label")
+
+  val nbEvalSql: String =
+    graft.llm.Classify.evalMetricsSql(nbClassifySql)
+
   /** Top-50 term collocations by document-level PMI
     * (TextAnalysis.pmiPairs): presence-count association mining with
     * the fractional hub-term cap and a min-support floor. Integer
@@ -4490,6 +4508,7 @@ object LlmQueries {
     "q_curation_gate" -> curationGate,
     "q_dedup_histogram" -> dedupHistogram,
     "q_nb_classify" -> nbClassify,
+    "q_nb_eval" -> nbEval,
     "q_text_index_search" -> textIndexSearch,
     "q_text_index_multi" -> textIndexMulti,
     "q_text_index_rm3" -> textIndexRm3,
@@ -4615,6 +4634,7 @@ object LlmQueries {
     "q_curation_gate" -> curationGateSql,
     "q_dedup_histogram" -> dedupHistogramSql,
     "q_nb_classify" -> nbClassifySql,
+    "q_nb_eval" -> nbEvalSql,
     "q_text_index_search" -> textIndexSearchSql,
     "q_text_index_multi" -> textIndexMultiSql,
     "q_text_index_rm3" -> textIndexRm3Sql,

@@ -76,6 +76,36 @@ class ClassifySpec extends SparkSpec {
     assert(unpruned == default)
   }
 
+  test("evalMetrics: hand-computed confusion — per-class rows, macro/micro") {
+    import spark.implicits._
+    // actual → pred: a→a, a→b, b→b, b→b, c→b, a→d
+    // a: support 3, tp 1, predN 1 → fp 0, fn 2; P=1, R=1/3, F1=2/(2+0+2)=0.5
+    // b: support 2, tp 2, predN 4 → fp 2, fn 0; P=0.5, R=1, F1=4/6
+    // c: support 1, tp 0, predN 0 → P=NULL, R=0, F1=0 (fn=1)
+    // d: support 0, tp 0, predN 1 → P=0, R=NULL, F1=0 (fp=1)
+    val scored = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "b"), ("a", "d"))
+      .toDF("actual", "pred")
+    val got = Classify.evalMetrics(spark, scored).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def m(l: String, i: Int): Any = got(l).get(i)
+    assert(got.keySet == Set("(macro)", "(micro)", "a", "b", "c", "d"))
+    assert((m("a", 1), m("a", 2), m("a", 3), m("a", 4)) == ((3L, 1L, 0L, 2L)))
+    assert((m("a", 5), m("a", 6), m("a", 7)) == ((1.0, 1.0 / 3, 0.5)))
+    assert((m("b", 5), m("b", 6), m("b", 7)) == ((0.5, 1.0, 4.0 / 6)))
+    assert(m("c", 5) == null && m("c", 6) == 0.0 && m("c", 7) == 0.0)
+    assert(m("d", 5) == 0.0 && m("d", 6) == null && m("d", 7) == 0.0)
+    // micro = accuracy 3/6 everywhere; support totals the corpus
+    assert((m("(micro)", 1), m("(micro)", 2)) == ((6L, 3L)))
+    assert((m("(micro)", 5), m("(micro)", 6), m("(micro)", 7)) == ((0.5, 0.5, 0.5)))
+    // macro over 4 classes, undefined → 0: P=(1+.5+0+0)/4, R=(1/3→0.333333+1)/4,
+    // F1=(.5+0.666667)/4 — quantized decimals then one division
+    assert(m("(macro)", 5) == 1.5 / 4)
+    assert(m("(macro)", 6) == 1.333333 / 4)
+    assert(m("(macro)", 7) == 1.166667 / 4)
+    // macro row carries no counts
+    assert(m("(macro)", 2) == null && m("(macro)", 3) == null && m("(macro)", 4) == null)
+  }
+
   test("cross-class evidence flows through the smoothed zero counts") {
     // doc 3 under en uses the alpha-smoothed zero counts:
     // ln((0+1)/(4+4)) per term — fr must still win on its own counts.
