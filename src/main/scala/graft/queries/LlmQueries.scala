@@ -2947,6 +2947,174 @@ object LlmQueries {
        |SELECT doc_id, score, tokens, cum_tokens
        |FROM o WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
 
+  /** The TRAINING-RUN capstone (VERDICT r9 item 7): the adjudicated
+    * stages composed end to end — curation gate (quality →
+    * decontamination → exact dedup → near-dup CC) → UniMax allocation
+    * over the survivors (budget 40k, 2-epoch cap: both waterfill
+    * regimes live at sf0.01) → materialized repeat stream (rep folded
+    * into the id, the trainingOrder scaladoc's own recipe) →
+    * stratified curriculum order → per-source concat-and-chop packing
+    * (budget 256) → balanced no-split sharding (budget 15k). The
+    * output is the per-stage FUNNEL: (stage, n_rows, n_tokens,
+    * checksum) where each checksum is a mod-P integer digest of the
+    * stage's full assignment (ids, the fixed-point allocation, the
+    * step permutation, the seq spans, the shard map) — so the oracle
+    * hash gates every stage's complete output, not just its
+    * cardinality, while the result stays 6 rows at any corpus size.
+    * All arithmetic is exact-integer (the one double, θ, enters the
+    * digest through the floor(x·10⁶ + 0.5) BIGINT rule).
+    */
+  val trainingRun: Q = (s, dir) => {
+    val P = 1000000007L
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val evalShingles = Dedup.evalShingleSet(
+      docs.filter(col("doc_id") % 97 === 0).select(col("text")), "text")
+    val gated = graft.streaming.CurationGate.gateBatch(docs, evalShingles, None,
+      minQuality = 0.35, maxOverlap = 0.5, minJaccard = 0.6)
+    val wt = gated.select(col("doc_id"), col("source"),
+        size(TextOps.words(col("text"))).cast("long").as("tokens"))
+      .localCheckpoint(false) // feeds alloc, materialize, and the funnel row
+    val alloc = graft.llm.Mixture.unimaxAllocation(wt, "source", col("tokens"),
+      budgetTokens = 40000L, maxEpochs = 2)
+    // repeat stream with the copy index folded into the id (n_reps <= 2 < 4)
+    val mat = graft.llm.Mixture.materialize(wt, "source", "doc_id", alloc)
+      .join(wt.select(col("doc_id"), col("tokens")), "doc_id")
+      .select((col("doc_id") * 4 + col("rep")).as("uid"), col("source"), col("tokens"))
+      .localCheckpoint(false) // feeds order, shard, and two funnel rows
+    val ordered = graft.llm.Mixture.trainingOrder(mat, "uid", "source", col("tokens"))
+      .join(mat.select(col("uid"), col("tokens")), "uid")
+    val packed = TextAnalysis.packSequences(
+      ordered.select(col("step"), col("source"), col("tokens")),
+      "step", "source", col("tokens"), budget = 256)
+    val sharded = graft.llm.Selection.shardBalanced(mat, "uid", col("tokens"),
+      budgetTokens = 15000L)
+    def digest(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (sum(c % P) % P).cast("long")
+    val r1 = wt.agg(count(lit(1)).as("n_rows"), sum(col("tokens")).as("n_tokens"),
+        digest(col("doc_id")).as("checksum"))
+      .select(lit("1_gate").as("stage"), col("n_rows"), col("n_tokens"), col("checksum"))
+    val r2 = alloc.agg(count(lit(1)).as("n_rows"), sum(col("cap_tokens")).as("n_tokens"),
+        digest(floor(col("alloc_tokens") * 1000000.0 + 0.5).cast("long")).as("checksum"))
+      .select(lit("2_alloc").as("stage"), col("n_rows"), col("n_tokens"), col("checksum"))
+    val r3 = mat.agg(count(lit(1)).as("n_rows"), sum(col("tokens")).as("n_tokens"),
+        digest(col("uid")).as("checksum"))
+      .select(lit("3_materialize").as("stage"), col("n_rows"), col("n_tokens"), col("checksum"))
+    val r4 = ordered.agg(count(lit(1)).as("n_rows"), sum(col("tokens")).as("n_tokens"),
+        digest((col("step") % P) * (col("uid") % P)).as("checksum"))
+      .select(lit("4_order").as("stage"), col("n_rows"), col("n_tokens"), col("checksum"))
+    val r5 = packed
+      .groupBy(col("grp")).agg(max(col("last_seq")).as("ml"),
+        sum(col("tokens")).as("tk"),
+        sum((col("doc") * 31 + col("first_seq") * 7 + col("last_seq")) % P).as("ck"))
+      .agg(sum(col("ml") + 1).cast("long").as("n_rows"),
+        sum(col("tk")).as("n_tokens"), (sum(col("ck")) % P).cast("long").as("checksum"))
+      .select(lit("5_pack").as("stage"), col("n_rows"), col("n_tokens"), col("checksum"))
+    val r6 = sharded
+      .groupBy(col("shard")).agg(max(col("n_shards")).as("nsh"),
+        sum(col("tokens")).as("st"),
+        sum((col("uid") * 31 + col("shard")) % P).as("ck"))
+      .agg(max(col("nsh")).as("n_rows"), max(col("st")).as("n_tokens"),
+        (sum(col("ck")) % P).cast("long").as("checksum"))
+      .select(lit("6_shard").as("stage"), col("n_rows"), col("n_tokens"), col("checksum"))
+    r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6)
+      .orderBy("stage")
+  }
+
+  val trainingRunSql: String = {
+    val P = 1000000007L
+    s"""WITH sv AS MATERIALIZED (SELECT doc_id FROM ($curationGateSql)),
+       |wt AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(list_filter(string_split(d.text, ' '), wx -> wx <> '')) AS BIGINT) AS tokens
+       |  FROM documents d JOIN sv USING (doc_id)),
+       |per AS (SELECT source AS grp, CAST(sum(tokens) AS BIGINT) AS tokens,
+       |          CAST(sum(tokens) * 2 AS BIGINT) AS cap
+       |        FROM wt GROUP BY 1),
+       |urk AS (
+       |  SELECT a.grp, a.tokens, a.cap,
+       |    coalesce(CAST(sum(b.cap) AS BIGINT), 0) AS prefix,
+       |    CAST(count(b.grp) AS BIGINT) AS nbelow
+       |  FROM per a LEFT JOIN per b
+       |    ON b.cap < a.cap OR (b.cap = a.cap AND b.grp < a.grp)
+       |  GROUP BY 1, 2, 3),
+       |ng AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+       |fl AS (SELECT urk.*, (cap * (n - nbelow) < 40000 - prefix) AS capped
+       |       FROM urk CROSS JOIN ng),
+       |sat AS (SELECT coalesce(CAST(sum(CASE WHEN capped THEN cap END) AS BIGINT), 0) AS sat,
+       |               CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS nun
+       |        FROM fl),
+       |al AS (SELECT grp, tokens, cap,
+       |    CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |         ELSE CAST(40000 - sat AS DOUBLE) / CAST(nun AS DOUBLE) END AS alloc,
+       |    CASE WHEN tokens > 0 THEN
+       |      (CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |            ELSE CAST(40000 - sat AS DOUBLE) / CAST(nun AS DOUBLE) END)
+       |        / CAST(tokens AS DOUBLE) ELSE 0.0 END AS epochs
+       |  FROM fl CROSS JOIN sat),
+       |mr AS (
+       |  SELECT w.doc_id, w.source, w.tokens,
+       |    CAST(floor(epochs) AS BIGINT)
+       |      + CASE WHEN CAST((hv * hv) % 1000000007 + 1 AS DOUBLE) / 1000000008.0
+       |                  < epochs - floor(epochs) THEN 1 ELSE 0 END AS n_reps
+       |  FROM (SELECT doc_id, source, tokens,
+       |          ${strhashSql("'mix:' || CAST(doc_id AS VARCHAR)", "m")} AS hv
+       |        FROM wt) w
+       |  JOIN al ON al.grp = w.source),
+       |mat AS MATERIALIZED (
+       |  SELECT doc_id * 4 + rep AS uid, source, tokens FROM (
+       |    SELECT doc_id, source, tokens,
+       |      unnest(generate_series(1, n_reps)) AS rep
+       |    FROM mr WHERE n_reps > 0)),
+       |osx AS (SELECT uid, source, tokens,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY tokens DESC, uid)
+       |      AS BIGINT) - 1 AS j,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+       |  FROM mat),
+       |og AS MATERIALIZED (SELECT uid, source, tokens,
+       |    CAST(row_number() OVER (
+       |      ORDER BY (CAST(j AS DOUBLE) + 0.5) / CAST(ns AS DOUBLE), source, j)
+       |      AS BIGINT) AS step
+       |  FROM osx),
+       |pk AS (SELECT source, step, tokens,
+       |    CAST(sum(tokens) OVER (PARTITION BY source ORDER BY step
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+       |  FROM og),
+       |pk2 AS (SELECT source, step, tokens, (end_off - tokens) // 256 AS first_seq,
+       |        (end_off - 1) // 256 AS last_seq FROM pk),
+       |shr AS (SELECT uid, tokens,
+       |    CAST(row_number() OVER (ORDER BY tokens DESC, uid) AS BIGINT) AS srk FROM mat),
+       |shn AS (SELECT greatest(CAST((sum(tokens) + 14999) // 15000 AS BIGINT), 1) AS n_shards
+       |        FROM mat),
+       |sh AS (SELECT uid, tokens, CAST((srk - 1) % n_shards AS BIGINT) AS shard, n_shards
+       |       FROM shr CROSS JOIN shn)
+       |SELECT stage, n_rows, n_tokens, checksum FROM (
+       |  SELECT '1_gate' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(doc_id % $P) % $P AS BIGINT) AS checksum FROM wt
+       |  UNION ALL
+       |  SELECT '2_alloc', CAST(count(*) AS BIGINT), CAST(sum(cap) AS BIGINT),
+       |    CAST(sum(CAST(floor(alloc * 1000000.0 + 0.5) AS BIGINT) % $P) % $P AS BIGINT)
+       |  FROM al
+       |  UNION ALL
+       |  SELECT '3_materialize', CAST(count(*) AS BIGINT), CAST(sum(tokens) AS BIGINT),
+       |    CAST(sum(uid % $P) % $P AS BIGINT) FROM mat
+       |  UNION ALL
+       |  SELECT '4_order', CAST(count(*) AS BIGINT), CAST(sum(tokens) AS BIGINT),
+       |    CAST(sum((step % $P) * (uid % $P) % $P) % $P AS BIGINT) FROM og
+       |  UNION ALL
+       |  SELECT '5_pack',
+       |    (SELECT CAST(sum(ml + 1) AS BIGINT) FROM
+       |      (SELECT max(last_seq) AS ml FROM pk2 GROUP BY source)),
+       |    CAST(sum(tokens) AS BIGINT),
+       |    CAST(sum((step * 31 + first_seq * 7 + last_seq) % $P) % $P AS BIGINT) FROM pk2
+       |  UNION ALL
+       |  SELECT '6_shard', (SELECT n_shards FROM shn),
+       |    (SELECT CAST(max(st) AS BIGINT) FROM
+       |      (SELECT sum(tokens) AS st FROM sh GROUP BY shard)),
+       |    CAST(sum((uid * 31 + shard) % $P) % $P AS BIGINT) FROM sh)
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Per-source KL divergence from the corpus word distribution
     * (Mixture.sourceDivergence): the drift audit behind mixture
     * weighting. Terms quantize to DECIMAL(18,6), totals are exact
@@ -4466,6 +4634,7 @@ object LlmQueries {
     "q_mixture_unimax" -> mixtureUnimax,
     "q_mixture_materialize" -> mixtureMaterialize,
     "q_training_order" -> trainingOrderQ,
+    "q_training_run" -> trainingRun,
     "q_join_estimate" -> joinEstimate,
     "q_source_divergence" -> sourceDivergence,
     "q_length_trim" -> lengthTrim,
@@ -4593,6 +4762,7 @@ object LlmQueries {
     "q_mixture_materialize" -> mixtureMaterializeSql,
     "q_source_divergence" -> sourceDivergenceSql,
     "q_training_order" -> trainingOrderSql,
+    "q_training_run" -> trainingRunSql,
     "q_length_trim" -> lengthTrimSql,
     "q_join_estimate" -> joinEstimateSql,
     "q_chunk_docs" -> chunkDocsSql,
