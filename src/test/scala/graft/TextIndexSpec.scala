@@ -71,6 +71,55 @@ class TextIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintenance under load: probes stay committed-epoch-consistent through ingest + compaction") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq
+    val batches = (0 until 4).map(i => docs.filter(_._1 % 4 == i))
+    // every committed-prefix view a probe may legally observe
+    val prefixViews = (0 to 4).map { k =>
+      val pred = if (k == 0) lit(false) else col("doc_id") % 4 < k
+      bm25Rows(Tables.documents(spark, dir).filter(pred))
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-load").toString
+    TextIndex.write(Tables.documents(spark, dir).filter(lit(false)),
+      "doc_id", "text", idx, nBuckets = 16)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TextIndex.ingestStream(
+      in.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      "doc_id", "text", idx).start()
+    def probeNow(): Seq[Seq[Any]] =
+      TextIndex.probe(spark, idx, terms, k = 10).collect().map(_.toSeq).toSeq
+    try {
+      // epoch 1, then a probe workload between epochs
+      in.addData(batches(0): _*); q.processAllAvailable()
+      assert(probeNow() == prefixViews(1), "probe after epoch 1")
+      // epoch 2 committed, probe, then MAINTENANCE between probe
+      // workloads while the stream stays up — and probe again
+      in.addData(batches(1): _*); q.processAllAvailable()
+      assert(probeNow() == prefixViews(2), "probe after epoch 2")
+      assert(TextIndex.compactIfNeeded(spark, idx, maxRoots = 2) > 0,
+        "3 roots (base + 2 epochs) must fold under maxRoots = 2")
+      assert(probeNow() == prefixViews(2), "compaction must not move scores")
+      // epoch 3 races the probe: addData WITHOUT waiting — the probe
+      // may see the pre- or post-commit view, never a partial epoch
+      in.addData(batches(2): _*)
+      val racing = probeNow()
+      assert(racing == prefixViews(2) || racing == prefixViews(3),
+        "a probe during an in-flight epoch sees a committed prefix, never a torn view")
+      q.processAllAvailable()
+      assert(probeNow() == prefixViews(3), "probe after epoch 3")
+      // post-compaction ingest keeps appending against the frozen modulus
+      in.addData(batches(3): _*); q.processAllAvailable()
+      assert(probeNow() == prefixViews(4), "final probe = batch bm25 over everything")
+      // and maintenance after the run folds back to a single root
+      TextIndex.compactEpochs(spark, idx)
+      assert(probeNow() == prefixViews(4), "post-run compaction preserves the ranking")
+    } finally q.stop()
+  }
+
   test("append is replay-idempotent: re-writing an epoch does not double-count") {
     val docs = Tables.documents(spark, dir).localCheckpoint(false)
     val first = docs.filter(col("doc_id") % 2 === 0)
