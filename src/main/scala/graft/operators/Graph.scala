@@ -559,4 +559,41 @@ object Graph {
             (col("deg") * (col("deg") - 1L)).cast("double"))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Connected components over an arbitrary undirected edge frame —
+    * the dedup clustering core ([[graft.llm.Dedup.connectedComponents]],
+    * min-label propagation: one join + one map-side-combined aggregate
+    * per round, per-round checkpoint bounding lineage, early exit at
+    * the fixed point, loud failure past `maxIter`) promoted to the
+    * graph suite next to [[labelPropagation]]: (node, component) with
+    * `component` = the minimum node id reachable from `node`. Vertex
+    * universe = edge endpoints (an isolated node is invisible to an
+    * edge list — pre-union singleton self-loops if it must appear).
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50
+  ): DataFrame =
+    graft.llm.Dedup.connectedComponents(edges, srcCol, dstCol, maxIter)
+      .select(col("doc").as("node"), col("component"))
+
+  /** The [[connectedComponents]] oracle generator — recursive
+    * transitive closure over any `(src, dst)` edge SQL: component(v) =
+    * least id reachable from v (incl. v), the dedup-clusters replica
+    * generalized.
+    */
+  def connectedComponentsSql(edgesSql: String): String =
+    s"""WITH RECURSIVE ge0 AS ($edgesSql),
+       |ge AS (
+       |  SELECT src, dst FROM ge0
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM ge0),
+       |greach AS (
+       |  SELECT src, dst FROM ge
+       |  UNION
+       |  SELECT greach.src, ge.dst FROM greach JOIN ge ON greach.dst = ge.src)
+       |SELECT src AS node, least(src, min(dst)) AS component
+       |FROM greach GROUP BY src ORDER BY node""".stripMargin
 }

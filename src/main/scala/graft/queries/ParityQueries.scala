@@ -1064,6 +1064,33 @@ object ParityQueries {
       |FROM deg LEFT JOIN pn ON deg.node = pn.node
       |ORDER BY deg.node""".stripMargin
 
+  /** Connected components (Graph.connectedComponents) over the part
+    * co-purchase graph — the dedup CC core as a public graph operator
+    * next to LPA (VERDICT r9 stretch): same support-floor edge set as
+    * q_triangle_count (sparse by construction — repo invariant on
+    * dense demo graphs; 9 components at sf0.01), component = min
+    * reachable id, oracle = the recursive transitive closure.
+    */
+  val graphCcQ: Q = (s, dir) => {
+    val ti = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("t"), col("l_partkey").as("i")).distinct()
+    val e = ti.as("x")
+      .join(ti.as("y"), col("x.t") === col("y.t") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("src"), col("y.i").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.connectedComponents(e, "src", "dst").orderBy("node")
+  }
+
+  val graphCcSql: String =
+    graft.operators.Graph.connectedComponentsSql(
+      """SELECT x.i AS src, y.i AS dst
+        |  FROM (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem) y
+        |    ON x.t = y.t AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
+
   /** Referential-integrity audit (Profile.integrity): orphaned
     * lineitems and orders. The oracle states the anti-join directly.
     */
@@ -1359,6 +1386,7 @@ object ParityQueries {
     "q_shortest_path" -> shortestPathQ,
     "q_shortest_path_weighted" -> shortestPathWeightedQ,
     "q_triangle_count" -> triangleCountQ,
+    "q_graph_cc" -> graphCcQ,
     "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
     "q_expectations" -> expectationsQ,
@@ -1415,6 +1443,7 @@ object ParityQueries {
     "q_shortest_path" -> shortestPathSql,
     "q_shortest_path_weighted" -> shortestPathWeightedSql,
     "q_triangle_count" -> triangleCountSql,
+    "q_graph_cc" -> graphCcSql,
     "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_k_anonymity" -> kAnonymitySql,
