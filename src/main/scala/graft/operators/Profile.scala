@@ -73,17 +73,24 @@ object Profile {
     * shape); the join is cols-many rows. Every derived rate is a
     * single IEEE division (or difference of two) over
     * engine-deterministic inputs, so the whole report hash-gates.
+    * Degenerate snapshots (an empty side, a zero distinct estimate)
+    * gauge as NULL, never NaN/Infinity (ADVICE r8) — a NULL alarm
+    * gauge says "not diagnosable", which a monitor can route, where a
+    * NaN poisons every downstream comparison.
     */
   def drift(cur: DataFrame, prev: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
     def side(df: DataFrame, tag: String) = profile(df, cols, k).select(
       col("col_name"),
       col("n_rows").as(s"n_rows_$tag"),
-      (col("n_nulls").cast("double") / col("n_rows").cast("double"))
+      when(col("n_rows") > 0,
+        col("n_nulls").cast("double") / col("n_rows").cast("double"))
         .as(s"null_rate_$tag"),
       col("est_distinct").as(s"est_distinct_$tag"))
     side(cur, "cur").join(side(prev, "prev"), "col_name")
       .withColumn("null_rate_delta", col("null_rate_cur") - col("null_rate_prev"))
-      .withColumn("distinct_ratio", col("est_distinct_cur") / col("est_distinct_prev"))
+      .withColumn("distinct_ratio",
+        when(col("est_distinct_prev") > 0,
+          col("est_distinct_cur") / col("est_distinct_prev")))
   }
 
   /** Referential-integrity audit: child rows whose `childKey` matches

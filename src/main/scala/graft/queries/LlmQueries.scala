@@ -2120,9 +2120,15 @@ object LlmQueries {
     * directly; the full chunk→index→probe pipeline hash-gates.
     */
   val passageSearch: Q = (s, dir) => {
+    // the synthetic key assumes < 1000 chunks/doc — a longer document
+    // must fail loudly, not silently collide passage ids (ADVICE r8)
+    val safeChunk = when(col("chunk_id") < 1000, col("chunk_id"))
+      .otherwise(raise_error(concat(
+        lit("passageSearch: chunk_id exceeds the 1000-per-doc key space: "),
+        col("chunk_id").cast("string"))).cast("long"))
     val chunks = TextAnalysis
       .chunkDocs(Tables.documents(s, dir), "doc_id", "text", maxTokens = 30)
-      .select((col("doc") * 1000 + col("chunk_id")).as("cid"), col("chunk_text"))
+      .select((col("doc") * 1000 + safeChunk).as("cid"), col("chunk_text"))
     val idx = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft-passage-index-q").toString
     graft.llm.TextIndex.write(chunks, "cid", "chunk_text", idx, nBuckets = 16)

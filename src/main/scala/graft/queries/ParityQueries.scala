@@ -667,8 +667,9 @@ object ParityQueries {
         s"(${v}a, ${v}c) -> (${v}a*31 + ${v}c) % $p)"
     def side(c: String, from: String, v: String): String =
       s"""(SELECT CAST(count(*) AS BIGINT) FROM $from) AS n_rows_$v,
-         |  CAST((SELECT CAST(count(*) AS BIGINT) FROM $from WHERE $c IS NULL) AS DOUBLE)
-         |    / CAST((SELECT CAST(count(*) AS BIGINT) FROM $from) AS DOUBLE) AS null_rate_$v,
+         |  CASE WHEN (SELECT count(*) FROM $from) > 0 THEN
+         |    CAST((SELECT CAST(count(*) AS BIGINT) FROM $from WHERE $c IS NULL) AS DOUBLE)
+         |      / CAST((SELECT CAST(count(*) AS BIGINT) FROM $from) AS DOUBLE) END AS null_rate_$v,
          |  (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
          |     ELSE CAST(${63L * p} AS DOUBLE) / CAST(max(x) AS DOUBLE) END
          |   FROM (SELECT DISTINCT ${strhashSql(s"CAST($c AS VARCHAR)", v + "h")} AS x
@@ -678,7 +679,8 @@ object ParityQueries {
     // references whose expressions contain subqueries
     def one(c: String): String =
       s"""SELECT *, null_rate_cur - null_rate_prev AS null_rate_delta,
-         |  est_distinct_cur / est_distinct_prev AS distinct_ratio
+         |  CASE WHEN est_distinct_prev > 0
+         |    THEN est_distinct_cur / est_distinct_prev END AS distinct_ratio
          |FROM (SELECT '$c' AS col_name,
          |  ${side(c, "events", "cur")},
          |  ${side(c, prev, "prev")}) t_$c""".stripMargin

@@ -44,8 +44,17 @@ final class SearchServer(
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
-  private def intParam(ex: HttpExchange, name: String, dflt: Int): Int =
-    queryParam(ex, name).map(_.toInt).getOrElse(dflt)
+  /** Malformed numeric parameters are CLIENT errors: a non-numeric or
+    * out-of-range k/expand/nProbe gets the same 400 the malformed-vec
+    * and missing-terms paths return, never a 500 (ADVICE r8).
+    */
+  private def intParam(ex: HttpExchange, name: String, dflt: Int, min: Int): Either[String, Int] =
+    queryParam(ex, name) match {
+      case None => Right(dflt)
+      case Some(raw) =>
+        scala.util.Try(raw.trim.toInt).toOption.filter(_ >= min)
+          .toRight(s"parameter $name must be an integer >= $min, got $raw")
+    }
 
   server.createContext("/search", (ex: HttpExchange) =>
     try {
@@ -55,23 +64,28 @@ final class SearchServer(
         case (_, Some(ts)) if ts.isEmpty =>
           respond(ex, 400, """{"error":"empty terms parameter"}""")
         case (Some(dir), Some(ts)) =>
-          val k = intParam(ex, "k", 10)
-          val expand = intParam(ex, "expand", 0)
-          queryParam(ex, "scorer").getOrElse("bm25") match {
-            case "bm25" =>
-              val frame =
-                if (expand > 0)
-                  graft.llm.TextIndex.probeExpanded(spark, dir, ts.toSeq, k,
-                    fbDocs = 3, fbTerms = expand)
-                else graft.llm.TextIndex.probe(spark, dir, ts.toSeq, k)
-              respond(ex, 200,
-                frame.collect().map(jsonRow).mkString("""{"hits":[""", ",", "]}"))
-            case "ql" =>
-              respond(ex, 200,
-                graft.llm.TextIndex.probeQl(spark, dir, ts.toSeq, k)
-                  .collect().map(jsonRow).mkString("""{"hits":[""", ",", "]}"))
-            case other =>
-              respond(ex, 400, s"""{"error":${jsonValue(s"unknown scorer $other")}}""")
+          (for {
+            k <- intParam(ex, "k", 10, min = 1)
+            expand <- intParam(ex, "expand", 0, min = 0)
+          } yield (k, expand)) match {
+            case Left(msg) => respond(ex, 400, s"""{"error":${jsonValue(msg)}}""")
+            case Right((k, expand)) =>
+              queryParam(ex, "scorer").getOrElse("bm25") match {
+                case "bm25" =>
+                  val frame =
+                    if (expand > 0)
+                      graft.llm.TextIndex.probeExpanded(spark, dir, ts.toSeq, k,
+                        fbDocs = 3, fbTerms = expand)
+                    else graft.llm.TextIndex.probe(spark, dir, ts.toSeq, k)
+                  respond(ex, 200,
+                    frame.collect().map(jsonRow).mkString("""{"hits":[""", ",", "]}"))
+                case "ql" =>
+                  respond(ex, 200,
+                    graft.llm.TextIndex.probeQl(spark, dir, ts.toSeq, k)
+                      .collect().map(jsonRow).mkString("""{"hits":[""", ",", "]}"))
+                case other =>
+                  respond(ex, 400, s"""{"error":${jsonValue(s"unknown scorer $other")}}""")
+              }
           }
       }
     } catch { case e: Exception => respond(ex, 500, s"""{"error":${jsonValue(e.toString)}}""") })
@@ -90,17 +104,20 @@ final class SearchServer(
             try raw.split(",").map(_.trim.toDouble)
             catch { case _: Exception => Array.empty[Double] }
           if (vec.isEmpty) respond(ex, 400, """{"error":"malformed vec parameter"}""")
-          else {
-            val k = intParam(ex, "k", 5)
-            val nProbe = intParam(ex, "nProbe", 4)
-            // one-row explicit-schema query frame (REPL-safe rule)
-            val rows = java.util.Collections.singletonList(
-              org.apache.spark.sql.Row(0L, vec.toSeq))
-            val q = spark.createDataFrame(rows, qSchema)
-            val hits = graft.llm.IvfIndex.probe(spark, dir, q, "qid", "qv", k, nProbe)
-              .select("rank", "nid", "cosine")
-              .collect().map(jsonRow)
-            respond(ex, 200, hits.mkString("""{"hits":[""", ",", "]}"))
+          else (for {
+            k <- intParam(ex, "k", 5, min = 1)
+            nProbe <- intParam(ex, "nProbe", 4, min = 1)
+          } yield (k, nProbe)) match {
+            case Left(msg) => respond(ex, 400, s"""{"error":${jsonValue(msg)}}""")
+            case Right((k, nProbe)) =>
+              // one-row explicit-schema query frame (REPL-safe rule)
+              val rows = java.util.Collections.singletonList(
+                org.apache.spark.sql.Row(0L, vec.toSeq))
+              val q = spark.createDataFrame(rows, qSchema)
+              val hits = graft.llm.IvfIndex.probe(spark, dir, q, "qid", "qv", k, nProbe)
+                .select("rank", "nid", "cosine")
+                .collect().map(jsonRow)
+              respond(ex, 200, hits.mkString("""{"hits":[""", ",", "]}"))
           }
       }
     } catch { case e: Exception => respond(ex, 500, s"""{"error":${jsonValue(e.toString)}}""") })

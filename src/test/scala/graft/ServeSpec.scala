@@ -122,6 +122,15 @@ class ServeSpec extends SparkSpec {
       assert(get(port, "/search?terms=").statusCode() == 400)
       assert(get(port, "/ann?vec=abc").statusCode() == 400)
       assert(get(port, "/ann").statusCode() == 400)
+      // malformed numeric params are CLIENT errors (400, never 500):
+      // non-numeric, non-positive k/nProbe, negative expand (ADVICE r8)
+      assert(get(port, "/search?terms=scan&k=abc").statusCode() == 400)
+      assert(get(port, "/search?terms=scan&k=0").statusCode() == 400)
+      assert(get(port, "/search?terms=scan&expand=-1").statusCode() == 400)
+      assert(get(port, "/ann?vec=1.0,2.0&k=zz").statusCode() == 400)
+      assert(get(port, "/ann?vec=1.0,2.0&nProbe=-3").statusCode() == 400)
+      // expand=0 stays the plain-probe default, not an error
+      assert(get(port, "/search?terms=scan&expand=0").statusCode() == 200)
     } finally srv.stop()
   }
 
