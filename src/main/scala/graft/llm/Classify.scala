@@ -94,7 +94,55 @@ object Classify {
       .groupBy(col("doc"), col("actual"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
+    trainAndScore(base, tf, tf, base, minDf)
+  }
 
+  /** Held-out NB scoring: train on `train`, score `applyDocs` — the
+    * generalization-measuring twin of [[nbTrainScore]] (which scores
+    * its own training corpus). Identical model semantics (same
+    * Laplace smoothing, minDf prune, OOV-ignored scoring, prior-only
+    * fallback — an apply doc whose every token is outside the TRAIN
+    * vocabulary falls back exactly like a token-less one); `applyDocs`
+    * carries its own labels so [[evalMetrics]] can grade the held-out
+    * confusion. Both corpora tokenize once behind their own barriers.
+    */
+  def nbTrainApply(
+      spark: SparkSession,
+      train: DataFrame,
+      applyDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      minDf: Int = 1
+  ): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    def baseOf(d: DataFrame) = d.select(
+      col(idCol).as("doc"), col(labelCol).as("actual"),
+      TextOps.words(col(textCol)).as("ws"))
+    def tfOf(b: DataFrame) = b
+      .select(col("doc"), col("actual"), explode(col("ws")).as("term"))
+      .groupBy(col("doc"), col("actual"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val baseTr = baseOf(train)
+    val baseAp = baseOf(applyDocs)
+    trainAndScore(baseTr, tfOf(baseTr), tfOf(baseAp), baseAp, minDf)
+  }
+
+  /** The shared train→score core: the model builds from (`trainBase`,
+    * `trainTf`), scoring runs over (`scoreTf`, `scoreBase`). When the
+    * two pairs are the SAME frames this is byte-identical to the
+    * original self-scoring plan (q_nb_classify's oracle-pinned shape).
+    */
+  private def trainAndScore(
+      trainBase: DataFrame,
+      trainTf: DataFrame,
+      scoreTf: DataFrame,
+      scoreBase: DataFrame,
+      minDf: Int
+  ): DataFrame = {
+    val base = trainBase
+    val tf = trainTf
     val classTermAll = tf.groupBy(col("actual").as("label"), col("term"))
       .agg(sum(col("tf")).as("cnt"))
       .localCheckpoint(false) // feeds totals, vocab AND the dense model
@@ -146,7 +194,7 @@ object Classify {
           .cast("decimal(18,6)").as("llh"))
 
     // score: each doc term meets every class's row for that term
-    val scored = tf
+    val scored = scoreTf
       .join(model, Seq("term")) // vocab-keyed — no broadcast hint (see scaladoc)
       .groupBy(col("doc"), col("label"))
       .agg(sum(col("tf") * col("llh")).as("tsum"))
@@ -163,7 +211,7 @@ object Classify {
     val fallback = priors.orderBy(col("lp").desc, col("label")).limit(1)
       .select(col("label").as("fb_label"), col("lp").as("fb_lp"))
 
-    base.select(col("doc"), col("actual"))
+    scoreBase.select(col("doc"), col("actual"))
       .join(best, Seq("doc"), "left")
       .crossJoin(broadcast(fallback))
       .select(

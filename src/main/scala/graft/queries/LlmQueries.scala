@@ -4331,6 +4331,78 @@ object LlmQueries {
   val nbEvalSql: String =
     graft.llm.Classify.evalMetricsSql(nbClassifySql)
 
+  /** HELD-OUT classification eval (Classify.nbTrainApply +
+    * evalMetrics): train the NB model on the doc_id % 5 ≠ 0 slice,
+    * score the held-out % 5 = 0 slice, grade the confusion — the
+    * generalization number next to q_nb_eval's training-set one.
+    * Out-of-train-vocabulary apply tokens drop at score time (the
+    * multinomial OOV policy), fully-OOV docs fall back to the train
+    * prior; the oracle replays the split train→apply chain under the
+    * shared evalMetricsSql.
+    */
+  val nbEvalHoldout: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.llm.Classify.evalMetrics(s,
+        graft.llm.Classify.nbTrainApply(s,
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "lang"))
+      .orderBy("label")
+  }
+
+  private val nbHoldoutScoredSql: String =
+    s"""WITH gw AS (
+       |  SELECT doc_id AS doc, lang AS actual,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws, doc_id
+       |  FROM documents),
+       |btr AS (SELECT doc, actual, ws FROM gw WHERE doc_id % 5 <> 0),
+       |bap AS (SELECT doc, actual, ws FROM gw WHERE doc_id % 5 = 0),
+       |tft AS (
+       |  SELECT doc, actual, wd AS term, count(*) AS tf
+       |  FROM (SELECT doc, actual, unnest(ws) AS wd FROM btr) u GROUP BY 1, 2, 3),
+       |tfa AS (
+       |  SELECT doc, wd AS term, count(*) AS tf
+       |  FROM (SELECT doc, unnest(ws) AS wd FROM bap) u GROUP BY 1, 2),
+       |ct AS (
+       |  SELECT actual AS label, term, CAST(sum(tf) AS BIGINT) AS cnt
+       |  FROM tft GROUP BY 1, 2),
+       |tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM ct GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT term) AS v FROM ct),
+       |nd AS (SELECT count(*) AS n FROM btr),
+       |pri AS (
+       |  SELECT actual AS label,
+       |    CAST(round(ln(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS lp
+       |  FROM btr CROSS JOIN nd GROUP BY actual, n),
+       |model AS (
+       |  SELECT t.label, vt.term,
+       |    CAST(round(ln((CAST(coalesce(ct.cnt, 0) AS DOUBLE) + 1.0) /
+       |      (CAST(t.tot AS DOUBLE) + CAST(voc.v AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS llh
+       |  FROM (SELECT DISTINCT term FROM ct) vt
+       |  CROSS JOIN tot t
+       |  LEFT JOIN ct ON ct.label = t.label AND ct.term = vt.term
+       |  CROSS JOIN voc),
+       |scored AS (
+       |  SELECT tfa.doc, m.label, pri.lp + sum(CAST(tfa.tf AS DECIMAL(18,0)) * m.llh) AS total
+       |  FROM tfa JOIN model m USING (term) JOIN pri ON pri.label = m.label
+       |  GROUP BY tfa.doc, m.label, pri.lp),
+       |best AS (
+       |  SELECT doc, label AS pred_t, total FROM (
+       |    SELECT doc, label, total,
+       |      row_number() OVER (PARTITION BY doc ORDER BY total DESC, label) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1),
+       |fb AS (SELECT label AS fb_label, lp AS fb_lp FROM pri
+       |       ORDER BY lp DESC, label LIMIT 1)
+       |SELECT bap.doc, bap.actual,
+       |  coalesce(best.pred_t, fb.fb_label) AS pred,
+       |  coalesce(CAST(best.total AS DOUBLE), CAST(fb.fb_lp AS DOUBLE)) AS score
+       |FROM bap LEFT JOIN best ON bap.doc = best.doc CROSS JOIN fb""".stripMargin
+
+  val nbEvalHoldoutSql: String =
+    graft.llm.Classify.evalMetricsSql(nbHoldoutScoredSql)
+
   /** Top-50 term collocations by document-level PMI
     * (TextAnalysis.pmiPairs): presence-count association mining with
     * the fractional hub-term cap and a min-support floor. Integer
@@ -4684,6 +4756,7 @@ object LlmQueries {
     "q_dedup_histogram" -> dedupHistogram,
     "q_nb_classify" -> nbClassify,
     "q_nb_eval" -> nbEval,
+    "q_nb_eval_holdout" -> nbEvalHoldout,
     "q_text_index_search" -> textIndexSearch,
     "q_text_index_multi" -> textIndexMulti,
     "q_text_index_rm3" -> textIndexRm3,
@@ -4811,6 +4884,7 @@ object LlmQueries {
     "q_dedup_histogram" -> dedupHistogramSql,
     "q_nb_classify" -> nbClassifySql,
     "q_nb_eval" -> nbEvalSql,
+    "q_nb_eval_holdout" -> nbEvalHoldoutSql,
     "q_text_index_search" -> textIndexSearchSql,
     "q_text_index_multi" -> textIndexMultiSql,
     "q_text_index_rm3" -> textIndexRm3Sql,

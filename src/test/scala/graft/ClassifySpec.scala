@@ -76,6 +76,38 @@ class ClassifySpec extends SparkSpec {
     assert(unpruned == default)
   }
 
+  test("nbTrainApply: held-out scoring — OOV drops, all-OOV falls back to the train prior") {
+    import spark.implicits._
+    // train: two "en" docs over {the, cat}, one "fr" over {le, chat}
+    val train = Seq(
+      (1L, "the cat the cat", "en"),
+      (2L, "the the", "en"),
+      (3L, "le chat", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val applyDocs = Seq(
+      (10L, "the cat", "en"),      // in-vocab: must score as en
+      (11L, "chat le chat", "fr"), // in-vocab: must score as fr
+      (12L, "zzz qqq", "fr")       // every token OOV: train-prior fallback (en)
+    ).toDF("doc_id", "text", "lang")
+    val got = Classify.nbTrainApply(spark, train, applyDocs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(10L) == (("en", "en")))
+    assert(got(11L) == (("fr", "fr")))
+    // highest-prior class is en (2 docs vs 1); fallback score = its lprior
+    assert(got(12L) == (("fr", "en")))
+    val fbScore = Classify.nbTrainApply(spark, train, applyDocs, "doc_id", "text", "lang")
+      .filter(org.apache.spark.sql.functions.col("doc") === 12L)
+      .collect().head.getDouble(3)
+    val lpEn = BigDecimal(math.log(2.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fbScore == lpEn, s"fallback score must be the en prior, got $fbScore vs $lpEn")
+    // self-scoring through the shared core matches nbTrainScore exactly
+    assert(Classify.nbTrainApply(spark, train, train, "doc_id", "text", "lang")
+        .orderBy("doc").collect().map(_.toSeq).toSeq
+      == Classify.nbTrainScore(spark, train, "doc_id", "text", "lang")
+        .orderBy("doc").collect().map(_.toSeq).toSeq)
+  }
+
   test("evalMetrics: hand-computed confusion — per-class rows, macro/micro") {
     import spark.implicits._
     // actual → pred: a→a, a→b, b→b, b→b, c→b, a→d
