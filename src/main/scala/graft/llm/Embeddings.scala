@@ -53,6 +53,45 @@ object Embeddings {
       .select(inline(col("sheet")))
   }
 
+  /** Per-cohort second-moment sheets in ONE aggregate — [[gram]]
+    * keyed by `groupCol`: each task folds its rows into one
+    * [[graft.functions.GramSheet]] buffer PER GROUP (map-side
+    * combined), the exchange carries groups × tasks buffers, and the
+    * output is (grp, i, j, cnt, g) — the per-label covariance feed
+    * for cohort-level PCA/drift (each group's sheet drives
+    * [[pcaComponents]] independently). Same exactness contract as
+    * [[gram]]; groups may have different vector counts but every
+    * vector corpus-wide must share one dimension.
+    */
+  def gramBy(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val sheet = Bridge.column(graft.functions.GramSheet(
+      Bridge.expression(col(vecCol))).toAggregateExpression())
+    df.select(col(groupCol).as("grp"), col(vecCol))
+      .groupBy(col("grp"))
+      .agg(sheet.as("sheet"))
+      .select(col("grp"), inline(col("sheet")))
+  }
+
+  /** The [[gramBy]] oracle generator over the same table SQL. */
+  def gramBySql(tableSql: String, groupCol: String, dim: Int): String =
+    s"""WITH qx AS (
+       |  SELECT $groupCol AS grp, vec_id, ui AS i,
+       |    CAST(round(CAST(embedding[CAST(ui AS INT)] AS DOUBLE), 6) AS DECIMAL(18,6)) AS q
+       |  FROM ($tableSql), (SELECT unnest(range(1, ${dim + 1})) AS ui)),
+       |pairs AS (
+       |  SELECT a.grp, a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(a.q * b.q) AS DOUBLE) AS g
+       |  FROM qx a JOIN qx b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2, 3),
+       |firsts AS (
+       |  SELECT grp, i, CAST(-1 AS BIGINT) AS j, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(q) AS DOUBLE) AS g
+       |  FROM qx GROUP BY 1, 2)
+       |SELECT grp, i, j, cnt, g FROM pairs
+       |UNION ALL SELECT grp, i, j, cnt, g FROM firsts
+       |ORDER BY grp, i, j""".stripMargin
+
   /** The dominant principal component of the quantized embeddings,
     * computed from ONE distributed pass: [[gram]] collects to the
     * driver (d² + d decimals), the covariance `C = G/n − m·mᵀ` and a

@@ -1872,6 +1872,18 @@ object LlmQueries {
   val embedGramSql: String =
     graft.llm.Embeddings.gramSql("SELECT vec_id, embedding FROM embeddings", 64)
 
+  /** Per-cohort Gram sheets (Embeddings.gramBy): the label-keyed
+    * second moments — one GramSheet buffer per (task, label), the
+    * per-cohort covariance feed for slice-level PCA/drift.
+    */
+  val embedGramBy: Q = (s, dir) =>
+    graft.llm.Embeddings.gramBy(Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy("grp", "i", "j")
+
+  val embedGramBySql: String =
+    graft.llm.Embeddings.gramBySql(
+      "SELECT label, vec_id, embedding FROM embeddings", "label", 64)
+
   /** Shared projection literals for q_embed_project — a fixed
     * deterministic direction (NOT data-derived: a static oracle string
     * cannot carry data-dependent eigenvectors; the eigen step is
@@ -2300,6 +2312,30 @@ object LlmQueries {
     TextIndexMultiQueries.map { case (q, ts) =>
       s"SELECT CAST($q AS BIGINT) AS qid, * FROM (${bm25Sql(ts, 10)})"
     }.mkString("\nUNION ALL\n") + "\nORDER BY qid, rank"
+
+  /** The DATA-PLANE batch probe (TextIndex.probeAllDistributed): the
+    * same serving batch as q_text_index_multi but the query frame
+    * never collects — only the bounded bucket-id set does — so the
+    * route scales past the control-plane maxQueries bound. Result-
+    * identical to probeAll by contract, so it shares the oracle
+    * verbatim.
+    */
+  val textIndexMultiDist: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-text-index-multid-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 16)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    TextIndexMultiQueries.foreach { case (q, ts) =>
+      rows.add(org.apache.spark.sql.Row(q, ts))
+    }
+    import org.apache.spark.sql.types._
+    val qdf = s.createDataFrame(rows, StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("terms", ArrayType(StringType, containsNull = false), nullable = false))))
+    graft.llm.TextIndex.probeAllDistributed(s, idx, qdf, "qid", "terms", k = 10)
+      .orderBy("qid", "rank")
+  }
 
   // --------------------------------------------------------- multimodal
 
@@ -4729,6 +4765,7 @@ object LlmQueries {
     "q_skew_advisor" -> skewAdvisorQ,
     "q_cms_freq" -> cmsFreq,
     "q_embed_gram" -> embedGram,
+    "q_embed_gram_by" -> embedGramBy,
     "q_embed_project" -> embedProject,
     "q_embed_drift" -> embedDrift,
     "q_neg_samples" -> negSamples,
@@ -4759,6 +4796,7 @@ object LlmQueries {
     "q_nb_eval_holdout" -> nbEvalHoldout,
     "q_text_index_search" -> textIndexSearch,
     "q_text_index_multi" -> textIndexMulti,
+    "q_text_index_multi_dist" -> textIndexMultiDist,
     "q_text_index_rm3" -> textIndexRm3,
     "q_text_index_ql" -> textIndexQl,
     "q_passage_search" -> passageSearch,
@@ -4857,6 +4895,7 @@ object LlmQueries {
     "q_skew_advisor" -> skewAdvisorSql,
     "q_cms_freq" -> cmsFreqSql,
     "q_embed_gram" -> embedGramSql,
+    "q_embed_gram_by" -> embedGramBySql,
     "q_embed_project" -> embedProjectSql,
     "q_embed_drift" -> embedDriftSql,
     "q_neg_samples" -> negSamplesSql,
@@ -4887,6 +4926,7 @@ object LlmQueries {
     "q_nb_eval_holdout" -> nbEvalHoldoutSql,
     "q_text_index_search" -> textIndexSearchSql,
     "q_text_index_multi" -> textIndexMultiSql,
+    "q_text_index_multi_dist" -> textIndexMultiSql,
     "q_text_index_rm3" -> textIndexRm3Sql,
     "q_text_index_ql" -> textIndexQlSql,
     "q_passage_search" -> passageSearchSql,

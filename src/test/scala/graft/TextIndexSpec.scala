@@ -195,6 +195,16 @@ class TextIndexSpec extends SparkSpec {
       val single = TextIndex.probe(spark, idx, ts, k = 10).collect().map(_.toSeq).toSeq
       assert(multi(q) == single, s"qid $q batch ranking must equal its single probe")
     }
+    // the data-plane route (queries never collect) returns the
+    // IDENTICAL rows, and its postings scan carries a runtime
+    // (dynamic) partition filter on the bucket key
+    val dist = TextIndex.probeAllDistributed(spark, idx, qdf, "qid", "terms", k = 10)
+    val distRows = dist.collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.toSeq.drop(1)).toSeq }
+    assert(distRows == multi, "distributed batch probe must equal probeAll exactly")
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]* IN \\([^\\]]*\\].*"),
+      s"the postings scan must prune on the bounded bucket-id set:\n$plan")
   }
 
   test("compactIfNeeded: ingest stays self-maintaining under maxRoots") {
