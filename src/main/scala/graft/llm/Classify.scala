@@ -248,12 +248,32 @@ object Classify {
       scored: DataFrame,
       actualCol: String = "actual",
       predCol: String = "pred"
+  ): DataFrame =
+    evalMetricsFromCounts(spark,
+      scored.groupBy(col(actualCol).cast("string").as("a"),
+          col(predCol).cast("string").as("p"))
+        .agg(count(lit(1)).as("n")),
+      "a", "p", "n")
+
+  /** [[evalMetrics]] from an ALREADY-AGGREGATED contingency frame
+    * (actual, pred, n) — the bridge that lets a persisted confusion
+    * table or the live [[graft.streaming.StreamingFeatures
+    * .confusionStream]] counts feed the identical metric math: the
+    * monitor accumulates exact mergeable integer counts, this grades
+    * them. Same output contract as [[evalMetrics]].
+    */
+  def evalMetricsFromCounts(
+      spark: SparkSession,
+      counts: DataFrame,
+      actualCol: String,
+      predCol: String,
+      nCol: String
   ): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val cont = scored
+    val cont = counts
       .groupBy(col(actualCol).cast("string").as("a"), col(predCol).cast("string").as("p"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col(nCol)).as("n"))
       .collect()
     require(cont.nonEmpty, "evalMetrics needs a non-empty scored frame")
     val labels = cont.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted

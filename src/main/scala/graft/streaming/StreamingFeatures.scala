@@ -966,6 +966,22 @@ object StreamingFeatures {
       }
   }
 
+  /** Live classification-quality monitor — the confusion-matrix twin
+    * of the sketch monitors: the (actual, pred) contingency counts as
+    * a plain streaming aggregate (exact mergeable longs through the
+    * state store, groups ≤ classes² however long the stream), run
+    * under Complete mode so the sink table IS the current confusion
+    * matrix. Grade any snapshot with
+    * [[graft.llm.Classify.evalMetricsFromCounts]] — the identical
+    * metric math the batch [[graft.llm.Classify.evalMetrics]] runs,
+    * so the streamed-final report equals the batch report over the
+    * same rows (StreamingSpec pins it).
+    */
+  def confusionStream(preds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    preds.groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+  }
+
   def runToMemory[T](
       spark: SparkSession,
       ds: Dataset[T],

@@ -849,6 +849,32 @@ class StreamingSpec extends SparkSpec {
       s"streamed-final count-min estimates must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming confusion monitor: streamed-final metrics equal the batch report") {
+    // confusionStream accumulates exact mergeable (actual, pred)
+    // counts under Complete mode; evalMetricsFromCounts grades the
+    // snapshot with the SAME math batch evalMetrics runs — so the
+    // live monitor's final report is the batch report
+    val scored = graft.llm.Classify.nbTrainScore(spark,
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", "lang")
+      .select(col("actual"), col("pred"))
+    val batch = graft.llm.Classify.evalMetrics(spark, scored)
+      .orderBy("label").collect().map(_.toSeq).toSeq
+    val rows = scored.collect().map(r => (r.getString(0), r.getString(1)))
+    val slices = new scala.util.Random(11).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, String)]
+    val stream = graft.streaming.StreamingFeatures.confusionStream(
+      in.toDS().toDF("actual", "pred"))
+    val q = stream.writeStream.format("memory").queryName("t_conf")
+      .outputMode(OutputMode.Complete()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.llm.Classify.evalMetricsFromCounts(spark,
+        spark.table("t_conf"), "actual", "pred", "n")
+      .orderBy("label").collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed-final confusion metrics must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("streaming transitions: random streams and split points still equal batch") {
     import graft.streaming.StreamingFeatures.TypedEvent
     val types = Array("view", "click", "buy", "err")
