@@ -130,18 +130,87 @@ object Embeddings {
   ): Seq[(Seq[java.math.BigDecimal], java.math.BigDecimal, Double)] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(nComponents >= 1, s"nComponents must be >= 1, got $nComponents")
-    val rows = gram(df, idCol, vecCol).collect()
-    val d = rows.count(_.getLong(1) == -1L)
-    require(d >= 1, "pcaComponents needs at least one dimension")
+    eigenOf(
+      gram(df, idCol, vecCol).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))),
+      nComponents, iters)
+  }
+
+  /** Per-cohort principal components off ONE [[gramBy]] pass: the
+    * grouped sheets collect (groups × d² decimals — control-plane),
+    * and each cohort runs the same driver eigen ([[pcaComponents]]'
+    * power iteration + Hotelling deflation) over its own covariance.
+    * Returns cohort → components, eigenvalues non-increasing within
+    * each cohort. Cohorts with fewer independent directions than
+    * `nComponents` fail loudly (the degenerate-covariance require).
+    */
+  def pcaComponentsBy(
+      spark: SparkSession,
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      nComponents: Int,
+      iters: Int = 100
+  ): Map[String, Seq[(Seq[java.math.BigDecimal], java.math.BigDecimal, Double)]] = {
+    require(iters >= 1 && nComponents >= 1,
+      s"iters/nComponents must be >= 1, got $iters/$nComponents")
+    val rows = gramBy(df, groupCol, vecCol)
+      .select(col("grp").cast("string"), col("i"), col("j"), col("cnt"), col("g"))
+      .collect()
+    rows.groupBy(_.getString(0)).map { case (grp, rs) =>
+      grp -> eigenOf(rs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))),
+        nComponents, iters)
+    }
+  }
+
+  /** Embedding-space drift along the dominant axis, per cohort — the
+    * component-level monitor next to [[graft.queries]]' projection-
+    * quantile drift: ONE distributed [[gramBy]] pass (plus the global
+    * [[gram]] sheet), driver eigen per cohort, and the report gives
+    * each cohort's dominant eigenvalue and |cosine| alignment with the
+    * corpus-wide dominant axis. A cohort whose axis swings away from
+    * the corpus axis (alignment → 0) or whose eigenvalue balloons is
+    * drifting structurally, not just in location. Driver artifact
+    * (eigenvectors are data-dependent — spec-covered, not oracled).
+    */
+  def axisDrift(
+      spark: SparkSession,
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      iters: Int = 100
+  ): Seq[(String, Double, Double)] = {
+    val (gw, _, _) = pcaComponent(spark, df, "_unused", vecCol, iters)
+    val global = gw.map(_.doubleValue).toArray
+    pcaComponentsBy(spark, df, groupCol, vecCol, nComponents = 1, iters)
+      .toSeq.sortBy(_._1)
+      .map { case (grp, Seq((w, _, lambda))) =>
+        val u = w.map(_.doubleValue).toArray
+        val cos = math.abs(u.zip(global).map { case (a, b) => a * b }.sum)
+        (grp, lambda, cos)
+      }
+  }
+
+  /** The shared driver eigen core over one collected sheet:
+    * (i, j, cnt, g) rows — j = −1 carries the first moments — to the
+    * leading components by power iteration + Hotelling deflation.
+    */
+  private def eigenOf(
+      rows: Array[(Long, Long, Long, Double)],
+      nComponents: Int,
+      iters: Int
+  ): Seq[(Seq[java.math.BigDecimal], java.math.BigDecimal, Double)] = {
+    val d = rows.count(_._2 == -1L)
+    require(d >= 1, "eigen needs at least one dimension")
     require(nComponents <= d, s"nComponents $nComponents exceeds dimension $d")
-    val n = rows.find(_.getLong(1) == -1L).get.getLong(2).toDouble
+    val n = rows.find(_._2 == -1L).get._3.toDouble
     val mean = new Array[Double](d)
     val g = Array.ofDim[Double](d, d)
-    rows.foreach { r =>
-      val i = r.getLong(0).toInt - 1
-      val j = r.getLong(1).toInt
-      if (j == -1) mean(i) = r.getDouble(3) / n
-      else { g(i)(j - 1) = r.getDouble(3); g(j - 1)(i) = r.getDouble(3) }
+    rows.foreach { case (i0, j0, _, v) =>
+      val i = i0.toInt - 1
+      val j = j0.toInt
+      if (j == -1) mean(i) = v / n
+      else { g(i)(j - 1) = v; g(j - 1)(i) = v }
     }
     val c = Array.tabulate(d, d)((i, j) => g(i)(j) / n - mean(i) * mean(j))
     def q6(x: Double): java.math.BigDecimal =
@@ -157,10 +226,8 @@ object Embeddings {
         u = v.map(_ / norm)
         lambda = norm
       }
-      // deterministic sign: the largest-|entry| coordinate points up
       val kMax = (0 until d).maxBy(i => (math.abs(u(i)), -i))
       if (u(kMax) < 0) u = u.map(x => -x)
-      // deflate: remove the extracted direction's variance
       for (i <- 0 until d; j <- 0 until d) c(i)(j) -= lambda * u(i) * u(j)
       val projMean = q6((0 until d).map(i => mean(i) * u(i)).sum)
       (u.map(q6).toSeq, projMean, lambda)

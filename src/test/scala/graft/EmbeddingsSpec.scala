@@ -123,6 +123,36 @@ class EmbeddingsSpec extends SparkSpec {
     assert(math.abs(dot) < 1e-3, s"components must be orthogonal, dot = $dot")
   }
 
+  test("pcaComponentsBy / axisDrift: per-cohort axes off one grouped pass") {
+    // cohort "x" spreads along (1,0), cohort "y" along (0,1); the
+    // pooled corpus is dominated by x's larger spread
+    val pts = (0 until 120).map { kk =>
+      val t = (kk % 30).toDouble / 3.0 - 4.8
+      if (kk % 2 == 0) ("x", kk.toLong, Seq((t * 2.0).toFloat, ((kk % 5) / 50.0).toFloat))
+      else ("y", kk.toLong, Seq(((kk % 7) / 70.0).toFloat, t.toFloat))
+    }
+    import spark.implicits._
+    val df = pts.toDF("grp", "vec_id", "embedding")
+    val byGrp = Embeddings.pcaComponentsBy(spark, df, "grp", "embedding", nComponents = 1)
+    val ux = byGrp("x").head._1.map(_.doubleValue)
+    val uy = byGrp("y").head._1.map(_.doubleValue)
+    assert(math.abs(ux(0)) > 0.999, s"x cohort axis must be (1,0), got $ux")
+    assert(math.abs(uy(1)) > 0.999, s"y cohort axis must be (0,1), got $uy")
+    // grouped sheets must equal per-cohort gram exactly
+    val gx = Embeddings.gramBy(df, "grp", "embedding")
+      .filter(col("grp") === "x").drop("grp")
+      .collect().map(_.toSeq).toSet
+    val gx1 = Embeddings.gram(df.filter(col("grp") === "x"), "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    assert(gx == gx1, "gramBy slice must equal the filtered gram")
+    // drift report: x aligns with the pooled axis, y is near-orthogonal
+    val drift = Embeddings.axisDrift(spark, df, "grp", "embedding")
+      .map { case (g, l, c) => g -> ((l, c)) }.toMap
+    assert(drift("x")._2 > 0.99, s"x must align with the corpus axis, got ${drift("x")}")
+    assert(drift("y")._2 < 0.2, s"y must be near-orthogonal, got ${drift("y")}")
+    assert(drift("x")._1 > drift("y")._1, "x carries the larger spread")
+  }
+
   test("project: exact fixed-point arithmetic matches the hand computation") {
     val df = Seq((7L, Seq(0.5f, -0.25f))).toDF("vec_id", "embedding")
     def d6(x: Double) = new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
