@@ -91,11 +91,13 @@ object Multimodal {
   /** A REAL image decoder — binary Netpbm (P5 grayscale / P6 RGB), the
     * uncompressed format family that needs zero codec libraries: an
     * ASCII header (magic, width, height, maxval, `#` comments allowed)
-    * followed by raw samples. JPEG/PNG/WAV remain out of reach in this
-    * offline container, but this path exercises every part of a
+    * followed by raw samples. This path exercises every part of a
     * production decode — header parsing, payload validation (truncated
     * data rejects, not garbage), per-sample numeric extraction — on
-    * actual bytes rather than a fake.
+    * actual bytes rather than a fake. The COMPRESSED family (PNG /
+    * JPEG / GIF / BMP) decodes through [[decodeCompressed]] — the
+    * JDK's own `javax.imageio`, so no external codec library is
+    * needed even offline.
     *
     * Returns (format, width, height, maxval, n_pixels, mean_sample);
     * None for anything that is not a complete single-byte-depth
@@ -183,15 +185,120 @@ object Multimodal {
       }
     }
 
-  /** Decode a media table's Netpbm payloads — same typed-batch seam as
-    * [[extractFeatures]], but through the real parser; rows that do not
-    * decode are dropped (the quarantine a real pipeline applies).
+  /** Container magic sniff for the compressed image family — garbage
+    * never reaches the codec (the parseNetpbm validation discipline).
+    */
+  private[graft] def sniffFormat(p: Array[Byte]): Option[String] = {
+    def u(i: Int) = p(i) & 0xff
+    if (p.length >= 8 && u(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some("PNG")
+    else if (p.length >= 3 && u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff)
+      Some("JPEG")
+    else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+      Some("GIF")
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+      Some("BMP")
+    else None
+  }
+
+  /** COMPRESSED-codec image decode — PNG / JPEG / GIF / BMP through the
+    * JDK's own `javax.imageio` (ships with every JVM: the "codec
+    * library" the offline container was assumed to lack is in the
+    * standard runtime). Same feature tuple as [[decodeNetpbm]] with
+    * maxval = 255 and the mean over the three sRGB channels (a
+    * grayscale raster surfaces tripled — identical mean). PNG and BMP
+    * decode bit-exactly, so feature parity with the same raster's
+    * Netpbm encoding holds EXACTLY (spec-pinned); JPEG is lossy by
+    * design and GIF's fidelity depends on the ENCODER's palette
+    * choice (Java's writer quantizes even under 256 colors) —
+    * dimensions and sniff are exact for both. Truncated or corrupt
+    * payloads return None (quarantine), never throw into the task.
+    */
+  private[graft] def decodeCompressed(
+      p: Array[Byte]
+  ): Option[(String, Int, Int, Int, Long, Double)] =
+    sniffFormat(p).flatMap { fmt =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h * 3
+          Some((fmt, w, h, 255, w.toLong * h, sum.toDouble / n))
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** The unified image decode: exact Netpbm parse first, else the
+    * ImageIO compressed family. */
+  private[graft] def decodeImage(p: Array[Byte]): Option[(String, Int, Int, Int, Long, Double)] =
+    decodeNetpbm(p).orElse(decodeCompressed(p))
+
+  /** [[decodeNetpbmPooled]]'s compressed twin: the fixed-grid pooled
+    * vector off the ImageIO raster, each pixel contributing its three
+    * sRGB samples to its cell (P6 semantics, so a raster pooled
+    * through PNG equals the same raster pooled through Netpbm).
+    */
+  private[graft] def decodeCompressedPooled(
+      p: Array[Byte],
+      gridW: Int,
+      gridH: Int
+  ): Option[(Int, Int, Array[Double])] =
+    sniffFormat(p).flatMap { _ =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null || img.getWidth < gridW || img.getHeight < gridH) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Long](gridW * gridH)
+          val cnts = new Array[Long](gridW * gridH)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val cell = (y * gridH / h) * gridW + x * gridW / w
+              sums(cell) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              cnts(cell) += 3
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, Array.tabulate(gridW * gridH)(c => sums(c).toDouble / cnts(c))))
+        }
+      } catch { case _: Exception => None }
+    }
+
+  private[graft] def decodeImagePooled(
+      p: Array[Byte],
+      gridW: Int,
+      gridH: Int
+  ): Option[(Int, Int, Array[Double])] =
+    decodeNetpbmPooled(p, gridW, gridH).orElse(decodeCompressedPooled(p, gridW, gridH))
+
+  /** Decode a media table's image payloads — same typed-batch seam as
+    * [[extractFeatures]], through the real parsers (Netpbm exact, then
+    * the ImageIO compressed family); rows that do not decode are
+    * dropped (the quarantine a real pipeline applies).
     */
   def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeNetpbm(r.payload).map { case (f, w, h, mv, np, mean) =>
+        decodeImage(r.payload).map { case (f, w, h, mv, np, mean) =>
           ImageFeatures(r.doc_id, f, w, h, mv, np, mean)
         }
       }
@@ -218,7 +325,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeNetpbmPooled(r.payload, gridW, gridH).map { case (w, h, v) =>
+        decodeImagePooled(r.payload, gridW, gridH).map { case (w, h, v) =>
           ImageVector(r.doc_id, w, h, v)
         }
       }

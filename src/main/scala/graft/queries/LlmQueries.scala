@@ -2474,6 +2474,53 @@ object LlmQueries {
       |    / (16 * (length(text) // 16)), 6) AS mean_pixel
       |FROM documents WHERE length(text) >= 16 ORDER BY doc_id""".stripMargin
 
+  /** Real PNG media: the q_mm_image text-byte raster (16-wide)
+    * encoded through the JDK's own ImageIO PNG writer, gray value
+    * replicated into RGB so the compressed round-trip is bit-exact.
+    */
+  private def pngMedia(s: org.apache.spark.sql.SparkSession, dir: String, minChars: Int): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._2.length >= minChars)
+      .map { case (id, t) =>
+        val w = 16
+        val h = t.length / 16
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < w * h) {
+          val v = t.charAt(i).toInt & 0xff
+          img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val p = bos.toByteArray
+        Multimodal.MediaRow(id, "image/png", p.length, p)
+      }.toDF()
+  }
+
+  /** COMPRESSED-codec decode (Multimodal.decodeCompressed): the same
+    * text-byte raster as q_mm_image, round-tripped through a REAL
+    * compressed format — the JDK's PNG writer — and decoded back
+    * bit-exactly (mean over the tripled gray channels equals the byte
+    * mean), so the oracle is q_mm_image's with the PNG tag. The codec
+    * library is the JVM itself: the "needs external image libs" gap
+    * does not exist on the Spark runtime.
+    */
+  val mmImagePng: Q = (s, dir) => {
+    val media = pngMedia(s, dir, minChars = 16)
+    Multimodal.decodeImages(s, media).toDF()
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("maxval").cast("long").as("maxval"), col("n_pixels"),
+        round(col("mean_pixel"), 6).as("mean_pixel"))
+      .orderBy("doc_id")
+  }
+
+  val mmImagePngSql: String = mmImageSql.replace("'P5' AS format", "'PNG' AS format")
+
   val mmFrames: Q = (s, dir) => {
     val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.sampleFrames(s, media, frames = 5)
@@ -4736,6 +4783,7 @@ object LlmQueries {
     "q_text_fingerprint" -> textFingerprint,
     "q_mm_decode" -> mmDecode,
     "q_mm_image" -> mmImage,
+    "q_mm_image_png" -> mmImagePng,
     "q_mm_audio" -> mmAudio,
     "q_mm_audio_neardup" -> mmAudioNearDup,
     "q_mm_frames" -> mmFrames,
@@ -4866,6 +4914,7 @@ object LlmQueries {
     "q_text_fingerprint" -> textFingerprintSql,
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_image" -> mmImageSql,
+    "q_mm_image_png" -> mmImagePngSql,
     "q_mm_audio" -> mmAudioSql,
     "q_mm_audio_neardup" -> mmAudioNearDupSql,
     "q_mm_frames" -> mmFramesSql,

@@ -774,6 +774,50 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeNetpbmPooled(pgm(2, 2, Array[Byte](1, 2, 3, 4)), 4, 4).isEmpty)
   }
 
+  test("compressed codecs: PNG/BMP/GIF decode exactly via the JDK, JPEG dims; garbage rejects") {
+    import java.awt.image.BufferedImage
+    // a 4x2 raster with 4 distinct colors (GIF-safe palette size)
+    val px = Array(
+      Array(0x102030, 0x405060, 0x102030, 0x405060),
+      Array(0x708090, 0x102030, 0x708090, 0xA0B0C0))
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, px(y)(x))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"ImageIO cannot write $fmt")
+      bos.toByteArray
+    }
+    val exactMean = px.flatten.map(c =>
+      ((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)).sum.toDouble / (8 * 3)
+    // lossless family: exact mean, exact dims, format sniffed
+    for ((fmt, tag) <- Seq("png" -> "PNG", "bmp" -> "BMP")) {
+      val got = Multimodal.decodeCompressed(enc(fmt))
+      assert(got.contains((tag, 4, 2, 255, 8L, exactMean)), s"$fmt: got $got")
+    }
+    // JPEG (lossy codec) and GIF (Java's WRITER quantizes the palette
+    // even under 256 colors): dimensions and sniff exact, means not
+    for ((fmt, tag) <- Seq("jpg" -> "JPEG", "gif" -> "GIF")) {
+      val got = Multimodal.decodeCompressed(enc(fmt))
+      assert(got.exists { case (f, w, h, mv, np, _) =>
+        f == tag && w == 4 && h == 2 && mv == 255 && np == 8L }, s"$fmt: got $got")
+    }
+    // pooled parity: the SAME raster through PNG equals its P6 encoding
+    val p6 = "P6\n4 2\n255\n".getBytes("UTF-8") ++
+      px.flatten.flatMap(c => Array(((c >> 16) & 0xff).toByte,
+        ((c >> 8) & 0xff).toByte, (c & 0xff).toByte))
+    val viaPng = Multimodal.decodeCompressedPooled(enc("png"), 2, 2).map(_._3.toSeq)
+    val viaP6 = Multimodal.decodeNetpbmPooled(p6, 2, 2).map(_._3.toSeq)
+    assert(viaPng == viaP6 && viaPng.nonEmpty,
+      s"PNG pooled features must equal the Netpbm encoding: $viaPng vs $viaP6")
+    // and the unified decodeImage dispatches both families
+    assert(Multimodal.decodeImage(p6).exists(_._1 == "P6"))
+    assert(Multimodal.decodeImage(enc("png")).exists(_._1 == "PNG"))
+    // truncated / corrupt payloads quarantine, never throw
+    assert(Multimodal.decodeCompressed(enc("png").take(20)).isEmpty)
+    assert(Multimodal.decodeCompressed("noise bytes that are not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeCompressed(Array.empty[Byte]).isEmpty)
+  }
+
   test("pmiPairs: presence counts, hub cap, min support, hand-computed pmi") {
     import spark.implicits._
     // N=5; df: a=3, b=3, c=2, x=1; (a,b) co-occurs in 2 docs (d1's
