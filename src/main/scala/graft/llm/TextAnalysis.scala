@@ -622,6 +622,79 @@ object TextAnalysis {
       hashedVectors(docs, idCol, textCol, dims), "vec_id", "v",
       minCosine, numCentroids)
 
+  /** ROUGE-N overlap (Lin 2004, "ROUGE: A Package for Automatic
+    * Evaluation of Summaries") between a candidate and a reference
+    * text column — the generation-eval metric next to
+    * [[graft.llm.Classify.evalMetrics]] (classification) and
+    * [[graft.llm.Relevance.rankingMetrics]] (retrieval): per row, the
+    * CLIPPED n-gram overlap `Σ_g min(cnt_cand(g), cnt_ref(g))` with
+    * recall = overlap / ref-grams (the canonical ROUGE), precision =
+    * overlap / cand-grams, and F1 in its single-division form
+    * `2·o / (c + r)`.
+    *
+    * Exactness: n-gram counts are exact longs from one tokenize per
+    * side; each metric is ONE IEEE division of integers, never
+    * rounded; a side with fewer than `n` tokens has zero grams and
+    * NULL metrics (the Profile.drift degenerate-snapshot rule).
+    *
+    * Scale shape: both sides explode to (id, gram) counts with
+    * map-side combine (the exchange carries distinct grams per doc,
+    * never raw positions), the overlap is a keyed (id, gram) join —
+    * no broadcast hint: candidate sets are corpus-sized — and one
+    * per-id aggregate. The gram strings travel as the join key;
+    * hash them first if gram length dominates the exchange.
+    */
+  def rougeN(
+      pairs: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(c: Column): Column = {
+      val w = TextOps.words(c)
+      when(size(w) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
+    }
+    // one tokenize per side, materialized so the lambda never re-inlines
+    // (CollapseProject hazard) and both count legs share it
+    val base = pairs.select(col(idCol).as("id"),
+        grams(col(candCol)).as("cg"), grams(col(refCol)).as("rg"))
+      .localCheckpoint(false)
+    def counts(side: Column, name: String): DataFrame =
+      base.select(col("id"), explode(side).as("gram"))
+        .groupBy(col("id"), col("gram"))
+        .agg(count(lit(1)).as(name))
+    val joined = counts(col("cg"), "c_cnt")
+      .join(counts(col("rg"), "r_cnt"), Seq("id", "gram"), "full")
+      .groupBy(col("id"))
+      .agg(
+        sum(least(coalesce(col("c_cnt"), lit(0L)), coalesce(col("r_cnt"), lit(0L))))
+          .as("overlap"),
+        sum(coalesce(col("c_cnt"), lit(0L))).as("cand_grams"),
+        sum(coalesce(col("r_cnt"), lit(0L))).as("ref_grams"))
+    // ids whose BOTH sides are too short never reach the join — spine
+    // them back so every input row reports (with zero grams)
+    base.select(col("id"))
+      .join(joined, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        coalesce(col("cand_grams"), lit(0L)).as("cand_grams"),
+        coalesce(col("ref_grams"), lit(0L)).as("ref_grams"))
+      .withColumn("precision",
+        when(col("cand_grams") > 0,
+          col("overlap").cast("double") / col("cand_grams").cast("double")))
+      .withColumn("recall",
+        when(col("ref_grams") > 0,
+          col("overlap").cast("double") / col("ref_grams").cast("double")))
+      .withColumn("f1",
+        when(col("cand_grams") + col("ref_grams") > 0,
+          (col("overlap") * 2L).cast("double") /
+            (col("cand_grams") + col("ref_grams")).cast("double")))
+  }
+
   /** Rolling-hash document fingerprint (TextOps.fingerprint) plus summary
     * stats — the join key for cross-corpus contamination checks.
     */

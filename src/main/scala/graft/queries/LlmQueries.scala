@@ -1577,6 +1577,55 @@ object LlmQueries {
        |  (end_off - tokens) // 256 AS first_seq, (end_off - 1) // 256 AS last_seq
        |FROM o ORDER BY grp, doc""".stripMargin
 
+  /** ROUGE-2 lead coverage (TextAnalysis.rougeN): each document's
+    * 40-word lead graded as an extractive "summary" against its own
+    * full text — the generation-eval metric over clipped bigram
+    * overlap, exact integer counts, single-division P/R/F1. The
+    * oracle replays both gram multisets, the full-outer clip join,
+    * and the divisions (lead re-tokenization is the identity on
+    * sliced word arrays — the chunkDocs precedent).
+    */
+  val rougeLead: Q = (s, dir) => {
+    val w = TextOps.words(col("text"))
+    val pairs = Tables.documents(s, dir).select(col("doc_id"),
+      concat_ws(" ", slice(w, 1, 40)).as("lead"), col("text"))
+    TextAnalysis.rougeN(pairs, "doc_id", "lead", "text", n = 2)
+      .orderBy("id")
+  }
+
+  val rougeLeadSql: String =
+    """WITH wt AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+      |  FROM documents),
+      |sides AS (SELECT doc_id, list_slice(ws, 1, 40) AS cw, ws AS rw FROM wt),
+      |cc AS (
+      |  SELECT doc_id, gram, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(cw)),
+      |      gi -> cw[CAST(gi AS INT)] || ' ' || cw[CAST(gi+1 AS INT)])) AS gram
+      |    FROM sides) GROUP BY 1, 2),
+      |rc AS (
+      |  SELECT doc_id, gram, count(*) AS r FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(rw)),
+      |      gi -> rw[CAST(gi AS INT)] || ' ' || rw[CAST(gi+1 AS INT)])) AS gram
+      |    FROM sides) GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(least(COALESCE(c, 0), COALESCE(r, 0))) AS BIGINT) AS overlap,
+      |    CAST(sum(COALESCE(c, 0)) AS BIGINT) AS cand_grams,
+      |    CAST(sum(COALESCE(r, 0)) AS BIGINT) AS ref_grams
+      |  FROM cc FULL JOIN rc USING (doc_id, gram) GROUP BY 1)
+      |SELECT wt.doc_id AS id,
+      |  COALESCE(overlap, 0) AS overlap,
+      |  COALESCE(cand_grams, 0) AS cand_grams,
+      |  COALESCE(ref_grams, 0) AS ref_grams,
+      |  CASE WHEN COALESCE(cand_grams, 0) > 0
+      |    THEN CAST(overlap AS DOUBLE) / cand_grams END AS "precision",
+      |  CASE WHEN COALESCE(ref_grams, 0) > 0
+      |    THEN CAST(overlap AS DOUBLE) / ref_grams END AS recall,
+      |  CASE WHEN COALESCE(cand_grams, 0) + COALESCE(ref_grams, 0) > 0
+      |    THEN CAST(overlap * 2 AS DOUBLE) / (cand_grams + ref_grams) END AS f1
+      |FROM wt LEFT JOIN agg USING (doc_id) ORDER BY id""".stripMargin
+
   val textTokens: Q = (s, dir) =>
     TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc")
 
@@ -4779,6 +4828,7 @@ object LlmQueries {
     "q_sample_stratified" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
     "q_pack_sequences" -> packSequences,
+    "q_rouge_lead" -> rougeLead,
     "q_text_tokens" -> textTokens,
     "q_text_fingerprint" -> textFingerprint,
     "q_mm_decode" -> mmDecode,
@@ -4910,6 +4960,7 @@ object LlmQueries {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_rouge_lead" -> rougeLeadSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_mm_decode" -> mmDecodeSql,

@@ -818,6 +818,24 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeCompressed(Array.empty[Byte]).isEmpty)
   }
 
+  test("rougeN: clipped bigram overlap, hand-computed P/R/F1, short-side NULLs") {
+    import spark.implicits._
+    // cand "a b a b": {a b: 2, b a: 1} (3 grams); ref "a b c a":
+    // {a b: 1, b c: 1, c a: 1} (3 grams); clip overlap = min(2,1) = 1
+    val pairs = Seq(
+      (1L, "a b a b", "a b c a"),
+      (2L, "x", "y z"),          // cand too short: precision NULL
+      (3L, "q r", "s")           // ref too short: recall NULL, f1 from cand side
+    ).toDF("doc_id", "cand", "ref")
+    val got = graft.llm.TextAnalysis.rougeN(pairs, "doc_id", "cand", "ref", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((got(1L).getLong(1), got(1L).getLong(2), got(1L).getLong(3)) == ((1L, 3L, 3L)))
+    assert((got(1L).getDouble(4), got(1L).getDouble(5), got(1L).getDouble(6))
+      == ((1.0 / 3, 1.0 / 3, 2.0 / 6)))
+    assert(got(2L).get(4) == null && got(2L).getDouble(5) == 0.0)
+    assert(got(3L).getDouble(4) == 0.0 && got(3L).get(5) == null && got(3L).getDouble(6) == 0.0)
+  }
+
   test("pmiPairs: presence counts, hub cap, min support, hand-computed pmi") {
     import spark.implicits._
     // N=5; df: a=3, b=3, c=2, x=1; (a,b) co-occurs in 2 docs (d1's
