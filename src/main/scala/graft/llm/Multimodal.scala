@@ -438,8 +438,98 @@ object Multimodal {
     if (data == null) None else Some((rate, data))
   }
 
-  /** Decode a media table's WAV payloads into audio features — the
-    * typed-batch seam over the real parser: per clip, sample count,
+  /** G.711 μ-law companding pair — the standard 8-bit logarithmic
+    * compression for telephony audio (ITU-T G.711): sign, +132 bias,
+    * segment exponent, 4-bit mantissa, ones-complement. [[ulawDecode]]
+    * is the exact expansion `((m·8 + 132) << exp) − 132` — the JDK's
+    * own ULAW codec decodes to EXACTLY these values (spec-pinned), so
+    * the DuckDB oracle can replay a lossy compressed-audio round trip
+    * bit-for-bit.
+    */
+  private[graft] def ulawEncode(s0: Short): Byte = {
+    var s = s0.toInt
+    val sign = if (s < 0) 0x80 else 0
+    if (s < 0) s = -s
+    if (s > 32635) s = 32635
+    s += 132
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mantissa = (s >> (exp + 3)) & 0x0F
+    (~(sign | (exp << 4) | mantissa) & 0xFF).toByte
+  }
+
+  private[graft] def ulawDecode(b: Byte): Short = {
+    val u = ~b & 0xFF
+    val exp = (u >> 4) & 0x07
+    val mag = ((((u & 0x0F) << 3) + 132) << exp) - 132
+    (if ((u & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** Serialize PCM16 samples as a μ-law-COMPRESSED RIFF/WAVE file —
+    * format code 7, 8 bits/sample: half the bytes of [[encodeWav]]
+    * with logarithmic quantization error. The compressed writer half;
+    * [[decodeWavCompressed]] routes it through the JDK's real codec.
+    */
+  private[graft] def encodeWavUlaw(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(7).putShort(1) // mu-law, mono
+    b.putInt(sampleRate).putInt(sampleRate)
+    b.putShort(1).putShort(8) // block align, bits
+    b.put("data".getBytes("US-ASCII")).putInt(samples.length)
+    samples.foreach(s => b.put(ulawEncode(s)))
+    b.array()
+  }
+
+  /** COMPRESSED/containered audio decode through the JDK's own
+    * `javax.sound.sampled` (the audio sibling of [[decodeCompressed]]
+    * — the codec library ships with the JVM): μ-law / a-law WAV,
+    * AIFF, AU. The stream converts to mono PCM16 little-endian and
+    * surfaces as (rate, samples); anything the JDK cannot parse —
+    * or that [[decodeWav]] already handles exactly (plain PCM16) —
+    * returns None here. μ-law output is bit-identical to
+    * [[ulawDecode]] of the stored bytes (G.711), so the lossy round
+    * trip stays oracle-replayable.
+    */
+  private[graft] def decodeWavCompressed(p: Array[Byte]): Option[(Int, Array[Short])] = {
+    // sniff the containers the JDK owns here: RIFF with a non-PCM
+    // format code, AIFF (FORM/AIFF), AU (.snd)
+    val riff = p.length > 20 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+    val aiff = p.length > 12 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M'
+    val au = p.length > 4 && p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'
+    val riffPcm = riff && p(20) == 1 && p(21) == 0 // handled exactly by decodeWav
+    if ((!riff && !aiff && !au) || riffPcm) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      val src = ais.getFormat
+      if (src.getChannels != 1) return None
+      val target = new javax.sound.sampled.AudioFormat(
+        src.getSampleRate, 16, 1, true, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+      val bytes = pcm.readAllBytes()
+      val out = new Array[Short](bytes.length / 2)
+      var j = 0
+      while (j < out.length) {
+        out(j) = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8)).toShort
+        j += 1
+      }
+      Some((src.getSampleRate.toInt, out))
+    } catch { case _: Exception => None }
+  }
+
+  /** The unified audio decode: exact PCM16 parse first, else the JDK
+    * compressed/containered family. */
+  private[graft] def decodeAudioBytes(p: Array[Byte]): Option[(Int, Array[Short])] =
+    decodeWav(p).orElse(decodeWavCompressed(p))
+
+  /** Decode a media table's audio payloads into audio features — the
+    * typed-batch seam over the real parsers (exact PCM16, then the
+    * JDK μ-law/a-law/AIFF/AU family): per clip, sample count,
     * duration (integer ms, floor), peak magnitude, zero-crossing count
     * (strict sign flips — the classic voiced/unvoiced heuristic) and
     * RMS energy (exact long sum of squares, one division, one sqrt).
@@ -449,7 +539,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeWav(r.payload).map { case (rate, s) =>
+        decodeAudioBytes(r.payload).map { case (rate, s) =>
           var sumSq = 0L
           var peak = 0
           var zc = 0L

@@ -2480,6 +2480,72 @@ object LlmQueries {
       |      / n), 6) END AS rms
       |FROM sm ORDER BY doc_id""".stripMargin
 
+  /** μ-law COMPRESSED media: the same text-derived PCM16 samples as
+    * [[wavMedia]], companded through Multimodal.encodeWavUlaw (G.711,
+    * format code 7, half the bytes).
+    */
+  private def ulawMedia(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val samples = t.map(c => (c - 96).toShort).toArray
+        Multimodal.MediaRow(id, "audio/ulaw", 44 + samples.length,
+          Multimodal.encodeWavUlaw(samples, 8000))
+      }.toDF()
+  }
+
+  /** COMPRESSED audio decode (Multimodal.decodeWavCompressed): the
+    * text-derived samples companded to μ-law and decoded back through
+    * the JDK's OWN codec (javax.sound.sampled — no external library),
+    * then featurized like q_mm_audio. The decode is bit-identical to
+    * the G.711 expansion formula, so the oracle replays the LOSSY
+    * round trip exactly: sign/bias/segment/mantissa in integer SQL,
+    * then the same feature tail over the quantized samples — one
+    * mis-companded sample splits the hashes.
+    */
+  val mmAudioUlaw: Q = (s, dir) =>
+    Multimodal.decodeAudio(s, ulawMedia(s, dir)).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), col("zero_crossings"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy("doc_id")
+
+  val mmAudioUlawSql: String =
+    """WITH sm AS (SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text)+1),
+      |      ai -> ascii(substring(text, CAST(ai AS INT), 1)) - 96) AS s0
+      |  FROM documents),
+      |cv AS (SELECT doc_id, n,
+      |    list_transform(s0, sx -> CASE WHEN sx < 0 THEN -1 ELSE 1 END) AS sg,
+      |    list_transform(s0, sx -> least(abs(sx), 32635) + 132) AS vv
+      |  FROM sm),
+      |ce AS (SELECT doc_id, n, sg, vv,
+      |    list_transform(vv, vx -> CASE
+      |      WHEN vx >= 16384 THEN 128 WHEN vx >= 8192 THEN 64
+      |      WHEN vx >= 4096 THEN 32 WHEN vx >= 2048 THEN 16
+      |      WHEN vx >= 1024 THEN 8 WHEN vx >= 512 THEN 4
+      |      WHEN vx >= 256 THEN 2 ELSE 1 END) AS dd
+      |  FROM cv),
+      |rq AS (SELECT doc_id, n,
+      |    list_transform(range(1, CAST(n AS INT) + 1), ri ->
+      |      sg[CAST(ri AS INT)] *
+      |        ((((vv[CAST(ri AS INT)] // (8 * dd[CAST(ri AS INT)])) % 16) * 8 + 132)
+      |          * dd[CAST(ri AS INT)] - 132)) AS s
+      |  FROM ce)
+      |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  (n * 1000) // 8000 AS duration_ms,
+      |  CAST(COALESCE(list_max(list_transform(s, px -> abs(px))), 0) AS INT) AS peak,
+      |  CAST(COALESCE(list_sum(list_transform(range(2, CAST(n AS INT) + 1), zi ->
+      |      CASE WHEN s[CAST(zi AS INT)] <> 0 AND s[CAST(zi - 1 AS INT)] <> 0
+      |        AND ((s[CAST(zi AS INT)] < 0) <> (s[CAST(zi - 1 AS INT)] < 0))
+      |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings,
+      |  CASE WHEN n = 0 THEN 0.0
+      |    ELSE round(sqrt(CAST(list_sum(list_transform(s, qx -> qx * qx)) AS DOUBLE)
+      |      / n), 6) END AS rms
+      |FROM rq ORDER BY doc_id""".stripMargin
+
   /** Audio → embedding bridge (Multimodal.audioSemanticDedup): real
     * WAV decode → 16-segment amplitude profiles → SemDeDup over the
     * clip vectors — the audio twin of q_mm_neardup, under the shared
@@ -4835,6 +4901,7 @@ object LlmQueries {
     "q_mm_image" -> mmImage,
     "q_mm_image_png" -> mmImagePng,
     "q_mm_audio" -> mmAudio,
+    "q_mm_audio_ulaw" -> mmAudioUlaw,
     "q_mm_audio_neardup" -> mmAudioNearDup,
     "q_mm_frames" -> mmFrames,
     "q_mm_neardup" -> mmNearDup,
@@ -4967,6 +5034,7 @@ object LlmQueries {
     "q_mm_image" -> mmImageSql,
     "q_mm_image_png" -> mmImagePngSql,
     "q_mm_audio" -> mmAudioSql,
+    "q_mm_audio_ulaw" -> mmAudioUlawSql,
     "q_mm_audio_neardup" -> mmAudioNearDupSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_neardup" -> mmNearDupSql,

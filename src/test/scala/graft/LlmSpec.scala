@@ -818,6 +818,46 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeCompressed(Array.empty[Byte]).isEmpty)
   }
 
+  test("mu-law codec: JDK decode == G.711 formula; AIFF decodes; corruption rejects") {
+    import graft.llm.Multimodal
+    val samples = Array[Short](0, 1, -1, 100, -100, 1000, -1000, 8000, -8000,
+      30000, -30000, 32767, -32768)
+    val wav = Multimodal.encodeWavUlaw(samples, 8000)
+    // the JDK's ULAW codec must land on EXACTLY the standard expansion
+    val Some((rate, got)) = Multimodal.decodeWavCompressed(wav)
+    assert(rate == 8000)
+    assert(got.toSeq == samples.map(s =>
+      Multimodal.ulawDecode(Multimodal.ulawEncode(s))).toSeq,
+      s"JDK mu-law decode must equal the G.711 formula, got ${got.toSeq}")
+    // quantization error is logarithmically bounded (lossy but sane)
+    samples.zip(got).foreach { case (orig, dec) =>
+      assert(math.abs(orig - dec) <= math.max(math.abs(orig.toInt) / 16, 132),
+        s"$orig -> $dec exceeds the mu-law error envelope")
+    }
+    // plain-PCM payloads are NOT this path's business (decodeWav owns them)
+    assert(Multimodal.decodeWavCompressed(
+      Multimodal.encodeWav(samples, 8000)).isEmpty)
+    // but the unified entry point routes both
+    assert(Multimodal.decodeAudioBytes(Multimodal.encodeWav(samples, 8000))
+      .exists(_._2.toSeq == samples.toSeq))
+    assert(Multimodal.decodeAudioBytes(wav).nonEmpty)
+    // AIFF through the same JDK seam: PCM16 round-trips exactly
+    val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val frameBytes = samples.flatMap(s =>
+      Array(((s >> 8) & 0xff).toByte, (s & 0xff).toByte))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(frameBytes), pcmFmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    assert(Multimodal.decodeWavCompressed(bos.toByteArray)
+      .exists(_._2.toSeq == samples.toSeq), "AIFF PCM16 must round-trip exactly")
+    // corruption quarantines, never throws
+    assert(Multimodal.decodeWavCompressed(wav.take(30)).isEmpty)
+    assert(Multimodal.decodeWavCompressed("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWavCompressed(Array.empty[Byte]).isEmpty)
+  }
+
   test("rougeN: clipped bigram overlap, hand-computed P/R/F1, short-side NULLs") {
     import spark.implicits._
     // cand "a b a b": {a b: 2, b a: 1} (3 grams); ref "a b c a":
