@@ -187,6 +187,85 @@ object RollingFp {
   }
 }
 
+/** ROBUST WINNOWING (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
+  * Local Algorithms for Document Fingerprinting" — the MOSS
+  * algorithm): the window-minimum fingerprint selection with the
+  * GUARANTEE mod-sampling ([[RollingFp]]) lacks — any shared
+  * substring of length ≥ gram + window − 1 contributes at least one
+  * shared fingerprint, and no shared fingerprint arises from matches
+  * shorter than gram. Rolling O(1) hash update plus a monotone deque
+  * gives O(n) per doc; output = sorted distinct window-min hashes
+  * (tie POSITION choice never changes the selected VALUE, so the
+  * distinct-hash set is tie-rule-free and exactly SQL-replayable via
+  * per-window `list_min`). Texts with fewer grams than the window
+  * still emit their overall minimum (≥ 1 fingerprint whenever ≥ 1
+  * gram exists); texts shorter than gram emit none.
+  */
+object Winnow {
+  def eval(u: UTF8String, gram: Int, window: Int): ArrayData = {
+    val p = StrHash.P
+    val s = u.toString
+    val n = s.length
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (n >= gram) {
+      val m = n - gram + 1
+      val hs = new Array[Long](m)
+      var pow = 1L
+      var e = 0
+      while (e < gram - 1) { pow = (pow * 31) % p; e += 1 }
+      var h = 0L
+      var i = 0
+      while (i < gram) { h = (h * 31 + s.charAt(i)) % p; i += 1 }
+      hs(0) = h
+      while (i < n) {
+        val outc = s.charAt(i - gram)
+        h = (((h - outc * pow) % p + p) % p * 31 + s.charAt(i)) % p
+        hs(i - gram + 1) = h
+        i += 1
+      }
+      if (m <= window) {
+        var mn = hs(0)
+        var j = 1
+        while (j < m) { if (hs(j) < mn) mn = hs(j); j += 1 }
+        out.add(mn)
+      } else {
+        // monotone deque of indices with increasing hash values
+        val dq = new Array[Int](m)
+        var head = 0
+        var tail = 0
+        var j = 0
+        while (j < m) {
+          while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+          dq(tail) = j
+          tail += 1
+          if (dq(head) <= j - window) head += 1
+          if (j >= window - 1) out.add(hs(dq(head)))
+          j += 1
+        }
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** `winnow(text, gram, window)` as a codegen-capable expression. */
+case class WinnowFingerprints(child: Expression, gram: Int, window: Int)
+    extends UnaryExpression with StringInputCheck {
+  require(gram >= 1 && window >= 1, s"gram/window must be >= 1, got $gram/$window")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Winnow.eval(input.asInstanceOf[UTF8String], gram, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Winnow.eval($c, $gram, $window)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow"
+}
+
 case class RollingFpHashes(child: Expression, gram: Int, mod: Long)
     extends UnaryExpression with StringInputCheck {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -787,4 +787,65 @@ object Dedup {
         col("group_a"), col("group_b"), col("shared"), col("n_a"), col("n_b"),
         (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
   }
+
+  /** Per-doc robust-winnowing fingerprints
+    * ([[graft.functions.Winnow]] — the MOSS algorithm): one row per
+    * (doc, fingerprint hash), distinct and position-free. The
+    * guarantee the mod-sampled [[graft.llm.TextOps.fingerprint]]
+    * lacks: any shared substring of length ≥ gram + window − 1 shares
+    * at least one fingerprint.
+    */
+  def winnowed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gram: Int = 8,
+      window: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val fps = Bridge.column(graft.functions.WinnowFingerprints(
+      Bridge.expression(col(textCol)), gram, window))
+    docs.select(col(idCol).as("doc"), explode(fps).as("fp"))
+  }
+
+  /** MOSS-style overlap report: doc pairs sharing ≥ `minShared`
+    * winnowed fingerprints, with the shared count — the
+    * substring-level near-dup detector whose matches carry the
+    * winnowing length guarantee (exact and near dedup both miss a
+    * long copied passage inside otherwise-distinct docs; spanDuplication
+    * measures the fraction, this reports WHICH pairs share it).
+    *
+    * Scale shape: fingerprints explode to (doc, fp) rows — ~2/(w+1)
+    * of gram positions per doc — behind one checkpoint feeding both
+    * join sides and the frequency cap; `maxDf` drops boilerplate
+    * fingerprints appearing in more than that many docs BEFORE the
+    * pair join (the pmiPairs hub cap: a corpus-wide header would
+    * otherwise quadratically explode one fingerprint's bucket); the
+    * pair join is fp-keyed with map-side-combined pair counts. No
+    * broadcast hints — both sides are corpus-sized.
+    */
+  def winnowedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gram: Int = 8,
+      window: Int = 4,
+      minShared: Int = 2,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1 and maxDf >= 2, got $minShared/$maxDf")
+    val fp = winnowed(docs, idCol, textCol, gram, window)
+      .localCheckpoint(false) // feeds the cap AND both pair sides
+    val kept = fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf)
+        .select(col("fp")),
+      Seq("fp"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

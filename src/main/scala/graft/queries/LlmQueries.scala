@@ -151,6 +151,43 @@ object LlmQueries {
     s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, est_jaccard FROM mh ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MOSS-style winnowed-fingerprint overlap (Dedup.winnowedPairs):
+    * doc pairs sharing ≥ 3 robust-winnowing fingerprints (gram 16,
+    * window 8 — any shared substring of ≥ 23 chars leaves at least
+    * one shared fingerprint), boilerplate fingerprints df-capped at
+    * 25 docs before the pair join (parameters measured sparse on this
+    * corpus: 277 pairs at sf0.01 vs 95k/124k at gram 8 / cap 100 —
+    * the dense-graph check the repo's pair operators require). The oracle replays the rolling
+    * gram hashes, the per-window list_min selection (position-free:
+    * tie choice never changes the selected VALUE), the cap, and the
+    * pair counts.
+    */
+  val winnowPairs: Q = (s, dir) =>
+    Dedup.winnowedPairs(Tables.documents(s, dir), "doc_id", "text",
+        gram = 16, window = 8, minShared = 3, maxDf = 25L)
+      .orderBy("doc_a", "doc_b")
+
+  val winnowPairsSql: String =
+    s"""WITH wt AS (SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE length(text) >= 16),
+       |hsq AS (SELECT doc_id, len - 15 AS m,
+       |    list_transform(range(1, len - 14),
+       |      gi -> ${strhashSql("substring(text, CAST(gi AS INT), 16)", "w")}) AS hs
+       |  FROM wt),
+       |fpl AS (SELECT doc_id,
+       |    CASE WHEN m <= 8 THEN [list_min(hs)]
+       |         ELSE list_distinct(list_transform(range(1, m - 6), wi ->
+       |           list_min(list_slice(hs, CAST(wi AS INT), CAST(wi + 7 AS INT))))) END AS fps
+       |  FROM hsq),
+       |fp AS (SELECT doc_id, unnest(fps) AS f FROM fpl),
+       |capped AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 25),
+       |kept AS (SELECT fp.doc_id, fp.f FROM fp JOIN capped ON capped.f = fp.f)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared_fps
+       |FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup clusters: connected components over the minhash pairs.
     * Mirrors Dedup.connectedComponents via a recursive transitive
     * closure — component(v) = min id reachable from v (incl. v).
@@ -4845,6 +4882,7 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_winnow_pairs" -> winnowPairs,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_canonical" -> dedupCanonical,
     "q_dedup_simhash" -> dedupSimhash,
@@ -4978,6 +5016,7 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_winnow_pairs" -> winnowPairsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_canonical" -> dedupCanonicalSql,
     "q_dedup_simhash" -> dedupSimhashSql,

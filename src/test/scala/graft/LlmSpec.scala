@@ -818,6 +818,54 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeCompressed(Array.empty[Byte]).isEmpty)
   }
 
+  test("winnowing: window-min selection, the length guarantee, hub cap, edges") {
+    import graft.llm.Dedup
+    import org.apache.spark.unsafe.types.UTF8String
+    def fps(t: String, g: Int, w: Int): Seq[Long] =
+      graft.functions.Winnow.eval(UTF8String.fromString(t), g, w)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toLongArray().toSeq
+    def strh(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c) % graft.functions.StrHash.P)
+    // brute replica: hash every gram, take each window's min, distinct+sort
+    def brute(t: String, g: Int, w: Int): Seq[Long] = {
+      if (t.length < g) return Seq.empty
+      val hs = (0 to t.length - g).map(i => strh(t.substring(i, i + g)))
+      val sel = if (hs.length <= w) Seq(hs.min)
+        else (0 to hs.length - w).map(i => hs.slice(i, i + w).min)
+      sel.distinct.sorted
+    }
+    for (t <- Seq("abcdefghijklmno", "the quick brown fox jumps", "aaaaaaaaaa", "xyxyxyxyxyxy");
+         (g, w) <- Seq((4, 3), (5, 4), (8, 4)))
+      assert(fps(t, g, w) == brute(t, g, w), s"deque ≠ brute for '$t' g=$g w=$w")
+    // edges: shorter than gram → none; fewer grams than window → the one overall min
+    assert(fps("abc", 8, 4).isEmpty)
+    assert(fps("abcdefghij", 8, 4) == brute("abcdefghij", 8, 4) && fps("abcdefghij", 8, 4).size == 1)
+    // the winnowing GUARANTEE: docs sharing a substring of length >=
+    // gram + window - 1 share at least one fingerprint
+    val shared = "UNIQUESHAREDRUN"                      // 15 = 8 + 8 - 1 with g=8 w=8
+    val a = "left padding here " + shared + " tail one"
+    val b = "totally different prefix " + shared + " other end"
+    assert(fps(a, 8, 8).toSet.intersect(fps(b, 8, 8).toSet).nonEmpty,
+      "shared >= g+w-1 substring must share a fingerprint")
+    // winnowedPairs: the sharing pair surfaces; the hub cap drops a
+    // boilerplate run present in EVERY doc
+    import spark.implicits._
+    val boiler = " COMMONFOOTERRUNS"
+    val docs = Seq((1L, a + boiler), (2L, b + boiler),
+      (3L, "nothing in common with those" + boiler)).toDF("doc_id", "text")
+    val capped = Dedup.winnowedPairs(docs, "doc_id", "text",
+        gram = 8, window = 8, minShared = 1, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      s"df-3 boilerplate fingerprints must be capped out, got $capped")
+    val uncapped = Dedup.winnowedPairs(docs, "doc_id", "text",
+        gram = 8, window = 8, minShared = 1, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"uncapped boilerplate links every pair, got $uncapped")
+  }
+
   test("mu-law codec: JDK decode == G.711 formula; AIFF decodes; corruption rejects") {
     import graft.llm.Multimodal
     val samples = Array[Short](0, 1, -1, 100, -100, 1000, -1000, 8000, -8000,
