@@ -61,6 +61,12 @@ object GraftFunctions {
         (es: Seq[Expression]) => AsciiAlphaCount(es.head)
       ),
       (
+        FunctionIdentifier("graft_winnow"),
+        new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+        (es: Seq[Expression]) =>
+          WinnowFingerprints(es(0), intLit(es(1), "gram width"), intLit(es(2), "window"))
+      ),
+      (
         // the library's standard MinHash parameters, so a SQL-computed
         // signature joins against signatures the Scala operators persist
         FunctionIdentifier("graft_minhash_sig"),

@@ -2706,6 +2706,21 @@ object LlmQueries {
         gridW = MmGrid, gridH = MmGrid)
       .orderBy("vid")
 
+  /** The COMPRESSED-decode embedding bridge: the identical raster
+    * family as q_mm_neardup but stored as real PNGs and decoded
+    * through the JDK codec ([[Multimodal.decodeCompressedPooled]]).
+    * PNG is lossless and the RGB-tripled pooled means equal the
+    * grayscale ones exactly (3s/3n ≡ s/n — correctly-rounded division
+    * of exactly representable operands), so the whole chain shares
+    * q_mm_neardup's oracle VERBATIM — the end-to-end proof that a
+    * compressed corpus feeds SemDeDup bit-identically.
+    */
+  val mmNearDupPng: Q = (s, dir) =>
+    Multimodal.imageSemanticDedup(s, pngMedia(s, dir, minChars = 16 * MmGrid),
+        minCosine = MmNearDupCosine, numCentroids = MmNearDupCentroids,
+        gridW = MmGrid, gridH = MmGrid)
+      .orderBy("vid")
+
   /** The semanticDedup replay (normalize → hash-sampled centroids →
     * cell assignment → within-cell drop) over any `vecs(vec_id, v)`
     * CTE — shared by the image and audio embedding bridges.
@@ -4943,6 +4958,7 @@ object LlmQueries {
     "q_mm_audio_neardup" -> mmAudioNearDup,
     "q_mm_frames" -> mmFrames,
     "q_mm_neardup" -> mmNearDup,
+    "q_mm_neardup_png" -> mmNearDupPng,
     "q_dup_spans" -> dupSpans,
     "q_span_removal" -> spanRemoval,
     "q_span_removal_runs" -> spanRemovalRuns,
@@ -5077,6 +5093,7 @@ object LlmQueries {
     "q_mm_audio_neardup" -> mmAudioNearDupSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_neardup" -> mmNearDupSql,
+    "q_mm_neardup_png" -> mmNearDupSql,
     "q_dup_spans" -> dupSpansSql,
     "q_span_removal" -> spanRemovalSql,
     "q_span_removal_runs" -> spanRemovalRunsSql,

@@ -38,6 +38,8 @@ class LlmSpec extends SparkSpec {
       .as[Long].head() >= 0L)
     assert(spark.sql("SELECT size(graft_rolling_fp('abcdefghij', 8, 1)) AS n")
       .as[Int].head() == 3) // 3 distinct 8-grams, mod 1 keeps all
+    assert(spark.sql("SELECT size(graft_winnow('abcdefghij', 8, 4)) AS n")
+      .as[Int].head() == 1) // 3 grams < window 4 -> the one overall min
   }
 
   test("exact dedup groups identical texts") {

@@ -827,6 +827,15 @@ class PlanSpec extends SparkSpec {
       "src", "dst"))
     assert(!tri.contains("NestedLoopJoin") && !tri.contains("CartesianProduct"),
       s"wedge and closing joins must be equi-joins:\n$tri")
+    // winnowedPairs: the fp-keyed pair join with the df cap — equi-join
+    // only, no broadcast hints (both sides corpus-sized), pair counts
+    // partial-combined below their exchange
+    val wp = planOf(graft.llm.Dedup.winnowedPairs(
+      Tables.documents(spark, dir), "doc_id", "text"))
+    assert(!wp.contains("NestedLoopJoin") && !wp.contains("CartesianProduct"),
+      s"winnow pairs must ride the fp equi-join:\n$wp")
+    assert(wp.contains("partial_count"),
+      s"pair counts must partial-combine below the exchange:\n$wp")
   }
 
   test("TextIndex.probeAll: one pruned scan per root, not per query") {
