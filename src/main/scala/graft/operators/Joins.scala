@@ -140,6 +140,86 @@ object Joins {
       .drop(rv, ir, ordc)
   }
 
+  /** One point-in-time feature timeline for [[trainingSet]]: `df` must
+    * carry the spine's key column (same name), an ordinal column `ord`,
+    * and the feature value `value`; the assembled training set exposes
+    * it as column `name`.
+    */
+  final case class FeatureTimeline(df: DataFrame, ord: String, value: String, name: String)
+
+  /** Training-set assembly — the feature store's historical-features
+    * query (the batch counterpart of the reference's point/bulk serving
+    * path, ralf/table.py:150-206, fed by the LeftJoin feature tables of
+    * ralf/operators/join.py:10-63): every spine (label) record is
+    * enriched with N features, each the latest value of its OWN
+    * independently-updating timeline at-or-before the spine record's
+    * ordinal. Point-in-time correctness per timeline is exactly
+    * [[asOfJoin]]'s — no future leakage into any feature column.
+    *
+    * Scale shape: folding [[asOfJoin]] N times would cost N shuffles
+    * and N window passes over an ever-wider spine. Instead ALL
+    * timelines union with the spine in one pass — each contributes its
+    * value in its own staged column, null elsewhere — so the plan is
+    * ONE hash partition on the key, ONE in-partition sort on
+    * (ord, side), and ONE WindowExec evaluating the N running
+    * last-non-null frames together (constant state per frame). Shuffle
+    * is O(spine + Σ timelines) rows regardless of N, and no join
+    * operator appears at all.
+    *
+    * Tie semantics match [[asOfJoin]]: a feature record AT the spine
+    * ordinal is visible (features sort before spine rows at equal ord).
+    * Feature names must be distinct and must not collide with spine
+    * columns; each timeline needs at most one record per (key, ord) —
+    * two same-ord records of one timeline have no defined order.
+    */
+  def trainingSet(
+      spine: DataFrame,
+      key: String,
+      spineOrd: String,
+      features: Seq[FeatureTimeline]
+  ): DataFrame = {
+    require(features.nonEmpty, "trainingSet needs at least one feature timeline")
+    val names = features.map(_.name)
+    require(names.distinct == names, s"duplicate feature names: $names")
+    val spineCols = spine.columns
+    names.foreach { n =>
+      require(!spineCols.contains(n), s"feature name '$n' collides with a spine column")
+    }
+    val ir = graft.core.Names.fresh(spineCols.toSeq ++ names, "_ir")
+    val ordc = graft.core.Names.fresh(spineCols.toSeq ++ names :+ ir, "_ord")
+    val ordType = features.foldLeft(spine.schema(spineOrd).dataType) { (t, f) =>
+      widerOrdType(t, f.df.schema(f.ord).dataType)
+    }
+    val valueType: Map[String, org.apache.spark.sql.types.DataType] =
+      features.map(f => f.name -> f.df.schema(f.value).dataType).toMap
+    val spineSide = spine.select(
+      spineCols.map(col).toSeq ++
+        names.map(n => lit(null).cast(valueType(n)).as(n)) ++
+        Seq(lit(0).as(ir), col(spineOrd).cast(ordType).as(ordc)): _*)
+    val featureSides = features.map { f =>
+      f.df.select(
+        spineCols.map {
+          case c if c == key => col(key)
+          case c => lit(null).cast(spine.schema(c).dataType).as(c)
+        }.toSeq ++
+          names.map {
+            case n if n == f.name => col(f.value).as(n)
+            case n => lit(null).cast(valueType(n)).as(n)
+          } ++
+          Seq(lit(1).as(ir), col(f.ord).cast(ordType).as(ordc)): _*)
+    }
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ordc).asc, col(ir).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    featureSides.foldLeft(spineSide)(_ unionByName _)
+      .select(
+        spineCols.map(col).toSeq ++
+          names.map(n => last(col(n), ignoreNulls = true).over(w).as(n)) :+
+          col(ir): _*)
+      .filter(col(ir) === 0)
+      .drop(ir)
+  }
+
   /** Bucketed range join: pair left rows (point `ordCol`) with right
     * rows (interval `[startCol, endCol]`, inclusive) sharing `key`,
     * where `start <= ord <= end` — the attribution-window /

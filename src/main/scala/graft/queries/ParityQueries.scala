@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -397,6 +398,71 @@ object ParityQueries {
       "user_id", "event_id", "p_ord", "p_value", asOfCol = "last_purchase")
       .orderBy("user_id", "event_id")
   }
+
+  /** Training-set assembly ([[Joins.trainingSet]]): every purchase
+    * (the label spine) enriched with three point-in-time features from
+    * independently-updating timelines — the latest view value, the
+    * latest click value, and the user's running event count (a DERIVED
+    * timeline the engine computes first) — all as-of the purchase, in
+    * ONE shuffle + ONE window pass. The oracle mirrors the
+    * union + per-column running last-non-null formulation; values pass
+    * through untouched, so the frame is bit-exact. The activity
+    * timeline has a row AT the purchase ordinal (the purchase is
+    * itself an event), and features at the spine ordinal are visible,
+    * so f_activity counts events INCLUDING the purchase.
+    */
+  val trainingSet: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "event_type", "value")
+    val spine = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value").as("label"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("ord"), col("value").as("v"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("ord"), col("value").as("v"))
+    val activity = e.select(col("user_id"), col("event_id").as("ord"),
+      count(lit(1)).over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("n"))
+    Joins.trainingSet(spine, "user_id", "event_id", Seq(
+        Joins.FeatureTimeline(views, "ord", "v", "f_last_view"),
+        Joins.FeatureTimeline(clicks, "ord", "v", "f_last_click"),
+        Joins.FeatureTimeline(activity, "ord", "n", "f_activity")))
+      .orderBy("user_id", "event_id")
+  }
+
+  val trainingSetSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value FROM events),
+      |act AS (
+      |  SELECT user_id, event_id,
+      |    count(*) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      |  FROM e),
+      |u AS (
+      |  SELECT user_id, event_id, value AS label, event_id AS ord, 0 AS ir,
+      |    CAST(NULL AS DOUBLE) AS f_last_view,
+      |    CAST(NULL AS DOUBLE) AS f_last_click,
+      |    CAST(NULL AS BIGINT) AS f_activity
+      |  FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id, 1,
+      |    value, NULL, NULL FROM e WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, NULL, NULL, event_id, 1,
+      |    NULL, value, NULL FROM e WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, NULL, NULL, event_id, 1,
+      |    NULL, NULL, n FROM act),
+      |w AS (
+      |  SELECT user_id, event_id, label, ir,
+      |    last_value(f_last_view IGNORE NULLS) OVER win AS f_last_view,
+      |    last_value(f_last_click IGNORE NULLS) OVER win AS f_last_click,
+      |    last_value(f_activity IGNORE NULLS) OVER win AS f_activity
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ord ASC, ir DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, label, f_last_view, f_last_click, f_activity
+      |FROM w WHERE ir = 0
+      |ORDER BY user_id, event_id""".stripMargin
 
   /** Bucketed range join (Joins.rangeJoin): the attribution-window
     * query — every event landing in the 50-id window after a same-user
@@ -1364,6 +1430,7 @@ object ParityQueries {
     "q_sequence_join" -> sequenceJoin,
     "q_dim_join" -> dimJoin,
     "q_asof_join" -> asofJoin,
+    "q_training_set" -> trainingSet,
     "q_range_join" -> rangeJoin,
     "q_interval_join" -> intervalJoin,
     "q_zorder_stats" -> zorderStats,
@@ -1419,6 +1486,7 @@ object ParityQueries {
     "q_sequence_join" -> sequenceJoinSql,
     "q_dim_join" -> dimJoinSql,
     "q_asof_join" -> asofJoinSql,
+    "q_training_set" -> trainingSetSql,
     "q_range_join" -> rangeJoinSql,
     "q_interval_join" -> intervalJoinSql,
     "q_zorder_stats" -> zorderStatsSql,

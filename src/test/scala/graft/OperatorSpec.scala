@@ -369,6 +369,50 @@ class OperatorSpec extends SparkSpec {
       ("b", 2L, None)))       // other keys' rights invisible
   }
 
+  test("trainingSet: N timelines in one pass ≡ folding asOfJoin per feature") {
+    val rnd = new scala.util.Random(41)
+    val keys = Seq("a", "b", "c")
+    val spine = (1 to 40).map(i => (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, i))
+      .toDF("key", "ord", "label")
+    val tls = (0 until 3).map { f =>
+      // distinct ords per (key, timeline): at most one record per (key, ord)
+      (0 until 50).flatMap { o =>
+        keys.collect { case k if rnd.nextBoolean() => (k, o.toLong, rnd.nextInt(1000).toDouble) }
+      }.toDF("key", "ord", "v")
+    }
+    val names = Seq("f0", "f1", "f2")
+    val got = Joins.trainingSet(spine, "key", "ord",
+      tls.zip(names).map { case (df, n) => Joins.FeatureTimeline(df, "ord", "v", n) })
+    val want = tls.zip(names).foldLeft(spine) { case (acc, (df, n)) =>
+      Joins.asOfJoin(acc, df, "key", "ord", "ord", "v", asOfCol = n)
+    }
+    val key = (r: org.apache.spark.sql.Row) => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) null else r.get(i)).mkString("|")
+    assert(got.collect().map(key).sorted.toList
+      == want.select(got.columns.map(col).toIndexedSeq: _*).collect().map(key).sorted.toList)
+  }
+
+  test("trainingSet: same-ord features visible, no leakage, loud name collisions") {
+    val spine = Seq(("a", 5L, 1.0)).toDF("key", "ord", "label")
+    val f = Seq(("a", 5L, 10.0), ("a", 6L, 99.0)).toDF("key", "ord", "v")
+    val out = Joins.trainingSet(spine, "key", "ord",
+      Seq(Joins.FeatureTimeline(f, "ord", "v", "feat"))).collect()
+    assert(out.map(r => r.getDouble(3)).toList == List(10.0),
+      "a feature AT the spine ordinal is visible; the future one is not")
+    intercept[IllegalArgumentException] {
+      Joins.trainingSet(spine, "key", "ord",
+        Seq(Joins.FeatureTimeline(f, "ord", "v", "label")))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.trainingSet(spine, "key", "ord", Seq(
+        Joins.FeatureTimeline(f, "ord", "v", "feat"),
+        Joins.FeatureTimeline(f, "ord", "v", "feat")))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.trainingSet(spine, "key", "ord", Nil)
+    }
+  }
+
   test("processing-order traces: fifo asc, lifo desc, last_completed by complete time") {
     // counter-source shape of the reference's LIFO e2e
     // (ralf/tests/test_e2e.py:96-115): values 1..10. The reference

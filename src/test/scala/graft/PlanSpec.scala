@@ -838,6 +838,25 @@ class PlanSpec extends SparkSpec {
       s"pair counts must partial-combine below the exchange:\n$wp")
   }
 
+  test("trainingSet: N features ride ONE window pass — no join, one window exec") {
+    import spark.implicits._
+    val spine = Seq(("a", 5L, 1.0)).toDF("key", "ord", "label")
+    val f1 = Seq(("a", 1L, 1.0)).toDF("key", "ord", "v")
+    val f2 = Seq(("a", 2L, 2.0)).toDF("key", "ord", "v")
+    val df = graft.operators.Joins.trainingSet(spine, "key", "ord", Seq(
+      graft.operators.Joins.FeatureTimeline(f1, "ord", "v", "fa"),
+      graft.operators.Joins.FeatureTimeline(f2, "ord", "v", "fb")))
+    df.collect()
+    // AQE's toString prints the Final AND Initial plans — pin the final
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"trainingSet must plan no join operator:\n$plan")
+    val windowLines = plan.split("\n").filter(_.contains("Window ["))
+    assert(windowLines.length == 1,
+      s"all feature frames must share ONE WindowExec:\n$plan")
+    assert(windowLines.head.contains("fa") && windowLines.head.contains("fb"),
+      s"both features must be expressions of the one window:\n${windowLines.head}")
+  }
+
   test("TextIndex.probeAll: one pruned scan per root, not per query") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("graft-ti-multi-plan").toString
