@@ -49,4 +49,55 @@ object Upsert {
   /** Bulk query: all current values (reference: ralf/table.py:193-206). */
   def bulkQuery(featureTable: DataFrame, key: String): DataFrame =
     featureTable.orderBy(col(key))
+
+  /** SCD2 history materialization: turn the update log the reference's
+    * tables consume one record at a time (ralf/operator.py:236-259 —
+    * each update overwrites its key's state) into the full row-level
+    * version history: one `[valid_from, valid_to)` interval per
+    * DISTINCT consecutive value of each key. No-change updates collapse
+    * into their predecessor's interval (true slowly-changing-dimension
+    * semantics); the current version carries `valid_to = NULL`.
+    *
+    * Plan: one hash partition on `key`, one (key, ord) sort, then TWO
+    * window passes over the SAME spec — `lag(value)` marks change rows,
+    * and after the change filter `lead(ord)` closes each interval.
+    * The filter preserves distribution and ordering, so the second
+    * WindowExec plans with no new exchange and no new sort: the whole
+    * history is ONE shuffle of the update log regardless of key count
+    * or update rate.
+    *
+    * PRECONDITION: `ord` unique per key (the upsert log contract).
+    */
+  def history(updates: DataFrame, key: String, ord: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(valueCols.nonEmpty, "history needs at least one value column")
+    val cols = updates.columns
+    Seq("valid_from", "valid_to").foreach { n =>
+      require(!cols.contains(n), s"updates already has a '$n' column")
+    }
+    val chg = graft.core.Names.fresh(cols.toSeq, "_chg")
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+    val packed = struct(valueCols.map(col): _*)
+    // struct() is never NULL, so the null-safe inequality marks each
+    // key's first row (lag NULL) as a change with no extra guard
+    updates
+      .withColumn(chg, !(packed <=> lag(packed, 1).over(w)))
+      .filter(col(chg))
+      .select(
+        (col(key) +: valueCols.map(col)) ++ Seq(
+          col(ord).as("valid_from"),
+          lead(col(ord), 1).over(w).as("valid_to")): _*)
+  }
+
+  /** Time-travel lookup against a [[history]] frame: the feature table
+    * exactly as it stood at `at` — rows whose interval covers `at`
+    * (`valid_from <= at < valid_to`, the open current version covering
+    * everything since its `valid_from`). Equivalent to
+    * `latest(updates.filter(ord <= at))` by construction, without
+    * re-reducing the log: against a history PERSISTED with
+    * `valid_from` range layout this is a pruned scan, not an aggregate.
+    */
+  def asAt(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
 }

@@ -79,6 +79,54 @@ object ParityQueries {
       |  count(*) AS num_updates
       |FROM events WHERE user_id = 7 GROUP BY user_id""".stripMargin
 
+  /** SCD2 feature history ([[Upsert.history]]): every user's
+    * event_type version intervals — consecutive same-type updates
+    * collapse into one `[valid_from, valid_to)` row, the open current
+    * version carries NULL. One shuffle, two windows sharing the
+    * exchange+sort (plan-pinned). The oracle states the identical
+    * lag-change-filter → lead-close formulation.
+    */
+  val featureHistory: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "event_type")
+    Upsert.history(e, "user_id", "event_id", Seq("event_type"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val featureHistorySql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, event_type, event_id AS valid_from,
+      |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+      |FROM s WHERE event_type IS DISTINCT FROM prev
+      |ORDER BY user_id, valid_from""".stripMargin
+
+  /** Time travel against the SCD2 history ([[Upsert.asAt]]): the
+    * feature table exactly as it stood at ord 500 — one interval row
+    * per user active by then. asAt(history, t) ≡ latest(log ≤ t) by
+    * construction (OperatorSpec pins the equivalence); on a history
+    * persisted with valid_from range layout it is a pruned scan.
+    */
+  val featureAsAt: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id", "event_type")
+    Upsert.asAt(Upsert.history(e, "user_id", "event_id", Seq("event_type")), lit(500L))
+      .orderBy("user_id")
+  }
+
+  val featureAsAtSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM events),
+      |h AS (
+      |  SELECT user_id, event_type, event_id AS valid_from,
+      |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+      |  FROM s WHERE event_type IS DISTINCT FROM prev)
+      |SELECT user_id, event_type, valid_from, valid_to
+      |FROM h WHERE valid_from <= 500 AND (valid_to IS NULL OR 500 < valid_to)
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ windows
 
   /** SURVEY §2.1 #4: per-key count-based tumbling window (size 4),
@@ -1418,6 +1466,8 @@ object ParityQueries {
   val queries: Map[String, Q] = Map(
     "q_map_feature" -> mapFeature,
     "q_latest_feature" -> latestFeature,
+    "q_feature_history" -> featureHistory,
+    "q_feature_as_at" -> featureAsAt,
     "q_point_query" -> pointQuery,
     "q_tumbling_window" -> tumblingWindow,
     "q_sliding_window" -> slidingWindow,
@@ -1474,6 +1524,8 @@ object ParityQueries {
   val oracleSql: Map[String, String] = Map(
     "q_map_feature" -> mapFeatureSql,
     "q_latest_feature" -> latestFeatureSql,
+    "q_feature_history" -> featureHistorySql,
+    "q_feature_as_at" -> featureAsAtSql,
     "q_point_query" -> pointQuerySql,
     "q_tumbling_window" -> tumblingWindowSql,
     "q_sliding_window" -> slidingWindowSql,

@@ -413,6 +413,40 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("Upsert.history: consecutive no-change updates collapse, current version open") {
+    val log = Seq(
+      ("a", 1L, "x"), ("a", 2L, "x"), ("a", 3L, "y"), ("a", 4L, "y"), ("a", 5L, "x"),
+      ("b", 7L, "z")).toDF("key", "ord", "v")
+    val h = Upsert.history(log, "key", "ord", Seq("v")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(h == Set(
+      ("a", "x", 1L, Some(3L)),  // 2 collapsed into [1, 3)
+      ("a", "y", 3L, Some(5L)),
+      ("a", "x", 5L, None),      // value recurrence reopens a NEW interval
+      ("b", "z", 7L, None)))
+    intercept[IllegalArgumentException] {
+      Upsert.history(log, "key", "ord", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.history(log.withColumnRenamed("v", "valid_from"), "key", "ord", Seq("valid_from"))
+    }
+  }
+
+  test("Upsert.asAt(history, t) ≡ latest over the log truncated at t") {
+    val rnd = new scala.util.Random(43)
+    val log = (1 to 200).map { i =>
+      (("k" + rnd.nextInt(5)), i.toLong, ("v" + rnd.nextInt(3)))
+    }.toDF("key", "ord", "v")
+    for (t <- Seq(0L, 1L, 57L, 200L)) {
+      val viaHistory = Upsert.asAt(Upsert.history(log, "key", "ord", Seq("v")), lit(t))
+        .select("key", "v").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val viaLatest = Upsert.latest(log.filter(col("ord") <= t), "key", col("ord"))
+        .select("key", "v").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(viaHistory == viaLatest, s"diverged at t=$t")
+    }
+  }
+
   test("processing-order traces: fifo asc, lifo desc, last_completed by complete time") {
     // counter-source shape of the reference's LIFO e2e
     // (ralf/tests/test_e2e.py:96-115): values 1..10. The reference

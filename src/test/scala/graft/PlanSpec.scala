@@ -857,6 +857,21 @@ class PlanSpec extends SparkSpec {
       s"both features must be expressions of the one window:\n${windowLines.head}")
   }
 
+  test("Upsert.history: both windows share ONE exchange and ONE sort") {
+    import spark.implicits._
+    val log = Seq(("a", 1L, "x"), ("a", 2L, "y")).toDF("key", "ord", "v")
+    val df = graft.operators.Upsert.history(log, "key", "ord", Seq("v"))
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val lines = plan.split("\n")
+    assert(lines.count(_.contains("Window [")) == 2,
+      s"lag-change and lead-close are two window passes:\n$plan")
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"the change filter preserves distribution — ONE shuffle only:\n$plan")
+    assert(lines.count(_.contains("Sort [")) == 1,
+      s"the change filter preserves ordering — ONE sort only:\n$plan")
+  }
+
   test("TextIndex.probeAll: one pruned scan per root, not per query") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("graft-ti-multi-plan").toString
