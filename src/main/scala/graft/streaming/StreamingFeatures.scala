@@ -490,6 +490,51 @@ object StreamingFeatures {
       }
   }
 
+  /** A closed SCD2 version interval emitted by [[historyStream]]. */
+  final case class ClosedVersion(key: String, value: String, validFrom: Long, validTo: Long)
+
+  /** The open (current) version [[historyStream]] holds per key. */
+  final case class OpenVersion(value: String, validFrom: Long)
+
+  /** Streaming twin of [[graft.operators.Upsert.history]]: SCD2 version
+    * intervals maintained live over the update stream. The batch
+    * operator's `lead()` close is not stream-legal (a window over the
+    * future), but interval closing IS a pure adjacency fold — O(1)
+    * state per key (the open version), and the moment a key's value
+    * CHANGES the predecessor interval is complete and emits
+    * `[valid_from, valid_to)`. No-change updates collapse into the open
+    * version exactly as in batch. Append-mode cannot retract, so the
+    * stream's contract is CLOSED intervals only; the open versions live
+    * in state (StreamingSpec pins stream-closed ≡ batch-closed across
+    * micro-batch boundaries, with the batch NULL-valid_to rows being
+    * exactly the keys still open in state). In-order contract as in
+    * [[funnelStream]]; feed unique per-key ordinals.
+    */
+  def historyStream(
+      spark: SparkSession,
+      events: Dataset[TypedEvent]
+  ): Dataset[ClosedVersion] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[TypedEvent], state: GroupState[OpenVersion]) =>
+          val out = Seq.newBuilder[ClosedVersion]
+          var open = state.getOption
+          batch.toSeq.sortBy(e => (e.ord, e.etype)).foreach { e =>
+            open match {
+              case Some(OpenVersion(v, from)) if v != e.etype =>
+                out += ClosedVersion(key, v, from, e.ord)
+                open = Some(OpenVersion(e.etype, e.ord))
+              case Some(_) => () // no-change update collapses
+              case None => open = Some(OpenVersion(e.etype, e.ord))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stateful shedding gate (make_mean_policy,
     * ralf/policies/load_shedding_policy.py:41-50) on a live stream: pass
     * an update through only if it moved >= thresh from the last KEPT

@@ -273,6 +273,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(("click", "view")), "u1's cross-batch pair must exist")
   }
 
+  test("historyStream: closed SCD2 intervals ≡ batch history across micro-batches") {
+    import graft.streaming.StreamingFeatures.TypedEvent
+    val rnd = new scala.util.Random(47)
+    val events = (1 to 60).map(i =>
+      TypedEvent("k" + rnd.nextInt(4), i.toLong, "v" + rnd.nextInt(3)))
+    val (b1, b2) = events.partition(_.ord <= 30L)
+    val in = MemoryStream[TypedEvent]
+    val q = StreamingFeatures.historyStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("t_hist").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_hist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batchAll = graft.operators.Upsert.history(
+        events.toDF().select(col("key"), col("ord"), col("etype")),
+        "key", "ord", Seq("etype"))
+      .collect()
+    val batchClosed = batchAll.filter(!_.isNullAt(3))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batchClosed,
+      s"closed intervals must match batch:\n$streamed\nvs\n$batchClosed")
+    // every key has exactly one open (NULL valid_to) version in batch —
+    // the state the stream is still holding
+    assert(batchAll.count(_.isNullAt(3)) == events.map(_.key).distinct.size)
+    // a version that STARTED in batch 1 and CLOSED in batch 2 exists,
+    // so the state handoff across the boundary was exercised
+    assert(streamed.exists(v => v._3 <= 30L && v._4 > 30L),
+      s"need a boundary-crossing interval in $streamed")
+  }
+
   test("parquet feature-table sink merges micro-batches; point query reads latest") {
     val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val in = MemoryStream[Update]
