@@ -579,6 +579,92 @@ object Graph {
     graft.llm.Dedup.connectedComponents(edges, srcCol, dstCol, maxIter)
       .select(col("doc").as("node"), col("component"))
 
+  /** Bounded-round k-core decomposition (Seidman 1983, "Network
+    * structure and minimum degree"; the Batagelj–Zaveršnik peel run
+    * synchronously): repeatedly delete every node whose degree in the
+    * SURVIVING graph is < k; what remains is the k-core. Undirected
+    * simple graph (edges symmetrized + deduped once, checkpointed).
+    *
+    * Round = one semi-join of the symmetric edge list against the
+    * alive set on EACH endpoint + one map-side-combined degree
+    * aggregate + the >= k filter — all hash-partitioned equi-ops, no
+    * windows. The alive set shrinks monotonically; each round is
+    * checkpointed (lineage cap) and costs one control-plane count for
+    * the early exit at the fixed point (the pageRank dangling-collect
+    * precedent). `rounds` bounds cost, not correctness-at-fixed-point:
+    * once no node is removed the remaining rounds are no-ops, so a
+    * converged run equals the exact k-core and the unrolled oracle
+    * ([[kCoreSql]]) agrees round for round regardless.
+    *
+    * Output: (node, deg) for surviving nodes, `deg` RECOMPUTED against
+    * the final alive set — well-defined whether or not the bound
+    * converged.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in 1..50, got $rounds")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    def degrees(alive: DataFrame): DataFrame =
+      sym
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var alive = sym.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var n = alive.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      alive = degrees(alive).filter(col("deg") >= k)
+        .select(col("node")).localCheckpoint(false)
+      val m = alive.count()
+      converged = m == n
+      n = m
+      round += 1
+    }
+    degrees(alive).filter(col("deg") >= k)
+  }
+
+  /** The [[kCore]] oracle generator: unrolled peel CTEs, one per
+    * round, over `(src, dst)` edge SQL — the same synchronous
+    * delete-below-k rounds, final degrees recomputed on the last
+    * alive set.
+    */
+  def kCoreSql(edgesSql: String, k: Int, rounds: Int): String = {
+    // AS MATERIALIZED throughout: DuckDB re-evaluates multiply-
+    // referenced CTEs (the q_training_run lesson) — each peel round
+    // references sym and a_{r-1} twice, so the un-hinted unroll
+    // re-scans the edge source exponentially
+    val header =
+      s"""WITH e0 AS MATERIALIZED ($edgesSql),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM e0
+         |  UNION
+         |  SELECT dst AS src, src AS dst FROM e0),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT s.src AS node FROM sym s
+         |  JOIN a${r - 1} x ON s.src = x.node
+         |  JOIN a${r - 1} y ON s.dst = y.node
+         |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+    }
+    s"""$header,
+       |${peels.mkString(",\n")}
+       |SELECT s.src AS node, count(*) AS deg FROM sym s
+       |JOIN a$rounds x ON s.src = x.node
+       |JOIN a$rounds y ON s.dst = y.node
+       |GROUP BY 1 HAVING count(*) >= $k
+       |ORDER BY node""".stripMargin
+  }
+
   /** The [[connectedComponents]] oracle generator — recursive
     * transitive closure over any `(src, dst)` edge SQL: component(v) =
     * least id reachable from v (incl. v), the dedup-clusters replica

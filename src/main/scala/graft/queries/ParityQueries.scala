@@ -1207,6 +1207,34 @@ object ParityQueries {
         |    ON x.t = y.t AND x.i < y.i
         |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
 
+  /** Bounded-round k-core ([[Graph.kCore]]) on the same support-floored
+    * co-purchase graph as q_graph_cc / q_triangle_count: the 3-core
+    * (935 of 1880 nodes at sf0.01, an 11-round peel — rounds=12 covers
+    * convergence there; the bound is cost, not correctness: both
+    * engines run the identical synchronous rounds either way). Output
+    * is the surviving nodes with degrees recomputed inside the core.
+    */
+  val kCoreQ: Q = (s, dir) => {
+    val ti = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("t"), col("l_partkey").as("i")).distinct()
+    val e = ti.as("x")
+      .join(ti.as("y"), col("x.t") === col("y.t") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("src"), col("y.i").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.kCore(e, "src", "dst", k = 3, rounds = 12).orderBy("node")
+  }
+
+  val kCoreSqlQ: String =
+    graft.operators.Graph.kCoreSql(
+      """SELECT x.i AS src, y.i AS dst
+        |  FROM (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem) y
+        |    ON x.t = y.t AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+      k = 3, rounds = 12)
+
   /** Referential-integrity audit (Profile.integrity): orphaned
     * lineitems and orders. The oracle states the anti-join directly.
     */
@@ -1506,6 +1534,7 @@ object ParityQueries {
     "q_shortest_path_weighted" -> shortestPathWeightedQ,
     "q_triangle_count" -> triangleCountQ,
     "q_graph_cc" -> graphCcQ,
+    "q_graph_kcore" -> kCoreQ,
     "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
     "q_expectations" -> expectationsQ,
@@ -1566,6 +1595,7 @@ object ParityQueries {
     "q_shortest_path_weighted" -> shortestPathWeightedSql,
     "q_triangle_count" -> triangleCountSql,
     "q_graph_cc" -> graphCcSql,
+    "q_graph_kcore" -> kCoreSqlQ,
     "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_k_anonymity" -> kAnonymitySql,

@@ -733,6 +733,52 @@ class OperatorSpec extends SparkSpec {
     assert(got(("g2", 5L)) == 0L && got(("g2", 9L)) == 2L)
   }
 
+  test("kCore: a tail peels off a triangle round by round; degrees recomputed in-core") {
+    // triangle a-b-c with tail c-d-e: e (deg 1) peels in round 1,
+    // exposing d (deg 1) for round 2 — the 2-core is the triangle alone
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = graft.operators.Graph.kCore(edges, "src", "dst", k = 2, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must be the bare triangle with in-core degrees: $core")
+    // rounds=1 peels e; d survives the round (stale deg 2) but the
+    // final in-core degree recompute + filter drops it from the OUTPUT
+    // (one extra implicit peel — identical in the SQL oracle's closing
+    // HAVING, so both engines agree at any bound)
+    val partial = graft.operators.Graph.kCore(edges, "src", "dst", k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial == Set(1L, 2L, 3L),
+      s"the closing recompute filters d's in-core degree 1: $partial")
+    // k above the max degree empties the graph
+    assert(graft.operators.Graph.kCore(edges, "src", "dst", k = 4, rounds = 3).isEmpty)
+  }
+
+  test("kCore ≡ driver-side reference peel on a random graph") {
+    val rnd = new scala.util.Random(53)
+    val es = (1 to 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = es.toDF("src", "dst")
+    // reference: peel to the true fixed point in plain Scala
+    val sym = (es ++ es.map(_.swap)).distinct
+    var alive = sym.map(_._1).toSet
+    var changed = true
+    val k = 3
+    while (changed) {
+      val deg = sym.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.size }
+      val next = deg.filter(_._2 >= k).keySet
+      changed = next != alive
+      alive = next
+    }
+    val wantDeg = sym.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+      .filter(_._2 >= k)
+    val got = graft.operators.Graph.kCore(edges, "src", "dst", k = k, rounds = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == wantDeg, s"got $got want $wantDeg")
+  }
+
   test("labelPropagation: two triangles split across the bridge in 4 sync rounds") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
