@@ -89,6 +89,32 @@ object Upsert {
           lead(col(ord), 1).over(w).as("valid_to")): _*)
   }
 
+  /** Feature-staleness report — the reference's own research metric
+    * (feature-store maintenance asks WHICH keys' served features lag
+    * and by how much; the prioritization policies of
+    * ralf/policies/processing_policy.py exist to bound exactly this).
+    * For the latest-wins table fed by `updates`:
+    * `staleness(key) = as_of − last_ord`, with `as_of` the log's
+    * global max ord (the snapshot's "now").
+    *
+    * Shape: ONE map-side-combined per-key aggregate behind a
+    * checkpoint barrier; `as_of` is a second 1-row aggregate OVER that
+    * keys-many frame, equi-joined back on a constant key (AQE
+    * broadcasts the 1-row side). Never a global window — that would
+    * funnel every key through one task (the entropy lesson) — and the
+    * barrier keeps the totals join from replanning the scan subtree.
+    */
+  def staleness(updates: DataFrame, key: String, ord: String): DataFrame = {
+    val perKey = updates.groupBy(col(key))
+      .agg(max(col(ord)).as("last_ord"), count(lit(1)).as("num_updates"))
+      .withColumn("_k", lit(0))
+      .localCheckpoint(false)
+    val asOf = perKey.groupBy(col("_k").as("_tk")).agg(max(col("last_ord")).as("as_of"))
+    perKey.join(asOf, col("_k") === col("_tk"))
+      .select(col(key), col("last_ord"), col("num_updates"),
+        (col("as_of") - col("last_ord")).as("staleness"))
+  }
+
   /** Time-travel lookup against a [[history]] frame: the feature table
     * exactly as it stood at `at` — rows whose interval covers `at`
     * (`valid_from <= at < valid_to`, the open current version covering

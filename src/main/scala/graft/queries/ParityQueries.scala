@@ -127,6 +127,56 @@ object ParityQueries {
       |FROM h WHERE valid_from <= 500 AND (valid_to IS NULL OR 500 < valid_to)
       |ORDER BY user_id""".stripMargin
 
+  /** Staleness report ([[Upsert.staleness]]): per-user feature age at
+    * the log's global max ordinal — the reference's maintenance metric.
+    * Exact integer arithmetic end to end.
+    */
+  val featureStaleness: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id")
+    Upsert.staleness(e, "user_id", "event_id").orderBy("user_id")
+  }
+
+  val featureStalenessSql: String =
+    """WITH k AS (
+      |  SELECT user_id, max(event_id) AS last_ord, count(*) AS num_updates
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT max(last_ord) AS as_of FROM k)
+      |SELECT k.user_id, k.last_ord, k.num_updates,
+      |  t.as_of - k.last_ord AS staleness
+      |FROM k, t ORDER BY user_id""".stripMargin
+
+  /** Shedding-regret audit: what a load-shedding policy COSTS in
+    * freshness — the trade the reference's policies navigate
+    * (ralf/policies/load_shedding_policy.py). The served table applies
+    * the deterministic 30%-keep sample to the update log; regret per
+    * key = true last ordinal − served last ordinal (0 = the shed
+    * policy happened to keep the freshest update). Keys whose every
+    * update was shed surface with NULL served_ord — the silent-key
+    * hazard a regret audit exists to expose. Both tables are latest-
+    * wins aggregates off the same scan; exact integers.
+    */
+  val shedRegret: Q = (s, dir) => {
+    val e = events(s, dir).select("user_id", "event_id")
+    val truth = e.groupBy(col("user_id")).agg(max(col("event_id")).as("true_ord"))
+    val served = Shedding.sampleDeterministic(e, col("event_id"), modulus = 10, keepBelow = 3)
+      .groupBy(col("user_id").as("_su")).agg(max(col("event_id")).as("served_ord"))
+    truth.join(served, col("user_id") === col("_su"), "left")
+      .select(col("user_id"), col("true_ord"), col("served_ord"),
+        (col("true_ord") - col("served_ord")).as("regret"))
+      .orderBy("user_id")
+  }
+
+  val shedRegretSql: String =
+    """WITH truth AS (
+      |  SELECT user_id, max(event_id) AS true_ord FROM events GROUP BY 1),
+      |served AS (
+      |  SELECT user_id, max(event_id) AS served_ord
+      |  FROM events WHERE event_id % 10 < 3 GROUP BY 1)
+      |SELECT t.user_id, t.true_ord, s.served_ord,
+      |  t.true_ord - s.served_ord AS regret
+      |FROM truth t LEFT JOIN served s ON t.user_id = s.user_id
+      |ORDER BY t.user_id""".stripMargin
+
   // ------------------------------------------------------------ windows
 
   /** SURVEY §2.1 #4: per-key count-based tumbling window (size 4),
@@ -1495,6 +1545,8 @@ object ParityQueries {
     "q_map_feature" -> mapFeature,
     "q_latest_feature" -> latestFeature,
     "q_feature_history" -> featureHistory,
+    "q_feature_staleness" -> featureStaleness,
+    "q_shed_regret" -> shedRegret,
     "q_feature_as_at" -> featureAsAt,
     "q_point_query" -> pointQuery,
     "q_tumbling_window" -> tumblingWindow,
@@ -1554,6 +1606,8 @@ object ParityQueries {
     "q_map_feature" -> mapFeatureSql,
     "q_latest_feature" -> latestFeatureSql,
     "q_feature_history" -> featureHistorySql,
+    "q_feature_staleness" -> featureStalenessSql,
+    "q_shed_regret" -> shedRegretSql,
     "q_feature_as_at" -> featureAsAtSql,
     "q_point_query" -> pointQuerySql,
     "q_tumbling_window" -> tumblingWindowSql,

@@ -872,6 +872,20 @@ class PlanSpec extends SparkSpec {
       s"the change filter preserves ordering — ONE sort only:\n$plan")
   }
 
+  test("Upsert.staleness: as_of join broadcasts — no global window, no BNLJ") {
+    import spark.implicits._
+    val log = (1 to 100).map(i => ("k" + i % 7, i.toLong)).toDF("key", "ord")
+    val df = graft.operators.Upsert.staleness(log, "key", "ord")
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(!plan.contains("Window"),
+      s"a global window would funnel all keys through one task:\n$plan")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the 1-row as_of side must ride an equi broadcast join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the broadcast hash join on the constant key:\n$plan")
+  }
+
   test("TextIndex.probeAll: one pruned scan per root, not per query") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("graft-ti-multi-plan").toString
