@@ -637,12 +637,18 @@ object TextAnalysis {
     * rounded; a side with fewer than `n` tokens has zero grams and
     * NULL metrics (the Profile.drift degenerate-snapshot rule).
     *
-    * Scale shape: both sides explode to (id, gram) counts with
-    * map-side combine (the exchange carries distinct grams per doc,
-    * never raw positions), the overlap is a keyed (id, gram) join —
-    * no broadcast hint: candidate sets are corpus-sized — and one
-    * per-id aggregate. The gram strings travel as the join key;
-    * hash them first if gram length dominates the exchange.
+    * Scale shape: both sides explode to (id, gram-hash) counts with
+    * map-side combine, the overlap is a keyed
+    * `(id, strhash(gram), length(gram))` join — no broadcast hint:
+    * candidate sets are corpus-sized — and one per-id aggregate. The
+    * gram TEXT never rides an exchange (the lineDedup hashed-line
+    * discipline): grams are hashed map-side below the count
+    * aggregate, so shuffle rows are fixed-width longs regardless of
+    * n or token length. The (64-bit hash, length) witness preserves
+    * the clip exactly up to hash collisions within one document's
+    * gram set — negligible at any per-doc gram count, and the DuckDB
+    * oracle replays the identical hashed grouping so cross-engine
+    * equality is unconditional.
     */
   def rougeN(
       pairs: DataFrame,
@@ -665,10 +671,13 @@ object TextAnalysis {
       .localCheckpoint(false)
     def counts(side: Column, name: String): DataFrame =
       base.select(col("id"), explode(side).as("gram"))
-        .groupBy(col("id"), col("gram"))
+        .select(col("id"),
+          graft.functions.GraftFunctions.strhash(col("gram")).as("gh"),
+          length(col("gram")).as("gl"))
+        .groupBy(col("id"), col("gh"), col("gl"))
         .agg(count(lit(1)).as(name))
     val joined = counts(col("cg"), "c_cnt")
-      .join(counts(col("rg"), "r_cnt"), Seq("id", "gram"), "full")
+      .join(counts(col("rg"), "r_cnt"), Seq("id", "gh", "gl"), "full")
       .groupBy(col("id"))
       .agg(
         sum(least(coalesce(col("c_cnt"), lit(0L)), coalesce(col("r_cnt"), lit(0L))))

@@ -1618,8 +1618,9 @@ object LlmQueries {
     * 40-word lead graded as an extractive "summary" against its own
     * full text — the generation-eval metric over clipped bigram
     * overlap, exact integer counts, single-division P/R/F1. The
-    * oracle replays both gram multisets, the full-outer clip join,
-    * and the divisions (lead re-tokenization is the identity on
+    * oracle replays both gram multisets, the hashed
+    * (id, strhash(gram), length(gram)) grouping, the full-outer clip
+    * join, and the divisions (lead re-tokenization is the identity on
     * sliced word arrays — the chunkDocs precedent).
     */
   val rougeLead: Q = (s, dir) => {
@@ -1631,26 +1632,28 @@ object LlmQueries {
   }
 
   val rougeLeadSql: String =
-    """WITH wt AS (
+    s"""WITH wt AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
       |  FROM documents),
       |sides AS (SELECT doc_id, list_slice(ws, 1, 40) AS cw, ws AS rw FROM wt),
       |cc AS (
-      |  SELECT doc_id, gram, count(*) AS c FROM (
+      |  SELECT doc_id, ${strhashSql("gram", "g")} AS gh, length(gram) AS gl,
+      |    count(*) AS c FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(cw)),
       |      gi -> cw[CAST(gi AS INT)] || ' ' || cw[CAST(gi+1 AS INT)])) AS gram
-      |    FROM sides) GROUP BY 1, 2),
+      |    FROM sides) GROUP BY 1, 2, 3),
       |rc AS (
-      |  SELECT doc_id, gram, count(*) AS r FROM (
+      |  SELECT doc_id, ${strhashSql("gram", "g")} AS gh, length(gram) AS gl,
+      |    count(*) AS r FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(rw)),
       |      gi -> rw[CAST(gi AS INT)] || ' ' || rw[CAST(gi+1 AS INT)])) AS gram
-      |    FROM sides) GROUP BY 1, 2),
+      |    FROM sides) GROUP BY 1, 2, 3),
       |agg AS (
       |  SELECT doc_id,
       |    CAST(sum(least(COALESCE(c, 0), COALESCE(r, 0))) AS BIGINT) AS overlap,
       |    CAST(sum(COALESCE(c, 0)) AS BIGINT) AS cand_grams,
       |    CAST(sum(COALESCE(r, 0)) AS BIGINT) AS ref_grams
-      |  FROM cc FULL JOIN rc USING (doc_id, gram) GROUP BY 1)
+      |  FROM cc FULL JOIN rc USING (doc_id, gh, gl) GROUP BY 1)
       |SELECT wt.doc_id AS id,
       |  COALESCE(overlap, 0) AS overlap,
       |  COALESCE(cand_grams, 0) AS cand_grams,

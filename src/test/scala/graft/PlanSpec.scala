@@ -705,6 +705,24 @@ class PlanSpec extends SparkSpec {
       s"map-side partial aggregate must sit below the exchange:\n$plan")
   }
 
+  test("rougeN: overlap exchanges carry gram hashes, never gram text") {
+    import spark.implicits._
+    val pairs = Seq((1L, "a b c", "a b c d"), (2L, "x y", "y z")).toDF("id", "cand", "ref")
+    val plan = planOf(graft.llm.TextAnalysis.rougeN(pairs, "id", "cand", "ref", n = 2))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty, s"expected hash exchanges in the overlap join:\n$plan")
+    exchanges.foreach { line =>
+      assert(!line.matches(""".*[(, ]gram#\d.*"""),
+        s"the overlap exchange must key on (strhash, length), not gram text:\n$line")
+    }
+    // grams hash map-side and counts partial-combine below the exchange:
+    // shuffle rows are fixed-width (id, gh, gl, cnt) longs
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_count")
+    assert(partialIdx > exIdx && exIdx >= 0,
+      s"map-side partial count must sit below the exchange:\n$plan")
+  }
+
   test("bloomGate: the probe filter sits below the confirm join; exchanges text-free") {
     val docs = Tables.documents(spark, dir)
     val acc = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0)
