@@ -157,16 +157,27 @@ object Graph {
     }).localCheckpoint(false)
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    // the out-degree is STATIC across rounds, so it joins onto the edge
+    // table ONCE here (8 extra bytes/edge in the checkpoint) instead of
+    // shuffling outdeg into the share join every iteration — one join
+    // per round, not two, at any scale
+    val e2 = e.join(outdeg, Seq("src")).localCheckpoint(false)
+    // dangling-ness is equally static: flag it on the node table once,
+    // so the per-round dangling-mass scalar is a plain aggregate over r
+    // (no per-round anti-join shuffle of the full rank frame)
+    val hasOut = outdeg.select(col("src").as("node"), lit(1).as("_hs"))
     // uniform PageRank IS the personalized walk seeded on every node —
     // one code path, one oracle generator, `sf` the restart indicator
-    val nodes = seeds match {
-      case None => nodes0.select(col("node"), lit(1).as("sf")).localCheckpoint(false)
+    val nodes = (seeds match {
+      case None => nodes0.select(col("node"), lit(1).as("sf"))
       case Some(s) => nodes0
         .join(s.select(col("node"), lit(1).as("_sf")).distinct(), Seq("node"), "left")
         .select(col("node"), coalesce(col("_sf"), lit(0)).as("sf"))
-        .localCheckpoint(false)
-    }
-    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    }).join(hasOut, Seq("node"), "left")
+      .select(col("node"), col("sf"),
+        when(col("_hs").isNull, 1).otherwise(0).as("dang"))
+      .localCheckpoint(false)
     // seed count: a control-plane scalar (one distributed agg). The
     // driver-side doubles below repeat the exact op sequence the
     // oracle runs in-engine (floor(1e9/sn + 0.5), ((1-d)/sn)*1e9), so
@@ -177,19 +188,19 @@ object Graph {
     val baseScaled = (1.0 - damping) / sn * Scale.toDouble
 
     var r = init match {
-      case None => nodes.select(col("node"), col("sf"),
+      case None => nodes.select(col("node"), col("sf"), col("dang"),
         when(col("sf") === 1, lit(r0)).otherwise(lit(0L)).as("rank"))
       case Some(i) => nodes
         .join(i.select(col("node"),
           floor(col("rank").cast("double") * lit(1.0e9) + lit(0.5)).as("_rn")),
           Seq("node"), "left")
-        .select(col("node"), col("sf"), coalesce(col("_rn"), lit(0L)).as("rank"))
+        .select(col("node"), col("sf"), col("dang"),
+          coalesce(col("_rn"), lit(0L)).as("rank"))
         .localCheckpoint(false)
     }
     for (_ <- 1 to iters) {
-      val share = e
+      val share = e2
         .join(r.select(col("node"), col("rank")), col("node") === col("src"))
-        .join(outdeg.select(col("src").as("_os"), col("deg")), col("_os") === col("src"))
         .select(col("dst").as("cnode"),
           floor(col("rank").cast("double") * col("w").cast("double") /
             col("deg").cast("double") + lit(0.5)).as("share"))
@@ -199,14 +210,16 @@ object Graph {
       // dangling mass: ONE long, collected and re-entered as a literal
       // (floor(toDouble / toDouble + 0.5) is the identical IEEE
       // sequence the oracle runs in-engine, so the literal is
-      // bit-identical to the engine-side division it replaces)
-      val dsum = r.join(outdeg.select(col("src")), col("node") === col("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+      // bit-identical to the engine-side division it replaces). The
+      // long sum over the static dang flag equals the former
+      // anti-join sum exactly (integer addition, order-free).
+      val dsum = r
+        .agg(coalesce(sum(when(col("dang") === 1, col("rank"))), lit(0L)).as("dsum"))
         .collect()(0).getLong(0)
       val dshare = math.floor(dsum.toDouble / sn.toDouble + 0.5).toLong
       r = nodes
         .join(contrib, col("node") === col("cnode"), "left")
-        .select(col("node"), col("sf"),
+        .select(col("node"), col("sf"), col("dang"),
           floor(
             when(col("sf") === 1, lit(baseScaled)).otherwise(lit(0.0)) +
               lit(damping) * (coalesce(col("csum"), lit(0L)) +
