@@ -288,7 +288,10 @@ object Dedup {
     * when clusters are large). Each round is one join + one aggregate,
     * labels are localCheckpoint'ed per round so the plan doesn't grow
     * with iterations — the standard scalable CC formulation when a
-    * graph engine isn't on the classpath.
+    * graph engine isn't on the classpath. For hub-skewed or
+    * long-diameter pair graphs where O(diameter) rounds bite, use
+    * [[graft.operators.Graph.connectedComponentsBigStar]] (same
+    * output contract, O(log² n) rounds).
     */
   def connectedComponents(
       pairs: DataFrame,

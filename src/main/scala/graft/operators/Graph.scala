@@ -592,6 +592,109 @@ object Graph {
     graft.llm.Dedup.connectedComponents(edges, srcCol, dstCol, maxIter)
       .select(col("doc").as("node"), col("component"))
 
+  /** Skew-hardened connected components — the two-phase
+    * large-star/small-star alternation (Kiveris, Lattanzi, Mirrokni,
+    * Rastogi, Vassilvitskii 2014, "Connected Components in MapReduce
+    * and Beyond"), the scale path for hub-skewed graphs where
+    * [[connectedComponents]]' min-label propagation needs
+    * O(component diameter) rounds and re-shuffles the hot component
+    * every one of them. Same output contract: (node, component) with
+    * component = minimum reachable node id.
+    *
+    * Each round rewires edges toward local minima — large-star hangs
+    * every neighbor LARGER than u off u's minimum, small-star collapses
+    * each node's SMALLER neighbors onto theirs — and the edge set
+    * provably stays component-preserving while converging to disjoint
+    * min-rooted stars in O(log² n) rounds regardless of diameter or
+    * hub degree. Per-round shuffle volume is bounded by 2·|E| id pairs
+    * (large-star emits at most one edge per symmetrized input edge,
+    * small-star exactly one per oriented edge): a degree-d hub costs d
+    * aggregate rows with map-side combine, never d². Rounds are
+    * checkpointed (lineage cap); the fixed point is detected by the
+    * star test (no node is both a leaf and a center, no leaf has two
+    * edges) in ONE map-side-combined aggregate per round; past
+    * `maxIter` it fails loudly, the [[connectedComponents]] rule.
+    */
+  def connectedComponentsBigStar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50
+  ): DataFrame =
+    bigStarRun(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponentsBigStar]] plus per-round oriented-edge counts
+    * (post-distinct, the per-round shuffle row bound) — the spec hook
+    * for the planted-hub volume pin.
+    */
+  private[graft] def bigStarRun(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int
+  ): (DataFrame, Seq[Long]) = {
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // the vertex universe includes self-loop-only nodes; the star loop
+    // drops self-loops (they never change connectivity)
+    val nodes = raw.select(col("u").as("node"))
+      .unionAll(raw.select(col("v").as("node")))
+      .distinct().localCheckpoint(false)
+    // canonical orientation throughout: (u, v) with u > v
+    var e = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    var it = 0
+    var converged = isStarSet(e)
+    while (!converged && it < maxIter) {
+      // large-star: for every node x, hang each neighbor LARGER than x
+      // off m(x) = min(Γ(x) ∪ {x}); output keeps the (big, small)
+      // orientation because m(x) <= x < neighbor
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // small-star: collapse each node's smaller neighborhood onto its
+      // minimum — one output edge per input edge, orientation kept
+      val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      e = ls.join(minsS, Seq("u"))
+        .select(
+          when(col("v") === col("mn"), col("u")).otherwise(col("v")).as("nu"),
+          col("mn").as("nv"))
+        .filter(col("nu") =!= col("nv"))
+        .select(col("nu").as("u"), col("nv").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      sizes += e.count()
+      converged = isStarSet(e)
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsBigStar did not converge in $maxIter rounds; " +
+          "raise maxIter (the alternation needs O(log^2 n) rounds)")
+    val labels = nodes
+      .join(e.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    (labels, sizes.toSeq)
+  }
+
+  /** Fixed-point test for the star alternation: the edge set is a
+    * disjoint union of min-rooted stars iff no node appears on the big
+    * side twice (a leaf with two parents) and no node appears on both
+    * sides (a center that is itself a leaf). One union + one map-side-
+    * combined aggregate + a driver-side long — control-plane cost.
+    */
+  private def isStarSet(e: DataFrame): Boolean =
+    e.select(col("u").as("node"), lit(1L).as("big"))
+      .unionAll(e.select(col("v").as("node"), lit(0L).as("big")))
+      .groupBy(col("node"))
+      .agg(sum(col("big")).as("nbig"), min(col("big")).as("mnb"))
+      .filter(col("nbig") > 1 || (col("nbig") >= 1 && col("mnb") === 0))
+      .limit(1).count() == 0
+
   /** Bounded-round k-core decomposition (Seidman 1983, "Network
     * structure and minimum degree"; the Batagelj–Zaveršnik peel run
     * synchronously): repeatedly delete every node whose degree in the

@@ -1257,6 +1257,28 @@ object ParityQueries {
         |    ON x.t = y.t AND x.i < y.i
         |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
 
+  /** Skew-hardened connected components
+    * ([[Graph.connectedComponentsBigStar]], Kiveris et al. 2014
+    * large-star/small-star) on the SAME support-floored co-purchase
+    * graph as q_graph_cc — same output contract, same recursive
+    * transitive-closure oracle, so the driver certifies the two
+    * operators agree end-to-end. The alternation is the 100 TB path
+    * for hub-skewed dedup-cluster graphs: O(log² n) rounds instead of
+    * O(diameter), per-round shuffle bounded by the oriented edge
+    * count.
+    */
+  val graphCcBigStarQ: Q = (s, dir) => {
+    val ti = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("t"), col("l_partkey").as("i")).distinct()
+    val e = ti.as("x")
+      .join(ti.as("y"), col("x.t") === col("y.t") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("src"), col("y.i").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.connectedComponentsBigStar(e, "src", "dst").orderBy("node")
+  }
+
   /** Bounded-round k-core ([[Graph.kCore]]) on the same support-floored
     * co-purchase graph as q_graph_cc / q_triangle_count: the 3-core
     * (935 of 1880 nodes at sf0.01, an 11-round peel — rounds=12 covers
@@ -1586,6 +1608,7 @@ object ParityQueries {
     "q_shortest_path_weighted" -> shortestPathWeightedQ,
     "q_triangle_count" -> triangleCountQ,
     "q_graph_cc" -> graphCcQ,
+    "q_graph_cc_bigstar" -> graphCcBigStarQ,
     "q_graph_kcore" -> kCoreQ,
     "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
@@ -1649,6 +1672,7 @@ object ParityQueries {
     "q_shortest_path_weighted" -> shortestPathWeightedSql,
     "q_triangle_count" -> triangleCountSql,
     "q_graph_cc" -> graphCcSql,
+    "q_graph_cc_bigstar" -> graphCcSql,
     "q_graph_kcore" -> kCoreSqlQ,
     "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -779,6 +779,45 @@ class OperatorSpec extends SparkSpec {
     assert(got == wantDeg, s"got $got want $wantDeg")
   }
 
+  test("connectedComponentsBigStar ≡ connectedComponents on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      // sparse enough for several non-trivial components + isolated
+      // self-loop nodes (the universe rule)
+      val es = ((1 to 60).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)) :+
+        (77L, 77L)).distinct
+      val edges = es.toDF("src", "dst")
+      val want = graft.operators.Graph.connectedComponents(edges, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = graft.operators.Graph.connectedComponentsBigStar(edges, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed: bigStar disagrees with min-label CC")
+    }
+  }
+
+  test("connectedComponentsBigStar: planted hub converges fast with bounded per-round volume") {
+    import spark.implicits._
+    // a 400-leaf hub (worst case for per-node neighborhood skew) welded
+    // to a 60-node path (worst case for diameter) — min-label needs
+    // O(diameter) rounds here; the star alternation is O(log² n)
+    val hub = (2L to 401L).map(v => (500L, v))
+    val path = (0L until 60L).map(i => (1000L + i, 1001L + i)) :+ (401L, 1000L)
+    val edges = (hub ++ path).toDF("src", "dst")
+    val nEdges = edges.count()
+    val (labels, sizes) = graft.operators.Graph.bigStarRun(edges, "src", "dst", maxIter = 50)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one component; minimum id is leaf 2
+    assert(got.values.toSet == Set(2L), s"expected one component rooted at 2: ${got.values.toSet}")
+    assert(got.size == 400 + 1 + 61)
+    // the scale contract: every round's oriented edge set stays within
+    // the input edge count (large-star emits one edge per symmetrized
+    // input edge with v > u, small-star one per edge — no quadratic
+    // hub blowup), and the alternation beats the 61-round diameter
+    assert(sizes.forall(_ <= nEdges), s"per-round volume exceeded |E|: $sizes (|E|=$nEdges)")
+    assert(sizes.length <= 12, s"expected O(log² n) rounds, got ${sizes.length}: $sizes")
+  }
+
   test("labelPropagation: two triangles split across the bridge in 4 sync rounds") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
