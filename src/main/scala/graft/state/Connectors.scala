@@ -34,12 +34,40 @@ trait Connector {
   /** Replace the stored table. Implementations persist it durably. */
   protected def replace(table: DataFrame): Unit
 
+  /** Reject a batch whose column set or types differ from the table's
+    * schema — the reference's explicit Record field-set validation
+    * (extra fields: ralf/record.py:36-42) and v2 per-field type check
+    * (ralf/v2/record.py:117-127). Missing AND extra columns both fail
+    * loudly before anything is written; types compare exactly by name
+    * (nullability excluded — checkpoint barriers legally tighten it,
+    * and the reference's check is name/type, not nullability).
+    */
+  protected def validateBatchSchema(batch: DataFrame): Unit = {
+    val want = bulkQuery().schema.fields.map(f => f.name -> f.dataType).toMap
+    val got = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = (want.keySet -- got.keySet).toSeq.sorted
+    val extra = (got.keySet -- want.keySet).toSeq.sorted
+    require(missing.isEmpty && extra.isEmpty,
+      s"upsert batch columns must equal the table schema" +
+        (if (missing.nonEmpty) s"; missing: ${missing.mkString(", ")}" else "") +
+        (if (extra.nonEmpty) s"; unexpected: ${extra.mkString(", ")}" else ""))
+    val mistyped = want.keysIterator
+      .filter(k => want(k) != got(k))
+      .map(k => s"$k: table ${want(k).sql}, batch ${got(k).sql}")
+      .toSeq.sorted
+    require(mistyped.isEmpty,
+      s"upsert batch column types must match the table schema; ${mistyped.mkString("; ")}")
+  }
+
   /** Merge a keyed batch: batch rows replace stored rows with the same
     * key. A batch must carry at most one row per key (upstream
     * latest-per-key reduction guarantees this; duplicates are reduced
-    * arbitrarily-but-deterministically here as a guard).
+    * arbitrarily-but-deterministically here as a guard). Batches whose
+    * column set or types differ from the table schema are rejected
+    * ([[validateBatchSchema]]).
     */
   def upsert(batch: DataFrame): Unit = {
+    validateBatchSchema(batch)
     // Materialize the deduped batch once: the num_updates count and the
     // merge both read the checkpointed blocks instead of re-running the
     // batch plan twice.
@@ -192,6 +220,7 @@ final class BucketedParquetConnector(
   }
 
   override def upsert(batch: DataFrame): Unit = {
+    validateBatchSchema(batch)
     val b = batch.dropDuplicates(keyCol).localCheckpoint(true)
     BucketedDir.merge(spark, root, b, keyCol, numBuckets) { (existing, part) =>
       existing match {

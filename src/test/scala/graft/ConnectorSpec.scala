@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import graft.state.{BucketedParquetConnector, Connector, JdbcConnector, ParquetConnector, TempViewConnector}
+import graft.state.{BucketedParquetConnector, Connector, ConnectorStats, JdbcConnector, ParquetConnector, TempViewConnector}
 
 /** The reference's connector contract, run over every implementation —
   * mirrors ralf/tests/test_state.py:35-73 (parametrized over
@@ -56,6 +56,38 @@ class ConnectorSpec extends SparkSpec {
       assert(s.numUpdates == 3L)
       assert(s.numDeletes == 1L)
       assert(s.numRecords == 1L)
+    }
+  }
+
+  for ((name, mk) <- connectors) {
+    test(s"$name connector rejects off-schema batches (Schema.validate_record / v2 type check)") {
+      import scala.jdk.CollectionConverters._
+      val c = mk()
+      c.upsert(df(1L -> "a")) // legal batch establishes the table
+      // missing column (the reference's Record(a="a") case,
+      // ralf/tests/test_state.py:24-26 / record.py:36-42)
+      val missing = intercept[IllegalArgumentException] {
+        c.upsert(spark.createDataFrame(Seq(Row(2L)).asJava,
+          StructType(Seq(StructField("key", LongType, nullable = false)))))
+      }
+      assert(missing.getMessage.contains("missing: a"), missing.getMessage)
+      // extra column (schema_columns == record_columns is an equality,
+      // so extras fail too)
+      val extra = intercept[IllegalArgumentException] {
+        c.upsert(spark.createDataFrame(Seq(Row(2L, "b", 9L)).asJava,
+          StructType(schema.fields :+ StructField("surplus", LongType, nullable = false))))
+      }
+      assert(extra.getMessage.contains("unexpected: surplus"), extra.getMessage)
+      // same names, wrong type (the v2 typed-field check,
+      // ralf/v2/record.py:117-127)
+      val mistyped = intercept[IllegalArgumentException] {
+        c.upsert(spark.createDataFrame(Seq(Row(2L, 7L)).asJava,
+          StructType(Seq(schema.fields.head, StructField("a", LongType, nullable = false)))))
+      }
+      assert(mistyped.getMessage.contains("batch column types"), mistyped.getMessage)
+      // nothing was written by any rejected batch; counters untouched
+      assert(c.stats == ConnectorStats(1L, 0L, 1L))
+      assert(c.pointQuery(2L).isEmpty)
     }
   }
 
