@@ -114,6 +114,11 @@ case class GramSheet(
     * HALF_UP again on the cast — then the exact micro-unit long.
     */
   private def qMicro(x: Double): Long = {
+    // loud contract failure, not an opaque NumberFormatException from
+    // BigDecimal (the old round->cast plan silently nulled non-finite
+    // elements; this operator forbids them by contract)
+    require(!x.isNaN && !x.isInfinite,
+      s"$prettyName forbids non-finite vector components, saw $x")
     val rounded = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     BigDecimal(rounded).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .underlying.movePointRight(6).longValueExact

@@ -276,6 +276,13 @@ object Classify {
       .agg(sum(col(nCol)).as("n"))
       .collect()
     require(cont.nonEmpty, "evalMetrics needs a non-empty scored frame")
+    // a null actual/pred label would NPE in the sort below and violate
+    // the nullable=false label column — fail naming the contract
+    // instead (callers coalesce to a sentinel string if null means
+    // "abstained")
+    require(cont.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "evalMetrics requires non-null actual and pred labels; " +
+        "coalesce nulls to a sentinel label (e.g. '(none)') upstream")
     val labels = cont.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
     def q6(x: Double): java.math.BigDecimal =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).underlying

@@ -488,12 +488,14 @@ object Multimodal {
   /** COMPRESSED/containered audio decode through the JDK's own
     * `javax.sound.sampled` (the audio sibling of [[decodeCompressed]]
     * — the codec library ships with the JVM): μ-law / a-law WAV,
-    * AIFF, AU. The stream converts to mono PCM16 little-endian and
-    * surfaces as (rate, samples); anything the JDK cannot parse —
-    * or that [[decodeWav]] already handles exactly (plain PCM16) —
-    * returns None here. μ-law output is bit-identical to
-    * [[ulawDecode]] of the stored bytes (G.711), so the lossy round
-    * trip stays oracle-replayable.
+    * AIFF, AU — MONO streams only. A mono stream converts to PCM16
+    * little-endian and surfaces as (rate, samples); multi-channel
+    * clips are quarantined (None) rather than downmixed — a downmix
+    * would invent sample values no oracle can replay bit-for-bit.
+    * Anything the JDK cannot parse — or that [[decodeWav]] already
+    * handles exactly (plain PCM16) — also returns None. μ-law output
+    * is bit-identical to [[ulawDecode]] of the stored bytes (G.711),
+    * so the lossy round trip stays oracle-replayable.
     */
   private[graft] def decodeWavCompressed(p: Array[Byte]): Option[(Int, Array[Short])] = {
     // sniff the containers the JDK owns here: RIFF with a non-PCM
@@ -503,14 +505,16 @@ object Multimodal {
     val au = p.length > 4 && p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'
     val riffPcm = riff && p(20) == 1 && p(21) == 0 // handled exactly by decodeWav
     if ((!riff && !aiff && !au) || riffPcm) return None
+    var ais: javax.sound.sampled.AudioInputStream = null
+    var pcm: javax.sound.sampled.AudioInputStream = null
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(p))
       val src = ais.getFormat
       if (src.getChannels != 1) return None
       val target = new javax.sound.sampled.AudioFormat(
         src.getSampleRate, 16, 1, true, false)
-      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+      pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
       val bytes = pcm.readAllBytes()
       val out = new Array[Short](bytes.length / 2)
       var j = 0
@@ -520,6 +524,12 @@ object Multimodal {
       }
       Some((src.getSampleRate.toInt, out))
     } catch { case _: Exception => None }
+    finally {
+      // byte-array-backed, but AudioInputStream wrappers may hold codec
+      // state — release deterministically instead of leaking to GC
+      if (pcm != null) try pcm.close() catch { case _: Exception => () }
+      if (ais != null) try ais.close() catch { case _: Exception => () }
+    }
   }
 
   /** The unified audio decode: exact PCM16 parse first, else the JDK

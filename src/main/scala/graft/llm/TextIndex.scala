@@ -453,6 +453,15 @@ object TextIndex {
     val nBuckets = moduli(0)
     val stats = statsAll.agg(
       sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    // explode() silently drops empty/null term arrays — guard first so
+    // a malformed batch fails as loudly here as probeAll's per-query
+    // require ("query N has no terms"), keeping the results-IDENTICAL
+    // contract for malformed input too. limit(1) short-circuits: the
+    // check reads at most one offending row however large the batch.
+    val badQid = queries
+      .filter(col(termsCol).isNull || size(col(termsCol)) === 0)
+      .select(col(qidCol).cast("long")).limit(1).collect()
+    require(badQid.isEmpty, s"query ${badQid.head.getLong(0)} has no terms")
     val pairs = queries
       .select(col(qidCol).cast("long").as("qid"), explode(col(termsCol)).as("qterm"))
       .distinct()

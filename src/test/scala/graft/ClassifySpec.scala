@@ -138,6 +138,16 @@ class ClassifySpec extends SparkSpec {
     assert(m("(macro)", 2) == null && m("(macro)", 3) == null && m("(macro)", 4) == null)
   }
 
+  test("evalMetrics rejects null labels with the contract message (ADVICE r9)") {
+    import spark.implicits._
+    val scored = Seq(("a", Some("a")), ("b", None))
+      .toDF("actual", "pred")
+    val e = intercept[IllegalArgumentException] {
+      Classify.evalMetrics(spark, scored).collect()
+    }
+    assert(e.getMessage.contains("non-null actual and pred labels"), e.getMessage)
+  }
+
   test("cross-class evidence flows through the smoothed zero counts") {
     // doc 3 under en uses the alpha-smoothed zero counts:
     // ln((0+1)/(4+4)) per term — fr must still win on its own counts.

@@ -28,6 +28,17 @@ class EmbeddingsSpec extends SparkSpec {
       (1L, -1L) -> ((2L, 4.0)), (2L, -1L) -> ((2L, 1.0))), s"got $got")
   }
 
+  test("gram: non-finite component fails naming the operator contract (ADVICE r9)") {
+    val df = Seq((1L, Seq(1.0f, Float.NaN))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Embeddings.gram(df, "vec_id", "embedding").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("forbids non-finite vector components")),
+      s"expected the loud contract failure, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("gram: sheet is partition-invariant (buffer merge ≡ single fold)") {
     val pts = (0 until 97).map(k =>
       (k.toLong, Seq((k * 0.37 - 11.1).toFloat, (3.0 - k * 0.05).toFloat, (k % 5).toFloat)))

@@ -207,6 +207,23 @@ class TextIndexSpec extends SparkSpec {
       s"the postings scan must prune on the bounded bucket-id set:\n$plan")
   }
 
+  test("probeAllDistributed fails as loudly as probeAll on a terms-less query (ADVICE r9)") {
+    val docs = Tables.documents(spark, dir).limit(20).localCheckpoint(false)
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-index-guard").toString
+    TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 8)
+    import org.apache.spark.sql.types._
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.add(org.apache.spark.sql.Row(1L, Seq("the")))
+    rows.add(org.apache.spark.sql.Row(2L, Seq.empty[String]))
+    val qdf = spark.createDataFrame(rows, StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("terms", ArrayType(StringType, containsNull = false), nullable = false))))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.probeAllDistributed(spark, idx, qdf, "qid", "terms", k = 5)
+    }
+    assert(e.getMessage.contains("query 2 has no terms"), e.getMessage)
+  }
+
   test("compactIfNeeded: ingest stays self-maintaining under maxRoots") {
     val docs = Tables.documents(spark, dir).localCheckpoint(false)
     val idx = java.nio.file.Files.createTempDirectory("graft-text-index-cin").toString
