@@ -45,15 +45,23 @@ object Mixture {
       .groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n_docs"), sum(tokensCol.cast("long")).as("tokens"))
       .withColumn("w_d", round(sqrt(col("tokens").cast("double")), 6).cast("decimal(18,6)"))
-    val tot = per.agg(sum(col("w_d")).as("w_tot"))
+      // barrier: the normalizer collect below and the returned frame
+      // both read the slice-sized materialized blocks — one corpus scan
+      .localCheckpoint(false)
+    // the normalizer is ONE scalar: collect it (decimal→double cast
+    // runs IN-ENGINE, so the literal is bit-identical to the column it
+    // replaces) and re-enter it — the Association.rules convention; the
+    // former crossJoin(broadcast(oneRowAgg)) planned a 1-row
+    // BroadcastNestedLoopJoin
+    val wTot = per.agg(coalesce(sum(col("w_d")).cast("double"), lit(0.0)))
+      .collect()(0).getDouble(0)
     // zero guards (mirrored in the oracle): a slice whose documents all
     // have 0 tokens gets weight 0 (not 0/0 = NaN epochs), and an
     // all-empty corpus (w_tot = 0) gets all-zero weights instead of
     // NaN propagating into downstream budget math
-    val weight = when(col("w_tot").cast("double") > 0.0,
-      col("w_d").cast("double") / col("w_tot").cast("double")).otherwise(lit(0.0))
+    val weight = if (wTot > 0.0) col("w_d").cast("double") / lit(wTot) else lit(0.0)
     val alloc = floor(lit(budgetTokens).cast("double") * weight)
-    per.crossJoin(broadcast(tot))
+    per
       .select(
         col("grp"),
         col("n_docs"),
@@ -194,8 +202,9 @@ object Mixture {
     * to DECIMAL(18,6) per term, and the per-slice total is an EXACT
     * decimal sum — order-independent, so shuffle order can't move a
     * bit. Scale shape: one (slice, word) aggregate and one word
-    * aggregate (both map-side combined), a broadcastable corpus-total
-    * row, then a keyed join — the corpus is touched once.
+    * aggregate (both map-side combined), the corpus total a collected
+    * long re-entered as a literal, then a keyed join — the corpus is
+    * touched once.
     */
   def sourceDivergence(
       docs: DataFrame,
@@ -208,10 +217,13 @@ object Mixture {
       .localCheckpoint(false) // feeds the word, slice and corpus rollups
     val wc = gw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
     val gt = gw.groupBy(col("grp")).agg(sum(col("c")).as("tg"))
-    val tot = wc.agg(sum(col("cw")).as("tc"))
+    // corpus total: ONE long off the checkpointed counts, collected and
+    // re-entered as a literal (long→double cast is the identical IEEE
+    // value either way) — no 1-row BNLJ
+    val tc = gw.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
     val p = col("c").cast("double") / col("tg").cast("double")
-    val q = col("cw").cast("double") / col("tc").cast("double")
-    gw.join(wc, "w").join(gt, "grp").crossJoin(broadcast(tot))
+    val q = col("cw").cast("double") / lit(tc).cast("double")
+    gw.join(wc, "w").join(gt, "grp")
       .select(col("grp"), col("c"),
         round(p * log(p / q), 6).cast("decimal(18,6)").as("term"))
       .groupBy(col("grp"))

@@ -309,6 +309,22 @@ class PlanSpec extends SparkSpec {
       s"the allocation must not plan any nested-loop/cartesian join:\n$plan")
   }
 
+  test("temperatureWeights / sourceDivergence: scalar totals as literals, no nested loops") {
+    // VERDICT r9 item 8: both operators rode a
+    // crossJoin(broadcast(oneRowAgg)) — harmless 1-row BNLJs, now
+    // unified on the collect-as-literal convention (Association.rules,
+    // pageRank dangling mass)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tw = planOf(graft.llm.Mixture.temperatureWeights(
+      docs, "source", size(graft.llm.TextOps.words(col("text"))), budgetTokens = 26000L))
+    assert(!tw.contains("NestedLoopJoin") && !tw.contains("CartesianProduct"),
+      s"temperatureWeights must not plan a nested loop:\n$tw")
+    val sd = planOf(graft.llm.Mixture.sourceDivergence(docs, "source", "text"))
+    assert(!sd.contains("NestedLoopJoin") && !sd.contains("CartesianProduct"),
+      s"sourceDivergence must not plan a nested loop:\n$sd")
+  }
+
   test("GlobalOrder.withPrefix: broadcast offsets, pid-partitioned window, no global sort") {
     // the shared two-pass prefix seam (selectByBudget / shardBalanced /
     // unimaxAllocation): offsets join as a BROADCAST at any partition
