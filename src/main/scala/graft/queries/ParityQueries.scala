@@ -1421,8 +1421,14 @@ object ParityQueries {
       |ORDER BY user_id, event_id""".stripMargin
 
   /** SURVEY §2.3 `make_mean_policy`: sequential per-key fold against the
-    * last KEPT value — not expressible in SQL (no oracle; exact-fold
-    * semantics covered by ScalaTest against an in-memory reference fold).
+    * last KEPT value. No WINDOW function can express the
+    * consume-against-last-kept state, but a RECURSIVE CTE can: level n
+    * holds every key's fold state after its n-th event (keys advance in
+    * lockstep, depth = max events/key — 86 at sf0.01), and the gate is
+    * pure IEEE subtract/abs/compare with no accumulation, so the
+    * decision sequence is bit-identical across engines. Oracled since
+    * round 10 (previously the documented `err: no_oracle` row);
+    * ScalaTest keeps the in-memory reference-fold pin.
     */
   val shedMeanPolicy: Q = (s, dir) => {
     val e = events(s, dir).select("user_id", "event_id", "value")
@@ -1430,8 +1436,30 @@ object ParityQueries {
       .orderBy("user_id", "event_id")
   }
 
+  val shedMeanPolicySql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events),
+      |fold AS (
+      |  SELECT user_id, event_id, value, rn, value AS last_kept, true AS kept
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.event_id, e.value, e.rn,
+      |    CASE WHEN abs(e.value - f.last_kept) >= 50.0 THEN e.value ELSE f.last_kept END,
+      |    abs(e.value - f.last_kept) >= 50.0
+      |  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+      |SELECT user_id, event_id, value FROM fold WHERE kept
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** SURVEY §2.3 `make_cosine_policy`: the same sequential gate over a
-    * windowed feature vector with cosine distance (no SQL oracle).
+    * windowed feature vector with cosine distance. Oracled since round
+    * 10 via the same recursive-CTE fold, the kept vector carried as a
+    * LIST(DOUBLE) level column; the cosine distance replays the JVM
+    * loop exactly — three strict left folds (list_reduce over a 0.0
+    * prepend, the strhashSql pattern) for dot/na/nb over the
+    * min-length prefix, then `1.0 - dot / sqrt(na*nb)` in the
+    * identical op order, zero-norm → distance 1.0.
     */
   val shedCosinePolicy: Q = (s, dir) => {
     val e = events(s, dir).select("user_id", "event_id", "value")
@@ -1440,6 +1468,44 @@ object ParityQueries {
     Shedding.cosinePolicyFold(windows, "user_id", "window_id", "window_values", thresh = 0.02)
       .select(col("user_id"), col("window_id"))
       .orderBy("user_id", "window_id")
+  }
+
+  val shedCosinePolicySql: String = {
+    // one strict left fold per accumulator, over the min-length prefix
+    // — the exact op order of cosinePolicyFold's while loop
+    def fold(x: String, y: String): String =
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, CAST(least(len(c.vs), len(f.last_kept)) AS INT) + 1), " +
+        s"ci -> $x[CAST(ci AS INT)] * $y[CAST(ci AS INT)])), (cx, cy) -> cx + cy)"
+    s"""WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, (rn - 1) // 4 AS window_id, list(value ORDER BY rn) AS vs
+      |  FROM ev GROUP BY 1, 2 HAVING count(*) = 4),
+      |wr AS (
+      |  SELECT user_id, window_id, vs,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY window_id) AS wn
+      |  FROM w),
+      |fold AS (
+      |  SELECT user_id, window_id, wn, vs AS last_kept, true AS kept
+      |  FROM wr WHERE wn = 1
+      |  UNION ALL
+      |  SELECT c.user_id, c.window_id, c.wn,
+      |    CASE WHEN d.dist >= 0.02 THEN c.vs ELSE f.last_kept END,
+      |    d.dist >= 0.02
+      |  FROM fold f
+      |  JOIN wr c ON c.user_id = f.user_id AND c.wn = f.wn + 1
+      |  CROSS JOIN LATERAL (
+      |    SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN CAST(1.0 AS DOUBLE)
+      |                ELSE 1.0 - dot / sqrt(na * nb) END AS dist
+      |    FROM (SELECT
+      |      ${fold("c.vs", "f.last_kept")} AS dot,
+      |      ${fold("c.vs", "c.vs")} AS na,
+      |      ${fold("f.last_kept", "f.last_kept")} AS nb)) d)
+      |SELECT user_id, window_id FROM fold WHERE kept
+      |ORDER BY user_id, window_id""".stripMargin
   }
 
   /** SURVEY §2.3 processing-order / prioritization policies: static
@@ -1661,6 +1727,8 @@ object ParityQueries {
     "q_integrity_check" -> integrityCheckSql,
     "q_salted_join" -> saltedJoinSql,
     "q_shed_sample" -> shedSampleSql,
+    "q_shed_mean_policy" -> shedMeanPolicySql,
+    "q_shed_cosine_policy" -> shedCosinePolicySql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_shed_increasing" -> shedIncreasingSql,
     "q_pagerank" -> pageRankSql,

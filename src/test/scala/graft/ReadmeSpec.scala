@@ -26,7 +26,11 @@ class ReadmeSpec extends AnyFunSuite {
     assert(readme.contains(expectedGate),
       s"README must state the generated gate line '$expectedGate' — " +
         "update the Correctness gate paragraph to the current registry sizes")
-    assert(readme.contains(s"$noOracle sequential-fold shedding policies have no SQL oracle"),
-      s"README must state the no-oracle count ($noOracle)")
+    if (noOracle == 0)
+      assert(readme.contains("every query oracled"),
+        "README must state full oracle coverage")
+    else
+      assert(readme.contains(s"$noOracle sequential-fold shedding policies have no SQL oracle"),
+        s"README must state the no-oracle count ($noOracle)")
   }
 }
