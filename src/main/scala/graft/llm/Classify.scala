@@ -40,6 +40,150 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
+  /** Full-batch gradient-descent training of a logistic-regression
+    * quality classifier — the other half of the CCNet/GPT-3 curation
+    * recipe next to the NB family (Brown et al. 2020 §A trained an LR
+    * filter scoring documents against a reference corpus; Wenzek et
+    * al. 2019 the fastText analog). Input is a FEATURE frame (one row
+    * per document: 0/1 label + `featureCols` doubles); output is the
+    * trained weight vector in integer MICRO-UNITS, bias first.
+    *
+    * Exactness discipline (the PageRank fixed-point recipe, because
+    * GD is iterated — output-rounding tricks drift here): weights
+    * live as BIGINT micro-units on the DRIVER and re-enter each
+    * iteration as double literals (the collect-as-literal
+    * convention); the margin is a fixed left-to-right fold
+    * `(((w0 + w1·x1) + w2·x2) + …)/1e6`; the sigmoid's residual
+    * quantizes PER TERM with `floor(r·x·1e6 + 0.5)` (identical IEEE
+    * sequence in both engines — never a round()), gradients sum as
+    * exact longs, and the update is
+    * `wu_j -= floor(lr · G_j / n + 0.5)` on shared double literals.
+    * The DuckDB oracle generator [[logisticSql]] unrolls the same
+    * iterations from the same constants, so training is replayed
+    * bit-for-bit (exp() under the decayedSum transcendental
+    * precedent).
+    *
+    * Scale shape: the feature frame checkpoints once (narrow: d+1
+    * doubles per doc); each iteration is ONE map-side-combined
+    * aggregate producing d+1 longs collected to the driver — a
+    * control-plane collect per iteration, the pageRank dangling-mass
+    * shape. No shuffle grows with d·n; no per-iteration lineage
+    * growth.
+    */
+  def logisticTrain(
+      feats: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String],
+      iters: Int = 5,
+      lr: Double = 0.3
+  ): Array[Long] = {
+    require(iters >= 1 && iters <= 100, s"iters must be in 1..100, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    require(featureCols.nonEmpty, "at least one feature column required")
+    val d = featureCols.length
+    val f = feats.select(
+      (col(labelCol).cast("double").as("_y") +:
+        featureCols.zipWithIndex.map { case (c, j) => col(c).cast("double").as(s"_x$j") }): _*)
+      .localCheckpoint(false)
+    val bad = f.filter(
+      featureCols.indices.map(j => col(s"_x$j").isNull)
+        .foldLeft(col("_y").isNull)(_ || _)).limit(1).count()
+    require(bad == 0,
+      "logisticTrain requires non-null label and features; " +
+        "coalesce or filter degenerate rows (e.g. zero-word docs) upstream")
+    val n = f.count()
+    require(n > 0, "logisticTrain needs a non-empty feature frame")
+    val nD = n.toDouble
+    val wu = Array.fill(d + 1)(0L)
+    for (_ <- 1 to iters) {
+      val m = (0 until d).foldLeft(lit(wu(0).toDouble): org.apache.spark.sql.Column)(
+        (acc, j) => acc + lit(wu(j + 1).toDouble) * col(s"_x$j")) / lit(1.0e6)
+      val r = lit(1.0) / (lit(1.0) + exp(-m)) - col("_y")
+      val g0 = sum(floor(r * lit(1.0e6) + lit(0.5))).as("_g0")
+      val gj = (0 until d).map(j =>
+        sum(floor(r * col(s"_x$j") * lit(1.0e6) + lit(0.5))).as(s"_g${j + 1}"))
+      val row = f.agg(g0, gj: _*).collect()(0)
+      for (j <- 0 to d)
+        wu(j) -= math.floor(lr * row.getLong(j).toDouble / nD + 0.5).toLong
+    }
+    wu
+  }
+
+  /** Score a feature frame with [[logisticTrain]] weights: per row the
+    * micro-unit margin (the exact integer-auditable artifact), the
+    * sigmoid score rounded once on output, and the >= 0.5 keep
+    * verdict — which is exactly `margin >= 0` and therefore
+    * integer-exact however the transcendental rounds.
+    */
+  def logisticScore(
+      feats: DataFrame,
+      idCol: String,
+      featureCols: Seq[String],
+      weightsMicro: Array[Long]
+  ): DataFrame = {
+    val d = featureCols.length
+    require(weightsMicro.length == d + 1,
+      s"expected ${d + 1} weights (bias first), got ${weightsMicro.length}")
+    val m = featureCols.zipWithIndex.foldLeft(
+      lit(weightsMicro(0).toDouble): org.apache.spark.sql.Column) {
+      case (acc, (c, j)) => acc + lit(weightsMicro(j + 1).toDouble) * col(c).cast("double")
+    } / lit(1.0e6)
+    feats.select(
+      col(idCol).as("doc"),
+      floor(m * lit(1.0e6) + lit(0.5)).as("margin_micro"),
+      round(lit(1.0) / (lit(1.0) + exp(-m)), 6).as("score"),
+      (floor(m * lit(1.0e6) + lit(0.5)) >= 0L).as("keep"))
+  }
+
+  /** The [[logisticTrain]]/[[logisticScore]] oracle generator —
+    * unrolled GD iterations over a feature SQL producing
+    * `(<idCol>, _y, _x0.._x{d-1})`, the pageRankSql convention: both
+    * engines run the identical constants and op sequences, kept next
+    * to the operator so they can never drift. Every CTE is
+    * MATERIALIZED (the q_training_run re-evaluation lesson — each
+    * weight row is referenced d+1 times per iteration).
+    */
+  def logisticSql(
+      featsSql: String,
+      idCol: String,
+      d: Int,
+      iters: Int = 5,
+      lr: Double = 0.3
+  ): String = {
+    require(d >= 1 && iters >= 1)
+    val lrS = s"CAST(${new java.math.BigDecimal(lr).toPlainString} AS DOUBLE)"
+    def mExpr(w: String): String =
+      "(" + (0 until d).foldLeft(s"CAST((SELECT wu0 FROM $w) AS DOUBLE)")((acc, j) =>
+        s"$acc + CAST((SELECT wu${j + 1} FROM $w) AS DOUBLE) * _x$j") + ") / 1000000.0"
+    val w0 = "w0 AS MATERIALIZED (SELECT " +
+      (0 to d).map(j => s"CAST(0 AS BIGINT) AS wu$j").mkString(", ") + ")"
+    val iterCtes = (1 to iters).flatMap { k =>
+      val m = mExpr(s"w${k - 1}")
+      val r = s"(1.0 / (1.0 + exp(-($m))) - _y)"
+      val g = s"g$k AS MATERIALIZED (SELECT " +
+        ((0 to d).map {
+          case 0 => s"CAST(sum(FLOOR($r * 1000000.0 + 0.5)) AS BIGINT) AS g0"
+          case j => s"CAST(sum(FLOOR($r * _x${j - 1} * 1000000.0 + 0.5)) AS BIGINT) AS g$j"
+        }).mkString(", ") + " FROM f)"
+      val w = s"w$k AS MATERIALIZED (SELECT " +
+        (0 to d).map(j =>
+          s"(SELECT wu$j FROM w${k - 1}) - CAST(FLOOR($lrS * " +
+            s"CAST((SELECT g$j FROM g$k) AS DOUBLE) / (SELECT n FROM nn) + 0.5) AS BIGINT) AS wu$j")
+          .mkString(", ") + ")"
+      Seq(g, w)
+    }
+    val mF = mExpr(s"w$iters")
+    s"""WITH f AS MATERIALIZED ($featsSql),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |$w0,
+       |${iterCtes.mkString(",\n")}
+       |SELECT $idCol AS doc, CAST(_y AS BIGINT) AS label,
+       |  CAST(FLOOR(($mF) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro,
+       |  round(1.0 / (1.0 + exp(-($mF))), 6) AS score,
+       |  FLOOR(($mF) * 1000000.0 + 0.5) >= 0 AS keep
+       |FROM f ORDER BY doc""".stripMargin
+  }
+
   /** Train a multinomial NB model on `docs` (every row labeled by
     * `labelCol`) and score the SAME corpus, emitting one row per
     * document: `(doc, actual, pred, score)` with `score` the winning

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.llm.{Classify, Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
@@ -1288,6 +1288,56 @@ object LlmQueries {
        |  round(awl, 6) AS avg_word_len, round(alpha, 6) AS alpha_ratio,
        |  round(stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.3 + alpha * 0.3, 6) AS quality_score
        |FROM f ORDER BY doc""".stripMargin
+  }
+
+  /** CCNet/GPT-3-style logistic-regression quality classifier
+    * (Classify.logisticTrain/logisticScore): 40 full-batch GD
+    * iterations over the three oracled quality features (rounded
+    * stopword ratio, mean word length, alpha ratio — centered and
+    * ×10-scaled with fixed literals), label = the
+    * quality-score median split (a learnable reference-like proxy;
+    * the trained separator reaches ~90% train accuracy) —
+    * training replayed bit-for-bit by the unrolled logisticSql
+    * oracle: micro-unit weights, per-term floor(r·x·1e6+0.5)
+    * gradient quantization, exact long sums, collect-as-literal
+    * weight re-entry per iteration. Output: per-doc integer margin,
+    * once-rounded sigmoid score, and the margin-sign keep verdict.
+    */
+  val qualityLr: Q = (s, dir) => {
+    val fc = Seq("_x0", "_x1", "_x2")
+    // fixed-literal centering/scaling (corpus-independent constants, so
+    // the oracle stays static): raw ratios have std 0.007-0.2, which
+    // stalls GD — centered ×10 features reach 90% accuracy in 40 rounds
+    val feats = TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc"),
+        (col("quality_score") >= 0.405).cast("double").as("_y"),
+        ((col("stopword_ratio") - lit(0.06)) * lit(10.0)).as("_x0"),
+        ((least(col("avg_word_len") / lit(10.0), lit(1.0)) - lit(0.45)) * lit(10.0)).as("_x1"),
+        ((col("alpha_ratio") - lit(0.82)) * lit(10.0)).as("_x2"))
+      .localCheckpoint(false) // one tokenize feeds training AND scoring
+    val wu = Classify.logisticTrain(feats, "_y", fc, iters = 40, lr = 4.0)
+    Classify.logisticScore(feats, "doc", fc, wu)
+      .join(feats.select(col("doc"), col("_y").cast("long").as("label")), "doc")
+      .select(col("doc"), col("label"), col("margin_micro"), col("score"), col("keep"))
+      .orderBy("doc")
+  }
+
+  val qualityLrSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
+    val feats =
+      s"""SELECT doc_id,
+         |    CAST(round(stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.3 + alpha * 0.3, 6) >= 0.405 AS DOUBLE) AS _y,
+         |    (round(stop_ratio, 6) - 0.06) * 10.0 AS _x0,
+         |    (least(round(awl, 6) / 10.0, 1.0) - 0.45) * 10.0 AS _x1,
+         |    (round(alpha, 6) - 0.82) * 10.0 AS _x2
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |      CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) AS awl,
+         |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha
+         |    FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+         |          FROM documents))""".stripMargin
+    Classify.logisticSql(feats, "doc_id", d = 3, iters = 40, lr = 4.0)
   }
 
   /** Gopher-style hard quality gate (TextAnalysis.qualityRules): rule
@@ -4943,6 +4993,7 @@ object LlmQueries {
     "q_ann_ivf_kmeans" -> annIvfKmeans,
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
+    "q_quality_lr" -> qualityLr,
     "q_quality_rules" -> qualityRules,
     "q_text_repetition" -> textRepetition,
     "q_decontaminate" -> decontaminate,
@@ -5078,6 +5129,7 @@ object LlmQueries {
     "q_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,
+    "q_quality_lr" -> qualityLrSql,
     "q_quality_rules" -> qualityRulesSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_decontaminate" -> decontaminateSql,

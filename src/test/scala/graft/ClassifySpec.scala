@@ -138,6 +138,49 @@ class ClassifySpec extends SparkSpec {
     assert(m("(macro)", 2) == null && m("(macro)", 3) == null && m("(macro)", 4) == null)
   }
 
+  test("logisticTrain: learns a separable threshold; partition-invariant; scorer keep = margin sign") {
+    import spark.implicits._
+    // y = 1 iff x >= 0.5 — 20 points on a line, cleanly separable
+    val pts = (0 until 20).map(i => (i.toLong, i / 19.0, if (i / 19.0 >= 0.5) 1 else 0))
+    val f = pts.toDF("id", "x", "y")
+    val fc = Seq("x")
+    val wu = Classify.logisticTrain(f, "y", fc, iters = 50, lr = 2.0)
+    // the learned boundary -w0/w1 sits inside the class gap, slope positive
+    assert(wu(1) > 0, s"slope must be positive, got ${wu.mkString(",")}")
+    val boundary = -wu(0).toDouble / wu(1).toDouble
+    assert(boundary > 9.0 / 19 && boundary < 10.0 / 19,
+      s"boundary $boundary must sit between the classes")
+    // gradient sums are exact longs, so weights cannot depend on
+    // partitioning or shuffle order
+    val wu12 = Classify.logisticTrain(f.repartition(12), "y", fc, iters = 50, lr = 2.0)
+    assert(wu.toSeq == wu12.toSeq, "training must be partition-invariant")
+    val scored = Classify.logisticScore(f, "id", fc, wu).collect()
+    scored.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(1) >= 0L), "keep must equal the margin sign rule")
+    }
+    val byId = scored.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    pts.foreach { case (i, x, y) =>
+      assert(byId(i) == (y == 1), s"separable data must classify cleanly at point $i")
+    }
+  }
+
+  test("logisticTrain guards: null features, empty frame, weight arity") {
+    import spark.implicits._
+    val nulls = Seq((1L, Some(1.0), 1), (2L, None, 0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Classify.logisticTrain(nulls, "y", Seq("x"), iters = 1, lr = 1.0)
+    }
+    assert(e.getMessage.contains("non-null label and features"), e.getMessage)
+    val empty = Seq.empty[(Long, Double, Int)].toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Classify.logisticTrain(empty, "y", Seq("x"), iters = 1, lr = 1.0)
+    }
+    val f = Seq((1L, 0.2, 1)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Classify.logisticScore(f, "id", Seq("x"), Array(1L, 2L, 3L))
+    }
+  }
+
   test("evalMetrics rejects null labels with the contract message (ADVICE r9)") {
     import spark.implicits._
     val scored = Seq(("a", Some("a")), ("b", None))
