@@ -142,13 +142,17 @@ object Classify {
     * to the operator so they can never drift. Every CTE is
     * MATERIALIZED (the q_training_run re-evaluation lesson — each
     * weight row is referenced d+1 times per iteration).
+    * `scoreFeatsSql`, when given, is a SEPARATE feature SQL for the
+    * final scoring select (the holdout shape: train on `featsSql`,
+    * score everything).
     */
   def logisticSql(
       featsSql: String,
       idCol: String,
       d: Int,
       iters: Int = 5,
-      lr: Double = 0.3
+      lr: Double = 0.3,
+      scoreFeatsSql: Option[String] = None
   ): String = {
     require(d >= 1 && iters >= 1)
     val lrS = s"CAST(${new java.math.BigDecimal(lr).toPlainString} AS DOUBLE)"
@@ -173,15 +177,17 @@ object Classify {
       Seq(g, w)
     }
     val mF = mExpr(s"w$iters")
+    val scoreCte = scoreFeatsSql.map(sq => s",\nfs AS MATERIALIZED ($sq)").getOrElse("")
+    val scoreFrom = if (scoreFeatsSql.isDefined) "fs" else "f"
     s"""WITH f AS MATERIALIZED ($featsSql),
        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
        |$w0,
-       |${iterCtes.mkString(",\n")}
+       |${iterCtes.mkString(",\n")}$scoreCte
        |SELECT $idCol AS doc, CAST(_y AS BIGINT) AS label,
        |  CAST(FLOOR(($mF) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro,
        |  round(1.0 / (1.0 + exp(-($mF))), 6) AS score,
        |  FLOOR(($mF) * 1000000.0 + 0.5) >= 0 AS keep
-       |FROM f ORDER BY doc""".stripMargin
+       |FROM $scoreFrom ORDER BY doc""".stripMargin
   }
 
   /** Train a multinomial NB model on `docs` (every row labeled by

@@ -1322,6 +1322,30 @@ object LlmQueries {
       .orderBy("doc")
   }
 
+  /** The holdout twin of [[qualityLr]] (the nbTrainApply precedent):
+    * train on the doc_id % 5 != 0 eighty percent, score EVERYBODY,
+    * flag the held-out fifth — the honest generalization artifact
+    * next to the train-accuracy capstone. Same bit-exact GD; the
+    * oracle trains on the filtered CTE and scores the full one.
+    */
+  val qualityLrHoldout: Q = (s, dir) => {
+    val fc = Seq("_x0", "_x1", "_x2")
+    val feats = TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc"),
+        (col("quality_score") >= 0.405).cast("double").as("_y"),
+        ((col("stopword_ratio") - lit(0.06)) * lit(10.0)).as("_x0"),
+        ((least(col("avg_word_len") / lit(10.0), lit(1.0)) - lit(0.45)) * lit(10.0)).as("_x1"),
+        ((col("alpha_ratio") - lit(0.82)) * lit(10.0)).as("_x2"))
+      .localCheckpoint(false)
+    val wu = Classify.logisticTrain(
+      feats.filter(col("doc") % 5 =!= 0), "_y", fc, iters = 40, lr = 4.0)
+    Classify.logisticScore(feats, "doc", fc, wu)
+      .join(feats.select(col("doc"), col("_y").cast("long").as("label")), "doc")
+      .select(col("doc"), col("label"), col("margin_micro"), col("score"), col("keep"),
+        (col("doc") % 5 === 0).as("holdout"))
+      .orderBy("doc")
+  }
+
   val qualityLrSql: String = {
     val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
     val feats =
@@ -1338,6 +1362,29 @@ object LlmQueries {
          |    FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
          |          FROM documents))""".stripMargin
     Classify.logisticSql(feats, "doc_id", d = 3, iters = 40, lr = 4.0)
+  }
+
+  val qualityLrHoldoutSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
+    def feats(where: String): String =
+      s"""SELECT doc_id,
+         |    CAST(round(stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.3 + alpha * 0.3, 6) >= 0.405 AS DOUBLE) AS _y,
+         |    (round(stop_ratio, 6) - 0.06) * 10.0 AS _x0,
+         |    (least(round(awl, 6) / 10.0, 1.0) - 0.45) * 10.0 AS _x1,
+         |    (round(alpha, 6) - 0.82) * 10.0 AS _x2
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |      CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) AS awl,
+         |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha
+         |    FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+         |          FROM documents))$where""".stripMargin
+    val inner = Classify.logisticSql(
+      feats(" WHERE doc_id % 5 <> 0"), "doc_id", d = 3, iters = 40, lr = 4.0,
+      scoreFeatsSql = Some(feats("")))
+    s"""SELECT q.*, doc % 5 = 0 AS holdout FROM (
+       |$inner
+       |) q ORDER BY doc""".stripMargin
   }
 
   /** Gopher-style hard quality gate (TextAnalysis.qualityRules): rule
@@ -4994,6 +5041,7 @@ object LlmQueries {
     "q_text_lang" -> textLang,
     "q_text_quality" -> textQuality,
     "q_quality_lr" -> qualityLr,
+    "q_quality_lr_holdout" -> qualityLrHoldout,
     "q_quality_rules" -> qualityRules,
     "q_text_repetition" -> textRepetition,
     "q_decontaminate" -> decontaminate,
@@ -5130,6 +5178,7 @@ object LlmQueries {
     "q_text_lang" -> textLangSql,
     "q_text_quality" -> textQualitySql,
     "q_quality_lr" -> qualityLrSql,
+    "q_quality_lr_holdout" -> qualityLrHoldoutSql,
     "q_quality_rules" -> qualityRulesSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_decontaminate" -> decontaminateSql,
