@@ -1016,6 +1016,43 @@ class PlanSpec extends SparkSpec {
       s"pageRank iteration stages must be nested-loop-free:\n${offenders.mkString("\n---\n")}")
   }
 
+  test("logisticTrain / connectedComponentsBigStar: eager loop stages are nested-loop-free, partial-combined") {
+    // both loops run eagerly inside the operator (per-round collects),
+    // so their stage plans are captured via a listener, the pageRank
+    // convention
+    import org.apache.spark.sql.functions._
+    val stagePlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        stagePlans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      val f = (0 until 64).map(i => (i.toLong, i / 63.0, i % 2)).toDF("id", "x", "y")
+      graft.llm.Classify.logisticTrain(f, "y", Seq("x"), iters = 3, lr = 1.0)
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+      graft.operators.Graph.connectedComponentsBigStar(edges, "src", "dst").collect()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (System.nanoTime() < deadline &&
+          stagePlans.toArray(Array.empty[String]).length < 5) Thread.sleep(100)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val plans = stagePlans.asScala.toList
+    assert(plans.nonEmpty, "listener must capture the eager loop stages")
+    val offenders = plans.filter(p =>
+      p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+    assert(offenders.isEmpty,
+      s"loop stages must be nested-loop-free:\n${offenders.mkString("\n---\n")}")
+    // the GD gradient aggregates partial-combine below their exchange:
+    // shuffle rows are d+1 longs per task, not per doc
+    val gradPlans = plans.filter(_.contains("partial_sum"))
+    assert(gradPlans.nonEmpty, "expected map-side partial gradient sums in the loop stages")
+  }
+
   test("entropy: totals off the shared counts barrier, never a per-column window") {
     // the (c, v) counts frame checkpoints once off ONE table scan;
     // totals and terms both read the materialized RDD. The former
