@@ -190,6 +190,53 @@ object Classify {
        |FROM $scoreFrom ORDER BY doc""".stripMargin
   }
 
+  /** Reliability/calibration bins for any probabilistic classifier
+    * score (Guo et al. 2017's ECE diagram, the artifact behind "is
+    * this quality filter's 0.9 actually a 0.9") — the evaluation
+    * companion to [[logisticScore]] and [[nbTrainScore]]: scores in
+    * [0, 1] bucket into `bins` equal-width bins (the top edge closes
+    * into the last bin), each bin reports its exact count, positive
+    * count, empirical accuracy, mean confidence, and the |gap| — so
+    * `Σ n·abs_gap / Σ n` over the B output rows IS the expected
+    * calibration error, computable from the output without another
+    * corpus pass.
+    *
+    * Exactness: bin assignment is `least(floor(score·bins), bins-1)`
+    * (same IEEE multiply/floor both engines on the already-identical
+    * score doubles); counts are exact longs; confidence sums quantize
+    * each 6-dp score to DECIMAL(18,6) and sum exactly, so the only
+    * doubles are the three one-division-per-output-row rates (the
+    * oracle-parity rule). Empty bins are absent (the caller's
+    * spine-join problem; a reliability diagram plots present bins).
+    * One map-side-combined aggregate, one exchange keyed by bin —
+    * B rows out at any corpus size.
+    */
+  def calibrationBins(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int
+  ): DataFrame = {
+    require(bins >= 1 && bins <= 1000, s"bins must be in 1..1000, got $bins")
+    val s = col(scoreCol).cast("double")
+    val binCol = least(floor(s * lit(bins.toDouble)), lit((bins - 1).toLong))
+    scored
+      .select(binCol.as("bin"),
+        col(labelCol).cast("long").as("y"),
+        s.cast("decimal(18,6)").as("sq"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(col("sq")).as("conf_sum"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("accuracy"),
+        (col("conf_sum").cast("double") / col("n").cast("double")).as("confidence"),
+        abs(col("conf_sum").cast("double") / col("n").cast("double") -
+          col("n_pos").cast("double") / col("n").cast("double")).as("abs_gap"))
+  }
+
   /** Train a multinomial NB model on `docs` (every row labeled by
     * `labelCol`) and score the SAME corpus, emitting one row per
     * document: `(doc, actual, pred, score)` with `score` the winning

@@ -1346,46 +1346,73 @@ object LlmQueries {
       .orderBy("doc")
   }
 
-  val qualityLrSql: String = {
+  /** The shared LR feature SQL (label + centered ×10 features), the
+    * single source for the qualityLr / holdout / calibration oracles.
+    */
+  private def lrFeatsSql(where: String): String = {
     val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
-    val feats =
-      s"""SELECT doc_id,
-         |    CAST(round(stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.3 + alpha * 0.3, 6) >= 0.405 AS DOUBLE) AS _y,
-         |    (round(stop_ratio, 6) - 0.06) * 10.0 AS _x0,
-         |    (least(round(awl, 6) / 10.0, 1.0) - 0.45) * 10.0 AS _x1,
-         |    (round(alpha, 6) - 0.82) * 10.0 AS _x2
-         |  FROM (
-         |    SELECT doc_id,
-         |      CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) AS stop_ratio,
-         |      CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) AS awl,
-         |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha
-         |    FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
-         |          FROM documents))""".stripMargin
-    Classify.logisticSql(feats, "doc_id", d = 3, iters = 40, lr = 4.0)
+    s"""SELECT doc_id,
+       |    CAST(round(stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.3 + alpha * 0.3, 6) >= 0.405 AS DOUBLE) AS _y,
+       |    (round(stop_ratio, 6) - 0.06) * 10.0 AS _x0,
+       |    (least(round(awl, 6) / 10.0, 1.0) - 0.45) * 10.0 AS _x1,
+       |    (round(alpha, 6) - 0.82) * 10.0 AS _x2
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) AS stop_ratio,
+       |      CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) AS awl,
+       |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha
+       |    FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |          FROM documents))$where""".stripMargin
   }
 
-  val qualityLrHoldoutSql: String = {
-    val stop = TextAnalysis.EnStopwords.map(m => s"'$m'").mkString("[", ", ", "]")
-    def feats(where: String): String =
-      s"""SELECT doc_id,
-         |    CAST(round(stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.3 + alpha * 0.3, 6) >= 0.405 AS DOUBLE) AS _y,
-         |    (round(stop_ratio, 6) - 0.06) * 10.0 AS _x0,
-         |    (least(round(awl, 6) / 10.0, 1.0) - 0.45) * 10.0 AS _x1,
-         |    (round(alpha, 6) - 0.82) * 10.0 AS _x2
-         |  FROM (
-         |    SELECT doc_id,
-         |      CAST(len(list_filter(ws, sw -> list_contains($stop, sw))) AS DOUBLE) / len(ws) AS stop_ratio,
-         |      CAST(list_sum(list_transform(ws, lw -> length(lw))) AS DOUBLE) / len(ws) AS awl,
-         |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha
-         |    FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
-         |          FROM documents))$where""".stripMargin
-    val inner = Classify.logisticSql(
-      feats(" WHERE doc_id % 5 <> 0"), "doc_id", d = 3, iters = 40, lr = 4.0,
-      scoreFeatsSql = Some(feats("")))
+  val qualityLrSql: String =
+    Classify.logisticSql(lrFeatsSql(""), "doc_id", d = 3, iters = 40, lr = 4.0)
+
+  private def lrHoldoutInnerSql: String =
+    Classify.logisticSql(
+      lrFeatsSql(" WHERE doc_id % 5 <> 0"), "doc_id", d = 3, iters = 40, lr = 4.0,
+      scoreFeatsSql = Some(lrFeatsSql("")))
+
+  val qualityLrHoldoutSql: String =
     s"""SELECT q.*, doc % 5 = 0 AS holdout FROM (
-       |$inner
+       |$lrHoldoutInnerSql
        |) q ORDER BY doc""".stripMargin
+
+  /** Reliability bins (Classify.calibrationBins) of the HELD-OUT fifth
+    * under the holdout-trained LR — the honest "is a 0.9 really a
+    * 0.9" diagram: 8 equal-width score bins, exact counts, decimal
+    * confidence sums, one division per output rate. ECE is
+    * Σ n·abs_gap / Σ n over these rows.
+    */
+  val qualityLrCalibration: Q = (s, dir) => {
+    val fc = Seq("_x0", "_x1", "_x2")
+    val feats = TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc"),
+        (col("quality_score") >= 0.405).cast("double").as("_y"),
+        ((col("stopword_ratio") - lit(0.06)) * lit(10.0)).as("_x0"),
+        ((least(col("avg_word_len") / lit(10.0), lit(1.0)) - lit(0.45)) * lit(10.0)).as("_x1"),
+        ((col("alpha_ratio") - lit(0.82)) * lit(10.0)).as("_x2"))
+      .localCheckpoint(false)
+    val wu = Classify.logisticTrain(
+      feats.filter(col("doc") % 5 =!= 0), "_y", fc, iters = 40, lr = 4.0)
+    val held = Classify.logisticScore(feats.filter(col("doc") % 5 === 0), "doc", fc, wu)
+      .join(feats.select(col("doc"), col("_y").cast("long").as("label")), "doc")
+    Classify.calibrationBins(held, "label", "score", bins = 8).orderBy("bin")
   }
+
+  val qualityLrCalibrationSql: String =
+    s"""WITH sc AS MATERIALIZED (
+       |  SELECT * FROM ($lrHoldoutInnerSql) WHERE doc % 5 = 0),
+       |b AS (SELECT LEAST(CAST(FLOOR(score * 8.0) AS BIGINT), 7) AS bin, label AS y,
+       |        CAST(score AS DECIMAL(18,6)) AS sq FROM sc),
+       |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       |          sum(sq) AS conf_sum FROM b GROUP BY 1)
+       |SELECT bin, n, n_pos,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+       |  CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE) AS confidence,
+       |  ABS(CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE) -
+       |      CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
+       |FROM agg ORDER BY bin""".stripMargin
 
   /** Gopher-style hard quality gate (TextAnalysis.qualityRules): rule
     * metrics + the conjunction pass flag. The oracle replays the word
@@ -5042,6 +5069,7 @@ object LlmQueries {
     "q_text_quality" -> textQuality,
     "q_quality_lr" -> qualityLr,
     "q_quality_lr_holdout" -> qualityLrHoldout,
+    "q_quality_lr_calibration" -> qualityLrCalibration,
     "q_quality_rules" -> qualityRules,
     "q_text_repetition" -> textRepetition,
     "q_decontaminate" -> decontaminate,
@@ -5179,6 +5207,7 @@ object LlmQueries {
     "q_text_quality" -> textQualitySql,
     "q_quality_lr" -> qualityLrSql,
     "q_quality_lr_holdout" -> qualityLrHoldoutSql,
+    "q_quality_lr_calibration" -> qualityLrCalibrationSql,
     "q_quality_rules" -> qualityRulesSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_decontaminate" -> decontaminateSql,

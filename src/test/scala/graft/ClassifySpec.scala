@@ -164,6 +164,27 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("calibrationBins: hand bins, top-edge closure, exact decimal confidence") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.10, 0), (0.15, 1),          // bin 0 of 4: acc 0.5, conf 0.125
+      (0.55, 1), (0.60, 1), (0.70, 0), // bin 2: acc 2/3
+      (1.00, 1)                      // score 1.0 closes into bin 3, not 4
+    ).toDF("score", "y")
+    val got = Classify.calibrationBins(scored, "y", "score", bins = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(0L, 2L, 3L), s"empty bins absent, got ${got.keySet}")
+    assert(got(0L).getLong(1) == 2 && got(0L).getDouble(3) == 0.5)
+    assert(got(0L).getDouble(4) == 0.25 / 2)
+    assert(got(2L).getLong(1) == 3 && got(2L).getDouble(3) == 2.0 / 3)
+    assert(got(3L).getLong(1) == 1 && got(3L).getDouble(4) == 1.0,
+      "score 1.0 must close into the last bin")
+    // ECE from the output alone: sum(n*gap)/sum(n)
+    val rows = got.values.toSeq
+    val ece = rows.map(r => r.getLong(1) * r.getDouble(5)).sum / rows.map(_.getLong(1)).sum
+    assert(ece > 0.0 && ece < 1.0)
+  }
+
   test("logisticTrain guards: null features, empty frame, weight arity") {
     import spark.implicits._
     val nulls = Seq((1L, Some(1.0), 1), (2L, None, 0)).toDF("id", "x", "y")
