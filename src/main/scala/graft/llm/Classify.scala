@@ -237,6 +237,59 @@ object Classify {
           col("n_pos").cast("double") / col("n").cast("double")).as("abs_gap"))
   }
 
+  /** Cohen's kappa (Cohen 1960) between two label columns over the
+    * same rows — chance-corrected agreement, the standard
+    * label-quality gate for human/judge annotations and for
+    * comparing filter variants (does the trained classifier agree
+    * with the heuristic gate beyond chance?). Output is ONE row:
+    * `(n, agree, po, pe, kappa)` with po the observed agreement
+    * rate, pe the marginal-product chance rate, and
+    * kappa = (po − pe)/(1 − pe), NULL when pe = 1 (both raters
+    * constant and identical — kappa undefined).
+    *
+    * Exactness: the contingency table is exact longs off ONE
+    * map-side-combined aggregate (label-pair-sized — the
+    * [[evalMetrics]] driver-safe-cardinality contract); agree and
+    * the marginal cross-product are exact integer sums; po and pe
+    * are each ONE division, kappa one subtraction-pair division —
+    * the oracle replays the identical sequence. Null labels are
+    * rejected loudly (the [[evalMetricsFromCounts]] rule).
+    */
+  def agreementKappa(
+      rated: DataFrame,
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = rated.sparkSession
+    val cont = rated
+      .groupBy(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    require(cont.nonEmpty, "agreementKappa needs a non-empty frame")
+    require(cont.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "agreementKappa requires non-null labels in both columns; " +
+        "coalesce nulls to a sentinel label upstream")
+    val n = cont.map(_.getLong(2)).sum
+    val agree = cont.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    val aTot = cont.groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    val bTot = cont.groupBy(_.getString(1)).map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    val cross = aTot.keysIterator.map(k => aTot(k) * bTot.getOrElse(k, 0L)).sum
+    val po = agree.toDouble / n.toDouble
+    val pe = cross.toDouble / (n * n).toDouble
+    val kappa: Any = if (pe == 1.0) null else (po - pe) / (1.0 - pe)
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(n, agree, po, pe, kappa))
+    // explicit-schema local relation (REPL-safe rule)
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("agree", LongType, nullable = false),
+      StructField("po", DoubleType, nullable = false),
+      StructField("pe", DoubleType, nullable = false),
+      StructField("kappa", DoubleType, nullable = true))))
+  }
+
   /** Train a multinomial NB model on `docs` (every row labeled by
     * `labelCol`) and score the SAME corpus, emitting one row per
     * document: `(doc, actual, pred, score)` with `score` the winning

@@ -1471,6 +1471,46 @@ object LlmQueries {
        |FROM m LEFT JOIN tb ON tb.doc_id = m.doc_id ORDER BY doc""".stripMargin
   }
 
+  /** Cohen's kappa (Classify.agreementKappa) between the two quality
+    * filters the corpus already runs — the Gopher-rule hard gate
+    * (qualityRules.pass) and the blended-score threshold
+    * (quality_score >= 0.405) — the chance-corrected "do my filter
+    * variants actually agree" audit. The oracle NESTS the two proven
+    * oracles (the release-gate composition pattern) and replays the
+    * exact contingency → marginals → one-division-each po/pe/kappa
+    * sequence.
+    */
+  val qualityKappa: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val a = TextAnalysis.qualityRules(docs, "doc_id", "text")
+      .select(col("doc"), col("pass").as("ra"))
+    val b = TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc"), (col("quality_score") >= 0.405).as("rb"))
+    Classify.agreementKappa(a.join(b, "doc"), "ra", "rb")
+  }
+
+  val qualityKappaSql: String =
+    s"""WITH qr AS MATERIALIZED ($qualityRulesSql),
+       |tq AS MATERIALIZED ($textQualitySql),
+       |j AS (SELECT CAST(qr.pass AS VARCHAR) AS a,
+       |        CAST(tq.quality_score >= 0.405 AS VARCHAR) AS b
+       |      FROM qr JOIN tq ON qr.doc = tq.doc),
+       |cont AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+       |          CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree FROM cont),
+       |ma AS (SELECT a AS k, CAST(sum(n) AS BIGINT) AS na FROM cont GROUP BY 1),
+       |mb AS (SELECT b AS k, CAST(sum(n) AS BIGINT) AS nb FROM cont GROUP BY 1),
+       |cr AS (SELECT CAST(COALESCE(sum(na * nb), 0) AS BIGINT) AS xp
+       |       FROM ma JOIN mb USING (k))
+       |SELECT n, agree,
+       |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |  CAST(xp AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+       |  CASE WHEN CAST(xp AS DOUBLE) / CAST(n * n AS DOUBLE) = 1.0 THEN NULL
+       |    ELSE (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+       |            - CAST(xp AS DOUBLE) / CAST(n * n AS DOUBLE))
+       |         / (1.0 - CAST(xp AS DOUBLE) / CAST(n * n AS DOUBLE)) END AS kappa
+       |FROM tot, cr""".stripMargin
+
   /** PII redaction (TextAnalysis.piiRedact). The corpus carries no PII,
     * so the query plants deterministic contact lines (email + ip +
     * phone derived from doc_id) into every 3rd doc before scrubbing —
@@ -5070,6 +5110,7 @@ object LlmQueries {
     "q_quality_lr" -> qualityLr,
     "q_quality_lr_holdout" -> qualityLrHoldout,
     "q_quality_lr_calibration" -> qualityLrCalibration,
+    "q_quality_kappa" -> qualityKappa,
     "q_quality_rules" -> qualityRules,
     "q_text_repetition" -> textRepetition,
     "q_decontaminate" -> decontaminate,
@@ -5208,6 +5249,7 @@ object LlmQueries {
     "q_quality_lr" -> qualityLrSql,
     "q_quality_lr_holdout" -> qualityLrHoldoutSql,
     "q_quality_lr_calibration" -> qualityLrCalibrationSql,
+    "q_quality_kappa" -> qualityKappaSql,
     "q_quality_rules" -> qualityRulesSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_decontaminate" -> decontaminateSql,

@@ -185,6 +185,27 @@ class ClassifySpec extends SparkSpec {
     assert(ece > 0.0 && ece < 1.0)
   }
 
+  test("agreementKappa: hand contingency, degenerate NULL, null-label guard") {
+    import spark.implicits._
+    // raters: agree on 6 of 10; marginals A: 7 yes / 3 no, B: 5/5
+    // po = 0.6, pe = (7*5 + 3*5)/100 = 0.5, kappa = 0.1/0.5 = 0.2
+    val rated = (Seq.fill(4)(("y", "y")) ++ Seq.fill(3)(("y", "n")) ++
+      Seq.fill(1)(("n", "y")) ++ Seq.fill(2)(("n", "n"))).toDF("ra", "rb")
+    val r = Classify.agreementKappa(rated, "ra", "rb").collect()(0)
+    assert(r.getLong(0) == 10 && r.getLong(1) == 6)
+    assert(r.getDouble(2) == 0.6 && r.getDouble(3) == 0.5)
+    assert(math.abs(r.getDouble(4) - 0.2) < 1e-15, s"kappa ${r.getDouble(4)}")
+    // both raters constant and identical: pe = 1, kappa undefined -> NULL
+    val const = Seq(("y", "y"), ("y", "y")).toDF("ra", "rb")
+    assert(Classify.agreementKappa(const, "ra", "rb").collect()(0).isNullAt(4))
+    // null labels fail loudly
+    val nulls = Seq((Some("y"), Some("y")), (None, Some("n"))).toDF("ra", "rb")
+    val e = intercept[IllegalArgumentException] {
+      Classify.agreementKappa(nulls, "ra", "rb").collect()
+    }
+    assert(e.getMessage.contains("non-null labels"), e.getMessage)
+  }
+
   test("logisticTrain guards: null features, empty frame, weight arity") {
     import spark.implicits._
     val nulls = Seq((1L, Some(1.0), 1), (2L, None, 0)).toDF("id", "x", "y")
