@@ -645,7 +645,7 @@ object Graph {
       .distinct().localCheckpoint(true)
     val sizes = scala.collection.mutable.ArrayBuffer[Long]()
     var it = 0
-    var converged = isStarSet(e)
+    var converged = starStats(e)._1 == 0L
     while (!converged && it < maxIter) {
       // large-star: for every node x, hang each neighbor LARGER than x
       // off m(x) = min(Γ(x) ∪ {x}); output keeps the (big, small)
@@ -667,8 +667,9 @@ object Graph {
         .select(col("nu").as("u"), col("nv").as("v"))
         .distinct()
         .localCheckpoint(true)
-      sizes += e.count()
-      converged = isStarSet(e)
+      val (viol, nEdges) = starStats(e)
+      sizes += nEdges
+      converged = viol == 0L
       it += 1
     }
     if (!converged)
@@ -681,19 +682,27 @@ object Graph {
     (labels, sizes.toSeq)
   }
 
-  /** Fixed-point test for the star alternation: the edge set is a
-    * disjoint union of min-rooted stars iff no node appears on the big
-    * side twice (a leaf with two parents) and no node appears on both
-    * sides (a center that is itself a leaf). One union + one map-side-
-    * combined aggregate + a driver-side long — control-plane cost.
+  /** Fixed-point test for the star alternation, fused with the edge
+    * count: the edge set is a disjoint union of min-rooted stars iff
+    * no node appears on the big side twice (a leaf with two parents)
+    * and no node appears on both sides (a center that is itself a
+    * leaf). Returns (violating nodes, |E|) — |E| = Σ nbig rides the
+    * same aggregate, so each round costs ONE union + one map-side-
+    * combined aggregate + a 2-long driver collect (the pageRank
+    * dangling-mass shape), not a star test AND a count job.
     */
-  private def isStarSet(e: DataFrame): Boolean =
-    e.select(col("u").as("node"), lit(1L).as("big"))
+  private def starStats(e: DataFrame): (Long, Long) = {
+    val row = e.select(col("u").as("node"), lit(1L).as("big"))
       .unionAll(e.select(col("v").as("node"), lit(0L).as("big")))
       .groupBy(col("node"))
       .agg(sum(col("big")).as("nbig"), min(col("big")).as("mnb"))
-      .filter(col("nbig") > 1 || (col("nbig") >= 1 && col("mnb") === 0))
-      .limit(1).count() == 0
+      .agg(
+        coalesce(sum(when(
+          col("nbig") > 1 || (col("nbig") >= 1 && col("mnb") === 0), 1L)), lit(0L)),
+        coalesce(sum(col("nbig")), lit(0L)))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
 
   /** Bounded-round k-core decomposition (Seidman 1983, "Network
     * structure and minimum degree"; the Batagelj–Zaveršnik peel run
