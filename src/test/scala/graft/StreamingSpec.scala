@@ -29,6 +29,27 @@ class StreamingSpec extends SparkSpec {
     assert(last("b") == ((1L, 1.0, 2L))) // stale ord 0 counted but not applied
   }
 
+  test("streaming logistic scoring: the stateless scorer matches batch row-for-row") {
+    import spark.implicits._
+    // trained weights are a driver-side artifact (micro-unit longs), so
+    // the scorer is a pure projection — it drops into readStream
+    // pipelines with no state store involved
+    val wu = Array(100000L, 2000000L) // bias 0.1, slope 2.0
+    val rows = Seq((1L, 0.1), (2L, 0.9), (3L, -0.4))
+    val in = MemoryStream[(Long, Double)]
+    in.addData(rows.take(2): _*)
+    in.addData(rows.drop(2): _*)
+    val streamed = StreamingFeatures.runToMemory(
+      spark,
+      graft.llm.Classify.logisticScore(in.toDS().toDF("id", "x"), "id", Seq("x"), wu),
+      "t_lr_score", OutputMode.Append())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val batch = graft.llm.Classify.logisticScore(rows.toDF("id", "x"), "id", Seq("x"), wu)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(streamed == batch, s"stream $streamed must equal batch $batch")
+    assert(batch(3L)._3 == false && batch(2L)._3 == true) // signs split as the margin says
+  }
+
   test("streaming tumbling count window buffers across batches and resets") {
     val in = MemoryStream[Update]
     in.addData(Update("k", 1, 1.0), Update("k", 2, 2.0))
