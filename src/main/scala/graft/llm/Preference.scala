@@ -97,6 +97,73 @@ object Preference {
         (col("p").cast("double") / lit(Nano)).as("rating"))
   }
 
+  /** Conservative pairwise win-rate ranking — the Wilson score lower
+    * bound (Wilson 1927; the how-not-to-sort-by-average-rating
+    * ranking rule) at a fixed z, the single-pass companion to
+    * [[bradleyTerry]]: where BT fits a global strength model over the
+    * comparison graph, the Wilson bound ranks each item by the worst
+    * plausible value of its OWN win rate, punishing small samples —
+    * the right default for "which completion wins" dashboards and for
+    * pruning low-confidence preference pairs before reward training.
+    *
+    * Output per item: wins, losses, games, `win_rate`, `wilson_low`.
+    * Exactness: wins/losses are exact longs off two map-side-combined
+    * aggregates (one exchange each, keyed by item); the rate is one
+    * division and the bound one fixed IEEE sequence over it — z and
+    * z² enter as shared double literals, so the DuckDB replica
+    * ([[winRatesSql]]) is bit-identical with no rounding anywhere.
+    */
+  def winRates(
+      matches: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      z: Double = 1.96
+  ): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val z2 = z * z
+    val m = matches.select(col(winnerCol).as("w"), col(loserCol).as("l"))
+    val wins = m.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val losses = m.groupBy(col("l").as("item")).agg(count(lit(1)).as("losses"))
+    val base = wins.join(losses, Seq("item"), "full")
+      .select(col("item"),
+        coalesce(col("wins"), lit(0L)).as("wins"),
+        coalesce(col("losses"), lit(0L)).as("losses"))
+      .withColumn("games", col("wins") + col("losses"))
+    val n = col("games").cast("double")
+    val p = col("wins").cast("double") / n
+    val low =
+      (p + lit(z2) / (lit(2.0) * n) -
+        lit(z) * sqrt(p * (lit(1.0) - p) / n + lit(z2) / (lit(4.0) * n * n))) /
+        (lit(1.0) + lit(z2) / n)
+    base.select(col("item"), col("wins"), col("losses"), col("games"),
+      p.as("win_rate"), low.as("wilson_low"))
+  }
+
+  /** The DuckDB oracle for [[winRates]]: same literals, same op
+    * sequence. `matchesSql` must yield (winner, loser) rows.
+    */
+  def winRatesSql(matchesSql: String, z: Double = 1.96): String = {
+    val zS = s"CAST(${new java.math.BigDecimal(z).toPlainString} AS DOUBLE)"
+    val z2S = s"CAST(${new java.math.BigDecimal(z * z).toPlainString} AS DOUBLE)"
+    s"""WITH m AS MATERIALIZED ($matchesSql),
+       |wn AS (SELECT winner AS item, CAST(count(*) AS BIGINT) AS wins FROM m GROUP BY 1),
+       |ls AS (SELECT loser AS item, CAST(count(*) AS BIGINT) AS losses FROM m GROUP BY 1),
+       |b AS (SELECT COALESCE(wn.item, ls.item) AS item,
+       |        COALESCE(wins, 0) AS wins, COALESCE(losses, 0) AS losses,
+       |        COALESCE(wins, 0) + COALESCE(losses, 0) AS games
+       |      FROM wn FULL JOIN ls ON wn.item = ls.item)
+       |SELECT item, wins, losses, games,
+       |  CAST(wins AS DOUBLE) / CAST(games AS DOUBLE) AS win_rate,
+       |  (CAST(wins AS DOUBLE) / CAST(games AS DOUBLE)
+       |     + $z2S / (2.0 * CAST(games AS DOUBLE))
+       |     - $zS * sqrt(CAST(wins AS DOUBLE) / CAST(games AS DOUBLE)
+       |         * (1.0 - CAST(wins AS DOUBLE) / CAST(games AS DOUBLE))
+       |         / CAST(games AS DOUBLE)
+       |         + $z2S / (4.0 * CAST(games AS DOUBLE) * CAST(games AS DOUBLE))))
+       |  / (1.0 + $z2S / CAST(games AS DOUBLE)) AS wilson_low
+       |FROM b ORDER BY item""".stripMargin
+  }
+
   /** The DuckDB oracle for [[bradleyTerry]], unrolled: `matchesSql`
     * must yield (winner, loser) rows. Generated from the same
     * constants so both engines run bit-identical arithmetic.

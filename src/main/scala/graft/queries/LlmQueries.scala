@@ -4336,10 +4336,14 @@ object LlmQueries {
     * lag-window match derivation and the unrolled fixed-point MM fit
     * (Preference.bradleyTerrySql, generated from the same constants).
     */
-  val preferenceBt: Q = (s, dir) => {
+  /** The shared duel derivation for the preference queries: within
+    * each user's timeline, consecutive events of different types duel
+    * and the higher value wins (ties and same-type pairs skipped).
+    */
+  private def eventDuels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("event_id")
-    val m = Tables.events(s, dir)
+    Tables.events(s, dir)
       .select(col("event_type").as("cur_t"), col("value").as("cur_v"),
         lag("event_type", 1).over(w).as("prev_t"),
         lag("value", 1).over(w).as("prev_v"))
@@ -4350,21 +4354,34 @@ object LlmQueries {
           .otherwise(col("prev_t")).as("winner"),
         when(col("cur_v") > col("prev_v"), col("prev_t"))
           .otherwise(col("cur_t")).as("loser"))
-    graft.llm.Preference.bradleyTerry(m, "winner", "loser", iters = 3)
-      .orderBy("item")
   }
 
-  val preferenceBtSql: String = {
-    val matches =
-      """SELECT CASE WHEN cur_v > prev_v THEN cur_t ELSE prev_t END AS winner,
-        |       CASE WHEN cur_v > prev_v THEN prev_t ELSE cur_t END AS loser
-        |FROM (SELECT event_type AS cur_t, value AS cur_v,
-        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t,
-        |        lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v
-        |      FROM events)
-        |WHERE prev_t IS NOT NULL AND prev_t <> cur_t AND cur_v <> prev_v""".stripMargin
-    graft.llm.Preference.bradleyTerrySql(matches, iters = 3)
-  }
+  private val eventDuelsSql: String =
+    """SELECT CASE WHEN cur_v > prev_v THEN cur_t ELSE prev_t END AS winner,
+      |       CASE WHEN cur_v > prev_v THEN prev_t ELSE cur_t END AS loser
+      |FROM (SELECT event_type AS cur_t, value AS cur_v,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t,
+      |        lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v
+      |      FROM events)
+      |WHERE prev_t IS NOT NULL AND prev_t <> cur_t AND cur_v <> prev_v""".stripMargin
+
+  val preferenceBt: Q = (s, dir) =>
+    graft.llm.Preference.bradleyTerry(eventDuels(s, dir), "winner", "loser", iters = 3)
+      .orderBy("item")
+
+  val preferenceBtSql: String =
+    graft.llm.Preference.bradleyTerrySql(eventDuelsSql, iters = 3)
+
+  /** Wilson lower-bound win rates (Preference.winRates) over the same
+    * duels — the conservative single-pass ranking next to the BT fit;
+    * small-sample items rank below their raw rate.
+    */
+  val preferenceWinrate: Q = (s, dir) =>
+    graft.llm.Preference.winRates(eventDuels(s, dir), "winner", "loser")
+      .orderBy("item")
+
+  val preferenceWinrateSql: String =
+    graft.llm.Preference.winRatesSql(eventDuelsSql)
 
   /** DSIR importance weights (Selection.dsirWeights): English docs play
     * the target slice; every doc scored by the hashed-unigram
@@ -5173,6 +5190,7 @@ object LlmQueries {
     "q_lm_perplexity" -> lmPerplexity,
     "q_lm_perplexity_bigram" -> lmPerplexityBigram,
     "q_preference_bt" -> preferenceBt,
+    "q_preference_winrate" -> preferenceWinrate,
     "q_dsir_select" -> dsirSelect,
     "q_dsir_pipeline" -> dsirPipeline,
     "q_ccnet_pipeline" -> ccnetPipeline,
@@ -5314,6 +5332,7 @@ object LlmQueries {
     "q_lm_perplexity_bigram" -> lmPerplexityBigramSql,
     "q_dsir_pipeline" -> dsirPipelineSql,
     "q_preference_bt" -> preferenceBtSql,
+    "q_preference_winrate" -> preferenceWinrateSql,
     "q_ccnet_pipeline" -> ccnetPipelineSql,
     "q_curation_select" -> curationSelectSql,
     "q_boilerplate" -> boilerplateSql,

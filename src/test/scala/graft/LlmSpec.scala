@@ -476,6 +476,27 @@ class LlmSpec extends SparkSpec {
     assert(got("A")._1 == 23L && got("B")._1 == 10L)
   }
 
+  test("winRates: hand Wilson bound, small-sample penalty, all-loser row") {
+    import spark.implicits._
+    // X: 8/10 wins; Y: 2/2 wins (perfect but tiny); W: 0 wins
+    val m = (Seq.fill(8)(("X", "Z")) ++ Seq.fill(2)(("Z", "X")) ++
+      Seq.fill(2)(("Y", "Z")) ++ Seq.fill(3)(("X", "W")))
+      .toDF("winner", "loser")
+    val got = graft.llm.Preference.winRates(m, "winner", "loser")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // hand Wilson at z=1.96 for X's 11/13 overall (8 vs Z + 3 vs W, 2 losses)
+    val (z, n, p) = (1.96, 13.0, 11.0 / 13.0)
+    val want = (p + z * z / (2 * n) - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) /
+      (1 + z * z / n)
+    assert(got("X") == ((11L, 13L, p, want)), s"got ${got("X")} want $want")
+    // Y's raw rate (1.0) beats X's, but its 2-game bound must fall BELOW X's
+    assert(got("Y")._3 == 1.0 && got("Y")._4 < got("X")._4,
+      s"small perfect sample must rank below the larger ${p}: $got")
+    // W appears (all-loser via the full join), rate 0, bound >= 0
+    assert(got("W")._1 == 0L && got("W")._3 == 0.0 && got("W")._4 >= 0.0)
+  }
+
   test("trainingOrder: proportional interleave, per-slice curriculum decay") {
     import spark.implicits._
     // slice a: 100 docs, slice b: 50 — a must appear ~2x as often in
