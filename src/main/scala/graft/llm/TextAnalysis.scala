@@ -286,11 +286,56 @@ object TextAnalysis {
     require(splits.nonEmpty && splits.map(_._2).sum == 1000,
       s"split weights must sum to 1000 per-mille, got $splits")
     val bucket = graft.functions.GraftFunctions.strhash(col(idCol).cast("string")) % 1000
-    val label = splits.scanLeft(("", 0)) { case ((_, acc), (l, w)) => (l, acc + w) }.tail
+    docs.withColumn("split_bucket", bucket)
+      .withColumn("split", splitLabel(col("split_bucket"), splits))
+  }
+
+  private def splitLabel(bucket: Column, splits: Seq[(String, Int)]): Column =
+    splits.scanLeft(("", 0)) { case ((_, acc), (l, w)) => (l, acc + w) }.tail
       .foldRight(lit(splits.last._1): Column) { case ((l, bound), els) =>
         when(bucket < bound, lit(l)).otherwise(els)
       }
-    docs.withColumn("split_bucket", bucket).withColumn("split", label)
+
+  /** Leakage-safe split assignment: [[assignSplit]] hashed on the
+    * NEAR-DUP COMPONENT instead of the document id, so every member of
+    * a near-duplicate cluster lands in the SAME split — the
+    * train/test-contamination fix per-doc hashing cannot give you (a
+    * doc's near-twin in the eval set leaks its content into training;
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" measure exactly this eval inflation). `pairs` is
+    * any near-dup pair frame (MinHash bands, SimHash, semantic — the
+    * caller picks the blocked generator); docs in no pair split by
+    * their own id, so the assignment degrades gracefully to
+    * [[assignSplit]] on a dup-free corpus.
+    *
+    * Scale shape: the component table comes from the banded pair graph
+    * ([[Dedup.connectedComponents]] — or swap in
+    * [[graft.operators.Graph.connectedComponentsBigStar]] upstream for
+    * hub-skewed pair graphs), is pair-endpoint-sized (≪ corpus), and
+    * joins back keyed on the id; the split itself stays a pure per-row
+    * hash. Output: input columns + `split_group`, `split_bucket`,
+    * `split`.
+    */
+  def assignSplitLeakageSafe(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      splits: Seq[(String, Int)],
+      maxIter: Int = 50
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"split weights must sum to 1000 per-mille, got $splits")
+    val comp = graft.llm.Dedup.connectedComponents(pairs, aCol, bCol, maxIter)
+    val bucket =
+      graft.functions.GraftFunctions.strhash(col("split_group").cast("string")) % 1000
+    docs
+      .join(comp.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .withColumn("split_group", coalesce(col("component"), col(idCol)))
+      .drop("component")
+      .withColumn("split_bucket", bucket)
+      .withColumn("split", splitLabel(col("split_bucket"), splits))
   }
 
   /** PII detection patterns — conservative regexes that parse and match

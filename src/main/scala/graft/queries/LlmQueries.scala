@@ -211,6 +211,51 @@ object LlmQueries {
        |SELECT src AS doc, least(src, min(dst)) AS component
        |FROM reach GROUP BY src ORDER BY doc""".stripMargin
 
+  /** Leakage-safe train/val/test split
+    * (TextAnalysis.assignSplitLeakageSafe): the 90/5/5 hash split of
+    * q_split_assign, but hashed on the minhash near-dup COMPONENT so a
+    * doc and its near-twin can never straddle train and eval. The
+    * oracle nests the recursive-closure clustering (dedupClusters) and
+    * replays the group hash + cumulative thresholds.
+    */
+  val splitLeakageSafe: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.llm.TextAnalysis.assignSplitLeakageSafe(
+        docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.6),
+        "doc_a", "doc_b",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .select(col("doc_id").as("doc"), col("split_group"), col("split_bucket"), col("split"))
+      .orderBy("doc")
+  }
+
+  val splitLeakageSafeSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM mh),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT reach.src, e.dst FROM reach JOIN e ON reach.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |g AS (
+       |  SELECT d.doc_id AS doc,
+       |    COALESCE(c.component, d.doc_id) AS split_group
+       |  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+       |b AS (
+       |  SELECT doc, split_group,
+       |    ${strhashSql("CAST(split_group AS VARCHAR)", "h")} % 1000 AS split_bucket
+       |  FROM g)
+       |SELECT doc, split_group, split_bucket,
+       |  CASE WHEN split_bucket < 900 THEN 'train'
+       |       WHEN split_bucket < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc""".stripMargin
+
   /** Near-dup-aware corpus reduction: per-source survivor counts after
     * dropping non-canonical members of every minhash cluster.
     */
@@ -5096,6 +5141,7 @@ object LlmQueries {
     "q_lm_commonness" -> lmCommonness,
     "q_source_overlap" -> sourceOverlap,
     "q_split_assign" -> splitAssign,
+    "q_split_leakage_safe" -> splitLeakageSafe,
     "q_curation_pipeline" -> curationPipeline,
     "q_top_terms" -> topTerms,
     "q_tfidf_terms" -> tfidfTerms,
@@ -5236,6 +5282,7 @@ object LlmQueries {
     "q_lm_commonness" -> lmCommonnessSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_split_assign" -> splitAssignSql,
+    "q_split_leakage_safe" -> splitLeakageSafeSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_top_terms" -> topTermsSql,
     "q_tfidf_terms" -> tfidfTermsSql,

@@ -476,6 +476,29 @@ class LlmSpec extends SparkSpec {
     assert(got("A")._1 == 23L && got("B")._1 == 10L)
   }
 
+  test("assignSplitLeakageSafe: clusters never straddle splits; dup-free ≡ per-doc split") {
+    import spark.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    // two chains: {1,2,3} and {10,11}; rest singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val splits = Seq("train" -> 800, "test" -> 200)
+    val got = graft.llm.TextAnalysis.assignSplitLeakageSafe(
+        docs, "doc_id", pairs, "doc_a", "doc_b", splits)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L),
+      s"cluster {1,2,3} must share group AND split: ${got(1L)}, ${got(2L)}, ${got(3L)}")
+    assert(got(10L) == got(11L))
+    assert(got(1L)._1 == 1L && got(10L)._1 == 10L, "group = cluster minimum")
+    // with no pairs at all, the assignment IS assignSplit on the id
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val lone = graft.llm.TextAnalysis.assignSplitLeakageSafe(
+        docs, "doc_id", empty, "doc_a", "doc_b", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val plain = graft.llm.TextAnalysis.assignSplit(docs, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(lone == plain, "dup-free corpus must degrade to the per-doc split")
+  }
+
   test("winRates: hand Wilson bound, small-sample penalty, all-loser row") {
     import spark.implicits._
     // X: 8/10 wins; Y: 2/2 wins (perfect but tiny); W: 0 wins
