@@ -807,4 +807,221 @@ object Graph {
        |  SELECT greach.src, ge.dst FROM greach JOIN ge ON greach.dst = ge.src)
        |SELECT src AS node, least(src, min(dst)) AS component
        |FROM greach GROUP BY src ORDER BY node""".stripMargin
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources
+    * in a Hyperlinked Environment") — the second classic link-quality
+    * signal next to [[pageRank]], and the natural one for BIPARTITE
+    * curation graphs (buyers↔suppliers, queries↔documents,
+    * crawlers↔hosts): a good hub points at good authorities, a good
+    * authority is pointed at by good hubs. Returns
+    * `(node, hub, auth)`, each score L1-normalized to ≈ 1 per side.
+    *
+    * Cross-engine FP discipline — the [[pageRank]] fixed-point recipe:
+    * scores live as BIGINT nano-units between half-steps; each
+    * half-step sums the opposite side's units EXACTLY (integer
+    * addition, shuffle-order-free) and renormalizes with
+    * `floor(raw · 1e9 / Σraw + 0.5)` — single IEEE multiply, divide,
+    * floor with no rounding-mode freedom, so [[hitsSql]]'s unroll
+    * lands bit-identically. (Raw sums stay well inside BIGINT: a raw
+    * authority sum is ≤ 1e9 · max-degree.) The per-side normalizer is
+    * ONE long collected per half-step and re-entered as a literal
+    * (the dangling-mass convention); its action doubles as the
+    * barrier that materializes the lazy localCheckpoint capping each
+    * round's lineage.
+    *
+    * Scale shape: two shuffles per half-step — the node-keyed score
+    * joins the edge list on that side's key (partial-aggregated
+    * below the exchange, 8-byte units through the wire), then the
+    * renormalized frame re-keys on `node`. No windows, no nested
+    * loops, no driver-side data beyond the one-long normalizers.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val n = nodes.count()
+    require(n > 0, "hits requires a non-empty edge list")
+    val h0 = math.floor(Scale.toDouble / n + 0.5).toLong
+    var hub = nodes.select(col("node"), lit(h0).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      val ar = e.join(hub.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("araw"))
+        .localCheckpoint(false)
+      val asum = ar.agg(coalesce(sum(col("araw")), lit(0L))).collect()(0).getLong(0)
+      require(asum > 0, "authority mass vanished — every edge source has hub 0")
+      auth = nodes.join(ar, col("node") === col("dst"), "left")
+        .select(col("node"),
+          floor(coalesce(col("araw"), lit(0L)).cast("double") * lit(Scale.toDouble) /
+            lit(asum.toDouble) + lit(0.5)).as("auth"))
+        .localCheckpoint(false)
+      val hr = e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+        .groupBy(col("src")).agg(sum(col("auth")).as("hraw"))
+        .localCheckpoint(false)
+      val hsum = hr.agg(coalesce(sum(col("hraw")), lit(0L))).collect()(0).getLong(0)
+      require(hsum > 0, "hub mass vanished — every edge target has authority 0")
+      hub = nodes.join(hr, col("node") === col("src"), "left")
+        .select(col("node"),
+          floor(coalesce(col("hraw"), lit(0L)).cast("double") * lit(Scale.toDouble) /
+            lit(hsum.toDouble) + lit(0.5)).as("hub"))
+        .localCheckpoint(false)
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"),
+        (col("hub").cast("double") / lit(Scale.toDouble)).as("hub"),
+        (col("auth").cast("double") / lit(Scale.toDouble)).as("auth"))
+  }
+
+  /** The [[hits]] oracle generator — unrolled half-step CTEs over any
+    * `(src, dst)` edge SQL, generated from the same constants so both
+    * engines run the identical fixed-point arithmetic.
+    */
+  def hitsSql(edgesSql: String, iters: Int = 3): String = {
+    val scaleD = s"CAST($Scale AS DOUBLE)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |h0 AS (SELECT node, CAST(floor($scaleD
+         |  / (SELECT CAST(n AS DOUBLE) FROM nn) + 0.5) AS BIGINT) AS hub FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(",\n")
+      sb.append(
+        s"""ar$i AS (SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS araw
+           |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+           |asm$i AS (SELECT CAST(COALESCE(SUM(araw), 0) AS BIGINT) AS s FROM ar$i),
+           |a$i AS (SELECT nd.node, CAST(floor(CAST(COALESCE(ar.araw, 0) AS DOUBLE)
+           |    * $scaleD / CAST(sq.s AS DOUBLE) + 0.5) AS BIGINT) AS auth
+           |  FROM nodes nd LEFT JOIN ar$i ar ON ar.node = nd.node CROSS JOIN asm$i sq),
+           |hr$i AS (SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS hraw
+           |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+           |hsm$i AS (SELECT CAST(COALESCE(SUM(hraw), 0) AS BIGINT) AS s FROM hr$i),
+           |h$i AS (SELECT nd.node, CAST(floor(CAST(COALESCE(hr.hraw, 0) AS DOUBLE)
+           |    * $scaleD / CAST(sq.s AS DOUBLE) + 0.5) AS BIGINT) AS hub
+           |  FROM nodes nd LEFT JOIN hr$i hr ON hr.node = nd.node CROSS JOIN hsm$i sq)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT h.node, CAST(h.hub AS DOUBLE) / $scaleD AS hub,
+         |  CAST(a.auth AS DOUBLE) / $scaleD AS auth
+         |FROM h$iters h JOIN a$iters a ON a.node = h.node ORDER BY h.node""".stripMargin)
+    sb.toString
+  }
+
+  /** Newman modularity of a node partition over an undirected graph —
+    * the quality audit for [[labelPropagation]] / [[connectedComponents]]
+    * output (is this community structure better than chance?): per
+    * community `c`, Q_c = e_c/m − (d_c/2m)², with `e_c` the edges
+    * inside `c`, `d_c` its degree sum, `m` the undirected edge count;
+    * Q = Σ Q_c. Returns one row per community —
+    * `(label, nodes, internal_edges, degree_sum, q_contrib, q_total)`
+    * — with the corpus Q repeated on every row (the totals-as-window
+    * convention). Nodes the `labels` frame misses default to
+    * singleton communities of themselves.
+    *
+    * Exactness: everything up to the final divisions is integer —
+    * edges canonicalize to distinct `(min, max)` pairs (self-loops
+    * dropped), counts and degree sums are exact longs, and the
+    * numerator `2·(2m)·e_c − d_c²` is DECIMAL(38,0) (128-bit, scale
+    * 0: no precision-loss trimming applies) against DuckDB HUGEINT,
+    * so Q's single closing division is one IEEE op over identical
+    * integers in both engines — never rounded.
+    *
+    * Scale shape: one distinct-edge exchange, one degree aggregate,
+    * two node-keyed label joins, one (label) aggregate. The totals
+    * window runs over the LABEL-level aggregate (communities-sized,
+    * never rows-scaled — the Funnel.transitions precedent), so the
+    * empty partition spec is safe.
+    */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String = "node",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // feeds degrees AND the internal-edge join
+    val lab = labels.select(
+      col(nodeCol).cast("long").as("node"), col(labelCol).cast("long").as("label"))
+    val nd = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .join(lab, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"), col("deg"))
+      .localCheckpoint(false) // feeds the per-label aggregate AND both endpoint joins
+    val perLabel = nd.groupBy(col("label"))
+      .agg(count(lit(1)).as("nodes"), sum(col("deg")).as("degree_sum"))
+    val eIn = und
+      .join(nd.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(nd.select(col("node").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la")).agg(count(lit(1)).as("internal_edges"))
+      .withColumnRenamed("la", "label")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    perLabel.join(eIn, Seq("label"), "left")
+      .select(col("label"), col("nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"))
+      .withColumn("m2", sum(col("degree_sum")).over(wAll))
+      .withColumn("num",
+        lit(2L).cast(dec) * col("m2").cast(dec) * col("internal_edges").cast(dec)
+          - col("degree_sum").cast(dec) * col("degree_sum").cast(dec))
+      .withColumn("den", col("m2").cast(dec) * col("m2").cast(dec))
+      .select(col("label"), col("nodes"), col("internal_edges"), col("degree_sum"),
+        (col("num").cast("double") / col("den").cast("double")).as("q_contrib"),
+        (sum(col("num")).over(wAll).cast("double") / col("den").cast("double"))
+          .as("q_total"))
+  }
+
+  /** The [[modularity]] oracle: `labelsSql` must yield (node, label)
+    * rows; integer arithmetic through DuckDB HUGEINT (≡ Spark's
+    * DECIMAL(38,0) at scale 0), totals via the same empty-partition
+    * windows.
+    */
+  def modularitySql(edgesSql: String, labelsSql: String): String =
+    // md_-prefixed CTE names: `labelsSql` is often itself a WITH query
+    // (the labelPropagationSql unroll) nested as a subquery, and DuckDB
+    // resolves colliding CTE names against the OUTER definition — an
+    // outer `und` would shadow the unroll's own `und`.
+    s"""WITH md_und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM ($edgesSql) WHERE src <> dst),
+       |md_lab AS (SELECT node, label FROM ($labelsSql)),
+       |md_nd AS MATERIALIZED (
+       |  SELECT d.node, COALESCE(l.label, d.node) AS label, d.deg
+       |  FROM (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |      SELECT a AS node FROM md_und UNION ALL SELECT b FROM md_und) u GROUP BY 1) d
+       |  LEFT JOIN md_lab l ON l.node = d.node),
+       |md_pl AS (SELECT label, CAST(count(*) AS BIGINT) AS nodes,
+       |    CAST(SUM(deg) AS BIGINT) AS degree_sum FROM md_nd GROUP BY 1),
+       |md_ein AS (SELECT x.label, CAST(count(*) AS BIGINT) AS internal_edges
+       |  FROM md_und JOIN md_nd x ON x.node = md_und.a JOIN md_nd y ON y.node = md_und.b
+       |  WHERE x.label = y.label GROUP BY 1),
+       |md_j AS (SELECT pl.label, pl.nodes,
+       |    CAST(COALESCE(e.internal_edges, 0) AS BIGINT) AS internal_edges,
+       |    pl.degree_sum FROM md_pl pl LEFT JOIN md_ein e ON e.label = pl.label),
+       |md_j2 AS (SELECT md_j.*, CAST(SUM(degree_sum) OVER () AS BIGINT) AS m2 FROM md_j),
+       |md_q AS (SELECT md_j2.*,
+       |    2 * CAST(m2 AS HUGEINT) * CAST(internal_edges AS HUGEINT)
+       |      - CAST(degree_sum AS HUGEINT) * CAST(degree_sum AS HUGEINT) AS num,
+       |    CAST(m2 AS HUGEINT) * CAST(m2 AS HUGEINT) AS den FROM md_j2)
+       |SELECT label, nodes, internal_edges, degree_sum,
+       |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS q_contrib,
+       |  CAST(SUM(num) OVER () AS DOUBLE) / CAST(den AS DOUBLE) AS q_total
+       |FROM md_q ORDER BY label""".stripMargin
 }

@@ -1279,6 +1279,50 @@ object ParityQueries {
     graft.operators.Graph.connectedComponentsBigStar(e, "src", "dst").orderBy("node")
   }
 
+  /** HITS hubs & authorities (Graph.hits) over the DIRECTED trade
+    * graph (customer → supplier): the bipartite shape HITS was built
+    * for — customers are pure hubs (who buys broadly from good
+    * suppliers), suppliers pure authorities (who is bought from by
+    * good customers). 3 L1-normalized half-step pairs under the
+    * pageRank fixed-point recipe; the oracle unrolls them from the
+    * same constants (Graph.hitsSql).
+    */
+  val hitsQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.hits(edges, "src", "dst", iters = 3).orderBy("node")
+  }
+
+  val hitsSqlQ: String =
+    graft.operators.Graph.hitsSql(
+      """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+      iters = 3)
+
+  /** Modularity audit (Graph.modularity) of the label-propagation
+    * partition: Q of the 4-round LPA communities over the same trade
+    * graph — the "is this community structure better than chance"
+    * number next to q_label_propagation. Integer arithmetic to the
+    * single closing division (DECIMAL(38,0) ≡ HUGEINT), labels fed to
+    * the oracle by re-running the LPA unroll as a subquery.
+    */
+  val modularityQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val labels = graft.operators.Graph.labelPropagation(cs, "src", "dst", iters = 4)
+    graft.operators.Graph.modularity(cs, "src", "dst", labels).orderBy("label")
+  }
+
+  val modularitySqlQ: String =
+    graft.operators.Graph.modularitySql(
+      """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+      labelPropagationSql)
+
   /** Bounded-round k-core ([[Graph.kCore]]) on the same support-floored
     * co-purchase graph as q_graph_cc / q_triangle_count: the 3-core
     * (935 of 1880 nodes at sf0.01, an 11-round peel — rounds=12 covers
@@ -1676,6 +1720,8 @@ object ParityQueries {
     "q_graph_cc" -> graphCcQ,
     "q_graph_cc_bigstar" -> graphCcBigStarQ,
     "q_graph_kcore" -> kCoreQ,
+    "q_graph_hits" -> hitsQ,
+    "q_graph_modularity" -> modularityQ,
     "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
     "q_expectations" -> expectationsQ,
@@ -1742,6 +1788,8 @@ object ParityQueries {
     "q_graph_cc" -> graphCcSql,
     "q_graph_cc_bigstar" -> graphCcSql,
     "q_graph_kcore" -> kCoreSqlQ,
+    "q_graph_hits" -> hitsSqlQ,
+    "q_graph_modularity" -> modularitySqlQ,
     "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,
     "q_k_anonymity" -> kAnonymitySql,

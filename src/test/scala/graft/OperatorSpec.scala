@@ -250,6 +250,55 @@ class OperatorSpec extends SparkSpec {
     assert(wr.values.sum > 0.999 && wr.values.sum < 1.001)
   }
 
+  test("hits: bipartite dominance, per-side mass conservation, pure roles") {
+    import graft.operators.Graph
+    // 3 hubs → authority 10; hub 1 also → 11. Node 10 gathers from
+    // three hubs, 11 from one — authority order; hub 1 points at two
+    // authorities — hub order.
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L)).toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", iters = 3).collect()
+      .map(x => x.getAs[Long]("node") -> (x.getAs[Double]("hub"), x.getAs[Double]("auth")))
+      .toMap
+    assert(r(10L)._2 > r(11L)._2, s"auth(10) must beat auth(11): $r")
+    assert(r(1L)._1 > r(2L)._1, s"hub(1) must beat hub(2): $r")
+    assert(r(2L)._1 == r(3L)._1, "symmetric hubs must tie exactly")
+    // pure roles in a bipartite graph: sources have auth 0, sinks hub 0
+    assert(Seq(1L, 2L, 3L).forall(r(_)._2 == 0.0))
+    assert(Seq(10L, 11L).forall(r(_)._1 == 0.0))
+    // each side L1-normalizes to ≈ 1 (nano-unit rounding only)
+    val hs = r.values.map(_._1).sum; val as = r.values.map(_._2).sum
+    assert(hs > 0.999 && hs < 1.001 && as > 0.999 && as < 1.001, s"$hs / $as")
+  }
+
+  test("modularity: planted two-triangle partition scores 1/2, one-blob scores 0") {
+    import graft.operators.Graph
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L))
+      .toDF("src", "dst")
+    val goodLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val good = Graph.modularity(tri, "src", "dst", goodLabels).collect()
+    // two communities, each e_c=3, d_c=6, m=6: Q_c = 3/6 − (6/12)² = 1/4
+    assert(good.length == 2)
+    for (row <- good) {
+      assert(row.getAs[Long]("internal_edges") == 3L)
+      assert(row.getAs[Long]("degree_sum") == 6L)
+      assert(row.getAs[Double]("q_contrib") == 0.25)
+      assert(row.getAs[Double]("q_total") == 0.5)
+    }
+    // everything in one community: e_c = m → Q = 1 − 1 = 0 exactly
+    val blob = (1L to 6L).map((_, 9L)).toDF("node", "label")
+    val flat = Graph.modularity(tri, "src", "dst", blob).collect()
+    assert(flat.length == 1 && flat.head.getAs[Double]("q_total") == 0.0)
+    // nodes missing from the label frame fall back to singleton
+    // communities of themselves (here: 4,5,6 each alone — their
+    // triangle's edges all cross, so internal_edges = 0)
+    val half = Graph.modularity(tri, "src", "dst",
+      goodLabels.filter(col("node") <= 3L)).collect()
+    assert(half.length == 4)
+    val singles = half.filter(_.getAs[Long]("label") >= 4L)
+    assert(singles.forall(_.getAs[Long]("internal_edges") == 0L))
+  }
+
   test("expect: violation counts, NULL-fails-by-default, opt-out, one scan") {
     import graft.operators.Profile
     val df = Seq((1, Some(5)), (2, Some(50)), (3, None), (4, Some(7)))
