@@ -1024,4 +1024,140 @@ object Graph {
        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS q_contrib,
        |  CAST(SUM(num) OVER () AS DOUBLE) / CAST(den AS DOUBLE) AS q_total
        |FROM md_q ORDER BY label""".stripMargin
+
+  /** Parity-synchronized Louvain move phase (Blondel et al. 2008,
+    * "Fast unfolding of communities in large networks", §2) — greedy
+    * MODULARITY-gain community moves, the quality-seeking complement
+    * to [[labelPropagation]]'s frequency rule: each round, a node
+    * moves to the neighboring community maximizing
+    * ΔQ ∝ 2m·e_{n→c} − deg_n·(d_c − [c = cur]·deg_n) (its own degree
+    * removed from its current community first, per the paper), ties to
+    * the SMALLEST community label, staying put when no candidate beats
+    * the stay-gain. Returns the (node, label) partition after `iters`
+    * rounds — audit it with [[modularity]]. Single-level (no
+    * coarsening): the move phase is where the quality lives and the
+    * only phase with a data-parallel form.
+    *
+    * Naive fully-synchronous gain moves OSCILLATE — two singletons
+    * that each see the other as their best community swap labels
+    * forever (traced in OperatorSpec). The standard distributed fix is
+    * to let only an independent subset move per round: here nodes with
+    * `node mod 2 = round mod 2` (deterministic, partition-friendly —
+    * no coloring pass), which breaks every 2-cycle and converges to
+    * the planted partition on the classic two-triangles-and-a-bridge
+    * graph in 4 rounds.
+    *
+    * Exactness: gains are DECIMAL(38,0) (≡ DuckDB HUGEINT) products of
+    * exact integer degree/edge counts — gain comparison is integer
+    * comparison, nothing quantized, so [[louvainSql]]'s unroll agrees
+    * bit-for-bit. 2m is ONE collected long re-entering as a literal.
+    *
+    * Scale shape, per round: community degree sums (one label-keyed
+    * aggregate over nodes), neighbor-community counts for the MOVING
+    * PARITY ONLY (the adj⋈labels join — the big exchange — carries
+    * half the nodes' adjacency, 8-byte keys), then node-keyed argmax
+    * window over candidate communities (rows = distinct neighbor
+    * communities per moving node, not edges) and a node-keyed label
+    * update. Lazy localCheckpoint caps lineage per round; early exit
+    * after TWO consecutive no-move rounds (one per parity — a single
+    * quiet parity does not pin the other).
+    */
+  def louvainMoves(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int
+  ): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters must be in 0..50, got $iters")
+    val dec = "decimal(38,0)"
+    val e0 = edges.select(col(srcCol).cast("long").as("node"), col(dstCol).cast("long").as("nbr"))
+    val adj = e0.unionAll(e0.select(col("nbr").as("node"), col("node").as("nbr")))
+      .filter(col("node") =!= col("nbr"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg")).localCheckpoint(false)
+    val m2 = deg.agg(coalesce(sum(col("deg")), lit(0L))).collect()(0).getLong(0)
+    require(m2 > 0, "louvainMoves requires a non-empty loop-free edge list")
+    var labels = deg.select(col("node"), col("node").as("label"))
+    val arg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("gain").desc, col("c"))
+    var round = 1
+    var quiet = 0
+    while (round <= iters && quiet < 2) {
+      val p = round % 2
+      val dc = labels.join(deg, "node")
+        .groupBy(col("label").as("c")).agg(sum(col("deg")).as("dc"))
+      val moving = pmod(col("node"), lit(2L)) === lit(p.toLong)
+      val enc = adj.filter(moving)
+        .join(labels.select(col("node").as("nbr"), col("label").as("c")), "nbr")
+        .groupBy(col("node"), col("c")).agg(count(lit(1)).as("e"))
+      val cand = enc
+        .unionAll(labels.filter(moving).select(col("node"), col("label").as("c"), lit(0L).as("e")))
+        .groupBy(col("node"), col("c")).agg(max(col("e")).as("e"))
+      val next = cand
+        .join(labels, "node")
+        .join(deg, "node")
+        .join(dc, "c")
+        .withColumn("gain",
+          lit(m2).cast(dec) * col("e").cast(dec)
+            - col("deg").cast(dec) *
+              (col("dc") - when(col("c") === col("label"), col("deg")).otherwise(lit(0L))).cast(dec))
+        .withColumn("rk", row_number().over(arg))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("c").as("nlabel"))
+      val updated = labels.join(next, Seq("node"), "left")
+        .select(col("node"), col("label").as("_old"),
+          coalesce(col("nlabel"), col("label")).as("label"))
+        .localCheckpoint(false)
+      quiet = if (updated.filter(col("label") =!= col("_old")).isEmpty) quiet + 1 else 0
+      labels = updated.select(col("node"), col("label"))
+      round += 1
+    }
+    labels
+  }
+
+  /** The [[louvainMoves]] oracle generator — unrolled move rounds over
+    * any `(src, dst)` edge SQL, HUGEINT gains mirroring the operator's
+    * DECIMAL(38,0) integer arithmetic (gm_-prefixed CTE names so the
+    * unroll nests safely as a labels subquery, like
+    * [[modularitySql]]).
+    */
+  def louvainSql(edgesSql: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH gm_e0 AS ($edgesSql),
+         |gm_adj AS MATERIALIZED (SELECT DISTINCT src AS node, dst AS nbr FROM (
+         |    SELECT src, dst FROM gm_e0 UNION ALL SELECT dst, src FROM gm_e0)
+         |  WHERE src <> dst),
+         |gm_deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM gm_adj GROUP BY 1),
+         |gm_m2 AS (SELECT CAST(COALESCE(SUM(deg), 0) AS HUGEINT) AS m2 FROM gm_deg),
+         |gm_l0 AS (SELECT node, node AS label FROM gm_deg)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i % 2
+      sb.append(s""",
+         |gm_dc$i AS (SELECT l.label AS c, CAST(SUM(d.deg) AS BIGINT) AS dc
+         |  FROM gm_l${i - 1} l JOIN gm_deg d ON d.node = l.node GROUP BY 1),
+         |gm_cand$i AS (SELECT node, c, CAST(MAX(e) AS BIGINT) AS e FROM (
+         |    SELECT a.node, l.label AS c, count(*) AS e FROM gm_adj a
+         |      JOIN gm_l${i - 1} l ON l.node = a.nbr
+         |      WHERE (a.node % 2 + 2) % 2 = $p GROUP BY 1, 2
+         |    UNION ALL
+         |    SELECT node, label, 0 FROM gm_l${i - 1} WHERE (node % 2 + 2) % 2 = $p)
+         |  GROUP BY 1, 2),
+         |gm_g$i AS (SELECT cd.node, cd.c,
+         |    (SELECT m2 FROM gm_m2) * CAST(cd.e AS HUGEINT)
+         |      - CAST(d.deg AS HUGEINT) * CAST(dc.dc
+         |          - CASE WHEN cd.c = l.label THEN d.deg ELSE 0 END AS HUGEINT) AS gain
+         |  FROM gm_cand$i cd JOIN gm_l${i - 1} l ON l.node = cd.node
+         |    JOIN gm_deg d ON d.node = cd.node JOIN gm_dc$i dc ON dc.c = cd.c),
+         |gm_b$i AS (SELECT node, c AS nlabel FROM (
+         |    SELECT node, c, row_number() OVER (PARTITION BY node
+         |      ORDER BY gain DESC, c) AS rk FROM gm_g$i) WHERE rk = 1),
+         |gm_l$i AS (SELECT l.node, COALESCE(b.nlabel, l.label) AS label
+         |  FROM gm_l${i - 1} l LEFT JOIN gm_b$i b ON b.node = l.node)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, label FROM gm_l$iters ORDER BY node")
+    sb.toString
+  }
 }

@@ -1237,25 +1237,36 @@ object ParityQueries {
     * dense demo graphs; 9 components at sf0.01), component = min
     * reachable id, oracle = the recursive transitive closure.
     */
-  val graphCcQ: Q = (s, dir) => {
+  /** The support-floored part co-purchase graph shared by the graph
+    * demos (q_graph_cc / _bigstar / _kcore / _louvain,
+    * q_triangle_count): parts co-ordered ≥ 2 times — the floor keeps
+    * it sparse (the co-supplier graph measured 91% dense at sf0.1).
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val ti = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("t"), col("l_partkey").as("i")).distinct()
-    val e = ti.as("x")
+    ti.as("x")
       .join(ti.as("y"), col("x.t") === col("y.t") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("src"), col("y.i").as("dst"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("src"), col("dst"))
+  }
+
+  private val copurchaseEdgesSql: String =
+    """SELECT x.i AS src, y.i AS dst
+      |  FROM (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem) x
+      |  JOIN (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem) y
+      |    ON x.t = y.t AND x.i < y.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  val graphCcQ: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
     graft.operators.Graph.connectedComponents(e, "src", "dst").orderBy("node")
   }
 
   val graphCcSql: String =
-    graft.operators.Graph.connectedComponentsSql(
-      """SELECT x.i AS src, y.i AS dst
-        |  FROM (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem) x
-        |  JOIN (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem) y
-        |    ON x.t = y.t AND x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
+    graft.operators.Graph.connectedComponentsSql(copurchaseEdgesSql)
 
   /** Skew-hardened connected components
     * ([[Graph.connectedComponentsBigStar]], Kiveris et al. 2014
@@ -1325,6 +1336,20 @@ object ParityQueries {
       """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
       labelPropagationSql)
+
+  /** Louvain move-phase communities (Graph.louvainMoves) over the
+    * support-floored part co-purchase graph (the sparse demo graph of
+    * q_graph_cc / q_triangle_count): 4 parity-alternated greedy
+    * modularity-gain rounds, HUGEINT-exact gain argmax, oracle
+    * unrolled from the same constants.
+    */
+  val louvainQ: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    graft.operators.Graph.louvainMoves(e, "src", "dst", iters = 4).orderBy("node")
+  }
+
+  val louvainSqlQ: String =
+    graft.operators.Graph.louvainSql(copurchaseEdgesSql, iters = 4)
 
   /** Bounded-round k-core ([[Graph.kCore]]) on the same support-floored
     * co-purchase graph as q_graph_cc / q_triangle_count: the 3-core
@@ -1723,6 +1748,7 @@ object ParityQueries {
     "q_graph_cc" -> graphCcQ,
     "q_graph_cc_bigstar" -> graphCcBigStarQ,
     "q_graph_kcore" -> kCoreQ,
+    "q_graph_louvain" -> louvainQ,
     "q_graph_hits" -> hitsQ,
     "q_graph_modularity" -> modularityQ,
     "q_label_propagation" -> labelPropagationQ,
@@ -1791,6 +1817,7 @@ object ParityQueries {
     "q_graph_cc" -> graphCcSql,
     "q_graph_cc_bigstar" -> graphCcSql,
     "q_graph_kcore" -> kCoreSqlQ,
+    "q_graph_louvain" -> louvainSqlQ,
     "q_graph_hits" -> hitsSqlQ,
     "q_graph_modularity" -> modularitySqlQ,
     "q_label_propagation" -> labelPropagationSql,

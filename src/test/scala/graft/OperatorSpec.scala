@@ -299,6 +299,32 @@ class OperatorSpec extends SparkSpec {
     assert(singles.forall(_.getAs[Long]("internal_edges") == 0L))
   }
 
+  test("louvainMoves: recovers the planted two-triangle partition; parity breaks swaps") {
+    import graft.operators.Graph
+    // two triangles joined by a bridge (3-4): the planted partition is
+    // {1,2,3} / {4,5,6}; hand-traced — parity rounds reach it in 4 and
+    // the community labels are 2 and 6.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r4 = Graph.louvainMoves(e, "src", "dst", iters = 4).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("label")).toMap
+    assert(r4 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L), s"$r4")
+    // fixed point: more rounds change nothing (early-exit also covers this)
+    val r10 = Graph.louvainMoves(e, "src", "dst", iters = 10).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("label")).toMap
+    assert(r10 == r4)
+    // the partition audits to positive modularity
+    val labs = Graph.louvainMoves(e, "src", "dst", iters = 4)
+    val q = Graph.modularity(e, "src", "dst", labs).collect()
+    assert(q.head.getAs[Double]("q_total") > 0.3, q.mkString(","))
+    // a pure swap shape (single edge): naive sync moves would flip
+    // 1↔2 forever; parity must settle both nodes into ONE community
+    val pair = Seq((1L, 2L)).toDF("src", "dst")
+    val pr = Graph.louvainMoves(pair, "src", "dst", iters = 6).collect()
+      .map(x => x.getAs[Long]("label")).distinct
+    assert(pr.length == 1, s"swap pair must merge, got labels $pr")
+  }
+
   test("expect: violation counts, NULL-fails-by-default, opt-out, one scan") {
     import graft.operators.Profile
     val df = Seq((1, Some(5)), (2, Some(50)), (3, None), (4, Some(7)))
