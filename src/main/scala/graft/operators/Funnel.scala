@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Ordered multi-step event funnel — the conversion query (did this
   * user view, THEN click, THEN purchase?): per key, the earliest
@@ -128,4 +129,108 @@ object Funnel {
         (col("active_users").cast("double") / col("cohort_users").cast("double"))
           .as("retention"))
   }
+
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958,
+    * "Nonparametric estimation from incomplete observations") — the
+    * censoring-aware churn curve next to [[cohortRetention]]: each
+    * key's lifetime is `max(period) − min(period)`; a key whose last
+    * activity falls within `gracePeriods` of the corpus-wide
+    * observation end is CENSORED (still alive), everything else is a
+    * churn event at its lifetime. Returns one row per period
+    * `t = 0..max lifetime`: `(t, n_risk, churned, survival)` with
+    * S(t) = Π_{t'≤t} (n_{t'} − d_{t'})/n_{t'} — censored keys leave
+    * the risk set without counting as deaths, which plain retention
+    * curves get wrong near the observation end.
+    *
+    * Cross-engine FP discipline — the pageRank fixed-point recipe on
+    * a cumulative PRODUCT: survival lives as BIGINT nano-units,
+    * each period applying `floor(s · (n−d) / n + 0.5)` — multiply,
+    * divide, floor are single IEEE ops with no rounding-mode freedom,
+    * so [[kaplanMeierSql]]'s recursive-CTE fold (one level per
+    * period, the shedMeanPolicySql precedent) lands bit-identically.
+    * (An output-side round() of the true product would not: iterated
+    * HALF_UP vs DuckDB's scaled multiply-round drifts — the PageRank
+    * lesson.)
+    *
+    * Scale shape: the corpus-scale work is ONE per-key min/max
+    * aggregate followed by ONE lifetime-level aggregate (rows =
+    * distinct lifetimes, bounded by the period span). The fold itself
+    * runs on the driver over that control-plane-sized table (loud
+    * require ≤ 4096 rows — the probeAll contract) with the
+    * observation end collected as one long, and the curve re-enters
+    * as an explicit-schema local relation (the Bpe.learnMerges
+    * convention — no product encoders, sbt console-safe).
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      keyCol: String,
+      periodCol: Column,
+      gracePeriods: Long
+  ): DataFrame = {
+    require(gracePeriods >= 0, s"gracePeriods must be non-negative, got $gracePeriods")
+    val spark = df.sparkSession
+    val scale = 1000000000L
+    val k = df.groupBy(col(keyCol).as("k"))
+      .agg(min(periodCol.cast("long")).as("fm"), max(periodCol.cast("long")).as("lm"))
+      .localCheckpoint(false) // feeds the observation-end aggregate AND the lifetime aggregate
+    val head = k.agg(coalesce(max(col("lm")), lit(0L)), count(lit(1))).collect()(0)
+    val obsEnd = head.getLong(0)
+    val total = head.getLong(1)
+    require(total > 0, "kaplanMeier requires at least one key")
+    val dur = k.groupBy((col("lm") - col("fm")).as("t"))
+      .agg(count(lit(1)).as("a"),
+        sum(when(col("lm") < lit(obsEnd - gracePeriods), 1L).otherwise(0L)).as("ev"))
+      .limit(4097)
+      .collect()
+    require(dur.length <= 4096,
+      s"kaplanMeier lifetime table exceeds 4096 distinct lifetimes — periods too fine-grained")
+    val byT = dur.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val maxT = byT.keys.max
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var n = total
+    var s = scale
+    var t = 0L
+    while (t <= maxT) {
+      val (a, d) = byT.getOrElse(t, (0L, 0L))
+      s = math.floor(s.toDouble * (n - d).toDouble / n.toDouble + 0.5).toLong
+      out += Row(t, n, d, s.toDouble / 1.0e9)
+      n -= a
+      t += 1
+    }
+    val schema = StructType(Seq(
+      StructField("t", LongType, nullable = false),
+      StructField("n_risk", LongType, nullable = false),
+      StructField("churned", LongType, nullable = false),
+      StructField("survival", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.toSeq: _*), schema)
+  }
+
+  /** The [[kaplanMeier]] oracle: `srcSql` must yield `(k, m)` rows
+    * (key, integer period); the recursive CTE advances the fold one
+    * period per level — n_risk carried down by subtracting the
+    * level's lifetime count, survival by the identical
+    * floor(s·(n−d)/n + 0.5) step.
+    */
+  def kaplanMeierSql(srcSql: String, gracePeriods: Long): String =
+    s"""WITH RECURSIVE
+       |km_k AS MATERIALIZED (SELECT k, min(m) AS fm, max(m) AS lm FROM ($srcSql) GROUP BY 1),
+       |km_e AS (SELECT MAX(lm) AS e, CAST(count(*) AS BIGINT) AS n FROM km_k),
+       |km_d AS MATERIALIZED (SELECT lm - fm AS t, CAST(count(*) AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN lm < (SELECT e FROM km_e) - $gracePeriods
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ev
+       |  FROM km_k GROUP BY 1),
+       |km_mx AS (SELECT CAST(MAX(t) AS BIGINT) AS mt FROM km_d),
+       |km_f (t, n_risk, churned, a, s) AS (
+       |  SELECT CAST(-1 AS BIGINT), (SELECT n FROM km_e), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(1000000000 AS BIGINT)
+       |  UNION ALL
+       |  SELECT f.t + 1, f.n_risk - f.a, COALESCE(d.ev, 0), COALESCE(d.a, 0),
+       |    CAST(floor(CAST(f.s AS DOUBLE)
+       |      * CAST(f.n_risk - f.a - COALESCE(d.ev, 0) AS DOUBLE)
+       |      / CAST(f.n_risk - f.a AS DOUBLE) + 0.5) AS BIGINT)
+       |  FROM km_f f LEFT JOIN km_d d ON d.t = f.t + 1
+       |  WHERE f.t + 1 <= (SELECT mt FROM km_mx))
+       |SELECT t, n_risk, churned, CAST(s AS DOUBLE) / 1000000000.0 AS survival
+       |FROM km_f WHERE t >= 0 ORDER BY t""".stripMargin
 }

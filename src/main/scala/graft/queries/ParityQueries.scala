@@ -755,6 +755,28 @@ object ParityQueries {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** Kaplan–Meier churn survival (Funnel.kaplanMeier): customer
+    * lifetime = months between first and last order; a customer last
+    * seen within 2 months of the corpus end is CENSORED (leaves the
+    * risk set without counting as churn). Survival folds period by
+    * period in BIGINT nano-units — floor(s·(n−d)/n + 0.5), the
+    * pageRank fixed-point step — so the recursive-CTE oracle agrees
+    * bit-for-bit.
+    */
+  val churnSurvival: Q = (s, dir) =>
+    Funnel.kaplanMeier(
+      Tables.orders(s, dir),
+      "o_custkey",
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long"),
+      gracePeriods = 2L)
+
+  val churnSurvivalSql: String =
+    Funnel.kaplanMeierSql(
+      """SELECT o_custkey AS k,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+        |FROM orders""".stripMargin,
+      gracePeriods = 2L)
+
   /** Cohort retention matrix (Funnel.cohortRetention): users cohorted
     * by first-activity period (event_id floor-div 1000), each
     * (cohort, offset) cell the count and rate of that cohort active
@@ -1727,6 +1749,7 @@ object ParityQueries {
     "q_decayed_features" -> decayedFeatures,
     "q_event_funnel" -> eventFunnel,
     "q_cohort_retention" -> cohortRetention,
+    "q_churn_survival" -> churnSurvival,
     "q_event_transitions" -> eventTransitions,
     "q_quantile_bins" -> quantileBinsQ,
     "q_group_quantile_bins" -> groupQuantileBinsQ,
@@ -1792,6 +1815,7 @@ object ParityQueries {
     "q_decayed_features" -> decayedFeaturesSql,
     "q_event_funnel" -> eventFunnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
+    "q_churn_survival" -> churnSurvivalSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_quantile_bins" -> quantileBinsSql,
     "q_group_quantile_bins" -> groupQuantileBinsSql,

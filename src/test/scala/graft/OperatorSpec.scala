@@ -299,6 +299,32 @@ class OperatorSpec extends SparkSpec {
     assert(singles.forall(_.getAs[Long]("internal_edges") == 0L))
   }
 
+  test("kaplanMeier: censored keys leave the risk set without counting as churn") {
+    import graft.operators.Funnel
+    // periods 0..10, grace 2 → churn iff last < 8. Lifetimes:
+    // F dur0 churn; A,C,D dur2 churn; E dur4 CENSORED (last=9);
+    // B dur10 CENSORED (last=10).
+    val df = Seq(
+      ("A", 0L), ("A", 2L), ("B", 0L), ("B", 10L), ("C", 1L), ("C", 3L),
+      ("D", 2L), ("D", 4L), ("E", 5L), ("E", 9L), ("F", 0L)
+    ).toDF("k", "m")
+    val r = Funnel.kaplanMeier(df, "k", col("m"), gracePeriods = 2L)
+      .collect().map(x => x.getAs[Long]("t") ->
+        ((x.getAs[Long]("n_risk"), x.getAs[Long]("churned"), x.getAs[Double]("survival"))))
+      .toMap
+    assert(r.size == 11) // t = 0..10, dense
+    // hand fold in nano-units: t0 floor(1e9*5/6+.5)=833333333, then
+    // t2 floor(...*2/5+.5)=333333333, flat afterwards
+    assert(r(0L) == ((6L, 1L, 0.833333333)))
+    assert(r(1L) == ((5L, 0L, 0.833333333)))
+    assert(r(2L) == ((5L, 3L, 0.333333333)))
+    // E's censoring at t=4 shrinks the risk set with NO survival drop
+    assert(r(4L) == ((2L, 0L, 0.333333333)))
+    assert(r(5L) == ((1L, 0L, 0.333333333)))
+    assert(r(10L) == ((1L, 0L, 0.333333333)))
+    assert(r.values.map(_._2).sum == 4L) // A,C,D,F churned; B,E never
+  }
+
   test("louvainMoves: recovers the planted two-triangle partition; parity breaks swaps") {
     import graft.operators.Graph
     // two triangles joined by a bridge (3-4): the planted partition is
