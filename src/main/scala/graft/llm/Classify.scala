@@ -620,4 +620,63 @@ object Classify {
        |  UNION ALL
        |  SELECT label, support, tp, fp, fn, prec, rec, f1 FROM pm)
        |ORDER BY label""".stripMargin
+
+  /** ROC-AUC of a binary scorer — the threshold-free ranking metric
+    * next to [[evalMetrics]]' fixed-threshold confusion and
+    * [[calibrationBins]]' reliability: the probability a random
+    * positive outranks a random negative, ties at half credit. One
+    * row: `(positives, negatives, auc)`; degenerate single-class
+    * input yields NULL auc rather than a 0/0 NaN.
+    *
+    * Exactness — the Mann–Whitney rank form with tie-averaged ranks
+    * kept INTEGER: a tie group of `c` rows starting at rank `a`
+    * contributes `p · (2a + c − 1) = p · (2·cum − c + 1)` to TWICE
+    * the positive rank sum (doubling clears the .5 halves), so
+    * AUC = (2Σr⁺ − P(P+1)) / (2PN) is integer arithmetic —
+    * DECIMAL(38,0) ≡ DuckDB HUGEINT — down to ONE closing division.
+    * Score the INTEGER margin (margin_micro), not the sigmoid double,
+    * when grading the LR family: monotone-identical ranking, integer
+    * group keys.
+    *
+    * Scale shape: one (score) aggregate, then the global rank cumsum
+    * rides [[graft.core.GlobalOrder.withPrefix]]'s two-pass range
+    * partition — NEVER a single-partition window over the distinct
+    * scores — and a one-row reduce closes it.
+    */
+  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = df.select(col(scoreCol).as("_s"), col(labelCol).cast("long").as("_y"))
+      .groupBy(col("_s")).agg(count(lit(1)).as("c"), sum(col("_y")).as("p"))
+    val b = graft.core.GlobalOrder.withPrefix(g, Seq(col("_s")), col("c"), "cum", "_rk").df
+    b.agg(
+        sum(col("p").cast(dec) *
+          (lit(2L).cast(dec) * col("cum").cast(dec) - col("c").cast(dec) + lit(1L).cast(dec)))
+          .as("t2"),
+        sum(col("p")).as("pos"), sum(col("c") - col("p")).as("neg"))
+      .select(col("pos").as("positives"), col("neg").as("negatives"),
+        when(col("pos") > 0 && col("neg") > 0,
+          (col("t2") - col("pos").cast(dec) * (col("pos") + lit(1L)).cast(dec)).cast("double")
+            / (lit(2L).cast(dec) * col("pos").cast(dec) * col("neg").cast(dec)).cast("double"))
+          .as("auc"))
+  }
+
+  /** The [[auc]] oracle generator: `scoredSql` must yield the label
+    * and score columns; HUGEINT mirrors the DECIMAL(38,0) rank
+    * arithmetic, the distinct-score cumsum is an ordered window
+    * (scores unique post-GROUP BY — no peer-frame ambiguity).
+    */
+  def aucSql(scoredSql: String, labelCol: String, scoreCol: String): String =
+    s"""WITH auc_g AS (SELECT $scoreCol AS s, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(SUM($labelCol) AS BIGINT) AS p FROM ($scoredSql) GROUP BY 1),
+       |auc_b AS (SELECT p, c, CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) AS cum FROM auc_g),
+       |auc_t AS (SELECT
+       |    CAST(SUM(CAST(p AS HUGEINT) *
+       |      (2 * CAST(cum AS HUGEINT) - CAST(c AS HUGEINT) + 1)) AS HUGEINT) AS t2,
+       |    CAST(SUM(p) AS BIGINT) AS pos, CAST(SUM(c - p) AS BIGINT) AS neg FROM auc_b)
+       |SELECT pos AS positives, neg AS negatives,
+       |  CASE WHEN pos > 0 AND neg > 0 THEN
+       |    CAST(t2 - CAST(pos AS HUGEINT) * CAST(pos + 1 AS HUGEINT) AS DOUBLE)
+       |      / CAST(2 * CAST(pos AS HUGEINT) * CAST(neg AS HUGEINT) AS DOUBLE)
+       |  END AS auc
+       |FROM auc_t""".stripMargin
 }

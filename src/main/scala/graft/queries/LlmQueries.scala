@@ -1445,6 +1445,34 @@ object LlmQueries {
     Classify.calibrationBins(held, "label", "score", bins = 8).orderBy("bin")
   }
 
+  /** ROC-AUC (Classify.auc) of the HELD-OUT fifth under the
+    * holdout-trained LR — the threshold-free companion to the
+    * calibration bins, ranked on the INTEGER margin (monotone with
+    * the sigmoid, integer group keys): Mann–Whitney with tie-averaged
+    * ranks kept integer, HUGEINT ≡ DECIMAL(38,0), one closing
+    * division.
+    */
+  val qualityLrAuc: Q = (s, dir) => {
+    val fc = Seq("_x0", "_x1", "_x2")
+    val feats = TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc"),
+        (col("quality_score") >= 0.405).cast("double").as("_y"),
+        ((col("stopword_ratio") - lit(0.06)) * lit(10.0)).as("_x0"),
+        ((least(col("avg_word_len") / lit(10.0), lit(1.0)) - lit(0.45)) * lit(10.0)).as("_x1"),
+        ((col("alpha_ratio") - lit(0.82)) * lit(10.0)).as("_x2"))
+      .localCheckpoint(false)
+    val wu = Classify.logisticTrain(
+      feats.filter(col("doc") % 5 =!= 0), "_y", fc, iters = 40, lr = 4.0)
+    val held = Classify.logisticScore(feats.filter(col("doc") % 5 === 0), "doc", fc, wu)
+      .join(feats.select(col("doc"), col("_y").cast("long").as("label")), "doc")
+    Classify.auc(held, "label", "margin_micro")
+  }
+
+  val qualityLrAucSql: String =
+    Classify.aucSql(
+      s"SELECT * FROM ($lrHoldoutInnerSql) WHERE doc % 5 = 0",
+      "label", "margin_micro")
+
   val qualityLrCalibrationSql: String =
     s"""WITH sc AS MATERIALIZED (
        |  SELECT * FROM ($lrHoldoutInnerSql) WHERE doc % 5 = 0),
@@ -5173,6 +5201,7 @@ object LlmQueries {
     "q_quality_lr" -> qualityLr,
     "q_quality_lr_holdout" -> qualityLrHoldout,
     "q_quality_lr_calibration" -> qualityLrCalibration,
+    "q_quality_lr_auc" -> qualityLrAuc,
     "q_quality_kappa" -> qualityKappa,
     "q_quality_rules" -> qualityRules,
     "q_text_repetition" -> textRepetition,
@@ -5314,6 +5343,7 @@ object LlmQueries {
     "q_quality_lr" -> qualityLrSql,
     "q_quality_lr_holdout" -> qualityLrHoldoutSql,
     "q_quality_lr_calibration" -> qualityLrCalibrationSql,
+    "q_quality_lr_auc" -> qualityLrAucSql,
     "q_quality_kappa" -> qualityKappaSql,
     "q_quality_rules" -> qualityRulesSql,
     "q_text_repetition" -> textRepetitionSql,

@@ -185,6 +185,24 @@ class ClassifySpec extends SparkSpec {
     assert(ece > 0.0 && ece < 1.0)
   }
 
+  test("auc: hand ranks with ties, perfect and reversed separation, degenerate NULL") {
+    import spark.implicits._
+    // pos scores {3, 2, 2}, neg {2, 1}: pairwise 4 wins + 2 half-credit
+    // ties of the two pos-2s against the neg-2 -> AUC = 5/6
+    val scored = Seq((3L, 1), (2L, 1), (2L, 1), (2L, 0), (1L, 0)).toDF("s", "y")
+    val r = Classify.auc(scored, "y", "s").collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 5.0 / 6.0, s"auc ${r.getDouble(2)}")
+    // perfect separation -> 1.0; reversed -> 0.0
+    val sep = Seq((10L, 1), (9L, 1), (2L, 0), (1L, 0)).toDF("s", "y")
+    assert(Classify.auc(sep, "y", "s").collect()(0).getDouble(2) == 1.0)
+    val rev = Seq((1L, 1), (2L, 1), (9L, 0), (10L, 0)).toDF("s", "y")
+    assert(Classify.auc(rev, "y", "s").collect()(0).getDouble(2) == 0.0)
+    // single-class input: NULL, not NaN
+    val one = Seq((1L, 1), (2L, 1)).toDF("s", "y")
+    assert(Classify.auc(one, "y", "s").collect()(0).isNullAt(2))
+  }
+
   test("agreementKappa: hand contingency, degenerate NULL, null-label guard") {
     import spark.implicits._
     // raters: agree on 6 of 10; marginals A: 7 yes / 3 no, B: 5/5
