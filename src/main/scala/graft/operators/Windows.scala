@@ -365,6 +365,101 @@ object Windows {
       .drop("_rn")
   }
 
+  /** Two-sided CUSUM change detection (Page 1954, "Continuous
+    * Inspection Schemes") per key over an ordered integer stream —
+    * the sequential drift alarm for feature pipelines, catching slow
+    * mean shifts that [[rollingZScore]]'s fixed lookback dilutes:
+    * s⁺ accumulates `max(0, s⁺ + (v − target − slack))`, s⁻ the
+    * mirrored low side; a side exceeding `threshold` raises the alarm
+    * (+1 high / −1 low) on that record and RESTARTS both sides at
+    * zero (so one run yields every change point, not just the first).
+    * Emits every record with `(cusum_pos, cusum_neg, alarm)` —
+    * pre-reset statistics, so the alarm row shows the excursion that
+    * tripped it.
+    *
+    * Exactness: the caller supplies integer-unit values (cents /
+    * micro-units — the [[rollingZScore]] quantization) and integer
+    * target/slack/threshold; the fold is pure long add/max/compare —
+    * NO floating point anywhere — so the lockstep recursive-CTE
+    * oracle ([[cusumSql]], one level per per-key record index, the
+    * shedMeanPolicySql precedent) is exact by construction.
+    *
+    * Scale shape: one hash-partition shuffle on the key + in-partition
+    * sort, then a single streaming per-partition fold carrying two
+    * longs per key (the meanPolicyFold recipe — no buffered history).
+    * Skewed keys: one key's history must fit a task's scan, never its
+    * memory. The oracle's recursion depth is max records/key — an
+    * oracle-side bound, not an operator one.
+    */
+  def cusum(
+      df: DataFrame,
+      key: String,
+      ordCol: String,
+      valueCol: String,
+      target: Long,
+      slack: Long,
+      threshold: Long
+  ): DataFrame = {
+    require(slack >= 0, s"slack must be non-negative, got $slack")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val base = df.select(col(key),
+      col(ordCol).cast("long").as(ordCol), col(valueCol).cast("long").as(valueCol))
+    val schema = base.schema
+    val sorted = base.repartition(col(key)).sortWithinPartitions(col(key), col(ordCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      schema(0), schema(1), schema(2),
+      org.apache.spark.sql.types.StructField("cusum_pos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cusum_neg",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("alarm",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var sp = 0L
+      var sn = 0L
+      it.map { row: org.apache.spark.sql.Row =>
+        val k = row.get(0)
+        if (k != curKey) { curKey = k; sp = 0L; sn = 0L }
+        val v = row.getLong(2)
+        val sp1 = math.max(0L, sp + v - target - slack)
+        val sn1 = math.max(0L, sn + target - v - slack)
+        val alarm = if (sp1 > threshold) 1L else if (sn1 > threshold) -1L else 0L
+        if (alarm != 0L) { sp = 0L; sn = 0L } else { sp = sp1; sn = sn1 }
+        org.apache.spark.sql.Row(k, row.getLong(1), v, sp1, sn1, alarm)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** The [[cusum]] oracle generator: `srcSql` must yield `(k, ord, v)`
+    * with `v` already in integer units and `ord` unique per key; the
+    * recursive CTE advances every key's fold one record per level
+    * (keys in lockstep, finished keys dropping out of the join), the
+    * alarm-reset CASE repeated verbatim since a recursive SELECT
+    * cannot reference its own aliases.
+    */
+  def cusumSql(srcSql: String, target: Long, slack: Long, threshold: Long): String = {
+    val up = s"GREATEST(0, f.spc + r.v - $target - $slack)"
+    val dn = s"GREATEST(0, f.snc + $target - r.v - $slack)"
+    val al = s"CASE WHEN $up > $threshold THEN 1 WHEN $dn > $threshold THEN -1 ELSE 0 END"
+    s"""WITH RECURSIVE
+       |cu_r AS MATERIALIZED (SELECT k, ord, v,
+       |    row_number() OVER (PARTITION BY k ORDER BY ord) AS rn FROM ($srcSql)),
+       |cu_f (k, rn, ord, v, cusum_pos, cusum_neg, alarm, spc, snc) AS (
+       |  SELECT k, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |      CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |      CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |    FROM (SELECT DISTINCT k FROM cu_r)
+       |  UNION ALL
+       |  SELECT r.k, f.rn + 1, r.ord, r.v,
+       |    CAST($up AS BIGINT), CAST($dn AS BIGINT), CAST($al AS BIGINT),
+       |    CAST(CASE WHEN $al <> 0 THEN 0 ELSE $up END AS BIGINT),
+       |    CAST(CASE WHEN $al <> 0 THEN 0 ELSE $dn END AS BIGINT)
+       |  FROM cu_f f JOIN cu_r r ON r.k = f.k AND r.rn = f.rn + 1)
+       |SELECT k, ord, v AS value, cusum_pos, cusum_neg, alarm
+       |FROM cu_f WHERE rn >= 1 ORDER BY k, ord""".stripMargin
+  }
+
   /** Equal-frequency discretization: every row gains `binName` =
     * `floor((rank − 1) · nBins / N)` over the `sortCols` total order
     * (callers tie-break by a unique id) — bin b holds ranks in

@@ -353,6 +353,30 @@ object ParityQueries {
       |SELECT user_id, event_id, z, coalesce(abs(z) >= 3.0, false) AS is_anomaly
       |FROM z ORDER BY user_id, event_id""".stripMargin
 
+  /** Per-user CUSUM drift alarms (Windows.cusum) over the event
+    * stream: values in cents (the rollingZScore quantization), target
+    * 50.00, slack 5.00, alarm at 200.00 cumulative one-sided
+    * deviation with restart — pure integer fold, lockstep
+    * recursive-CTE oracle.
+    */
+  val cusumDrift: Q = (s, dir) => {
+    val e = events(s, dir).select(col("user_id"), col("event_id"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    Windows.cusum(e, "user_id", "event_id", "value_c",
+      target = 5000L, slack = 500L, threshold = 20000L)
+      .orderBy("user_id", "event_id")
+  }
+
+  val cusumDriftSql: String = {
+    val inner = Windows.cusumSql(
+      """SELECT user_id AS k, event_id AS ord,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events""".stripMargin,
+      target = 5000L, slack = 500L, threshold = 20000L)
+    s"""SELECT k AS user_id, ord AS event_id, value AS value_c,
+       |  cusum_pos, cusum_neg, alarm
+       |FROM ($inner) ORDER BY user_id, event_id""".stripMargin
+  }
+
   /** Gap-based sessionization over the event stream (event_id gap > 40
     * starts a new session), rolled up to per-session stats.
     */
@@ -1755,6 +1779,7 @@ object ParityQueries {
     "q_group_quantile_bins" -> groupQuantileBinsQ,
     "q_column_entropy" -> columnEntropy,
     "q_rolling_zscore" -> rollingZScoreQ,
+    "q_cusum_drift" -> cusumDrift,
     "q_profile_events" -> profileEvents,
     "q_profile_drift" -> profileDrift,
     "q_integrity_check" -> integrityCheck,
@@ -1821,6 +1846,7 @@ object ParityQueries {
     "q_group_quantile_bins" -> groupQuantileBinsSql,
     "q_column_entropy" -> columnEntropySql,
     "q_rolling_zscore" -> rollingZScoreSql,
+    "q_cusum_drift" -> cusumDriftSql,
     "q_profile_events" -> profileEventsSql,
     "q_profile_drift" -> profileDriftSql,
     "q_integrity_check" -> integrityCheckSql,

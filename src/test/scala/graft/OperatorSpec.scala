@@ -299,6 +299,27 @@ class OperatorSpec extends SparkSpec {
     assert(singles.forall(_.getAs[Long]("internal_edges") == 0L))
   }
 
+  test("cusum: hand fold — high/low alarms, restart, per-key isolation") {
+    import graft.operators.Windows
+    // target 10, slack 2, threshold 15. A drifts high then recovers;
+    // B drifts low.
+    val df = Seq(
+      ("A", 1L, 10L), ("A", 2L, 20L), ("A", 3L, 20L),
+      ("A", 4L, 10L), ("A", 5L, 1L), ("A", 6L, 1L),
+      ("B", 1L, 1L), ("B", 2L, 1L), ("B", 3L, 1L)
+    ).toDF("k", "o", "v")
+    val r = Windows.cusum(df, "k", "o", "v", target = 10L, slack = 2L, threshold = 15L)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getAs[Long]("cusum_pos"), x.getAs[Long]("cusum_neg"), x.getAs[Long]("alarm"))))
+      .toMap
+    assert(r.size == 9)
+    assert(r(("A", 2L)) == ((8L, 0L, 0L)))
+    assert(r(("A", 3L)) == ((16L, 0L, 1L)), "second +8 excursion crosses 15: high alarm")
+    assert(r(("A", 4L)) == ((0L, 0L, 0L)), "alarm restarts both sides")
+    assert(r(("A", 6L)) == ((0L, 14L, 0L)), "low side accumulates, below threshold")
+    assert(r(("B", 3L)) == ((0L, 21L, -1L)), "B's low drift alarms independently of A")
+  }
+
   test("kaplanMeier: censored keys leave the risk set without counting as churn") {
     import graft.operators.Funnel
     // periods 0..10, grace 2 → churn iff last < 8. Lifetimes:
