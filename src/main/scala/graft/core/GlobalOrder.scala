@@ -35,6 +35,11 @@ object GlobalOrder {
     */
   final case class Prefixed(df: DataFrame, totalRows: Long, totalSum: Long)
 
+  /** [[withPrefixes]] result: `totalSums(i)` is the grand total of the
+    * i-th sum column, in caller order.
+    */
+  final case class PrefixedN(df: DataFrame, totalRows: Long, totalSums: Seq[Long])
+
   /** `df` + `cumName` = the inclusive global prefix sum of `sumCol`
     * and `rankName` = the 1-based global rank, both over the
     * `sortCols` total order (callers make the order total — tie-break
@@ -48,37 +53,65 @@ object GlobalOrder {
       cumName: String,
       rankName: String
   ): Prefixed = {
+    val p = withPrefixes(df, sortCols, Seq(sumCol -> cumName), rankName)
+    Prefixed(p.df, p.totalRows, p.totalSums.head)
+  }
+
+  /** [[withPrefix]] for SEVERAL long sum columns sharing one total
+    * order — ONE range shuffle, one sort, one stats collect, one
+    * WindowExec pass for all of them (the two-sided cumulative a
+    * KS-style drift test needs would otherwise pay the sort twice).
+    */
+  def withPrefixes(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      sums: Seq[(Column, String)],
+      rankName: String
+  ): PrefixedN = {
+    require(sums.nonEmpty, "withPrefixes needs at least one sum column")
+    val cumNames = sums.map(_._2)
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val pid = Names.fresh(df.columns.toSeq ++ Seq(cumName, rankName), "_pid")
-    val sc = Names.fresh(df.columns.toSeq ++ Seq(cumName, rankName, pid), "_sv")
-    val sorted = df
-      .withColumn(sc, sumCol)
+    var taken = df.columns.toSeq ++ cumNames :+ rankName
+    def freshName(base: String): String = {
+      val n = Names.fresh(taken, base); taken = taken :+ n; n
+    }
+    val pid = freshName("_pid")
+    val svs = sums.indices.map(i => freshName(if (i == 0) "_sv" else s"_sv$i"))
+    val sorted = sums.zip(svs)
+      .foldLeft(df) { case (d, ((c, _), sv)) => d.withColumn(sv, c) }
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn(pid, spark_partition_id())
       .localCheckpoint(false)
     val stats = sorted.groupBy(col(pid))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col(sc)), lit(0L)).as("t"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .agg(count(lit(1)).as("n"),
+        svs.map(sv => coalesce(sum(col(sv)), lit(0L)).as(s"t$sv")): _*)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), svs.indices.map(i => r.getLong(2 + i)))))
+      .toMap
+    val zero = (0L, svs.indices.map(_ => 0L))
     val offsetRows = (0 until parts).map { p =>
-      val prior = (0 until p).map(q => stats.getOrElse(q, (0L, 0L)))
-      Row(p, prior.map(_._1).sum, prior.map(_._2).sum)
+      val prior = (0 until p).map(q => stats.getOrElse(q, zero))
+      Row((p +: (prior.map(_._1).sum +: svs.indices.map(i => prior.map(_._2(i)).sum))): _*)
     }
-    val nOff = Names.fresh(df.columns.toSeq ++ Seq(cumName, rankName, pid, sc), "_n_off")
-    val cOff = Names.fresh(df.columns.toSeq ++ Seq(cumName, rankName, pid, sc, nOff), "_c_off")
+    val nOff = freshName("_n_off")
+    val cOffs = svs.indices.map(i => freshName(s"_c_off$i"))
     // explicit-schema createDataFrame (repo invariant: no case-class
     // toDF for driver-side constants — REPL encoders can't derive)
     val offsets = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(offsetRows: _*),
-      StructType(Seq(
-        StructField(pid, IntegerType, nullable = false),
-        StructField(nOff, LongType, nullable = false),
-        StructField(cOff, LongType, nullable = false))))
+      StructType(
+        StructField(pid, IntegerType, nullable = false) +:
+        StructField(nOff, LongType, nullable = false) +:
+        cOffs.map(c => StructField(c, LongType, nullable = false))))
     val w = Window.partitionBy(col(pid)).orderBy(sortCols: _*)
-    val out = sorted.join(broadcast(offsets), Seq(pid))
-      .withColumn(cumName, sum(col(sc)).over(w) + col(cOff))
+    val out = cumNames.zip(svs).zip(cOffs)
+      .foldLeft(sorted.join(broadcast(offsets), Seq(pid))) {
+        case (d, ((cum, sv), cOff)) => d.withColumn(cum, sum(col(sv)).over(w) + col(cOff))
+      }
       .withColumn(rankName, row_number().over(w).cast("long") + col(nOff))
-      .drop(pid, sc, nOff, cOff)
-    Prefixed(out, stats.values.map(_._1).sum, stats.values.map(_._2).sum)
+      .drop((pid +: nOff +: (svs ++ cOffs)): _*)
+    PrefixedN(out, stats.values.map(_._1).sum,
+      svs.indices.map(i => stats.values.map(_._2(i)).sum))
   }
 }

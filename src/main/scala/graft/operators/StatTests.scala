@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** Two-sample distribution tests — the statistical layer over the
+  * drift GAUGES ([[Profile.drift]]'s null/distinct deltas,
+  * [[graft.llm.Embeddings]]' centroid drift): does the new slice's
+  * distribution actually differ, and by how much? The three standard
+  * monitors a feature-store/training-data pipeline alarms on:
+  *
+  *   - [[ksTest]] — Kolmogorov–Smirnov two-sample statistic over a
+  *     numeric (integer-quantized) column: the general-purpose
+  *     "did this feature's distribution move" test.
+  *   - [[chiSquare]] — Pearson chi-square homogeneity over a
+  *     categorical column crossed with a slice label: "did the
+  *     category MIX shift between cohorts/windows".
+  *   - [[psi]] — Population Stability Index over pre-binned values,
+  *     Laplace-smoothed: the banded drift score model monitors
+  *     threshold at 0.1 / 0.25.
+  *
+  * The reference's monitoring surface stops at per-feature staleness
+  * (ralf/operator.py:236-259 keeps only latest values); these compose
+  * its slices into the tests users bolt on downstream.
+  *
+  * Cross-engine exactness: KS is integer arithmetic down to one
+  * closing division (the [[graft.llm.Classify.auc]] discipline);
+  * chi-square quantizes each cell's double term with
+  * `floor(x·1e6 + 0.5)` over BIGINT units (identical IEEE op
+  * sequences in Spark and DuckDB — the PageRank fixed-point recipe;
+  * never `round`, whose last ulp differs between the engines);
+  * PSI's transcendental terms ride the per-term
+  * round(,6)→DECIMAL→exact-sum pattern ([[Windows]].decayedSum
+  * precedent).
+  */
+object StatTests {
+
+  private val dec = "decimal(38,0)"
+
+  /** Two-sample Kolmogorov–Smirnov test: `sideA` splits `df` into
+    * samples A and B over long-typed `valueCol` (callers pre-quantize
+    * doubles to cents/micro-units — the [[Windows.rollingZScore]]
+    * discipline); D = max over pooled distinct values v of
+    * |F_A(v) − F_B(v)|. One row:
+    * `(n_a, n_b, d_num, d_at, d)` where `d_num` = the exact integer
+    * max of |n_b·cumA(v) − n_a·cumB(v)| (DECIMAL(38,0) ≡ HUGEINT — at
+    * corpus scale n·cum overflows a long), `d_at` the smallest value
+    * attaining it, and `d = d_num / (n_a·n_b)` down to ONE closing
+    * division. Empty sides yield n=0 and NULL d rather than a 0/0.
+    *
+    * Scale shape: one (value) aggregate with map-side combine, then
+    * BOTH sides' cumulatives ride ONE
+    * [[graft.core.GlobalOrder.withPrefixes]] pass (one range shuffle,
+    * one WindowExec — never a single-partition window over the
+    * distinct values), closed by a one-row struct-max reduce. Side
+    * totals re-enter as literals from the pass's free per-partition
+    * stats (the collect-as-literal convention).
+    */
+  def ksTest(df: DataFrame, valueCol: String, sideA: Column): DataFrame = {
+    val g = df
+      .select(col(valueCol).cast("long").as("_v"), sideA.cast("boolean").as("_a"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+    val pref = graft.core.GlobalOrder.withPrefixes(
+      g, Seq(col("_v")), Seq(col("_ca") -> "_cum_a", col("_cb") -> "_cum_b"), "_rk")
+    val nA = pref.totalSums(0)
+    val nB = pref.totalSums(1)
+    val diff = abs(lit(nB).cast(dec) * col("_cum_a").cast(dec) -
+      lit(nA).cast(dec) * col("_cum_b").cast(dec))
+    // lexicographic struct max: largest diff, then smallest rank (= the
+    // smallest attaining value, ranks ascend with _v)
+    pref.df
+      .agg(max(struct(diff.as("d"), (lit(0L) - col("_rk")).as("nr"), col("_v").as("v"))).as("m"))
+      .select(
+        lit(nA).as("n_a"), lit(nB).as("n_b"),
+        col("m.d").cast("double").as("d_num"),
+        col("m.v").as("d_at"),
+        when(lit(nA > 0L && nB > 0L),
+          col("m.d").cast("double") /
+            (lit(nA).cast(dec) * lit(nB).cast(dec)).cast("double")).as("d"))
+  }
+
+  /** The [[ksTest]] oracle generator: `srcSql` must yield `(v, a)`
+    * with `v` already long-quantized and `a` boolean. HUGEINT mirrors
+    * the DECIMAL(38,0) diff; the row-valued `max((d, -rk, v))` is the
+    * same lexicographic reduce.
+    */
+  def ksTestSql(srcSql: String): String =
+    s"""WITH ks_g AS (SELECT v, CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |  FROM ($srcSql) GROUP BY 1),
+       |ks_b AS (SELECT v,
+       |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+       |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+       |    row_number() OVER (ORDER BY v) AS rk FROM ks_g),
+       |ks_t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+       |  FROM ks_g),
+       |ks_m AS (SELECT max((abs(CAST((SELECT n_b FROM ks_t) AS HUGEINT) * cum_a -
+       |      CAST((SELECT n_a FROM ks_t) AS HUGEINT) * cum_b), -rk, v)) AS m FROM ks_b)
+       |SELECT n_a, n_b, CAST(m[1] AS DOUBLE) AS d_num, CAST(m[3] AS BIGINT) AS d_at,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(m[1] AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+       |  END AS d
+       |FROM ks_m, ks_t""".stripMargin
+
+  /** Pearson chi-square test of homogeneity: is the distribution of
+    * `catCol` the same across the groups of `sliceCol`? One row per
+    * DENSIFIED (slice, category) cell — absent combinations count as
+    * observed 0, they still carry expectation — with the observed
+    * count, row/column totals, the expected count, the cell's
+    * contribution, and the total statistic + degrees of freedom
+    * replicated on every row. Ordered by (slice, cat).
+    *
+    * Exactness: every cell term is computed in DOUBLE from exact
+    * integer counts — num = o·N − rT·cT, term = num²/(N·rT·cT) — then
+    * quantized `floor(term·1e6 + 0.5)` to BIGINT micro-units and
+    * exact-summed; one closing /1e6 division per output. Identical
+    * IEEE sequences in both engines (the PageRank recipe: floor-based
+    * quantization has no rounding-mode freedom).
+    *
+    * Scale shape: the (slice, cat) crosstab is the distributed
+    * reduction of the corpus (one aggregate, map-side combined); its
+    * OUTPUT is control-plane-sized by contract — categorical tests
+    * with corpus-scale category counts are statistically meaningless —
+    * so it collects to the driver (one action; the
+    * collect-as-literal convention) where it densifies and re-enters
+    * as a LocalRelation: no totals join replanning the scan, no
+    * one-row BNLJ.
+    */
+  def chiSquare(df: DataFrame, sliceCol: String, catCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cells = df
+      .groupBy(col(sliceCol).cast("string").as("s"), col(catCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    require(cells.nonEmpty, "chiSquare: empty input")
+    require(!cells.keysIterator.exists(k => k._1 == null || k._2 == null),
+      "chiSquare forbids NULL slice/category values — filter or coalesce them first")
+    val slices = cells.keysIterator.map(_._1).toSeq.distinct.sorted
+    val cats = cells.keysIterator.map(_._2).toSeq.distinct.sorted
+    val rowTot = slices.map(s => s -> cats.map(c => cells.getOrElse((s, c), 0L)).sum).toMap
+    val colTot = cats.map(c => c -> slices.map(s => cells.getOrElse((s, c), 0L)).sum).toMap
+    val n = rowTot.valuesIterator.sum
+    val dof = (slices.size - 1).toLong * (cats.size - 1).toLong
+    val rows: Seq[Row] = for (s <- slices; c <- cats)
+      yield Row(s, c, cells.getOrElse((s, c), 0L), rowTot(s), colTot(c))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("slice", StringType, nullable = false),
+        StructField("cat", StringType, nullable = false),
+        StructField("observed", LongType, nullable = false),
+        StructField("row_total", LongType, nullable = false),
+        StructField("col_total", LongType, nullable = false))))
+    val nD = lit(n).cast("double")
+    val rT = col("row_total").cast("double")
+    val cT = col("col_total").cast("double")
+    val num = col("observed").cast("double") * nD - rT * cT
+    val termMicro = floor((num * num) / (nD * rT * cT) * lit(1e6) + lit(0.5)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    local
+      .withColumn("expected", rT * cT / nD)
+      .withColumn("_tm", termMicro)
+      .withColumn("contrib", col("_tm").cast("double") / lit(1e6))
+      .withColumn("chi2", (sum(col("_tm")).over(w)).cast("double") / lit(1e6))
+      .withColumn("dof", lit(dof))
+      .drop("_tm")
+      .orderBy(col("slice"), col("cat"))
+  }
+
+  /** The [[chiSquare]] oracle generator: `srcSql` must yield
+    * `(s, c)` string pairs; the dense grid is the cross join of the
+    * two distinct lists, and every double op replays the operator's
+    * sequence exactly.
+    */
+  def chiSquareSql(srcSql: String): String =
+    s"""WITH cs_o AS (SELECT s, c, CAST(count(*) AS BIGINT) AS n FROM ($srcSql) GROUP BY 1, 2),
+       |cs_r AS (SELECT s, CAST(SUM(n) AS BIGINT) AS rt FROM cs_o GROUP BY 1),
+       |cs_c AS (SELECT c, CAST(SUM(n) AS BIGINT) AS ct FROM cs_o GROUP BY 1),
+       |cs_n AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |    (SELECT count(*) FROM cs_r) AS ns, (SELECT count(*) FROM cs_c) AS nc FROM cs_o),
+       |cs_d AS (SELECT r.s AS slice, c.c AS cat, COALESCE(o.n, 0) AS observed,
+       |    r.rt AS row_total, c.ct AS col_total
+       |  FROM cs_r r CROSS JOIN cs_c c LEFT JOIN cs_o o ON o.s = r.s AND o.c = c.c),
+       |cs_t AS (SELECT slice, cat, observed, row_total, col_total,
+       |    CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+       |      / CAST((SELECT nn FROM cs_n) AS DOUBLE) AS expected,
+       |    CAST(floor(
+       |      (CAST(observed AS DOUBLE) * CAST((SELECT nn FROM cs_n) AS DOUBLE)
+       |         - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+       |      * (CAST(observed AS DOUBLE) * CAST((SELECT nn FROM cs_n) AS DOUBLE)
+       |         - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+       |      / (CAST((SELECT nn FROM cs_n) AS DOUBLE)
+       |         * CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+       |      * 1e6 + 0.5) AS BIGINT) AS tm
+       |  FROM cs_d)
+       |SELECT slice, cat, observed, row_total, col_total, expected,
+       |  CAST(tm AS DOUBLE) / 1e6 AS contrib,
+       |  CAST(SUM(tm) OVER () AS DOUBLE) / 1e6 AS chi2,
+       |  CAST((SELECT (ns - 1) * (nc - 1) FROM cs_n) AS BIGINT) AS dof
+       |FROM cs_t ORDER BY slice, cat""".stripMargin
+
+  /** Population Stability Index between a current and a reference
+    * slice over pre-binned values: `PSI = Σ (p_b − q_b)·ln(p_b/q_b)`
+    * with Laplace smoothing `p_b = (cur_b + 1)/(n_cur + B)` (B = bins
+    * present in the union — smoothing keeps one-sided bins finite,
+    * the standard production guard). One row per bin:
+    * `(bin, c_cur, c_ref, p_cur, p_ref, term, psi)`, psi replicated,
+    * ordered by bin. Callers bin upstream (fixed-width
+    * `floor(value/width)` or [[Windows.quantileBins]] labels cast to
+    * long).
+    *
+    * Exactness: p/q are single IEEE divisions of exact longs; each
+    * transcendental term rides round(,6)→DECIMAL(18,6) and the total
+    * is the exact decimal sum (the [[Windows]].decayedSum pattern —
+    * terms are irrational except p=q where the term is exactly 0, so
+    * the rounding never sits on a .5 ulp boundary).
+    *
+    * Scale shape: one (bin) aggregate with map-side combine; the bin
+    * table is bounded by the caller's binning. Totals are collected
+    * as literals off a localCheckpointed aggregate (one extra action,
+    * no totals join replanning the scan, no one-row BNLJ).
+    */
+  def psi(df: DataFrame, binCol: Column, isCur: Column): DataFrame = {
+    val g = df
+      .select(binCol.cast("long").as("bin"), isCur.cast("boolean").as("_c"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("_c"), 1L).otherwise(0L)).as("c_cur"),
+        sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref"))
+      .localCheckpoint(false)
+    val t = g.agg(count(lit(1)), coalesce(sum(col("c_cur")), lit(0L)),
+      coalesce(sum(col("c_ref")), lit(0L))).collect()(0)
+    val (bCnt, nCur, nRef) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val p = (col("c_cur") + lit(1L)).cast("double") / lit(nCur + bCnt).cast("double")
+    val q = (col("c_ref") + lit(1L)).cast("double") / lit(nRef + bCnt).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    g.withColumn("p_cur", p)
+      .withColumn("p_ref", q)
+      .withColumn("_t",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("term", col("_t").cast("double"))
+      .withColumn("psi", sum(col("_t")).over(w).cast("double"))
+      .drop("_t")
+      .orderBy(col("bin"))
+  }
+
+  /** The [[psi]] oracle generator: `srcSql` must yield `(bin, c)`
+    * with `bin` long and `c` boolean; totals are scalar subqueries
+    * (same values the operator re-enters as literals).
+    */
+  def psiSql(srcSql: String): String =
+    s"""WITH psi_g AS (SELECT bin, CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+       |    CAST(SUM(CASE WHEN c THEN 0 ELSE 1 END) AS BIGINT) AS c_ref
+       |  FROM ($srcSql) GROUP BY 1),
+       |psi_t AS (SELECT count(*) AS b, CAST(SUM(c_cur) AS BIGINT) AS ncur,
+       |    CAST(SUM(c_ref) AS BIGINT) AS nref FROM psi_g),
+       |psi_p AS (SELECT bin, c_cur, c_ref,
+       |    CAST(c_cur + 1 AS DOUBLE) / CAST((SELECT ncur + b FROM psi_t) AS DOUBLE) AS p_cur,
+       |    CAST(c_ref + 1 AS DOUBLE) / CAST((SELECT nref + b FROM psi_t) AS DOUBLE) AS p_ref
+       |  FROM psi_g),
+       |psi_x AS (SELECT bin, c_cur, c_ref, p_cur, p_ref,
+       |    CAST(round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS DECIMAL(18,6)) AS t
+       |  FROM psi_p)
+       |SELECT bin, c_cur, c_ref, p_cur, p_ref, CAST(t AS DOUBLE) AS term,
+       |  CAST(SUM(t) OVER () AS DOUBLE) AS psi
+       |FROM psi_x ORDER BY bin""".stripMargin
+}

@@ -377,6 +377,55 @@ object ParityQueries {
        |FROM ($inner) ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** Two-sample KS test (StatTests.ksTest): did the purchase value
+    * distribution differ from views? Values in cents (the
+    * rollingZScore quantization) — integer arithmetic to one closing
+    * division, both cumulatives in ONE GlobalOrder pass.
+    */
+  val ksDrift: Q = (s, dir) => {
+    val e = events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 100).cast("long").as("value_c"),
+        (col("event_type") === "purchase").as("is_a"))
+    graft.operators.StatTests.ksTest(e, "value_c", col("is_a"))
+  }
+
+  val ksDriftSql: String = graft.operators.StatTests.ksTestSql(
+    """SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |  event_type = 'purchase' AS a
+      |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin)
+
+  /** Chi-square homogeneity (StatTests.chiSquare): is the event-type
+    * mix the same across the even/odd user cohorts? Densified cells
+    * with floor-quantized micro-unit terms — the categorical drift
+    * alarm beside ksDrift's numeric one.
+    */
+  val chisqEventMix: Q = (s, dir) => {
+    val e = events(s, dir).select(
+      when(col("user_id") % 2 === 0, "cohort_even").otherwise("cohort_odd").as("cohort"),
+      col("event_type"))
+    graft.operators.StatTests.chiSquare(e, "cohort", "event_type")
+  }
+
+  val chisqEventMixSql: String = graft.operators.StatTests.chiSquareSql(
+    """SELECT CASE WHEN user_id % 2 = 0 THEN 'cohort_even' ELSE 'cohort_odd' END AS s,
+      |  event_type AS c FROM events""".stripMargin)
+
+  /** Population Stability Index (StatTests.psi): value distribution
+    * (fixed 20-dollar bins over cents) of the even-user cohort vs the
+    * odd — Laplace-smoothed, per-term round(6) DECIMAL sum.
+    */
+  val psiDrift: Q = (s, dir) => {
+    val e = events(s, dir).select(
+      floor(round(col("value") * 100).cast("long") / lit(2000L)).as("bin"),
+      (col("user_id") % 2 === 0).as("is_cur"))
+    graft.operators.StatTests.psi(e, col("bin"), col("is_cur"))
+  }
+
+  val psiDriftSql: String = graft.operators.StatTests.psiSql(
+    """SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000) AS BIGINT) AS bin,
+      |  user_id % 2 = 0 AS c FROM events""".stripMargin)
+
   /** Gap-based sessionization over the event stream (event_id gap > 40
     * starts a new session), rolled up to per-session stats.
     */
@@ -1780,6 +1829,9 @@ object ParityQueries {
     "q_column_entropy" -> columnEntropy,
     "q_rolling_zscore" -> rollingZScoreQ,
     "q_cusum_drift" -> cusumDrift,
+    "q_ks_drift" -> ksDrift,
+    "q_chisq_eventmix" -> chisqEventMix,
+    "q_psi_drift" -> psiDrift,
     "q_profile_events" -> profileEvents,
     "q_profile_drift" -> profileDrift,
     "q_integrity_check" -> integrityCheck,
@@ -1847,6 +1899,9 @@ object ParityQueries {
     "q_column_entropy" -> columnEntropySql,
     "q_rolling_zscore" -> rollingZScoreSql,
     "q_cusum_drift" -> cusumDriftSql,
+    "q_ks_drift" -> ksDriftSql,
+    "q_chisq_eventmix" -> chisqEventMixSql,
+    "q_psi_drift" -> psiDriftSql,
     "q_profile_events" -> profileEventsSql,
     "q_profile_drift" -> profileDriftSql,
     "q_integrity_check" -> integrityCheckSql,

@@ -299,6 +299,61 @@ class OperatorSpec extends SparkSpec {
     assert(singles.forall(_.getAs[Long]("internal_edges") == 0L))
   }
 
+  test("ksTest: hand example — max |nB·cumA − nA·cumB| with smallest attaining value") {
+    import graft.operators.StatTests
+    // A = {1,2,3}, B = {2,4}: diffs |2·cumA − 3·cumB| = 2,1,3,0 → max 3 at v=3
+    val df = Seq((1L, true), (2L, true), (3L, true), (2L, false), (4L, false))
+      .toDF("v", "a")
+    val r = StatTests.ksTest(df, "v", col("a")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("d_num") == 3.0)
+    assert(r.getAs[Long]("d_at") == 3L)
+    assert(r.getAs[Double]("d") == 0.5)
+  }
+
+  test("ksTest: identical samples have D = 0") {
+    import graft.operators.StatTests
+    val df = Seq((1L, true), (2L, true), (1L, false), (2L, false)).toDF("v", "a")
+    val r = StatTests.ksTest(df, "v", col("a")).collect()(0)
+    assert(r.getAs[Double]("d_num") == 0.0 && r.getAs[Double]("d") == 0.0)
+  }
+
+  test("chiSquare: hand 2x2 with an absent cell densified to observed 0") {
+    import graft.operators.StatTests
+    val rows = Seq.fill(10)(("X", "catA")) ++ Seq.fill(10)(("X", "catB")) ++
+      Seq.fill(20)(("Y", "catA"))
+    val r = StatTests.chiSquare(rows.toDF("s", "c"), "s", "c").collect()
+    assert(r.length == 4, "2 slices x 2 cats densified")
+    val yb = r.find(x => x.getString(0) == "Y" && x.getString(1) == "catB").get
+    assert(yb.getAs[Long]("observed") == 0L)
+    assert(yb.getAs[Double]("expected") == 5.0)
+    assert(r.forall(_.getAs[Long]("dof") == 1L))
+    // 25/15 + 25/5 + 25/15 + 25/5, per-cell micro floor: 2·1.666667 + 2·5.0
+    assert(r.forall(x => math.abs(x.getAs[Double]("chi2") - 13.333334) < 1e-9))
+  }
+
+  test("psi: symmetric swap — Laplace-smoothed terms sum both sides") {
+    import graft.operators.StatTests
+    // bin0: cur 8 / ref 2, bin1: cur 2 / ref 8 → p=(c+1)/12
+    // term each = 0.5·ln(3) ≈ 0.549306 → psi ≈ 1.098612
+    val rows = Seq.fill(8)((0L, true)) ++ Seq.fill(2)((0L, false)) ++
+      Seq.fill(2)((1L, true)) ++ Seq.fill(8)((1L, false))
+    val r = StatTests.psi(rows.toDF("bin", "c"), col("bin"), col("c"))
+      .collect().sortBy(_.getLong(0))
+    assert(r.length == 2)
+    assert(r(0).getAs[Double]("p_cur") == 0.75 && r(0).getAs[Double]("p_ref") == 0.25)
+    assert(r(0).getAs[Double]("term") == 0.549306)
+    assert(r.forall(x => x.getAs[Double]("psi") == 1.098612))
+  }
+
+  test("psi: identical distributions score ~0 (p=q terms exactly 0)") {
+    import graft.operators.StatTests
+    val rows = Seq.fill(5)((0L, true)) ++ Seq.fill(5)((0L, false)) ++
+      Seq.fill(3)((1L, true)) ++ Seq.fill(3)((1L, false))
+    val r = StatTests.psi(rows.toDF("bin", "c"), col("bin"), col("c")).collect()
+    assert(r.forall(_.getAs[Double]("psi") == 0.0))
+  }
+
   test("cusum: hand fold — high/low alarms, restart, per-key isolation") {
     import graft.operators.Windows
     // target 10, slack 2, threshold 15. A drifts high then recovers;
