@@ -110,7 +110,9 @@ object StatTests {
     * DENSIFIED (slice, category) cell — absent combinations count as
     * observed 0, they still carry expectation — with the observed
     * count, row/column totals, the expected count, the cell's
-    * contribution, and the total statistic + degrees of freedom
+    * contribution, and the total statistic + degrees of freedom +
+    * Cramér's V effect size (`√(X²/(N·min(S−1,C−1)))` — one division
+    * and one sqrt over the exact micro sum; NULL when dof = 0)
     * replicated on every row. Ordered by (slice, cat).
     *
     * Exactness: every cell term is computed in DOUBLE from exact
@@ -169,6 +171,10 @@ object StatTests {
       .withColumn("contrib", col("_tm").cast("double") / lit(1e6))
       .withColumn("chi2", (sum(col("_tm")).over(w)).cast("double") / lit(1e6))
       .withColumn("dof", lit(dof))
+      .withColumn("cramers_v",
+        if (dof == 0L) lit(null).cast(DoubleType)
+        else sqrt(col("chi2") /
+          lit((n * math.min(slices.size - 1, cats.size - 1)).toDouble)))
       .drop("_tm")
       .orderBy(col("slice"), col("cat"))
   }
@@ -202,8 +208,256 @@ object StatTests {
        |SELECT slice, cat, observed, row_total, col_total, expected,
        |  CAST(tm AS DOUBLE) / 1e6 AS contrib,
        |  CAST(SUM(tm) OVER () AS DOUBLE) / 1e6 AS chi2,
-       |  CAST((SELECT (ns - 1) * (nc - 1) FROM cs_n) AS BIGINT) AS dof
+       |  CAST((SELECT (ns - 1) * (nc - 1) FROM cs_n) AS BIGINT) AS dof,
+       |  CASE WHEN (SELECT (ns - 1) * (nc - 1) FROM cs_n) > 0 THEN
+       |    sqrt(CAST(SUM(tm) OVER () AS DOUBLE) / 1e6 /
+       |      CAST((SELECT nn * least(ns - 1, nc - 1) FROM cs_n) AS DOUBLE)) END AS cramers_v
        |FROM cs_t ORDER BY slice, cat""".stripMargin
+
+  /** One-way ANOVA F test: does the mean of long-typed `valueCol`
+    * (pre-quantized cents/micro-units) differ across the groups of
+    * `groupCol`? One row:
+    * `(groups, n, ss_between, ss_within, df1, df2, f)`.
+    *
+    * Exactness: per-group sufficient statistics (n, Σv, Σv²) are
+    * exact integers (Σv² in DECIMAL(38,0) — cent squares overflow a
+    * long at corpus scale); each group's `Σv_g²/n_g` lands in BIGINT
+    * micro-units via `floor(x·1e6 + 0.5)` (identical IEEE sequences,
+    * no rounding-mode freedom), so SS_between = Σ_g units − grand
+    * units and SS_within = 1e6·Σv² − Σ_g units are EXACT integers and
+    * F = (SSB·df2) / (SSW·df1) is integer products — DECIMAL(38,0) ≡
+    * HUGEINT — down to ONE closing division. Degenerate inputs (one
+    * group, or zero within-variance) yield NULL f, not a 0/0.
+    *
+    * Scale shape: one (group) aggregate with map-side combine, then a
+    * one-row reduce over the control-plane-sized group frame. The
+    * corpus is touched once.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"),
+        sum((col("_v") * col("_v")).cast(dec)).as("_ssq"))
+    val termMicro = floor(
+      (col("_s").cast("double") * col("_s").cast("double")) / col("_n").cast("double") *
+        lit(1e6) + lit(0.5)).cast(dec)
+    g.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
+        sum(col("_s")).as("s"), sum(col("_ssq")).as("ssq"),
+        sum(termMicro).as("t"))
+      .select(
+        col("k").as("groups"), col("n"),
+        (col("t") - floor((col("s").cast("double") * col("s").cast("double")) /
+          col("n").cast("double") * lit(1e6) + lit(0.5)).cast(dec)).as("_ssb"),
+        (col("ssq") * lit(1000000L).cast(dec) - col("t")).as("_ssw"),
+        (col("k") - lit(1L)).as("df1"), (col("n") - col("k")).as("df2"))
+      .select(col("groups"), col("n"),
+        (col("_ssb").cast("double") / lit(1e6)).as("ss_between"),
+        (col("_ssw").cast("double") / lit(1e6)).as("ss_within"),
+        col("df1"), col("df2"),
+        when(col("df1") > 0 && col("df2") > 0 && col("_ssw") > 0,
+          (col("_ssb") * col("df2").cast(dec)).cast("double") /
+            (col("_ssw") * col("df1").cast(dec)).cast("double")).as("f"))
+  }
+
+  /** The [[anovaF]] oracle generator: `srcSql` yields `(g, v)` with
+    * `v` long-quantized; HUGEINT mirrors DECIMAL(38,0).
+    */
+  def anovaFSql(srcSql: String): String =
+    s"""WITH av_g AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+       |    CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT) AS ssq
+       |  FROM ($srcSql) GROUP BY 1),
+       |av_t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+       |    CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(ssq) AS HUGEINT) AS ssq,
+       |    CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |      * 1e6 + 0.5) AS HUGEINT)) AS HUGEINT) AS t
+       |  FROM av_g),
+       |av_s AS (SELECT k AS groups, n,
+       |    t - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |      * 1e6 + 0.5) AS HUGEINT) AS ssb,
+       |    ssq * 1000000 - t AS ssw, k - 1 AS df1, n - k AS df2
+       |  FROM av_t)
+       |SELECT groups, n, CAST(ssb AS DOUBLE) / 1e6 AS ss_between,
+       |  CAST(ssw AS DOUBLE) / 1e6 AS ss_within,
+       |  CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+       |  CASE WHEN df1 > 0 AND df2 > 0 AND ssw > 0 THEN
+       |    CAST(ssb * df2 AS DOUBLE) / CAST(ssw * df1 AS DOUBLE) END AS f
+       |FROM av_s""".stripMargin
+
+  /** Mutual information between two categorical columns, in nats:
+    * `MI = Σ_cells (o/N) · ln(o·N / (rT·cT))` — the
+    * dependence/leakage gauge beside [[chiSquare]] (a feature that
+    * carries information about the label split, a slice key that
+    * predicts the near-dup component). One row per OBSERVED cell
+    * (absent cells contribute exactly 0) with the cell term and the
+    * MI total replicated; ordered by (x, y).
+    *
+    * Exactness: each transcendental term rides
+    * round(,6)→DECIMAL(18,6)→exact-sum; independent cells
+    * (o·N = rT·cT) hit ln(1) = 0 exactly, so the rounding never sits
+    * on a .5 ulp boundary. Marginals are WINDOWS over the
+    * localCheckpointed cell aggregate — no totals join replanning the
+    * scan (the [[Profile.entropy]] lesson).
+    *
+    * Scale shape: one (x, y) aggregate with map-side combine; the
+    * window passes run over the control-plane-sized cell frame.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
+    val wy = org.apache.spark.sql.expressions.Window.partitionBy(col("y"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val cells = df
+      .select(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("observed"))
+      .localCheckpoint(false)
+    cells
+      .withColumn("row_total", sum(col("observed")).over(wx))
+      .withColumn("col_total", sum(col("observed")).over(wy))
+      .withColumn("_n", sum(col("observed")).over(wAll))
+      .withColumn("_t",
+        round((col("observed").cast("double") / col("_n").cast("double")) *
+          log((col("observed").cast("double") * col("_n").cast("double")) /
+            (col("row_total").cast("double") * col("col_total").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("term", col("_t").cast("double"))
+      .withColumn("mi", sum(col("_t")).over(wAll).cast("double"))
+      .drop("_t", "_n")
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** The [[mutualInfo]] oracle generator: `srcSql` yields `(x, y)`
+    * string pairs; windows replay the marginals.
+    */
+  def mutualInfoSql(srcSql: String): String =
+    s"""WITH mi_o AS (SELECT x, y, CAST(count(*) AS BIGINT) AS observed
+       |  FROM ($srcSql) GROUP BY 1, 2),
+       |mi_m AS (SELECT x, y, observed,
+       |    CAST(SUM(observed) OVER (PARTITION BY x) AS BIGINT) AS row_total,
+       |    CAST(SUM(observed) OVER (PARTITION BY y) AS BIGINT) AS col_total,
+       |    CAST(SUM(observed) OVER () AS BIGINT) AS nn FROM mi_o),
+       |mi_t AS (SELECT x, y, observed, row_total, col_total,
+       |    CAST(round((CAST(observed AS DOUBLE) / CAST(nn AS DOUBLE)) *
+       |      ln((CAST(observed AS DOUBLE) * CAST(nn AS DOUBLE)) /
+       |        (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS t
+       |  FROM mi_m)
+       |SELECT x, y, observed, row_total, col_total, CAST(t AS DOUBLE) AS term,
+       |  CAST(SUM(t) OVER () AS DOUBLE) AS mi
+       |FROM mi_t ORDER BY x, y""".stripMargin
+
+  /** Poisson(1) CDF — the shared double literals BOTH engines compare
+    * the uniform draw against ([[bootstrapMean]]; the shared-literal
+    * convention that keeps transcendental constants bit-identical).
+    */
+  private[graft] val poissonCdf: Array[Double] = Array(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216, 0.9999999899522336, 0.9999999991683892,
+    0.9999999999364022)
+
+  /** Poisson-bootstrap confidence interval for the mean of a
+    * long-typed column — the SCALABLE bootstrap (each row enters each
+    * replicate Poisson(1) times, independent across rows; no
+    * resampling shuffle, no replicated corpus): B deterministic
+    * replicates in ONE pass, the nearest-rank percentile band across
+    * their means as the CI. One row per replicate:
+    * `(replicate, n_drawn, mean, ci_lo, ci_hi)`, ordered.
+    *
+    * Determinism: row i's multiplicity in replicate b inverts the
+    * Poisson CDF (shared literals) at u = twice-squared
+    * strhash("bs:" + id + ":" + b) / P — the [[graft.llm.Sketches]]
+    * uniformizer (raw polynomial hashes of short keys concentrate
+    * near zero). Replicate sums are exact longs; each mean is ONE
+    * closing division; ranking runs on the B-row frame via
+    * coalesce(1) + sortWithinPartitions + monotonically_increasing_id
+    * (the repo's small-frame ranking recipe — a foldable-key window
+    * degenerates to the move-everything spec).
+    *
+    * Scale shape: explode×B feeds a (replicate) aggregate whose
+    * map-side combine collapses each task to B partial rows — the
+    * exchange carries B·tasks longs, never B×corpus. CI picks the
+    * ⌈α·B⌉-th and ⌈(1−α)·B⌉-th smallest means (nearest-rank).
+    */
+  def bootstrapMean(
+      df: DataFrame,
+      idCol: Column,
+      valueCol: String,
+      b: Int = 40,
+      alpha: Double = 0.025
+  ): DataFrame = {
+    require(b >= 2, s"bootstrapMean needs >= 2 replicates, got $b")
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    val p = graft.functions.StrHash.P
+    val h = graft.functions.GraftFunctions.strhash(
+      concat(lit("bs:"), col("_id").cast("string"), lit(":"), col("_b").cast("string")))
+    val q1 = pmod(h * h, lit(p))
+    val u = pmod(q1 * q1, lit(p)).cast("double") / lit(p).cast("double")
+    val mult = poissonCdf.zipWithIndex.foldRight(lit(poissonCdf.length.toLong)) {
+      case ((c, i), elseExpr) => when(u < lit(c), lit(i.toLong)).otherwise(elseExpr)
+    }
+    val reps = df
+      .select(idCol.as("_id"), col(valueCol).cast("long").as("_v"))
+      .withColumn("_b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("_m", mult)
+      .groupBy(col("_b").cast("long").as("replicate"))
+      .agg(sum(col("_m")).as("n_drawn"), sum(col("_m") * col("_v")).as("_s"))
+      .withColumn("mean",
+        when(col("n_drawn") > 0, col("_s").cast("double") / col("n_drawn").cast("double")))
+      .drop("_s")
+    val rankLo = math.ceil(alpha * b).toLong.max(1L)
+    val rankHi = math.ceil((1.0 - alpha) * b).toLong.min(b.toLong)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    reps
+      .coalesce(1)
+      .sortWithinPartitions(col("mean"), col("replicate"))
+      .withColumn("_rn", monotonically_increasing_id() + lit(1L))
+      .withColumn("ci_lo", max(when(col("_rn") === lit(rankLo), col("mean"))).over(wAll))
+      .withColumn("ci_hi", max(when(col("_rn") === lit(rankHi), col("mean"))).over(wAll))
+      .drop("_rn")
+      .orderBy(col("replicate"))
+  }
+
+  /** The [[bootstrapMean]] oracle generator: `srcSql` yields
+    * `(id, v)` with `v` long-quantized; `strhash` is the engine's SQL
+    * replica (caller passes the corpus's `strhashSql` builder), and
+    * the CASE ladder shares [[poissonCdf]]'s literals verbatim.
+    */
+  def bootstrapMeanSql(
+      srcSql: String,
+      strhashSql: (String, String) => String,
+      b: Int = 40,
+      alpha: Double = 0.025
+  ): String = {
+    val p = graft.functions.StrHash.P
+    val hashed = strhashSql(s"concat('bs:', CAST(id AS VARCHAR), ':', CAST(bb AS VARCHAR))", "bh")
+    val ladder = poissonCdf.zipWithIndex
+      .map { case (c, i) => s"WHEN u < $c THEN $i" }
+      .mkString(" ")
+    val rankLo = math.ceil(alpha * b).toLong.max(1L)
+    val rankHi = math.ceil((1.0 - alpha) * b).toLong.min(b.toLong)
+    s"""WITH bs_e AS (SELECT id, v, bb FROM ($srcSql)
+       |    CROSS JOIN (SELECT unnest(range(0, $b)) AS bb)),
+       |bs_h AS (SELECT bb, v, ($hashed) AS h FROM bs_e),
+       |bs_u AS (SELECT bb, v,
+       |    CAST(((h * h) % $p) * ((h * h) % $p) % $p AS DOUBLE)
+       |      / CAST($p AS DOUBLE) AS u
+       |  FROM bs_h),
+       |bs_m AS (SELECT bb, v, CAST(CASE $ladder ELSE ${poissonCdf.length} END AS BIGINT) AS m
+       |  FROM bs_u),
+       |bs_r AS (SELECT CAST(bb AS BIGINT) AS replicate, CAST(SUM(m) AS BIGINT) AS n_drawn,
+       |    CASE WHEN SUM(m) > 0 THEN CAST(SUM(m * v) AS DOUBLE) / CAST(SUM(m) AS DOUBLE) END
+       |      AS mean
+       |  FROM bs_m GROUP BY 1),
+       |bs_k AS (SELECT replicate, n_drawn, mean,
+       |    row_number() OVER (ORDER BY mean, replicate) AS rn FROM bs_r)
+       |SELECT replicate, n_drawn, mean,
+       |  MAX(CASE WHEN rn = $rankLo THEN mean END) OVER () AS ci_lo,
+       |  MAX(CASE WHEN rn = $rankHi THEN mean END) OVER () AS ci_hi
+       |FROM bs_k ORDER BY replicate""".stripMargin
+  }
 
   /** Population Stability Index between a current and a reference
     * slice over pre-binned values: `PSI = Σ (p_b − q_b)·ln(p_b/q_b)`

@@ -426,6 +426,52 @@ object ParityQueries {
     """SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000) AS BIGINT) AS bin,
       |  user_id % 2 = 0 AS c FROM events""".stripMargin)
 
+  /** One-way ANOVA (StatTests.anovaF): do mean event values differ
+    * across the five event types? Cent-quantized sufficient stats,
+    * integer SS decomposition, F to one closing division.
+    */
+  val anovaValue: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    graft.operators.StatTests.anovaF(e, "event_type", "value_c")
+  }
+
+  val anovaValueSql: String = graft.operators.StatTests.anovaFSql(
+    """SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events""")
+
+  /** Mutual information (StatTests.mutualInfo): how much does a
+    * document's source tell you about its language? The
+    * dependence/leakage gauge over the documents crosstab.
+    */
+  val miLangSource: Q = (s, dir) =>
+    graft.operators.StatTests.mutualInfo(
+      Tables.load(s, dir, "documents"), "source", "lang")
+
+  val miLangSourceSql: String = graft.operators.StatTests.mutualInfoSql(
+    """SELECT source AS x, lang AS y FROM documents""")
+
+  /** Poisson-bootstrap CI (StatTests.bootstrapMean): error bars on the
+    * mean purchase value — 40 deterministic hash-replicates in one
+    * pass, nearest-rank 95% band.
+    */
+  val bootstrapMeanQ: Q = (s, dir) => {
+    val e = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("value_c"))
+    graft.operators.StatTests.bootstrapMean(e, col("event_id"), "value_c")
+  }
+
+  val bootstrapMeanSqlStr: String = {
+    val p = graft.llm.TextOps.P
+    def strhashSql(e: String, v: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, length($e)+1), ${v}i -> CAST(ascii(substring($e, CAST(${v}i AS INT), 1)) AS BIGINT))), " +
+        s"(${v}a, ${v}c) -> (${v}a*31 + ${v}c) % $p)"
+    graft.operators.StatTests.bootstrapMeanSql(
+      """SELECT event_id AS id, CAST(round(value * 100) AS BIGINT) AS v
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+      strhashSql)
+  }
+
   /** Gap-based sessionization over the event stream (event_id gap > 40
     * starts a new session), rolled up to per-session stats.
     */
@@ -1832,6 +1878,9 @@ object ParityQueries {
     "q_ks_drift" -> ksDrift,
     "q_chisq_eventmix" -> chisqEventMix,
     "q_psi_drift" -> psiDrift,
+    "q_anova_value" -> anovaValue,
+    "q_mi_langsource" -> miLangSource,
+    "q_bootstrap_mean" -> bootstrapMeanQ,
     "q_profile_events" -> profileEvents,
     "q_profile_drift" -> profileDrift,
     "q_integrity_check" -> integrityCheck,
@@ -1902,6 +1951,9 @@ object ParityQueries {
     "q_ks_drift" -> ksDriftSql,
     "q_chisq_eventmix" -> chisqEventMixSql,
     "q_psi_drift" -> psiDriftSql,
+    "q_anova_value" -> anovaValueSql,
+    "q_mi_langsource" -> miLangSourceSql,
+    "q_bootstrap_mean" -> bootstrapMeanSqlStr,
     "q_profile_events" -> profileEventsSql,
     "q_profile_drift" -> profileDriftSql,
     "q_integrity_check" -> integrityCheckSql,

@@ -330,6 +330,56 @@ class OperatorSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("dof") == 1L))
     // 25/15 + 25/5 + 25/15 + 25/5, per-cell micro floor: 2·1.666667 + 2·5.0
     assert(r.forall(x => math.abs(x.getAs[Double]("chi2") - 13.333334) < 1e-9))
+    // V = sqrt(chi2 / (N·min(S−1,C−1))) = sqrt(13.333334/40)
+    assert(r.forall(x =>
+      math.abs(x.getAs[Double]("cramers_v") - math.sqrt(13.333334 / 40.0)) < 1e-12))
+  }
+
+  test("anovaF: hand decomposition — SSB 400, SSW 100, F = 8 exactly") {
+    import graft.operators.StatTests
+    val df = Seq(("A", 10L), ("A", 20L), ("B", 30L), ("B", 40L)).toDF("g", "v")
+    val r = StatTests.anovaF(df, "g", "v").collect()(0)
+    assert(r.getAs[Long]("groups") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("ss_between") == 400.0)
+    assert(r.getAs[Double]("ss_within") == 100.0)
+    assert(r.getAs[Long]("df1") == 1L && r.getAs[Long]("df2") == 2L)
+    assert(r.getAs[Double]("f") == 8.0)
+  }
+
+  test("anovaF: degenerate inputs yield NULL f, never 0/0") {
+    import graft.operators.StatTests
+    val one = StatTests.anovaF(Seq(("A", 1L), ("A", 2L)).toDF("g", "v"), "g", "v").collect()(0)
+    assert(one.isNullAt(one.fieldIndex("f")), "single group: df1 = 0")
+    val flat = StatTests.anovaF(
+      Seq(("A", 5L), ("A", 5L), ("B", 7L), ("B", 7L)).toDF("g", "v"), "g", "v").collect()(0)
+    assert(flat.getAs[Double]("ss_within") == 0.0)
+    assert(flat.isNullAt(flat.fieldIndex("f")), "zero within-variance")
+  }
+
+  test("mutualInfo: perfect dependence ln(2) nats; independence exactly 0") {
+    import graft.operators.StatTests
+    val dep = Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y"))
+    val rd = StatTests.mutualInfo(dep.toDF("s", "l"), "s", "l").collect()
+    assert(rd.length == 2, "absent cells contribute 0 and are not emitted")
+    assert(rd.forall(x => math.abs(x.getAs[Double]("mi") - 0.693148) < 1e-9))
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+    val ri = StatTests.mutualInfo(ind.toDF("s", "l"), "s", "l").collect()
+    assert(ri.forall(_.getAs[Double]("mi") == 0.0))
+  }
+
+  test("bootstrapMean: 40 deterministic replicates, nearest-rank 95% band") {
+    import graft.operators.StatTests
+    val df = (1L to 200L).map(i => (i, 100L + (i % 7))).toDF("id", "v")
+    val r = StatTests.bootstrapMean(df, col("id"), "v").collect()
+    assert(r.length == 40)
+    val means = r.map(_.getAs[Double]("mean")).sorted
+    assert(r.forall(_.getAs[Double]("ci_lo") == means(0)), "rank ceil(0.025·40) = 1")
+    assert(r.forall(_.getAs[Double]("ci_hi") == means(38)), "rank ceil(0.975·40) = 39")
+    assert(r.forall(x => x.getAs[Long]("n_drawn") > 140 && x.getAs[Long]("n_drawn") < 260),
+      "Poisson(1) multiplicities keep each replicate near the corpus size")
+    val again = StatTests.bootstrapMean(df, col("id"), "v").collect()
+      .map(_.getAs[Double]("mean")).toSeq
+    assert(again == r.map(_.getAs[Double]("mean")).toSeq, "hash draws are deterministic")
   }
 
   test("psi: symmetric swap — Laplace-smoothed terms sum both sides") {
