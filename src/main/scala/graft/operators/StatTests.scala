@@ -105,6 +105,72 @@ object StatTests {
        |  END AS d
        |FROM ks_m, ks_t""".stripMargin
 
+  /** Two-sample Wasserstein-1 (earth-mover's) distance over a
+    * long-typed column — the magnitude-aware companion to [[ksTest]]:
+    * KS reports the worst single CDF gap, W1 integrates ALL of them,
+    * `W1 = Σ_v |F_A(v) − F_B(v)| · gap(v)` over consecutive pooled
+    * distinct values — so a small shift of the whole mass scores
+    * proportionally to how far it moved (in the value column's own
+    * units). One row: `(n_a, n_b, w1_num, w1)` where
+    * `w1_num = Σ |n_b·cumA − n_a·cumB| · gap` is an EXACT
+    * DECIMAL(38,0) ≡ HUGEINT integer and `w1 = w1_num / (n_a·n_b)`
+    * is ONE closing division. Empty sides yield NULL w1.
+    *
+    * Scale shape: the same one-aggregate + one
+    * [[graft.core.GlobalOrder.withPrefixes]] pass as [[ksTest]]; the
+    * neighbor gap comes from a rank self-join on the distinct-value
+    * frame (rank → rank+1 — one hash shuffle of (rank, v) pairs,
+    * never a single-partition window), closed by a one-row reduce.
+    */
+  def wasserstein(df: DataFrame, valueCol: String, sideA: Column): DataFrame = {
+    val g = df
+      .select(col(valueCol).cast("long").as("_v"), sideA.cast("boolean").as("_a"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+    val pref = graft.core.GlobalOrder.withPrefixes(
+      g, Seq(col("_v")), Seq(col("_ca") -> "_cum_a", col("_cb") -> "_cum_b"), "_rk")
+    val nA = pref.totalSums(0)
+    val nB = pref.totalSums(1)
+    val nxt = pref.df.select((col("_rk") - lit(1L)).as("_prk"), col("_v").as("_nv"))
+    val diff = abs(lit(nB).cast(dec) * col("_cum_a").cast(dec) -
+      lit(nA).cast(dec) * col("_cum_b").cast(dec))
+    pref.df
+      .join(nxt, col("_rk") === col("_prk"), "inner") // last value has no gap term
+      .agg(coalesce(sum(diff * (col("_nv") - col("_v")).cast(dec)), lit(0L).cast(dec))
+        .as("_w"))
+      .select(
+        lit(nA).as("n_a"), lit(nB).as("n_b"),
+        col("_w").cast("double").as("w1_num"),
+        when(lit(nA > 0L && nB > 0L),
+          col("_w").cast("double") /
+            (lit(nA).cast(dec) * lit(nB).cast(dec)).cast("double")).as("w1"))
+  }
+
+  /** The [[wasserstein]] oracle generator: same `(v, a)` contract as
+    * [[ksTestSql]]; `lead(v)` replays the rank self-join's neighbor.
+    */
+  def wassersteinSql(srcSql: String): String =
+    s"""WITH ws_g AS (SELECT v, CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |  FROM ($srcSql) GROUP BY 1),
+       |ws_b AS (SELECT v,
+       |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+       |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+       |    lead(v) OVER (ORDER BY v) AS nv FROM ws_g),
+       |ws_t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+       |  FROM ws_g),
+       |ws_m AS (SELECT COALESCE(CAST(SUM(
+       |      abs(CAST((SELECT n_b FROM ws_t) AS HUGEINT) * cum_a -
+       |          CAST((SELECT n_a FROM ws_t) AS HUGEINT) * cum_b)
+       |      * CAST(nv - v AS HUGEINT)) AS HUGEINT), 0) AS w
+       |  FROM ws_b WHERE nv IS NOT NULL)
+       |SELECT n_a, n_b, CAST(w AS DOUBLE) AS w1_num,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(w AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+       |  END AS w1
+       |FROM ws_m, ws_t""".stripMargin
+
   /** Pearson chi-square test of homogeneity: is the distribution of
     * `catCol` the same across the groups of `sliceCol`? One row per
     * DENSIFIED (slice, category) cell — absent combinations count as

@@ -426,6 +426,23 @@ object ParityQueries {
     """SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000) AS BIGINT) AS bin,
       |  user_id % 2 = 0 AS c FROM events""".stripMargin)
 
+  /** Wasserstein-1 drift distance (StatTests.wasserstein): how far
+    * did the purchase value distribution move relative to views, in
+    * cents — the magnitude-aware companion to q_ks_drift.
+    */
+  val wassersteinDrift: Q = (s, dir) => {
+    val e = events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 100).cast("long").as("value_c"),
+        (col("event_type") === "purchase").as("is_a"))
+    graft.operators.StatTests.wasserstein(e, "value_c", col("is_a"))
+  }
+
+  val wassersteinDriftSql: String = graft.operators.StatTests.wassersteinSql(
+    """SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |  event_type = 'purchase' AS a
+      |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin)
+
   /** One-way ANOVA (StatTests.anovaF): do mean event values differ
     * across the five event types? Cent-quantized sufficient stats,
     * integer SS decomposition, F to one closing division.
@@ -1878,6 +1895,7 @@ object ParityQueries {
     "q_ks_drift" -> ksDrift,
     "q_chisq_eventmix" -> chisqEventMix,
     "q_psi_drift" -> psiDrift,
+    "q_wasserstein_drift" -> wassersteinDrift,
     "q_anova_value" -> anovaValue,
     "q_mi_langsource" -> miLangSource,
     "q_bootstrap_mean" -> bootstrapMeanQ,
@@ -1951,6 +1969,7 @@ object ParityQueries {
     "q_ks_drift" -> ksDriftSql,
     "q_chisq_eventmix" -> chisqEventMixSql,
     "q_psi_drift" -> psiDriftSql,
+    "q_wasserstein_drift" -> wassersteinDriftSql,
     "q_anova_value" -> anovaValueSql,
     "q_mi_langsource" -> miLangSourceSql,
     "q_bootstrap_mean" -> bootstrapMeanSqlStr,

@@ -1011,6 +1011,57 @@ object StreamingFeatures {
       }
   }
 
+  /** Per-key CUSUM fold state: the two one-sided accumulators,
+    * post-reset.
+    */
+  final case class CusumState(sp: Long, sn: Long)
+
+  /** One CUSUM-scored event — pre-reset excursions, alarm ∈ {−1,0,1},
+    * mirroring the batch row.
+    */
+  final case class CusumPoint(
+      key: String, ord: Long, valueC: Long, cusumPos: Long, cusumNeg: Long, alarm: Long)
+
+  /** Streaming twin of [[graft.operators.Windows.cusum]]: the
+    * two-sided Page fold as O(1) state per key — two longs through
+    * the state store however long the stream — quantizing dollars to
+    * cents with the same BigDecimal HALF_UP Spark's `round(value·100)`
+    * applies in the batch query, so every emitted row is
+    * BIT-IDENTICAL to the batch fold at the same (key, ord). The pure
+    * integer arithmetic makes the equality exact across ANY
+    * micro-batch boundary placement (no FP accumulation to diverge);
+    * in-order contract as in [[rollingSlopeStream]].
+    */
+  def cusumStream(
+      spark: SparkSession,
+      updates: Dataset[Update],
+      target: Long,
+      slack: Long,
+      threshold: Long
+  ): Dataset[CusumPoint] = {
+    import spark.implicits._
+    require(slack >= 0, s"slack must be non-negative, got $slack")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Update], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+          batch.toSeq.sortBy(u => (u.ord, u.value)).foreach { u =>
+            val vc = BigDecimal(u.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val sp1 = math.max(0L, st.sp + vc - target - slack)
+            val sn1 = math.max(0L, st.sn + target - vc - slack)
+            val alarm = if (sp1 > threshold) 1L else if (sn1 > threshold) -1L else 0L
+            st = if (alarm != 0L) CusumState(0L, 0L) else CusumState(sp1, sn1)
+            out += CusumPoint(key, u.ord, vc, sp1, sn1, alarm)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Live classification-quality monitor — the confusion-matrix twin
     * of the sketch monitors: the (actual, pred) contingency counts as
     * a plain streaming aggregate (exact mergeable longs through the

@@ -318,6 +318,21 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("d_num") == 0.0 && r.getAs[Double]("d") == 0.0)
   }
 
+  test("wasserstein: hand EMD — {0,10} vs {5,5} moves 5; point shift moves its distance") {
+    import graft.operators.StatTests
+    val df = Seq((0L, true), (10L, true), (5L, false), (5L, false)).toDF("v", "a")
+    val r = StatTests.wasserstein(df, "v", col("a")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("w1_num") == 20.0)
+    assert(r.getAs[Double]("w1") == 5.0)
+    val shift = StatTests.wasserstein(
+      Seq((0L, true), (7L, false)).toDF("v", "a"), "v", col("a")).collect()(0)
+    assert(shift.getAs[Double]("w1") == 7.0, "point mass: W1 = shift distance")
+    val same = StatTests.wasserstein(
+      Seq((3L, true), (3L, false)).toDF("v", "a"), "v", col("a")).collect()(0)
+    assert(same.getAs[Double]("w1") == 0.0, "identical distributions: W1 = 0")
+  }
+
   test("chiSquare: hand 2x2 with an absent cell densified to observed 0") {
     import graft.operators.StatTests
     val rows = Seq.fill(10)(("X", "catA")) ++ Seq.fill(10)(("X", "catB")) ++

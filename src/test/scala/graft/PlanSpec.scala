@@ -347,6 +347,55 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("StatTests: drift tests keep their scale shapes — no BNLJ, map-side combine, local grids") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, dir)
+      .select(round(col("value") * 100).cast("long").as("v"),
+        (col("event_type") === "purchase").as("a"),
+        col("event_id"), col("event_type"), col("user_id"))
+    // KS / W1: the cumulative window partitions by pid (the GlobalOrder
+    // pin covers the hidden pre-checkpoint aggregate), the closing
+    // reduce partial-combines before its single-partition exchange, and
+    // the whole pipeline is equi-join only
+    for (df <- Seq(
+        graft.operators.StatTests.ksTest(e, "v", col("a")),
+        graft.operators.StatTests.wasserstein(e, "v", col("a")))) {
+      val plan = planOf(df)
+      assert(plan.contains("windowspecdefinition(_pid"),
+        s"cumulatives must ride the pid-partitioned window:\n$plan")
+      val exIdx = plan.indexOf("Exchange SinglePartition")
+      val partialIdx = plan.indexOf(if (plan.contains("partial_max")) "partial_max"
+        else "partial_sum")
+      assert(exIdx >= 0 && partialIdx >= 0 && partialIdx > exIdx,
+        s"the closing reduce must combine map-side:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"no nested loops in the KS/W1 pipeline:\n$plan")
+    }
+    // bootstrap: the exploded B-way frame collapses to B partials per
+    // task BEFORE the exchange — the shuffle carries B rows/task, never
+    // B × corpus
+    val bs = planOf(graft.operators.StatTests.bootstrapMean(e, col("event_id"), "v", b = 8))
+    val bsEx = bs.indexOf("Exchange hashpartitioning")
+    val bsPartial = bs.indexOf("partial_sum")
+    assert(bsEx >= 0 && bsPartial > bsEx,
+      s"bootstrap replicate sums must combine map-side:\n$bs")
+    assert(!bs.contains("BroadcastNestedLoopJoin") && !bs.contains("CartesianProduct"))
+    // chi-square: the returned frame is the densified LOCAL grid — the
+    // corpus reduction ran eagerly at build; no parquet scan (and no
+    // totals join) may linger in the visible plan
+    val cs = planOf(graft.operators.StatTests.chiSquare(e, "a", "event_type"))
+    assert(cs.contains("LocalTableScan"), s"the dense grid must be a local relation:\n$cs")
+    assert(!cs.contains("Scan parquet"),
+      s"the crosstab reduction must not replan into the returned frame:\n$cs")
+    // PSI: the bin aggregate materializes once (totals were collected
+    // off the checkpoint — no second scan, no one-row BNLJ)
+    val ps = planOf(graft.operators.StatTests.psi(e, col("v") % 1000L, col("a")))
+    assert(ps.contains("Scan ExistingRDD"),
+      s"the bin aggregate must sit behind the checkpoint barrier:\n$ps")
+    assert(!ps.contains("Scan parquet") && !ps.contains("BroadcastNestedLoopJoin"),
+      s"PSI totals must not replan the scan:\n$ps")
+  }
+
   test("dsirWeights: bucket models broadcast; per-doc sum partial-combines") {
     val plan = planOf(graft.llm.Selection.dsirWeights(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",

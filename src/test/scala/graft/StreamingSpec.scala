@@ -179,6 +179,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum: exact integer fold equals batch across micro-batch boundaries") {
+    // drift key "a" high past the threshold (restart inside batch 2),
+    // key "b" low; a state handoff lands mid-excursion
+    val evs = (1 to 24).map(i =>
+      Update(if (i % 2 == 0) "a" else "b", i.toLong,
+        if (i % 2 == 0) 60.0 + i * 0.755 else 40.0 - i * 0.505))
+    val (b1, b2) = evs.partition(_.ord <= 12)
+    val in = MemoryStream[Update]
+    val q = StreamingFeatures.cusumStream(spark, in.toDS(),
+        target = 5000L, slack = 200L, threshold = 3000L)
+      .writeStream.format("memory").queryName("t_cusum").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("t_cusum")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val quant = evs.toDF("key", "ord", "v").select(
+        org.apache.spark.sql.functions.col("key"),
+        org.apache.spark.sql.functions.col("ord"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("v") * 100).cast("long").as("vc"))
+      val batch = graft.operators.Windows.cusum(quant, "key", "ord", "vc",
+          target = 5000L, slack = 200L, threshold = 3000L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getAs[Long]("cusum_pos"), r.getAs[Long]("cusum_neg"),
+            r.getAs[Long]("alarm")))).toMap
+      assert(streamed.keySet == batch.keySet)
+      for ((k, v) <- batch)
+        assert(streamed(k) == v, s"event $k: streamed ${streamed(k)} vs batch $v")
+      assert(batch.values.exists(_._4 == 1L), "the high side must alarm")
+      assert(batch.values.exists(_._4 == -1L), "the low side must alarm")
+    } finally q.stop()
+  }
+
   test("streaming running sum accumulates per key") {
     val in = MemoryStream[Update]
     in.addData((1 to 10).map(i => Update("k", i.toLong, i.toDouble)): _*)
