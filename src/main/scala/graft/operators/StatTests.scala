@@ -412,6 +412,154 @@ object StatTests {
        |  CAST(SUM(t) OVER () AS DOUBLE) AS mi
        |FROM mi_t ORDER BY x, y""".stripMargin
 
+  /** Spearman rank correlation between two long-typed columns — the
+    * monotone-trend / feature-redundancy gauge (Pearson on ranks:
+    * robust to any monotone transform of either side). One row:
+    * `(n, rho)`; NULL rho when either side is constant.
+    *
+    * Exactness: tie-averaged ranks kept INTEGER by doubling — a tie
+    * group of `c` rows at inclusive cum `cum` shares
+    * `2·r̄ = 2·cum − c + 1` (the [[graft.llm.Classify.auc]]
+    * identity) — so every rank sum is an exact DECIMAL(38,0) ≡
+    * HUGEINT (rank cross-products bound corpus size at ~10^9 rows —
+    * same class as the engine's other DECIMAL(38,0) caps; beyond
+    * that, pre-aggregate). ρ touches doubles only in the closing
+    * (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²)) — identical
+    * IEEE sequences both engines.
+    *
+    * Scale shape: the pair table materializes ONCE (localCheckpoint —
+    * it feeds both rank tables and the final join); each side's rank
+    * table is one (value) aggregate + one
+    * [[graft.core.GlobalOrder]] pass over DISTINCT values; ranks come
+    * back to the rows via two hash equi-joins keyed on the value
+    * (never row-level sorting of the corpus twice), closed by a
+    * one-row reduce with map-side combine.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df
+      .select(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .localCheckpoint(false)
+    def rankTable(c: String, rName: String): DataFrame = {
+      val g = rows.groupBy(col(c)).agg(count(lit(1)).as("_c"))
+      graft.core.GlobalOrder.withPrefix(g, Seq(col(c)), col("_c"), "_cum", "_rk").df
+        .select(col(c), (lit(2L) * col("_cum") - col("_c") + lit(1L)).as(rName))
+    }
+    val joined = rows
+      .join(rankTable("_x", "_rx"), Seq("_x"))
+      .join(rankTable("_y", "_ry"), Seq("_y"))
+    val a = joined.agg(
+      count(lit(1)).as("n"),
+      sum(col("_rx").cast(dec)).as("sx"), sum(col("_ry").cast(dec)).as("sy"),
+      sum(col("_rx").cast(dec) * col("_ry").cast(dec)).as("sxy"),
+      sum(col("_rx").cast(dec) * col("_rx").cast(dec)).as("sxx"),
+      sum(col("_ry").cast(dec) * col("_ry").cast(dec)).as("syy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    a.select(col("n"),
+      when(vx > 0 && vy > 0,
+        (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt(vx * vy)).as("rho"))
+  }
+
+  /** The [[spearman]] oracle generator: `srcSql` yields `(x, y)` long
+    * pairs; the doubled tie-average replays via window cumsums.
+    */
+  def spearmanSql(srcSql: String): String =
+    s"""WITH sp_r AS (SELECT x, y FROM ($srcSql)),
+       |sp_x AS (SELECT x, 2 * CAST(SUM(count(*)) OVER (ORDER BY x) AS BIGINT)
+       |    - CAST(count(*) AS BIGINT) + 1 AS rx FROM sp_r GROUP BY x),
+       |sp_y AS (SELECT y, 2 * CAST(SUM(count(*)) OVER (ORDER BY y) AS BIGINT)
+       |    - CAST(count(*) AS BIGINT) + 1 AS ry FROM sp_r GROUP BY y),
+       |sp_j AS (SELECT rx, ry FROM sp_r JOIN sp_x USING (x) JOIN sp_y USING (y)),
+       |sp_a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+       |    CAST(SUM(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+       |    CAST(SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS HUGEINT) AS sxy,
+       |    CAST(SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS HUGEINT) AS sxx,
+       |    CAST(SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS HUGEINT) AS syy
+       |  FROM sp_j)
+       |SELECT n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END AS rho
+       |FROM sp_a""".stripMargin
+
+  /** Pairwise Pearson correlation matrix over K pre-quantized long
+    * columns in ONE scan — the feature-redundancy profile
+    * ([[Profile.profile]]'s numeric companion): one aggregate
+    * computes every Σx, Σx², Σx·y exactly (per-row products in
+    * DECIMAL(38,0) before multiplying — cent squares overflow a
+    * long), one K(K−1)/2-row reshape emits
+    * `(col_x, col_y, n, corr)` ordered. K is control-plane-sized by
+    * contract; NULL corr for constant columns.
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"correlations needs >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "correlations: duplicate column names")
+    val base = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val aggs =
+      count(lit(1)).as("n") +:
+      (cols.map(c => sum(col(c).cast(dec)).as(s"s_$c")) ++
+        cols.map(c => sum(col(c).cast(dec) * col(c).cast(dec)).as(s"ss_$c")) ++
+        (for (i <- cols.indices; j <- (i + 1) until cols.size)
+          yield sum(col(cols(i)).cast(dec) * col(cols(j)).cast(dec))
+            .as(s"sp_${cols(i)}_${cols(j)}")))
+    val a = base.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def v(c: String): Column =
+      nD * col(s"ss_$c").cast("double") -
+        col(s"s_$c").cast("double") * col(s"s_$c").cast("double")
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (cx, cy) = (cols(i), cols(j))
+      struct(lit(cx).as("col_x"), lit(cy).as("col_y"), col("n").as("n"),
+        when(v(cx) > 0 && v(cy) > 0,
+          (nD * col(s"sp_${cx}_${cy}").cast("double") -
+            col(s"s_$cx").cast("double") * col(s"s_$cy").cast("double")) /
+            sqrt(v(cx) * v(cy))).as("corr"))
+    }
+    a.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.n").as("n"), col("p.corr").as("corr"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** The [[correlations]] oracle generator: one aggregate CTE, one
+    * UNION ALL row per pair replaying the identical double closes.
+    */
+  def correlationsSql(srcSql: String, cols: Seq[String]): String = {
+    val sums =
+      (cols.map(c => s"CAST(SUM(CAST($c AS HUGEINT)) AS HUGEINT) AS s_$c") ++
+        cols.map(c => s"CAST(SUM(CAST($c AS HUGEINT) * CAST($c AS HUGEINT)) AS HUGEINT) AS ss_$c") ++
+        (for (i <- cols.indices; j <- (i + 1) until cols.size)
+          yield s"CAST(SUM(CAST(${cols(i)} AS HUGEINT) * CAST(${cols(j)} AS HUGEINT)) AS HUGEINT)" +
+            s" AS sp_${cols(i)}_${cols(j)}")).mkString(",\n    ")
+    def v(c: String) =
+      s"(CAST(n AS DOUBLE) * CAST(ss_$c AS DOUBLE) - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE))"
+    val rows = (for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (cx, cy) = (cols(i), cols(j))
+      s"""SELECT '$cx' AS col_x, '$cy' AS col_y, n,
+         |  CASE WHEN ${v(cx)} > 0 AND ${v(cy)} > 0 THEN
+         |    (CAST(n AS DOUBLE) * CAST(sp_${cx}_${cy} AS DOUBLE)
+         |      - CAST(s_$cx AS DOUBLE) * CAST(s_$cy AS DOUBLE))
+         |    / sqrt(${v(cx)} * ${v(cy)}) END AS corr
+         |FROM co_a""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH co_a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $sums
+       |  FROM ($srcSql))
+       |$rows
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   /** Poisson(1) CDF — the shared double literals BOTH engines compare
     * the uniform draw against ([[bootstrapMean]]; the shared-literal
     * convention that keeps transcendental constants bit-identical).

@@ -467,6 +467,36 @@ object ParityQueries {
   val miLangSourceSql: String = graft.operators.StatTests.mutualInfoSql(
     """SELECT source AS x, lang AS y FROM documents""")
 
+  /** Spearman rank correlation (StatTests.spearman): does purchase
+    * value trend with event order? Tie-averaged integer doubled
+    * ranks, exact HUGEINT sums, doubles only in the closing ρ.
+    */
+  val spearmanTrend: Q = (s, dir) => {
+    val e = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("value_c"))
+    graft.operators.StatTests.spearman(e, "event_id", "value_c")
+  }
+
+  val spearmanTrendSql: String = graft.operators.StatTests.spearmanSql(
+    """SELECT event_id AS x, CAST(round(value * 100) AS BIGINT) AS y
+      |FROM events WHERE event_type = 'purchase'""".stripMargin)
+
+  /** Pairwise Pearson correlations (StatTests.correlations): the
+    * numeric-feature redundancy profile over the event stream, one
+    * scan for all pairs.
+    */
+  val corrMatrix: Q = (s, dir) => {
+    val e = events(s, dir).select(
+      col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    graft.operators.StatTests.correlations(e, Seq("event_id", "user_id", "value_c"))
+  }
+
+  val corrMatrixSql: String = graft.operators.StatTests.correlationsSql(
+    """SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_c
+      |FROM events""".stripMargin,
+    Seq("event_id", "user_id", "value_c"))
+
   /** Poisson-bootstrap CI (StatTests.bootstrapMean): error bars on the
     * mean purchase value — 40 deterministic hash-replicates in one
     * pass, nearest-rank 95% band.
@@ -487,6 +517,68 @@ object ParityQueries {
       """SELECT event_id AS id, CAST(round(value * 100) AS BIGINT) AS v
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
       strhashSql)
+  }
+
+  /** Drift-report capstone: the whole statistical monitoring family —
+    * KS, Wasserstein, chi-square + Cramér's V, PSI, ANOVA, Spearman —
+    * over the event stream in ONE constant-size (7-row) report, the
+    * nightly "did anything move" dashboard a feature-store monitor
+    * alarms on. Each metric is its already-oracled operator's scalar;
+    * the replicated-total columns collapse via max (all rows carry
+    * the same value by construction).
+    */
+  val driftReport: Q = (s, dir) => {
+    import graft.operators.StatTests
+    // the corpus is touched ONCE: every family member derives from this
+    // checkpointed 4-column projection (7 independent scans otherwise —
+    // the totals-join lesson at dashboard scale)
+    val base = events(s, dir).select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"),
+      (col("user_id") % 2 === 0).as("is_even"))
+      .localCheckpoint(false)
+    val twoSided = base
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("value_c"), (col("event_type") === "purchase").as("is_a"))
+    val cohorts = base.select(
+      when(col("is_even"), "cohort_even").otherwise("cohort_odd").as("cohort"),
+      col("event_type"),
+      floor(col("value_c") / lit(2000L)).as("bin"),
+      col("is_even").as("is_cur"),
+      col("value_c"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value_c"))
+    def one(name: String, df: DataFrame, value: org.apache.spark.sql.Column): DataFrame =
+      df.select(lit(name).as("metric"), value.cast("double").as("value"))
+    val chi = StatTests.chiSquare(cohorts, "cohort", "event_type")
+    one("anova_f", StatTests.anovaF(cohorts, "event_type", "value_c"), col("f"))
+      .unionAll(one("chi2", chi.agg(max(col("chi2")).as("v")), col("v")))
+      .unionAll(one("cramers_v", chi.agg(max(col("cramers_v")).as("v")), col("v")))
+      .unionAll(one("ks_d", StatTests.ksTest(twoSided, "value_c", col("is_a")), col("d")))
+      .unionAll(one("psi",
+        StatTests.psi(cohorts, col("bin"), col("is_cur")).agg(max(col("psi")).as("v")),
+        col("v")))
+      .unionAll(one("spearman_rho",
+        StatTests.spearman(purchases, "event_id", "value_c"), col("rho")))
+      .unionAll(one("wasserstein",
+        StatTests.wasserstein(twoSided, "value_c", col("is_a")), col("w1")))
+      .orderBy("metric")
+  }
+
+  val driftReportSql: String = {
+    def one(name: String, inner: String, value: String): String =
+      s"SELECT '$name' AS metric, CAST($value AS DOUBLE) AS value FROM ($inner)"
+    Seq(
+      one("anova_f", graft.operators.StatTests.anovaFSql(
+        """SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events"""),
+        "f"),
+      one("chi2", chisqEventMixSql, "max(chi2)"),
+      one("cramers_v", chisqEventMixSql, "max(cramers_v)"),
+      one("ks_d", ksDriftSql, "d"),
+      one("psi", psiDriftSql, "max(psi)"),
+      one("spearman_rho", spearmanTrendSql, "rho"),
+      one("wasserstein", wassersteinDriftSql, "w1")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY metric")
   }
 
   /** Gap-based sessionization over the event stream (event_id gap > 40
@@ -1899,6 +1991,9 @@ object ParityQueries {
     "q_anova_value" -> anovaValue,
     "q_mi_langsource" -> miLangSource,
     "q_bootstrap_mean" -> bootstrapMeanQ,
+    "q_spearman_trend" -> spearmanTrend,
+    "q_corr_matrix" -> corrMatrix,
+    "q_drift_report" -> driftReport,
     "q_profile_events" -> profileEvents,
     "q_profile_drift" -> profileDrift,
     "q_integrity_check" -> integrityCheck,
@@ -1973,6 +2068,9 @@ object ParityQueries {
     "q_anova_value" -> anovaValueSql,
     "q_mi_langsource" -> miLangSourceSql,
     "q_bootstrap_mean" -> bootstrapMeanSqlStr,
+    "q_spearman_trend" -> spearmanTrendSql,
+    "q_corr_matrix" -> corrMatrixSql,
+    "q_drift_report" -> driftReportSql,
     "q_profile_events" -> profileEventsSql,
     "q_profile_drift" -> profileDriftSql,
     "q_integrity_check" -> integrityCheckSql,

@@ -419,6 +419,33 @@ class OperatorSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("psi") == 0.0))
   }
 
+  test("spearman: monotone = ±1 exactly; tie-averaged hand value; constant side NULL") {
+    import graft.operators.StatTests
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(StatTests.spearman(up, "x", "y").collect()(0).getAs[Double]("rho") == 1.0)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(StatTests.spearman(down, "x", "y").collect()(0).getAs[Double]("rho") == -1.0)
+    // ties: rx = (3,3,5), ry = (1,3,5) → ρ = 12/√192 = √3/2
+    val tied = StatTests.spearman(
+      Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y"), "x", "y").collect()(0)
+    assert(math.abs(tied.getAs[Double]("rho") - math.sqrt(3.0) / 2.0) < 1e-12)
+    val const = StatTests.spearman(
+      Seq((1L, 7L), (2L, 7L)).toDF("x", "y"), "x", "y").collect()(0)
+    assert(const.isNullAt(const.fieldIndex("rho")), "constant side: NULL not 0/0")
+  }
+
+  test("correlations: one-pass matrix — exact ±1, NULL for constant columns, ordered pairs") {
+    import graft.operators.StatTests
+    val df = Seq((1L, 2L, 5L), (2L, 4L, 5L), (3L, 6L, 5L)).toDF("a", "b", "c")
+    val r = StatTests.correlations(df, Seq("a", "b", "c")).collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(r(0).getAs[Double]("corr") == 1.0, "perfect linear: exactly 1")
+    assert(r(1).isNullAt(r(1).fieldIndex("corr")) && r(2).isNullAt(r(2).fieldIndex("corr")),
+      "constant column pairs: NULL")
+    assert(r.forall(_.getAs[Long]("n") == 3L))
+  }
+
   test("cusum: hand fold — high/low alarms, restart, per-key isolation") {
     import graft.operators.Windows
     // target 10, slack 2, threshold 15. A drifts high then recovers;
