@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   * PSI's transcendental terms ride the per-term
   * round(,6)→DECIMAL→exact-sum pattern ([[Windows]].decayedSum
   * precedent).
+  *
+  * NULL policy: every test runs over OBSERVED values — rows with a
+  * NULL value, bin, side, or rank column are excluded up front (and
+  * the oracle generators repeat the same WHERE), except [[chiSquare]],
+  * which rejects NULL slice/category loudly: silently dropping rows
+  * there would change the very mix being tested.
   */
 object StatTests {
 
@@ -60,6 +66,7 @@ object StatTests {
   def ksTest(df: DataFrame, valueCol: String, sideA: Column): DataFrame = {
     val g = df
       .select(col(valueCol).cast("long").as("_v"), sideA.cast("boolean").as("_a"))
+      .filter(col("_v").isNotNull && col("_a").isNotNull)
       .groupBy(col("_v"))
       .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
         sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
@@ -90,7 +97,7 @@ object StatTests {
   def ksTestSql(srcSql: String): String =
     s"""WITH ks_g AS (SELECT v, CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
-       |  FROM ($srcSql) GROUP BY 1),
+       |  FROM ($srcSql) WHERE v IS NOT NULL AND a IS NOT NULL GROUP BY 1),
        |ks_b AS (SELECT v,
        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
@@ -125,6 +132,7 @@ object StatTests {
   def wasserstein(df: DataFrame, valueCol: String, sideA: Column): DataFrame = {
     val g = df
       .select(col(valueCol).cast("long").as("_v"), sideA.cast("boolean").as("_a"))
+      .filter(col("_v").isNotNull && col("_a").isNotNull)
       .groupBy(col("_v"))
       .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
         sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
@@ -153,7 +161,7 @@ object StatTests {
   def wassersteinSql(srcSql: String): String =
     s"""WITH ws_g AS (SELECT v, CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
-       |  FROM ($srcSql) GROUP BY 1),
+       |  FROM ($srcSql) WHERE v IS NOT NULL AND a IS NOT NULL GROUP BY 1),
        |ws_b AS (SELECT v,
        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
@@ -302,6 +310,7 @@ object StatTests {
   def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val g = df
       .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
       .groupBy(col("_g"))
       .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"),
         sum((col("_v") * col("_v")).cast(dec)).as("_ssq"))
@@ -332,7 +341,7 @@ object StatTests {
   def anovaFSql(srcSql: String): String =
     s"""WITH av_g AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
        |    CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT) AS ssq
-       |  FROM ($srcSql) GROUP BY 1),
+       |  FROM ($srcSql) WHERE g IS NOT NULL AND v IS NOT NULL GROUP BY 1),
        |av_t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
        |    CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(ssq) AS HUGEINT) AS ssq,
        |    CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
@@ -375,6 +384,7 @@ object StatTests {
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val cells = df
       .select(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("observed"))
       .localCheckpoint(false)
     cells
@@ -397,7 +407,7 @@ object StatTests {
     */
   def mutualInfoSql(srcSql: String): String =
     s"""WITH mi_o AS (SELECT x, y, CAST(count(*) AS BIGINT) AS observed
-       |  FROM ($srcSql) GROUP BY 1, 2),
+       |  FROM ($srcSql) WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2),
        |mi_m AS (SELECT x, y, observed,
        |    CAST(SUM(observed) OVER (PARTITION BY x) AS BIGINT) AS row_total,
        |    CAST(SUM(observed) OVER (PARTITION BY y) AS BIGINT) AS col_total,
@@ -438,6 +448,7 @@ object StatTests {
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val rows = df
       .select(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
       .localCheckpoint(false)
     def rankTable(c: String, rName: String): DataFrame = {
       val g = rows.groupBy(col(c)).agg(count(lit(1)).as("_c"))
@@ -467,7 +478,8 @@ object StatTests {
     * pairs; the doubled tie-average replays via window cumsums.
     */
   def spearmanSql(srcSql: String): String =
-    s"""WITH sp_r AS (SELECT x, y FROM ($srcSql)),
+    s"""WITH sp_r AS (SELECT x, y FROM ($srcSql)
+       |  WHERE x IS NOT NULL AND y IS NOT NULL),
        |sp_x AS (SELECT x, 2 * CAST(SUM(count(*)) OVER (ORDER BY x) AS BIGINT)
        |    - CAST(count(*) AS BIGINT) + 1 AS rx FROM sp_r GROUP BY x),
        |sp_y AS (SELECT y, 2 * CAST(SUM(count(*)) OVER (ORDER BY y) AS BIGINT)
@@ -506,6 +518,7 @@ object StatTests {
     require(cols.size >= 2, s"correlations needs >= 2 columns, got ${cols.size}")
     require(cols.distinct.size == cols.size, "correlations: duplicate column names")
     val base = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+      .na.drop("any", cols)
     val aggs =
       count(lit(1)).as("n") +:
       (cols.map(c => sum(col(c).cast(dec)).as(s"s_$c")) ++
@@ -555,10 +568,164 @@ object StatTests {
     }).mkString("\nUNION ALL\n")
     s"""WITH co_a AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |    $sums
-       |  FROM ($srcSql))
+       |  FROM ($srcSql)
+       |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")})
        |$rows
        |ORDER BY col_x, col_y""".stripMargin
   }
+
+  /** Benford first-digit probabilities `log10(1 + 1/d)`, d = 1..9 —
+    * shared double literals (the transcendental-constant convention).
+    */
+  private[graft] val benfordP: Array[Double] = Array(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** Benford's-law audit over a positive long-typed column — the
+    * fabricated-data / unit-mixup screen an ingest monitor runs on
+    * money-like features: natural multiplicative data leads with
+    * digit d with probability log10(1 + 1/d). Nine rows (digits
+    * DENSIFIED — an absent digit is itself a signal) of
+    * `(digit, observed, p_observed, p_expected, dev, mad)` with
+    * `dev = |p_obs − p_exp|` and the mean absolute deviation
+    * replicated (Nigrini's MAD gauge: < 0.006 conforming, > 0.015
+    * nonconforming for 9-bin tests). Zero and negative values carry
+    * no leading significant digit and are excluded (documented NULL
+    * policy); NULL mad on an empty input.
+    *
+    * Exactness: the first digit is a STRING head of the decimal
+    * rendering of an integer — no logarithms near bin edges;
+    * p_observed is one division of exact longs; each dev rides
+    * round(,6)→DECIMAL (p_exp irrational ⇒ never a .5 boundary) and
+    * mad closes with one /9 division off the exact decimal sum.
+    *
+    * Scale shape: one 9-group aggregate with map-side combine,
+    * collected (≤ 9 rows) and densified on the driver — the
+    * [[chiSquare]] convention.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull && col("_v") > 0L)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("int").as("_d"))
+      .groupBy(col("_d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.valuesIterator.sum
+    val rows: Seq[Row] = (1 to 9).map(d => Row(d.toLong, counts.getOrElse(d, 0L)))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("digit", LongType, nullable = false),
+        StructField("observed", LongType, nullable = false))))
+    val pExp = (2 to 9).foldLeft(when(col("digit") === 1L, lit(benfordP(0)))) {
+      (acc, d) => acc.when(col("digit") === d.toLong, lit(benfordP(d - 1)))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    local
+      .withColumn("p_observed",
+        if (n == 0L) lit(null).cast(DoubleType)
+        else col("observed").cast("double") / lit(n.toDouble))
+      .withColumn("p_expected", pExp)
+      .withColumn("_dev", round(abs(col("p_observed") - col("p_expected")), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("dev", col("_dev").cast("double"))
+      .withColumn("mad", (sum(col("_dev")).over(w).cast("double") / lit(9.0)))
+      .drop("_dev")
+      .orderBy(col("digit"))
+  }
+
+  /** The [[benford]] oracle generator: `srcSql` yields a positive
+    * long `v`; digits densify against a VALUES list and the CASE
+    * ladder shares [[benfordP]] verbatim.
+    */
+  def benfordSql(srcSql: String): String = {
+    val caseP = benfordP.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}" }.mkString(" ")
+    s"""WITH bf_c AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS d,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM ($srcSql) WHERE v IS NOT NULL AND v > 0 GROUP BY 1),
+       |bf_t AS (SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS nn FROM bf_c),
+       |bf_d AS (SELECT CAST(dd AS BIGINT) AS digit, COALESCE(c.n, 0) AS observed
+       |  FROM (SELECT unnest(range(1, 10)) AS dd) LEFT JOIN bf_c c ON c.d = dd),
+       |bf_p AS (SELECT digit, observed,
+       |    CASE WHEN (SELECT nn FROM bf_t) > 0 THEN
+       |      CAST(observed AS DOUBLE) / CAST((SELECT nn FROM bf_t) AS DOUBLE) END AS p_observed,
+       |    CASE digit $caseP END AS p_expected
+       |  FROM bf_d),
+       |bf_x AS (SELECT digit, observed, p_observed, p_expected,
+       |    CAST(round(abs(p_observed - p_expected), 6) AS DECIMAL(18,6)) AS dv
+       |  FROM bf_p)
+       |SELECT digit, observed, p_observed, p_expected, CAST(dv AS DOUBLE) AS dev,
+       |  CAST(SUM(dv) OVER () AS DOUBLE) / 9.0 AS mad
+       |FROM bf_x ORDER BY digit""".stripMargin
+  }
+
+  /** Concentration audit of group sizes — how unevenly is the corpus
+    * spread across sources/shards/languages? One row:
+    * `(groups, n, hhi, eff_groups, gini)` — the Herfindahl index
+    * `Σ(c_i/N)²`, its reciprocal "effective group count", and the
+    * Gini coefficient `(2·Σ i·c_(i) − (k+1)·N) / (k·N)` over counts
+    * sorted ascending — the mixture-health gauge next to
+    * [[graft.llm.Mixture]]'s weighting (a 0.9-Gini corpus is one
+    * source wearing twenty names). NULL metrics on an empty input.
+    *
+    * Exactness: Σc², Σ i·c_(i) are exact DECIMAL(38,0) ≡ HUGEINT;
+    * each output metric is ONE division of exact integers (hhi =
+    * Σc²/N², eff = N²/Σc², gini's single closing ratio). Ranks come
+    * from the small-frame recipe (coalesce(1) + in-partition sort +
+    * monotonically_increasing_id — a foldable-key rank window
+    * degenerates); the group aggregate itself is the corpus
+    * reduction, map-side combined, control-plane-sized by the same
+    * contract as [[chiSquare]].
+    */
+  def concentration(df: DataFrame, groupCol: String): DataFrame = {
+    val g = df
+      .select(col(groupCol).cast("string").as("_g"))
+      .filter(col("_g").isNotNull)
+      .groupBy(col("_g")).agg(count(lit(1)).as("_c"))
+    g.coalesce(1)
+      .sortWithinPartitions(col("_c"), col("_g"))
+      .withColumn("_i", monotonically_increasing_id() + lit(1L))
+      .agg(count(lit(1)).as("groups"), coalesce(sum(col("_c")), lit(0L)).as("n"),
+        sum(col("_c").cast(dec) * col("_c").cast(dec)).as("_ssq"),
+        sum(col("_i").cast(dec) * col("_c").cast(dec)).as("_sic"))
+      .select(col("groups"), col("n"),
+        when(col("n") > 0,
+          col("_ssq").cast("double") /
+            (col("n").cast(dec) * col("n").cast(dec)).cast("double")).as("hhi"),
+        when(col("n") > 0,
+          (col("n").cast(dec) * col("n").cast(dec)).cast("double") /
+            col("_ssq").cast("double")).as("eff_groups"),
+        when(col("n") > 0,
+          (lit(2L).cast(dec) * col("_sic") -
+            ((col("groups") + lit(1L)).cast(dec) * col("n").cast(dec))).cast("double") /
+            (col("groups").cast(dec) * col("n").cast(dec)).cast("double")).as("gini"))
+  }
+
+  /** The [[concentration]] oracle generator: `srcSql` yields `g`;
+    * the ascending (count, group) rank replays as a row_number.
+    */
+  def concentrationSql(srcSql: String): String =
+    s"""WITH cn_g AS (SELECT g, CAST(count(*) AS BIGINT) AS c
+       |  FROM ($srcSql) WHERE g IS NOT NULL GROUP BY 1),
+       |cn_r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, g) AS BIGINT) AS i FROM cn_g),
+       |cn_a AS (SELECT CAST(count(*) AS BIGINT) AS groups,
+       |    COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n,
+       |    CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT) AS ssq,
+       |    CAST(SUM(CAST(i AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT) AS sic
+       |  FROM cn_r)
+       |SELECT groups, n,
+       |  CASE WHEN n > 0 THEN CAST(ssq AS DOUBLE)
+       |    / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE) END AS hhi,
+       |  CASE WHEN n > 0 THEN CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+       |    / CAST(ssq AS DOUBLE) END AS eff_groups,
+       |  CASE WHEN n > 0 THEN CAST(2 * sic - CAST(groups + 1 AS HUGEINT)
+       |      * CAST(n AS HUGEINT) AS DOUBLE)
+       |    / CAST(CAST(groups AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE) END AS gini
+       |FROM cn_a""".stripMargin
 
   /** Poisson(1) CDF — the shared double literals BOTH engines compare
     * the uniform draw against ([[bootstrapMean]]; the shared-literal
@@ -613,6 +780,7 @@ object StatTests {
     }
     val reps = df
       .select(idCol.as("_id"), col(valueCol).cast("long").as("_v"))
+      .filter(col("_id").isNotNull && col("_v").isNotNull)
       .withColumn("_b", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("_m", mult)
       .groupBy(col("_b").cast("long").as("replicate"))
@@ -653,7 +821,8 @@ object StatTests {
     val rankLo = math.ceil(alpha * b).toLong.max(1L)
     val rankHi = math.ceil((1.0 - alpha) * b).toLong.min(b.toLong)
     s"""WITH bs_e AS (SELECT id, v, bb FROM ($srcSql)
-       |    CROSS JOIN (SELECT unnest(range(0, $b)) AS bb)),
+       |    CROSS JOIN (SELECT unnest(range(0, $b)) AS bb)
+       |  WHERE id IS NOT NULL AND v IS NOT NULL),
        |bs_h AS (SELECT bb, v, ($hashed) AS h FROM bs_e),
        |bs_u AS (SELECT bb, v,
        |    CAST(((h * h) % $p) * ((h * h) % $p) % $p AS DOUBLE)
@@ -694,13 +863,29 @@ object StatTests {
     * as literals off a localCheckpointed aggregate (one extra action,
     * no totals join replanning the scan, no one-row BNLJ).
     */
-  def psi(df: DataFrame, binCol: Column, isCur: Column): DataFrame = {
-    val g = df
+  def psi(df: DataFrame, binCol: Column, isCur: Column): DataFrame =
+    psiFromCounts(df
       .select(binCol.cast("long").as("bin"), isCur.cast("boolean").as("_c"))
+      .filter(col("bin").isNotNull && col("_c").isNotNull)
       .groupBy(col("bin"))
       .agg(sum(when(col("_c"), 1L).otherwise(0L)).as("c_cur"),
         sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
+
+  /** [[psi]]'s scoring half over an ALREADY-AGGREGATED
+    * `(bin, c_cur, c_ref)` counts frame — the seam a live monitor
+    * shares: stream the counts (an exact mergeable aggregate through
+    * the state store, Complete mode — see
+    * [[graft.streaming.StreamingFeatures.psiCountsStream]]), score
+    * any snapshot with the IDENTICAL math the batch operator runs, so
+    * streamed-final ≡ batch over the same rows (the confusionStream /
+    * evalMetricsFromCounts pattern). Caller materializes `counts`
+    * (checkpoint or memory-sink table) — it is read twice (totals +
+    * terms).
+    */
+  def psiFromCounts(counts: DataFrame): DataFrame = {
+    val g = counts.select(col("bin").cast("long").as("bin"),
+      col("c_cur").cast("long").as("c_cur"), col("c_ref").cast("long").as("c_ref"))
     val t = g.agg(count(lit(1)), coalesce(sum(col("c_cur")), lit(0L)),
       coalesce(sum(col("c_ref")), lit(0L))).collect()(0)
     val (bCnt, nCur, nRef) = (t.getLong(0), t.getLong(1), t.getLong(2))
@@ -726,7 +911,7 @@ object StatTests {
   def psiSql(srcSql: String): String =
     s"""WITH psi_g AS (SELECT bin, CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
        |    CAST(SUM(CASE WHEN c THEN 0 ELSE 1 END) AS BIGINT) AS c_ref
-       |  FROM ($srcSql) GROUP BY 1),
+       |  FROM ($srcSql) WHERE bin IS NOT NULL AND c IS NOT NULL GROUP BY 1),
        |psi_t AS (SELECT count(*) AS b, CAST(SUM(c_cur) AS BIGINT) AS ncur,
        |    CAST(SUM(c_ref) AS BIGINT) AS nref FROM psi_g),
        |psi_p AS (SELECT bin, c_cur, c_ref,

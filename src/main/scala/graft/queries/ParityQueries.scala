@@ -519,6 +519,27 @@ object ParityQueries {
       strhashSql)
   }
 
+  /** Benford first-digit audit (StatTests.benford): do the cent
+    * values lead like natural multiplicative data? Uniform synthetic
+    * values will flag nonconforming — which is the point of an audit.
+    */
+  val benfordValues: Q = (s, dir) => {
+    val e = events(s, dir).select(round(col("value") * 100).cast("long").as("value_c"))
+    graft.operators.StatTests.benford(e, "value_c")
+  }
+
+  val benfordValuesSql: String = graft.operators.StatTests.benfordSql(
+    """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events""")
+
+  /** Source concentration audit (StatTests.concentration): HHI /
+    * effective sources / Gini of the documents-per-source spread.
+    */
+  val sourceConcentration: Q = (s, dir) =>
+    graft.operators.StatTests.concentration(Tables.documents(s, dir), "source")
+
+  val sourceConcentrationSql: String = graft.operators.StatTests.concentrationSql(
+    """SELECT source AS g FROM documents""")
+
   /** Drift-report capstone: the whole statistical monitoring family —
     * KS, Wasserstein, chi-square + Cramér's V, PSI, ANOVA, Spearman —
     * over the event stream in ONE constant-size (7-row) report, the
@@ -1994,6 +2015,8 @@ object ParityQueries {
     "q_spearman_trend" -> spearmanTrend,
     "q_corr_matrix" -> corrMatrix,
     "q_drift_report" -> driftReport,
+    "q_benford_values" -> benfordValues,
+    "q_source_concentration" -> sourceConcentration,
     "q_profile_events" -> profileEvents,
     "q_profile_drift" -> profileDrift,
     "q_integrity_check" -> integrityCheck,
@@ -2071,6 +2094,8 @@ object ParityQueries {
     "q_spearman_trend" -> spearmanTrendSql,
     "q_corr_matrix" -> corrMatrixSql,
     "q_drift_report" -> driftReportSql,
+    "q_benford_values" -> benfordValuesSql,
+    "q_source_concentration" -> sourceConcentrationSql,
     "q_profile_events" -> profileEventsSql,
     "q_profile_drift" -> profileDriftSql,
     "q_integrity_check" -> integrityCheckSql,

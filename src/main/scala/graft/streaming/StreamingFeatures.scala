@@ -1078,6 +1078,26 @@ object StreamingFeatures {
     preds.groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
   }
 
+  /** Live drift monitor — the PSI twin of [[confusionStream]]: the
+    * per-bin (c_cur, c_ref) counts as a plain streaming aggregate
+    * (exact mergeable longs through the state store, bins × 2 longs
+    * of state however long the stream), run under Complete mode so
+    * the sink table IS the current bin histogram. Score any snapshot
+    * with [[graft.operators.StatTests.psiFromCounts]] — the identical
+    * math the batch operator runs, so the streamed-final PSI equals
+    * the batch PSI over the same rows (StreamingSpec pins it).
+    * `binned` needs `bin` (long) and `is_cur` (boolean) columns;
+    * NULL rows are excluded as in the batch operator.
+    */
+  def psiCountsStream(binned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum, when}
+    binned
+      .filter(col("bin").isNotNull && col("is_cur").isNotNull)
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_cur"), 1L).otherwise(0L)).as("c_cur"),
+        sum(when(!col("is_cur"), 1L).otherwise(0L)).as("c_ref"))
+  }
+
   def runToMemory[T](
       spark: SparkSession,
       ds: Dataset[T],

@@ -311,6 +311,24 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("d") == 0.5)
   }
 
+  test("StatTests null policy: tests run over observed values only") {
+    import graft.operators.StatTests
+    val withNulls = Seq[(java.lang.Long, java.lang.Boolean)](
+      (1L, true), (2L, true), (3L, true), (2L, false), (4L, false),
+      (null, true), (7L, null)).toDF("v", "a")
+    val clean = Seq((1L, true), (2L, true), (3L, true), (2L, false), (4L, false))
+      .toDF("v", "a")
+    assert(StatTests.ksTest(withNulls, "v", col("a")).collect().toSeq ==
+      StatTests.ksTest(clean, "v", col("a")).collect().toSeq)
+    assert(StatTests.wasserstein(withNulls, "v", col("a")).collect().toSeq ==
+      StatTests.wasserstein(clean, "v", col("a")).collect().toSeq)
+    val chiNull = Seq[(String, String)](("X", "a"), (null, "a")).toDF("s", "c")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.StatTests.chiSquare(chiNull, "s", "c")
+    }
+    assert(ex.getMessage.contains("NULL"), "chiSquare must reject NULLs loudly")
+  }
+
   test("ksTest: identical samples have D = 0") {
     import graft.operators.StatTests
     val df = Seq((1L, true), (2L, true), (1L, false), (2L, false)).toDF("v", "a")
@@ -417,6 +435,34 @@ class OperatorSpec extends SparkSpec {
       Seq.fill(3)((1L, true)) ++ Seq.fill(3)((1L, false))
     val r = StatTests.psi(rows.toDF("bin", "c"), col("bin"), col("c")).collect()
     assert(r.forall(_.getAs[Double]("psi") == 0.0))
+  }
+
+  test("benford: string-head digits, densified 1..9, Nigrini MAD; nonpositive excluded") {
+    import graft.operators.StatTests
+    val df = Seq(1L, 1L, 19L, 2L, 300L, -5L, 0L).toDF("v")
+    val r = StatTests.benford(df, "v").collect()
+    assert(r.length == 9 && r.map(_.getLong(0)).toSeq == (1L to 9L))
+    assert(r(0).getAs[Long]("observed") == 3L, "1, 1, 19 lead with 1")
+    assert(r(1).getAs[Long]("observed") == 1L && r(2).getAs[Long]("observed") == 1L)
+    assert(r(3).getAs[Long]("observed") == 0L, "absent digits densify to 0")
+    assert(r(0).getAs[Double]("p_observed") == 0.6)
+    val madExp = (0.298970 + 0.023909 + 0.075061 + 0.096910 + 0.079181 +
+      0.066947 + 0.057992 + 0.051153 + 0.045757) / 9.0
+    assert(r.forall(x => math.abs(x.getAs[Double]("mad") - madExp) < 1e-12))
+  }
+
+  test("concentration: hand HHI / effective groups / Gini on a 4-vs-1 split") {
+    import graft.operators.StatTests
+    val df = (Seq.fill(4)("A") ++ Seq("B")).toDF("g")
+    val r = StatTests.concentration(df, "g").collect()(0)
+    assert(r.getAs[Long]("groups") == 2L && r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("hhi") == 17.0 / 25.0)
+    assert(r.getAs[Double]("eff_groups") == 25.0 / 17.0)
+    assert(r.getAs[Double]("gini") == 3.0 / 10.0, "(2·(1·1+2·4) − 3·5)/(2·5)")
+    val uniform = StatTests.concentration(
+      (Seq.fill(3)("A") ++ Seq.fill(3)("B")).toDF("g"), "g").collect()(0)
+    assert(uniform.getAs[Double]("gini") == 0.0, "uniform spread: Gini 0")
+    assert(uniform.getAs[Double]("eff_groups") == 2.0)
   }
 
   test("spearman: monotone = ±1 exactly; tie-averaged hand value; constant side NULL") {

@@ -963,6 +963,32 @@ class StreamingSpec extends SparkSpec {
       s"streamed-final confusion metrics must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming PSI monitor: streamed-final score equals the batch operator") {
+    // psiCountsStream accumulates exact per-bin (c_cur, c_ref) longs
+    // under Complete mode; psiFromCounts scores the snapshot with the
+    // SAME math batch psi runs — live drift monitor ≡ batch
+    val events = Tables.events(spark, "/root/testdata/sf0.001").select(
+      org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.round(col("value") * 100).cast("long") / 2000L)
+        .as("bin"),
+      (col("user_id") % 2 === 0).as("is_cur"))
+    val batch = graft.operators.StatTests.psi(events, col("bin"), col("is_cur"))
+      .collect().map(_.toSeq).toSeq
+    val rows = events.collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val slices = new scala.util.Random(7).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, Boolean)]
+    val stream = graft.streaming.StreamingFeatures.psiCountsStream(
+      in.toDS().toDF("bin", "is_cur"))
+    val q = stream.writeStream.format("memory").queryName("t_psi")
+      .outputMode(OutputMode.Complete()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.operators.StatTests.psiFromCounts(spark.table("t_psi"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed-final PSI must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("streaming transitions: random streams and split points still equal batch") {
     import graft.streaming.StreamingFeatures.TypedEvent
     val types = Array("view", "click", "buy", "err")
