@@ -171,6 +171,33 @@ object Profile {
         (col("class_size") < k).as("suppressed"): _*)
   }
 
+  /** l-diversity audit — [[kAnonymize]]'s companion against attribute
+    * disclosure: a class can be k-anonymous yet reveal everyone's
+    * sensitive value when the class is UNANIMOUS on it. One row per
+    * quasi-identifier class: size, distinct sensitive values (NULLs
+    * not counted — count(DISTINCT) semantics in both engines), and
+    * the `l_diverse` verdict. One two-level aggregate (the
+    * count-distinct rewrite), one scan, class keys control-plane by
+    * the anonymity premise. Reference privacy surface: the engine
+    * extends it — ralf keeps no sensitive-column semantics.
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot also be a quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("l_diverse", col("distinct_sensitive") >= l)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** Shannon entropy per column — the distribution-shape profile next
     * to [[profile]]'s distinct estimates (a near-zero-entropy "id"
     * column is constant; an id-entropy "category" column is a key in

@@ -49,11 +49,15 @@ object StatTests {
     * doubles to cents/micro-units — the [[Windows.rollingZScore]]
     * discipline); D = max over pooled distinct values v of
     * |F_A(v) − F_B(v)|. One row:
-    * `(n_a, n_b, d_num, d_at, d)` where `d_num` = the exact integer
-    * max of |n_b·cumA(v) − n_a·cumB(v)| (DECIMAL(38,0) ≡ HUGEINT — at
-    * corpus scale n·cum overflows a long), `d_at` the smallest value
-    * attaining it, and `d = d_num / (n_a·n_b)` down to ONE closing
-    * division. Empty sides yield n=0 and NULL d rather than a 0/0.
+    * `(n_a, n_b, d_num, d_at, d, cliffs_delta)` where `d_num` = the
+    * exact integer max of |n_b·cumA(v) − n_a·cumB(v)| (DECIMAL(38,0)
+    * ≡ HUGEINT — at corpus scale n·cum overflows a long), `d_at` the
+    * smallest value attaining it, `d = d_num / (n_a·n_b)` down to ONE
+    * closing division, and `cliffs_delta` the robust effect size
+    * `(#(a>b) − #(a<b)) / (n_a·n_b)` — exact pair counts folded off
+    * the SAME cumulatives (#(A>B) = Σ_v ca(v) · |B strictly below v|),
+    * one more closing division. Empty sides yield n=0 and NULL
+    * d/delta rather than a 0/0.
     *
     * Scale shape: one (value) aggregate with map-side combine, then
     * BOTH sides' cumulatives ride ONE
@@ -77,16 +81,23 @@ object StatTests {
     val diff = abs(lit(nB).cast(dec) * col("_cum_a").cast(dec) -
       lit(nA).cast(dec) * col("_cum_b").cast(dec))
     // lexicographic struct max: largest diff, then smallest rank (= the
-    // smallest attaining value, ranks ascend with _v)
+    // smallest attaining value, ranks ascend with _v); the same pass
+    // also closes Cliff's delta — #(A>B) = Σ ca·(B strictly below v),
+    // exact pair counts off the inclusive cumulatives
+    val nProd = (lit(nA).cast(dec) * lit(nB).cast(dec)).cast("double")
     pref.df
-      .agg(max(struct(diff.as("d"), (lit(0L) - col("_rk")).as("nr"), col("_v").as("v"))).as("m"))
+      .agg(
+        max(struct(diff.as("d"), (lit(0L) - col("_rk")).as("nr"), col("_v").as("v"))).as("m"),
+        sum(col("_ca").cast(dec) * (col("_cum_b") - col("_cb")).cast(dec)).as("_gt"),
+        sum(col("_cb").cast(dec) * (col("_cum_a") - col("_ca")).cast(dec)).as("_lt"))
       .select(
         lit(nA).as("n_a"), lit(nB).as("n_b"),
         col("m.d").cast("double").as("d_num"),
         col("m.v").as("d_at"),
         when(lit(nA > 0L && nB > 0L),
-          col("m.d").cast("double") /
-            (lit(nA).cast(dec) * lit(nB).cast(dec)).cast("double")).as("d"))
+          col("m.d").cast("double") / nProd).as("d"),
+        when(lit(nA > 0L && nB > 0L),
+          (col("_gt") - col("_lt")).cast("double") / nProd).as("cliffs_delta"))
   }
 
   /** The [[ksTest]] oracle generator: `srcSql` must yield `(v, a)`
@@ -98,18 +109,24 @@ object StatTests {
     s"""WITH ks_g AS (SELECT v, CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
        |  FROM ($srcSql) WHERE v IS NOT NULL AND a IS NOT NULL GROUP BY 1),
-       |ks_b AS (SELECT v,
+       |ks_b AS (SELECT v, ca, cb,
        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
        |    row_number() OVER (ORDER BY v) AS rk FROM ks_g),
        |ks_t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
        |  FROM ks_g),
        |ks_m AS (SELECT max((abs(CAST((SELECT n_b FROM ks_t) AS HUGEINT) * cum_a -
-       |      CAST((SELECT n_a FROM ks_t) AS HUGEINT) * cum_b), -rk, v)) AS m FROM ks_b)
+       |      CAST((SELECT n_a FROM ks_t) AS HUGEINT) * cum_b), -rk, v)) AS m,
+       |    CAST(SUM(CAST(ca AS HUGEINT) * (cum_b - cb)) AS HUGEINT) AS gt,
+       |    CAST(SUM(CAST(cb AS HUGEINT) * (cum_a - ca)) AS HUGEINT) AS lt
+       |  FROM ks_b)
        |SELECT n_a, n_b, CAST(m[1] AS DOUBLE) AS d_num, CAST(m[3] AS BIGINT) AS d_at,
        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
        |    CAST(m[1] AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
-       |  END AS d
+       |  END AS d,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(gt - lt AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+       |  END AS cliffs_delta
        |FROM ks_m, ks_t""".stripMargin
 
   /** Two-sample Wasserstein-1 (earth-mover's) distance over a
@@ -794,7 +811,10 @@ object StatTests {
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     reps
       .coalesce(1)
-      .sortWithinPartitions(col("mean"), col("replicate"))
+      // asc_nulls_last matches DuckDB's ASC default — a 0-draw
+      // replicate's NULL mean (probability e^-n, but a contract, not
+      // a hope) must rank identically in both engines
+      .sortWithinPartitions(col("mean").asc_nulls_last, col("replicate"))
       .withColumn("_rn", monotonically_increasing_id() + lit(1L))
       .withColumn("ci_lo", max(when(col("_rn") === lit(rankLo), col("mean"))).over(wAll))
       .withColumn("ci_hi", max(when(col("_rn") === lit(rankHi), col("mean"))).over(wAll))

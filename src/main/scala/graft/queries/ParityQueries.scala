@@ -519,6 +519,26 @@ object ParityQueries {
       strhashSql)
   }
 
+  /** l-diversity audit (Profile.lDiversity): the k-anonymity classes
+    * re-graded on sensitive-value diversity — event_type within a
+    * (user decile, value band) class must take >= 3 distinct values.
+    */
+  val lDiversityQ: Q = (s, dir) => {
+    val e = events(s, dir).select(
+      (col("user_id") % 10).as("u_decile"),
+      floor(col("value") / 50.0).cast("long").as("v_band"),
+      col("event_type"))
+    graft.operators.Profile.lDiversity(e, Seq("u_decile", "v_band"), "event_type", l = 3)
+  }
+
+  val lDiversitySql: String =
+    """SELECT user_id % 10 AS u_decile,
+      |  CAST(floor(value / 50.0) AS BIGINT) AS v_band,
+      |  CAST(count(*) AS BIGINT) AS class_size,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_sensitive,
+      |  count(DISTINCT event_type) >= 3 AS l_diverse
+      |FROM events GROUP BY 1, 2 ORDER BY u_decile, v_band""".stripMargin
+
   /** Benford first-digit audit (StatTests.benford): do the cent
     * values lead like natural multiplicative data? Uniform synthetic
     * values will flag nonconforming — which is the point of an audit.
@@ -2016,6 +2036,7 @@ object ParityQueries {
     "q_corr_matrix" -> corrMatrix,
     "q_drift_report" -> driftReport,
     "q_benford_values" -> benfordValues,
+    "q_l_diversity" -> lDiversityQ,
     "q_source_concentration" -> sourceConcentration,
     "q_profile_events" -> profileEvents,
     "q_profile_drift" -> profileDrift,
@@ -2095,6 +2116,7 @@ object ParityQueries {
     "q_corr_matrix" -> corrMatrixSql,
     "q_drift_report" -> driftReportSql,
     "q_benford_values" -> benfordValuesSql,
+    "q_l_diversity" -> lDiversitySql,
     "q_source_concentration" -> sourceConcentrationSql,
     "q_profile_events" -> profileEventsSql,
     "q_profile_drift" -> profileDriftSql,

@@ -309,6 +309,8 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("d_num") == 3.0)
     assert(r.getAs[Long]("d_at") == 3L)
     assert(r.getAs[Double]("d") == 0.5)
+    // A beats B in 1 pair (3>2), loses 4 (1<2, 1<4, 2<4, 3<4) → (1−4)/6
+    assert(r.getAs[Double]("cliffs_delta") == -0.5)
   }
 
   test("StatTests null policy: tests run over observed values only") {
@@ -435,6 +437,19 @@ class OperatorSpec extends SparkSpec {
       Seq.fill(3)((1L, true)) ++ Seq.fill(3)((1L, false))
     val r = StatTests.psi(rows.toDF("bin", "c"), col("bin"), col("c")).collect()
     assert(r.forall(_.getAs[Double]("psi") == 0.0))
+  }
+
+  test("lDiversity: unanimous class flagged even when k-anonymous") {
+    import graft.operators.Profile
+    // class (q=1): 5 rows, all "x" → k-anonymous at 5 but NOT 2-diverse
+    // class (q=2): 3 rows, two values → 2-diverse
+    val df = (Seq.fill(5)((1L, "x")) ++ Seq((2L, "a"), (2L, "b"), (2L, "a")))
+      .toDF("q", "s")
+    val r = Profile.lDiversity(df, Seq("q"), "s", l = 2).collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("class_size") == 5L &&
+      r(0).getAs[Long]("distinct_sensitive") == 1L && !r(0).getAs[Boolean]("l_diverse"))
+    assert(r(1).getAs[Long]("distinct_sensitive") == 2L && r(1).getAs[Boolean]("l_diverse"))
   }
 
   test("benford: string-head digits, densified 1..9, Nigrini MAD; nonpositive excluded") {
