@@ -591,6 +591,84 @@ object StatTests {
        |ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** Jensen–Shannon + KL divergences between a current and a
+    * reference slice's CATEGORICAL distribution — the bounded,
+    * symmetric corpus-mixture comparison (data-mixture papers' "how
+    * far is my new blend from the old one"; JSD ≤ ln 2 in nats), next
+    * to [[psi]]'s banded score and [[chiSquare]]'s significance. One
+    * row per category present in the union:
+    * `(cat, c_cur, c_ref, p_cur, p_ref, jsd_term, kl_cur_ref,
+    * kl_ref_cur, jsd)` with the three totals replicated; ordered.
+    * Laplace smoothing `(c+1)/(n+K)` keeps one-sided categories
+    * finite (the [[psi]] guard).
+    *
+    * Exactness: p/q single IEEE divisions of exact longs; every
+    * transcendental term rides round(,6)→DECIMAL(18,6)→exact-sum
+    * (p=q terms hit ln(1) = 0 exactly — never a .5 boundary); the
+    * midpoint m = (p+q)/2 is two more identical IEEE ops.
+    *
+    * Scale shape: one (cat) aggregate with map-side combine; totals
+    * collected as literals off the localCheckpointed aggregate (the
+    * [[psi]] shape — categories need not be control-plane-sized).
+    */
+  def jsDivergence(df: DataFrame, catCol: String, isCur: Column): DataFrame = {
+    val g = df
+      .select(col(catCol).cast("string").as("cat"), isCur.cast("boolean").as("_c"))
+      .filter(col("cat").isNotNull && col("_c").isNotNull)
+      .groupBy(col("cat"))
+      .agg(sum(when(col("_c"), 1L).otherwise(0L)).as("c_cur"),
+        sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref"))
+      .localCheckpoint(false)
+    val t = g.agg(count(lit(1)), coalesce(sum(col("c_cur")), lit(0L)),
+      coalesce(sum(col("c_ref")), lit(0L))).collect()(0)
+    val (kCnt, nCur, nRef) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val p = (col("c_cur") + lit(1L)).cast("double") / lit(nCur + kCnt).cast("double")
+    val q = (col("c_ref") + lit(1L)).cast("double") / lit(nRef + kCnt).cast("double")
+    val m = (col("p_cur") + col("p_ref")) / lit(2.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    g.withColumn("p_cur", p)
+      .withColumn("p_ref", q)
+      .withColumn("_tpq", round(col("p_cur") * log(col("p_cur") / col("p_ref")), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("_tqp", round(col("p_ref") * log(col("p_ref") / col("p_cur")), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("_tj", round(lit(0.5) * col("p_cur") * log(col("p_cur") / m) +
+          lit(0.5) * col("p_ref") * log(col("p_ref") / m), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("jsd_term", col("_tj").cast("double"))
+      .withColumn("kl_cur_ref", sum(col("_tpq")).over(w).cast("double"))
+      .withColumn("kl_ref_cur", sum(col("_tqp")).over(w).cast("double"))
+      .withColumn("jsd", sum(col("_tj")).over(w).cast("double"))
+      .drop("_tpq", "_tqp", "_tj")
+      .orderBy(col("cat"))
+  }
+
+  /** The [[jsDivergence]] oracle generator: `srcSql` yields
+    * `(cat, c)` with `c` boolean; totals are scalar subqueries.
+    */
+  def jsDivergenceSql(srcSql: String): String =
+    s"""WITH jd_g AS (SELECT cat, CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+       |    CAST(SUM(CASE WHEN c THEN 0 ELSE 1 END) AS BIGINT) AS c_ref
+       |  FROM ($srcSql) WHERE cat IS NOT NULL AND c IS NOT NULL GROUP BY 1),
+       |jd_t AS (SELECT count(*) AS k, CAST(SUM(c_cur) AS BIGINT) AS ncur,
+       |    CAST(SUM(c_ref) AS BIGINT) AS nref FROM jd_g),
+       |jd_p AS (SELECT cat, c_cur, c_ref,
+       |    CAST(c_cur + 1 AS DOUBLE) / CAST((SELECT ncur + k FROM jd_t) AS DOUBLE) AS p_cur,
+       |    CAST(c_ref + 1 AS DOUBLE) / CAST((SELECT nref + k FROM jd_t) AS DOUBLE) AS p_ref
+       |  FROM jd_g),
+       |jd_x AS (SELECT cat, c_cur, c_ref, p_cur, p_ref,
+       |    CAST(round(p_cur * ln(p_cur / p_ref), 6) AS DECIMAL(18,6)) AS tpq,
+       |    CAST(round(p_ref * ln(p_ref / p_cur), 6) AS DECIMAL(18,6)) AS tqp,
+       |    CAST(round(0.5 * p_cur * ln(p_cur / ((p_cur + p_ref) / 2.0)) +
+       |      0.5 * p_ref * ln(p_ref / ((p_cur + p_ref) / 2.0)), 6) AS DECIMAL(18,6)) AS tj
+       |  FROM jd_p)
+       |SELECT cat, c_cur, c_ref, p_cur, p_ref, CAST(tj AS DOUBLE) AS jsd_term,
+       |  CAST(SUM(tpq) OVER () AS DOUBLE) AS kl_cur_ref,
+       |  CAST(SUM(tqp) OVER () AS DOUBLE) AS kl_ref_cur,
+       |  CAST(SUM(tj) OVER () AS DOUBLE) AS jsd
+       |FROM jd_x ORDER BY cat""".stripMargin
+
   /** Benford first-digit probabilities `log10(1 + 1/d)`, d = 1..9 —
     * shared double literals (the transcendental-constant convention).
     */

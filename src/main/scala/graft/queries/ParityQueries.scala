@@ -519,6 +519,19 @@ object ParityQueries {
       strhashSql)
   }
 
+  /** Jensen–Shannon divergence (StatTests.jsDivergence): how far is
+    * the even-cohort event-type mix from the odd's — bounded
+    * symmetric nats, with both KL directions beside it.
+    */
+  val jsdEventMix: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"),
+      (col("user_id") % 2 === 0).as("is_cur"))
+    graft.operators.StatTests.jsDivergence(e, "event_type", col("is_cur"))
+  }
+
+  val jsdEventMixSql: String = graft.operators.StatTests.jsDivergenceSql(
+    """SELECT event_type AS cat, user_id % 2 = 0 AS c FROM events""")
+
   /** l-diversity audit (Profile.lDiversity): the k-anonymity classes
     * re-graded on sensitive-value diversity — event_type within a
     * (user decile, value band) class must take >= 3 distinct values.
@@ -561,8 +574,8 @@ object ParityQueries {
     """SELECT source AS g FROM documents""")
 
   /** Drift-report capstone: the whole statistical monitoring family —
-    * KS, Wasserstein, chi-square + Cramér's V, PSI, ANOVA, Spearman —
-    * over the event stream in ONE constant-size (7-row) report, the
+    * KS, Wasserstein, chi-square + Cramér's V, JSD, PSI, ANOVA,
+    * Spearman — over the event stream in ONE constant-size report, the
     * nightly "did anything move" dashboard a feature-store monitor
     * alarms on. Each metric is its already-oracled operator's scalar;
     * the replicated-total columns collapse via max (all rows carry
@@ -595,6 +608,10 @@ object ParityQueries {
     one("anova_f", StatTests.anovaF(cohorts, "event_type", "value_c"), col("f"))
       .unionAll(one("chi2", chi.agg(max(col("chi2")).as("v")), col("v")))
       .unionAll(one("cramers_v", chi.agg(max(col("cramers_v")).as("v")), col("v")))
+      .unionAll(one("jsd",
+        StatTests.jsDivergence(cohorts.select(col("event_type"), col("is_cur")),
+          "event_type", col("is_cur")).agg(max(col("jsd")).as("v")),
+        col("v")))
       .unionAll(one("ks_d", StatTests.ksTest(twoSided, "value_c", col("is_a")), col("d")))
       .unionAll(one("psi",
         StatTests.psi(cohorts, col("bin"), col("is_cur")).agg(max(col("psi")).as("v")),
@@ -615,6 +632,7 @@ object ParityQueries {
         "f"),
       one("chi2", chisqEventMixSql, "max(chi2)"),
       one("cramers_v", chisqEventMixSql, "max(cramers_v)"),
+      one("jsd", jsdEventMixSql, "max(jsd)"),
       one("ks_d", ksDriftSql, "d"),
       one("psi", psiDriftSql, "max(psi)"),
       one("spearman_rho", spearmanTrendSql, "rho"),
@@ -2037,6 +2055,7 @@ object ParityQueries {
     "q_drift_report" -> driftReport,
     "q_benford_values" -> benfordValues,
     "q_l_diversity" -> lDiversityQ,
+    "q_jsd_eventmix" -> jsdEventMix,
     "q_source_concentration" -> sourceConcentration,
     "q_profile_events" -> profileEvents,
     "q_profile_drift" -> profileDrift,
@@ -2117,6 +2136,7 @@ object ParityQueries {
     "q_drift_report" -> driftReportSql,
     "q_benford_values" -> benfordValuesSql,
     "q_l_diversity" -> lDiversitySql,
+    "q_jsd_eventmix" -> jsdEventMixSql,
     "q_source_concentration" -> sourceConcentrationSql,
     "q_profile_events" -> profileEventsSql,
     "q_profile_drift" -> profileDriftSql,

@@ -431,6 +431,23 @@ class OperatorSpec extends SparkSpec {
     assert(r.forall(x => x.getAs[Double]("psi") == 1.098612))
   }
 
+  test("jsDivergence: symmetric swap — equal KL both ways, JSD hand value, identity zero") {
+    import graft.operators.StatTests
+    val rows = Seq.fill(8)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(2)(("b", true)) ++ Seq.fill(8)(("b", false))
+    val r = StatTests.jsDivergence(rows.toDF("cat", "c"), "cat", col("c")).collect()
+    assert(r.length == 2)
+    // p = (0.75, 0.25) vs q = (0.25, 0.75): KL = 0.5·ln3 both ways
+    assert(r.forall(_.getAs[Double]("kl_cur_ref") == 0.549306))
+    assert(r.forall(_.getAs[Double]("kl_ref_cur") == 0.549306))
+    assert(r.forall(x => math.abs(x.getAs[Double]("jsd") - 0.130812) < 1e-9))
+    val same = StatTests.jsDivergence(
+      (Seq.fill(3)(("a", true)) ++ Seq.fill(3)(("a", false))).toDF("cat", "c"),
+      "cat", col("c")).collect()
+    assert(same.forall(x => x.getAs[Double]("jsd") == 0.0 &&
+      x.getAs[Double]("kl_cur_ref") == 0.0))
+  }
+
   test("psi: identical distributions score ~0 (p=q terms exactly 0)") {
     import graft.operators.StatTests
     val rows = Seq.fill(5)((0L, true)) ++ Seq.fill(5)((0L, false)) ++
