@@ -67,13 +67,30 @@ object StatTests {
     * totals re-enter as literals from the pass's free per-partition
     * stats (the collect-as-literal convention).
     */
-  def ksTest(df: DataFrame, valueCol: String, sideA: Column): DataFrame = {
-    val g = df
-      .select(col(valueCol).cast("long").as("_v"), sideA.cast("boolean").as("_a"))
-      .filter(col("_v").isNotNull && col("_a").isNotNull)
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
-        sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+  def ksTest(df: DataFrame, valueCol: String, sideA: Column): DataFrame =
+    ksFromCounts(sideCounts(df, valueCol, sideA))
+
+  /** The shared first stage of [[ksTest]] / [[wasserstein]]: per-value
+    * side counts `(v, c_a, c_b)` — also exactly what
+    * [[graft.streaming.StreamingFeatures.valueCountsStream]] maintains
+    * live, so any Complete-mode snapshot scores with the identical
+    * closing math ([[ksFromCounts]] / [[wassersteinFromCounts]]).
+    */
+  private def sideCounts(df: DataFrame, valueCol: String, sideA: Column): DataFrame =
+    df.select(col(valueCol).cast("long").as("v"), sideA.cast("boolean").as("_a"))
+      .filter(col("v").isNotNull && col("_a").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("c_b"))
+
+  /** [[ksTest]]'s scoring half over an already-aggregated
+    * `(v, c_a, c_b)` counts frame — the live-monitor seam (the
+    * psiFromCounts pattern): streamed-final ≡ batch, pinned in
+    * StreamingSpec.
+    */
+  def ksFromCounts(counts: DataFrame): DataFrame = {
+    val g = counts.select(col("v").cast("long").as("_v"),
+      col("c_a").cast("long").as("_ca"), col("c_b").cast("long").as("_cb"))
     val pref = graft.core.GlobalOrder.withPrefixes(
       g, Seq(col("_v")), Seq(col("_ca") -> "_cum_a", col("_cb") -> "_cum_b"), "_rk")
     val nA = pref.totalSums(0)
@@ -146,13 +163,15 @@ object StatTests {
     * frame (rank → rank+1 — one hash shuffle of (rank, v) pairs,
     * never a single-partition window), closed by a one-row reduce.
     */
-  def wasserstein(df: DataFrame, valueCol: String, sideA: Column): DataFrame = {
-    val g = df
-      .select(col(valueCol).cast("long").as("_v"), sideA.cast("boolean").as("_a"))
-      .filter(col("_v").isNotNull && col("_a").isNotNull)
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
-        sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+  def wasserstein(df: DataFrame, valueCol: String, sideA: Column): DataFrame =
+    wassersteinFromCounts(sideCounts(df, valueCol, sideA))
+
+  /** [[wasserstein]]'s scoring half over `(v, c_a, c_b)` counts — the
+    * other consumer of the shared live seam.
+    */
+  def wassersteinFromCounts(counts: DataFrame): DataFrame = {
+    val g = counts.select(col("v").cast("long").as("_v"),
+      col("c_a").cast("long").as("_ca"), col("c_b").cast("long").as("_cb"))
     val pref = graft.core.GlobalOrder.withPrefixes(
       g, Seq(col("_v")), Seq(col("_ca") -> "_cum_a", col("_cb") -> "_cum_b"), "_rk")
     val nA = pref.totalSums(0)

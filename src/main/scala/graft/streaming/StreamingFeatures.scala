@@ -1062,6 +1062,26 @@ object StreamingFeatures {
       }
   }
 
+  /** Live two-sample drift monitor — the KS/Wasserstein twin of
+    * [[psiCountsStream]]: per-value side counts `(v, c_a, c_b)` as a
+    * plain streaming aggregate (exact mergeable longs, distinct
+    * values × 2 longs of state — callers pre-quantize so the value
+    * domain is bounded), Complete mode. Score any snapshot with
+    * [[graft.operators.StatTests.ksFromCounts]] /
+    * `wassersteinFromCounts` — the identical closing math, so the
+    * live statistics equal the batch operators over the same rows
+    * (StreamingSpec pins both). `sided` needs `v` (long) and `is_a`
+    * (boolean); NULLs excluded as in batch.
+    */
+  def valueCountsStream(sided: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum, when}
+    sided
+      .filter(col("v").isNotNull && col("is_a").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
+  }
+
   /** Live classification-quality monitor — the confusion-matrix twin
     * of the sketch monitors: the (actual, pred) contingency counts as
     * a plain streaming aggregate (exact mergeable longs through the

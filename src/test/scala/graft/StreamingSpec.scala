@@ -989,6 +989,31 @@ class StreamingSpec extends SparkSpec {
       s"streamed-final PSI must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming KS/W1 monitor: streamed-final statistics equal the batch operators") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("v"),
+        (col("event_type") === "purchase").as("is_a"))
+    val batchKs = graft.operators.StatTests.ksTest(events, "v", col("is_a"))
+      .collect().map(_.toSeq).toSeq
+    val batchW1 = graft.operators.StatTests.wasserstein(events, "v", col("is_a"))
+      .collect().map(_.toSeq).toSeq
+    val rows = events.collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val slices = new scala.util.Random(5).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, Boolean)]
+    val stream = graft.streaming.StreamingFeatures.valueCountsStream(
+      in.toDS().toDF("v", "is_a"))
+    val q = stream.writeStream.format("memory").queryName("t_ksw")
+      .outputMode(OutputMode.Complete()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val snap = spark.table("t_ksw")
+    assert(graft.operators.StatTests.ksFromCounts(snap)
+      .collect().map(_.toSeq).toSeq == batchKs, "streamed-final KS must equal batch")
+    assert(graft.operators.StatTests.wassersteinFromCounts(snap)
+      .collect().map(_.toSeq).toSeq == batchW1, "streamed-final W1 must equal batch")
+  }
+
   test("streaming transitions: random streams and split points still equal batch") {
     import graft.streaming.StreamingFeatures.TypedEvent
     val types = Array("view", "click", "buy", "err")
