@@ -146,6 +146,87 @@ object StatTests {
        |  END AS cliffs_delta
        |FROM ks_m, ks_t""".stripMargin
 
+  /** Per-key two-sample KS — the fan-out form of [[ksTest]]: score
+    * EVERY segment/feature key in one pass ("which of my 200 features
+    * drifted overnight"). One row per key:
+    * `(key, n_a, n_b, d_num, d_at, d, cliffs_delta)` with the same
+    * exact arithmetic as the global test, ordered by key; keys with
+    * an empty side yield NULL d/delta (nothing to compare).
+    *
+    * Scale shape: the corpus reduces MAP-SIDE into (key, value) cells
+    * — only the cell table rides the exchanges: once to finish the
+    * cell aggregate, once to co-locate each key for the window passes
+    * (cumulatives + side totals share that partitioning, and the
+    * closing per-key reduce reuses it — no third hash exchange;
+    * PlanSpec pins exactly two). Each key's distinct values sort
+    * within its partition slice (the [[Windows.cusum]] per-key
+    * contract: a key's value domain must fit a task's scan, never its
+    * memory).
+    */
+  def ksByKey(df: DataFrame, keyCol: String, valueCol: String, sideA: Column): DataFrame = {
+    val g = df
+      .select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"),
+        sideA.cast("boolean").as("_a"))
+      .filter(col("_k").isNotNull && col("_v").isNotNull && col("_a").isNotNull)
+      .groupBy(col("_k"), col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k")).orderBy(col("_v"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
+    val b = g
+      .withColumn("_cum_a", sum(col("_ca")).over(wCum))
+      .withColumn("_cum_b", sum(col("_cb")).over(wCum))
+      .withColumn("_rk", row_number().over(wCum).cast("long"))
+      .withColumn("_na", sum(col("_ca")).over(wTot))
+      .withColumn("_nb", sum(col("_cb")).over(wTot))
+    val diff = abs(col("_nb").cast(dec) * col("_cum_a").cast(dec) -
+      col("_na").cast(dec) * col("_cum_b").cast(dec))
+    val nProd = (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")
+    b.groupBy(col("_k").as("key"))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(struct(diff.as("d"), (lit(0L) - col("_rk")).as("nr"), col("_v").as("v"))).as("m"),
+        sum(col("_ca").cast(dec) * (col("_cum_b") - col("_cb")).cast(dec)).as("_gt"),
+        sum(col("_cb").cast(dec) * (col("_cum_a") - col("_ca")).cast(dec)).as("_lt"))
+      .select(col("key"), col("n_a"), col("n_b"),
+        col("m.d").cast("double").as("d_num"),
+        col("m.v").as("d_at"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("m.d").cast("double") / nProd).as("d"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (col("_gt") - col("_lt")).cast("double") / nProd).as("cliffs_delta"))
+      .orderBy(col("key"))
+  }
+
+  /** The [[ksByKey]] oracle generator: `srcSql` yields `(k, v, a)`;
+    * per-key windows replay the cumulatives and totals.
+    */
+  def ksByKeySql(srcSql: String): String =
+    s"""WITH kk_g AS (SELECT k, v,
+       |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |  FROM ($srcSql)
+       |  WHERE k IS NOT NULL AND v IS NOT NULL AND a IS NOT NULL GROUP BY 1, 2),
+       |kk_b AS (SELECT k, v, ca, cb,
+       |    CAST(SUM(ca) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cum_a,
+       |    CAST(SUM(cb) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cum_b,
+       |    row_number() OVER (PARTITION BY k ORDER BY v) AS rk,
+       |    CAST(SUM(ca) OVER (PARTITION BY k) AS BIGINT) AS na,
+       |    CAST(SUM(cb) OVER (PARTITION BY k) AS BIGINT) AS nb FROM kk_g),
+       |kk_m AS (SELECT k AS key, MAX(na) AS n_a, MAX(nb) AS n_b,
+       |    max((abs(CAST(nb AS HUGEINT) * cum_a - CAST(na AS HUGEINT) * cum_b), -rk, v)) AS m,
+       |    CAST(SUM(CAST(ca AS HUGEINT) * (cum_b - cb)) AS HUGEINT) AS gt,
+       |    CAST(SUM(CAST(cb AS HUGEINT) * (cum_a - ca)) AS HUGEINT) AS lt
+       |  FROM kk_b GROUP BY 1)
+       |SELECT key, n_a, n_b, CAST(m[1] AS DOUBLE) AS d_num, CAST(m[3] AS BIGINT) AS d_at,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(m[1] AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+       |  END AS d,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(gt - lt AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+       |  END AS cliffs_delta
+       |FROM kk_m ORDER BY key""".stripMargin
+
   /** Two-sample Wasserstein-1 (earth-mover's) distance over a
     * long-typed column — the magnitude-aware companion to [[ksTest]]:
     * KS reports the worst single CDF gap, W1 integrates ALL of them,

@@ -519,6 +519,21 @@ object ParityQueries {
       strhashSql)
   }
 
+  /** Per-key KS fan-out (StatTests.ksByKey): the value distribution
+    * of EVERY event type compared even-vs-odd user cohorts in one
+    * pass — "which segment drifted", one row per type.
+    */
+  val ksByType: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"),
+      (col("user_id") % 2 === 0).as("is_a"))
+    graft.operators.StatTests.ksByKey(e, "event_type", "value_c", col("is_a"))
+  }
+
+  val ksByTypeSql: String = graft.operators.StatTests.ksByKeySql(
+    """SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v,
+      |  user_id % 2 = 0 AS a FROM events""".stripMargin)
+
   /** Jensen–Shannon divergence (StatTests.jsDivergence): how far is
     * the even-cohort event-type mix from the odd's — bounded
     * symmetric nats, with both KL directions beside it.
@@ -2056,6 +2071,7 @@ object ParityQueries {
     "q_benford_values" -> benfordValues,
     "q_l_diversity" -> lDiversityQ,
     "q_jsd_eventmix" -> jsdEventMix,
+    "q_ks_by_type" -> ksByType,
     "q_source_concentration" -> sourceConcentration,
     "q_profile_events" -> profileEvents,
     "q_profile_drift" -> profileDrift,
@@ -2137,6 +2153,7 @@ object ParityQueries {
     "q_benford_values" -> benfordValuesSql,
     "q_l_diversity" -> lDiversitySql,
     "q_jsd_eventmix" -> jsdEventMixSql,
+    "q_ks_by_type" -> ksByTypeSql,
     "q_source_concentration" -> sourceConcentrationSql,
     "q_profile_events" -> profileEventsSql,
     "q_profile_drift" -> profileDriftSql,

@@ -313,6 +313,27 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("cliffs_delta") == -0.5)
   }
 
+  test("ksByKey: per-key fan-out matches the global test key by key; empty side NULL") {
+    import graft.operators.StatTests
+    val perKey = Seq(
+      ("k1", 1L, true), ("k1", 2L, true), ("k1", 3L, true), ("k1", 2L, false), ("k1", 4L, false),
+      ("k2", 5L, true), ("k2", 6L, true), ("k2", 5L, false), ("k2", 6L, false),
+      ("k3", 9L, true))
+    val r = StatTests.ksByKey(perKey.toDF("k", "v", "a"), "k", "v", col("a"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.size == 3)
+    assert(r("k1").getAs[Double]("d") == 0.5 && r("k1").getAs[Double]("cliffs_delta") == -0.5)
+    assert(r("k1").getAs[Long]("d_at") == 3L)
+    assert(r("k2").getAs[Double]("d") == 0.0, "identical per-key samples: D = 0")
+    assert(r("k3").isNullAt(r("k3").fieldIndex("d")), "one-sided key: NULL, not 0/0")
+    // each key's row equals the global test run on that key alone
+    val solo = StatTests.ksTest(
+      perKey.filter(_._1 == "k1").map(t => (t._2, t._3)).toDF("v", "a"), "v", col("a"))
+      .collect()(0)
+    assert(solo.getAs[Double]("d_num") == r("k1").getAs[Double]("d_num"))
+    assert(solo.getAs[Double]("cliffs_delta") == r("k1").getAs[Double]("cliffs_delta"))
+  }
+
   test("StatTests null policy: tests run over observed values only") {
     import graft.operators.StatTests
     val withNulls = Seq[(java.lang.Long, java.lang.Boolean)](

@@ -387,6 +387,19 @@ class PlanSpec extends SparkSpec {
     assert(cs.contains("LocalTableScan"), s"the dense grid must be a local relation:\n$cs")
     assert(!cs.contains("Scan parquet"),
       s"the crosstab reduction must not replan into the returned frame:\n$cs")
+    // per-key KS: only the map-side-combined CELL table rides the
+    // exchanges — (k,v) agg finish + re-key to k — and the closing
+    // per-key reduce reuses the window partitioning (no third)
+    val kk = planOf(graft.operators.StatTests.ksByKey(e, "event_type", "v", col("a")))
+    assert("Exchange hashpartitioning".r.findAllIn(kk).length == 2,
+      s"ksByKey must shuffle the cell table exactly twice:\n$kk")
+    // the DEEPEST exchange finishes the (k,v) cell aggregate — a
+    // partial_sum must sit below it (the closing reduce's own partial
+    // agg prints higher, exchange-free, reusing the window partitioning)
+    val kkEx = kk.lastIndexOf("Exchange hashpartitioning")
+    assert(kkEx >= 0 && kk.indexOf("partial_sum", kkEx) > kkEx,
+      s"the cell aggregate must combine map-side:\n$kk")
+    assert(!kk.contains("BroadcastNestedLoopJoin") && !kk.contains("CartesianProduct"))
     // PSI: the bin aggregate materializes once (totals were collected
     // off the checkpoint — no second scan, no one-row BNLJ)
     val ps = planOf(graft.operators.StatTests.psi(e, col("v") % 1000L, col("a")))
