@@ -227,6 +227,136 @@ object StatTests {
        |  END AS cliffs_delta
        |FROM kk_m ORDER BY key""".stripMargin
 
+  /** Per-key Wasserstein-1 — [[ksByKey]]'s magnitude-aware companion:
+    * every segment's drift DISTANCE in one pass (in the value
+    * column's own units). One row per key:
+    * `(key, n_a, n_b, w1_num, w1)`; keys with an empty side yield
+    * NULL w1. Same cell-table shape as [[ksByKey]] (two exchanges,
+    * map-side combine, per-key windows); the neighbor gap is a
+    * `lead(v)` INSIDE the key window — unlike the global test, no
+    * rank self-join is needed, because the window never crosses a key
+    * boundary.
+    */
+  def wassersteinByKey(
+      df: DataFrame, keyCol: String, valueCol: String, sideA: Column): DataFrame = {
+    val g = df
+      .select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"),
+        sideA.cast("boolean").as("_a"))
+      .filter(col("_k").isNotNull && col("_v").isNotNull && col("_a").isNotNull)
+      .groupBy(col("_k"), col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k")).orderBy(col("_v"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
+    val b = g
+      .withColumn("_cum_a", sum(col("_ca")).over(wCum))
+      .withColumn("_cum_b", sum(col("_cb")).over(wCum))
+      .withColumn("_nv", lead(col("_v"), 1).over(wCum))
+      .withColumn("_na", sum(col("_ca")).over(wTot))
+      .withColumn("_nb", sum(col("_cb")).over(wTot))
+    val diff = abs(col("_nb").cast(dec) * col("_cum_a").cast(dec) -
+      col("_na").cast(dec) * col("_cum_b").cast(dec))
+    val term = when(col("_nv").isNotNull,
+      diff * (col("_nv") - col("_v")).cast(dec)).otherwise(lit(0L).cast(dec))
+    b.groupBy(col("_k").as("key"))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        sum(term).as("_w"))
+      .select(col("key"), col("n_a"), col("n_b"),
+        col("_w").cast("double").as("w1_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("_w").cast("double") /
+            (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")).as("w1"))
+      .orderBy(col("key"))
+  }
+
+  /** The [[wassersteinByKey]] oracle generator: `(k, v, a)` contract
+    * as [[ksByKeySql]].
+    */
+  def wassersteinByKeySql(srcSql: String): String =
+    s"""WITH wk_g AS (SELECT k, v,
+       |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |  FROM ($srcSql)
+       |  WHERE k IS NOT NULL AND v IS NOT NULL AND a IS NOT NULL GROUP BY 1, 2),
+       |wk_b AS (SELECT k, v, ca, cb,
+       |    CAST(SUM(ca) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cum_a,
+       |    CAST(SUM(cb) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cum_b,
+       |    lead(v) OVER (PARTITION BY k ORDER BY v) AS nv,
+       |    CAST(SUM(ca) OVER (PARTITION BY k) AS BIGINT) AS na,
+       |    CAST(SUM(cb) OVER (PARTITION BY k) AS BIGINT) AS nb FROM wk_g),
+       |wk_m AS (SELECT k AS key, MAX(na) AS n_a, MAX(nb) AS n_b,
+       |    CAST(SUM(CASE WHEN nv IS NOT NULL THEN
+       |      abs(CAST(nb AS HUGEINT) * cum_a - CAST(na AS HUGEINT) * cum_b)
+       |        * CAST(nv - v AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS w
+       |  FROM wk_b GROUP BY 1)
+       |SELECT key, n_a, n_b, CAST(w AS DOUBLE) AS w1_num,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(w AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+       |  END AS w1
+       |FROM wk_m ORDER BY key""".stripMargin
+
+  /** Per-key PSI — the fan-out form of [[psi]]: every segment's
+    * stability score in one pass, summarized per key as
+    * `(key, bins, n_cur, n_ref, psi)` (the per-bin detail is the
+    * global operator's job). Laplace smoothing and the per-term
+    * round(6)→DECIMAL discipline are per KEY (B = that key's bin
+    * count). Totals ride windows partitioned by the key — bins per
+    * key are bounded by the caller's binning, so no key funnels an
+    * unbounded stream through one task (the entropy lesson does not
+    * bite). No driver collect at all: the per-key totals never leave
+    * the executors.
+    */
+  def psiByKey(df: DataFrame, keyCol: String, binCol: Column, isCur: Column): DataFrame = {
+    val g = df
+      .select(col(keyCol).as("_k"), binCol.cast("long").as("bin"),
+        isCur.cast("boolean").as("_c"))
+      .filter(col("_k").isNotNull && col("bin").isNotNull && col("_c").isNotNull)
+      .groupBy(col("_k"), col("bin"))
+      .agg(sum(when(col("_c"), 1L).otherwise(0L)).as("c_cur"),
+        sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
+    val p = (col("c_cur") + lit(1L)).cast("double") /
+      (sum(col("c_cur")).over(wTot) + count(lit(1)).over(wTot)).cast("double")
+    val q = (col("c_ref") + lit(1L)).cast("double") /
+      (sum(col("c_ref")).over(wTot) + count(lit(1)).over(wTot)).cast("double")
+    g.withColumn("_p", p)
+      .withColumn("_q", q)
+      .withColumn("_nc", sum(col("c_cur")).over(wTot))
+      .withColumn("_nr", sum(col("c_ref")).over(wTot))
+      .withColumn("_t",
+        round((col("_p") - col("_q")) * log(col("_p") / col("_q")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("bins"), max(col("_nc")).as("n_cur"),
+        max(col("_nr")).as("n_ref"), sum(col("_t")).cast("double").as("psi"))
+      .orderBy(col("key"))
+  }
+
+  /** The [[psiByKey]] oracle generator: `srcSql` yields
+    * `(k, bin, c)`.
+    */
+  def psiByKeySql(srcSql: String): String =
+    s"""WITH pk_g AS (SELECT k, bin,
+       |    CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+       |    CAST(SUM(CASE WHEN c THEN 0 ELSE 1 END) AS BIGINT) AS c_ref
+       |  FROM ($srcSql)
+       |  WHERE k IS NOT NULL AND bin IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2),
+       |pk_b AS (SELECT k, bin, c_cur, c_ref,
+       |    CAST(SUM(c_cur) OVER (PARTITION BY k) AS BIGINT) AS nc,
+       |    CAST(SUM(c_ref) OVER (PARTITION BY k) AS BIGINT) AS nr,
+       |    CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS bb FROM pk_g),
+       |pk_x AS (SELECT k, nc, nr,
+       |    CAST(round((CAST(c_cur + 1 AS DOUBLE) / CAST(nc + bb AS DOUBLE)
+       |        - CAST(c_ref + 1 AS DOUBLE) / CAST(nr + bb AS DOUBLE))
+       |      * ln((CAST(c_cur + 1 AS DOUBLE) / CAST(nc + bb AS DOUBLE))
+       |        / (CAST(c_ref + 1 AS DOUBLE) / CAST(nr + bb AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS t
+       |  FROM pk_b)
+       |SELECT k AS key, CAST(count(*) AS BIGINT) AS bins, MAX(nc) AS n_cur,
+       |  MAX(nr) AS n_ref, CAST(SUM(t) AS DOUBLE) AS psi
+       |FROM pk_x GROUP BY 1 ORDER BY key""".stripMargin
+
   /** Two-sample Wasserstein-1 (earth-mover's) distance over a
     * long-typed column — the magnitude-aware companion to [[ksTest]]:
     * KS reports the worst single CDF gap, W1 integrates ALL of them,

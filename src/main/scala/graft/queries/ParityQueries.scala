@@ -534,6 +534,35 @@ object ParityQueries {
     """SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v,
       |  user_id % 2 = 0 AS a FROM events""".stripMargin)
 
+  /** Per-key Wasserstein fan-out (StatTests.wassersteinByKey): each
+    * event type's cohort drift DISTANCE in cents, one pass.
+    */
+  val w1ByType: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"),
+      (col("user_id") % 2 === 0).as("is_a"))
+    graft.operators.StatTests.wassersteinByKey(e, "event_type", "value_c", col("is_a"))
+  }
+
+  val w1ByTypeSql: String = graft.operators.StatTests.wassersteinByKeySql(
+    """SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v,
+      |  user_id % 2 = 0 AS a FROM events""".stripMargin)
+
+  /** Per-key PSI fan-out (StatTests.psiByKey): each event type's
+    * stability score over 20-dollar bins, one pass, no collect.
+    */
+  val psiByType: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"),
+      floor(round(col("value") * 100).cast("long") / lit(2000L)).as("bin"),
+      (col("user_id") % 2 === 0).as("is_cur"))
+    graft.operators.StatTests.psiByKey(e, "event_type", col("bin"), col("is_cur"))
+  }
+
+  val psiByTypeSql: String = graft.operators.StatTests.psiByKeySql(
+    """SELECT event_type AS k,
+      |  CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000) AS BIGINT) AS bin,
+      |  user_id % 2 = 0 AS c FROM events""".stripMargin)
+
   /** Jensen–Shannon divergence (StatTests.jsDivergence): how far is
     * the even-cohort event-type mix from the odd's — bounded
     * symmetric nats, with both KL directions beside it.
@@ -2072,6 +2101,8 @@ object ParityQueries {
     "q_l_diversity" -> lDiversityQ,
     "q_jsd_eventmix" -> jsdEventMix,
     "q_ks_by_type" -> ksByType,
+    "q_w1_by_type" -> w1ByType,
+    "q_psi_by_type" -> psiByType,
     "q_source_concentration" -> sourceConcentration,
     "q_profile_events" -> profileEvents,
     "q_profile_drift" -> profileDrift,
@@ -2154,6 +2185,8 @@ object ParityQueries {
     "q_l_diversity" -> lDiversitySql,
     "q_jsd_eventmix" -> jsdEventMixSql,
     "q_ks_by_type" -> ksByTypeSql,
+    "q_w1_by_type" -> w1ByTypeSql,
+    "q_psi_by_type" -> psiByTypeSql,
     "q_source_concentration" -> sourceConcentrationSql,
     "q_profile_events" -> profileEventsSql,
     "q_profile_drift" -> profileDriftSql,

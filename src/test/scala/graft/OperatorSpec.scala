@@ -334,6 +334,35 @@ class OperatorSpec extends SparkSpec {
     assert(solo.getAs[Double]("cliffs_delta") == r("k1").getAs[Double]("cliffs_delta"))
   }
 
+  test("wassersteinByKey / psiByKey: fan-outs match the global operators key by key") {
+    import graft.operators.StatTests
+    val perKey = Seq(
+      ("k1", 0L, true), ("k1", 10L, true), ("k1", 5L, false), ("k1", 5L, false),
+      ("k2", 3L, true), ("k2", 3L, false))
+    val w = StatTests.wassersteinByKey(perKey.toDF("k", "v", "a"), "k", "v", col("a"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(w("k1").getAs[Double]("w1") == 5.0, "{0,10} vs {5,5} moves 5 within its key")
+    assert(w("k2").getAs[Double]("w1") == 0.0)
+    val soloW = StatTests.wasserstein(
+      perKey.filter(_._1 == "k1").map(t => (t._2, t._3)).toDF("v", "a"), "v", col("a"))
+      .collect()(0)
+    assert(soloW.getAs[Double]("w1_num") == w("k1").getAs[Double]("w1_num"))
+    // psi fan-out: key p1 is the OperatorSpec symmetric-swap example,
+    // key p2 identical sides → psi 0; each equals the global psi run solo
+    val psiRows = (Seq.fill(8)(("p1", 0L, true)) ++ Seq.fill(2)(("p1", 0L, false)) ++
+      Seq.fill(2)(("p1", 1L, true)) ++ Seq.fill(8)(("p1", 1L, false)) ++
+      Seq.fill(3)(("p2", 0L, true)) ++ Seq.fill(3)(("p2", 0L, false)))
+    val ps = StatTests.psiByKey(psiRows.toDF("k", "bin", "c"), "k", col("bin"), col("c"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(ps("p1").getAs[Long]("bins") == 2L)
+    assert(ps("p1").getAs[Double]("psi") == 1.098612, "the symmetric-swap hand value")
+    assert(ps("p2").getAs[Double]("psi") == 0.0)
+    val soloP = StatTests.psi(
+      psiRows.filter(_._1 == "p1").map(t => (t._2, t._3)).toDF("bin", "c"),
+      col("bin"), col("c")).collect()(0)
+    assert(soloP.getAs[Double]("psi") == ps("p1").getAs[Double]("psi"))
+  }
+
   test("StatTests null policy: tests run over observed values only") {
     import graft.operators.StatTests
     val withNulls = Seq[(java.lang.Long, java.lang.Boolean)](
