@@ -841,14 +841,26 @@ object StatTests {
     * collected as literals off the localCheckpointed aggregate (the
     * [[psi]] shape — categories need not be control-plane-sized).
     */
-  def jsDivergence(df: DataFrame, catCol: String, isCur: Column): DataFrame = {
-    val g = df
+  def jsDivergence(df: DataFrame, catCol: String, isCur: Column): DataFrame =
+    jsDivergenceFromCounts(df
       .select(col(catCol).cast("string").as("cat"), isCur.cast("boolean").as("_c"))
       .filter(col("cat").isNotNull && col("_c").isNotNull)
       .groupBy(col("cat"))
       .agg(sum(when(col("_c"), 1L).otherwise(0L)).as("c_cur"),
         sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
+
+  /** [[jsDivergence]]'s scoring half over an already-aggregated
+    * `(cat, c_cur, c_ref)` counts frame — the last cell of the
+    * live-monitor matrix: stream the per-category counts (the
+    * [[graft.streaming.StreamingFeatures.psiCountsStream]] shape with
+    * `cat` for `bin`), score any Complete-mode snapshot with the
+    * identical batch math; streamed-final ≡ batch (StreamingSpec).
+    * Caller materializes `counts` — it is read twice (totals + terms).
+    */
+  def jsDivergenceFromCounts(counts: DataFrame): DataFrame = {
+    val g = counts.select(col("cat").cast("string").as("cat"),
+      col("c_cur").cast("long").as("c_cur"), col("c_ref").cast("long").as("c_ref"))
     val t = g.agg(count(lit(1)), coalesce(sum(col("c_cur")), lit(0L)),
       coalesce(sum(col("c_ref")), lit(0L))).collect()(0)
     val (kCnt, nCur, nRef) = (t.getLong(0), t.getLong(1), t.getLong(2))

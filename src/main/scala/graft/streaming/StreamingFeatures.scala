@@ -1082,6 +1082,23 @@ object StreamingFeatures {
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
   }
 
+  /** Live mixture monitor — [[psiCountsStream]] for CATEGORICAL
+    * slices: per-category (c_cur, c_ref) counts under Complete mode,
+    * scoreable any time with
+    * [[graft.operators.StatTests.jsDivergenceFromCounts]] (identical
+    * batch math — streamed-final ≡ batch, StreamingSpec). `labeled`
+    * needs `cat` (string) and `is_cur` (boolean); NULLs excluded as
+    * in batch.
+    */
+  def categoryCountsStream(labeled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum, when}
+    labeled
+      .filter(col("cat").isNotNull && col("is_cur").isNotNull)
+      .groupBy(col("cat"))
+      .agg(sum(when(col("is_cur"), 1L).otherwise(0L)).as("c_cur"),
+        sum(when(!col("is_cur"), 1L).otherwise(0L)).as("c_ref"))
+  }
+
   /** Live classification-quality monitor — the confusion-matrix twin
     * of the sketch monitors: the (actual, pred) contingency counts as
     * a plain streaming aggregate (exact mergeable longs through the

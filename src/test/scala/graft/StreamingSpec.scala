@@ -1014,6 +1014,26 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == batchW1, "streamed-final W1 must equal batch")
   }
 
+  test("streaming JSD monitor: streamed-final divergences equal the batch operator") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("event_type").as("cat"), (col("user_id") % 2 === 0).as("is_cur"))
+    val batch = graft.operators.StatTests.jsDivergence(events, "cat", col("is_cur"))
+      .collect().map(_.toSeq).toSeq
+    val rows = events.collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val slices = new scala.util.Random(13).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, Boolean)]
+    val q = graft.streaming.StreamingFeatures.categoryCountsStream(
+        in.toDS().toDF("cat", "is_cur"))
+      .writeStream.format("memory").queryName("t_jsd")
+      .outputMode(OutputMode.Complete()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.operators.StatTests.jsDivergenceFromCounts(spark.table("t_jsd"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed-final JSD/KL must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("streaming transitions: random streams and split points still equal batch") {
     import graft.streaming.StreamingFeatures.TypedEvent
     val types = Array("view", "click", "buy", "err")
