@@ -689,22 +689,36 @@ object TextAnalysis {
     * gram TEXT never rides an exchange (the lineDedup hashed-line
     * discipline): grams are hashed map-side below the count
     * aggregate, so shuffle rows are fixed-width longs regardless of
-    * n or token length. The (64-bit hash, length) witness preserves
-    * the clip exactly up to hash collisions within one document's
-    * gram set — negligible at any per-doc gram count, and the DuckDB
-    * oracle replays the identical hashed grouping so cross-engine
-    * equality is unconditional.
+    * n or token length. The (strhash, length) witness is a ~30-bit
+    * modulus hash (polynomial mod 1e9+7, [[graft.functions.StrHash]]),
+    * so distinct grams within ONE document's gram set can merge with
+    * birthday probability ~g²/2e9 per length class (g = grams of that
+    * length in the doc) — e.g. ~5e-4 at g = 1000 — slightly inflating
+    * the clipped overlap on very long documents. The DuckDB oracle
+    * replays the identical hashed grouping, so cross-engine equality
+    * is unconditional even when that approximation bites; callers who
+    * need exact ROUGE on book-length inputs should bound the input via
+    * `maxTokens` (below), which also bounds g.
     */
   def rougeN(
       pairs: DataFrame,
       idCol: String,
       candCol: String,
       refCol: String,
-      n: Int
+      n: Int,
+      maxTokens: Int = 0
   ): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(maxTokens >= 0, s"maxTokens must be >= 0 (0 = uncapped), got $maxTokens")
     def grams(c: Column): Column = {
-      val w = TextOps.words(c)
+      val w0 = TextOps.words(c)
+      // maxTokens > 0 clips BOTH sides to their first maxTokens tokens
+      // before gram extraction — the standard summarization-eval
+      // operating point (ROUGE over a lead window), and the bounded
+      // knob for corpus-scale runs: per-doc gram work becomes O(cap)
+      // instead of O(doc length). 0 (default) = canonical full-text
+      // ROUGE, bit-identical to the pre-cap operator.
+      val w = if (maxTokens > 0) slice(w0, 1, maxTokens) else w0
       when(size(w) < n, array().cast("array<string>")).otherwise(
         transform(sequence(lit(0), size(w) - n),
           i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)))

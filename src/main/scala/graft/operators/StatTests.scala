@@ -130,7 +130,8 @@ object StatTests {
        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
        |    row_number() OVER (ORDER BY v) AS rk FROM ks_g),
-       |ks_t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+       |ks_t AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+       |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b
        |  FROM ks_g),
        |ks_m AS (SELECT max((abs(CAST((SELECT n_b FROM ks_t) AS HUGEINT) * cum_a -
        |      CAST((SELECT n_a FROM ks_t) AS HUGEINT) * cum_b), -rk, v)) AS m,
@@ -413,7 +414,8 @@ object StatTests {
        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
        |    lead(v) OVER (ORDER BY v) AS nv FROM ws_g),
-       |ws_t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+       |ws_t AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+       |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b
        |  FROM ws_g),
        |ws_m AS (SELECT COALESCE(CAST(SUM(
        |      abs(CAST((SELECT n_b FROM ws_t) AS HUGEINT) * cum_a -

@@ -390,6 +390,13 @@ object Windows {
     * Skewed keys: one key's history must fit a task's scan, never its
     * memory. The oracle's recursion depth is max records/key — an
     * oracle-side bound, not an operator one.
+    *
+    * NULL policy: rows with a NULL key, order, or value are DROPPED
+    * up front (the StatTests pair-drop rule) — a NULL key would
+    * otherwise fold under one phantom `null == null` state here while
+    * dropping out of the oracle's equi-join, and a NULL value has no
+    * meaningful CUSUM contribution. [[cusumSql]] applies the same
+    * filter, so both engines agree by construction.
     */
   def cusum(
       df: DataFrame,
@@ -403,7 +410,8 @@ object Windows {
     require(slack >= 0, s"slack must be non-negative, got $slack")
     require(threshold > 0, s"threshold must be positive, got $threshold")
     val base = df.select(col(key),
-      col(ordCol).cast("long").as(ordCol), col(valueCol).cast("long").as(valueCol))
+        col(ordCol).cast("long").as(ordCol), col(valueCol).cast("long").as(valueCol))
+      .filter(col(key).isNotNull && col(ordCol).isNotNull && col(valueCol).isNotNull)
     val schema = base.schema
     val sorted = base.repartition(col(key)).sortWithinPartitions(col(key), col(ordCol))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -444,7 +452,8 @@ object Windows {
     val al = s"CASE WHEN $up > $threshold THEN 1 WHEN $dn > $threshold THEN -1 ELSE 0 END"
     s"""WITH RECURSIVE
        |cu_r AS MATERIALIZED (SELECT k, ord, v,
-       |    row_number() OVER (PARTITION BY k ORDER BY ord) AS rn FROM ($srcSql)),
+       |    row_number() OVER (PARTITION BY k ORDER BY ord) AS rn FROM ($srcSql)
+       |  WHERE k IS NOT NULL AND ord IS NOT NULL AND v IS NOT NULL),
        |cu_f (k, rn, ord, v, cusum_pos, cusum_neg, alarm, spc, snc) AS (
        |  SELECT k, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        |      CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),

@@ -970,6 +970,22 @@ class LlmSpec extends SparkSpec {
     assert(got(3L).getDouble(4) == 0.0 && got(3L).get(5) == null && got(3L).getDouble(6) == 0.0)
   }
 
+  test("rougeN: maxTokens clips both sides before gram extraction; 0 = uncapped") {
+    import spark.implicits._
+    val pairs = Seq((1L, "a b a b", "a b c a")).toDF("doc_id", "cand", "ref")
+    // cap 3: cand "a b a" → {a b, b a} (2 grams); ref "a b c" →
+    // {a b, b c} (2 grams); clip overlap = 1 → P = R = 1/2, F1 = 2/4
+    val capped = graft.llm.TextAnalysis.rougeN(
+      pairs, "doc_id", "cand", "ref", n = 2, maxTokens = 3).collect().head
+    assert((capped.getLong(1), capped.getLong(2), capped.getLong(3)) == ((1L, 2L, 2L)))
+    assert((capped.getDouble(4), capped.getDouble(5), capped.getDouble(6))
+      == ((0.5, 0.5, 0.5)))
+    // cap wider than both docs ≡ uncapped ≡ default
+    val wide = graft.llm.TextAnalysis.rougeN(
+      pairs, "doc_id", "cand", "ref", n = 2, maxTokens = 100).collect().head
+    assert((wide.getLong(1), wide.getLong(2), wide.getLong(3)) == ((1L, 3L, 3L)))
+  }
+
   test("pmiPairs: presence counts, hub cap, min support, hand-computed pmi") {
     import spark.implicits._
     // N=5; df: a=3, b=3, c=2, x=1; (a,b) co-occurs in 2 docs (d1's

@@ -595,6 +595,25 @@ class OperatorSpec extends SparkSpec {
     assert(r(("B", 3L)) == ((0L, 21L, -1L)), "B's low drift alarms independently of A")
   }
 
+  test("cusum: NULL key/ord/value rows are dropped, fold unaffected") {
+    import graft.operators.Windows
+    val df = Seq(
+      (Option("A"), Option(1L), Option(10L)),
+      (None: Option[String], Option(2L), Option(99L)),  // null key: dropped
+      (Option("A"), None: Option[Long], Option(99L)),   // null ord: dropped
+      (Option("A"), Option(3L), None: Option[Long]),    // null value: dropped
+      (Option("A"), Option(4L), Option(20L))
+    ).toDF("k", "o", "v")
+    val r = Windows.cusum(df, "k", "o", "v", target = 10L, slack = 2L, threshold = 15L)
+      .collect()
+    assert(r.length == 2, "three NULL-bearing rows dropped up front")
+    val byOrd = r.map(x => x.getLong(1) ->
+      ((x.getAs[Long]("cusum_pos"), x.getAs[Long]("cusum_neg"), x.getAs[Long]("alarm")))).toMap
+    assert(byOrd(1L) == ((0L, 0L, 0L)), "on-target value moves neither side")
+    assert(byOrd(4L) == ((8L, 0L, 0L)),
+      "fold over surviving rows only — the 99-valued null rows never contribute")
+  }
+
   test("kaplanMeier: censored keys leave the risk set without counting as churn") {
     import graft.operators.Funnel
     // periods 0..10, grace 2 → churn iff last < 8. Lifetimes:
