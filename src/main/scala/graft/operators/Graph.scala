@@ -1160,4 +1160,196 @@ object Graph {
     sb.append(s"\nSELECT node, label FROM gm_l$iters ORDER BY node")
     sb.toString
   }
+
+  /** Weighted Louvain move phase — the [[louvainMoves]] gain rule over
+    * an integer-weighted undirected edge list that may carry SELF
+    * LOOPS, which is exactly the shape community contraction produces
+    * (Blondel et al. 2008 §2: the coarse graph's self-loop weight is
+    * the community's internal edge count, counted TWICE in its node's
+    * weighted degree). Gains become
+    * ΔQ ∝ 2m·w_{n→c} − k_n·(d_c − [c = cur]·k_n) with w the edge-
+    * weight sums and k_n the weighted degree; a node's self-loop never
+    * enters w_{n→c} (it is not an edge to another member of c) but
+    * does enter k_n — the constant cancels between candidates, so the
+    * argmax is unchanged by it, per the paper. Parity scheduling, tie
+    * rule, DECIMAL(38,0) exactness, per-round checkpoint + two-quiet
+    * early exit all as in [[louvainMoves]]; with unit weights and no
+    * self-loops this IS [[louvainMoves]] (spec-pinned).
+    *
+    * Scale shape per round: identical to [[louvainMoves]] except
+    * exchange rows carry one extra 8-byte weight; the input is
+    * canonicalized to one row per unordered pair (weights summed), so
+    * adjacency size is bounded by the DISTINCT pair count.
+    */
+  def louvainMovesWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int
+  ): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters must be in 0..50, got $iters")
+    val dec = "decimal(38,0)"
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(false)
+    val cross = und.filter(col("a") =!= col("b"))
+    val adj = cross.select(col("a").as("node"), col("b").as("nbr"), col("w"))
+      .unionAll(cross.select(col("b").as("node"), col("a").as("nbr"), col("w")))
+      .localCheckpoint(false)
+    // weighted degree: cross weights once per endpoint, self-loops twice
+    val deg = adj.select(col("node"), col("w"))
+      .unionAll(und.filter(col("a") === col("b"))
+        .select(col("a").as("node"), (col("w") * 2).as("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("deg"))
+      .localCheckpoint(false)
+    val m2 = deg.agg(coalesce(sum(col("deg")), lit(0L))).collect()(0).getLong(0)
+    require(m2 > 0, "louvainMovesWeighted requires a non-empty edge list")
+    var labels = deg.select(col("node"), col("node").as("label"))
+    val arg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("gain").desc, col("c"))
+    var round = 1
+    var quiet = 0
+    while (round <= iters && quiet < 2) {
+      val p = round % 2
+      val dc = labels.join(deg, "node")
+        .groupBy(col("label").as("c")).agg(sum(col("deg")).as("dc"))
+      val moving = pmod(col("node"), lit(2L)) === lit(p.toLong)
+      val enc = adj.filter(moving)
+        .join(labels.select(col("node").as("nbr"), col("label").as("c")), "nbr")
+        .groupBy(col("node"), col("c")).agg(sum(col("w")).as("e"))
+      val cand = enc
+        .unionAll(labels.filter(moving).select(col("node"), col("label").as("c"), lit(0L).as("e")))
+        .groupBy(col("node"), col("c")).agg(max(col("e")).as("e"))
+      val next = cand
+        .join(labels, "node")
+        .join(deg, "node")
+        .join(dc, "c")
+        .withColumn("gain",
+          lit(m2).cast(dec) * col("e").cast(dec)
+            - col("deg").cast(dec) *
+              (col("dc") - when(col("c") === col("label"), col("deg")).otherwise(lit(0L))).cast(dec))
+        .withColumn("rk", row_number().over(arg))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("c").as("nlabel"))
+      val updated = labels.join(next, Seq("node"), "left")
+        .select(col("node"), col("label").as("_old"),
+          coalesce(col("nlabel"), col("label")).as("label"))
+        .localCheckpoint(false)
+      quiet = if (updated.filter(col("label") =!= col("_old")).isEmpty) quiet + 1 else 0
+      labels = updated.select(col("node"), col("label"))
+      round += 1
+    }
+    labels
+  }
+
+  /** Two-level Louvain (Blondel et al. 2008 §2, the full
+    * move-AGGREGATE-move fold that [[louvainMoves]] alone stops short
+    * of): run the level-1 move phase, CONTRACT each community to a
+    * super-node — cross-community edge weights are the inter-community
+    * edge counts, each community's self-loop weight its internal edge
+    * count (so its weighted degree is the members' degree sum) — run
+    * the WEIGHTED move phase on the coarse graph, and project the
+    * coarse labels back through the level-1 assignment. Merges that
+    * one level of greedy node moves cannot see (whole-community
+    * fusions) become single coarse moves; communities are only ever
+    * merged or regrouped, never split, and every accepted coarse move
+    * has positive modularity gain on the ORIGINAL graph (modularity is
+    * invariant under contraction — the paper's central identity).
+    *
+    * Exactness: both levels are the integer-gain machinery; the coarse
+    * graph's weights are exact counts, so [[louvainTwoLevelSql]]'s
+    * nested unroll agrees bit-for-bit.
+    *
+    * Scale shape: level 1 as [[louvainMoves]]; the contraction is one
+    * endpoint-labels join over the distinct-edge frame (the
+    * [[modularity]] shape) feeding a (label,label)-keyed count; level
+    * 2 runs on a graph whose size is communities + inter-community
+    * pairs — typically orders of magnitude smaller than the input, so
+    * its rounds are control-plane-cheap at any corpus scale.
+    */
+  def louvainTwoLevel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      itersL1: Int,
+      itersL2: Int
+  ): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // feeds level-1 rounds AND the contraction join
+    val l1 = louvainMoves(und, "a", "b", itersL1).localCheckpoint(false)
+    val coarse = und
+      .join(l1.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(l1.select(col("node").as("b"), col("label").as("lb")), "b")
+      .select(least(col("la"), col("lb")).as("ca"), greatest(col("la"), col("lb")).as("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
+    val l2 = louvainMovesWeighted(coarse, "ca", "cb", "w", itersL2)
+    l1.select(col("node"), col("label").as("c1"))
+      .join(l2.select(col("node").as("c1"), col("label")), Seq("c1"), "left")
+      .select(col("node"), coalesce(col("label"), col("c1")).as("label"))
+  }
+
+  /** The [[louvainTwoLevel]] oracle generator: nests the
+    * [[louvainSql]] level-1 unroll as a subquery (gm_ CTEs resolve
+    * inside it; lt_/wl_ prefixes out here so nothing shadows), builds
+    * the weighted coarse graph, unrolls the WEIGHTED move rounds
+    * (SUM(w) where the unweighted unroll counts, self-loops doubled
+    * into degrees), and projects labels back through level 1.
+    */
+  def louvainTwoLevelSql(edgesSql: String, itersL1: Int, itersL2: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH lt_l1 AS MATERIALIZED (${louvainSql(edgesSql, itersL1)}),
+         |lt_und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ($edgesSql) WHERE src <> dst),
+         |lt_ce AS MATERIALIZED (SELECT least(x.label, y.label) AS a,
+         |    greatest(x.label, y.label) AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM lt_und JOIN lt_l1 x ON x.node = lt_und.a
+         |    JOIN lt_l1 y ON y.node = lt_und.b GROUP BY 1, 2),
+         |wl_adj AS MATERIALIZED (SELECT a AS node, b AS nbr, w FROM lt_ce WHERE a <> b
+         |  UNION ALL SELECT b, a, w FROM lt_ce WHERE a <> b),
+         |wl_deg AS MATERIALIZED (SELECT node, CAST(SUM(w) AS BIGINT) AS deg FROM (
+         |    SELECT node, w FROM wl_adj
+         |    UNION ALL SELECT a, 2 * w FROM lt_ce WHERE a = b) GROUP BY 1),
+         |wl_m2 AS (SELECT CAST(COALESCE(SUM(deg), 0) AS HUGEINT) AS m2 FROM wl_deg),
+         |wl_l0 AS (SELECT node, node AS label FROM wl_deg)""".stripMargin)
+    for (i <- 1 to itersL2) {
+      val p = i % 2
+      sb.append(s""",
+         |wl_dc$i AS (SELECT l.label AS c, CAST(SUM(d.deg) AS BIGINT) AS dc
+         |  FROM wl_l${i - 1} l JOIN wl_deg d ON d.node = l.node GROUP BY 1),
+         |wl_cand$i AS (SELECT node, c, CAST(MAX(e) AS BIGINT) AS e FROM (
+         |    SELECT a.node, l.label AS c, CAST(SUM(a.w) AS BIGINT) AS e FROM wl_adj a
+         |      JOIN wl_l${i - 1} l ON l.node = a.nbr
+         |      WHERE (a.node % 2 + 2) % 2 = $p GROUP BY 1, 2
+         |    UNION ALL
+         |    SELECT node, label, 0 FROM wl_l${i - 1} WHERE (node % 2 + 2) % 2 = $p)
+         |  GROUP BY 1, 2),
+         |wl_g$i AS (SELECT cd.node, cd.c,
+         |    (SELECT m2 FROM wl_m2) * CAST(cd.e AS HUGEINT)
+         |      - CAST(d.deg AS HUGEINT) * CAST(dc.dc
+         |          - CASE WHEN cd.c = l.label THEN d.deg ELSE 0 END AS HUGEINT) AS gain
+         |  FROM wl_cand$i cd JOIN wl_l${i - 1} l ON l.node = cd.node
+         |    JOIN wl_deg d ON d.node = cd.node JOIN wl_dc$i dc ON dc.c = cd.c),
+         |wl_b$i AS (SELECT node, c AS nlabel FROM (
+         |    SELECT node, c, row_number() OVER (PARTITION BY node
+         |      ORDER BY gain DESC, c) AS rk FROM wl_g$i) WHERE rk = 1),
+         |wl_l$i AS (SELECT l.node, COALESCE(b.nlabel, l.label) AS label
+         |  FROM wl_l${i - 1} l LEFT JOIN wl_b$i b ON b.node = l.node)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT l1.node, COALESCE(w.label, l1.label) AS label
+         |FROM lt_l1 l1 LEFT JOIN wl_l$itersL2 w ON w.node = l1.label
+         |ORDER BY l1.node""".stripMargin)
+    sb.toString
+  }
 }

@@ -1704,6 +1704,23 @@ object ParityQueries {
   val louvainSqlQ: String =
     graft.operators.Graph.louvainSql(copurchaseEdgesSql, iters = 4)
 
+  /** Two-level Louvain (Graph.louvainTwoLevel) over the same
+    * co-purchase graph as q_graph_louvain: the level-1 partition is
+    * contracted to a weighted super-node graph (self-loop = internal
+    * edges) and the weighted move phase merges whole communities that
+    * node-level moves cannot — the Blondel aggregation step. Oracle
+    * nests the level-1 unroll and replays the weighted rounds with
+    * identical HUGEINT gains.
+    */
+  val louvainL2Q: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    graft.operators.Graph.louvainTwoLevel(e, "src", "dst", itersL1 = 4, itersL2 = 4)
+      .orderBy("node")
+  }
+
+  val louvainL2SqlQ: String =
+    graft.operators.Graph.louvainTwoLevelSql(copurchaseEdgesSql, itersL1 = 4, itersL2 = 4)
+
   /** Bounded-round k-core ([[Graph.kCore]]) on the same support-floored
     * co-purchase graph as q_graph_cc / q_triangle_count: the 3-core
     * (935 of 1880 nodes at sf0.01, an 11-round peel — rounds=12 covers
@@ -2121,6 +2138,7 @@ object ParityQueries {
     "q_graph_cc_bigstar" -> graphCcBigStarQ,
     "q_graph_kcore" -> kCoreQ,
     "q_graph_louvain" -> louvainQ,
+    "q_graph_louvain_l2" -> louvainL2Q,
     "q_graph_hits" -> hitsQ,
     "q_graph_modularity" -> modularityQ,
     "q_label_propagation" -> labelPropagationQ,
@@ -2209,6 +2227,7 @@ object ParityQueries {
     "q_graph_cc_bigstar" -> graphCcSql,
     "q_graph_kcore" -> kCoreSqlQ,
     "q_graph_louvain" -> louvainSqlQ,
+    "q_graph_louvain_l2" -> louvainL2SqlQ,
     "q_graph_hits" -> hitsSqlQ,
     "q_graph_modularity" -> modularitySqlQ,
     "q_label_propagation" -> labelPropagationSql,

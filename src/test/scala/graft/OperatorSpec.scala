@@ -666,6 +666,81 @@ class OperatorSpec extends SparkSpec {
     assert(pr.length == 1, s"swap pair must merge, got labels $pr")
   }
 
+  test("louvainMovesWeighted: unit weights ≡ unweighted; self-loops enter degree only") {
+    import graft.operators.Graph
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val w1 = e.withColumn("w", lit(1L))
+    val got = Graph.louvainMovesWeighted(w1, "src", "dst", "w", iters = 4).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("label")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L),
+      s"unit-weight run must match louvainMoves: $got")
+    // self-loops enter weighted degree (×2) and so steer the merge
+    // decision exactly as modularity dictates: a pair joined by w=1
+    // with heavy (w=5) self-loops maximizes Q SEPARATE (merging makes
+    // one community the whole graph, Q = 0 < 2·(5/11 − 1/4)) — while
+    // a w=10 bridge with light (w=1) self-loops maximizes Q merged
+    val selfy = Seq((1L, 2L, 1L), (1L, 1L, 5L), (2L, 2L, 5L)).toDF("src", "dst", "w")
+    val pr = Graph.louvainMovesWeighted(selfy, "src", "dst", "w", iters = 6).collect()
+      .map(x => x.getAs[Long]("label")).distinct
+    assert(pr.length == 2, s"heavy self-loops: separate is optimal, got $pr")
+    val heavy = Seq((1L, 2L, 10L), (1L, 1L, 1L), (2L, 2L, 1L)).toDF("src", "dst", "w")
+    val hr = Graph.louvainMovesWeighted(heavy, "src", "dst", "w", iters = 6).collect()
+      .map(x => x.getAs[Long]("label")).distinct
+    assert(hr.length == 1, s"heavy bridge beats light self-loops: merge, got $hr")
+    // weight dominance: 4 in a path 1-2-3-4 where (2,3) carries weight
+    // 10 vs 1 elsewhere — the heavy edge's endpoints must co-label
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 10L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val pl = Graph.louvainMovesWeighted(path, "src", "dst", "w", iters = 6).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("label")).toMap
+    assert(pl(2L) == pl(3L), s"heavy edge endpoints must share a community: $pl")
+  }
+
+  test("louvainTwoLevel: coarse moves finish what node moves started; Q never drops") {
+    import graft.operators.Graph
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    // itersL1 = 0: level 1 leaves singletons, the coarse graph IS the
+    // original (unit weights, no self-loops), and level 2 must reach
+    // the planted partition — the weighted phase subsumes the
+    // unweighted one
+    val fromSingletons = Graph.louvainTwoLevel(e, "src", "dst", itersL1 = 0, itersL2 = 4)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("label")).toMap
+    assert(fromSingletons == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L),
+      s"$fromSingletons")
+    // full two-level on an already-optimal level-1 partition: the
+    // coarse phase must not degrade it (merging the two triangle
+    // communities would lower Q — it must stay put)
+    val l1 = Graph.louvainMoves(e, "src", "dst", iters = 4)
+    val l2 = Graph.louvainTwoLevel(e, "src", "dst", itersL1 = 4, itersL2 = 4)
+    val q1 = Graph.modularity(e, "src", "dst", l1).collect().head.getAs[Double]("q_total")
+    val q2 = Graph.modularity(e, "src", "dst", l2).collect().head.getAs[Double]("q_total")
+    assert(q2 >= q1, s"two-level modularity regressed: $q2 < $q1")
+    assert(l2.collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("label")).toMap
+      == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L))
+  }
+
+  test("louvainTwoLevel: co-purchase graph — level-2 modularity >= level-1") {
+    import graft.operators.Graph
+    // the q_graph_louvain demo graph at sf0.001 (support-floored part
+    // co-purchase), same iteration budget as the registered queries
+    val ti = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey").as("t"), col("l_partkey").as("i")).distinct()
+    val e = ti.as("x")
+      .join(ti.as("y"), col("x.t") === col("y.t") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("src"), col("y.i").as("dst"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("src"), col("dst")).localCheckpoint(false)
+    val l1 = Graph.louvainMoves(e, "src", "dst", iters = 4)
+    val l2 = Graph.louvainTwoLevel(e, "src", "dst", itersL1 = 4, itersL2 = 4)
+    val q1 = Graph.modularity(e, "src", "dst", l1).collect().head.getAs[Double]("q_total")
+    val q2 = Graph.modularity(e, "src", "dst", l2).collect().head.getAs[Double]("q_total")
+    assert(q2 >= q1, s"aggregation phase must not lose modularity: l2 $q2 < l1 $q1")
+    val c1 = l1.select("label").distinct().count()
+    val c2 = l2.select("label").distinct().count()
+    assert(c2 <= c1, "coarse moves only merge or regroup communities, never split")
+  }
+
   test("expect: violation counts, NULL-fails-by-default, opt-out, one scan") {
     import graft.operators.Profile
     val df = Seq((1, Some(5)), (2, Some(50)), (3, None), (4, Some(7)))
