@@ -133,6 +133,80 @@ object Graph {
   ): DataFrame =
     run(edges, srcCol, dstCol, seeds = None, iters, damping, init = Some(init))
 
+  /** Incremental PageRank over an EDGE DELTA — the feature-store-native
+    * increment (the reference's whole premise is incrementally
+    * maintained state, `ralf/operator.py:236-259`) applied to the graph
+    * family: yesterday's persisted `(node, rank)` output warm-starts
+    * the power iteration on the MUTATED graph
+    * `(edges ∖ removedEdges) ∪ addedEdges`, so a small edge churn needs
+    * a few refresh rounds instead of a cold restart. The handoff is the
+    * exact [[pageRankFrom]] requantization, so the refreshed state is
+    * bit-identical to "apply the delta, resume from the old fixed-point
+    * approximation" — and the oracle is [[pageRankSql]] over the
+    * mutated edge set with `initSql` replaying the warm start. Nodes
+    * that exist only in removed edges drop out (their mass leaves the
+    * system — next refresh renormalizes via the teleport term); brand-
+    * new nodes enter at rank 0 and fill from the restart mass.
+    *
+    * Scale shape: the delta application is one anti-join + union over
+    * the distinct edge list (edge-keyed, partial-agg friendly), then
+    * the [[run]] loop — one shuffle per refresh round. Warm-starting
+    * changes the ROUND COUNT, not the per-round plan: see
+    * [[pageRankDeltaConverged]] for the measured fewer-rounds claim.
+    */
+  def pageRankDelta(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      addedEdges: DataFrame,
+      removedEdges: DataFrame,
+      init: DataFrame,
+      iters: Int = 5,
+      damping: Double = 0.85
+  ): DataFrame =
+    run(mutate(edges, srcCol, dstCol, addedEdges, removedEdges), "src", "dst",
+      seeds = None, iters, damping, init = Some(init))
+
+  /** [[pageRankDelta]] with CONVERGENCE-BASED early exit instead of a
+    * fixed round budget: iterate until the largest per-node nano-rank
+    * change of a round is ≤ `tolNano` (exact long comparison — one
+    * extra node-keyed join + one-row collect per round, control-plane)
+    * or `maxIters` rounds, and report `(ranks, roundsRun)`. This is
+    * the operational form of the warm-start economy: the spec pins
+    * that a one-edge delta from a converged state needs strictly
+    * fewer rounds than the cold start at the same tolerance. Pass
+    * `init = None` for a cold converged run (the comparison baseline).
+    */
+  def pageRankDeltaConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      addedEdges: DataFrame,
+      removedEdges: DataFrame,
+      init: Option[DataFrame],
+      tolNano: Long,
+      maxIters: Int = 50,
+      damping: Double = 0.85
+  ): (DataFrame, Int) = {
+    require(tolNano > 0, s"tolNano must be positive, got $tolNano")
+    runCounted(mutate(edges, srcCol, dstCol, addedEdges, removedEdges), "src", "dst",
+      seeds = None, maxIters, damping, init = init, tolNano = tolNano)
+  }
+
+  /** `(edges ∖ removed) ∪ added` over distinct (src, dst) pairs. */
+  private def mutate(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      added: DataFrame,
+      removed: DataFrame
+  ): DataFrame = {
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val rem = removed.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val add = added.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    base.join(rem, Seq("src", "dst"), "left_anti").unionAll(add)
+  }
+
   private def run(
       edges: DataFrame,
       srcCol: String,
@@ -142,7 +216,20 @@ object Graph {
       damping: Double,
       weight: Option[org.apache.spark.sql.Column] = None,
       init: Option[DataFrame] = None
-  ): DataFrame = {
+  ): DataFrame =
+    runCounted(edges, srcCol, dstCol, seeds, iters, damping, weight, init)._1
+
+  private def runCounted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Option[DataFrame],
+      iters: Int,
+      damping: Double,
+      weight: Option[org.apache.spark.sql.Column] = None,
+      init: Option[DataFrame] = None,
+      tolNano: Long = 0L
+  ): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     // uniform = every edge at weight 1: r·1.0 is the identical double,
@@ -198,7 +285,9 @@ object Graph {
           coalesce(col("_rn"), lit(0L)).as("rank"))
         .localCheckpoint(false)
     }
-    for (_ <- 1 to iters) {
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
       val share = e2
         .join(r.select(col("node"), col("rank")), col("node") === col("src"))
         .select(col("dst").as("cnode"),
@@ -217,7 +306,7 @@ object Graph {
         .agg(coalesce(sum(when(col("dang") === 1, col("rank"))), lit(0L)).as("dsum"))
         .collect()(0).getLong(0)
       val dshare = math.floor(dsum.toDouble / sn.toDouble + 0.5).toLong
-      r = nodes
+      val next = nodes
         .join(contrib, col("node") === col("cnode"), "left")
         .select(col("node"), col("sf"), col("dang"),
           floor(
@@ -226,9 +315,20 @@ object Graph {
                 when(col("sf") === 1, lit(dshare)).otherwise(lit(0L))).cast("double") +
               lit(0.5)).as("rank"))
         .localCheckpoint(false)
+      rounds += 1
+      if (tolNano > 0L) {
+        // convergence probe: largest per-node nano-rank move this round
+        // — exact longs, one node-keyed join + a one-row collect
+        val move = r.select(col("node"), col("rank").as("_pr"))
+          .join(next.select(col("node"), col("rank")), Seq("node"))
+          .agg(coalesce(max(abs(col("rank") - col("_pr"))), lit(0L)))
+          .collect()(0).getLong(0)
+        converged = move <= tolNano
+      }
+      r = next
     }
-    r.select(col("node"),
-      (col("rank").cast("double") / lit(Scale.toDouble)).as("rank"))
+    (r.select(col("node"),
+      (col("rank").cast("double") / lit(Scale.toDouble)).as("rank")), rounds)
   }
 
   /** The DuckDB oracle for [[pageRank]] / [[personalizedPageRank]],
@@ -242,66 +342,84 @@ object Graph {
       iters: Int = 5,
       damping: Double = 0.85,
       seedsSql: Option[String] = None,
-      weighted: Boolean = false
+      weighted: Boolean = false,
+      initSql: Option[String] = None,
+      prefix: String = ""
   ): String = {
+    val p = prefix
     val d = s"CAST(${new java.math.BigDecimal(damping).toPlainString} AS DOUBLE)"
     val oneMinus =
       s"CAST(${new java.math.BigDecimal(1.0 - damping).toPlainString} AS DOUBLE)"
-    val snD = "(SELECT CAST(sn AS DOUBLE) FROM ss)"
+    val snD = s"(SELECT CAST(sn AS DOUBLE) FROM ${p}ss)"
     val nodesCte = seedsSql match {
       case None =>
-        "nodes AS (SELECT node, 1 AS sf FROM nodes0)"
+        s"${p}nodes AS MATERIALIZED (SELECT node, 1 AS sf FROM ${p}nodes0)"
       case Some(sql) =>
-        s"""sd AS (SELECT DISTINCT node FROM ($sql)),
-           |nodes AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS sf
-           |  FROM nodes0 n LEFT JOIN sd s ON s.node = n.node)""".stripMargin
+        s"""${p}sd AS (SELECT DISTINCT node FROM ($sql)),
+           |${p}nodes AS MATERIALIZED (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS sf
+           |  FROM ${p}nodes0 n LEFT JOIN ${p}sd s ON s.node = n.node)""".stripMargin
+    }
+    val r0Cte = initSql match {
+      case None =>
+        s"""${p}r0 AS (SELECT node, sf, CASE WHEN sf = 1
+           |  THEN CAST(floor(CAST($Scale AS DOUBLE) / $snD + 0.5) AS BIGINT)
+           |  ELSE 0 END AS rank
+           |  FROM ${p}nodes)""".stripMargin
+      case Some(isql) =>
+        // warm start: requantize persisted double ranks exactly as
+        // pageRankFrom does (floor(rank*1e9 + 0.5)); absent nodes
+        // resume at 0. A nested pageRankSql init MUST be generated
+        // with a distinct `prefix` — DuckDB resolves colliding CTE
+        // names against the OUTER definition (the modularitySql rule).
+        s"""${p}ini AS MATERIALIZED ($isql),
+           |${p}r0 AS (SELECT nd.node, nd.sf,
+           |  COALESCE(CAST(floor(CAST(i.rank AS DOUBLE)
+           |    * CAST($Scale AS DOUBLE) + 0.5) AS BIGINT), 0) AS rank
+           |  FROM ${p}nodes nd LEFT JOIN ${p}ini i ON i.node = nd.node)""".stripMargin
     }
     val sb = new StringBuilder
     sb.append(
       (if (weighted)
-        s"""WITH e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+        s"""WITH ${p}e AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
            |  FROM ($edgesSql) WHERE w > 0 GROUP BY 1, 2),""".stripMargin
       else
-        s"""WITH e AS (SELECT src, dst, CAST(1 AS BIGINT) AS w
+        s"""WITH ${p}e AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w
            |  FROM (SELECT DISTINCT src, dst FROM ($edgesSql))),""".stripMargin) +
       s"""
          |
-         |nodes0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |${p}nodes0 AS (SELECT src AS node FROM ${p}e UNION SELECT dst FROM ${p}e),
          |$nodesCte,
-         |ss AS (SELECT CAST(sum(sf) AS BIGINT) AS sn FROM nodes),
-         |outdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY 1),
-         |r0 AS (SELECT node, sf, CASE WHEN sf = 1
-         |  THEN CAST(floor(CAST($Scale AS DOUBLE) / $snD + 0.5) AS BIGINT)
-         |  ELSE 0 END AS rank
-         |  FROM nodes)""".stripMargin)
+         |${p}ss AS (SELECT CAST(sum(sf) AS BIGINT) AS sn FROM ${p}nodes),
+         |${p}outdeg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM ${p}e GROUP BY 1),
+         |$r0Cte""".stripMargin)
     for (i <- 1 to iters) {
-      val prev = s"r${i - 1}"
+      val prev = s"${p}r${i - 1}"
       sb.append(",\n")
       sb.append(
-        s"""sh$i AS (SELECT e.dst AS cnode,
+        s"""${p}sh$i AS (SELECT e.dst AS cnode,
            |  CAST(floor(CAST(r.rank AS DOUBLE) * CAST(e.w AS DOUBLE)
            |    / CAST(od.deg AS DOUBLE) + 0.5) AS BIGINT) AS share
-           |  FROM e JOIN $prev r ON r.node = e.src
-           |  JOIN outdeg od ON od.src = e.src),
-           |cs$i AS (SELECT cnode, CAST(SUM(share) AS BIGINT) AS csum
-           |  FROM sh$i GROUP BY 1),
-           |dg$i AS (SELECT CAST(floor(
+           |  FROM ${p}e e JOIN $prev r ON r.node = e.src
+           |  JOIN ${p}outdeg od ON od.src = e.src),
+           |${p}cs$i AS (SELECT cnode, CAST(SUM(share) AS BIGINT) AS csum
+           |  FROM ${p}sh$i GROUP BY 1),
+           |${p}dg$i AS (SELECT CAST(floor(
            |    CAST(COALESCE(SUM(r.rank), 0) AS DOUBLE) / $snD + 0.5) AS BIGINT) AS dshare
-           |  FROM $prev r WHERE r.node NOT IN (SELECT src FROM outdeg)),
-           |r$i AS (SELECT nd.node, nd.sf,
+           |  FROM $prev r WHERE r.node NOT IN (SELECT src FROM ${p}outdeg)),
+           |${p}r$i AS (SELECT nd.node, nd.sf,
            |  CAST(floor(CASE WHEN nd.sf = 1
            |      THEN $oneMinus / $snD * CAST($Scale AS DOUBLE) ELSE 0.0 END +
            |      $d * CAST(COALESCE(cs.csum, 0) +
            |        CASE WHEN nd.sf = 1 THEN dg.dshare ELSE 0 END AS DOUBLE) +
            |      0.5) AS BIGINT) AS rank
-           |  FROM nodes nd
-           |  LEFT JOIN cs$i cs ON cs.cnode = nd.node
-           |  CROSS JOIN dg$i dg)""".stripMargin)
+           |  FROM ${p}nodes nd
+           |  LEFT JOIN ${p}cs$i cs ON cs.cnode = nd.node
+           |  CROSS JOIN ${p}dg$i dg)""".stripMargin)
     }
     sb.append(
       s"""
          |SELECT node, CAST(rank AS DOUBLE) / CAST($Scale AS DOUBLE) AS rank
-         |FROM r$iters ORDER BY node""".stripMargin)
+         |FROM ${p}r$iters ORDER BY node""".stripMargin)
     sb.toString
   }
 

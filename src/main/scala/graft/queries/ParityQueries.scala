@@ -1460,6 +1460,51 @@ object ParityQueries {
   // the resumed split run must equal the straight 5-iteration oracle
   val pageRankResumeSql: String = pageRankSql
 
+  /** Incremental PageRank on an edge delta (Graph.pageRankDelta): the
+    * converged 5-round ranks of YESTERDAY'S trade graph (customers
+    * ck%10=3 not yet arrived) warm-start 3 refresh rounds on the
+    * mutated graph — those customers' edges arrive, supplier-sk%17=2
+    * edges retire. The oracle replays the whole timeline: a nested
+    * pageRankSql (pi_-prefixed CTEs — DuckDB resolves colliding CTE
+    * names against the outer definition) computes the old-graph ranks
+    * as initSql, the outer unroll runs the 3 warm rounds on the
+    * delta-applied edge set.
+    */
+  val pageRankDeltaQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val j = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .localCheckpoint(false) // one trade join feeds old/add/remove legs
+    def sym(df: DataFrame): DataFrame = {
+      val f = df.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      f.unionAll(f.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val old = sym(j.filter(col("ck") % 10 =!= 3)).localCheckpoint(false)
+    val adds = sym(j.filter(col("ck") % 10 === 3))
+    val rems = sym(j.filter(col("sk") % 17 === 2))
+    val init = graft.operators.Graph.pageRank(old, "src", "dst", iters = 5)
+    graft.operators.Graph.pageRankDelta(old, "src", "dst", adds, rems, init, iters = 3)
+      .orderBy("node")
+  }
+
+  val pageRankDeltaSql: String = {
+    val base = """SELECT o_custkey AS ck, l_suppkey AS sk
+                 |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+    def sym(f: String) =
+      s"""SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM ($base) WHERE $f
+         |UNION ALL SELECT sk * 2 + 1, ck * 2 FROM ($base) WHERE $f""".stripMargin
+    val old = sym("ck % 10 <> 3")
+    val adds = sym("ck % 10 = 3")
+    val rems = sym("sk % 17 = 2")
+    val mutated =
+      s"""SELECT src, dst FROM ($old) o WHERE NOT EXISTS (
+         |    SELECT 1 FROM ($rems) r WHERE r.src = o.src AND r.dst = o.dst)
+         |UNION ALL SELECT src, dst FROM ($adds)""".stripMargin
+    graft.operators.Graph.pageRankSql(mutated, iters = 3,
+      initSql = Some(graft.operators.Graph.pageRankSql(old, iters = 5, prefix = "pi_")))
+  }
+
   /** Bounded-hop BFS distance (Graph.shortestPaths, unit weights):
     * hop distance from the nation-0 supplier seed set over the
     * undirected trade graph — the proximity pre-filter next to the
@@ -2131,6 +2176,7 @@ object ParityQueries {
     "q_pagerank_weighted" -> pageRankWeightedQ,
     "q_pagerank_ppr_weighted" -> pageRankPprWeightedQ,
     "q_pagerank_resume" -> pageRankResumeQ,
+    "q_pagerank_delta" -> pageRankDeltaQ,
     "q_shortest_path" -> shortestPathQ,
     "q_shortest_path_weighted" -> shortestPathWeightedQ,
     "q_triangle_count" -> triangleCountQ,
@@ -2220,6 +2266,7 @@ object ParityQueries {
     "q_pagerank_weighted" -> pageRankWeightedSql,
     "q_pagerank_ppr_weighted" -> pageRankPprWeightedSql,
     "q_pagerank_resume" -> pageRankResumeSql,
+    "q_pagerank_delta" -> pageRankDeltaSql,
     "q_shortest_path" -> shortestPathSql,
     "q_shortest_path_weighted" -> shortestPathWeightedSql,
     "q_triangle_count" -> triangleCountSql,

@@ -666,6 +666,42 @@ class OperatorSpec extends SparkSpec {
     assert(pr.length == 1, s"swap pair must merge, got labels $pr")
   }
 
+  test("pageRankDelta: fixed-iters ≡ resume-on-mutated-graph; warm start converges in fewer rounds") {
+    import graft.operators.Graph
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 4L))
+      .toDF("src", "dst")
+    val adds = Seq((5L, 1L)).toDF("src", "dst")
+    val rems = Seq((4L, 5L)).toDF("src", "dst")
+    val none = base.limit(0)
+    val init = Graph.pageRank(base, "src", "dst", iters = 5)
+    // the delta run IS pageRankFrom on the hand-mutated edge list
+    val mutated = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (5L, 4L), (5L, 1L))
+      .toDF("src", "dst")
+    val viaDelta = Graph.pageRankDelta(base, "src", "dst", adds, rems, init, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaFrom = Graph.pageRankFrom(mutated, "src", "dst", init, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaDelta == viaFrom, "delta application + warm start must equal resume on mutated graph")
+    // warm-start economy: converged base ranks reach the tolerance on
+    // the mutated graph in strictly fewer rounds than a cold start
+    val (convergedBase, _) =
+      Graph.pageRankDeltaConverged(base, "src", "dst", none, none, None,
+        tolNano = 1000L, maxIters = 50)
+    val (warmRanks, warmRounds) =
+      Graph.pageRankDeltaConverged(base, "src", "dst", adds, rems, Some(convergedBase),
+        tolNano = 1000000L, maxIters = 50)
+    val (coldRanks, coldRounds) =
+      Graph.pageRankDeltaConverged(base, "src", "dst", adds, rems, None,
+        tolNano = 1000000L, maxIters = 50)
+    assert(warmRounds < coldRounds,
+      s"warm start must converge faster: warm $warmRounds vs cold $coldRounds rounds")
+    // both land on the same fixed point to within the tolerance
+    val w = warmRanks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val c = coldRanks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet == c.keySet)
+    w.foreach { case (n, v) => assert(math.abs(v - c(n)) < 1e-2, s"node $n: $v vs ${c(n)}") }
+  }
+
   test("louvainMovesWeighted: unit weights ≡ unweighted; self-loops enter degree only") {
     import graft.operators.Graph
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
