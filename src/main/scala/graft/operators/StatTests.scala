@@ -537,6 +537,109 @@ object StatTests {
        |      CAST((SELECT nn * least(ns - 1, nc - 1) FROM cs_n) AS DOUBLE)) END AS cramers_v
        |FROM cs_t ORDER BY slice, cat""".stripMargin
 
+  /** Per-key chi-square — the fan-out form of [[chiSquare]]: every
+    * segment's homogeneity test in one pass, one summary row per key
+    * `(key, slices, cats, n, chi2, dof, cramers_v)` (per-cell detail
+    * is the global operator's job, the [[psiByKey]] convention). Keys
+    * with a degenerate table (one slice or one category) report
+    * dof = 0 and NULL cramers_v. NULL key/slice/cat rows are dropped
+    * (the fan-out convention — the global operator's loud require
+    * would abort every other key).
+    *
+    * Exactness: the same micro-unit term discipline as [[chiSquare]]
+    * — exact long observed/row/col/grand totals per key, each cell's
+    * term `floor(num²/(n·rt·ct)·1e6 + 0.5)` over identically
+    * sequenced doubles, chi2 one closing division of the exact term
+    * sum.
+    *
+    * Scale shape — fully DISTRIBUTED, unlike the control-plane global
+    * operator: the dense per-key grid is `rowTot ⋈ colTot` on the key
+    * (never a driver collect), cells left-join in, and the one
+    * driver-side action is the 4096-cells-per-key loud guard (the
+    * kaplanMeier precedent: per-key contingency tables are
+    * audit-sized by contract — the guard converts a mis-binned
+    * category column into an error instead of a keys×slices×cats
+    * row explosion).
+    */
+  def chiSquareByKey(
+      df: DataFrame, keyCol: String, sliceCol: String, catCol: String): DataFrame = {
+    val cells = df
+      .select(col(keyCol).as("_k"),
+        col(sliceCol).cast("string").as("_s"), col(catCol).cast("string").as("_c"))
+      .filter(col("_k").isNotNull && col("_s").isNotNull && col("_c").isNotNull)
+      .groupBy(col("_k"), col("_s"), col("_c"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(false) // feeds row totals, col totals, and the dense left-join
+    val rowTot = cells.groupBy(col("_k"), col("_s")).agg(sum(col("_n")).as("_rt"))
+      .localCheckpoint(false)
+    val colTot = cells.groupBy(col("_k"), col("_c")).agg(sum(col("_n")).as("_ct"))
+      .localCheckpoint(false)
+    val dims = rowTot.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_ns"), sum(col("_rt")).as("_nn"))
+      .join(colTot.groupBy(col("_k")).agg(count(lit(1)).as("_nc")), Seq("_k"))
+      .localCheckpoint(false)
+    val worst = dims.agg(coalesce(max(col("_ns") * col("_nc")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(worst <= 4096,
+      s"chiSquareByKey: a key's dense slices×cats grid has $worst cells (> 4096) — " +
+        "coarsen the slice/category binning")
+    val dense = rowTot.join(colTot, Seq("_k"))
+      .join(cells, Seq("_k", "_s", "_c"), "left")
+      .select(col("_k"), col("_rt"), col("_ct"), coalesce(col("_n"), lit(0L)).as("_obs"))
+      .join(dims, Seq("_k"))
+    val nD = col("_nn").cast("double")
+    val rT = col("_rt").cast("double")
+    val cT = col("_ct").cast("double")
+    val num = col("_obs").cast("double") * nD - rT * cT
+    dense
+      .withColumn("_tm", floor((num * num) / (nD * rT * cT) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("_k").as("key"))
+      .agg(max(col("_ns")).as("slices"), max(col("_nc")).as("cats"),
+        max(col("_nn")).as("n"), sum(col("_tm")).as("_tms"),
+        max((col("_ns") - 1L) * (col("_nc") - 1L)).as("dof"),
+        max(col("_nn") * least(col("_ns") - 1L, col("_nc") - 1L)).as("_cvden"))
+      .withColumn("chi2", col("_tms").cast("double") / lit(1e6))
+      .withColumn("cramers_v",
+        when(col("dof") > 0, sqrt(col("chi2") / col("_cvden").cast("double"))))
+      .select(col("key"), col("slices"), col("cats"), col("n"),
+        col("chi2"), col("dof"), col("cramers_v"))
+      .orderBy(col("key"))
+  }
+
+  /** The [[chiSquareByKey]] oracle generator: `srcSql` yields
+    * `(k, s, c)`; the per-key dense grid is the k-keyed join of the
+    * per-key slice and category total tables.
+    */
+  def chiSquareByKeySql(srcSql: String): String =
+    s"""WITH ck_o AS (SELECT k, s, c, CAST(count(*) AS BIGINT) AS n FROM ($srcSql)
+       |  WHERE k IS NOT NULL AND s IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3),
+       |ck_r AS (SELECT k, s, CAST(SUM(n) AS BIGINT) AS rt FROM ck_o GROUP BY 1, 2),
+       |ck_c AS (SELECT k, c, CAST(SUM(n) AS BIGINT) AS ct FROM ck_o GROUP BY 1, 2),
+       |ck_t AS (SELECT r.k, CAST(count(*) AS BIGINT) AS ns, CAST(SUM(rt) AS BIGINT) AS nn
+       |  FROM ck_r r GROUP BY 1),
+       |ck_cc AS (SELECT k, CAST(count(*) AS BIGINT) AS nc FROM ck_c GROUP BY 1),
+       |ck_d AS (SELECT r.k, r.rt, c.ct, COALESCE(o.n, 0) AS obs
+       |  FROM ck_r r JOIN ck_c c ON c.k = r.k
+       |  LEFT JOIN ck_o o ON o.k = r.k AND o.s = r.s AND o.c = c.c),
+       |ck_m AS (SELECT d.k, t.ns, cc.nc, t.nn,
+       |    CAST(floor(
+       |      (CAST(obs AS DOUBLE) * CAST(t.nn AS DOUBLE)
+       |         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+       |      * (CAST(obs AS DOUBLE) * CAST(t.nn AS DOUBLE)
+       |         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+       |      / (CAST(t.nn AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+       |      * 1e6 + 0.5) AS BIGINT) AS tm
+       |  FROM ck_d d JOIN ck_t t ON t.k = d.k JOIN ck_cc cc ON cc.k = d.k),
+       |ck_a AS (SELECT k AS key, MAX(ns) AS slices, MAX(nc) AS cats, MAX(nn) AS n,
+       |    CAST(SUM(tm) AS BIGINT) AS tms,
+       |    CAST(MAX((ns - 1) * (nc - 1)) AS BIGINT) AS dof,
+       |    CAST(MAX(nn * least(ns - 1, nc - 1)) AS BIGINT) AS cvden
+       |  FROM ck_m GROUP BY 1)
+       |SELECT key, slices, cats, n, CAST(tms AS DOUBLE) / 1e6 AS chi2, dof,
+       |  CASE WHEN dof > 0 THEN
+       |    sqrt(CAST(tms AS DOUBLE) / 1e6 / CAST(cvden AS DOUBLE)) END AS cramers_v
+       |FROM ck_a ORDER BY key""".stripMargin
+
   /** One-way ANOVA F test: does the mean of long-typed `valueCol`
     * (pre-quantized cents/micro-units) differ across the groups of
     * `groupCol`? One row:
@@ -912,6 +1015,88 @@ object StatTests {
        |  CAST(SUM(tqp) OVER () AS DOUBLE) AS kl_ref_cur,
        |  CAST(SUM(tj) OVER () AS DOUBLE) AS jsd
        |FROM jd_x ORDER BY cat""".stripMargin
+
+  /** Per-key Jensen–Shannon divergence — the fan-out form of
+    * [[jsDivergence]]: every segment's bounded symmetric divergence
+    * (plus both KL directions) in one pass, one summary row per key
+    * `(key, cats, n_cur, n_ref, kl_cur_ref, kl_ref_cur, jsd)`. NULL
+    * key/cat/side rows are dropped (the fan-out convention); Laplace
+    * smoothing is per KEY (k = that key's category count), so a
+    * category absent from one side within a segment never divides by
+    * zero.
+    *
+    * Exactness: the [[psiByKey]] window discipline — per-key totals
+    * as `sum/count OVER (PARTITION BY key)` (exact long adds, then
+    * ONE cast to double), each term round(6)→DECIMAL(18,6), the
+    * per-key sums exact decimal closed with one double cast.
+    *
+    * Scale shape: one (key, cat) aggregate with map-side combine,
+    * per-key windows over the counts frame (categories per key are
+    * the caller's binning — bounded), one (key) reduce. No driver
+    * collect at all.
+    */
+  def jsdByKey(df: DataFrame, keyCol: String, catCol: String, isCur: Column): DataFrame = {
+    val g = df
+      .select(col(keyCol).as("_k"), col(catCol).cast("string").as("cat"),
+        isCur.cast("boolean").as("_c"))
+      .filter(col("_k").isNotNull && col("cat").isNotNull && col("_c").isNotNull)
+      .groupBy(col("_k"), col("cat"))
+      .agg(sum(when(col("_c"), 1L).otherwise(0L)).as("c_cur"),
+        sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
+    val p = (col("c_cur") + lit(1L)).cast("double") /
+      (sum(col("c_cur")).over(wTot) + count(lit(1)).over(wTot)).cast("double")
+    val q = (col("c_ref") + lit(1L)).cast("double") /
+      (sum(col("c_ref")).over(wTot) + count(lit(1)).over(wTot)).cast("double")
+    val m = (col("_p") + col("_q")) / lit(2.0)
+    g.withColumn("_p", p)
+      .withColumn("_q", q)
+      .withColumn("_nc", sum(col("c_cur")).over(wTot))
+      .withColumn("_nr", sum(col("c_ref")).over(wTot))
+      .withColumn("_tpq", round(col("_p") * log(col("_p") / col("_q")), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("_tqp", round(col("_q") * log(col("_q") / col("_p")), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("_tj", round(lit(0.5) * col("_p") * log(col("_p") / m) +
+          lit(0.5) * col("_q") * log(col("_q") / m), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("cats"), max(col("_nc")).as("n_cur"),
+        max(col("_nr")).as("n_ref"),
+        sum(col("_tpq")).cast("double").as("kl_cur_ref"),
+        sum(col("_tqp")).cast("double").as("kl_ref_cur"),
+        sum(col("_tj")).cast("double").as("jsd"))
+      .orderBy(col("key"))
+  }
+
+  /** The [[jsdByKey]] oracle generator: `srcSql` yields
+    * `(k, cat, c)` with `c` boolean; per-key windows replay the
+    * smoothing totals.
+    */
+  def jsdByKeySql(srcSql: String): String =
+    s"""WITH jk_g AS (SELECT k, cat,
+       |    CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+       |    CAST(SUM(CASE WHEN c THEN 0 ELSE 1 END) AS BIGINT) AS c_ref
+       |  FROM ($srcSql)
+       |  WHERE k IS NOT NULL AND cat IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2),
+       |jk_p AS (SELECT k, cat, c_cur, c_ref,
+       |    CAST(c_cur + 1 AS DOUBLE) / CAST(SUM(c_cur) OVER (PARTITION BY k)
+       |      + COUNT(*) OVER (PARTITION BY k) AS DOUBLE) AS p,
+       |    CAST(c_ref + 1 AS DOUBLE) / CAST(SUM(c_ref) OVER (PARTITION BY k)
+       |      + COUNT(*) OVER (PARTITION BY k) AS DOUBLE) AS q,
+       |    CAST(SUM(c_cur) OVER (PARTITION BY k) AS BIGINT) AS ncur,
+       |    CAST(SUM(c_ref) OVER (PARTITION BY k) AS BIGINT) AS nref
+       |  FROM jk_g),
+       |jk_x AS (SELECT k, ncur, nref,
+       |    CAST(round(p * ln(p / q), 6) AS DECIMAL(18,6)) AS tpq,
+       |    CAST(round(q * ln(q / p), 6) AS DECIMAL(18,6)) AS tqp,
+       |    CAST(round(0.5 * p * ln(p / ((p + q) / 2.0)) +
+       |      0.5 * q * ln(q / ((p + q) / 2.0)), 6) AS DECIMAL(18,6)) AS tj
+       |  FROM jk_p)
+       |SELECT k AS key, CAST(count(*) AS BIGINT) AS cats, MAX(ncur) AS n_cur,
+       |  MAX(nref) AS n_ref, CAST(SUM(tpq) AS DOUBLE) AS kl_cur_ref,
+       |  CAST(SUM(tqp) AS DOUBLE) AS kl_ref_cur, CAST(SUM(tj) AS DOUBLE) AS jsd
+       |FROM jk_x GROUP BY 1 ORDER BY key""".stripMargin
 
   /** Benford first-digit probabilities `log10(1 + 1/d)`, d = 1..9 —
     * shared double literals (the transcendental-constant convention).

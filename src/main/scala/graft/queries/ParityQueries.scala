@@ -576,6 +576,43 @@ object ParityQueries {
   val jsdEventMixSql: String = graft.operators.StatTests.jsDivergenceSql(
     """SELECT event_type AS cat, user_id % 2 = 0 AS c FROM events""")
 
+  /** Per-key chi-square fan-out (StatTests.chiSquareByKey): for EVERY
+    * event type, is the 20-dollar value-bin mix the same across the
+    * even/odd cohorts? One summary row per type — completes the
+    * per-key drift matrix (KS / W1 / PSI already fan out) on the
+    * categorical side; fully distributed dense grid (rowTot ⋈ colTot
+    * on the key), loud 4096-cells-per-key guard.
+    */
+  val chisqByType: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"),
+      when(col("user_id") % 2 === 0, "cohort_even").otherwise("cohort_odd").as("cohort"),
+      floor(round(col("value") * 100).cast("long") / lit(2000L)).as("bin"))
+    graft.operators.StatTests.chiSquareByKey(e, "event_type", "cohort", "bin")
+  }
+
+  val chisqByTypeSql: String = graft.operators.StatTests.chiSquareByKeySql(
+    """SELECT event_type AS k,
+      |  CASE WHEN user_id % 2 = 0 THEN 'cohort_even' ELSE 'cohort_odd' END AS s,
+      |  CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000) AS BIGINT) AS c
+      |FROM events""".stripMargin)
+
+  /** Per-key JSD fan-out (StatTests.jsdByKey): each event type's
+    * even-vs-odd value-bin divergence (both KL directions beside it),
+    * per-key Laplace smoothing — the bounded-symmetric companion to
+    * q_chisq_by_type in the completed drift matrix.
+    */
+  val jsdByType: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"),
+      floor(round(col("value") * 100).cast("long") / lit(2000L)).as("bin"),
+      (col("user_id") % 2 === 0).as("is_cur"))
+    graft.operators.StatTests.jsdByKey(e, "event_type", "bin", col("is_cur"))
+  }
+
+  val jsdByTypeSql: String = graft.operators.StatTests.jsdByKeySql(
+    """SELECT event_type AS k,
+      |  CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000) AS BIGINT) AS cat,
+      |  user_id % 2 = 0 AS c FROM events""".stripMargin)
+
   /** l-diversity audit (Profile.lDiversity): the k-anonymity classes
     * re-graded on sensitive-value diversity — event_type within a
     * (user decile, value band) class must take >= 3 distinct values.
@@ -2162,6 +2199,8 @@ object ParityQueries {
     "q_benford_values" -> benfordValues,
     "q_l_diversity" -> lDiversityQ,
     "q_jsd_eventmix" -> jsdEventMix,
+    "q_jsd_by_type" -> jsdByType,
+    "q_chisq_by_type" -> chisqByType,
     "q_ks_by_type" -> ksByType,
     "q_w1_by_type" -> w1ByType,
     "q_psi_by_type" -> psiByType,
@@ -2248,6 +2287,8 @@ object ParityQueries {
     "q_benford_values" -> benfordValuesSql,
     "q_l_diversity" -> lDiversitySql,
     "q_jsd_eventmix" -> jsdEventMixSql,
+    "q_jsd_by_type" -> jsdByTypeSql,
+    "q_chisq_by_type" -> chisqByTypeSql,
     "q_ks_by_type" -> ksByTypeSql,
     "q_w1_by_type" -> w1ByTypeSql,
     "q_psi_by_type" -> psiByTypeSql,

@@ -363,6 +363,57 @@ class OperatorSpec extends SparkSpec {
     assert(soloP.getAs[Double]("psi") == ps("p1").getAs[Double]("psi"))
   }
 
+  test("chiSquareByKey / jsdByKey: fan-outs match the global operators key by key") {
+    import graft.operators.StatTests
+    // k1: 2x2 with real association; k2: identical rows (chi2 = 0);
+    // k3: one slice only (dof = 0, NULL cramers_v)
+    val rows = Seq(
+      ("k1", "s1", "a"), ("k1", "s1", "a"), ("k1", "s1", "b"),
+      ("k1", "s2", "a"), ("k1", "s2", "b"), ("k1", "s2", "b"),
+      ("k2", "s1", "a"), ("k2", "s1", "b"), ("k2", "s2", "a"), ("k2", "s2", "b"),
+      ("k3", "s1", "a"), ("k3", "s1", "b"))
+    val r = StatTests.chiSquareByKey(rows.toDF("k", "s", "c"), "k", "s", "c")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.size == 3)
+    for (k <- Seq("k1", "k2")) {
+      val solo = StatTests.chiSquare(
+        rows.filter(_._1 == k).map(t => (t._2, t._3)).toDF("s", "c"), "s", "c")
+        .collect().head
+      assert(solo.getAs[Double]("chi2") == r(k).getAs[Double]("chi2"), k)
+      assert(solo.getAs[Long]("dof") == r(k).getAs[Long]("dof"), k)
+      assert(solo.getAs[Double]("cramers_v") == r(k).getAs[Double]("cramers_v"), k)
+    }
+    assert(r("k2").getAs[Double]("chi2") == 0.0)
+    assert(r("k3").getAs[Long]("dof") == 0L &&
+      r("k3").isNullAt(r("k3").fieldIndex("cramers_v")),
+      "single-slice key: dof 0, NULL cramers_v")
+    // the loud grid guard trips on a mis-binned category column
+    val wide = (1 to 100).flatMap(i => Seq(("w", "s1", s"c$i"), ("w", "s2", s"c$i")))
+      .toDF("k", "s", "c")
+    val err = intercept[IllegalArgumentException] {
+      StatTests.chiSquareByKey(
+        wide.unionAll((1 to 41).map(i => ("w", s"x$i", "c1")).toDF("k", "s", "c")),
+        "k", "s", "c")
+    }
+    assert(err.getMessage.contains("4096"), err.getMessage)
+    // jsd fan-out ≡ global per slice
+    val jrows = Seq(
+      ("k1", "a", true), ("k1", "a", true), ("k1", "b", true),
+      ("k1", "a", false), ("k1", "b", false), ("k1", "b", false),
+      ("k2", "a", true), ("k2", "a", false))
+    val jr = StatTests.jsdByKey(jrows.toDF("k", "cat", "c"), "k", "cat", col("c"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    for (k <- Seq("k1", "k2")) {
+      val solo = StatTests.jsDivergence(
+        jrows.filter(_._1 == k).map(t => (t._2, t._3)).toDF("cat", "c"), "cat", col("c"))
+        .collect().head
+      assert(solo.getAs[Double]("jsd") == jr(k).getAs[Double]("jsd"), k)
+      assert(solo.getAs[Double]("kl_cur_ref") == jr(k).getAs[Double]("kl_cur_ref"), k)
+      assert(solo.getAs[Double]("kl_ref_cur") == jr(k).getAs[Double]("kl_ref_cur"), k)
+    }
+    assert(jr("k2").getAs[Double]("jsd") == 0.0, "identical sides: zero divergence")
+  }
+
   test("StatTests null policy: tests run over observed values only") {
     import graft.operators.StatTests
     val withNulls = Seq[(java.lang.Long, java.lang.Boolean)](
