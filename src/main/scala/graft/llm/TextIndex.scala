@@ -55,15 +55,30 @@ object TextIndex {
     StructField("dl", LongType, nullable = false),
     StructField("bucket", LongType, nullable = false)))
 
+  /** [[postingsSchema]] plus the positions column — read only by
+    * [[probePhrase]], so BM25/QL probes never deserialize the arrays.
+    */
+  private val posSchema = StructType(postingsSchema.fields.toSeq.patch(4, Seq(
+    StructField("pos",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = true)), 0).toArray)
+
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
       .select(col("doc"), size(col("ws")).cast("long").as("dl"), col("ws"))
 
   private def postingsOf(base: DataFrame, nBuckets: Int): DataFrame =
     base
-      .select(col("doc"), col("dl"), explode(col("ws")).as("term"))
+      .select(col("doc"), col("dl"), posexplode(col("ws")).as(Seq("_p", "term")))
       .groupBy(col("doc"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      // POSITIONAL postings (Lucene-class): sorted 1-based token
+      // positions per (doc, term) — ~4 bytes/occurrence on top of the
+      // count, the standard positional-index trade that buys phrase
+      // queries; columnar parquet means count-only probes skip the
+      // array column entirely (they read postingsSchema, not posSchema)
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("_p") + 1)).as("pos"))
       .withColumn("bucket", pmod(GraftFunctions.strhash(col("term")), lit(nBuckets.toLong)))
 
   private def statsOf(base: DataFrame, nBuckets: Int): DataFrame =
@@ -205,7 +220,10 @@ object TextIndex {
     val roots = committedRoots(spark, dir)
     if (roots.size <= 1) return 0
     val stage = graft.state.StagedCompact.stagePath(dir, "postings")
-    roots.map(r => spark.read.schema(postingsSchema).parquet(s"$dir/$r"))
+    // fold with posSchema so the positional column SURVIVES compaction
+    // (a pre-positions root folds in with NULL pos — probePhrase's loud
+    // guard still fires on it, by design)
+    roots.map(r => spark.read.schema(posSchema).parquet(s"$dir/$r"))
       .reduce(_ unionAll _)
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc")) // keep files doc-prunable
@@ -257,6 +275,72 @@ object TextIndex {
         col("score_sum").cast("double").as("score"))
   }
 
+  /** Exact PHRASE search over the positional postings — the
+    * Lucene-class retrieval primitive next to BM25/QL/RM3: a document
+    * matches iff the phrase's terms appear at CONSECUTIVE token
+    * positions in order, and `occurrences` counts the (possibly
+    * overlapping) starts. Returns `(rank, doc, occurrences)`, top-k
+    * by occurrences then doc.
+    *
+    * Algorithm — positional intersection without materializing
+    * per-doc term maps: each phrase slot j contributes its postings'
+    * positions SHIFTED by −j, so a phrase occurrence at start s is
+    * exactly a (doc, s) cell hit by ALL slot offsets; the
+    * countDistinct(offset) = length filter is the adjacency check.
+    * A scrambled phrase shifts onto different starts and matches
+    * nothing (spec-pinned). Duplicate phrase terms are handled by the
+    * slot table (one row per slot, join fans the shared posting out).
+    *
+    * Scale shape: the scan is bucket-pruned to the phrase terms'
+    * buckets exactly like [[probe]] (PlanSpec-pinned), the slot table
+    * is broadcast (≤ phrase length rows), and the explode fans out
+    * ONLY matched postings' occurrences — corpus cost is proportional
+    * to the phrase terms' posting lists, never the index. The
+    * (doc, start) aggregate partial-combines below its exchange.
+    *
+    * Requires a positional index (any root built before positions
+    * shipped fails LOUDLY via the null-pos guard rather than silently
+    * reporting zero matches).
+    */
+  def probePhrase(
+      spark: SparkSession,
+      dir: String,
+      phrase: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val (matched, _) = prunedMatched(spark, dir, phrase.distinct, withPos = true)
+    val slots = phrase.zipWithIndex.map { case (t, j) =>
+      org.apache.spark.sql.Row(t, j) }
+    val slotDf = spark.createDataFrame(
+      java.util.Arrays.asList(slots: _*),
+      StructType(Seq(
+        StructField("term", StringType, nullable = false),
+        StructField("off", org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val posChecked = when(col("pos").isNull,
+      raise_error(lit("probePhrase requires a positional index — " +
+        "this root was built without the pos column; rebuild or compact it"))
+    ).otherwise(col("pos"))
+    matched
+      .join(broadcast(slotDf), Seq("term"))
+      .select(col("doc"), col("off"), explode(posChecked).as("p"))
+      .select(col("doc"), col("off"), (col("p") - col("off")).as("start"))
+      .groupBy(col("doc"), col("start"))
+      .agg(countDistinct(col("off")).as("hits"))
+      .filter(col("hits") === lit(phrase.length.toLong))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("doc"))
+      .limit(k)
+      // rank the ≤k survivors without WindowExec (see Relevance.bm25)
+      .coalesce(1)
+      .sortWithinPartitions(col("occurrences").desc, col("doc"))
+      .select(
+        (monotonically_increasing_id() + 1).cast("long").as("rank"),
+        col("doc"), col("occurrences"))
+  }
+
   /** The shared match-and-score stage: pruned per-root scans unioned
     * once over the given term set, per-term df as a window over the
     * matched postings (the scan runs ONCE and needs no df self-join —
@@ -274,7 +358,8 @@ object TextIndex {
   private def prunedMatched(
       spark: SparkSession,
       dir: String,
-      terms: Seq[String]
+      terms: Seq[String],
+      withPos: Boolean = false
   ): (DataFrame, DataFrame) = {
     val roots = committedRoots(spark, dir)
     val statsAll = roots.map(r => spark.read.parquet(s"$dir/$r/.stats"))
@@ -290,8 +375,9 @@ object TextIndex {
     val buckets = terms
       .map(t => StrHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString(t)) % nBuckets)
       .distinct
+    val readSchema = if (withPos) posSchema else postingsSchema
     val matched = roots
-      .map(r => spark.read.schema(postingsSchema).parquet(s"$dir/$r")
+      .map(r => spark.read.schema(readSchema).parquet(s"$dir/$r")
         .filter(col("bucket").isin(buckets: _*))
         .filter(col("term").isInCollection(terms)))
       .reduce(_ unionAll _)

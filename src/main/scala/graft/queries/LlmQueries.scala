@@ -2162,6 +2162,45 @@ object LlmQueries {
 
   val textIndexSearchSql: String = bm25Sql(TextIndexTerms, 10)
 
+  /** Phrase for the positional-postings probe: "fast scan" occurs
+    * adjacently in ~26 docs at sf0.01 (and 28 at sf0.001) with a
+    * max-occurrence tie-break — small enough to rank, common enough
+    * that both SFs return rows.
+    */
+  val PhraseTerms: Seq[String] = Seq("fast", "scan")
+
+  /** Exact phrase search over the PERSISTED positional index
+    * (TextIndex.probePhrase): postings intersection with the
+    * shift-by-slot adjacency check, bucket-pruned like
+    * q_text_index_search. The oracle recomputes occurrences from the
+    * raw token arrays with a DuckDB list lambda (count of starts s
+    * where every ws[s+j] matches slot j) — the index path must agree
+    * with the direct definition of "phrase occurs at s".
+    */
+  val phraseSearch: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-text-phrase-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 16)
+    graft.llm.TextIndex.probePhrase(s, idx, PhraseTerms, k = 10)
+  }
+
+  val phraseSearchSql: String = {
+    val conds = PhraseTerms.zipWithIndex
+      .map { case (t, j) => s"ws[s + $j] = '$t'" }.mkString(" AND ")
+    val L = PhraseTerms.length
+    s"""WITH pb AS (SELECT doc_id AS doc,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws FROM documents),
+       |pm AS (SELECT doc, CAST(len(list_filter(
+       |    range(1, len(ws) - ${L - 2}), s -> $conds)) AS BIGINT) AS occurrences
+       |  FROM pb)
+       |SELECT rank, doc, occurrences FROM (
+       |  SELECT doc, occurrences,
+       |    row_number() OVER (ORDER BY occurrences DESC, doc) AS rank
+       |  FROM pm WHERE occurrences > 0)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   /** The index health report (TextIndex.describe) over a fresh
     * single-root build: the persisted stats row must equal the corpus
     * scalars recomputed from the documents table — the end-to-end
@@ -5278,6 +5317,7 @@ object LlmQueries {
     "q_nb_eval" -> nbEval,
     "q_nb_eval_holdout" -> nbEvalHoldout,
     "q_text_index_search" -> textIndexSearch,
+    "q_phrase_search" -> phraseSearch,
     "q_text_index_multi" -> textIndexMulti,
     "q_text_index_multi_dist" -> textIndexMultiDist,
     "q_text_index_rm3" -> textIndexRm3,
@@ -5420,6 +5460,7 @@ object LlmQueries {
     "q_nb_eval" -> nbEvalSql,
     "q_nb_eval_holdout" -> nbEvalHoldoutSql,
     "q_text_index_search" -> textIndexSearchSql,
+    "q_phrase_search" -> phraseSearchSql,
     "q_text_index_multi" -> textIndexMultiSql,
     "q_text_index_multi_dist" -> textIndexMultiSql,
     "q_text_index_rm3" -> textIndexRm3Sql,

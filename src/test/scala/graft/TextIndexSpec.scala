@@ -30,6 +30,40 @@ class TextIndexSpec extends SparkSpec {
     assert(probed.collect().map(_.toSeq).toSeq == bm25Rows(docs))
   }
 
+  test("probePhrase: adjacency-exact matches, scrambled phrase misses, bucket-pruned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),     // "a b" at 1 and 4; "b c" at 2
+      (2L, "b a c b a"),     // "a b" never adjacent (b a, not a b)
+      (3L, "a x b"),         // both terms present, NOT adjacent
+      (4L, "a b c"),         // "a b c" the only 3-gram match
+      (5L, "a a a")          // duplicate-term phrase "a a" at 1 and 2
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 8)
+    val ab = TextIndex.probePhrase(spark, idx, Seq("a", "b"), k = 10)
+    val plan = ab.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
+      s"the phrase probe's postings scan must stay bucket-pruned:\n$plan")
+    val abRows = ab.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(abRows == Map(1L -> 2L, 4L -> 1L),
+      s"'a b': doc 1 twice, doc 4 once, doc 2/3 (unordered/gapped) excluded: $abRows")
+    // rank order: occurrences desc, doc asc
+    assert(ab.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // scrambled order must NOT match where the original does
+    val ba = TextIndex.probePhrase(spark, idx, Seq("b", "a"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(ba == Map(2L -> 2L), s"'b a' matches only doc 2's actual adjacencies: $ba")
+    // 3-term chain: every consecutive pair must line up
+    val abc = TextIndex.probePhrase(spark, idx, Seq("a", "b", "c"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(abc == Map(1L -> 1L, 4L -> 1L), s"$abc")
+    // duplicate-term phrase: overlapping occurrences both count
+    val aa = TextIndex.probePhrase(spark, idx, Seq("a", "a"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(aa == Map(5L -> 2L), s"'a a': doc 5 at starts 1 and 2: $aa")
+  }
+
   test("epoch append scores identically to a fresh build over the union") {
     val docs = Tables.documents(spark, dir).localCheckpoint(false)
     val first = docs.filter(col("doc_id") % 2 === 0)
