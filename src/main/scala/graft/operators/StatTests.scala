@@ -164,14 +164,38 @@ object StatTests {
     * contract: a key's value domain must fit a task's scan, never its
     * memory).
     */
-  def ksByKey(df: DataFrame, keyCol: String, valueCol: String, sideA: Column): DataFrame = {
-    val g = df
-      .select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"),
+  def ksByKey(df: DataFrame, keyCol: String, valueCol: String, sideA: Column): DataFrame =
+    ksByKeyScore(keyedSideCounts(df, keyCol, valueCol, sideA))
+
+  /** [[ksByKey]]'s scoring half over an already-aggregated
+    * `(k, v, c_a, c_b)` per-key counts frame — the keyed cell of the
+    * live-monitor matrix: stream the counts
+    * ([[graft.streaming.StreamingFeatures.keyedValueCountsStream]]),
+    * score any Complete-mode snapshot with identical batch math
+    * (streamed-final ≡ batch, StreamingSpec).
+    */
+  def ksByKeyFromCounts(counts: DataFrame): DataFrame =
+    ksByKeyScore(normalizedKeyedCounts(counts))
+
+  /** The shared `(k, v) → side counts` cell build of the per-key
+    * two-sample family (exact mergeable longs — which is why a
+    * streaming Complete snapshot of the same aggregate scores
+    * identically).
+    */
+  private def keyedSideCounts(
+      df: DataFrame, keyCol: String, valueCol: String, sideA: Column): DataFrame =
+    df.select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"),
         sideA.cast("boolean").as("_a"))
       .filter(col("_k").isNotNull && col("_v").isNotNull && col("_a").isNotNull)
       .groupBy(col("_k"), col("_v"))
       .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
         sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+
+  private def normalizedKeyedCounts(counts: DataFrame): DataFrame =
+    counts.select(col("k").as("_k"), col("v").cast("long").as("_v"),
+      col("c_a").cast("long").as("_ca"), col("c_b").cast("long").as("_cb"))
+
+  private def ksByKeyScore(g: DataFrame): DataFrame = {
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_k")).orderBy(col("_v"))
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
@@ -239,14 +263,16 @@ object StatTests {
     * boundary.
     */
   def wassersteinByKey(
-      df: DataFrame, keyCol: String, valueCol: String, sideA: Column): DataFrame = {
-    val g = df
-      .select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"),
-        sideA.cast("boolean").as("_a"))
-      .filter(col("_k").isNotNull && col("_v").isNotNull && col("_a").isNotNull)
-      .groupBy(col("_k"), col("_v"))
-      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
-        sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+      df: DataFrame, keyCol: String, valueCol: String, sideA: Column): DataFrame =
+    wassersteinByKeyScore(keyedSideCounts(df, keyCol, valueCol, sideA))
+
+  /** [[wassersteinByKey]]'s scoring half over `(k, v, c_a, c_b)`
+    * counts — the [[ksByKeyFromCounts]] twin.
+    */
+  def wassersteinByKeyFromCounts(counts: DataFrame): DataFrame =
+    wassersteinByKeyScore(normalizedKeyedCounts(counts))
+
+  private def wassersteinByKeyScore(g: DataFrame): DataFrame = {
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_k")).orderBy(col("_v"))
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
@@ -308,14 +334,23 @@ object StatTests {
     * bite). No driver collect at all: the per-key totals never leave
     * the executors.
     */
-  def psiByKey(df: DataFrame, keyCol: String, binCol: Column, isCur: Column): DataFrame = {
-    val g = df
+  def psiByKey(df: DataFrame, keyCol: String, binCol: Column, isCur: Column): DataFrame =
+    psiByKeyScore(df
       .select(col(keyCol).as("_k"), binCol.cast("long").as("bin"),
         isCur.cast("boolean").as("_c"))
       .filter(col("_k").isNotNull && col("bin").isNotNull && col("_c").isNotNull)
       .groupBy(col("_k"), col("bin"))
       .agg(sum(when(col("_c"), 1L).otherwise(0L)).as("c_cur"),
-        sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref"))
+        sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref")))
+
+  /** [[psiByKey]]'s scoring half over an already-aggregated
+    * `(k, bin, c_cur, c_ref)` per-key counts frame.
+    */
+  def psiByKeyFromCounts(counts: DataFrame): DataFrame =
+    psiByKeyScore(counts.select(col("k").as("_k"), col("bin").cast("long").as("bin"),
+      col("c_cur").cast("long").as("c_cur"), col("c_ref").cast("long").as("c_ref")))
+
+  private def psiByKeyScore(g: DataFrame): DataFrame = {
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
     val p = (col("c_cur") + lit(1L)).cast("double") /
       (sum(col("c_cur")).over(wTot) + count(lit(1)).over(wTot)).cast("double")
@@ -1035,14 +1070,23 @@ object StatTests {
     * the caller's binning — bounded), one (key) reduce. No driver
     * collect at all.
     */
-  def jsdByKey(df: DataFrame, keyCol: String, catCol: String, isCur: Column): DataFrame = {
-    val g = df
+  def jsdByKey(df: DataFrame, keyCol: String, catCol: String, isCur: Column): DataFrame =
+    jsdByKeyScore(df
       .select(col(keyCol).as("_k"), col(catCol).cast("string").as("cat"),
         isCur.cast("boolean").as("_c"))
       .filter(col("_k").isNotNull && col("cat").isNotNull && col("_c").isNotNull)
       .groupBy(col("_k"), col("cat"))
       .agg(sum(when(col("_c"), 1L).otherwise(0L)).as("c_cur"),
-        sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref"))
+        sum(when(!col("_c"), 1L).otherwise(0L)).as("c_ref")))
+
+  /** [[jsdByKey]]'s scoring half over an already-aggregated
+    * `(k, cat, c_cur, c_ref)` per-key counts frame.
+    */
+  def jsdByKeyFromCounts(counts: DataFrame): DataFrame =
+    jsdByKeyScore(counts.select(col("k").as("_k"), col("cat").cast("string").as("cat"),
+      col("c_cur").cast("long").as("c_cur"), col("c_ref").cast("long").as("c_ref")))
+
+  private def jsdByKeyScore(g: DataFrame): DataFrame = {
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
     val p = (col("c_cur") + lit(1L)).cast("double") /
       (sum(col("c_cur")).over(wTot) + count(lit(1)).over(wTot)).cast("double")
@@ -1097,6 +1141,54 @@ object StatTests {
        |  MAX(nref) AS n_ref, CAST(SUM(tpq) AS DOUBLE) AS kl_cur_ref,
        |  CAST(SUM(tqp) AS DOUBLE) AS kl_ref_cur, CAST(SUM(tj) AS DOUBLE) AS jsd
        |FROM jk_x GROUP BY 1 ORDER BY key""".stripMargin
+
+  /** Per-key drift DASHBOARD — the keyed twin of the q_drift_report
+    * capstone: every segment's KS distance, Cliff's delta,
+    * Wasserstein-1, PSI and JSD in ONE row per key, all derived from
+    * ONE `(k, v, c_a, c_b)` per-key value-counts table (PSI/JSD
+    * re-bin it to `floor(v / binWidth)` — exact long re-aggregation,
+    * so the derived bins equal direct binning of the raw rows). Side
+    * A is "current" for the smoothed scores. The counts frame is the
+    * [[graft.streaming.StreamingFeatures.keyedValueCountsStream]]
+    * shape, so a streaming Complete snapshot scores into the same
+    * dashboard as the batch operators (StreamingSpec).
+    *
+    * Scale shape: the four scorers run over the counts/bins tables
+    * (cell-sized, never row-scaled) and join on the key — a
+    * keys-sized exchange; the corpus was touched once, upstream, by
+    * whoever built the counts.
+    */
+  def perKeyDriftFromCounts(counts: DataFrame, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val base = counts.select(col("k"), col("v").cast("long").as("v"),
+        col("c_a").cast("long").as("c_a"), col("c_b").cast("long").as("c_b"))
+      .localCheckpoint(false) // feeds KS, W1, and the re-bin
+    val binned = base
+      .groupBy(col("k"), floor(col("v") / lit(binWidth)).as("bin"))
+      .agg(sum(col("c_a")).as("c_cur"), sum(col("c_b")).as("c_ref"))
+      .localCheckpoint(false) // feeds PSI and JSD
+    ksByKeyFromCounts(base)
+      .select(col("key"), col("n_a"), col("n_b"), col("d"), col("cliffs_delta"))
+      .join(wassersteinByKeyFromCounts(base).select(col("key"), col("w1")), Seq("key"))
+      .join(psiByKeyFromCounts(binned).select(col("key"), col("psi")), Seq("key"))
+      .join(jsdByKeyFromCounts(binned.select(col("k"),
+          col("bin").cast("string").as("cat"), col("c_cur"), col("c_ref")))
+        .select(col("key"), col("jsd")), Seq("key"))
+      .orderBy(col("key"))
+  }
+
+  /** [[perKeyDriftFromCounts]] over raw rows: builds the shared
+    * per-key value-counts cell table (the [[ksByKey]] NULL policy)
+    * and scores the dashboard.
+    */
+  def perKeyDrift(
+      df: DataFrame, keyCol: String, valueCol: String, sideA: Column,
+      binWidth: Long): DataFrame =
+    perKeyDriftFromCounts(
+      keyedSideCounts(df, keyCol, valueCol, sideA)
+        .select(col("_k").as("k"), col("_v").as("v"),
+          col("_ca").as("c_a"), col("_cb").as("c_b")),
+      binWidth)
 
   /** Benford first-digit probabilities `log10(1 + 1/d)`, d = 1..9 —
     * shared double literals (the transcendental-constant convention).

@@ -721,6 +721,42 @@ object ParityQueries {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY metric")
   }
 
+  /** Per-key drift dashboard capstone (StatTests.perKeyDrift): every
+    * event type's KS distance, Cliff's delta, W1, PSI and JSD in one
+    * row — the keyed twin of q_drift_report, derived from ONE
+    * per-(type, cent-value) counts table (PSI/JSD re-bin it at 2000
+    * cents). The oracle joins the four already-proven by-key
+    * generators on the key.
+    */
+  val driftByKey: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"),
+      (col("user_id") % 2 === 0).as("is_a"))
+    graft.operators.StatTests.perKeyDrift(e, "event_type", "value_c", col("is_a"),
+      binWidth = 2000L)
+  }
+
+  val driftByKeySql: String = {
+    val src =
+      """SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v,
+        |  user_id % 2 = 0 AS a FROM events""".stripMargin
+    val srcPsi =
+      """SELECT event_type AS k,
+        |  CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000) AS BIGINT) AS bin,
+        |  user_id % 2 = 0 AS c FROM events""".stripMargin
+    val srcJsd =
+      """SELECT event_type AS k,
+        |  CAST(CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000) AS BIGINT)
+        |    AS VARCHAR) AS cat,
+        |  user_id % 2 = 0 AS c FROM events""".stripMargin
+    s"""SELECT ks.key, ks.n_a, ks.n_b, ks.d, ks.cliffs_delta, w.w1, p.psi, j.jsd
+       |FROM (${graft.operators.StatTests.ksByKeySql(src)}) ks
+       |JOIN (${graft.operators.StatTests.wassersteinByKeySql(src)}) w ON w.key = ks.key
+       |JOIN (${graft.operators.StatTests.psiByKeySql(srcPsi)}) p ON p.key = ks.key
+       |JOIN (${graft.operators.StatTests.jsdByKeySql(srcJsd)}) j ON j.key = ks.key
+       |ORDER BY ks.key""".stripMargin
+  }
+
   /** Gap-based sessionization over the event stream (event_id gap > 40
     * starts a new session), rolled up to per-session stats.
     */
@@ -2196,6 +2232,7 @@ object ParityQueries {
     "q_spearman_trend" -> spearmanTrend,
     "q_corr_matrix" -> corrMatrix,
     "q_drift_report" -> driftReport,
+    "q_drift_by_key" -> driftByKey,
     "q_benford_values" -> benfordValues,
     "q_l_diversity" -> lDiversityQ,
     "q_jsd_eventmix" -> jsdEventMix,
@@ -2284,6 +2321,7 @@ object ParityQueries {
     "q_spearman_trend" -> spearmanTrendSql,
     "q_corr_matrix" -> corrMatrixSql,
     "q_drift_report" -> driftReportSql,
+    "q_drift_by_key" -> driftByKeySql,
     "q_benford_values" -> benfordValuesSql,
     "q_l_diversity" -> lDiversitySql,
     "q_jsd_eventmix" -> jsdEventMixSql,

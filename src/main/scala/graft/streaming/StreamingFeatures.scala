@@ -1082,6 +1082,27 @@ object StreamingFeatures {
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
   }
 
+  /** Live PER-KEY drift monitor — the keyed form of
+    * [[valueCountsStream]] and the seam of the streaming drift
+    * dashboard: per-(key, value) side counts under Complete mode,
+    * exact mergeable longs with keys × distinct-values × 2 longs of
+    * state (callers pre-quantize the value so each key's domain is
+    * bounded). Score any snapshot with
+    * [[graft.operators.StatTests.perKeyDriftFromCounts]] (KS + Cliff's
+    * + W1 + PSI + JSD per key in one dashboard) or any single
+    * `*ByKeyFromCounts` scorer — identical batch math, so
+    * streamed-final ≡ batch per key (StreamingSpec). `sided` needs
+    * `k`, `v` (long) and `is_a` (boolean); NULLs excluded as in batch.
+    */
+  def keyedValueCountsStream(sided: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum, when}
+    sided
+      .filter(col("k").isNotNull && col("v").isNotNull && col("is_a").isNotNull)
+      .groupBy(col("k"), col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
+  }
+
   /** Live mixture monitor — [[psiCountsStream]] for CATEGORICAL
     * slices: per-category (c_cur, c_ref) counts under Complete mode,
     * scoreable any time with

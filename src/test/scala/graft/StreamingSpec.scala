@@ -1034,6 +1034,33 @@ class StreamingSpec extends SparkSpec {
       s"streamed-final JSD/KL must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming per-key drift dashboard: streamed-final equals batch for every key") {
+    // the streaming twin of q_drift_by_key: one keyed counts stream,
+    // one snapshot, five scores per key — across 3 genuine micro-batches
+    val events = Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("event_type").as("k"),
+      org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("v"),
+      (col("user_id") % 2 === 0).as("is_a"))
+    val batch = graft.operators.StatTests.perKeyDrift(
+        events, "k", "v", col("is_a"), binWidth = 2000L)
+      .collect().map(_.toSeq).toSeq
+    val rows = events.collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val slices = new scala.util.Random(29).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    assert(slices.length >= 3)
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = graft.streaming.StreamingFeatures.keyedValueCountsStream(
+        in.toDS().toDF("k", "v", "is_a"))
+      .writeStream.format("memory").queryName("t_kdrift")
+      .outputMode(OutputMode.Complete()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.operators.StatTests.perKeyDriftFromCounts(
+        spark.table("t_kdrift"), binWidth = 2000L)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed-final per-key dashboard must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("streaming transitions: random streams and split points still equal batch") {
     import graft.streaming.StreamingFeatures.TypedEvent
     val types = Array("view", "click", "buy", "err")
