@@ -1470,4 +1470,146 @@ object Graph {
          |ORDER BY l1.node""".stripMargin)
     sb.toString
   }
+
+  /** HyperBall-style harmonic centrality (Boldi & Vigna 2013,
+    * "In-Core Computation of Geometric Centralities with HyperBall"):
+    * `H(v) = Σ_{u≠v} 1/d(u,v)` — the link-quality signal the file
+    * header cites as the Common-Crawl-scale PageRank stand-in, finally
+    * implemented. Exact all-pairs BFS is Θ(V·E); HyperBall instead
+    * keeps ONE mergeable distinct-counting sketch per node for the
+    * ball `B_t(v)` (nodes within t hops) and iterates
+    * `S_t(v) = merge(S_{t−1}(v), S_{t−1}(u) ∀ (v,u) ∈ E)`, so
+    * `H(v) ≈ Σ_t (|B_t| − |B_{t−1}|)/t` truncated at `maxHops` (a
+    * harmonic top-k ranking stabilizes after few hops — distant nodes
+    * contribute 1/t tails). The original uses HyperLogLog; this uses
+    * the repo's bottom-k KMV (same mergeability, same O(k) state,
+    * and — decisive here — an ORDER-STATISTIC estimate that is a pure
+    * function of integer hashes, so the DuckDB oracle replays it
+    * bit-for-bit; node ids are SHORT keys, so hashes square TWICE mod
+    * P per the [[graft.llm.Sketches.joinCardinality]] uniformizer).
+    *
+    * Exactness: sketch contents are exact distinct longs (union +
+    * bottom-k is integer set algebra — shuffle-order-free); the
+    * per-round estimate is `cnt` (exact, below capacity) or
+    * `(k−1)·P / kth` (one division of exact longs), and the harmonic
+    * sum is a FIXED left-to-right chain over maxHops terms — every
+    * double op identically sequenced in [[harmonicCentralitySql]].
+    * With `k > |V|` the sketches never truncate and H is EXACT
+    * (spec-pinned on hand graphs).
+    *
+    * Scale shape, per round: one src-keyed join flowing k longs per
+    * node along edges (the pageRank exchange shape, ×k), a
+    * (node, hv) distinct, and a per-node bottom-k rank — partition
+    * by node, never global. Lazy localCheckpoint caps lineage.
+    * State is nodes × k longs; k trades accuracy (±1/√(k−2)) for
+    * exchange width, exactly the HyperBall economy.
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int,
+      k: Int = 32
+  ): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, s"maxHops must be in 1..8, got $maxHops")
+    require(k >= 2 && k <= 4096, s"k must be in 2..4096, got $k")
+    val p = graft.functions.StrHash.P
+    val e0 = edges.select(col(srcCol).cast("long").as("node"), col(dstCol).cast("long").as("nbr"))
+    val adj = e0.unionAll(e0.select(col("nbr").as("node"), col("node").as("nbr")))
+      .filter(col("node") =!= col("nbr"))
+      .distinct()
+      .localCheckpoint(false)
+    def keyHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = graft.functions.GraftFunctions.strhash(c.cast("string"))
+      val q = pmod(h * h, lit(p))
+      pmod(q * q, lit(p))
+    }
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("hv"))
+    var s = adj.select(col("node")).distinct()
+      .select(col("node"), keyHash(col("node")).as("hv"))
+      .localCheckpoint(false)
+    def estOf(sk: DataFrame, name: String): DataFrame = sk
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("cnt"), max(col("hv")).as("kth"))
+      .select(col("node"),
+        when(col("cnt") < k, col("cnt").cast("double"))
+          .otherwise(lit((k - 1).toLong * p).cast("double") / col("kth").cast("double"))
+          .as(name))
+    var ests = estOf(s, "est0")
+    for (t <- 1 to maxHops) {
+      val fromNbr = adj
+        .join(s.select(col("node").as("nbr"), col("hv")), "nbr")
+        .select(col("node"), col("hv"))
+      s = s.unionAll(fromNbr)
+        .distinct()
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= k)
+        .drop("rk")
+        .localCheckpoint(false)
+      ests = ests.join(estOf(s, s"est$t"), "node")
+    }
+    val harmonic = (1 to maxHops)
+      .map(t => (col(s"est$t") - col(s"est${t - 1}")) / lit(t.toDouble))
+      .reduce(_ + _) // fixed left-to-right chain — the oracle's exact sequence
+    ests.select(col("node"), col(s"est$maxHops").as("reach_est"),
+      harmonic.as("harmonic"))
+      .orderBy(col("node"))
+  }
+
+  /** The [[harmonicCentrality]] oracle generator — unrolled sketch
+    * rounds over any `(src, dst)` edge SQL: per round a UNION
+    * (distinct) merge along edges and a per-node bottom-k rank, the
+    * identical twice-squared hash, estimator, and left-to-right
+    * harmonic chain. `strhashExpr(col)` must render the engine's
+    * strhash over a VARCHAR column (the shared strhashSql helper).
+    */
+  def harmonicCentralitySql(
+      edgesSql: String,
+      maxHops: Int,
+      k: Int,
+      strhashExpr: String => String
+  ): String = {
+    val p = graft.functions.StrHash.P
+    val kP = (k - 1).toLong * p
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH hc_adj AS MATERIALIZED (
+         |  SELECT DISTINCT node, nbr FROM (
+         |    SELECT src AS node, dst AS nbr FROM ($edgesSql)
+         |    UNION ALL SELECT dst, src FROM ($edgesSql)) WHERE node <> nbr),
+         |hc_s0 AS MATERIALIZED (SELECT node, (q * q) % $p AS hv FROM (
+         |  SELECT node, (sh * sh) % $p AS q FROM (
+         |    SELECT node, ${strhashExpr("CAST(node AS VARCHAR)")} AS sh
+         |    FROM (SELECT DISTINCT node FROM hc_adj)))),
+         |hc_e0 AS (SELECT node, CASE WHEN cnt < $k THEN CAST(cnt AS DOUBLE)
+         |    ELSE CAST($kP AS DOUBLE) / CAST(kth AS DOUBLE) END AS est
+         |  FROM (SELECT node, CAST(count(*) AS BIGINT) AS cnt, MAX(hv) AS kth
+         |        FROM hc_s0 GROUP BY 1))""".stripMargin)
+    for (t <- 1 to maxHops) {
+      sb.append(s""",
+         |hc_s$t AS MATERIALIZED (SELECT node, hv FROM (
+         |  SELECT node, hv, row_number() OVER (PARTITION BY node ORDER BY hv) AS rk
+         |  FROM (SELECT node, hv FROM hc_s${t - 1}
+         |        UNION
+         |        SELECT a.node, s.hv FROM hc_adj a JOIN hc_s${t - 1} s ON s.node = a.nbr))
+         |  WHERE rk <= $k),
+         |hc_e$t AS (SELECT node, CASE WHEN cnt < $k THEN CAST(cnt AS DOUBLE)
+         |    ELSE CAST($kP AS DOUBLE) / CAST(kth AS DOUBLE) END AS est
+         |  FROM (SELECT node, CAST(count(*) AS BIGINT) AS cnt, MAX(hv) AS kth
+         |        FROM hc_s$t GROUP BY 1))""".stripMargin)
+    }
+    val chain = (1 to maxHops)
+      .map(t => s"(e$t.est - e${t - 1}.est) / CAST($t AS DOUBLE)")
+      .mkString(" + ")
+    val joinClause = (1 to maxHops)
+      .map(t => s"JOIN hc_e$t e$t ON e$t.node = e0.node").mkString("\n")
+    sb.append(
+      s"""
+         |SELECT e0.node, e$maxHops.est AS reach_est, $chain AS harmonic
+         |FROM hc_e0 e0
+         |$joinClause
+         |ORDER BY e0.node""".stripMargin)
+    sb.toString
+  }
 }

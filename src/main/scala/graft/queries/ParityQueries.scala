@@ -1839,6 +1839,28 @@ object ParityQueries {
   val louvainL2SqlQ: String =
     graft.operators.Graph.louvainTwoLevelSql(copurchaseEdgesSql, itersL1 = 4, itersL2 = 4)
 
+  /** HyperBall harmonic centrality (Graph.harmonicCentrality) over the
+    * co-purchase graph: the Common-Crawl-style link-quality ranking —
+    * 4 sketch-merge rounds, bottom-32 KMV balls with the twice-squared
+    * short-key uniformizer, truncated harmonic sum. The oracle unrolls
+    * the identical sketch rounds (UNION merge + per-node bottom-k
+    * rank) and replays the estimator and the left-to-right chain.
+    */
+  val harmonicQ: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    graft.operators.Graph.harmonicCentrality(e, "src", "dst", maxHops = 4, k = 32)
+  }
+
+  val harmonicSqlQ: String = {
+    val p = graft.llm.TextOps.P
+    def strhashSql(e: String, v: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, length($e)+1), ${v}i -> CAST(ascii(substring($e, CAST(${v}i AS INT), 1)) AS BIGINT))), " +
+        s"(${v}a, ${v}c) -> (${v}a*31 + ${v}c) % $p)"
+    graft.operators.Graph.harmonicCentralitySql(copurchaseEdgesSql, maxHops = 4, k = 32,
+      e => strhashSql(e, "hc"))
+  }
+
   /** Bounded-round k-core ([[Graph.kCore]]) on the same support-floored
     * co-purchase graph as q_graph_cc / q_triangle_count: the 3-core
     * (935 of 1880 nodes at sf0.01, an 11-round peel — rounds=12 covers
@@ -2262,6 +2284,7 @@ object ParityQueries {
     "q_graph_louvain" -> louvainQ,
     "q_graph_louvain_l2" -> louvainL2Q,
     "q_graph_hits" -> hitsQ,
+    "q_harmonic_centrality" -> harmonicQ,
     "q_graph_modularity" -> modularityQ,
     "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
@@ -2355,6 +2378,7 @@ object ParityQueries {
     "q_graph_louvain" -> louvainSqlQ,
     "q_graph_louvain_l2" -> louvainL2SqlQ,
     "q_graph_hits" -> hitsSqlQ,
+    "q_harmonic_centrality" -> harmonicSqlQ,
     "q_graph_modularity" -> modularitySqlQ,
     "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -753,6 +753,32 @@ class OperatorSpec extends SparkSpec {
     w.foreach { case (n, v) => assert(math.abs(v - c(n)) < 1e-2, s"node $n: $v vs ${c(n)}") }
   }
 
+  test("harmonicCentrality: exact with uncapped sketches; maxHops=1 is the degree") {
+    import graft.operators.Graph
+    // path 1-2-3: H(1) = 1 + 1/2 = 1.5, H(2) = 2, H(3) = 1.5
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val hp = Graph.harmonicCentrality(path, "src", "dst", maxHops = 2, k = 32)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(hp(1L) == ((3.0, 1.5)) && hp(2L) == ((3.0, 2.0)) && hp(3L) == ((3.0, 1.5)),
+      s"k > |V| makes the sketch exact: $hp")
+    // two triangles + bridge: hand distances
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val h = Graph.harmonicCentrality(e, "src", "dst", maxHops = 3, k = 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(h(1L) - (2.0 + 0.5 + 2.0 / 3.0)) < 1e-12, s"${h(1L)}")
+    assert(h(3L) == 4.0, "bridge endpoint: 3 at hop 1, 2 at hop 2")
+    assert(h(3L) > h(1L), "the bridge node is the most central")
+    // truncation: maxHops = 1 reduces to the degree
+    val d1 = Graph.harmonicCentrality(e, "src", "dst", maxHops = 1, k = 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(d1 == Map(1L -> 2.0, 2L -> 2.0, 3L -> 3.0, 4L -> 3.0, 5L -> 2.0, 6L -> 2.0))
+    // capped sketches (k = 2): estimates stay finite and positive, and
+    // the full-reach estimate is shared across a connected component
+    val s2 = Graph.harmonicCentrality(e, "src", "dst", maxHops = 3, k = 2).collect()
+    assert(s2.forall(r => r.getDouble(1) > 0 && !r.getDouble(2).isNaN))
+  }
+
   test("louvainMovesWeighted: unit weights ≡ unweighted; self-loops enter degree only") {
     import graft.operators.Graph
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
