@@ -170,21 +170,7 @@ object Funnel {
     require(gracePeriods >= 0, s"gracePeriods must be non-negative, got $gracePeriods")
     val spark = df.sparkSession
     val scale = 1000000000L
-    val k = df.groupBy(col(keyCol).as("k"))
-      .agg(min(periodCol.cast("long")).as("fm"), max(periodCol.cast("long")).as("lm"))
-      .localCheckpoint(false) // feeds the observation-end aggregate AND the lifetime aggregate
-    val head = k.agg(coalesce(max(col("lm")), lit(0L)), count(lit(1))).collect()(0)
-    val obsEnd = head.getLong(0)
-    val total = head.getLong(1)
-    require(total > 0, "kaplanMeier requires at least one key")
-    val dur = k.groupBy((col("lm") - col("fm")).as("t"))
-      .agg(count(lit(1)).as("a"),
-        sum(when(col("lm") < lit(obsEnd - gracePeriods), 1L).otherwise(0L)).as("ev"))
-      .limit(4097)
-      .collect()
-    require(dur.length <= 4096,
-      s"kaplanMeier lifetime table exceeds 4096 distinct lifetimes — periods too fine-grained")
-    val byT = dur.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (byT, total) = lifetimeTable(df, keyCol, periodCol, gracePeriods, "kaplanMeier")
     val maxT = byT.keys.max
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var n = total
@@ -205,6 +191,116 @@ object Funnel {
     spark.createDataFrame(
       java.util.Arrays.asList(out.toSeq: _*), schema)
   }
+
+  /** The shared censoring-aware lifetime table of the survival
+    * family: one per-key min/max aggregate, one lifetime-level
+    * aggregate (`t → (arrivals, churn events)`), bounded by the loud
+    * 4096 contract. Returns the map plus the key total.
+    */
+  private def lifetimeTable(
+      df: DataFrame,
+      keyCol: String,
+      periodCol: Column,
+      gracePeriods: Long,
+      opName: String
+  ): (Map[Long, (Long, Long)], Long) = {
+    val k = df.groupBy(col(keyCol).as("k"))
+      .agg(min(periodCol.cast("long")).as("fm"), max(periodCol.cast("long")).as("lm"))
+      .localCheckpoint(false) // feeds the observation-end aggregate AND the lifetime aggregate
+    val head = k.agg(coalesce(max(col("lm")), lit(0L)), count(lit(1))).collect()(0)
+    val obsEnd = head.getLong(0)
+    val total = head.getLong(1)
+    require(total > 0, s"$opName requires at least one key")
+    val dur = k.groupBy((col("lm") - col("fm")).as("t"))
+      .agg(count(lit(1)).as("a"),
+        sum(when(col("lm") < lit(obsEnd - gracePeriods), 1L).otherwise(0L)).as("ev"))
+      .limit(4097)
+      .collect()
+    require(dur.length <= 4096,
+      s"$opName lifetime table exceeds 4096 distinct lifetimes — periods too fine-grained")
+    (dur.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap, total)
+  }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) — the
+    * [[kaplanMeier]] sibling every survival toolkit ships in pairs:
+    * `H(t) = Σ_{t'≤t} d_{t'}/n_{t'}`, the cumulative churn FORCE.
+    * Where KM answers "what fraction survives to t", NA answers "how
+    * much hazard has accumulated by t" — additive, so hazard curves
+    * difference cleanly between cohorts, and near-singular risk sets
+    * degrade more gracefully than KM's product. Same censoring rule
+    * and lifetime table as [[kaplanMeier]]; returns one row per
+    * period `(t, n_risk, churned, cum_hazard)`.
+    *
+    * Cross-engine FP discipline — STRONGER than KM's: each increment
+    * `floor(1e9·d/n + 0.5)` is one division of exact longs and the
+    * cumulative is an EXACT long sum (no feedback through the
+    * quantizer at all — a sum of independently quantized terms,
+    * unlike KM's product fold), so [[nelsonAalenSql]] needs no
+    * recursion: a dense period spine + window cumsum replays it.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — the corpus-scale
+    * work is the two aggregates behind the shared lifetime table; the
+    * curve itself is control-plane-sized (loud 4096 require).
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      keyCol: String,
+      periodCol: Column,
+      gracePeriods: Long
+  ): DataFrame = {
+    require(gracePeriods >= 0, s"gracePeriods must be non-negative, got $gracePeriods")
+    val spark = df.sparkSession
+    val (byT, total) = lifetimeTable(df, keyCol, periodCol, gracePeriods, "nelsonAalen")
+    val maxT = byT.keys.max
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var n = total
+    var h = 0L
+    var t = 0L
+    while (t <= maxT) {
+      val (a, d) = byT.getOrElse(t, (0L, 0L))
+      h += math.floor(1.0e9 * d.toDouble / n.toDouble + 0.5).toLong
+      out += Row(t, n, d, h.toDouble / 1.0e9)
+      n -= a
+      t += 1
+    }
+    val schema = StructType(Seq(
+      StructField("t", LongType, nullable = false),
+      StructField("n_risk", LongType, nullable = false),
+      StructField("churned", LongType, nullable = false),
+      StructField("cum_hazard", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.toSeq: _*), schema)
+  }
+
+  /** The [[nelsonAalen]] oracle: `srcSql` yields `(k, m)` rows as
+    * [[kaplanMeierSql]] — but NO recursion: n_risk is the key total
+    * minus the prior arrivals' window sum over a dense generated
+    * period spine, and the hazard is a window cumsum of the
+    * independently quantized increments.
+    */
+  def nelsonAalenSql(srcSql: String, gracePeriods: Long): String =
+    s"""WITH na_k AS MATERIALIZED (SELECT k, min(m) AS fm, max(m) AS lm FROM ($srcSql) GROUP BY 1),
+       |na_e AS (SELECT MAX(lm) AS e, CAST(count(*) AS BIGINT) AS n FROM na_k),
+       |na_d AS MATERIALIZED (SELECT lm - fm AS t, CAST(count(*) AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN lm < (SELECT e FROM na_e) - $gracePeriods
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ev
+       |  FROM na_k GROUP BY 1),
+       |na_s AS (SELECT CAST(unnest(range(0,
+       |    (SELECT CAST(MAX(t) AS BIGINT) FROM na_d) + 1)) AS BIGINT) AS t),
+       |na_j AS (SELECT s.t, COALESCE(d.a, 0) AS a, COALESCE(d.ev, 0) AS ev
+       |  FROM na_s s LEFT JOIN na_d d ON d.t = s.t),
+       |na_r AS (SELECT t, ev,
+       |    (SELECT n FROM na_e) - COALESCE(CAST(SUM(a) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk,
+       |    a FROM na_j),
+       |na_h AS (SELECT t, n_risk, ev,
+       |    CAST(floor(1e9 * CAST(ev AS DOUBLE) / CAST(n_risk AS DOUBLE) + 0.5) AS BIGINT)
+       |      AS inc FROM na_r)
+       |SELECT t, n_risk, ev AS churned,
+       |  CAST(CAST(SUM(inc) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+       |    / 1000000000.0 AS cum_hazard
+       |FROM na_h ORDER BY t""".stripMargin
 
   /** The [[kaplanMeier]] oracle: `srcSql` must yield `(k, m)` rows
     * (key, integer period); the recursive CTE advances the fold one

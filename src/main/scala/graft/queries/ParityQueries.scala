@@ -1181,6 +1181,27 @@ object ParityQueries {
         |FROM orders""".stripMargin,
       gracePeriods = 2L)
 
+  /** Nelson–Aalen cumulative churn hazard (Funnel.nelsonAalen): the
+    * KM sibling over the same customer lifetimes — additive hazard
+    * force instead of multiplicative survival. Increments quantize
+    * independently (floor(1e9·d/n + .5)) and the cumulative is an
+    * exact long sum, so the oracle is a dense-spine window cumsum —
+    * no recursion.
+    */
+  val churnHazard: Q = (s, dir) =>
+    Funnel.nelsonAalen(
+      Tables.orders(s, dir),
+      "o_custkey",
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long"),
+      gracePeriods = 2L)
+
+  val churnHazardSql: String =
+    Funnel.nelsonAalenSql(
+      """SELECT o_custkey AS k,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+        |FROM orders""".stripMargin,
+      gracePeriods = 2L)
+
   /** Cohort retention matrix (Funnel.cohortRetention): users cohorted
     * by first-activity period (event_id floor-div 1000), each
     * (cohort, offset) cell the count and rate of that cohort active
@@ -2238,6 +2259,7 @@ object ParityQueries {
     "q_event_funnel" -> eventFunnel,
     "q_cohort_retention" -> cohortRetention,
     "q_churn_survival" -> churnSurvival,
+    "q_churn_hazard" -> churnHazard,
     "q_event_transitions" -> eventTransitions,
     "q_quantile_bins" -> quantileBinsQ,
     "q_group_quantile_bins" -> groupQuantileBinsQ,
@@ -2328,6 +2350,7 @@ object ParityQueries {
     "q_event_funnel" -> eventFunnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_churn_survival" -> churnSurvivalSql,
+    "q_churn_hazard" -> churnHazardSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_quantile_bins" -> quantileBinsSql,
     "q_group_quantile_bins" -> groupQuantileBinsSql,

@@ -691,6 +691,32 @@ class OperatorSpec extends SparkSpec {
     assert(r.values.map(_._2).sum == 4L) // A,C,D,F churned; B,E never
   }
 
+  test("nelsonAalen: hand-folded cumulative hazard; censored keys leave risk set silently") {
+    import graft.operators.Funnel
+    // obsEnd 10, grace 2 → censored iff last >= 8. Lifetimes:
+    // A t=3 churn, B t=10 censored, C t=2 churn, D t=0 churn,
+    // E t=3 censored
+    val df = Seq(("a", 0L), ("a", 3L), ("b", 0L), ("b", 10L), ("c", 2L), ("c", 4L),
+      ("d", 5L), ("e", 6L), ("e", 9L)).toDF("k", "m")
+    val r = Funnel.nelsonAalen(df, "k", col("m"), gracePeriods = 2L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r.size == 11)
+    assert(r(0L) == ((5L, 1L, 0.2)), "D churns at t=0 out of 5 at risk")
+    assert(r(1L) == ((4L, 0L, 0.2)), "hazard is flat through event-free periods")
+    assert(r(2L) == ((4L, 1L, 0.45)), "0.2 + 1/4")
+    assert(r(3L) == ((3L, 1L, 0.783333333)),
+      "A churns, E censors at t=3: one death out of 3, E leaves silently")
+    assert(r(4L) == ((1L, 0L, 0.783333333)))
+    assert(r(10L) == ((1L, 0L, 0.783333333)), "B's censored tail adds no hazard")
+    // hazard is additive and non-decreasing, and agrees with KM's
+    // death/risk schedule (same lifetime table underneath)
+    val km = Funnel.kaplanMeier(df, "k", col("m"), gracePeriods = 2L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(km.keySet == r.keySet &&
+      km.forall { case (t, (n, d)) => (r(t)._1, r(t)._2) == ((n, d)) })
+  }
+
   test("louvainMoves: recovers the planted two-triangle partition; parity breaks swaps") {
     import graft.operators.Graph
     // two triangles joined by a bridge (3-4): the planted partition is
