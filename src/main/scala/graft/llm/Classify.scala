@@ -237,6 +237,122 @@ object Classify {
           col("n_pos").cast("double") / col("n").cast("double")).as("abs_gap"))
   }
 
+  /** Isotonic calibration (pool-adjacent-violators; Zadrozny & Elkan
+    * 2002, "Transforming classifier scores into accurate multiclass
+    * probability estimates") over the [[calibrationBins]] binning —
+    * the standard upgrade from histogram binning: fit the monotone
+    * nondecreasing probability curve closest (L2) to the per-bin
+    * positive rates, so a classifier whose raw rates zigzag still
+    * calibrates to a proper nondecreasing mapping. One row per
+    * OBSERVED bin: `(bin, n, n_pos, rate_raw, rate_iso)`.
+    *
+    * Exactness — PAV via the MINIMAX identity, not the stack fold:
+    * `p̂_i = max_{j≤i} min_{l≥i} (K_l − K_{j−1})/(N_l − N_{j−1})`
+    * (Robertson/Wright/Dykstra 1988, Thm 1.4.4). Every candidate
+    * ratio is ONE IEEE division of exact long prefix sums, and the
+    * min/max lattice over those doubles is order-free — so the
+    * driver-side scan and [[isotonicCalibrationSql]]'s join replay
+    * produce bit-identical curves by construction (a stack PAV's
+    * merge decisions could tie-break differently under rounding; the
+    * minimax form has no decisions, only complete lattices).
+    *
+    * Scale shape: the corpus-scale work is ONE binned aggregate
+    * (map-side combined); the curve fits on the driver over the
+    * ≤`bins` bin table — O(B²) suffix-min scans, control-plane by
+    * the same contract as [[agreementKappa]]'s contingency collect —
+    * and re-enters as an explicit-schema local relation (the
+    * Bpe.learnMerges console-safe convention).
+    */
+  def isotonicCalibration(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(bins >= 1 && bins <= 1000, s"bins must be in 1..1000, got $bins")
+    val spark = scored.sparkSession
+    val s = col(scoreCol).cast("double")
+    val binCol = least(floor(s * lit(bins.toDouble)), lit((bins - 1).toLong))
+    val stats = scored
+      .select(binCol.as("bin"), col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      .orderBy(col("bin"))
+      .collect()
+    require(stats.nonEmpty, "isotonicCalibration needs a non-empty frame")
+    val b = stats.length
+    val bn = stats.map(_.getLong(1))
+    val bk = stats.map(_.getLong(2))
+    val prefN = bn.scanLeft(0L)(_ + _) // prefN(i) = Σ n before index i
+    val prefK = bk.scanLeft(0L)(_ + _)
+    def ratio(j: Int, l: Int): Double =
+      (prefK(l + 1) - prefK(j)).toDouble / (prefN(l + 1) - prefN(j)).toDouble
+    // minTo(j)(i) = min over l ≥ i of ratio(j, l), by suffix scan
+    val minTo = Array.tabulate(b) { j =>
+      val m = new Array[Double](b)
+      var acc = Double.MaxValue
+      var l = b - 1
+      while (l >= j) {
+        val r = ratio(j, l)
+        acc = if (r < acc) r else acc
+        m(l) = acc
+        l -= 1
+      }
+      m
+    }
+    val fit = Array.tabulate(b) { i =>
+      var best = Double.MinValue
+      var j = 0
+      while (j <= i) {
+        val m = minTo(j)(i)
+        best = if (m > best) m else best
+        j += 1
+      }
+      best
+    }
+    val out = stats.indices.map { i =>
+      Row(stats(i).getLong(0), bn(i), bk(i),
+        bk(i).toDouble / bn(i).toDouble, fit(i))
+    }
+    val schema = StructType(Seq(
+      StructField("bin", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("n_pos", LongType, nullable = false),
+      StructField("rate_raw", DoubleType, nullable = false),
+      StructField("rate_iso", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
+  /** The [[isotonicCalibration]] oracle generator: `scoredSql` must
+    * yield `(label, score)`; the minimax lattice replays as two
+    * grouped reductions over the (j ≤ i ≤ l) triple join of the bin
+    * table with its own pair-ratio table — identical IEEE divisions,
+    * identical min/max sets.
+    */
+  def isotonicCalibrationSql(scoredSql: String, bins: Int): String =
+    s"""WITH iso_g AS MATERIALIZED (
+       |  SELECT LEAST(CAST(FLOOR(score * ${bins.toDouble}) AS BIGINT),
+       |      ${(bins - 1).toLong}) AS bin,
+       |    CAST(label AS BIGINT) AS y FROM ($scoredSql)),
+       |iso_a AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS k,
+       |    CAST(SUM(count(*)) OVER (ORDER BY bin) AS BIGINT) AS nc,
+       |    CAST(SUM(sum(y)) OVER (ORDER BY bin) AS BIGINT) AS kc
+       |  FROM iso_g GROUP BY 1),
+       |iso_r AS (SELECT a.bin AS j, b.bin AS l,
+       |    CAST(b.kc - (a.kc - a.k) AS DOUBLE)
+       |      / CAST(b.nc - (a.nc - a.n) AS DOUBLE) AS r
+       |  FROM iso_a a JOIN iso_a b ON b.bin >= a.bin),
+       |iso_m AS (SELECT i.bin AS i, r.j, MIN(r.r) AS mr
+       |  FROM iso_a i JOIN iso_r r ON r.j <= i.bin AND r.l >= i.bin
+       |  GROUP BY 1, 2),
+       |iso_p AS (SELECT i, MAX(mr) AS rate_iso FROM iso_m GROUP BY 1)
+       |SELECT a.bin, a.n, a.k AS n_pos,
+       |  CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE) AS rate_raw, p.rate_iso
+       |FROM iso_a a JOIN iso_p p ON p.i = a.bin ORDER BY a.bin""".stripMargin
+
   /** Cohen's kappa (Cohen 1960) between two label columns over the
     * same rows — chance-corrected agreement, the standard
     * label-quality gate for human/judge annotations and for

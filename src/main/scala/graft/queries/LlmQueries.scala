@@ -1445,6 +1445,33 @@ object LlmQueries {
     Classify.calibrationBins(held, "label", "score", bins = 8).orderBy("bin")
   }
 
+  /** Isotonic calibration (Classify.isotonicCalibration) of the same
+    * held-out LR scores: the PAV-fitted monotone probability curve
+    * over the 8 reliability bins — where q_quality_lr_calibration
+    * reports the raw (possibly zigzag) per-bin rates, this fits the
+    * nondecreasing mapping a deployed calibrator would use. Minimax
+    * form so the oracle's join-lattice replay is bit-identical.
+    */
+  val qualityLrIsotonic: Q = (s, dir) => {
+    val fc = Seq("_x0", "_x1", "_x2")
+    val feats = TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc"),
+        (col("quality_score") >= 0.405).cast("double").as("_y"),
+        ((col("stopword_ratio") - lit(0.06)) * lit(10.0)).as("_x0"),
+        ((least(col("avg_word_len") / lit(10.0), lit(1.0)) - lit(0.45)) * lit(10.0)).as("_x1"),
+        ((col("alpha_ratio") - lit(0.82)) * lit(10.0)).as("_x2"))
+      .localCheckpoint(false)
+    val wu = Classify.logisticTrain(
+      feats.filter(col("doc") % 5 =!= 0), "_y", fc, iters = 40, lr = 4.0)
+    val held = Classify.logisticScore(feats.filter(col("doc") % 5 === 0), "doc", fc, wu)
+      .join(feats.select(col("doc"), col("_y").cast("long").as("label")), "doc")
+    Classify.isotonicCalibration(held, "label", "score", bins = 8).orderBy("bin")
+  }
+
+  val qualityLrIsotonicSql: String =
+    Classify.isotonicCalibrationSql(
+      s"SELECT label, score FROM ($lrHoldoutInnerSql) WHERE doc % 5 = 0", bins = 8)
+
   /** ROC-AUC (Classify.auc) of the HELD-OUT fifth under the
     * holdout-trained LR — the threshold-free companion to the
     * calibration bins, ranked on the INTEGER margin (monotone with
@@ -5240,6 +5267,7 @@ object LlmQueries {
     "q_quality_lr" -> qualityLr,
     "q_quality_lr_holdout" -> qualityLrHoldout,
     "q_quality_lr_calibration" -> qualityLrCalibration,
+    "q_quality_lr_isotonic" -> qualityLrIsotonic,
     "q_quality_lr_auc" -> qualityLrAuc,
     "q_quality_kappa" -> qualityKappa,
     "q_quality_rules" -> qualityRules,
@@ -5383,6 +5411,7 @@ object LlmQueries {
     "q_quality_lr" -> qualityLrSql,
     "q_quality_lr_holdout" -> qualityLrHoldoutSql,
     "q_quality_lr_calibration" -> qualityLrCalibrationSql,
+    "q_quality_lr_isotonic" -> qualityLrIsotonicSql,
     "q_quality_lr_auc" -> qualityLrAucSql,
     "q_quality_kappa" -> qualityKappaSql,
     "q_quality_rules" -> qualityRulesSql,

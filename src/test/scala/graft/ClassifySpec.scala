@@ -185,6 +185,37 @@ class ClassifySpec extends SparkSpec {
     assert(ece > 0.0 && ece < 1.0)
   }
 
+  test("isotonicCalibration: PAV pools violators, keeps monotone runs, minimax hand values") {
+    import spark.implicits._
+    // bins of 5 each with rates 0.6, 0.2, 0.4 → PAV pools all three
+    // to 6/15 = 0.4 (merging 0.6 with 0.2 gives 0.4, tied with bin 2)
+    def mk(rates: Seq[(Double, Int, Int)]) = rates.zipWithIndex.flatMap {
+      case ((binLow, pos, n), _) =>
+        (1 to pos).map(_ => (binLow + 0.01, 1)) ++
+          (1 to (n - pos)).map(_ => (binLow + 0.01, 0))
+    }.toDF("score", "y")
+    val zig = mk(Seq((0.0, 3, 5), (0.25, 1, 5), (0.5, 2, 5)))
+    val fit = Classify.isotonicCalibration(zig, "y", "score", bins = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(fit(0L) == ((0.6, 0.4)) && fit(1L) == ((0.2, 0.4)) && fit(2L) == ((0.4, 0.4)),
+      s"zigzag pools to the global 6/15: $fit")
+    // already-monotone rates are a fixed point
+    val mono = mk(Seq((0.0, 1, 5), (0.25, 2, 5), (0.5, 4, 5)))
+    val mfit = Classify.isotonicCalibration(mono, "y", "score", bins = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(mfit.values.forall { case (raw, iso) => raw == iso },
+      s"monotone input must pass through unchanged: $mfit")
+    // single violating pair pools to the weighted mean
+    val pair = mk(Seq((0.0, 3, 5), (0.25, 2, 5)))
+    val pfit = Classify.isotonicCalibration(pair, "y", "score", bins = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(pfit(0L) == 0.5 && pfit(1L) == 0.5, s"$pfit")
+    // fitted curve is always nondecreasing in the bin order
+    val curve = Classify.isotonicCalibration(zig.unionAll(mono), "y", "score", bins = 4)
+      .orderBy("bin").collect().map(_.getDouble(4))
+    assert(curve.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)), curve.mkString(","))
+  }
+
   test("auc: hand ranks with ties, perfect and reversed separation, degenerate NULL") {
     import spark.implicits._
     // pos scores {3, 2, 2}, neg {2, 1}: pairwise 4 wins + 2 half-credit
