@@ -309,6 +309,134 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val undirGen: Gen[List[(Long, Long)]] = for {
+    nNodes <- Gen.choose(3, 8)
+    nEdges <- Gen.choose(2, 14)
+    edges <- Gen.listOfN(nEdges, for {
+      s <- Gen.choose(0, nNodes - 1)
+      d <- Gen.choose(0, nNodes - 1)
+    } yield (s.toLong, d.toLong))
+  } yield {
+    val clean = edges.filter(e => e._1 != e._2)
+    if (clean.nonEmpty) clean else List((0L, 1L))
+  }
+
+  test("property: harmonicCentrality with uncapped sketches == driver BFS reference") {
+    forAll2(undirGen, Gen.choose(1, 4), cases = 5) { (edges, hops) =>
+      val adj = (edges ++ edges.map(_.swap)).distinct
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      val nodes = adj.keySet
+      // reference replays the operator's op sequence: ball counts per
+      // hop, then the fixed left-to-right (c_t − c_{t−1})/t chain
+      def ballSizes(v: Long): Seq[Long] = {
+        var ball = Set(v)
+        (1 to hops).map { _ =>
+          ball = ball ++ ball.flatMap(adj.getOrElse(_, Set.empty))
+          ball.size.toLong
+        }
+      }
+      val ref = nodes.map { v =>
+        val c = 1L +: ballSizes(v)
+        v -> (1 to hops).map(t => (c(t) - c(t - 1)).toDouble / t.toDouble).reduce(_ + _)
+      }.toMap
+      val got = graft.operators.Graph.harmonicCentrality(
+          edges.toDF("src", "dst"), "src", "dst", maxHops = hops, k = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got == ref, s"edges=$edges hops=$hops: $got vs $ref")
+    }
+  }
+
+  test("property: two-level Louvain never loses modularity vs the move phase") {
+    forAll(undirGen, cases = 5) { edges =>
+      val df = edges.toDF("src", "dst")
+      val l1 = graft.operators.Graph.louvainMoves(df, "src", "dst", iters = 4)
+      val l2 = graft.operators.Graph.louvainTwoLevel(df, "src", "dst", 4, 4)
+      val q1 = graft.operators.Graph.modularity(df, "src", "dst", l1)
+        .collect().head.getAs[Double]("q_total")
+      val q2 = graft.operators.Graph.modularity(df, "src", "dst", l2)
+        .collect().head.getAs[Double]("q_total")
+      assert(q2 >= q1, s"edges=$edges: l2 $q2 < l1 $q1")
+    }
+  }
+
+  test("property: empty-delta pageRankDelta == the straight-run resume identity") {
+    forAll(undirGen, cases = 4) { edges =>
+      val df = edges.toDF("src", "dst")
+      val none = df.limit(0)
+      val init = graft.operators.Graph.pageRank(df, "src", "dst", iters = 3)
+      val viaDelta = graft.operators.Graph.pageRankDelta(
+          df, "src", "dst", none, none, init, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val straight = graft.operators.Graph.pageRank(df, "src", "dst", iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaDelta == straight, s"edges=$edges")
+    }
+  }
+
+  private val binsGen: Gen[List[(Int, Int)]] = for {
+    b <- Gen.choose(1, 7)
+    bins <- Gen.listOfN(b, for {
+      n <- Gen.choose(1, 9)
+      k <- Gen.choose(0, 9)
+    } yield (n, math.min(k, n)))
+  } yield bins
+
+  test("property: isotonic minimax fit == exact-rational stack PAV") {
+    forAll(binsGen, cases = 8) { bins =>
+      val b = bins.length
+      val rows = bins.zipWithIndex.flatMap { case ((n, k), i) =>
+        val score = (i + 0.5) / 8.0 // lands in bin i of 8
+        (1 to k).map(_ => (score, 1)) ++ (1 to (n - k)).map(_ => (score, 0))
+      }
+      val got = graft.llm.Classify.isotonicCalibration(
+          rows.toDF("score", "y"), "y", "score", bins = 8)
+        .orderBy("bin").collect().map(_.getDouble(4)).toSeq
+      // reference: classic stack PAV with exact rational comparisons
+      case class Pool(var k: Long, var n: Long)
+      val st = scala.collection.mutable.ArrayBuffer.empty[Pool]
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      bins.foreach { case (n, k) =>
+        st += Pool(k.toLong, n.toLong); sizes += 1
+        while (st.length >= 2 &&
+            st(st.length - 2).k * st.last.n >= st.last.k * st(st.length - 2).n) {
+          val t = st.remove(st.length - 1); val ts = sizes.remove(sizes.length - 1)
+          st.last.k += t.k; st.last.n += t.n; sizes(sizes.length - 1) += ts
+        }
+      }
+      val ref = st.zip(sizes).flatMap { case (p, c) =>
+        Seq.fill(c)(p.k.toDouble / p.n.toDouble) }.toSeq
+      assert(got == ref, s"bins=$bins: $got vs $ref")
+      assert(got.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("property: nelsonAalen == driver hazard fold from per-key lifetimes") {
+    forAll(streamGen) { rows =>
+      if (rows.nonEmpty) {
+        // periods from ord/7 so keys span several periods with ties
+        val obs = rows.map { case (k, o, _) => (k, o / 7) }
+        val got = graft.operators.Funnel.nelsonAalen(
+            obs.toDF("k", "m"), "k", col("m"), gracePeriods = 1L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val byK = obs.groupBy(_._1).toSeq.map { case (_, os) =>
+          (os.map(_._2).min, os.map(_._2).max) }
+        val obsEnd = byK.map(_._2).max
+        val lifet = byK.groupBy { case (fm, lm) => lm - fm }.map { case (t, ks) =>
+          t -> (ks.size.toLong, ks.count(_._2 < obsEnd - 1).toLong) }
+        var n = byK.size.toLong
+        var h = 0L
+        val ref = (0L to lifet.keys.max).map { t =>
+          val (a, d) = lifet.getOrElse(t, (0L, 0L))
+          h += math.floor(1.0e9 * d.toDouble / n.toDouble + 0.5).toLong
+          val row = (t, n, d, h.toDouble / 1.0e9)
+          n -= a
+          row
+        }
+        assert(got.toSeq == ref, s"obs=$obs")
+      }
+    }
+  }
+
   test("property: keepIncreasing output is strictly increasing per key and keeps the max") {
     forAll(streamGen) { rows =>
       if (rows.nonEmpty) {
