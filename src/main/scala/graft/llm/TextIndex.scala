@@ -341,6 +341,76 @@ object TextIndex {
         col("doc"), col("occurrences"))
   }
 
+  /** Batch phrase probe — [[probeAll]]'s economy for [[probePhrase]]:
+    * ONE pruned scan over the union of every phrase's term buckets,
+    * amortized across the batch; each query's slot table (qid, term,
+    * offset, length) broadcasts, the shift-by-slot adjacency check
+    * runs per (qid, doc, start), and the per-qid top-k tail is
+    * [[probeAll]]'s bounded-heap. Result contract: for every qid the
+    * (rank, doc, occurrences) rows equal
+    * `probePhrase(spark, dir, phraseOf(qid), k)` exactly
+    * (TextIndexSpec pins it). Control-plane bound enforced like
+    * [[probeAll]] — `maxQueries + 1` fetched, loud failure past it.
+    */
+  def probePhraseAll(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      qidCol: String,
+      phraseCol: String,
+      k: Int,
+      maxQueries: Int = 4096
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
+    val collected = queries
+      .select(col(qidCol).cast("long").as("qid"), col(phraseCol).as("ph"))
+      .limit(maxQueries + 1)
+      .collect()
+    require(collected.length <= maxQueries,
+      s"probePhraseAll is a control-plane serving batch: got more than $maxQueries " +
+        "queries (maxQueries) — split the workload or raise the bound deliberately")
+    require(collected.nonEmpty, "queries frame must be non-empty")
+    val slots = collected.flatMap { r =>
+      val qid = r.getLong(0)
+      val ph = r.getSeq[String](1)
+      require(ph != null && ph.nonEmpty, s"query $qid has an empty phrase")
+      ph.zipWithIndex.map { case (t, j) =>
+        org.apache.spark.sql.Row(qid, t, j, ph.length.toLong) }
+    }
+    val slotDf = spark.createDataFrame(
+      java.util.Arrays.asList(slots.toSeq: _*),
+      StructType(Seq(
+        StructField("qid", LongType, nullable = false),
+        StructField("term", StringType, nullable = false),
+        StructField("off", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("plen", LongType, nullable = false))))
+    val allTerms = collected.flatMap(_.getSeq[String](1)).distinct.toSeq
+    val (matched, _) = prunedMatched(spark, dir, allTerms, withPos = true)
+    val posChecked = when(col("pos").isNull,
+      raise_error(lit("probePhraseAll requires a positional index — " +
+        "this root was built without the pos column; rebuild or compact it"))
+    ).otherwise(col("pos"))
+    val perQuery = matched
+      .join(broadcast(slotDf), Seq("term"))
+      .select(col("qid"), col("doc"), col("off"), col("plen"),
+        explode(posChecked).as("p"))
+      .select(col("qid"), col("doc"), col("plen"), col("off"),
+        (col("p") - col("off")).as("start"))
+      .groupBy(col("qid"), col("doc"), col("plen"), col("start"))
+      .agg(countDistinct(col("off")).as("hits"))
+      .filter(col("hits") === col("plen"))
+      .groupBy(col("qid"), col("doc"))
+      .agg(count(lit(1)).as("occurrences"))
+    val top = graft.plans.TopKPerKey(spark, perQuery,
+      keys = Seq("qid"), order = Seq(("occurrences", true), ("doc", false)), k = k)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("occurrences").desc, col("doc"))).cast("long"))
+      .select(col("qid"), col("rank"), col("doc"), col("occurrences"))
+  }
+
   /** The shared match-and-score stage: pruned per-root scans unioned
     * once over the given term set, per-term df as a window over the
     * matched postings (the scan runs ONCE and needs no df self-join —

@@ -2228,6 +2228,54 @@ object LlmQueries {
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
   }
 
+  /** Batch phrase search (TextIndex.probePhraseAll): three phrases —
+    * two bigrams and a degenerate single-term phrase (occurrences =
+    * tf) — amortized over ONE pruned scan of the union of their term
+    * buckets; per-qid rankings must equal the single-phrase probe
+    * (spec-pinned), and the oracle unions the per-phrase list-lambda
+    * recounts under their qids.
+    */
+  val PhraseBatch: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("fast", "scan"), 2L -> Seq("slow", "filter"), 3L -> Seq("spark"))
+
+  val phraseSearchMulti: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-text-phrase-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 16)
+    val qRows = PhraseBatch.map { case (q, ph) => org.apache.spark.sql.Row(q, ph) }
+    val queries = s.createDataFrame(
+      java.util.Arrays.asList(qRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ph",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false),
+          nullable = false))))
+    graft.llm.TextIndex.probePhraseAll(s, idx, queries, "qid", "ph", k = 10)
+      .orderBy("qid", "rank")
+  }
+
+  val phraseSearchMultiSql: String = {
+    def one(qid: Long, ph: Seq[String]): String = {
+      val conds = ph.zipWithIndex
+        .map { case (t, j) => s"ws[s + $j] = '$t'" }.mkString(" AND ")
+      val L = ph.length
+      s"""SELECT qid, rank, doc, occurrences FROM (
+         |  SELECT CAST($qid AS BIGINT) AS qid, doc, occurrences,
+         |    row_number() OVER (ORDER BY occurrences DESC, doc) AS rank
+         |  FROM (SELECT doc, CAST(len(list_filter(
+         |      range(1, len(ws) - ${L - 2}), s -> $conds)) AS BIGINT) AS occurrences
+         |    FROM pmb) WHERE occurrences > 0)
+         |WHERE rank <= 10""".stripMargin
+    }
+    s"""WITH pmb AS MATERIALIZED (SELECT doc_id AS doc,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws FROM documents)
+       |${PhraseBatch.map { case (q, ph) => one(q, ph) }.mkString("\nUNION ALL\n")}
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** The index health report (TextIndex.describe) over a fresh
     * single-root build: the persisted stats row must equal the corpus
     * scalars recomputed from the documents table — the end-to-end
@@ -5346,6 +5394,7 @@ object LlmQueries {
     "q_nb_eval_holdout" -> nbEvalHoldout,
     "q_text_index_search" -> textIndexSearch,
     "q_phrase_search" -> phraseSearch,
+    "q_phrase_search_multi" -> phraseSearchMulti,
     "q_text_index_multi" -> textIndexMulti,
     "q_text_index_multi_dist" -> textIndexMultiDist,
     "q_text_index_rm3" -> textIndexRm3,
@@ -5490,6 +5539,7 @@ object LlmQueries {
     "q_nb_eval_holdout" -> nbEvalHoldoutSql,
     "q_text_index_search" -> textIndexSearchSql,
     "q_phrase_search" -> phraseSearchSql,
+    "q_phrase_search_multi" -> phraseSearchMultiSql,
     "q_text_index_multi" -> textIndexMultiSql,
     "q_text_index_multi_dist" -> textIndexMultiSql,
     "q_text_index_rm3" -> textIndexRm3Sql,

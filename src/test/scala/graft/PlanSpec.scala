@@ -407,6 +407,22 @@ class PlanSpec extends SparkSpec {
       s"the bin aggregate must sit behind the checkpoint barrier:\n$ps")
     assert(!ps.contains("Scan parquet") && !ps.contains("BroadcastNestedLoopJoin"),
       s"PSI totals must not replan the scan:\n$ps")
+    // per-key chi-square: the dense grid is a DISTRIBUTED equi-join of
+    // the checkpointed row/col total tables — never a nested loop, and
+    // the raw corpus never replans into the returned frame (everything
+    // hangs off the checkpointed cell table)
+    val ck = planOf(graft.operators.StatTests.chiSquareByKey(
+      e, "event_type", "a", "user_id"))
+    assert(!ck.contains("BroadcastNestedLoopJoin") && !ck.contains("CartesianProduct"),
+      s"the per-key dense grid must stay an equi-join:\n$ck")
+    assert(!ck.contains("Scan parquet"),
+      s"chiSquareByKey must compute off the checkpointed cells:\n$ck")
+    // per-key drift dashboard: four scorers over two checkpointed
+    // counts tables, equi-joins only
+    val pd = planOf(graft.operators.StatTests.perKeyDrift(
+      e, "event_type", "v", col("a"), binWidth = 2000L))
+    assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"),
+      s"the dashboard join must stay equi-only:\n$pd")
   }
 
   test("dsirWeights: bucket models broadcast; per-doc sum partial-combines") {

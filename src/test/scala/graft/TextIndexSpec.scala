@@ -64,6 +64,37 @@ class TextIndexSpec extends SparkSpec {
     assert(aa == Map(5L -> 2L), s"'a a': doc 5 at starts 1 and 2: $aa")
   }
 
+  test("probePhraseAll: every qid equals its single-phrase probe; batch bound enforced") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-phrase-all").toString
+    TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 16)
+    val phrases = Seq(1L -> Seq("fast", "scan"), 2L -> Seq("slow", "filter"),
+      3L -> Seq("spark"))
+    val qRows = phrases.map { case (q, ph) => org.apache.spark.sql.Row(q, ph) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ph",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false), nullable = false)))
+    val queries = spark.createDataFrame(java.util.Arrays.asList(qRows: _*), schema)
+    val batch = TextIndex.probePhraseAll(spark, idx, queries, "qid", "ph", k = 5)
+      .collect().groupBy(_.getLong(0))
+    phrases.foreach { case (qid, ph) =>
+      val solo = TextIndex.probePhrase(spark, idx, ph, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val got = batch(qid).sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == solo, s"qid $qid: batch $got vs solo $solo")
+    }
+    // the control-plane bound fails loudly, before any scan
+    val err = intercept[IllegalArgumentException] {
+      TextIndex.probePhraseAll(spark, idx, queries, "qid", "ph", k = 5, maxQueries = 2)
+    }
+    assert(err.getMessage.contains("control-plane"), err.getMessage)
+  }
+
   test("epoch append scores identically to a fresh build over the union") {
     val docs = Tables.documents(spark, dir).localCheckpoint(false)
     val first = docs.filter(col("doc_id") % 2 === 0)
