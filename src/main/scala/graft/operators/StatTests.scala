@@ -597,13 +597,32 @@ object StatTests {
     * row explosion).
     */
   def chiSquareByKey(
-      df: DataFrame, keyCol: String, sliceCol: String, catCol: String): DataFrame = {
-    val cells = df
+      df: DataFrame, keyCol: String, sliceCol: String, catCol: String): DataFrame =
+    chiSquareByKeyScore(df
       .select(col(keyCol).as("_k"),
         col(sliceCol).cast("string").as("_s"), col(catCol).cast("string").as("_c"))
       .filter(col("_k").isNotNull && col("_s").isNotNull && col("_c").isNotNull)
       .groupBy(col("_k"), col("_s"), col("_c"))
-      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("_n")))
+
+  /** [[chiSquareByKey]]'s scoring half over an already-aggregated
+    * `(k, s, c, n)` per-key crosstab — the categorical-association
+    * cell of the live-monitor matrix: stream the cells
+    * ([[graft.streaming.StreamingFeatures.keyedCrosstabStream]]),
+    * score any Complete-mode snapshot with identical batch math
+    * (streamed-final ≡ batch, StreamingSpec). Cell counts are summed
+    * per (k, s, c) first, so a counts frame with split rows scores
+    * identically.
+    */
+  def chiSquareByKeyFromCounts(counts: DataFrame): DataFrame =
+    chiSquareByKeyScore(counts
+      .select(col("k").as("_k"), col("s").cast("string").as("_s"),
+        col("c").cast("string").as("_c"), col("n").cast("long").as("_n"))
+      .groupBy(col("_k"), col("_s"), col("_c"))
+      .agg(sum(col("_n")).as("_n")))
+
+  private def chiSquareByKeyScore(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn
       .localCheckpoint(false) // feeds row totals, col totals, and the dense left-join
     val rowTot = cells.groupBy(col("_k"), col("_s")).agg(sum(col("_n")).as("_rt"))
       .localCheckpoint(false)

@@ -1103,6 +1103,24 @@ object StreamingFeatures {
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
   }
 
+  /** Live per-key crosstab — the categorical-association seam of the
+    * monitor matrix: per-(key, slice, category) counts under Complete
+    * mode (exact mergeable longs; keys × slices × cats of state,
+    * bounded by the scorer's own 4096-cells-per-key contract). Score
+    * any snapshot with
+    * [[graft.operators.StatTests.chiSquareByKeyFromCounts]] —
+    * identical batch math, streamed-final ≡ batch per key
+    * (StreamingSpec). `labeled` needs `k`, `s`, `c` columns; NULLs
+    * excluded as in batch.
+    */
+  def keyedCrosstabStream(labeled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    labeled
+      .filter(col("k").isNotNull && col("s").isNotNull && col("c").isNotNull)
+      .groupBy(col("k"), col("s"), col("c"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Live mixture monitor — [[psiCountsStream]] for CATEGORICAL
     * slices: per-category (c_cur, c_ref) counts under Complete mode,
     * scoreable any time with

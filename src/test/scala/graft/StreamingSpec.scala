@@ -1061,6 +1061,30 @@ class StreamingSpec extends SparkSpec {
       s"streamed-final per-key dashboard must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming per-key chi-square: crosstab snapshot scores equal to batch") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("event_type").as("k"),
+      (col("user_id") % 2 === 0).cast("string").as("s"),
+      (org.apache.spark.sql.functions.round(col("value") * 100).cast("long") / lit(2000L))
+        .cast("long").cast("string").as("c"))
+    val batch = graft.operators.StatTests.chiSquareByKey(events, "k", "s", "c")
+      .collect().map(_.toSeq).toSeq
+    val rows = events.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val slices = new scala.util.Random(31).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    assert(slices.length >= 3)
+    val in = MemoryStream[(String, String, String)]
+    val q = graft.streaming.StreamingFeatures.keyedCrosstabStream(
+        in.toDS().toDF("k", "s", "c"))
+      .writeStream.format("memory").queryName("t_kchi")
+      .outputMode(OutputMode.Complete()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.operators.StatTests.chiSquareByKeyFromCounts(spark.table("t_kchi"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed-final per-key chi-square must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("streaming transitions: random streams and split points still equal batch") {
     import graft.streaming.StreamingFeatures.TypedEvent
     val types = Array("view", "click", "buy", "err")
