@@ -312,6 +312,105 @@ object Selection {
           .as("cross_entropy"): _*)
   }
 
+  /** Interpolated-TRIGRAM cross-entropy — the Markov-order-2 member of
+    * the [[lmCrossEntropy]] / [[lmCrossEntropyBigram]] ladder (CCNet's
+    * real scorer is a 5-gram KenLM; each added order closes most of
+    * the remaining gap): per token
+    * `ln(λ3·P_tg + λ2·P_bg + (1−λ3−λ2)·P_ug)` with add-one smoothing
+    * on all three hashed models — `P_tg = (c₃(pp,p,w)+1)/(c₂(pp,p)+B)`
+    * and the lower orders as in the bigram. BOTH history slots of a
+    * document's opening tokens take the reserved start context
+    * (bucket B): position 1 has (pp, p) = (B, B), position 2
+    * (B, hash(w₁)).
+    *
+    * Same exactness discipline as the bigram: shared λ literals
+    * (BigDecimal plain-string renders in the oracle), per-token
+    * log-prob round(,6)→DECIMAL, count-weighted exact decimal sums,
+    * one closing division.
+    *
+    * Scale shape: token adjacency in array land (the words array zips
+    * with its 1- and 2-shifted selves — no window shuffle), ONE
+    * (doc, wb, pb, qb) counted exchange, and five broadcast model
+    * joins. Model rows are bounded by the REFERENCE slice's distinct
+    * hashed n-grams (≤ its token count, and ≤ B·B² absolutely) — at
+    * corpus scale `numBuckets` is the knob that keeps the trigram
+    * table broadcastable, the hashed-LM economy.
+    */
+  def lmCrossEntropyTrigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refPred: Column,
+      lambda3: Double = 0.5,
+      lambda2: Double = 0.3,
+      numBuckets: Int = 1 << 12,
+      payloadCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(lambda3 > 0 && lambda2 > 0 && lambda3 + lambda2 < 1,
+      s"lambdas must be positive with lambda3 + lambda2 < 1, got $lambda3, $lambda2")
+    val bLit = lit(numBuckets.toLong)
+    val payload = payloadCols.map(col)
+    val ws = TextOps.words(col(textCol))
+    val nullS = lit(null).cast("string")
+    val prev1 = when(size(ws) > 0,
+      concat(array(nullS), slice(ws, lit(1), size(ws) - 1)))
+      .otherwise(array().cast("array<string>"))
+    val prev2 = when(size(ws) >= 2,
+      concat(array(nullS, nullS), slice(ws, lit(1), size(ws) - 2)))
+      .otherwise(when(size(ws) === 1, array(nullS))
+        .otherwise(array().cast("array<string>")))
+    val db = docs
+      .select(col(idCol) +: refPred.as("is_ref") +: payload :+
+        explode(arrays_zip(ws.as("w"), prev1.as("p"), prev2.as("q"))).as("z"): _*)
+      .groupBy(col(idCol) +: col("is_ref") +: payload :+
+        pmod(strhash(col("z.w")), bLit).as("wb") :+
+        coalesce(pmod(strhash(col("z.p")), bLit), bLit).as("pb") :+
+        coalesce(pmod(strhash(col("z.q")), bLit), bLit).as("qb"): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds all five models and the scoring pass
+    val ref = db.filter(col("is_ref"))
+    val ug = ref.groupBy(col("wb").as("u_wb")).agg(sum(col("n")).as("cb"))
+    val bg = ref.groupBy(col("pb").as("b_pb"), col("wb").as("b_wb"))
+      .agg(sum(col("n")).as("c2"))
+    val ctx1 = ref.groupBy(col("pb").as("c_pb")).agg(sum(col("n")).as("c1"))
+    val tg = ref.groupBy(col("qb").as("t_qb"), col("pb").as("t_pb"), col("wb").as("t_wb"))
+      .agg(sum(col("n")).as("c3"))
+    val ctx2 = ref.groupBy(col("qb").as("d_qb"), col("pb").as("d_pb"))
+      .agg(sum(col("n")).as("cc2"))
+    val tot = ug.agg(coalesce(sum(col("cb")), lit(0L)).as("t"))
+    val l3Lit = lit(lambda3)
+    val l2Lit = lit(lambda2)
+    val l1Lit = lit(1.0 - lambda3 - lambda2)
+    val pTg = (coalesce(col("c3"), lit(0L)) + 1L).cast("double") /
+      (coalesce(col("cc2"), lit(0L)) + bLit).cast("double")
+    val pBg = (coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + bLit).cast("double")
+    val pUg = (coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+      (col("t") + bLit).cast("double")
+    val scored = db
+      .join(broadcast(tg),
+        col("qb") === col("t_qb") && col("pb") === col("t_pb") &&
+          col("wb") === col("t_wb"), "left")
+      .join(broadcast(ctx2),
+        col("qb") === col("d_qb") && col("pb") === col("d_pb"), "left")
+      .join(broadcast(bg), col("pb") === col("b_pb") && col("wb") === col("b_wb"), "left")
+      .join(broadcast(ctx1), col("pb") === col("c_pb"), "left")
+      .join(broadcast(ug), col("wb") === col("u_wb"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        round(log(l3Lit * pTg + l2Lit * pBg + l1Lit * pUg), 6).cast("decimal(18,6)"))
+    scored
+      .groupBy(col(idCol) +: col("is_ref") +: payload: _*)
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lp")).as("lps"))
+      .select(col(idCol) +: col("is_ref") +: payload :+
+        col("n_tokens") :+
+        (-(col("lps").cast("double")) / col("n_tokens").cast("double"))
+          .as("cross_entropy"): _*)
+  }
+
   /** The DSIR resampling step: draw `k` docs PER `groupCol` slice,
     * without replacement, with probability proportional to the
     * exponentiated [[dsirWeights]] score — via the Gumbel top-k

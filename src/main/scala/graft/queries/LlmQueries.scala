@@ -4515,6 +4515,68 @@ object LlmQueries {
        |FROM ag ORDER BY doc_id""".stripMargin
   }
 
+  /** Interpolated trigram LM scoring (Selection.lmCrossEntropyTrigram):
+    * the q_lm_perplexity_bigram model one more Markov order up —
+    * λ3·P_tg + λ2·P_bg + (1−λ3−λ2)·P_ug over the same English
+    * reference slice, both opening history slots on the reserved
+    * start context. The oracle replays the three hashed models and
+    * the shared λ literals.
+    */
+  val lmPerplexityTrigram: Q = (s, dir) =>
+    graft.llm.Selection.lmCrossEntropyTrigram(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", lambda3 = 0.5, lambda2 = 0.3, numBuckets = 4096,
+        payloadCols = Seq("source"))
+      .orderBy("doc_id")
+
+  val lmPerplexityTrigramSql: String = {
+    val l1 = new java.math.BigDecimal(1.0 - 0.5 - 0.3).toPlainString
+    val wHash = strhashSql("ws[CAST(pos AS INT)]", "wc")
+    val pHash = strhashSql("ws[CAST(pos - 1 AS INT)]", "pc")
+    val qHash = strhashSql("ws[CAST(pos - 2 AS INT)]", "qc")
+    s"""WITH wt AS (
+       |  SELECT doc_id, (lang = 'en') AS is_ref, source,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, is_ref, source, $wHash % 4096 AS wb,
+       |    CASE WHEN pos = 1 THEN 4096 ELSE $pHash % 4096 END AS pb,
+       |    CASE WHEN pos <= 2 THEN 4096 ELSE $qHash % 4096 END AS qb
+       |  FROM (SELECT doc_id, is_ref, source, ws,
+       |          unnest(range(1, len(ws)+1)) AS pos FROM wt)),
+       |db AS (SELECT doc_id, is_ref, source, wb, pb, qb, count(*) AS n
+       |  FROM tok GROUP BY 1, 2, 3, 4, 5, 6),
+       |ug AS (SELECT wb, CAST(sum(n) AS BIGINT) AS cb FROM db WHERE is_ref GROUP BY 1),
+       |bg AS (SELECT pb, wb, CAST(sum(n) AS BIGINT) AS c2 FROM db WHERE is_ref GROUP BY 1, 2),
+       |cx1 AS (SELECT pb, CAST(sum(n) AS BIGINT) AS c1 FROM db WHERE is_ref GROUP BY 1),
+       |tg AS (SELECT qb, pb, wb, CAST(sum(n) AS BIGINT) AS c3
+       |  FROM db WHERE is_ref GROUP BY 1, 2, 3),
+       |cx2 AS (SELECT qb, pb, CAST(sum(n) AS BIGINT) AS cc2
+       |  FROM db WHERE is_ref GROUP BY 1, 2),
+       |tot AS (SELECT coalesce(CAST(sum(cb) AS BIGINT), 0) AS t FROM ug),
+       |sc AS (SELECT d.doc_id, d.is_ref, d.source, d.n,
+       |    CAST(round(ln(
+       |      CAST(0.5 AS DOUBLE) *
+       |        (CAST(coalesce(g.c3, 0) + 1 AS DOUBLE) / CAST(coalesce(x2.cc2, 0) + 4096 AS DOUBLE))
+       |      + CAST(0.3 AS DOUBLE) *
+       |        (CAST(coalesce(b.c2, 0) + 1 AS DOUBLE) / CAST(coalesce(x1.c1, 0) + 4096 AS DOUBLE))
+       |      + CAST($l1 AS DOUBLE) *
+       |        (CAST(coalesce(u.cb, 0) + 1 AS DOUBLE) / CAST(t + 4096 AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS lp
+       |  FROM db d
+       |  LEFT JOIN tg g ON g.qb = d.qb AND g.pb = d.pb AND g.wb = d.wb
+       |  LEFT JOIN cx2 x2 ON x2.qb = d.qb AND x2.pb = d.pb
+       |  LEFT JOIN bg b ON b.pb = d.pb AND b.wb = d.wb
+       |  LEFT JOIN cx1 x1 ON x1.pb = d.pb
+       |  LEFT JOIN ug u ON u.wb = d.wb
+       |  CROSS JOIN tot),
+       |ag AS (SELECT doc_id, is_ref, source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    -CAST(sum(n * lp) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS cross_entropy
+       |  FROM sc GROUP BY 1, 2, 3)
+       |SELECT doc_id, is_ref, source, n_tokens, cross_entropy
+       |FROM ag ORDER BY doc_id""".stripMargin
+  }
+
   /** Bradley–Terry preference aggregation (Preference.bradleyTerry):
     * pairwise comparisons derived from the event stream — within each
     * user's timeline, consecutive events of different types duel and
@@ -5379,6 +5441,7 @@ object LlmQueries {
     "q_dsir_weights" -> dsirWeights,
     "q_lm_perplexity" -> lmPerplexity,
     "q_lm_perplexity_bigram" -> lmPerplexityBigram,
+    "q_lm_perplexity_trigram" -> lmPerplexityTrigram,
     "q_preference_bt" -> preferenceBt,
     "q_preference_winrate" -> preferenceWinrate,
     "q_dsir_select" -> dsirSelect,
@@ -5525,6 +5588,7 @@ object LlmQueries {
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_dsir_select" -> dsirSelectSql,
     "q_lm_perplexity_bigram" -> lmPerplexityBigramSql,
+    "q_lm_perplexity_trigram" -> lmPerplexityTrigramSql,
     "q_dsir_pipeline" -> dsirPipelineSql,
     "q_preference_bt" -> preferenceBtSql,
     "q_preference_winrate" -> preferenceWinrateSql,

@@ -456,6 +456,36 @@ class LlmSpec extends SparkSpec {
     assert(bg(5L) > bg(3L) && bg(5L) > bg(4L))
   }
 
+  test("lmCrossEntropyTrigram: order-2 context separates what bigrams cannot") {
+    import spark.implicits._
+    // reference alternates the trigram contexts "a b -> c" and
+    // "b c -> a": docs 3 and 4 have IDENTICAL bigram multisets
+    // (their bigram sets match the reference equally) but differ in
+    // trigram continuation
+    val docs = Seq(
+      (1L, true, "a b c a b c a b c a b c"),
+      (2L, true, "a b c a b c a b c"),
+      (3L, false, "a b c a b c"),  // reference-like trigrams
+      (4L, false, "q r s t"),     // all-unseen: add-one floor
+      (5L, false, "c b a c b a")  // reversed: wrong order everywhere
+    ).toDF("doc_id", "is_ref", "text")
+    val tg = graft.llm.Selection.lmCrossEntropyTrigram(
+        docs, "doc_id", "text", col("is_ref"),
+        lambda3 = 0.5, lambda2 = 0.3, numBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    assert(tg(3L) < tg(5L),
+      s"in-order doc must score lower trigram CE: ${tg(3L)} vs ${tg(5L)}")
+    assert(tg(4L) > tg(3L), "unseen text stays the worst-scored")
+    // degenerate lengths survive the shifted-array zip: 1- and 2-token
+    // docs score on the start-context history without error
+    val short = Seq((1L, true, "a b c a b c"), (2L, false, "a"), (3L, false, "a b"))
+      .toDF("doc_id", "is_ref", "text")
+    val s = graft.llm.Selection.lmCrossEntropyTrigram(
+        short, "doc_id", "text", col("is_ref"), numBuckets = 1 << 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(s(2L) == 1L && s(3L) == 2L)
+  }
+
   test("bradleyTerry: transitive dominance recovered, zero-win floor, mass ~1") {
     import spark.implicits._
     // A beats B 9:1, B beats C 9:1, A beats C 9:1; D loses everything
