@@ -262,6 +262,12 @@ object Classify {
     * the same contract as [[agreementKappa]]'s contingency collect —
     * and re-enters as an explicit-schema local relation (the
     * Bpe.learnMerges console-safe convention).
+    *
+    * NULL policy (the cusum precedent): rows with a NULL score or
+    * label are DROPPED before binning — a NULL score would otherwise
+    * form a NULL bin group whose driver-side getLong NPEs opaquely,
+    * and the oracle's NULL-bin placement would hang on DuckDB's NULL
+    * ordering. The oracle applies the identical WHERE.
     */
   def isotonicCalibration(
       scored: DataFrame,
@@ -276,6 +282,7 @@ object Classify {
     val s = col(scoreCol).cast("double")
     val binCol = least(floor(s * lit(bins.toDouble)), lit((bins - 1).toLong))
     val stats = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(binCol.as("bin"), col(labelCol).cast("long").as("y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
@@ -330,12 +337,20 @@ object Classify {
     * grouped reductions over the (j ≤ i ≤ l) triple join of the bin
     * table with its own pair-ratio table — identical IEEE divisions,
     * identical min/max sets.
+    *
+    * ORACLE-SIDE BOUND: the iso_m stage is an O(B³) non-equi join
+    * (bins × pair-ratio table). At the operator's allowed bins=1000
+    * that is ~10⁹ join pairs — a multi-minute DuckDB run (the nested
+    * pageRankSql lesson). Keep ORACLED uses at bins ≤ 64 (the
+    * registered query uses 8); the operator itself is unaffected (its
+    * driver lattice is O(B²) over collected longs).
     */
   def isotonicCalibrationSql(scoredSql: String, bins: Int): String =
     s"""WITH iso_g AS MATERIALIZED (
        |  SELECT LEAST(CAST(FLOOR(score * ${bins.toDouble}) AS BIGINT),
        |      ${(bins - 1).toLong}) AS bin,
-       |    CAST(label AS BIGINT) AS y FROM ($scoredSql)),
+       |    CAST(label AS BIGINT) AS y FROM ($scoredSql)
+       |  WHERE score IS NOT NULL AND label IS NOT NULL),
        |iso_a AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(y) AS BIGINT) AS k,
        |    CAST(SUM(count(*)) OVER (ORDER BY bin) AS BIGINT) AS nc,

@@ -29,6 +29,46 @@ import graft.functions.GraftFunctions.strhash
   */
 object Selection {
 
+  /** Loud ceiling on the data-dependent broadcast model tables the
+    * hashed-LM family ships to every executor ([[dsirWeights]],
+    * [[lmCrossEntropy]], [[lmCrossEntropyBigram]],
+    * [[lmCrossEntropyTrigram]]). The n-gram models are sized by the
+    * REFERENCE slice's distinct hashed n-grams — bounded by
+    * `numBuckets` powers only in the worst case — so without a guard
+    * the first symptom of an oversized reference at cluster scale is
+    * an executor OOM or a silent multi-GB broadcast. 4M rows of
+    * (≤3 longs + hash-relation overhead) is a few hundred MB — the
+    * upper edge of a sane broadcast; past it the caller must coarsen
+    * the model (lower `numBuckets`) or raise `maxModelRows`
+    * deliberately. Same fail-loud contract as
+    * [[graft.llm.TextIndex.probeAll]]'s 4096-query cap and
+    * [[graft.operators.StatTests.chiSquareByKey]]'s 4096-cell grid.
+    */
+  val MaxBroadcastModelRows: Long = 4L << 20
+
+  /** One control-plane count of the FINEST n-gram model (every other
+    * model in the family is a group-by coarsening of the same rows, so
+    * its row count is ≤ this one) + a loud `require` BEFORE the first
+    * `broadcast()`. Runs eagerly at operator-call time — the count
+    * re-aggregates the already-checkpointed token frame, and failing
+    * here beats failing as an executor OOM mid-broadcast.
+    */
+  private def requireModelBroadcastable(
+      finestModel: DataFrame,
+      opName: String,
+      numBuckets: Int,
+      maxModelRows: Long
+  ): Unit = {
+    require(maxModelRows >= 1, s"maxModelRows must be >= 1, got $maxModelRows")
+    val rows = finestModel.count()
+    require(rows <= maxModelRows,
+      s"$opName: the reference-slice n-gram model has $rows rows " +
+        s"(> maxModelRows=$maxModelRows) — too large to broadcast to every " +
+        s"executor. Lower numBuckets (currently $numBuckets) to coarsen the " +
+        "hashed model, shrink the reference slice, or raise maxModelRows " +
+        "deliberately if the cluster can take the broadcast.")
+  }
+
   /** Docs whose cumulative token count, in (rankCol desc, id asc)
     * order, stays within `budgetTokens`. Output: id, the rank column,
     * `tokens`, and `cum_tokens` (the doc's inclusive prefix total).
@@ -132,9 +172,18 @@ object Selection {
       textCol: String,
       targetPred: Column,
       numBuckets: Int = 1 << 12,
-      payloadCols: Seq[String] = Nil
+      payloadCols: Seq[String] = Nil,
+      maxModelRows: Long = MaxBroadcastModelRows
   ): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // the log-ratio model is one row per bucket — structurally ≤
+    // numBuckets rows, so the broadcast bound is checkable at entry
+    // with no count job (unlike the bigram/trigram members, whose
+    // model size is data-dependent)
+    require(numBuckets <= maxModelRows,
+      s"dsirWeights: numBuckets=$numBuckets exceeds maxModelRows=$maxModelRows — " +
+        "the bucket model broadcasts to every executor; lower numBuckets or " +
+        "raise maxModelRows deliberately.")
     val bLit = lit(numBuckets.toLong)
     val payload = payloadCols.map(col)
     val db = docs
@@ -205,9 +254,16 @@ object Selection {
       textCol: String,
       refPred: Column,
       numBuckets: Int = 1 << 12,
-      payloadCols: Seq[String] = Nil
+      payloadCols: Seq[String] = Nil,
+      maxModelRows: Long = MaxBroadcastModelRows
   ): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // reference model is one row per bucket — structurally ≤ numBuckets
+    // rows (see dsirWeights), so the bound checks at entry, jobless
+    require(numBuckets <= maxModelRows,
+      s"lmCrossEntropy: numBuckets=$numBuckets exceeds maxModelRows=$maxModelRows — " +
+        "the reference model broadcasts to every executor; lower numBuckets or " +
+        "raise maxModelRows deliberately.")
     val bLit = lit(numBuckets.toLong)
     val payload = payloadCols.map(col)
     val db = docs
@@ -251,7 +307,10 @@ object Selection {
     * count aggregation and the model joins. Both models are
     * group-by-bucket aggregates of the SAME counted frame (one corpus
     * tokenization, localCheckpoint'd); at any corpus size the models
-    * are ≤ B² + B rows — pick `numBuckets` so they broadcast. λ and
+    * are ≤ B² + B rows — pick `numBuckets` so they broadcast, and the
+    * finest model's row count is REQUIRED ≤ `maxModelRows` (one
+    * control-plane count before the first broadcast — fail-loud, never
+    * an executor OOM). λ and
     * 1−λ are driver-computed shared literals; per-token log-probs
     * quantize round(,6)→DECIMAL before the exact count-weighted sums
     * (the repo's transcendental-parity pattern).
@@ -263,7 +322,8 @@ object Selection {
       refPred: Column,
       lambda: Double = 0.7,
       numBuckets: Int = 1 << 12,
-      payloadCols: Seq[String] = Nil
+      payloadCols: Seq[String] = Nil,
+      maxModelRows: Long = MaxBroadcastModelRows
   ): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
@@ -287,6 +347,9 @@ object Selection {
     val bg = ref.groupBy(col("pb").as("b_pb"), col("wb").as("b_wb"))
       .agg(sum(col("n")).as("c2"))
     val ctx = ref.groupBy(col("pb").as("c_pb")).agg(sum(col("n")).as("c1"))
+    // bg is the FINEST model: ug and ctx are coarsenings of its group
+    // keys, so one count bounds all three broadcasts below
+    requireModelBroadcastable(bg, "lmCrossEntropyBigram", numBuckets, maxModelRows)
     val tot = ug.agg(coalesce(sum(col("cb")), lit(0L)).as("t"))
     val lamLit = lit(lambda)
     val omLit = lit(1.0 - lambda)
@@ -334,7 +397,9 @@ object Selection {
     * joins. Model rows are bounded by the REFERENCE slice's distinct
     * hashed n-grams (≤ its token count, and ≤ B·B² absolutely) — at
     * corpus scale `numBuckets` is the knob that keeps the trigram
-    * table broadcastable, the hashed-LM economy.
+    * table broadcastable, the hashed-LM economy; the trigram table's
+    * row count is REQUIRED ≤ `maxModelRows` (one control-plane count
+    * before the first broadcast — fail-loud, never an executor OOM).
     */
   def lmCrossEntropyTrigram(
       docs: DataFrame,
@@ -344,7 +409,8 @@ object Selection {
       lambda3: Double = 0.5,
       lambda2: Double = 0.3,
       numBuckets: Int = 1 << 12,
-      payloadCols: Seq[String] = Nil
+      payloadCols: Seq[String] = Nil,
+      maxModelRows: Long = MaxBroadcastModelRows
   ): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     require(lambda3 > 0 && lambda2 > 0 && lambda3 + lambda2 < 1,
@@ -378,6 +444,9 @@ object Selection {
       .agg(sum(col("n")).as("c3"))
     val ctx2 = ref.groupBy(col("qb").as("d_qb"), col("pb").as("d_pb"))
       .agg(sum(col("n")).as("cc2"))
+    // tg is the FINEST model: ug/bg/ctx1/ctx2 all coarsen its group
+    // keys, so one count bounds all five broadcasts below
+    requireModelBroadcastable(tg, "lmCrossEntropyTrigram", numBuckets, maxModelRows)
     val tot = ug.agg(coalesce(sum(col("cb")), lit(0L)).as("t"))
     val l3Lit = lit(lambda3)
     val l2Lit = lit(lambda2)

@@ -371,6 +371,13 @@ object TextIndex {
       s"probePhraseAll is a control-plane serving batch: got more than $maxQueries " +
         "queries (maxQueries) — split the workload or raise the bound deliberately")
     require(collected.nonEmpty, "queries frame must be non-empty")
+    // a qid appearing twice would merge both phrases' slot sets under
+    // one qid with mixed plen values — per-(doc,start) groups would
+    // match against either length and the occurrence counts would
+    // silently blend the two phrases
+    require(collected.map(_.getLong(0)).distinct.length == collected.length,
+      "probePhraseAll: duplicate qids in the queries frame — " +
+        "each qid must map to exactly one phrase")
     val slots = collected.flatMap { r =>
       val qid = r.getLong(0)
       val ph = r.getSeq[String](1)

@@ -191,9 +191,16 @@ object StatTests {
       .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
         sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
 
+  /** Re-aggregates split `(k, v)` rows — the [[chiSquareByKeyFromCounts]]
+    * contract: duplicate cells sum instead of silently corrupting the
+    * per-key cumulative distributions (and the smoothing totals, which
+    * count cells via `count(*)` over the key window).
+    */
   private def normalizedKeyedCounts(counts: DataFrame): DataFrame =
     counts.select(col("k").as("_k"), col("v").cast("long").as("_v"),
-      col("c_a").cast("long").as("_ca"), col("c_b").cast("long").as("_cb"))
+        col("c_a").cast("long").as("_ca"), col("c_b").cast("long").as("_cb"))
+      .groupBy(col("_k"), col("_v"))
+      .agg(sum(col("_ca")).as("_ca"), sum(col("_cb")).as("_cb"))
 
   private def ksByKeyScore(g: DataFrame): DataFrame = {
     val wCum = org.apache.spark.sql.expressions.Window
@@ -347,8 +354,12 @@ object StatTests {
     * `(k, bin, c_cur, c_ref)` per-key counts frame.
     */
   def psiByKeyFromCounts(counts: DataFrame): DataFrame =
+    // duplicate (k, bin) rows sum (the chiSquareByKeyFromCounts
+    // contract) — split cells must not inflate the Laplace bin count
     psiByKeyScore(counts.select(col("k").as("_k"), col("bin").cast("long").as("bin"),
-      col("c_cur").cast("long").as("c_cur"), col("c_ref").cast("long").as("c_ref")))
+        col("c_cur").cast("long").as("c_cur"), col("c_ref").cast("long").as("c_ref"))
+      .groupBy(col("_k"), col("bin"))
+      .agg(sum(col("c_cur")).as("c_cur"), sum(col("c_ref")).as("c_ref")))
 
   private def psiByKeyScore(g: DataFrame): DataFrame = {
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
@@ -1102,8 +1113,12 @@ object StatTests {
     * `(k, cat, c_cur, c_ref)` per-key counts frame.
     */
   def jsdByKeyFromCounts(counts: DataFrame): DataFrame =
+    // duplicate (k, cat) rows sum (the chiSquareByKeyFromCounts
+    // contract) — split cells must not inflate the smoothing cats count
     jsdByKeyScore(counts.select(col("k").as("_k"), col("cat").cast("string").as("cat"),
-      col("c_cur").cast("long").as("c_cur"), col("c_ref").cast("long").as("c_ref")))
+        col("c_cur").cast("long").as("c_cur"), col("c_ref").cast("long").as("c_ref"))
+      .groupBy(col("_k"), col("cat"))
+      .agg(sum(col("c_cur")).as("c_cur"), sum(col("c_ref")).as("c_ref")))
 
   private def jsdByKeyScore(g: DataFrame): DataFrame = {
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))

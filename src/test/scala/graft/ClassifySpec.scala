@@ -216,6 +216,19 @@ class ClassifySpec extends SparkSpec {
     assert(curve.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)), curve.mkString(","))
   }
 
+  test("isotonicCalibration: NULL score/label rows drop (the cusum NULL policy)") {
+    import spark.implicits._
+    val clean = Seq((0.1, Some(0)), (0.2, Some(1)), (0.6, Some(1)), (0.9, Some(1)))
+      .map { case (s, y) => (Option(s), y) }
+    val dirty = clean ++ Seq((None: Option[Double], Some(1)), (Some(0.5), None))
+    val a = Classify.isotonicCalibration(clean.toDF("score", "y"), "y", "score", bins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val b = Classify.isotonicCalibration(dirty.toDF("score", "y"), "y", "score", bins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(a.nonEmpty && a.sameElements(b),
+      s"NULL rows must not shift the curve: ${a.toSeq} vs ${b.toSeq}")
+  }
+
   test("auc: hand ranks with ties, perfect and reversed separation, degenerate NULL") {
     import spark.implicits._
     // pos scores {3, 2, 2}, neg {2, 1}: pairwise 4 wins + 2 half-credit

@@ -363,6 +363,29 @@ class OperatorSpec extends SparkSpec {
     assert(soloP.getAs[Double]("psi") == ps("p1").getAs[Double]("psi"))
   }
 
+  test("FromCounts scorers re-aggregate split cells (the chiSquareByKeyFromCounts contract)") {
+    import graft.operators.StatTests
+    // the same (k, v) cell split across two rows must sum, not count
+    // as two categories in the smoothing totals / cumulative CDFs
+    val whole = Seq(("k1", 1L, 3L, 1L), ("k1", 2L, 0L, 2L), ("k2", 1L, 1L, 1L))
+    val split = Seq(("k1", 1L, 2L, 0L), ("k1", 1L, 1L, 1L), ("k1", 2L, 0L, 2L),
+      ("k2", 1L, 1L, 0L), ("k2", 1L, 0L, 1L))
+    def cmp(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            cols: Seq[String]): Unit = {
+      val a = f(whole.toDF("k", "v", "c_a", "c_b")).select(cols.map(col): _*).collect().toSeq
+      val b = f(split.toDF("k", "v", "c_a", "c_b")).select(cols.map(col): _*).collect().toSeq
+      assert(a == b, s"split rows must score as summed cells: $a vs $b")
+    }
+    cmp(StatTests.ksByKeyFromCounts, Seq("key", "n_a", "n_b", "d", "cliffs_delta"))
+    cmp(StatTests.wassersteinByKeyFromCounts, Seq("key", "n_a", "n_b", "w1"))
+    cmp(df => StatTests.psiByKeyFromCounts(df.withColumnRenamed("v", "bin")
+        .withColumnRenamed("c_a", "c_cur").withColumnRenamed("c_b", "c_ref")),
+      Seq("key", "bins", "psi"))
+    cmp(df => StatTests.jsdByKeyFromCounts(df.withColumn("cat", col("v").cast("string"))
+        .withColumnRenamed("c_a", "c_cur").withColumnRenamed("c_b", "c_ref")),
+      Seq("key", "cats", "jsd"))
+  }
+
   test("chiSquareByKey / jsdByKey: fan-outs match the global operators key by key") {
     import graft.operators.StatTests
     // k1: 2x2 with real association; k2: identical rows (chi2 = 0);

@@ -98,6 +98,44 @@ class SelectionSpec extends SparkSpec {
     assert(!out.contains(7L))
   }
 
+  test("LM broadcast guard: oversized models fail loudly, naming numBuckets") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", true),
+      (2L, "eta theta iota kappa lambda mu", true),
+      (3L, "alpha beta unknown words here", false)
+    ).toDF("doc_id", "text", "is_ref")
+    // trigram: ref slice has 12 distinct (qb,pb,wb) trigram rows — a
+    // maxModelRows below that must trip BEFORE any broadcast
+    val eTg = intercept[IllegalArgumentException] {
+      Selection.lmCrossEntropyTrigram(
+        docs, "doc_id", "text", col("is_ref"), maxModelRows = 3L)
+    }
+    assert(eTg.getMessage.contains("numBuckets") &&
+      eTg.getMessage.contains("maxModelRows=3"))
+    // bigram sibling trips the same guard
+    val eBg = intercept[IllegalArgumentException] {
+      Selection.lmCrossEntropyBigram(
+        docs, "doc_id", "text", col("is_ref"), maxModelRows = 3L)
+    }
+    assert(eBg.getMessage.contains("numBuckets"))
+    // unigram + DSIR models are structurally <= numBuckets rows: the
+    // bound checks at entry with no count job
+    val eUg = intercept[IllegalArgumentException] {
+      Selection.lmCrossEntropy(
+        docs, "doc_id", "text", col("is_ref"), numBuckets = 4096, maxModelRows = 100L)
+    }
+    assert(eUg.getMessage.contains("numBuckets=4096"))
+    val eDs = intercept[IllegalArgumentException] {
+      Selection.dsirWeights(
+        docs, "doc_id", "text", col("is_ref"), numBuckets = 4096, maxModelRows = 100L)
+    }
+    assert(eDs.getMessage.contains("numBuckets=4096"))
+    // at the default bound all four still run: same docs, scores finite
+    val ok = Selection.lmCrossEntropyTrigram(docs, "doc_id", "text", col("is_ref"))
+      .select(col("doc_id"), col("cross_entropy")).as[(Long, Double)].collect()
+    assert(ok.length == 3 && ok.forall(t => !t._2.isNaN && !t._2.isInfinite))
+  }
+
   test("dsirResample: exact k per group, deterministic, score-biased") {
     val docs = (0L until 40L).map { i =>
       val grp = if (i % 2 == 0) "g0" else "g1"

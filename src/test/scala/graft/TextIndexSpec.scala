@@ -93,6 +93,15 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.probePhraseAll(spark, idx, queries, "qid", "ph", k = 5, maxQueries = 2)
     }
     assert(err.getMessage.contains("control-plane"), err.getMessage)
+    // duplicate qids would blend two phrases' slot sets — reject loudly
+    val dupRows = Seq(
+      org.apache.spark.sql.Row(7L, Seq("fast", "scan")),
+      org.apache.spark.sql.Row(7L, Seq("spark")))
+    val dupQs = spark.createDataFrame(java.util.Arrays.asList(dupRows: _*), schema)
+    val dupErr = intercept[IllegalArgumentException] {
+      TextIndex.probePhraseAll(spark, idx, dupQs, "qid", "ph", k = 5)
+    }
+    assert(dupErr.getMessage.contains("duplicate qids"), dupErr.getMessage)
   }
 
   test("epoch append scores identically to a fresh build over the union") {
