@@ -480,6 +480,105 @@ object Selection {
           .as("cross_entropy"): _*)
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy — the smoothing the
+    * CCNet-class perplexity filters actually run (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form): instead of add-one
+    * mass spread uniformly, each bigram's count is ABSOLUTELY
+    * DISCOUNTED by `discount` and the freed mass backs off to the
+    * CONTINUATION distribution — how many distinct contexts a word
+    * completes, not how often it occurs ("Francisco" is frequent but
+    * only ever follows "San", so its continuation probability is
+    * tiny). Per token, with all counts from the reference slice:
+    *
+    *   P(w|p) = max(c(p,w) − D, 0)/c(p·) + D·N₁₊(p·)/c(p·) · Pc(w)
+    *   Pc(w)  = (N₁₊(·w) + 1) / (N₁₊(··) + B)
+    *
+    * where N₁₊(p·) = distinct words following p, N₁₊(·w) = distinct
+    * contexts preceding w, N₁₊(··) = total distinct bigram types —
+    * the +1/+B add-one on the continuation model keeps unseen buckets
+    * finite (the hashed-vocabulary analog of KN's unigram floor). A
+    * context unseen in the reference backs off to Pc(w) alone.
+    *
+    * Cross-engine FP discipline (the [[lmCrossEntropyBigram]]
+    * pattern): every count is an exact long; the per-token probability
+    * is a FIXED sequence of IEEE double ops — one divide for Pc, a
+    * subtract/max/divide for the discounted term, a multiply-divide
+    * for the back-off weight λ(p) = D·N₁₊(p·)/c(p·), one
+    * multiply-add — mirrored op-for-op by the oracle, then
+    * round(,6)→DECIMAL before the exact count-weighted sum. `discount`
+    * renders as a shared plain-string literal in both engines.
+    *
+    * Scale shape: identical to [[lmCrossEntropyBigram]] — adjacency in
+    * array land, ONE counted (doc, wb, pb) exchange, and the bigram
+    * type table (the finest model — the context and continuation
+    * tables are its group-by coarsenings, computed FROM it so the
+    * type counts stay consistent) broadcast under the
+    * [[MaxBroadcastModelRows]] fail-loud bound.
+    */
+  def lmCrossEntropyKneserNey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refPred: Column,
+      discount: Double = 0.75,
+      numBuckets: Int = 1 << 12,
+      payloadCols: Seq[String] = Nil,
+      maxModelRows: Long = MaxBroadcastModelRows
+  ): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val bLit = lit(numBuckets.toLong)
+    val payload = payloadCols.map(col)
+    val ws = TextOps.words(col(textCol))
+    val prevArr = when(size(ws) > 0,
+      concat(array(lit(null).cast("string")), slice(ws, lit(1), size(ws) - 1)))
+      .otherwise(array().cast("array<string>"))
+    val db = docs
+      .select(col(idCol) +: refPred.as("is_ref") +: payload :+
+        explode(arrays_zip(ws.as("w"), prevArr.as("p"))).as("z"): _*)
+      .groupBy(col(idCol) +: col("is_ref") +: payload :+
+        pmod(strhash(col("z.w")), bLit).as("wb") :+
+        coalesce(pmod(strhash(col("z.p")), bLit), bLit).as("pb"): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds the bigram type table and the scoring pass
+    // ALL models derive from the bigram type table so token counts and
+    // type counts stay consistent: ctx = row-sums + distinct-word
+    // counts per context, cont = distinct-context counts per word,
+    // tot = the type total
+    val bg = db.filter(col("is_ref"))
+      .groupBy(col("pb").as("b_pb"), col("wb").as("b_wb"))
+      .agg(sum(col("n")).as("c2"))
+      .localCheckpoint(false) // feeds ctx/cont/tot AND the scoring join
+    requireModelBroadcastable(bg, "lmCrossEntropyKneserNey", numBuckets, maxModelRows)
+    val ctx = bg.groupBy(col("b_pb").as("c_pb"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = bg.groupBy(col("b_wb").as("u_wb")).agg(count(lit(1)).as("n1s"))
+    val tot = bg.agg(coalesce(count(lit(1)), lit(0L)).as("nt"))
+    val dLit = lit(discount)
+    val pc = (coalesce(col("n1s"), lit(0L)) + 1L).cast("double") /
+      (col("nt") + bLit).cast("double")
+    val c1d = col("c1").cast("double")
+    val t1 = greatest(coalesce(col("c2"), lit(0L)).cast("double") - dLit, lit(0.0)) / c1d
+    val lam = dLit * col("n1p").cast("double") / c1d
+    val p = when(col("c1").isNotNull, t1 + lam * pc).otherwise(pc)
+    val scored = db
+      .join(broadcast(bg), col("pb") === col("b_pb") && col("wb") === col("b_wb"), "left")
+      .join(broadcast(ctx), col("pb") === col("c_pb"), "left")
+      .join(broadcast(cont), col("wb") === col("u_wb"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", round(log(p), 6).cast("decimal(18,6)"))
+    scored
+      .groupBy(col(idCol) +: col("is_ref") +: payload: _*)
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lp")).as("lps"))
+      .select(col(idCol) +: col("is_ref") +: payload :+
+        col("n_tokens") :+
+        (-(col("lps").cast("double")) / col("n_tokens").cast("double"))
+          .as("cross_entropy"): _*)
+  }
+
   /** The DSIR resampling step: draw `k` docs PER `groupCol` slice,
     * without replacement, with probability proportional to the
     * exponentiated [[dsirWeights]] score — via the Gumbel top-k

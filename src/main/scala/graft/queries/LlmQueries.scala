@@ -4577,6 +4577,64 @@ object LlmQueries {
        |FROM ag ORDER BY doc_id""".stripMargin
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy
+    * (Selection.lmCrossEntropyKneserNey): the q_lm_perplexity_bigram
+    * model with the smoothing real CCNet-class filters use — absolute
+    * discounting (D=0.75) plus continuation-count back-off instead of
+    * add-one interpolation. The oracle replays the zipped adjacency,
+    * the bigram TYPE table and its context/continuation coarsenings,
+    * the fixed IEEE op sequence of the discounted probability, and the
+    * quantized log-prob dot product.
+    */
+  val lmPerplexityKn: Q = (s, dir) =>
+    graft.llm.Selection.lmCrossEntropyKneserNey(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", discount = 0.75, numBuckets = 4096,
+        payloadCols = Seq("source"))
+      .orderBy("doc_id")
+
+  val lmPerplexityKnSql: String = {
+    val d = new java.math.BigDecimal(0.75).toPlainString
+    val wHash = strhashSql("ws[CAST(pos AS INT)]", "wc")
+    val pHash = strhashSql("ws[CAST(pos - 1 AS INT)]", "pc")
+    val pcSql = "(CAST(coalesce(u.n1s, 0) + 1 AS DOUBLE) / CAST(t.nt + 4096 AS DOUBLE))"
+    s"""WITH wt AS (
+       |  SELECT doc_id, (lang = 'en') AS is_ref, source,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, is_ref, source, $wHash % 4096 AS wb,
+       |    CASE WHEN pos = 1 THEN 4096 ELSE $pHash % 4096 END AS pb
+       |  FROM (SELECT doc_id, is_ref, source, ws,
+       |          unnest(range(1, len(ws)+1)) AS pos FROM wt)),
+       |db AS (SELECT doc_id, is_ref, source, wb, pb, count(*) AS n
+       |  FROM tok GROUP BY 1, 2, 3, 4, 5),
+       |bg AS MATERIALIZED (SELECT pb, wb, CAST(sum(n) AS BIGINT) AS c2
+       |  FROM db WHERE is_ref GROUP BY 1, 2),
+       |ctx AS (SELECT pb, CAST(sum(c2) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n1p FROM bg GROUP BY 1),
+       |cont AS (SELECT wb, CAST(count(*) AS BIGINT) AS n1s FROM bg GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bg),
+       |sc AS (SELECT dd.doc_id, dd.is_ref, dd.source, dd.n,
+       |    CAST(round(ln(
+       |      CASE WHEN c.c1 IS NOT NULL THEN
+       |        greatest(CAST(coalesce(b.c2, 0) AS DOUBLE) - CAST($d AS DOUBLE),
+       |            CAST(0 AS DOUBLE)) / CAST(c.c1 AS DOUBLE)
+       |        + CAST($d AS DOUBLE) * CAST(c.n1p AS DOUBLE) / CAST(c.c1 AS DOUBLE)
+       |          * $pcSql
+       |      ELSE $pcSql END), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM db dd
+       |  LEFT JOIN bg b ON b.pb = dd.pb AND b.wb = dd.wb
+       |  LEFT JOIN ctx c ON c.pb = dd.pb
+       |  LEFT JOIN cont u ON u.wb = dd.wb
+       |  CROSS JOIN tot t),
+       |ag AS (SELECT doc_id, is_ref, source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    -CAST(sum(n * lp) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS cross_entropy
+       |  FROM sc GROUP BY 1, 2, 3)
+       |SELECT doc_id, is_ref, source, n_tokens, cross_entropy
+       |FROM ag ORDER BY doc_id""".stripMargin
+  }
+
   /** Bradley–Terry preference aggregation (Preference.bradleyTerry):
     * pairwise comparisons derived from the event stream — within each
     * user's timeline, consecutive events of different types duel and
@@ -5442,6 +5500,7 @@ object LlmQueries {
     "q_lm_perplexity" -> lmPerplexity,
     "q_lm_perplexity_bigram" -> lmPerplexityBigram,
     "q_lm_perplexity_trigram" -> lmPerplexityTrigram,
+    "q_lm_perplexity_kn" -> lmPerplexityKn,
     "q_preference_bt" -> preferenceBt,
     "q_preference_winrate" -> preferenceWinrate,
     "q_dsir_select" -> dsirSelect,
@@ -5589,6 +5648,7 @@ object LlmQueries {
     "q_dsir_select" -> dsirSelectSql,
     "q_lm_perplexity_bigram" -> lmPerplexityBigramSql,
     "q_lm_perplexity_trigram" -> lmPerplexityTrigramSql,
+    "q_lm_perplexity_kn" -> lmPerplexityKnSql,
     "q_dsir_pipeline" -> dsirPipelineSql,
     "q_preference_bt" -> preferenceBtSql,
     "q_preference_winrate" -> preferenceWinrateSql,

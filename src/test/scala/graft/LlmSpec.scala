@@ -486,6 +486,50 @@ class LlmSpec extends SparkSpec {
     assert(s(2L) == 1L && s(3L) == 2L)
   }
 
+  test("lmCrossEntropyKneserNey: beats add-one on held-out text; continuation counts rank novel contexts") {
+    import spark.implicits._
+    // reference with repeating bigram structure; held-out doc 3 reuses
+    // the reference's bigrams verbatim
+    val docs = Seq(
+      (1L, true, "the cat sat on the mat"),
+      (2L, true, "the cat sat on the rug"),
+      (3L, false, "the cat sat on the mat"),
+      (4L, false, "zygote quasar bungee flux") // all-unseen control
+    ).toDF("doc_id", "is_ref", "text")
+    val kn = graft.llm.Selection.lmCrossEntropyKneserNey(
+        docs, "doc_id", "text", col("is_ref"), discount = 0.75, numBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    val addOne = graft.llm.Selection.lmCrossEntropyBigram(
+        docs, "doc_id", "text", col("is_ref"), lambda = 0.7, numBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    // absolute discounting keeps seen-bigram mass that add-one's c+B
+    // denominator destroys: KN must score the held-out in-distribution
+    // doc strictly lower than the add-one interpolation does
+    assert(kn(3L) < addOne(3L),
+      s"KN must beat add-one on held-out reference-like text: ${kn(3L)} vs ${addOne(3L)}")
+    assert(kn(4L) > kn(3L), "unseen text still scores worst")
+    // the continuation signature: 'cat' completes 4 distinct contexts,
+    // 'francisco' only ever follows 'san' (with a larger raw count) —
+    // after a NOVEL context, KN must prefer the many-context word
+    val contDocs = Seq(
+      (1L, true, "san francisco san francisco san francisco san francisco san francisco"),
+      (2L, true, "the cat a cat my cat one cat"),
+      (3L, false, "zzz cat"),
+      (4L, false, "zzz francisco")
+    ).toDF("doc_id", "is_ref", "text")
+    val cont = graft.llm.Selection.lmCrossEntropyKneserNey(
+        contDocs, "doc_id", "text", col("is_ref"), numBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    assert(cont(3L) < cont(4L),
+      s"novel context must prefer the many-context continuation: $cont")
+    // degenerate lengths survive the shifted-array zip
+    val s = graft.llm.Selection.lmCrossEntropyKneserNey(
+        Seq((1L, true, "a b a b"), (2L, false, "a"), (3L, false, "")).toDF("doc_id", "is_ref", "text"),
+        "doc_id", "text", col("is_ref"), numBuckets = 1 << 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(s(2L) == 1L && !s.contains(3L))
+  }
+
   test("bradleyTerry: transitive dominance recovered, zero-win floor, mass ~1") {
     import spark.implicits._
     // A beats B 9:1, B beats C 9:1, A beats C 9:1; D loses everything
