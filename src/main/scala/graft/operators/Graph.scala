@@ -584,10 +584,15 @@ object Graph {
         .withColumn("rk", row_number().over(arg))
         .filter(col("rk") === 1)
         .select(col("dst").as("node"), col("label").as("nlabel"))
-      val updated = labels.join(next, Seq("node"), "left")
-        .select(col("node"), col("label").as("_old"),
-          coalesce(col("nlabel"), col("label")).as("label"))
-        .localCheckpoint(false)
+      // resetStats: the per-round checkpoint would otherwise carry the
+      // round plan's MULTIPLIED size estimate into the next round's
+      // joins — geometric stats growth that wedges the driver after a
+      // few compounded levels (see Bridge.resetStats)
+      val updated = org.apache.spark.sql.graft.Bridge.resetStats(
+        labels.join(next, Seq("node"), "left")
+          .select(col("node"), col("label").as("_old"),
+            coalesce(col("nlabel"), col("label")).as("label"))
+          .localCheckpoint(false))
       fixed = updated.filter(col("label") =!= col("_old")).isEmpty
       labels = updated.select(col("node"), col("label"))
       round += 1
@@ -1223,10 +1228,15 @@ object Graph {
         .withColumn("rk", row_number().over(arg))
         .filter(col("rk") === 1)
         .select(col("node"), col("c").as("nlabel"))
-      val updated = labels.join(next, Seq("node"), "left")
-        .select(col("node"), col("label").as("_old"),
-          coalesce(col("nlabel"), col("label")).as("label"))
-        .localCheckpoint(false)
+      // resetStats: the per-round checkpoint would otherwise carry the
+      // round plan's MULTIPLIED size estimate into the next round's
+      // joins — geometric stats growth that wedges the driver after a
+      // few compounded levels (see Bridge.resetStats)
+      val updated = org.apache.spark.sql.graft.Bridge.resetStats(
+        labels.join(next, Seq("node"), "left")
+          .select(col("node"), col("label").as("_old"),
+            coalesce(col("nlabel"), col("label")).as("label"))
+          .localCheckpoint(false))
       quiet = if (updated.filter(col("label") =!= col("_old")).isEmpty) quiet + 1 else 0
       labels = updated.select(col("node"), col("label"))
       round += 1
@@ -1353,10 +1363,15 @@ object Graph {
         .withColumn("rk", row_number().over(arg))
         .filter(col("rk") === 1)
         .select(col("node"), col("c").as("nlabel"))
-      val updated = labels.join(next, Seq("node"), "left")
-        .select(col("node"), col("label").as("_old"),
-          coalesce(col("nlabel"), col("label")).as("label"))
-        .localCheckpoint(false)
+      // resetStats: the per-round checkpoint would otherwise carry the
+      // round plan's MULTIPLIED size estimate into the next round's
+      // joins — geometric stats growth that wedges the driver after a
+      // few compounded levels (see Bridge.resetStats)
+      val updated = org.apache.spark.sql.graft.Bridge.resetStats(
+        labels.join(next, Seq("node"), "left")
+          .select(col("node"), col("label").as("_old"),
+            coalesce(col("nlabel"), col("label")).as("label"))
+          .localCheckpoint(false))
       quiet = if (updated.filter(col("label") =!= col("_old")).isEmpty) quiet + 1 else 0
       labels = updated.select(col("node"), col("label"))
       round += 1
@@ -1468,6 +1483,243 @@ object Graph {
          |SELECT l1.node, COALESCE(w.label, l1.label) AS label
          |FROM lt_l1 l1 LEFT JOIN wl_l$itersL2 w ON w.node = l1.label
          |ORDER BY l1.node""".stripMargin)
+    sb.toString
+  }
+
+  /** FULL multi-level Louvain (Blondel et al. 2008's complete loop —
+    * [[louvainTwoLevel]] generalized): move, CONTRACT, repeat up to
+    * `maxLevels` times, with every level the WEIGHTED move phase over
+    * the previous level's super-node graph (level 1 is the weight-1
+    * instance, so one machinery carries all levels). Stop rule: the
+    * Blondel ΔQ > eps test with eps = 0 — each level past the first is
+    * ACCEPTED only if its exact integer Q·m2² strictly improves on the
+    * accepted mapping's; a non-improving level's moves are discarded
+    * and the loop stops (batch parity moves can jointly LOWER Q on a
+    * tiny coarse graph even though each move's solo gain is positive —
+    * observed on the co-purchase graph's 11-super-node level 3 — and a
+    * no-move level stops the same way, its Q being equal). The static
+    * `maxLevels` unroll ([[louvainMultiLevelSql]]) replays the accept
+    * chain as HUGEINT scalar comparisons, so fewer levels run here,
+    * identical labels come out (the [[pageRankDeltaConverged]]
+    * early-exit pattern).
+    *
+    * Exactness: every level is [[louvainMovesWeighted]]'s
+    * HUGEINT-exact gain argmax; contracted edge weights are exact long
+    * sums (cross-community weights merge under least/greatest
+    * canonicalization, intra-community weights fold into self-loops
+    * that enter degrees doubled); the label composition is pure
+    * integer joins. Nothing floats, so the oracle replays bit-for-bit.
+    *
+    * Scale shape: level 1 dominates (the full graph); every deeper
+    * level runs on communities + inter-community pairs — orders of
+    * magnitude smaller, so the marginal levels are control-plane
+    * cheap. Per-level lazy checkpoints cap lineage; the converged
+    * check is one boolean aggregate per level.
+    */
+  def louvainMultiLevel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      itersPerLevel: Int,
+      maxLevels: Int
+  ): DataFrame = {
+    require(maxLevels >= 1 && maxLevels <= 8, s"maxLevels must be in 1..8, got $maxLevels")
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // resetStats at every level boundary: each level's checkpoints
+    // would otherwise compound the previous level's inflated size
+    // estimate — the geometric-stats wedge (see Bridge.resetStats)
+    val rs = org.apache.spark.sql.graft.Bridge.resetStats _
+    var g = rs(und.select(col("a"), col("b"), lit(1L).as("w"))
+      .localCheckpoint(false))
+    var mapping: DataFrame = null
+    var bestQ: BigInt = null
+    var level = 1
+    var stop = false
+    while (level <= maxLevels && !stop) {
+      val l = rs(louvainMovesWeighted(g, "a", "b", "w", itersPerLevel)
+        .localCheckpoint(false))
+      // ΔQ acceptance (the Blondel stop rule, eps = 0): exact integer
+      // Q·m2² of this level's labels ON THIS LEVEL'S GRAPH — equal, by
+      // modularity's contraction invariance, to the composed mapping's
+      // Q on the original graph. Level 1 is the baseline (always
+      // accepted, like louvainMoves itself); deeper levels must
+      // STRICTLY improve or the loop stops and their moves are
+      // discarded — so Q is non-decreasing per level BY CONSTRUCTION
+      // (batch parity moves can jointly lower Q on tiny coarse graphs;
+      // a no-move level has equal Q and stops the same way). Exact
+      // integers, so the oracle replays the accept chain as HUGEINT
+      // comparisons.
+      val q = qNumContracted(g, l)
+      if (bestQ == null || q > bestQ) {
+        bestQ = q
+        mapping =
+          if (mapping == null) l
+          else rs(mapping.select(col("node"), col("label").as("_c"))
+            .join(l.select(col("node").as("_c"), col("label")), Seq("_c"), "left")
+            .select(col("node"), coalesce(col("label"), col("_c")).as("label"))
+            .localCheckpoint(false))
+        if (level < maxLevels) {
+          g = rs(g
+            .join(l.select(col("node").as("a"), col("label").as("la")), "a")
+            .join(l.select(col("node").as("b"), col("label").as("lb")), "b")
+            .select(least(col("la"), col("lb")).as("a"),
+              greatest(col("la"), col("lb")).as("b"), col("w"))
+            .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+            .localCheckpoint(false))
+        }
+      } else stop = true
+      level += 1
+    }
+    mapping
+  }
+
+  /** Exact Q·m2² of `labels` on the weighted graph `g` (`(a, b, w)`
+    * canonicalized, self-loops allowed): Σ_c (2·m2·win_c − dc²) with
+    * win_c the intra-community undirected weight (self-loops once),
+    * dc the weighted degree sum (self-loops doubled), m2 the total
+    * degree — all exact longs into DECIMAL(38,0) (≡ HUGEINT), one
+    * control-plane collect. Contraction-invariant, so comparing levels
+    * on their own coarse graphs compares original-graph modularity.
+    */
+  private def qNumContracted(g: DataFrame, labels: DataFrame): BigInt = {
+    val dec = "decimal(38,0)"
+    val cross = g.filter(col("a") =!= col("b"))
+    val deg = cross.select(col("a").as("node"), col("w"))
+      .unionAll(cross.select(col("b").as("node"), col("w")))
+      .unionAll(g.filter(col("a") === col("b"))
+        .select(col("a").as("node"), (col("w") * 2).as("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("deg"))
+    val m2 = deg.agg(coalesce(sum(col("deg")), lit(0L))).collect()(0).getLong(0)
+    val la = labels.select(col("node").as("a"), col("label").as("la"))
+    val lb = labels.select(col("node").as("b"), col("label").as("lb"))
+    val win = g.join(la, "a").join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("c")).agg(sum(col("w")).as("win"))
+    val dcq = labels.join(deg, "node")
+      .groupBy(col("label").as("c")).agg(sum(col("deg")).as("dc"))
+    val qn = dcq.join(win, Seq("c"), "left")
+      .select((lit(m2).cast(dec) * lit(2L).cast(dec) *
+        coalesce(col("win"), lit(0L)).cast(dec) -
+        col("dc").cast(dec) * col("dc").cast(dec)).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L).cast(dec)).cast(dec))
+      .collect()(0).getDecimal(0)
+    BigInt(qn.toBigInteger)
+  }
+
+  /** One weighted move-phase level as CTE fragments (the
+    * [[louvainTwoLevelSql]] wl_ block parameterized): `gCte` is an
+    * `(a, b, w)` grouped edge CTE, `pfx` keeps levels from colliding
+    * (the nested-generator prefix lesson). Per-round label CTEs are
+    * MATERIALIZED — each is referenced ~5× by the next round, and
+    * DuckDB re-inlines plain CTEs per reference (the pageRankSql
+    * exponential-reeval incident).
+    */
+  private def weightedLevelSql(sb: StringBuilder, pfx: String, gCte: String, iters: Int): Unit = {
+    sb.append(s""",
+       |${pfx}adj AS MATERIALIZED (SELECT a AS node, b AS nbr, w FROM $gCte WHERE a <> b
+       |  UNION ALL SELECT b, a, w FROM $gCte WHERE a <> b),
+       |${pfx}deg AS MATERIALIZED (SELECT node, CAST(SUM(w) AS BIGINT) AS deg FROM (
+       |    SELECT node, w FROM ${pfx}adj
+       |    UNION ALL SELECT a, 2 * w FROM $gCte WHERE a = b) GROUP BY 1),
+       |${pfx}m2 AS (SELECT CAST(COALESCE(SUM(deg), 0) AS HUGEINT) AS m2 FROM ${pfx}deg),
+       |${pfx}l0 AS (SELECT node, node AS label FROM ${pfx}deg)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i % 2
+      sb.append(s""",
+         |${pfx}dc$i AS (SELECT l.label AS c, CAST(SUM(d.deg) AS BIGINT) AS dc
+         |  FROM ${pfx}l${i - 1} l JOIN ${pfx}deg d ON d.node = l.node GROUP BY 1),
+         |${pfx}cand$i AS (SELECT node, c, CAST(MAX(e) AS BIGINT) AS e FROM (
+         |    SELECT a.node, l.label AS c, CAST(SUM(a.w) AS BIGINT) AS e FROM ${pfx}adj a
+         |      JOIN ${pfx}l${i - 1} l ON l.node = a.nbr
+         |      WHERE (a.node % 2 + 2) % 2 = $p GROUP BY 1, 2
+         |    UNION ALL
+         |    SELECT node, label, 0 FROM ${pfx}l${i - 1} WHERE (node % 2 + 2) % 2 = $p)
+         |  GROUP BY 1, 2),
+         |${pfx}g$i AS (SELECT cd.node, cd.c,
+         |    (SELECT m2 FROM ${pfx}m2) * CAST(cd.e AS HUGEINT)
+         |      - CAST(d.deg AS HUGEINT) * CAST(dc.dc
+         |          - CASE WHEN cd.c = l.label THEN d.deg ELSE 0 END AS HUGEINT) AS gain
+         |  FROM ${pfx}cand$i cd JOIN ${pfx}l${i - 1} l ON l.node = cd.node
+         |    JOIN ${pfx}deg d ON d.node = cd.node JOIN ${pfx}dc$i dc ON dc.c = cd.c),
+         |${pfx}b$i AS (SELECT node, c AS nlabel FROM (
+         |    SELECT node, c, row_number() OVER (PARTITION BY node
+         |      ORDER BY gain DESC, c) AS rk FROM ${pfx}g$i) WHERE rk = 1),
+         |${pfx}l$i AS MATERIALIZED (SELECT l.node, COALESCE(b.nlabel, l.label) AS label
+         |  FROM ${pfx}l${i - 1} l LEFT JOIN ${pfx}b$i b ON b.node = l.node)""".stripMargin)
+    }
+  }
+
+  /** The [[louvainMultiLevel]] oracle generator: a static
+    * `maxLevels`-deep unroll — per level one [[weightedLevelSql]]
+    * block (prefix `v{l}_`), a contraction CTE, and a mapping-compose
+    * CTE. The Scala side's early exit is invisible to the result (see
+    * [[louvainMultiLevel]]'s no-op argument), so the static unroll
+    * matches whatever level the loop stopped at.
+    */
+  def louvainMultiLevelSql(edgesSql: String, itersPerLevel: Int, maxLevels: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ml_und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ($edgesSql) WHERE src <> dst),
+         |ml_g1 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM ml_und)""".stripMargin)
+    for (l <- 1 to maxLevels) {
+      val lab = s"v${l}_l$itersPerLevel"
+      weightedLevelSql(sb, s"v${l}_", s"ml_g$l", itersPerLevel)
+      // the level's exact Q·m2² (the Scala qNumContracted replica):
+      // win = intra-community weight incl. self-loops, dc = weighted
+      // degree sum, qn = Σ_c (2·m2·win − dc²) in HUGEINT
+      sb.append(s""",
+         |v${l}_win AS (SELECT x.label AS c, CAST(SUM(g.w) AS BIGINT) AS win
+         |  FROM ml_g$l g JOIN $lab x ON x.node = g.a JOIN $lab y ON y.node = g.b
+         |  WHERE x.label = y.label GROUP BY 1),
+         |v${l}_dcq AS (SELECT l.label AS c, CAST(SUM(d.deg) AS BIGINT) AS dc
+         |  FROM $lab l JOIN v${l}_deg d ON d.node = l.node GROUP BY 1),
+         |v${l}_qn AS (SELECT CAST(COALESCE(SUM(
+         |      (SELECT m2 FROM v${l}_m2) * 2 * CAST(COALESCE(w.win, 0) AS HUGEINT)
+         |      - CAST(d.dc AS HUGEINT) * CAST(d.dc AS HUGEINT)), 0) AS HUGEINT) AS qn
+         |  FROM v${l}_dcq d LEFT JOIN v${l}_win w ON w.c = d.c)""".stripMargin)
+      sb.append(if (l == 1) s""",
+         |ml_map1 AS MATERIALIZED (SELECT node, label FROM $lab)""".stripMargin
+      else s""",
+         |ml_map$l AS MATERIALIZED (SELECT m.node, COALESCE(v.label, m.label) AS label
+         |  FROM ml_map${l - 1} m LEFT JOIN $lab v ON v.node = m.label)""".stripMargin)
+      if (l < maxLevels) {
+        sb.append(s""",
+           |ml_g${l + 1} AS MATERIALIZED (SELECT least(x.label, y.label) AS a,
+           |    greatest(x.label, y.label) AS b, CAST(SUM(g.w) AS BIGINT) AS w
+           |  FROM ml_g$l g JOIN $lab x ON x.node = g.a
+           |    JOIN $lab y ON y.node = g.b GROUP BY 1, 2)""".stripMargin)
+      }
+    }
+    // the ΔQ accept chain: level l's mapping is selected only when
+    // every level 2..l strictly improved qn — a static CASE over
+    // HUGEINT scalars, replaying the Scala early exit exactly (a
+    // rejected level's deeper maps are computed but never selected)
+    val acc = (2 to maxLevels).map { l =>
+      val conj = (2 to l).map(k =>
+        s"((SELECT qn FROM v${k}_qn) > (SELECT qn FROM v${k - 1}_qn))").mkString(" AND ")
+      s"($conj) AS a$l"
+    }
+    if (maxLevels == 1) {
+      sb.append(s"""
+         |SELECT node, label FROM ml_map1 ORDER BY node""".stripMargin)
+    } else {
+      sb.append(s""",
+         |ml_acc AS (SELECT ${acc.mkString(",\n    ")})""".stripMargin)
+      val cases = (maxLevels to 2 by -1)
+        .map(l => s"WHEN ml_acc.a$l THEN m$l.label").mkString(" ")
+      val joins = (2 to maxLevels)
+        .map(l => s"JOIN ml_map$l m$l ON m$l.node = m1.node").mkString(" ")
+      sb.append(s"""
+         |SELECT m1.node, CASE $cases ELSE m1.label END AS label
+         |FROM ml_map1 m1 $joins CROSS JOIN ml_acc
+         |ORDER BY m1.node""".stripMargin)
+    }
     sb.toString
   }
 

@@ -1860,6 +1860,22 @@ object ParityQueries {
   val louvainL2SqlQ: String =
     graft.operators.Graph.louvainTwoLevelSql(copurchaseEdgesSql, itersL1 = 4, itersL2 = 4)
 
+  /** FULL multi-level Louvain (Graph.louvainMultiLevel) over the same
+    * co-purchase graph: the complete Blondel move-contract loop, 3
+    * levels of 4 weighted move rounds each with early exit on a
+    * no-move level. The oracle is the static 3-level unroll (per-round
+    * label CTEs MATERIALIZED — the nested-generator lesson); the
+    * early exit replays as no-op levels, so static and dynamic agree.
+    */
+  val louvainMlQ: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    graft.operators.Graph.louvainMultiLevel(e, "src", "dst", itersPerLevel = 4, maxLevels = 3)
+      .orderBy("node")
+  }
+
+  val louvainMlSqlQ: String =
+    graft.operators.Graph.louvainMultiLevelSql(copurchaseEdgesSql, itersPerLevel = 4, maxLevels = 3)
+
   /** HyperBall harmonic centrality (Graph.harmonicCentrality) over the
     * co-purchase graph: the Common-Crawl-style link-quality ranking —
     * 4 sketch-merge rounds, bottom-32 KMV balls with the twice-squared
@@ -2305,6 +2321,7 @@ object ParityQueries {
     "q_graph_kcore" -> kCoreQ,
     "q_graph_louvain" -> louvainQ,
     "q_graph_louvain_l2" -> louvainL2Q,
+    "q_graph_louvain_ml" -> louvainMlQ,
     "q_graph_hits" -> hitsQ,
     "q_harmonic_centrality" -> harmonicQ,
     "q_graph_modularity" -> modularityQ,
@@ -2400,6 +2417,7 @@ object ParityQueries {
     "q_graph_kcore" -> kCoreSqlQ,
     "q_graph_louvain" -> louvainSqlQ,
     "q_graph_louvain_l2" -> louvainL2SqlQ,
+    "q_graph_louvain_ml" -> louvainMlSqlQ,
     "q_graph_hits" -> hitsSqlQ,
     "q_harmonic_centrality" -> harmonicSqlQ,
     "q_graph_modularity" -> modularitySqlQ,

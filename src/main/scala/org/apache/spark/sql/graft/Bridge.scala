@@ -29,6 +29,34 @@ object Bridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
 
+  /** Drop the carried-over origin statistics from a checkpointed
+    * frame's `LogicalRDD` leaf (everything else — RDD, partitioning,
+    * ordering — is preserved, so this costs nothing at runtime).
+    *
+    * Why: Spark 4 propagates the CHILD plan's estimated statistics
+    * into the `LogicalRDD` a checkpoint produces (origin stats). In an
+    * iterative operator whose rounds join the previous round's
+    * checkpoint several times, the estimated `sizeInBytes` MULTIPLIES
+    * each round — the BigInt's digit count grows geometrically across
+    * rounds/levels, and by a few compounded levels the driver wedges
+    * for minutes inside stats estimation (BigInteger Toom-Cook on
+    * million-digit numbers — observed 6.6s → 50.7s → minutes per
+    * round planning louvainMultiLevel level 3 on a 63-edge graph).
+    * Resetting to the default leaf estimate bounds the growth to one
+    * round; AQE re-plans with real runtime sizes anyway.
+    */
+  def resetStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.logicalPlan match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(ds.sparkSession,
+          org.apache.spark.sql.execution.LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering, l.isStreaming, l.stream)(
+            ds.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], None, None))
+      case _ => df
+    }
+  }
+
   /** Build an independent session over an existing SparkContext with the
     * given SparkSessionExtensions builder applied — what
     * `spark.sql.extensions=<class>` does at cluster-session construction

@@ -903,6 +903,35 @@ class OperatorSpec extends SparkSpec {
     assert(c2 <= c1, "coarse moves only merge or regroup communities, never split")
   }
 
+  test("louvainMultiLevel: Q non-decreasing per level, >= two-level; early exit is a no-op") {
+    import graft.operators.Graph
+    // the co-purchase demo graph at sf0.001 (the registered query's)
+    val ti = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey").as("t"), col("l_partkey").as("i")).distinct()
+    val e = ti.as("x")
+      .join(ti.as("y"), col("x.t") === col("y.t") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("src"), col("y.i").as("dst"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("src"), col("dst")).localCheckpoint(false)
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      Graph.modularity(e, "src", "dst", labels).collect().head.getAs[Double]("q_total")
+    val qs = (1 to 3).map(lv =>
+      q(Graph.louvainMultiLevel(e, "src", "dst", itersPerLevel = 4, maxLevels = lv)))
+    assert(qs.sliding(2).forall(p => p(0) <= p(1)),
+      s"modularity must not drop across levels: $qs")
+    val qL2 = q(Graph.louvainTwoLevel(e, "src", "dst", itersL1 = 4, itersL2 = 4))
+    assert(qs(2) >= qL2, s"3-level Q ${qs(2)} must be >= two-level Q $qL2")
+    // early exit: on the planted two-triangle graph level 1 already
+    // converges, so deeper maxLevels return the identical partition
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    def run(lv: Int) = Graph.louvainMultiLevel(tri, "src", "dst", 4, lv)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("label")).toMap
+    val deep = run(5)
+    assert(deep == run(2) && deep == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L), s"$deep")
+  }
+
   test("expect: violation counts, NULL-fails-by-default, opt-out, one scan") {
     import graft.operators.Profile
     val df = Seq((1, Some(5)), (2, Some(50)), (3, None), (4, Some(7)))
