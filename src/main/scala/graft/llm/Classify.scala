@@ -289,9 +289,30 @@ object Classify {
       .orderBy(col("bin"))
       .collect()
     require(stats.nonEmpty, "isotonicCalibration needs a non-empty frame")
-    val b = stats.length
     val bn = stats.map(_.getLong(1))
     val bk = stats.map(_.getLong(2))
+    val fit = pavMinimaxFit(bn, bk)
+    val out = stats.indices.map { i =>
+      Row(stats(i).getLong(0), bn(i), bk(i),
+        bk(i).toDouble / bn(i).toDouble, fit(i))
+    }
+    val schema = StructType(Seq(
+      StructField("bin", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("n_pos", LongType, nullable = false),
+      StructField("rate_raw", DoubleType, nullable = false),
+      StructField("rate_iso", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
+  /** The shared PAV minimax lattice over one key's ordered bin stats
+    * (`p̂_i = max_{j≤i} min_{l≥i} ratio(j, l)` — see
+    * [[isotonicCalibration]]'s exactness note): O(B²) driver-side
+    * scans over exact long prefix sums, one IEEE division per
+    * candidate ratio.
+    */
+  private def pavMinimaxFit(bn: Array[Long], bk: Array[Long]): Array[Double] = {
+    val b = bn.length
     val prefN = bn.scanLeft(0L)(_ + _) // prefN(i) = Σ n before index i
     val prefK = bk.scanLeft(0L)(_ + _)
     def ratio(j: Int, l: Int): Double =
@@ -309,7 +330,7 @@ object Classify {
       }
       m
     }
-    val fit = Array.tabulate(b) { i =>
+    Array.tabulate(b) { i =>
       var best = Double.MinValue
       var j = 0
       while (j <= i) {
@@ -319,11 +340,64 @@ object Classify {
       }
       best
     }
-    val out = stats.indices.map { i =>
-      Row(stats(i).getLong(0), bn(i), bk(i),
-        bk(i).toDouble / bn(i).toDouble, fit(i))
+  }
+
+  /** Per-key isotonic calibration — [[isotonicCalibration]] fanned out
+    * over a segment/source key, the per-key drift-matrix discipline
+    * applied to the calibration family: audit the monotone curve PER
+    * source/domain in one pass instead of one global average hiding a
+    * miscalibrated slice. One row per observed (key, bin):
+    * `(key, bin, n, n_pos, rate_raw, rate_iso)` ordered by (key, bin);
+    * NULL key/score/label rows drop (the [[isotonicCalibration]] NULL
+    * policy); the key is cast to string (explicit-schema re-entry).
+    *
+    * Scale shape: corpus work is ONE (key, bin) map-side-combined
+    * aggregate; the keys×bins grid then collects to the driver for the
+    * per-key O(B²) minimax lattices behind a LOUD `maxCells` bound
+    * (the [[graft.operators.StatTests.chiSquareByKey]] 4096-cell
+    * precedent — fetched `maxCells + 1`, so an oversized grid fails
+    * before materializing on the driver).
+    */
+  def isotonicCalibrationByKey(
+      scored: DataFrame,
+      keyCol: String,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int,
+      maxCells: Int = 4096
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(bins >= 1 && bins <= 1000, s"bins must be in 1..1000, got $bins")
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    val spark = scored.sparkSession
+    val s = col(scoreCol).cast("double")
+    val binCol = least(floor(s * lit(bins.toDouble)), lit((bins - 1).toLong))
+    val cells = scored
+      .filter(col(keyCol).isNotNull && col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"), binCol.as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("key"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      .orderBy(col("key"), col("bin"))
+      .limit(maxCells + 1)
+      .collect()
+    require(cells.length <= maxCells,
+      s"isotonicCalibrationByKey: the keys×bins grid has more than $maxCells " +
+        "cells (maxCells) — coarsen bins or split the key space")
+    require(cells.nonEmpty, "isotonicCalibrationByKey needs a non-empty frame")
+    val out = cells.groupBy(_.getString(0)).toSeq.sortBy(_._1).flatMap { case (key, g) =>
+      val rows = g.sortBy(_.getLong(1))
+      val bn = rows.map(_.getLong(2))
+      val bk = rows.map(_.getLong(3))
+      val fit = pavMinimaxFit(bn, bk)
+      rows.indices.map { i =>
+        Row(key, rows(i).getLong(1), bn(i), bk(i),
+          bk(i).toDouble / bn(i).toDouble, fit(i))
+      }
     }
     val schema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
       StructField("bin", LongType, nullable = false),
       StructField("n", LongType, nullable = false),
       StructField("n_pos", LongType, nullable = false),
@@ -331,6 +405,37 @@ object Classify {
       StructField("rate_iso", DoubleType, nullable = false)))
     spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
+
+  /** The [[isotonicCalibrationByKey]] oracle generator: `scoredSql`
+    * must yield `(k, label, score)`; [[isotonicCalibrationSql]]'s
+    * join-lattice with every join and window PARTITIONED by the key.
+    * Same oracle-side bound as the global generator: the iso_m stage
+    * is O(B³) PER KEY — keep oracled uses at bins ≤ 64.
+    */
+  def isotonicCalibrationByKeySql(scoredSql: String, bins: Int): String =
+    s"""WITH iso_g AS MATERIALIZED (
+       |  SELECT CAST(k AS VARCHAR) AS k,
+       |    LEAST(CAST(FLOOR(score * ${bins.toDouble}) AS BIGINT),
+       |      ${(bins - 1).toLong}) AS bin,
+       |    CAST(label AS BIGINT) AS y FROM ($scoredSql)
+       |  WHERE k IS NOT NULL AND score IS NOT NULL AND label IS NOT NULL),
+       |iso_a AS MATERIALIZED (SELECT k, bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS kk,
+       |    CAST(SUM(count(*)) OVER (PARTITION BY k ORDER BY bin) AS BIGINT) AS nc,
+       |    CAST(SUM(sum(y)) OVER (PARTITION BY k ORDER BY bin) AS BIGINT) AS kc
+       |  FROM iso_g GROUP BY 1, 2),
+       |iso_r AS (SELECT a.k, a.bin AS j, b.bin AS l,
+       |    CAST(b.kc - (a.kc - a.kk) AS DOUBLE)
+       |      / CAST(b.nc - (a.nc - a.n) AS DOUBLE) AS r
+       |  FROM iso_a a JOIN iso_a b ON b.k = a.k AND b.bin >= a.bin),
+       |iso_m AS (SELECT i.k, i.bin AS i, r.j, MIN(r.r) AS mr
+       |  FROM iso_a i JOIN iso_r r ON r.k = i.k AND r.j <= i.bin AND r.l >= i.bin
+       |  GROUP BY 1, 2, 3),
+       |iso_p AS (SELECT k, i, MAX(mr) AS rate_iso FROM iso_m GROUP BY 1, 2)
+       |SELECT a.k AS key, a.bin, a.n, a.kk AS n_pos,
+       |  CAST(a.kk AS DOUBLE) / CAST(a.n AS DOUBLE) AS rate_raw, p.rate_iso
+       |FROM iso_a a JOIN iso_p p ON p.k = a.k AND p.i = a.bin
+       |ORDER BY a.k, a.bin""".stripMargin
 
   /** The [[isotonicCalibration]] oracle generator: `scoredSql` must
     * yield `(label, score)`; the minimax lattice replays as two

@@ -1472,6 +1472,36 @@ object LlmQueries {
     Classify.isotonicCalibrationSql(
       s"SELECT label, score FROM ($lrHoldoutInnerSql) WHERE doc % 5 = 0", bins = 8)
 
+  /** Per-source isotonic calibration (Classify.isotonicCalibrationByKey)
+    * of the same held-out LR scores: the monotone curve PER document
+    * source — how a deployed filter is audited per domain (a global
+    * curve can average away one source's miscalibration). sources ×
+    * 8 bins stays far under the 4096-cell driver guard; the oracle is
+    * the key-partitioned join-lattice over the same holdout unroll.
+    */
+  val qualityLrIsotonicBySrc: Q = (s, dir) => {
+    val fc = Seq("_x0", "_x1", "_x2")
+    val feats = TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc"),
+        (col("quality_score") >= 0.405).cast("double").as("_y"),
+        ((col("stopword_ratio") - lit(0.06)) * lit(10.0)).as("_x0"),
+        ((least(col("avg_word_len") / lit(10.0), lit(1.0)) - lit(0.45)) * lit(10.0)).as("_x1"),
+        ((col("alpha_ratio") - lit(0.82)) * lit(10.0)).as("_x2"))
+      .localCheckpoint(false)
+    val wu = Classify.logisticTrain(
+      feats.filter(col("doc") % 5 =!= 0), "_y", fc, iters = 40, lr = 4.0)
+    val held = Classify.logisticScore(feats.filter(col("doc") % 5 === 0), "doc", fc, wu)
+      .join(feats.select(col("doc"), col("_y").cast("long").as("label")), "doc")
+      .join(Tables.documents(s, dir).select(col("doc_id").as("doc"), col("source")), "doc")
+    Classify.isotonicCalibrationByKey(held, "source", "label", "score", bins = 8)
+  }
+
+  val qualityLrIsotonicBySrcSql: String =
+    Classify.isotonicCalibrationByKeySql(
+      s"""SELECT d.source AS k, q.label, q.score
+         |FROM ($lrHoldoutInnerSql) q JOIN documents d ON d.doc_id = q.doc
+         |WHERE q.doc % 5 = 0""".stripMargin, bins = 8)
+
   /** ROC-AUC (Classify.auc) of the HELD-OUT fifth under the
     * holdout-trained LR — the threshold-free companion to the
     * calibration bins, ranked on the INTEGER margin (monotone with
@@ -5436,6 +5466,7 @@ object LlmQueries {
     "q_quality_lr_holdout" -> qualityLrHoldout,
     "q_quality_lr_calibration" -> qualityLrCalibration,
     "q_quality_lr_isotonic" -> qualityLrIsotonic,
+    "q_quality_lr_isotonic_by_src" -> qualityLrIsotonicBySrc,
     "q_quality_lr_auc" -> qualityLrAuc,
     "q_quality_kappa" -> qualityKappa,
     "q_quality_rules" -> qualityRules,
@@ -5583,6 +5614,7 @@ object LlmQueries {
     "q_quality_lr_holdout" -> qualityLrHoldoutSql,
     "q_quality_lr_calibration" -> qualityLrCalibrationSql,
     "q_quality_lr_isotonic" -> qualityLrIsotonicSql,
+    "q_quality_lr_isotonic_by_src" -> qualityLrIsotonicBySrcSql,
     "q_quality_lr_auc" -> qualityLrAucSql,
     "q_quality_kappa" -> qualityKappaSql,
     "q_quality_rules" -> qualityRulesSql,

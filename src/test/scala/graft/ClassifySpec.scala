@@ -216,6 +216,37 @@ class ClassifySpec extends SparkSpec {
     assert(curve.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)), curve.mkString(","))
   }
 
+  test("isotonicCalibrationByKey: fan-out equals the global operator per key; grid guard trips") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 400).map { i =>
+      val k = if (i % 3 == 0) "web" else if (i % 3 == 1) "book" else "code"
+      val s = rng.nextDouble()
+      val y = if (rng.nextDouble() < s * 0.8 + 0.1) 1 else 0
+      (k, s, y)
+    }
+    val df = rows.toDF("src", "score", "y")
+    val byKey = Classify.isotonicCalibrationByKey(df, "src", "y", "score", bins = 6)
+      .collect().groupBy(_.getString(0))
+    assert(byKey.keySet == Set("web", "book", "code"))
+    byKey.foreach { case (k, got) =>
+      val solo = Classify.isotonicCalibration(
+          df.filter(org.apache.spark.sql.functions.col("src") === k), "y", "score", bins = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      val g = got.sortBy(_.getLong(1)).map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      assert(g.sameElements(solo), s"key $k: fan-out must equal the solo fit")
+      // and each key's curve is nondecreasing
+      assert(g.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    // the keys×bins driver guard fails loudly before materializing
+    val err = intercept[IllegalArgumentException] {
+      Classify.isotonicCalibrationByKey(df, "src", "y", "score", bins = 6, maxCells = 4)
+    }
+    assert(err.getMessage.contains("maxCells"), err.getMessage)
+  }
+
   test("isotonicCalibration: NULL score/label rows drop (the cusum NULL policy)") {
     import spark.implicits._
     val clean = Seq((0.1, Some(0)), (0.2, Some(1)), (0.6, Some(1)), (0.9, Some(1)))
