@@ -1763,6 +1763,29 @@ object Graph {
       maxHops: Int,
       k: Int = 32
   ): DataFrame = {
+    val ests = ballEstimates(edges, srcCol, dstCol, maxHops, k)
+    val harmonic = (1 to maxHops)
+      .map(t => (col(s"est$t") - col(s"est${t - 1}")) / lit(t.toDouble))
+      .reduce(_ + _) // fixed left-to-right chain — the oracle's exact sequence
+    ests.select(col("node"), col(s"est$maxHops").as("reach_est"),
+      harmonic.as("harmonic"))
+      .orderBy(col("node"))
+  }
+
+  /** The shared HyperBall sketch rounds of [[harmonicCentrality]] /
+    * [[closenessCentrality]]: one frame `(node, est0..est{maxHops})` —
+    * the per-round ball-size estimates (the NEIGHBORHOOD FUNCTION
+    * N(t) per node), from bottom-k KMV ball sketches merged along
+    * edges each round. Everything both centralities need is already
+    * in these columns, so the closeness variant adds NO new shuffle.
+    */
+  private def ballEstimates(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int,
+      k: Int
+  ): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8, s"maxHops must be in 1..8, got $maxHops")
     require(k >= 2 && k <= 4096, s"k must be in 2..4096, got $k")
     val p = graft.functions.StrHash.P
@@ -1801,11 +1824,45 @@ object Graph {
         .localCheckpoint(false)
       ests = ests.join(estOf(s, s"est$t"), "node")
     }
-    val harmonic = (1 to maxHops)
-      .map(t => (col(s"est$t") - col(s"est${t - 1}")) / lit(t.toDouble))
+    ests
+  }
+
+  /** HyperBall closeness centrality + the per-node neighborhood
+    * function (Boldi & Vigna 2013 §2's other geometric centrality, and
+    * the WIMBD-style graph-audit companion): from the SAME per-round
+    * ball estimates as [[harmonicCentrality]] — no new shuffle — emit
+    * per node the N(t) curve (`n0..n{maxHops}`, the estimated nodes
+    * within t hops), `sum_dist = Σ_t t·(N(t) − N(t−1))` (the truncated
+    * total distance), and `closeness = (N(maxHops) − 1) / sum_dist`
+    * (NULL when sum_dist = 0 — nothing reachable). Harmonic handles
+    * disconnection gracefully; closeness is the classic reciprocal
+    * average distance, meaningful within a component — emit both,
+    * audit with both.
+    *
+    * Exactness: identical sketch algebra to [[harmonicCentrality]];
+    * sum_dist is a fixed left-to-right chain of `(est_t − est_{t−1})·t`
+    * doubles, closeness ONE division of already-emitted columns —
+    * the oracle replays the same sequence off the shared CTE body
+    * ([[closenessCentralitySql]]).
+    */
+  def closenessCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int,
+      k: Int = 32
+  ): DataFrame = {
+    val ests = ballEstimates(edges, srcCol, dstCol, maxHops, k)
+    val sumDist = (1 to maxHops)
+      .map(t => (col(s"est$t") - col(s"est${t - 1}")) * lit(t.toDouble))
       .reduce(_ + _) // fixed left-to-right chain — the oracle's exact sequence
-    ests.select(col("node"), col(s"est$maxHops").as("reach_est"),
-      harmonic.as("harmonic"))
+    ests
+      .withColumn("sum_dist", sumDist)
+      .select(col("node") +:
+        (0 to maxHops).map(t => col(s"est$t").as(s"n$t")) :+
+        col("sum_dist") :+
+        when(col("sum_dist") > 0.0,
+          (col(s"est$maxHops") - lit(1.0)) / col("sum_dist")).as("closeness"): _*)
       .orderBy(col("node"))
   }
 
@@ -1817,6 +1874,58 @@ object Graph {
     * strhash over a VARCHAR column (the shared strhashSql helper).
     */
   def harmonicCentralitySql(
+      edgesSql: String,
+      maxHops: Int,
+      k: Int,
+      strhashExpr: String => String
+  ): String = {
+    val chain = (1 to maxHops)
+      .map(t => s"(e$t.est - e${t - 1}.est) / CAST($t AS DOUBLE)")
+      .mkString(" + ")
+    val joinClause = (1 to maxHops)
+      .map(t => s"JOIN hc_e$t e$t ON e$t.node = e0.node").mkString("\n")
+    hyperBallCtesSql(edgesSql, maxHops, k, strhashExpr) +
+      s"""
+         |SELECT e0.node, e$maxHops.est AS reach_est, $chain AS harmonic
+         |FROM hc_e0 e0
+         |$joinClause
+         |ORDER BY e0.node""".stripMargin
+  }
+
+  /** The [[closenessCentrality]] oracle generator — the same sketch
+    * CTE body as [[harmonicCentralitySql]], closing with the N(t)
+    * columns, the t-weighted distance chain, and the closeness
+    * division (sum_dist computed once in a subselect, reused — the
+    * Scala withColumn shape).
+    */
+  def closenessCentralitySql(
+      edgesSql: String,
+      maxHops: Int,
+      k: Int,
+      strhashExpr: String => String
+  ): String = {
+    val chain = (1 to maxHops)
+      .map(t => s"(e$t.est - e${t - 1}.est) * CAST($t AS DOUBLE)")
+      .mkString(" + ")
+    val ns = (0 to maxHops).map(t => s"e$t.est AS n$t").mkString(", ")
+    val joinClause = (1 to maxHops)
+      .map(t => s"JOIN hc_e$t e$t ON e$t.node = e0.node").mkString("\n")
+    hyperBallCtesSql(edgesSql, maxHops, k, strhashExpr) +
+      s"""
+         |SELECT node, ${(0 to maxHops).map(t => s"n$t").mkString(", ")}, sum_dist,
+         |  CASE WHEN sum_dist > CAST(0 AS DOUBLE)
+         |    THEN (n$maxHops - CAST(1 AS DOUBLE)) / sum_dist END AS closeness
+         |FROM (
+         |  SELECT e0.node, $ns, $chain AS sum_dist
+         |  FROM hc_e0 e0
+         |  $joinClause)
+         |ORDER BY node""".stripMargin
+  }
+
+  /** The shared HyperBall CTE body (sketch rounds + per-round
+    * estimates hc_e0..hc_e{maxHops}) of the two centrality oracles.
+    */
+  private def hyperBallCtesSql(
       edgesSql: String,
       maxHops: Int,
       k: Int,
@@ -1851,17 +1960,6 @@ object Graph {
          |  FROM (SELECT node, CAST(count(*) AS BIGINT) AS cnt, MAX(hv) AS kth
          |        FROM hc_s$t GROUP BY 1))""".stripMargin)
     }
-    val chain = (1 to maxHops)
-      .map(t => s"(e$t.est - e${t - 1}.est) / CAST($t AS DOUBLE)")
-      .mkString(" + ")
-    val joinClause = (1 to maxHops)
-      .map(t => s"JOIN hc_e$t e$t ON e$t.node = e0.node").mkString("\n")
-    sb.append(
-      s"""
-         |SELECT e0.node, e$maxHops.est AS reach_est, $chain AS harmonic
-         |FROM hc_e0 e0
-         |$joinClause
-         |ORDER BY e0.node""".stripMargin)
     sb.toString
   }
 }

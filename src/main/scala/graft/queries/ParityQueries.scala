@@ -1898,6 +1898,29 @@ object ParityQueries {
       e => strhashSql(e, "hc"))
   }
 
+  /** HyperBall closeness + neighborhood function
+    * (Graph.closenessCentrality) over the same co-purchase graph and
+    * sketch parameters as q_harmonic_centrality: per node the N(t)
+    * curve n0..n4, the truncated total distance, and the closeness
+    * ratio — the same per-round ball estimates, one more arithmetic
+    * chain, no new shuffle. Oracle shares the harmonic oracle's
+    * sketch-round CTE body.
+    */
+  val closenessQ: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    graft.operators.Graph.closenessCentrality(e, "src", "dst", maxHops = 4, k = 32)
+  }
+
+  val closenessSqlQ: String = {
+    val p = graft.llm.TextOps.P
+    def strhashSql(e: String, v: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, length($e)+1), ${v}i -> CAST(ascii(substring($e, CAST(${v}i AS INT), 1)) AS BIGINT))), " +
+        s"(${v}a, ${v}c) -> (${v}a*31 + ${v}c) % $p)"
+    graft.operators.Graph.closenessCentralitySql(copurchaseEdgesSql, maxHops = 4, k = 32,
+      e => strhashSql(e, "hc"))
+  }
+
   /** Bounded-round k-core ([[Graph.kCore]]) on the same support-floored
     * co-purchase graph as q_graph_cc / q_triangle_count: the 3-core
     * (935 of 1880 nodes at sf0.01, an 11-round peel — rounds=12 covers
@@ -2324,6 +2347,7 @@ object ParityQueries {
     "q_graph_louvain_ml" -> louvainMlQ,
     "q_graph_hits" -> hitsQ,
     "q_harmonic_centrality" -> harmonicQ,
+    "q_closeness_centrality" -> closenessQ,
     "q_graph_modularity" -> modularityQ,
     "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
@@ -2420,6 +2444,7 @@ object ParityQueries {
     "q_graph_louvain_ml" -> louvainMlSqlQ,
     "q_graph_hits" -> hitsSqlQ,
     "q_harmonic_centrality" -> harmonicSqlQ,
+    "q_closeness_centrality" -> closenessSqlQ,
     "q_graph_modularity" -> modularitySqlQ,
     "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -828,6 +828,40 @@ class OperatorSpec extends SparkSpec {
     assert(s2.forall(r => r.getDouble(1) > 0 && !r.getDouble(2).isNaN))
   }
 
+  test("closenessCentrality: exact with uncapped sketches; N(t) curve monotone; shares harmonic's sketches") {
+    import graft.operators.Graph
+    // path 1-2-3: node 1 dists {1,2} → sum 3, closeness (3−1)/3
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val cp = Graph.closenessCentrality(path, "src", "dst", maxHops = 2, k = 32)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // columns: node, n0, n1, n2, sum_dist, closeness
+    assert(cp(1L)._1 == 1.0, "n0 is the node itself")
+    assert(cp(1L)._2 == 3.0 && cp(1L)._3 == 3.0, s"${cp(1L)}")
+    assert(cp(1L)._4 == 2.0 / 3.0 && cp(2L)._4 == 1.0, s"exact closeness: $cp")
+    // two triangles + bridge: node 3 dists {1,1,1,2,2} → sum 7,
+    // closeness 5/7; node 1 dists {1,1,2,3,3} → sum 10, closeness 5/10
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val c = Graph.closenessCentrality(e, "src", "dst", maxHops = 3, k = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(5), r.getDouble(6)))).toMap
+    assert(c(3L) == ((7.0, 5.0 / 7.0)) && c(1L) == ((10.0, 0.5)), s"$c")
+    assert(c(3L)._2 > c(1L)._2, "the bridge node is the most central")
+    // the N(t) curve is nondecreasing even with capped sketches
+    val rows = Graph.closenessCentrality(e, "src", "dst", maxHops = 3, k = 2).collect()
+    rows.foreach { r =>
+      val ns = (1 to 4).map(r.getDouble)
+      assert(ns.sliding(2).forall(p => p(0) <= p(1)), s"N(t) must be monotone: $ns")
+      assert(!r.isNullAt(6) || r.getDouble(5) == 0.0)
+    }
+    // same sketches as harmonic: reach_est(maxHops) == n(maxHops)
+    val h = Graph.harmonicCentrality(e, "src", "dst", maxHops = 3, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n3 = Graph.closenessCentrality(e, "src", "dst", maxHops = 3, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(h.forall { case (n, v) => n3(n) == v }, "shared sketch algebra must agree")
+  }
+
   test("louvainMovesWeighted: unit weights ≡ unweighted; self-loops enter degree only") {
     import graft.operators.Graph
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
