@@ -341,6 +341,68 @@ object TextIndex {
         col("doc"), col("occurrences"))
   }
 
+  /** Proximity (sloppy) phrase probe — [[probePhrase]] with a window:
+    * anchor `start` matches when every phrase slot j has an occurrence
+    * of its term within `[start + j, start + j + slop]` (1-based
+    * positions; `slop = 0` IS the exact phrase, spec-pinned equal).
+    * The Lucene operating point between exact phrase and bag-of-words:
+    * tolerate up to `slop` inserted words per slot — note terms may
+    * realign WITHIN their windows (at `slop ≥ 2` adjacent terms can
+    * swap), the standard window-proximity semantics.
+    *
+    * Same machinery as [[probePhrase]] — bucket-pruned positional
+    * scan, broadcast slot table, shift-by-slot — with the range
+    * realized as a bounded explode: each (term, off, pos) row covers
+    * the `slop + 1` anchors `[pos − off − slop, pos − off]`, so the
+    * exchange grows by AT MOST `slop + 1` (loudly bounded at 16);
+    * matching then stays the exact operator's (doc, start) distinct-
+    * slot count. `occurrences` = number of matching anchors.
+    */
+  def probeProximity(
+      spark: SparkSession,
+      dir: String,
+      phrase: Seq[String],
+      k: Int,
+      slop: Int
+  ): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    require(slop >= 0 && slop <= 16,
+      s"slop must be in 0..16 (the per-position anchor fan-out), got $slop")
+    val (matched, _) = prunedMatched(spark, dir, phrase.distinct, withPos = true)
+    val slots = phrase.zipWithIndex.map { case (t, j) =>
+      org.apache.spark.sql.Row(t, j) }
+    val slotDf = spark.createDataFrame(
+      java.util.Arrays.asList(slots: _*),
+      StructType(Seq(
+        StructField("term", StringType, nullable = false),
+        StructField("off", org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val posChecked = when(col("pos").isNull,
+      raise_error(lit("probeProximity requires a positional index — " +
+        "this root was built without the pos column; rebuild or compact it"))
+    ).otherwise(col("pos"))
+    matched
+      .join(broadcast(slotDf), Seq("term"))
+      .select(col("doc"), col("off"), explode(posChecked).as("p"))
+      .select(col("doc"), col("off"),
+        explode(sequence(col("p") - col("off") - lit(slop),
+          col("p") - col("off"))).as("start"))
+      .filter(col("start") >= 1)
+      .groupBy(col("doc"), col("start"))
+      .agg(countDistinct(col("off")).as("hits"))
+      .filter(col("hits") === lit(phrase.length.toLong))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("doc"))
+      .limit(k)
+      // rank the ≤k survivors without WindowExec (see Relevance.bm25)
+      .coalesce(1)
+      .sortWithinPartitions(col("occurrences").desc, col("doc"))
+      .select(
+        (monotonically_increasing_id() + 1).cast("long").as("rank"),
+        col("doc"), col("occurrences"))
+  }
+
   /** Batch phrase probe — [[probeAll]]'s economy for [[probePhrase]]:
     * ONE pruned scan over the union of every phrase's term buckets,
     * amortized across the batch; each query's slot table (qid, term,

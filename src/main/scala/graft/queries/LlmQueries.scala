@@ -2258,6 +2258,41 @@ object LlmQueries {
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
   }
 
+  /** Proximity phrase search (TextIndex.probeProximity): the same
+    * "fast scan" query with slop = 2 — every slot may sit up to two
+    * positions late, the Lucene window operating point between exact
+    * phrase and bag-of-words. Shares q_phrase_search's persisted
+    * positional index; the oracle recounts anchors with per-slot
+    * list_contains over the slot's slop window (the list-lambda
+    * recount, slices truncating safely at the document edge).
+    */
+  val ProximitySlop: Int = 2
+
+  val proximitySearch: Q = (s, dir) => {
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-text-phrase-q").toString
+    graft.llm.TextIndex.write(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 16)
+    graft.llm.TextIndex.probeProximity(s, idx, PhraseTerms, k = 10, slop = ProximitySlop)
+  }
+
+  val proximitySearchSql: String = {
+    val conds = PhraseTerms.zipWithIndex
+      .map { case (t, j) =>
+        s"list_contains(ws[s + $j : s + $j + $ProximitySlop], '$t')" }
+      .mkString(" AND ")
+    s"""WITH pb AS (SELECT doc_id AS doc,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws FROM documents),
+       |pm AS (SELECT doc, CAST(len(list_filter(
+       |    range(1, len(ws) + 1), s -> $conds)) AS BIGINT) AS occurrences
+       |  FROM pb)
+       |SELECT rank, doc, occurrences FROM (
+       |  SELECT doc, occurrences,
+       |    row_number() OVER (ORDER BY occurrences DESC, doc) AS rank
+       |  FROM pm WHERE occurrences > 0)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   /** Batch phrase search (TextIndex.probePhraseAll): three phrases —
     * two bigrams and a degenerate single-term phrase (occurrences =
     * tf) — amortized over ONE pruned scan of the union of their term
@@ -5548,6 +5583,7 @@ object LlmQueries {
     "q_text_index_search" -> textIndexSearch,
     "q_phrase_search" -> phraseSearch,
     "q_phrase_search_multi" -> phraseSearchMulti,
+    "q_proximity_search" -> proximitySearch,
     "q_text_index_multi" -> textIndexMulti,
     "q_text_index_multi_dist" -> textIndexMultiDist,
     "q_text_index_rm3" -> textIndexRm3,
@@ -5696,6 +5732,7 @@ object LlmQueries {
     "q_text_index_search" -> textIndexSearchSql,
     "q_phrase_search" -> phraseSearchSql,
     "q_phrase_search_multi" -> phraseSearchMultiSql,
+    "q_proximity_search" -> proximitySearchSql,
     "q_text_index_multi" -> textIndexMultiSql,
     "q_text_index_multi_dist" -> textIndexMultiSql,
     "q_text_index_rm3" -> textIndexRm3Sql,

@@ -64,6 +64,45 @@ class TextIndexSpec extends SparkSpec {
     assert(aa == Map(5L -> 2L), s"'a a': doc 5 at starts 1 and 2: $aa")
   }
 
+  test("probeProximity: slop=0 is the exact phrase; windows admit gaps, not backwards order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),   // exact "a b" twice
+      (2L, "b a c b a"),   // forward "a c b" (one gap) at slop>=1
+      (3L, "a x b"),       // one-word gap: slop>=1 admits it
+      (4L, "a x x b"),     // two-word gap: slop>=2
+      (5L, "a a a"),
+      (6L, "b a")          // ONLY backwards adjacency: never matches "a b" at slop<=1
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-prox").toString
+    TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 8)
+    // slop=0 equals the exact operator row-for-row, every phrase
+    for (ph <- Seq(Seq("a", "b"), Seq("b", "a"), Seq("a", "b", "c"), Seq("a", "a"))) {
+      val exact = TextIndex.probePhrase(spark, idx, ph, k = 10)
+        .collect().map(_.toSeq).toSeq
+      val prox0 = TextIndex.probeProximity(spark, idx, ph, k = 10, slop = 0)
+        .collect().map(_.toSeq).toSeq
+      assert(prox0 == exact, s"slop=0 must equal probePhrase for $ph: $prox0 vs $exact")
+    }
+    // slop=1: the one-word gaps match (docs 2 and 3), the two-word gap
+    // does not, and doc 6's purely BACKWARDS "b a" stays unmatched
+    val s1 = TextIndex.probeProximity(spark, idx, Seq("a", "b"), k = 10, slop = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(s1.contains(3L) && s1(2L) == 1L && !s1.contains(4L) && !s1.contains(6L), s"$s1")
+    // doc 1 at slop=1: anchors 1 and 4 still match, plus anchor 3
+    // (a@4 in [3,4], b@5 in [4,5]) — windows overlap generously
+    assert(s1(1L) == 3L, s"$s1")
+    // slop=2 admits the two-word gap
+    val s2 = TextIndex.probeProximity(spark, idx, Seq("a", "b"), k = 10, slop = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(s2.contains(4L), s"$s2")
+    // the slop fan-out bound is loud
+    val err = intercept[IllegalArgumentException] {
+      TextIndex.probeProximity(spark, idx, Seq("a", "b"), k = 10, slop = 99)
+    }
+    assert(err.getMessage.contains("slop"), err.getMessage)
+  }
+
   test("probePhraseAll: every qid equals its single-phrase probe; batch bound enforced") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
