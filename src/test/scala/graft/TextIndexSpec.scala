@@ -257,6 +257,15 @@ class TextIndexSpec extends SparkSpec {
     assert(d.keySet == Set("postings", "postings-b3"))
     assert(d.values.map(_._1).sum == docs.count())
     assert(d.values.forall(_._2 == 16L))
+    // positional telemetry: pos_entries == sum_dl (one entry per token
+    // occurrence), n_postings <= pos_entries, and the share is their
+    // exact ratio — all from the pos-free count columns
+    TextIndex.describe(spark, idx).collect().foreach { r =>
+      val (sumDl, nPost, posE) = (r.getAs[Long]("sum_dl"),
+        r.getAs[Long]("n_postings"), r.getAs[Long]("pos_entries"))
+      assert(posE == sumDl && nPost >= 1 && nPost <= posE)
+      assert(r.getAs[Double]("pos_share") == posE.toDouble / (nPost + posE).toDouble)
+    }
     // kill the epoch's commit marker: it must vanish from the report
     fsOf(idx).delete(new org.apache.hadoop.fs.Path(idx, "postings-b3/.stats"), true)
     assert(TextIndex.describe(spark, idx).collect().map(_.getString(0)).toSeq
