@@ -579,6 +579,120 @@ object Selection {
           .as("cross_entropy"): _*)
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM cross-entropy — the ladder's
+    * order-3 member ([[lmCrossEntropyKneserNey]] one Markov order up,
+    * Chen & Goodman 1999 §3's interpolated KN at the order real
+    * CCNet-class scorers approach): the highest order discounts RAW
+    * counts, every lower order discounts CONTINUATION TYPE counts —
+    * "how many distinct contexts complete this way", the KN insight
+    * applied recursively:
+    *
+    *   P(w|q,p)  = max(c₃(qpw) − D, 0)/c₂(qp·) + D·N₁₊(qp·)/c₂(qp·) · P₂(w|p)
+    *   P₂(w|p)   = max(N₁₊(·pw) − D, 0)/N₁₊(·p·) + D·N₁₊(p·)/N₁₊(·p·) · Pc(w)
+    *   Pc(w)     = (N₁₊(·w) + 1) / (N₁₊(··) + B)
+    *
+    * with an unseen (q,p) context backing off to P₂ and an unseen p to
+    * Pc. ALL count tables derive from the trigram TYPE table (mid =
+    * distinct-q counts per (p,w); its coarsenings give every N₁₊), so
+    * type/token counts stay consistent and ONE count guards all six
+    * broadcasts ([[MaxBroadcastModelRows]]).
+    *
+    * Cross-engine FP discipline: the [[lmCrossEntropyKneserNey]]
+    * sequence applied twice — each order is subtract/max/divide plus a
+    * multiply-divide back-off weight and one multiply-add, every
+    * operand an exact long, mirrored op-for-op by the oracle, then
+    * round(,6)→DECIMAL per token and exact count-weighted sums.
+    *
+    * Scale shape: the trigram tokenize of [[lmCrossEntropyTrigram]]
+    * (adjacency in array land, ONE counted exchange) + six broadcast
+    * model joins, models bounded by the reference slice's distinct
+    * hashed trigrams.
+    */
+  def lmCrossEntropyKneserNeyTrigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refPred: Column,
+      discount: Double = 0.75,
+      numBuckets: Int = 1 << 12,
+      payloadCols: Seq[String] = Nil,
+      maxModelRows: Long = MaxBroadcastModelRows
+  ): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val bLit = lit(numBuckets.toLong)
+    val payload = payloadCols.map(col)
+    val ws = TextOps.words(col(textCol))
+    val nullS = lit(null).cast("string")
+    val prev1 = when(size(ws) > 0,
+      concat(array(nullS), slice(ws, lit(1), size(ws) - 1)))
+      .otherwise(array().cast("array<string>"))
+    val prev2 = when(size(ws) >= 2,
+      concat(array(nullS, nullS), slice(ws, lit(1), size(ws) - 2)))
+      .otherwise(when(size(ws) === 1, array(nullS))
+        .otherwise(array().cast("array<string>")))
+    val db = docs
+      .select(col(idCol) +: refPred.as("is_ref") +: payload :+
+        explode(arrays_zip(ws.as("w"), prev1.as("p"), prev2.as("q"))).as("z"): _*)
+      .groupBy(col(idCol) +: col("is_ref") +: payload :+
+        pmod(strhash(col("z.w")), bLit).as("wb") :+
+        coalesce(pmod(strhash(col("z.p")), bLit), bLit).as("pb") :+
+        coalesce(pmod(strhash(col("z.q")), bLit), bLit).as("qb"): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds the trigram type table and the scoring pass
+    val tg = db.filter(col("is_ref"))
+      .groupBy(col("qb").as("t_qb"), col("pb").as("t_pb"), col("wb").as("t_wb"))
+      .agg(sum(col("n")).as("c3"))
+      .localCheckpoint(false) // feeds every lower-order table AND the scoring join
+    requireModelBroadcastable(tg, "lmCrossEntropyKneserNeyTrigram", numBuckets, maxModelRows)
+    val ctx2 = tg.groupBy(col("t_qb").as("d_qb"), col("t_pb").as("d_pb"))
+      .agg(sum(col("c3")).as("cc2"), count(lit(1)).as("n1p3"))
+    // middle order: continuation TYPE counts — distinct left contexts
+    // q per (p, w), then its row/level coarsenings
+    val mid = tg.groupBy(col("t_pb").as("m_pb"), col("t_wb").as("m_wb"))
+      .agg(count(lit(1)).as("c2p"))
+      .localCheckpoint(false) // feeds midctx/cont/tot AND the scoring join
+    val midctx = mid.groupBy(col("m_pb").as("x_pb"))
+      .agg(sum(col("c2p")).as("m1"), count(lit(1)).as("n1pw"))
+    val cont = mid.groupBy(col("m_wb").as("u_wb")).agg(count(lit(1)).as("n1s"))
+    val tot = mid.agg(count(lit(1)).as("nt"))
+    val dLit = lit(discount)
+    val pc = (coalesce(col("n1s"), lit(0L)) + 1L).cast("double") /
+      (col("nt") + bLit).cast("double")
+    val m1d = col("m1").cast("double")
+    val p2 = when(col("m1").isNotNull,
+      greatest(coalesce(col("c2p"), lit(0L)).cast("double") - dLit, lit(0.0)) / m1d +
+        dLit * col("n1pw").cast("double") / m1d * pc)
+      .otherwise(pc)
+    val cc2d = col("cc2").cast("double")
+    val p3 = when(col("cc2").isNotNull,
+      greatest(coalesce(col("c3"), lit(0L)).cast("double") - dLit, lit(0.0)) / cc2d +
+        dLit * col("n1p3").cast("double") / cc2d * p2)
+      .otherwise(p2)
+    val scored = db
+      .join(broadcast(tg),
+        col("qb") === col("t_qb") && col("pb") === col("t_pb") &&
+          col("wb") === col("t_wb"), "left")
+      .join(broadcast(ctx2),
+        col("qb") === col("d_qb") && col("pb") === col("d_pb"), "left")
+      .join(broadcast(mid),
+        col("pb") === col("m_pb") && col("wb") === col("m_wb"), "left")
+      .join(broadcast(midctx), col("pb") === col("x_pb"), "left")
+      .join(broadcast(cont), col("wb") === col("u_wb"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", round(log(p3), 6).cast("decimal(18,6)"))
+    scored
+      .groupBy(col(idCol) +: col("is_ref") +: payload: _*)
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lp")).as("lps"))
+      .select(col(idCol) +: col("is_ref") +: payload :+
+        col("n_tokens") :+
+        (-(col("lps").cast("double")) / col("n_tokens").cast("double"))
+          .as("cross_entropy"): _*)
+  }
+
   /** The DSIR resampling step: draw `k` docs PER `groupCol` slice,
     * without replacement, with probability proportional to the
     * exponentiated [[dsirWeights]] score — via the Gumbel top-k

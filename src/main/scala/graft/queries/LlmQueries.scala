@@ -4707,6 +4707,77 @@ object LlmQueries {
        |FROM ag ORDER BY doc_id""".stripMargin
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM cross-entropy
+    * (Selection.lmCrossEntropyKneserNeyTrigram): the KN ladder's
+    * order-3 member — raw-count discounting at the top, continuation
+    * TYPE counts below, every table derived from the trigram type
+    * table. The oracle replays the trigram adjacency, the six model
+    * coarsenings, and the doubly-nested discount sequence.
+    */
+  val lmPerplexityKn3: Q = (s, dir) =>
+    graft.llm.Selection.lmCrossEntropyKneserNeyTrigram(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", discount = 0.75, numBuckets = 4096,
+        payloadCols = Seq("source"))
+      .orderBy("doc_id")
+
+  val lmPerplexityKn3Sql: String = {
+    val d = new java.math.BigDecimal(0.75).toPlainString
+    val wHash = strhashSql("ws[CAST(pos AS INT)]", "wc")
+    val pHash = strhashSql("ws[CAST(pos - 1 AS INT)]", "pc")
+    val qHash = strhashSql("ws[CAST(pos - 2 AS INT)]", "qc")
+    val pcSql = "(CAST(coalesce(u.n1s, 0) + 1 AS DOUBLE) / CAST(t.nt + 4096 AS DOUBLE))"
+    val p2Sql =
+      s"""CASE WHEN x1.m1 IS NOT NULL THEN
+         |        greatest(CAST(coalesce(m.c2p, 0) AS DOUBLE) - CAST($d AS DOUBLE),
+         |            CAST(0 AS DOUBLE)) / CAST(x1.m1 AS DOUBLE)
+         |        + CAST($d AS DOUBLE) * CAST(x1.n1pw AS DOUBLE) / CAST(x1.m1 AS DOUBLE)
+         |          * $pcSql
+         |      ELSE $pcSql END""".stripMargin
+    s"""WITH wt AS (
+       |  SELECT doc_id, (lang = 'en') AS is_ref, source,
+       |    list_filter(string_split(text, ' '), wx -> wx <> '') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, is_ref, source, $wHash % 4096 AS wb,
+       |    CASE WHEN pos = 1 THEN 4096 ELSE $pHash % 4096 END AS pb,
+       |    CASE WHEN pos <= 2 THEN 4096 ELSE $qHash % 4096 END AS qb
+       |  FROM (SELECT doc_id, is_ref, source, ws,
+       |          unnest(range(1, len(ws)+1)) AS pos FROM wt)),
+       |db AS (SELECT doc_id, is_ref, source, wb, pb, qb, count(*) AS n
+       |  FROM tok GROUP BY 1, 2, 3, 4, 5, 6),
+       |tg AS MATERIALIZED (SELECT qb, pb, wb, CAST(sum(n) AS BIGINT) AS c3
+       |  FROM db WHERE is_ref GROUP BY 1, 2, 3),
+       |ctx2 AS (SELECT qb, pb, CAST(sum(c3) AS BIGINT) AS cc2,
+       |    CAST(count(*) AS BIGINT) AS n1p3 FROM tg GROUP BY 1, 2),
+       |mid AS MATERIALIZED (SELECT pb, wb, CAST(count(*) AS BIGINT) AS c2p
+       |  FROM tg GROUP BY 1, 2),
+       |midctx AS (SELECT pb, CAST(sum(c2p) AS BIGINT) AS m1,
+       |    CAST(count(*) AS BIGINT) AS n1pw FROM mid GROUP BY 1),
+       |cont AS (SELECT wb, CAST(count(*) AS BIGINT) AS n1s FROM mid GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM mid),
+       |sc AS (SELECT dd.doc_id, dd.is_ref, dd.source, dd.n,
+       |    CAST(round(ln(
+       |      CASE WHEN x2.cc2 IS NOT NULL THEN
+       |        greatest(CAST(coalesce(g.c3, 0) AS DOUBLE) - CAST($d AS DOUBLE),
+       |            CAST(0 AS DOUBLE)) / CAST(x2.cc2 AS DOUBLE)
+       |        + CAST($d AS DOUBLE) * CAST(x2.n1p3 AS DOUBLE) / CAST(x2.cc2 AS DOUBLE)
+       |          * ($p2Sql)
+       |      ELSE ($p2Sql) END), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM db dd
+       |  LEFT JOIN tg g ON g.qb = dd.qb AND g.pb = dd.pb AND g.wb = dd.wb
+       |  LEFT JOIN ctx2 x2 ON x2.qb = dd.qb AND x2.pb = dd.pb
+       |  LEFT JOIN mid m ON m.pb = dd.pb AND m.wb = dd.wb
+       |  LEFT JOIN midctx x1 ON x1.pb = dd.pb
+       |  LEFT JOIN cont u ON u.wb = dd.wb
+       |  CROSS JOIN tot t),
+       |ag AS (SELECT doc_id, is_ref, source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    -CAST(sum(n * lp) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS cross_entropy
+       |  FROM sc GROUP BY 1, 2, 3)
+       |SELECT doc_id, is_ref, source, n_tokens, cross_entropy
+       |FROM ag ORDER BY doc_id""".stripMargin
+  }
+
   /** Bradley–Terry preference aggregation (Preference.bradleyTerry):
     * pairwise comparisons derived from the event stream — within each
     * user's timeline, consecutive events of different types duel and
@@ -5574,6 +5645,7 @@ object LlmQueries {
     "q_lm_perplexity_bigram" -> lmPerplexityBigram,
     "q_lm_perplexity_trigram" -> lmPerplexityTrigram,
     "q_lm_perplexity_kn" -> lmPerplexityKn,
+    "q_lm_perplexity_kn3" -> lmPerplexityKn3,
     "q_preference_bt" -> preferenceBt,
     "q_preference_winrate" -> preferenceWinrate,
     "q_dsir_select" -> dsirSelect,
@@ -5724,6 +5796,7 @@ object LlmQueries {
     "q_lm_perplexity_bigram" -> lmPerplexityBigramSql,
     "q_lm_perplexity_trigram" -> lmPerplexityTrigramSql,
     "q_lm_perplexity_kn" -> lmPerplexityKnSql,
+    "q_lm_perplexity_kn3" -> lmPerplexityKn3Sql,
     "q_dsir_pipeline" -> dsirPipelineSql,
     "q_preference_bt" -> preferenceBtSql,
     "q_preference_winrate" -> preferenceWinrateSql,

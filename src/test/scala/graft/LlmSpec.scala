@@ -530,6 +530,43 @@ class LlmSpec extends SparkSpec {
     assert(s(2L) == 1L && !s.contains(3L))
   }
 
+  test("lmCrossEntropyKneserNeyTrigram: order-3 context wins where bigram KN cannot; guard trips") {
+    import spark.implicits._
+    // docs 3 and 5 have identical BIGRAM multisets against the ref but
+    // differ in trigram continuation (the lmCrossEntropyTrigram case,
+    // under KN smoothing)
+    val docs = Seq(
+      (1L, true, "a b c a b c a b c a b c"),
+      (2L, true, "a b c a b c a b c"),
+      (3L, false, "a b c a b c"),
+      (4L, false, "q r s t"),
+      (5L, false, "c b a c b a")
+    ).toDF("doc_id", "is_ref", "text")
+    val kn3 = graft.llm.Selection.lmCrossEntropyKneserNeyTrigram(
+        docs, "doc_id", "text", col("is_ref"), numBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    assert(kn3(3L) < kn3(5L), s"in-order trigrams must score lower: $kn3")
+    assert(kn3(4L) > kn3(3L), "unseen text stays the worst-scored")
+    // and KN3 beats the bigram KN on text the trigram order explains
+    val kn2 = graft.llm.Selection.lmCrossEntropyKneserNey(
+        docs, "doc_id", "text", col("is_ref"), numBuckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    assert(kn3(3L) < kn2(3L),
+      s"order-3 KN must explain exact ref trigrams better: ${kn3(3L)} vs ${kn2(3L)}")
+    // broadcast guard trips before any broadcast
+    val err = intercept[IllegalArgumentException] {
+      graft.llm.Selection.lmCrossEntropyKneserNeyTrigram(
+        docs, "doc_id", "text", col("is_ref"), maxModelRows = 2L)
+    }
+    assert(err.getMessage.contains("numBuckets"), err.getMessage)
+    // degenerate lengths survive the double-shifted zip
+    val s = graft.llm.Selection.lmCrossEntropyKneserNeyTrigram(
+        Seq((1L, true, "a b c"), (2L, false, "a"), (3L, false, "a b")).toDF("doc_id", "is_ref", "text"),
+        "doc_id", "text", col("is_ref"), numBuckets = 1 << 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(s(2L) == 1L && s(3L) == 2L)
+  }
+
   test("bradleyTerry: transitive dominance recovered, zero-win floor, mass ~1") {
     import spark.implicits._
     // A beats B 9:1, B beats C 9:1, A beats C 9:1; D loses everything
