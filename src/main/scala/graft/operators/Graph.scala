@@ -1866,6 +1866,98 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** GLOBAL neighborhood function + effective diameter (HyperANF,
+    * Boldi–Vigna–Rosa 2011 "HyperANF: Approximating the Neighbourhood
+    * Function of Very Large Graphs on a Budget" — the headline
+    * whole-graph audit the per-node sketches already pay for): one row
+    * per hop t with `nf` = Σ_v N_t(v) (estimated pairs within t hops,
+    * incl. self), `frac` = nf(t)/nf(maxHops), and the constant
+    * `eff_diameter` — the interpolated first t where nf reaches
+    * `q`·nf(maxHops), the standard "90% effective diameter".
+    *
+    * Exactness: per-node ball estimates quantize
+    * `floor(est·1e6 + 0.5)` into BIGINT micro-units (the PageRank
+    * fixed-point recipe — identical IEEE sequences, no rounding-mode
+    * freedom), sum exactly, and close with ONE division; frac and the
+    * interpolation `t*−1 + (q·nfT − nf(t*−1))/(nf(t*) − nf(t*−1))`
+    * are fixed chains over those deterministic doubles (t* is the
+    * first t meeting the threshold, so the denominator is positive).
+    *
+    * Scale shape: [[ballEstimates]]'s rounds (k longs/node/round) plus
+    * ONE (maxHops+1)-column global aggregate — no new per-node
+    * exchange; the per-t table is maxHops+1 rows.
+    */
+  def neighborhoodFunction(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int,
+      k: Int = 32,
+      q: Double = 0.9
+  ): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1), got $q")
+    val ests = ballEstimates(edges, srcCol, dstCol, maxHops, k)
+    val nfr = ests.agg(
+      (0 to maxHops).map(t =>
+        (sum(floor(col(s"est$t") * lit(1e6) + lit(0.5)).cast("long")).cast("double") /
+          lit(1e6)).as(s"nf$t")).head,
+      (1 to maxHops).map(t =>
+        (sum(floor(col(s"est$t") * lit(1e6) + lit(0.5)).cast("long")).cast("double") /
+          lit(1e6)).as(s"nf$t")): _*)
+    val nfT = col(s"nf$maxHops")
+    val thr = lit(q) * nfT
+    val effD = (1 to maxHops).foldLeft(
+      when(col("nf0") >= thr, lit(0.0))) { (acc, t) =>
+      acc.when(col(s"nf$t") >= thr,
+        lit((t - 1).toDouble) +
+          (thr - col(s"nf${t - 1}")) / (col(s"nf$t") - col(s"nf${t - 1}")))
+    }.otherwise(lit(maxHops.toDouble))
+    val rows = (0 to maxHops).map(t => struct(
+      lit(t.toLong).as("t"), col(s"nf$t").as("nf"),
+      (col(s"nf$t") / nfT).as("frac")))
+    nfr
+      .withColumn("eff_diameter", effD)
+      .select(explode(array(rows: _*)).as("r"), col("eff_diameter"))
+      .select(col("r.t").as("t"), col("r.nf").as("nf"),
+        col("r.frac").as("frac"), col("eff_diameter"))
+      .orderBy(col("t"))
+  }
+
+  /** The [[neighborhoodFunction]] oracle generator — the shared
+    * HyperBall CTE body, per-t scalar micro-unit sums, and the same
+    * threshold CASE chain.
+    */
+  def neighborhoodFunctionSql(
+      edgesSql: String,
+      maxHops: Int,
+      k: Int,
+      q: Double,
+      strhashExpr: String => String
+  ): String = {
+    val qLit = new java.math.BigDecimal(q).toPlainString
+    val nfs = (0 to maxHops).map(t =>
+      s"""(SELECT CAST(SUM(CAST(FLOOR(est * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+         |     FROM hc_e$t) AS nf$t""".stripMargin).mkString(",\n  ")
+    val thr = s"CAST($qLit AS DOUBLE) * nf$maxHops"
+    val cases = (s"WHEN nf0 >= $thr THEN CAST(0 AS DOUBLE)" +:
+      (1 to maxHops).map(t =>
+        s"WHEN nf$t >= $thr THEN CAST(${t - 1} AS DOUBLE) + " +
+          s"($thr - nf${t - 1}) / (nf$t - nf${t - 1})")).mkString("\n    ")
+    val rows = (0 to maxHops).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS t, nf$t AS nf, nf$t / nf$maxHops AS frac, " +
+        "eff_diameter FROM hb_eff").mkString("\n  UNION ALL ")
+    hyperBallCtesSql(edgesSql, maxHops, k, strhashExpr) +
+      s""",
+         |hb_nf AS MATERIALIZED (SELECT
+         |  $nfs),
+         |hb_eff AS MATERIALIZED (SELECT *, CASE
+         |    $cases
+         |    ELSE CAST($maxHops AS DOUBLE) END AS eff_diameter FROM hb_nf)
+         |SELECT t, nf, frac, eff_diameter FROM (
+         |  $rows)
+         |ORDER BY t""".stripMargin
+  }
+
   /** The [[harmonicCentrality]] oracle generator — unrolled sketch
     * rounds over any `(src, dst)` edge SQL: per round a UNION
     * (distinct) merge along edges and a per-node bottom-k rank, the

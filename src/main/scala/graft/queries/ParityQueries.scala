@@ -1921,6 +1921,28 @@ object ParityQueries {
       e => strhashSql(e, "hc"))
   }
 
+  /** Whole-graph neighborhood function + 90% effective diameter
+    * (Graph.neighborhoodFunction — HyperANF): the per-t reach totals
+    * and the interpolated effective diameter off the same co-purchase
+    * sketches as the centralities. Per-node estimates quantize into
+    * BIGINT micro-units before the global sum (the PageRank
+    * fixed-point recipe), so the oracle's scalar sums replay exactly.
+    */
+  val effDiameterQ: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    graft.operators.Graph.neighborhoodFunction(e, "src", "dst", maxHops = 4, k = 32, q = 0.9)
+  }
+
+  val effDiameterSqlQ: String = {
+    val p = graft.llm.TextOps.P
+    def strhashSql(e: String, v: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, length($e)+1), ${v}i -> CAST(ascii(substring($e, CAST(${v}i AS INT), 1)) AS BIGINT))), " +
+        s"(${v}a, ${v}c) -> (${v}a*31 + ${v}c) % $p)"
+    graft.operators.Graph.neighborhoodFunctionSql(copurchaseEdgesSql, maxHops = 4, k = 32,
+      q = 0.9, e => strhashSql(e, "hc"))
+  }
+
   /** Bounded-round k-core ([[Graph.kCore]]) on the same support-floored
     * co-purchase graph as q_graph_cc / q_triangle_count: the 3-core
     * (935 of 1880 nodes at sf0.01, an 11-round peel — rounds=12 covers
@@ -2348,6 +2370,7 @@ object ParityQueries {
     "q_graph_hits" -> hitsQ,
     "q_harmonic_centrality" -> harmonicQ,
     "q_closeness_centrality" -> closenessQ,
+    "q_effective_diameter" -> effDiameterQ,
     "q_graph_modularity" -> modularityQ,
     "q_label_propagation" -> labelPropagationQ,
     "q_k_anonymity" -> kAnonymityQ,
@@ -2445,6 +2468,7 @@ object ParityQueries {
     "q_graph_hits" -> hitsSqlQ,
     "q_harmonic_centrality" -> harmonicSqlQ,
     "q_closeness_centrality" -> closenessSqlQ,
+    "q_effective_diameter" -> effDiameterSqlQ,
     "q_graph_modularity" -> modularitySqlQ,
     "q_label_propagation" -> labelPropagationSql,
     "q_priority_trace" -> priorityTraceSql,

@@ -862,6 +862,26 @@ class OperatorSpec extends SparkSpec {
     assert(h.forall { case (n, v) => n3(n) == v }, "shared sketch algebra must agree")
   }
 
+  test("neighborhoodFunction: exact hand values on the path graph; eff diameter interpolates") {
+    import graft.operators.Graph
+    // path 1-2-3: nf(0)=3, nf(1)=7, nf(2)=9; thr=0.9*9=8.1 falls in
+    // (7, 9] -> eff_d = 1 + (8.1-7)/(9-7) = 1.55
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.neighborhoodFunction(path, "src", "dst", maxHops = 2, k = 32, q = 0.9)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    assert(r(0L)._1 == 3.0 && r(1L)._1 == 7.0 && r(2L)._1 == 9.0, s"$r")
+    assert(r(2L)._2 == 1.0, "frac closes at 1")
+    assert(math.abs(r(1L)._3 - 1.55) < 1e-9, s"interpolated eff diameter: ${r(1L)._3}")
+    assert(r.values.map(_._3).toSet.size == 1, "eff_diameter is the constant audit column")
+    // saturated reach at t=0 pins the zero branch
+    val pair = Seq((7L, 8L)).toDF("src", "dst")
+    val r0 = Graph.neighborhoodFunction(pair, "src", "dst", maxHops = 1, k = 32, q = 0.5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    // nf(0)=2, nf(1)=4, thr=2.0 -> already met at t=0
+    assert(r0(0L) == 0.0, s"$r0")
+  }
+
   test("louvainMovesWeighted: unit weights ≡ unweighted; self-loops enter degree only") {
     import graft.operators.Graph
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
