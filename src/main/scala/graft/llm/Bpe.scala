@@ -113,9 +113,10 @@ object Bpe {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(step.toLong, l, r, cnt)
-        cur = cur
+        cur = org.apache.spark.sql.graft.Bridge.resetStats(cur
           .withColumn("sp", replaceLit(col("sp"), s" $l  $r ", s" $l$r "))
-          .localCheckpoint(false)
+          .localCheckpoint(false)) // resetStats: hundreds of merge
+          // rounds must not compound carried origin stats
         step += 1
       }
     }

@@ -322,6 +322,10 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("_prev"))
         .localCheckpoint(true) // materialize: bounds lineage AND makes the convergence count cheap
+        // reset the carried origin stats: O(diameter) rounds of
+        // self-joins otherwise compound them geometrically (the
+        // louvainMultiLevel driver-wedge lesson, Bridge.resetStats)
+        .transform(org.apache.spark.sql.graft.Bridge.resetStats)
       changed = next.filter(col("label") =!= col("_prev")).count()
       labels = next.drop("_prev")
       it += 1

@@ -774,10 +774,11 @@ object Selection {
         val gain = win.head.getLong(1)
         total += gain
         out += Row(r.toLong, doc, gain, total)
-        covered = covered
+        covered = org.apache.spark.sql.graft.Bridge.resetStats(covered
           .unionAll(sh.filter(col("doc") === doc).select(col("h")))
           .distinct()
-          .localCheckpoint(false)
+          .localCheckpoint(false)) // resetStats: k rounds of self-union
+          // would compound origin stats (the louvain driver-wedge lesson)
       }
     }
     // explicit-schema createDataFrame (repo invariant: no case-class

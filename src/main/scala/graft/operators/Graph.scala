@@ -44,6 +44,20 @@ object Graph {
 
   private val Scale = 1000000000L // nano-rank units
 
+  /** Per-ROUND checkpoint for iterative loops: lazy localCheckpoint +
+    * [[org.apache.spark.sql.graft.Bridge.resetStats]]. Spark 4 carries
+    * the child plan's estimated statistics into a checkpoint's
+    * LogicalRDD; a loop whose round joins the previous round's
+    * checkpoint several times MULTIPLIES that estimate per round, so
+    * the BigInt digit count grows geometrically and the driver
+    * eventually wedges inside stats estimation (the louvainMultiLevel
+    * level-3 incident: minutes per round planning a 63-edge graph).
+    * Every in-loop checkpoint in this file goes through here; one-time
+    * checkpoints outside loops don't compound and keep their stats.
+    */
+  private def ckptRound(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.resetStats(df.localCheckpoint(false))
+
   /** PageRank over a directed edge list. Returns (node, rank) with
     * rank = nano-units / 1e9 as double; Σ ranks ≈ 1. Duplicate edges
     * are collapsed first (each distinct (src, dst) link contributes
@@ -283,7 +297,9 @@ object Graph {
           Seq("node"), "left")
         .select(col("node"), col("sf"), col("dang"),
           coalesce(col("_rn"), lit(0L)).as("rank"))
-        .localCheckpoint(false)
+        // ckptRound: a warm-start init may itself be a prior run's
+        // output carrying compounded origin stats
+        .transform(ckptRound)
     }
     var rounds = 0
     var converged = false
@@ -306,15 +322,14 @@ object Graph {
         .agg(coalesce(sum(when(col("dang") === 1, col("rank"))), lit(0L)).as("dsum"))
         .collect()(0).getLong(0)
       val dshare = math.floor(dsum.toDouble / sn.toDouble + 0.5).toLong
-      val next = nodes
+      val next = ckptRound(nodes
         .join(contrib, col("node") === col("cnode"), "left")
         .select(col("node"), col("sf"), col("dang"),
           floor(
             when(col("sf") === 1, lit(baseScaled)).otherwise(lit(0.0)) +
               lit(damping) * (coalesce(col("csum"), lit(0L)) +
                 when(col("sf") === 1, lit(dshare)).otherwise(lit(0L))).cast("double") +
-              lit(0.5)).as("rank"))
-        .localCheckpoint(false)
+              lit(0.5)).as("rank")))
       rounds += 1
       if (tolNano > 0L) {
         // convergence probe: largest per-node nano-rank move this round
@@ -478,15 +493,13 @@ object Graph {
       val relaxed = frontier
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionAll(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
+      val next = ckptRound(dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
       // improved-only frontier: new nodes, or a strictly smaller dist
-      frontier = next
+      frontier = ckptRound(next
         .join(dist.select(col("node"), col("dist").as("_prev")), Seq("node"), "left")
         .filter(col("_prev").isNull || col("dist") < col("_prev"))
-        .select(col("node"), col("dist"))
-        .localCheckpoint(false)
+        .select(col("node"), col("dist")))
       dist = next
       // ONE control-plane boolean per round (the pageRank dangling-
       // collect precedent); an empty frontier means converged — every
@@ -790,6 +803,9 @@ object Graph {
         .select(col("nu").as("u"), col("nv").as("v"))
         .distinct()
         .localCheckpoint(true)
+        // eager checkpoint still carries origin stats — reset per
+        // round or the O(log² n) alternation compounds them
+        .transform(org.apache.spark.sql.graft.Bridge.resetStats)
       val (viol, nEdges) = starStats(e)
       sizes += nEdges
       converged = viol == 0L
@@ -870,8 +886,8 @@ object Graph {
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
-      alive = degrees(alive).filter(col("deg") >= k)
-        .select(col("node")).localCheckpoint(false)
+      alive = ckptRound(degrees(alive).filter(col("deg") >= k)
+        .select(col("node")))
       val m = alive.count()
       converged = m == n
       n = m
@@ -976,26 +992,22 @@ object Graph {
     var hub = nodes.select(col("node"), lit(h0).as("hub"))
     var auth = nodes.select(col("node"), lit(0L).as("auth"))
     for (_ <- 1 to iters) {
-      val ar = e.join(hub.select(col("node").as("src"), col("hub")), "src")
-        .groupBy(col("dst")).agg(sum(col("hub")).as("araw"))
-        .localCheckpoint(false)
+      val ar = ckptRound(e.join(hub.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("araw")))
       val asum = ar.agg(coalesce(sum(col("araw")), lit(0L))).collect()(0).getLong(0)
       require(asum > 0, "authority mass vanished — every edge source has hub 0")
-      auth = nodes.join(ar, col("node") === col("dst"), "left")
+      auth = ckptRound(nodes.join(ar, col("node") === col("dst"), "left")
         .select(col("node"),
           floor(coalesce(col("araw"), lit(0L)).cast("double") * lit(Scale.toDouble) /
-            lit(asum.toDouble) + lit(0.5)).as("auth"))
-        .localCheckpoint(false)
-      val hr = e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
-        .groupBy(col("src")).agg(sum(col("auth")).as("hraw"))
-        .localCheckpoint(false)
+            lit(asum.toDouble) + lit(0.5)).as("auth")))
+      val hr = ckptRound(e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+        .groupBy(col("src")).agg(sum(col("auth")).as("hraw")))
       val hsum = hr.agg(coalesce(sum(col("hraw")), lit(0L))).collect()(0).getLong(0)
       require(hsum > 0, "hub mass vanished — every edge target has authority 0")
-      hub = nodes.join(hr, col("node") === col("src"), "left")
+      hub = ckptRound(nodes.join(hr, col("node") === col("src"), "left")
         .select(col("node"),
           floor(coalesce(col("hraw"), lit(0L)).cast("double") * lit(Scale.toDouble) /
-            lit(hsum.toDouble) + lit(0.5)).as("hub"))
-        .localCheckpoint(false)
+            lit(hsum.toDouble) + lit(0.5)).as("hub")))
     }
     hub.join(auth, Seq("node"))
       .select(col("node"),
@@ -1816,12 +1828,11 @@ object Graph {
       val fromNbr = adj
         .join(s.select(col("node").as("nbr"), col("hv")), "nbr")
         .select(col("node"), col("hv"))
-      s = s.unionAll(fromNbr)
+      s = ckptRound(s.unionAll(fromNbr)
         .distinct()
         .withColumn("rk", row_number().over(wRank))
         .filter(col("rk") <= k)
-        .drop("rk")
-        .localCheckpoint(false)
+        .drop("rk"))
       ests = ests.join(estOf(s, s"est$t"), "node")
     }
     ests
