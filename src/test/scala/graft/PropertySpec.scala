@@ -359,6 +359,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: closeness + neighborhood function with uncapped sketches == driver BFS reference") {
+    forAll2(undirGen, Gen.choose(1, 4), cases = 5) { (edges, hops) =>
+      val adj = (edges ++ edges.map(_.swap)).distinct
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      val nodes = adj.keySet
+      def balls(v: Long): Seq[Long] = {
+        var ball = Set(v)
+        (1 to hops).map { _ =>
+          ball = ball ++ ball.flatMap(adj.getOrElse(_, Set.empty))
+          ball.size.toLong
+        }
+      }
+      // closeness reference: the operator's own op sequence
+      val refC = nodes.map { v =>
+        val c = 1L +: balls(v)
+        val sd = (1 to hops).map(t => (c(t) - c(t - 1)).toDouble * t.toDouble).reduce(_ + _)
+        v -> (if (sd > 0) (c(hops).toDouble - 1.0) / sd else Double.NaN)
+      }.toMap
+      val gotC = graft.operators.Graph.closenessCentrality(
+          edges.toDF("src", "dst"), "src", "dst", maxHops = hops, k = 64)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(hops + 3)) Double.NaN else r.getDouble(hops + 3))).toMap
+      assert(gotC.keySet == refC.keySet &&
+        gotC.forall { case (n, v) => (v.isNaN && refC(n).isNaN) || v == refC(n) },
+        s"edges=$edges hops=$hops: $gotC vs $refC")
+      // neighborhood function reference: exact integer ball totals
+      val refNf = (0 to hops).map(t =>
+        if (t == 0) nodes.size.toLong else nodes.toSeq.map(v => balls(v)(t - 1)).sum)
+      val gotNf = graft.operators.Graph.neighborhoodFunction(
+          edges.toDF("src", "dst"), "src", "dst", maxHops = hops, k = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert((0 to hops).forall(t => gotNf(t.toLong) == refNf(t).toDouble),
+        s"edges=$edges hops=$hops: $gotNf vs $refNf")
+    }
+  }
+
+  test("property: multi-level Louvain modularity is monotone in maxLevels") {
+    forAll(undirGen, cases = 4) { edges =>
+      val df = edges.toDF("src", "dst")
+      val qs = (1 to 3).map { lv =>
+        val m = graft.operators.Graph.louvainMultiLevel(df, "src", "dst", 4, lv)
+        graft.operators.Graph.modularity(df, "src", "dst", m)
+          .collect().head.getAs[Double]("q_total")
+      }
+      assert(qs.sliding(2).forall(p => p(0) <= p(1)),
+        s"edges=$edges: Q must not drop across levels: $qs")
+    }
+  }
+
   test("property: empty-delta pageRankDelta == the straight-run resume identity") {
     forAll(undirGen, cases = 4) { edges =>
       val df = edges.toDF("src", "dst")
