@@ -119,6 +119,37 @@ final case class CorpusFrame(df: DataFrame, idCol: String, textCol: String) {
     * `loPermille`/1000 and longest `hiPermille`/1000 docs by length
     * rank.
     */
+  /** Attach the Kneser–Ney cross-entropy against an in-corpus
+    * reference slice ([[Selection.lmCrossEntropyKneserNey]]) — the
+    * CCNet-style LM quality signal as a chainable stage. `refPred`
+    * marks the reference rows (e.g. `col("lang") === "en"`). Note:
+    * unlike the pure-filter stages this one is EAGER at its broadcast
+    * guard (the model-size count) and checkpoints its token table;
+    * zero-word docs get a NULL score.
+    */
+  def withPerplexity(
+      refPred: org.apache.spark.sql.Column,
+      numBuckets: Int = 1 << 12
+  ): CorpusFrame = {
+    val scored = Selection
+      .lmCrossEntropyKneserNey(df, idCol, textCol, refPred, numBuckets = numBuckets)
+      .select(col(idCol), col("cross_entropy"))
+    copy(df = df.join(scored, Seq(idCol), "left"))
+  }
+
+  /** Keep docs whose KN cross-entropy stays below `maxCe` — the CCNet
+    * head/middle perplexity cut in ln-space (thresholds translate:
+    * ce = ln(ppl)). Zero-word docs have no score and drop (no
+    * evidence — the conservative gate).
+    */
+  def filterPerplexity(
+      refPred: org.apache.spark.sql.Column,
+      maxCe: Double,
+      numBuckets: Int = 1 << 12
+  ): CorpusFrame =
+    copy(df = withPerplexity(refPred, numBuckets).df
+      .filter(col("cross_entropy") < maxCe).drop("cross_entropy"))
+
   def trimLengthOutliers(
       groupCol: String,
       lenCol: String,

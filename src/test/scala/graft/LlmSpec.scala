@@ -766,6 +766,29 @@ class LlmSpec extends SparkSpec {
     assert(manifest.select("doc").distinct().count() == ns)
   }
 
+  test("CorpusFrame: perplexity stage keeps in-distribution docs, drops noise and scoreless docs") {
+    import spark.implicits._
+    import graft.llm.CorpusFrame
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the cat sat on the rug", true),
+      (3L, "the cat sat on the mat", false),   // in-distribution holdout
+      (4L, "zygote quasar bungee flux", false), // noise
+      (5L, "", false)                           // zero words: NULL score, dropped
+    ).toDF("doc_id", "text", "is_en")
+    val cf = CorpusFrame(docs, "doc_id", "text")
+    val scored = cf.withPerplexity(col("is_en")).df
+      .select(col("doc_id"), col("cross_entropy"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(scored(5L).isEmpty && scored(3L).get < scored(4L).get)
+    // the cut sits between the two scores: doc 3 survives, 4 and 5 drop
+    val cut = (scored(3L).get + scored(4L).get) / 2
+    val kept = cf.filterPerplexity(col("is_en"), maxCe = cut).df
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"$kept")
+  }
+
   test("CorpusFrame: span-dup filter and length trimming drop exactly the flagged docs") {
     import graft.llm.CorpusFrame
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

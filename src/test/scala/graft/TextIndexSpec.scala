@@ -76,6 +76,12 @@ class TextIndexSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val idx = java.nio.file.Files.createTempDirectory("graft-prox").toString
     TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 8)
+    // the proximity probe's postings scan stays bucket-pruned (the
+    // probePhrase pin — slop widens anchors, never the scanned buckets)
+    val proxPlan = TextIndex.probeProximity(spark, idx, Seq("a", "b"), k = 10, slop = 1)
+      .queryExecution.executedPlan.toString
+    assert(proxPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
+      s"probeProximity must prune on the phrase terms' buckets:\n$proxPlan")
     // slop=0 equals the exact operator row-for-row, every phrase
     for (ph <- Seq(Seq("a", "b"), Seq("b", "a"), Seq("a", "b", "c"), Seq("a", "a"))) {
       val exact = TextIndex.probePhrase(spark, idx, ph, k = 10)
