@@ -386,6 +386,51 @@ object Classify {
       s"isotonicCalibrationByKey: the keys×bins grid has more than $maxCells " +
         "cells (maxCells) — coarsen bins or split the key space")
     require(cells.nonEmpty, "isotonicCalibrationByKey needs a non-empty frame")
+    pavByKeyFrame(spark, cells)
+  }
+
+  /** [[isotonicCalibrationByKey]]'s scoring half over already-binned
+    * per-key label counts `(k, bin, c_pos, c_neg)` — the
+    * live-calibration cell: stream the binned counts
+    * ([[graft.streaming.StreamingFeatures.keyedValueCountsStream]]
+    * with `v` = the score bin and `is_a` = the positive label), score
+    * any Complete-mode snapshot with identical batch math
+    * (streamed-final ≡ batch, StreamingSpec). Duplicate (k, bin) cells
+    * SUM (the chiSquareByKeyFromCounts contract); same loud `maxCells`
+    * driver bound and string-cast keys as the direct operator.
+    */
+  def isotonicCalibrationByKeyFromCounts(
+      counts: DataFrame,
+      maxCells: Int = 4096
+  ): DataFrame = {
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    val spark = counts.sparkSession
+    val cells = counts
+      .select(col("k").cast("string").as("key"), col("bin").cast("long").as("bin"),
+        col("c_pos").cast("long").as("_cp"), col("c_neg").cast("long").as("_cn"))
+      .filter(col("key").isNotNull && col("bin").isNotNull)
+      .groupBy(col("key"), col("bin"))
+      .agg((sum(col("_cp")) + sum(col("_cn"))).as("n"), sum(col("_cp")).as("k"))
+      .orderBy(col("key"), col("bin"))
+      .limit(maxCells + 1)
+      .collect()
+    require(cells.length <= maxCells,
+      s"isotonicCalibrationByKeyFromCounts: the keys×bins grid has more than " +
+        s"$maxCells cells (maxCells) — coarsen bins or split the key space")
+    require(cells.nonEmpty, "isotonicCalibrationByKeyFromCounts needs a non-empty frame")
+    pavByKeyFrame(spark, cells)
+  }
+
+  /** Shared driver tail of the per-key calibration family: collected
+    * `(key, bin, n, n_pos)` cells → per-key [[pavMinimaxFit]] → the
+    * explicit-schema result frame.
+    */
+  private def pavByKeyFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      cells: Array[org.apache.spark.sql.Row]
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val out = cells.groupBy(_.getString(0)).toSeq.sortBy(_._1).flatMap { case (key, g) =>
       val rows = g.sortBy(_.getLong(1))
       val bn = rows.map(_.getLong(2))

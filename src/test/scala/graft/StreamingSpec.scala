@@ -1034,6 +1034,42 @@ class StreamingSpec extends SparkSpec {
       s"streamed-final JSD/KL must equal batch:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming per-key calibration: streamed-final isotonic curves equal batch per key") {
+    // the live-calibration seam: keyedValueCountsStream with v = the
+    // score bin and is_a = the positive label; a Complete snapshot
+    // scored by isotonicCalibrationByKeyFromCounts equals the direct
+    // per-key PAV fit on the raw scores
+    val bins = 5
+    val scored = Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("event_type").as("k"),
+      ((col("user_id") % 100).cast("double") / org.apache.spark.sql.functions.lit(100.0)).as("score"),
+      (col("event_id") % 3 === 0).as("label"))
+    val batch = graft.llm.Classify.isotonicCalibrationByKey(
+        scored, "k", "label", "score", bins = bins)
+      .collect().map(_.toSeq).toSeq
+    val binned = scored.select(col("k"),
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.floor(col("score") * bins),
+        org.apache.spark.sql.functions.lit((bins - 1).toLong)).cast("long").as("v"),
+      col("label").as("is_a"))
+    val rows = binned.collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val slices = new scala.util.Random(31).shuffle(rows.toSeq).grouped(rows.length / 3 + 1).toSeq
+    assert(slices.length >= 3)
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = graft.streaming.StreamingFeatures.keyedValueCountsStream(
+        in.toDS().toDF("k", "v", "is_a"))
+      .writeStream.format("memory").queryName("t_kcal")
+      .outputMode(OutputMode.Complete()).start()
+    slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.llm.Classify.isotonicCalibrationByKeyFromCounts(
+        spark.table("t_kcal").select(col("k"), col("v").as("bin"),
+          col("c_a").as("c_pos"), col("c_b").as("c_neg")))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed-final per-key isotonic must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("streaming per-key drift dashboard: streamed-final equals batch for every key") {
     // the streaming twin of q_drift_by_key: one keyed counts stream,
     // one snapshot, five scores per key — across 3 genuine micro-batches
