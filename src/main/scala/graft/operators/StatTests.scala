@@ -891,6 +891,90 @@ object StatTests {
           sqrt(vx * vy)).as("rho"))
   }
 
+  /** Per-key Spearman — the monotone-association member of the per-key
+    * drift matrix ([[ksByKey]]'s correlation sibling): every segment's
+    * rank correlation between two long columns in one pass, one row
+    * per key `(key, n, rho)` ordered by key; a key with a constant
+    * side yields NULL rho (undefined, as in [[spearman]]).
+    *
+    * Exactness: the global operator's doubled tie-averaged integer
+    * ranks (2·cum − c + 1 keeps ranks integral under ties), exact
+    * DECIMAL(38,0) sums, identical closing double sequence. Scale
+    * shape: where the GLOBAL operator needs the two-pass
+    * [[graft.core.GlobalOrder]] cumsum (a global rank), the per-key
+    * ranks are plain windows PARTITIONED BY the key — no
+    * single-partition stage at any corpus size; each key's value
+    * domain sorts within its partition slice (the [[ksByKey]]
+    * contract).
+    */
+  def spearmanByKey(
+      df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
+    val rows = df
+      .select(col(keyCol).as("_k"),
+        col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .filter(col("_k").isNotNull && col("_x").isNotNull && col("_y").isNotNull)
+      .localCheckpoint(false) // feeds both rank tables AND the join
+    def rankTable(c: String, rName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_k")).orderBy(col(c))
+      rows.groupBy(col("_k"), col(c)).agg(count(lit(1)).as("_c"))
+        .withColumn("_cum", sum(col("_c")).over(w))
+        .select(col("_k"), col(c), (lit(2L) * col("_cum") - col("_c") + lit(1L)).as(rName))
+    }
+    val joined = rows
+      .join(rankTable("_x", "_rx"), Seq("_k", "_x"))
+      .join(rankTable("_y", "_ry"), Seq("_k", "_y"))
+    val a = joined.groupBy(col("_k").as("key")).agg(
+      count(lit(1)).as("n"),
+      sum(col("_rx").cast(dec)).as("sx"), sum(col("_ry").cast(dec)).as("sy"),
+      sum(col("_rx").cast(dec) * col("_ry").cast(dec)).as("sxy"),
+      sum(col("_rx").cast(dec) * col("_rx").cast(dec)).as("sxx"),
+      sum(col("_ry").cast(dec) * col("_ry").cast(dec)).as("syy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    a.select(col("key"), col("n"),
+      when(vx > 0 && vy > 0,
+        (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt(vx * vy)).as("rho"))
+      .orderBy(col("key"))
+  }
+
+  /** The [[spearmanByKey]] oracle generator: `srcSql` yields
+    * `(k, x, y)`; the global generator's CTEs with every group,
+    * window, and join partitioned by the key.
+    */
+  def spearmanByKeySql(srcSql: String): String =
+    s"""WITH sk_r AS (SELECT k, x, y FROM ($srcSql)
+       |  WHERE k IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL),
+       |sk_x AS (SELECT k, x,
+       |    2 * CAST(SUM(count(*)) OVER (PARTITION BY k ORDER BY x) AS BIGINT)
+       |    - CAST(count(*) AS BIGINT) + 1 AS rx FROM sk_r GROUP BY k, x),
+       |sk_y AS (SELECT k, y,
+       |    2 * CAST(SUM(count(*)) OVER (PARTITION BY k ORDER BY y) AS BIGINT)
+       |    - CAST(count(*) AS BIGINT) + 1 AS ry FROM sk_r GROUP BY k, y),
+       |sk_j AS (SELECT k, rx, ry FROM sk_r JOIN sk_x USING (k, x) JOIN sk_y USING (k, y)),
+       |sk_a AS (SELECT k AS key, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+       |    CAST(SUM(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+       |    CAST(SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS HUGEINT) AS sxy,
+       |    CAST(SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS HUGEINT) AS sxx,
+       |    CAST(SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS HUGEINT) AS syy
+       |  FROM sk_j GROUP BY 1)
+       |SELECT key, n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END AS rho
+       |FROM sk_a ORDER BY key""".stripMargin
+
   /** The [[spearman]] oracle generator: `srcSql` yields `(x, y)` long
     * pairs; the doubled tie-average replays via window cumsums.
     */

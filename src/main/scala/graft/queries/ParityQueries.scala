@@ -481,6 +481,23 @@ object ParityQueries {
     """SELECT event_id AS x, CAST(round(value * 100) AS BIGINT) AS y
       |FROM events WHERE event_type = 'purchase'""".stripMargin)
 
+  /** Per-key Spearman (StatTests.spearmanByKey): the value-vs-order
+    * trend of q_spearman_trend fanned out over EVERY event type in one
+    * pass — the monotone-association column of the per-key drift
+    * matrix. Per-key windowed tie-averaged ranks (no global rank
+    * stage), exact HUGEINT sums, doubles only in each key's closing ρ.
+    */
+  val spearmanByTypeQ: Q = (s, dir) => {
+    val e = events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("value_c"))
+    graft.operators.StatTests.spearmanByKey(e, "event_type", "event_id", "value_c")
+  }
+
+  val spearmanByTypeSql: String = graft.operators.StatTests.spearmanByKeySql(
+    """SELECT event_type AS k, event_id AS x,
+      |  CAST(round(value * 100) AS BIGINT) AS y FROM events""".stripMargin)
+
   /** Pairwise Pearson correlations (StatTests.correlations): the
     * numeric-feature redundancy profile over the event stream, one
     * scan for all pairs.
@@ -2335,6 +2352,7 @@ object ParityQueries {
     "q_mi_langsource" -> miLangSource,
     "q_bootstrap_mean" -> bootstrapMeanQ,
     "q_spearman_trend" -> spearmanTrend,
+    "q_spearman_by_type" -> spearmanByTypeQ,
     "q_corr_matrix" -> corrMatrix,
     "q_drift_report" -> driftReport,
     "q_drift_by_key" -> driftByKey,
@@ -2429,6 +2447,7 @@ object ParityQueries {
     "q_mi_langsource" -> miLangSourceSql,
     "q_bootstrap_mean" -> bootstrapMeanSqlStr,
     "q_spearman_trend" -> spearmanTrendSql,
+    "q_spearman_by_type" -> spearmanByTypeSql,
     "q_corr_matrix" -> corrMatrixSql,
     "q_drift_report" -> driftReportSql,
     "q_drift_by_key" -> driftByKeySql,

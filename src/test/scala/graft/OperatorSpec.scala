@@ -386,6 +386,27 @@ class OperatorSpec extends SparkSpec {
       Seq("key", "cats", "jsd"))
   }
 
+  test("spearmanByKey: fan-out matches the global operator key by key; constant side NULL") {
+    import graft.operators.StatTests
+    val rows = Seq(
+      ("k1", 1L, 10L), ("k1", 2L, 20L), ("k1", 3L, 35L), ("k1", 4L, 31L),
+      ("k2", 1L, 9L), ("k2", 2L, 5L), ("k2", 3L, 5L), ("k2", 4L, 1L),
+      ("k3", 1L, 7L), ("k3", 2L, 7L)) // constant y: rho undefined
+    val r = StatTests.spearmanByKey(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.size == 3)
+    rows.map(_._1).distinct.filter(_ != "k3").foreach { k =>
+      val solo = StatTests.spearman(
+        rows.filter(_._1 == k).map(t => (t._2, t._3)).toDF("x", "y"), "x", "y")
+        .collect()(0)
+      assert(r(k).getAs[Long]("n") == solo.getAs[Long]("n") &&
+        r(k).getAs[Double]("rho") == solo.getAs[Double]("rho"),
+        s"key $k must equal the global test run solo")
+    }
+    assert(r("k1").getAs[Double]("rho") > 0 && r("k2").getAs[Double]("rho") < 0)
+    assert(r("k3").isNullAt(r("k3").fieldIndex("rho")), "constant side: NULL rho")
+  }
+
   test("chiSquareByKey / jsdByKey: fan-outs match the global operators key by key") {
     import graft.operators.StatTests
     // k1: 2x2 with real association; k2: identical rows (chi2 = 0);
