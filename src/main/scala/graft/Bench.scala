@@ -52,6 +52,9 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).flatMap { case (name, fn) =>
       val times = (1 to runs).map { i =>
+        // label the jobs (guide §1.5) so UI/eventlog debugging can map
+        // stages back to queries; costs nothing measured
+        spark.sparkContext.setJobDescription(s"bench: $name run $i")
         // toRdd executes the query's own optimized plan (projections,
         // sorts and all) and counts InternalRows; a DataFrame count()
         // would instead re-optimize with the aggregate on top, letting
@@ -72,6 +75,7 @@ object Bench {
         // keep storage-memory pressure from leaking into later queries.
         spark.catalog.clearCache()
         System.gc()
+        spark.sparkContext.setJobDescription(null)
         (t, ok)
       }
       if (times.exists(!_._2)) { failed += name; None }

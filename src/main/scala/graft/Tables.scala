@@ -8,6 +8,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gives Catalyst full pushdown (column pruning + predicate pushdown
   * reach the scan). At 100 TB these would be partitioned directories —
   * the reader API is identical, so nothing here changes at scale.
+  *
+  * Scans are NOT fanned out here: a blanket repartition taxes every
+  * small aggregate over these tables with parallelism-many task
+  * launches per job (measured r13: +1–2 s on the many-small-jobs
+  * queries — drift report, curation gate, the training-run funnel).
+  * Per-row-CPU-heavy operators fan their OWN input instead
+  * ([[graft.core.Fan.out]]), which is where single-task scan stages
+  * actually hurt.
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -92,7 +92,7 @@ object Bpe {
       nMerges: Int
   ): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
-    val wordFreq = docs
+    val wordFreq = graft.core.Fan.out(docs)
       .select(explode(TextOps.words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     var cur = wordFreq
@@ -161,7 +161,7 @@ object Bpe {
       merges: Seq[(String, String)],
       expressionPathMaxMerges: Int = 100
   ): DataFrame = {
-    val tf = docs
+    val tf = graft.core.Fan.out(docs)
       .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("w"))
       .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("tf"))
     val words = tf.select(col("w")).distinct()
@@ -198,7 +198,7 @@ object Bpe {
       expressionPathMaxMerges: Int = 100
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val occ = docs
+    val occ = graft.core.Fan.out(docs)
       .select(col(idCol).as("doc"), posexplode(TextOps.words(col(textCol))).as(Seq("wp", "w")))
     val words = occ.select(col("w")).distinct()
     val vocab =

@@ -85,14 +85,33 @@ object Classify {
       (col(labelCol).cast("double").as("_y") +:
         featureCols.zipWithIndex.map { case (c, j) => col(c).cast("double").as(s"_x$j") }): _*)
       .localCheckpoint(false)
-    val bad = f.filter(
-      featureCols.indices.map(j => col(s"_x$j").isNull)
-        .foldLeft(col("_y").isNull)(_ || _)).limit(1).count()
-    require(bad == 0,
+    // one fused pre-pass (count + NULL audit) instead of two jobs —
+    // r13: the former limit(1).count() probe plus the separate count()
+    // each scheduled a job over the same checkpointed frame; the fused
+    // aggregate is one pass and also the checkpoint's materializing
+    // action, so the 40-iteration loop starts from cached blocks
+    val badCond = featureCols.indices.map(j => col(s"_x$j").isNull)
+      .foldLeft(col("_y").isNull)(_ || _)
+    val head = f.agg(count(lit(1)).as("_n"),
+      coalesce(sum(when(badCond, 1L).otherwise(0L)), lit(0L)).as("_bad"))
+      .collect()(0)
+    val n = head.getLong(0)
+    require(n == 0 || head.getLong(1) == 0,
       "logisticTrain requires non-null label and features; " +
         "coalesce or filter degenerate rows (e.g. zero-word docs) upstream")
-    val n = f.count()
     require(n > 0, "logisticTrain needs a non-empty feature frame")
+    // size the LOOP frame's tasks to the data, not the session (r13):
+    // the GD loop schedules `iters` aggregate jobs over this narrow
+    // checkpointed frame, so on a fanned-out scan a tiny corpus pays
+    // iters × parallelism task launches for microseconds of work each
+    // (measured +~70 ms/iteration at 32 partitions × 5k rows).
+    // coalesce is narrow (merges cached blocks, no shuffle, order-free
+    // exact sums); at corpus scale rowsPerTask keeps every partition —
+    // the quantum only binds where scheduling dominates.
+    val rowsPerTask = 262144L
+    val p0 = f.rdd.getNumPartitions
+    val pTarget = math.max(1L, math.min(p0.toLong, (n + rowsPerTask - 1) / rowsPerTask)).toInt
+    val fl = if (pTarget < p0) f.coalesce(pTarget) else f
     val nD = n.toDouble
     val wu = Array.fill(d + 1)(0L)
     for (_ <- 1 to iters) {
@@ -102,7 +121,7 @@ object Classify {
       val g0 = sum(floor(r * lit(1.0e6) + lit(0.5))).as("_g0")
       val gj = (0 until d).map(j =>
         sum(floor(r * col(s"_x$j") * lit(1.0e6) + lit(0.5))).as(s"_g${j + 1}"))
-      val row = f.agg(g0, gj: _*).collect()(0)
+      val row = fl.agg(g0, gj: _*).collect()(0)
       for (j <- 0 to d)
         wu(j) -= math.floor(lr * row.getLong(j).toDouble / nD + 0.5).toLong
     }
@@ -405,12 +424,18 @@ object Classify {
   ): DataFrame = {
     require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
     val spark = counts.sparkSession
+    // NULL counts coalesce to 0 and empty (n = 0) cells drop — the
+    // batch operator's NULL policy (r12 ADVICE): an all-NULL cell
+    // otherwise surfaces as an opaque getLong NPE, an all-zero cell as
+    // NaN rates inside the PAV fit.
     val cells = counts
       .select(col("k").cast("string").as("key"), col("bin").cast("long").as("bin"),
-        col("c_pos").cast("long").as("_cp"), col("c_neg").cast("long").as("_cn"))
+        coalesce(col("c_pos").cast("long"), lit(0L)).as("_cp"),
+        coalesce(col("c_neg").cast("long"), lit(0L)).as("_cn"))
       .filter(col("key").isNotNull && col("bin").isNotNull)
       .groupBy(col("key"), col("bin"))
       .agg((sum(col("_cp")) + sum(col("_cn"))).as("n"), sum(col("_cp")).as("k"))
+      .filter(col("n") >= 1L)
       .orderBy(col("key"), col("bin"))
       .limit(maxCells + 1)
       .collect()
@@ -431,15 +456,27 @@ object Classify {
   ): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val out = cells.groupBy(_.getString(0)).toSeq.sortBy(_._1).flatMap { case (key, g) =>
-      val rows = g.sortBy(_.getLong(1))
+    // Preserve the COLLECTED (key, bin) order — Spark already sorted
+    // by UTF-8 binary key order, which matches the DuckDB VARCHAR
+    // oracle; a Scala sortBy would re-sort in UTF-16 code-unit order
+    // and diverge on supplementary-plane keys (r12 ADVICE). Cutting
+    // groups on key change is also one pass instead of a groupBy +
+    // sort.
+    val out = Seq.newBuilder[Row]
+    var i = 0
+    while (i < cells.length) {
+      val key = cells(i).getString(0)
+      var j = i
+      while (j < cells.length && cells(j).getString(0) == key) j += 1
+      val rows = cells.slice(i, j) // bin-ascending within key (orderBy key, bin)
       val bn = rows.map(_.getLong(2))
       val bk = rows.map(_.getLong(3))
       val fit = pavMinimaxFit(bn, bk)
-      rows.indices.map { i =>
-        Row(key, rows(i).getLong(1), bn(i), bk(i),
-          bk(i).toDouble / bn(i).toDouble, fit(i))
+      rows.indices.foreach { x =>
+        out += Row(key, rows(x).getLong(1), bn(x), bk(x),
+          bk(x).toDouble / bn(x).toDouble, fit(x))
       }
+      i = j
     }
     val schema = StructType(Seq(
       StructField("key", StringType, nullable = false),
@@ -448,7 +485,7 @@ object Classify {
       StructField("n_pos", LongType, nullable = false),
       StructField("rate_raw", DoubleType, nullable = false),
       StructField("rate_iso", DoubleType, nullable = false)))
-    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+    spark.createDataFrame(java.util.Arrays.asList(out.result(): _*), schema)
   }
 
   /** The [[isotonicCalibrationByKey]] oracle generator: `scoredSql`

@@ -197,7 +197,7 @@ object Dedup {
     // LogicalRDD is the same CollapseProject barrier. The shingle-hash
     // step needs no extra barrier: ShingleHashes+MinHashSig are single
     // fused expressions, evaluated once per row inside this projection.
-    val sigs = docs
+    val sigs = graft.core.Fan.out(docs)
       .select(
         col(idCol).as("doc"),
         TextOps.minhashSignature(TextOps.shingleHashes(col(textCol))).as("sig")
@@ -229,7 +229,7 @@ object Dedup {
   def simhashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // BigramPairHashes and SimHash are fused single-pass expressions;
     // no barrier needed (nothing re-scans the feature array).
-    docs.select(
+    graft.core.Fan.out(docs).select(
       col(idCol).as("doc"),
       TextOps.simhash(TextOps.simhashFeatures(col(textCol))).as("simhash")
     )
@@ -394,7 +394,7 @@ object Dedup {
     * without recomputing the accumulated corpus.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+    graft.core.Fan.out(docs).select(
       col(idCol).as("doc"),
       TextOps.minhashSignature(TextOps.shingleHashes(col(textCol))).as("sig"))
 
@@ -524,7 +524,7 @@ object Dedup {
     // capped semantics: the jaccard is over the capped shingle sets —
     // documented, oracle-mirrored (see [[cappedShingleFrame]])
     val ex = cappedShingleFrame(
-      docs.select(col(idCol).as("doc"), explode(TextOps.shingleHashes(col(textCol))).as("x")),
+      graft.core.Fan.out(docs).select(col(idCol).as("doc"), explode(TextOps.shingleHashes(col(textCol))).as("x")),
       maxShingleDocFreq)
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
@@ -559,7 +559,7 @@ object Dedup {
       maxShingleDocFreq: Int = 0
   ): DataFrame = {
     val ex = cappedShingleFrame(
-      docs.select(col(idCol).as("doc"), explode(TextOps.shingleHashes(col(textCol))).as("x")),
+      graft.core.Fan.out(docs).select(col(idCol).as("doc"), explode(TextOps.shingleHashes(col(textCol))).as("x")),
       maxShingleDocFreq)
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
@@ -780,7 +780,8 @@ object Dedup {
       maxShingleGroupFreq: Int = 0
   ): DataFrame = {
     val gx = cappedShingleFrame(
-      docs.select(col(groupCol).as("grp"), explode(TextOps.shingleHashes(col(textCol))).as("x"))
+      graft.core.Fan.out(docs)
+        .select(col(groupCol).as("grp"), explode(TextOps.shingleHashes(col(textCol))).as("x"))
         .distinct(),
       maxShingleGroupFreq)
     val sizes = gx.groupBy(col("grp")).agg(count(lit(1)).as("n"))
@@ -812,7 +813,7 @@ object Dedup {
     import org.apache.spark.sql.graft.Bridge
     val fps = Bridge.column(graft.functions.WinnowFingerprints(
       Bridge.expression(col(textCol)), gram, window))
-    docs.select(col(idCol).as("doc"), explode(fps).as("fp"))
+    graft.core.Fan.out(docs).select(col(idCol).as("doc"), explode(fps).as("fp"))
   }
 
   /** MOSS-style overlap report: doc pairs sharing ≥ `minShared`

@@ -211,7 +211,7 @@ object Mixture {
       groupCol: String,
       textCol: String
   ): DataFrame = {
-    val tok = docs.select(col(groupCol).as("grp"),
+    val tok = graft.core.Fan.out(docs).select(col(groupCol).as("grp"),
       explode(TextOps.words(col(textCol))).as("w"))
     val gw = tok.groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint(false) // feeds the word, slice and corpus rollups

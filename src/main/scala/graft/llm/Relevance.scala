@@ -34,7 +34,7 @@ object Relevance {
     * (doc, term) exchange.
     */
   private def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    graft.core.Fan.out(docs)
       .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("term"))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -129,7 +129,8 @@ object Relevance {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
-    val base = docs.select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
+    val base = graft.core.Fan.out(docs)
+      .select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
     val dl = base.select(col("doc"), size(col("ws")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = base
@@ -248,7 +249,8 @@ object Relevance {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0 && mu > 0, s"k and mu must be positive, got $k/$mu")
-    val base = docs.select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
+    val base = graft.core.Fan.out(docs)
+      .select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
     val dl = base.select(col("doc"), size(col("ws")).cast("long").as("dl"))
     val total = dl.agg(sum(col("dl")).as("t"))
     val tf = base

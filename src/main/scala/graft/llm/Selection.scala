@@ -186,7 +186,7 @@ object Selection {
         "raise maxModelRows deliberately.")
     val bLit = lit(numBuckets.toLong)
     val payload = payloadCols.map(col)
-    val db = docs
+    val db = graft.core.Fan.out(docs)
       .select(col(idCol) +: targetPred.as("is_target") +: payload :+
         explode(TextOps.words(col(textCol))).as("w"): _*)
       .groupBy(col(idCol) +: col("is_target") +: payload :+
@@ -266,7 +266,7 @@ object Selection {
         "raise maxModelRows deliberately.")
     val bLit = lit(numBuckets.toLong)
     val payload = payloadCols.map(col)
-    val db = docs
+    val db = graft.core.Fan.out(docs)
       .select(col(idCol) +: refPred.as("is_ref") +: payload :+
         explode(TextOps.words(col(textCol))).as("w"): _*)
       .groupBy(col(idCol) +: col("is_ref") +: payload :+
@@ -334,7 +334,7 @@ object Selection {
     val prevArr = when(size(ws) > 0,
       concat(array(lit(null).cast("string")), slice(ws, lit(1), size(ws) - 1)))
       .otherwise(array().cast("array<string>"))
-    val db = docs
+    val db = graft.core.Fan.out(docs)
       .select(col(idCol) +: refPred.as("is_ref") +: payload :+
         explode(arrays_zip(ws.as("w"), prevArr.as("p"))).as("z"): _*)
       .groupBy(col(idCol) +: col("is_ref") +: payload :+
@@ -426,7 +426,7 @@ object Selection {
       concat(array(nullS, nullS), slice(ws, lit(1), size(ws) - 2)))
       .otherwise(when(size(ws) === 1, array(nullS))
         .otherwise(array().cast("array<string>")))
-    val db = docs
+    val db = graft.core.Fan.out(docs)
       .select(col(idCol) +: refPred.as("is_ref") +: payload :+
         explode(arrays_zip(ws.as("w"), prev1.as("p"), prev2.as("q"))).as("z"): _*)
       .groupBy(col(idCol) +: col("is_ref") +: payload :+
@@ -534,7 +534,7 @@ object Selection {
     val prevArr = when(size(ws) > 0,
       concat(array(lit(null).cast("string")), slice(ws, lit(1), size(ws) - 1)))
       .otherwise(array().cast("array<string>"))
-    val db = docs
+    val db = graft.core.Fan.out(docs)
       .select(col(idCol) +: refPred.as("is_ref") +: payload :+
         explode(arrays_zip(ws.as("w"), prevArr.as("p"))).as("z"): _*)
       .groupBy(col(idCol) +: col("is_ref") +: payload :+
@@ -632,7 +632,7 @@ object Selection {
       concat(array(nullS, nullS), slice(ws, lit(1), size(ws) - 2)))
       .otherwise(when(size(ws) === 1, array(nullS))
         .otherwise(array().cast("array<string>")))
-    val db = docs
+    val db = graft.core.Fan.out(docs)
       .select(col(idCol) +: refPred.as("is_ref") +: payload :+
         explode(arrays_zip(ws.as("w"), prev1.as("p"), prev2.as("q"))).as("z"): _*)
       .groupBy(col(idCol) +: col("is_ref") +: payload :+
@@ -754,7 +754,7 @@ object Selection {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(k > 0, s"k must be positive, got $k")
-    val sh = docs
+    val sh = graft.core.Fan.out(docs)
       .select(col(idCol).as("doc"), explode(TextOps.shingleHashes(col(textCol))).as("h"))
       .localCheckpoint(false) // scanned once per round — materialize the tokenize
     var covered = spark.createDataFrame(

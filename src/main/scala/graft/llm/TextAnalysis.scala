@@ -62,7 +62,9 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = TextOps.words(col(textCol))
-    val scored = docs.select(
+    // Fan.out: per-doc marker scans are the whole cost — parallelize
+    // the map stage on single-split inputs (no-op on real layouts)
+    val scored = graft.core.Fan.out(docs).select(
       (col(idCol).as("doc") +:
         LangMarkers.map { case (lang, ms) => markerCount(ws, ms).as(s"s_$lang") }): _*
     )
@@ -90,6 +92,10 @@ object TextAnalysis {
       Bridge.column(graft.functions.AsciiAlphaCount(Bridge.expression(t)))
         .cast("double") / length(t)
     }
+    // NOT fanned: quality's per-doc cost is light enough that the
+    // exchange is a wash standalone (0.56 → 0.63 s measured), and the
+    // curation-gate chain re-evaluates this frame once per stage
+    // branch — a fan here taxed q_curation_gate ~1.2 s
     docs.select(
       col(idCol).as("doc"),
       nWords.as("n_words"),
@@ -110,7 +116,7 @@ object TextAnalysis {
     * keyed by (doc, word) then doc — no per-doc history materialized.
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wc = docs
+    val wc = graft.core.Fan.out(docs)
       .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("w"))
       .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("c"))
     wc.groupBy(col("doc"))
@@ -177,7 +183,8 @@ object TextAnalysis {
     val t = col(textCol)
     val ws = TextOps.words(t)
     val lns = split(t, "\n")
-    val base = docs.select(
+    val docsF = graft.core.Fan.out(docs) // per-doc HOF scans dominate
+    val base = docsF.select(
       col(idCol).as("doc"),
       size(ws).cast("long").as("n_words"),
       aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("word_chars"),
@@ -188,7 +195,7 @@ object TextAnalysis {
       size(filter(lns, l => l.substr(lit(1), lit(2)).isin("- ", "* "))).cast("long")
         .as("bullet_lines"),
       size(filter(lns, l => endswith(l, lit("...")))).cast("long").as("ellipsis_lines"))
-    val topBigram = docs
+    val topBigram = docsF
       .select(col(idCol).as("doc"), explode(TextOps.simhashFeatures(t)).as("h"))
       .groupBy(col("doc"), col("h")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc"))
@@ -229,7 +236,7 @@ object TextAnalysis {
     val t = col(textCol)
     val wsTokens = size(TextOps.words(t))
     val bpeTokens = size(regexp_extract_all(t, lit(BpePattern), lit(0)))
-    docs.select(
+    graft.core.Fan.out(docs).select(
       col(idCol).as("doc"),
       wsTokens.as("ws_tokens"),
       bpeTokens.as("bpe_tokens"),
@@ -362,7 +369,7 @@ object TextAnalysis {
           regexp_replace(t, lit(EmailPattern), lit("<EMAIL>")),
           lit(Ipv4Pattern), lit("<IP>")),
         lit(PhonePattern), lit("<PHONE>"))
-    docs.select(
+    graft.core.Fan.out(docs).select(
       col(idCol).as("doc"),
       size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"),
@@ -405,7 +412,7 @@ object TextAnalysis {
       total % 10 === 0
     }
     val cands = regexp_extract_all(t, lit(CcCandidatePattern), lit(2))
-    docs.select(
+    graft.core.Fan.out(docs).select(
       col(idCol).as("doc"),
       size(cands).cast("long").as("n_cc_candidates"),
       size(filter(cands, c => luhnOk(c))).cast("long").as("n_cc_valid"),
@@ -434,7 +441,7 @@ object TextAnalysis {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     val ws = TextOps.words(col(textCol))
     val nChunks = greatest(ceil(size(ws).cast("double") / maxTokens).cast("long"), lit(1L))
-    docs
+    graft.core.Fan.out(docs)
       .select(col(idCol).as("doc"), ws.as("ws"), nChunks.as("n_chunks"))
       .select(col("doc"), col("n_chunks"), col("ws"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
@@ -466,7 +473,7 @@ object TextAnalysis {
       labelCol: String
   ): DataFrame = {
     val ws = TextOps.words(col(textCol))
-    docs.select(
+    graft.core.Fan.out(docs).select(
       (col(labelCol).as("true_lang") +:
         LangMarkers.map { case (lang, ms) => markerCount(ws, ms).as(s"s_$lang") }): _*)
       .select(col("true_lang"), argmaxLang.as("pred_lang"))
@@ -523,7 +530,7 @@ object TextAnalysis {
     * 0/0.
     */
   def lineRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lc = docs
+    val lc = graft.core.Fan.out(docs)
       .select(col(idCol).as("doc"), explode(split(col(textCol), "\n")).as("l"))
       .groupBy(col("doc"), col("l")).agg(count(lit(1)).as("c"))
     lc.groupBy(col("doc"))
@@ -578,7 +585,7 @@ object TextAnalysis {
   ): DataFrame = {
     require(maxDfFrac > 0 && minPairDocs > 0 && k > 0,
       s"maxDfFrac, minPairDocs, k must be positive, got $maxDfFrac, $minPairDocs, $k")
-    val present = docs
+    val present = graft.core.Fan.out(docs)
       .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("term"))
       .distinct()
       .localCheckpoint(false) // feeds df AND both sides of the pair join
@@ -634,7 +641,7 @@ object TextAnalysis {
     val sign = when(
       pmod(graft.functions.GraftFunctions.strhash(concat(lit("s"), col("term"))), lit(2L)) === 0,
       lit(1L)).otherwise(lit(-1L))
-    docs
+    graft.core.Fan.out(docs)
       .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("term"))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -725,7 +732,7 @@ object TextAnalysis {
     }
     // one tokenize per side, materialized so the lambda never re-inlines
     // (CollapseProject hazard) and both count legs share it
-    val base = pairs.select(col(idCol).as("id"),
+    val base = graft.core.Fan.out(pairs).select(col(idCol).as("id"),
         grams(col(candCol)).as("cg"), grams(col(refCol)).as("rg"))
       .localCheckpoint(false)
     def counts(side: Column, name: String): DataFrame =

@@ -65,7 +65,8 @@ object TextIndex {
       nullable = true)), 0).toArray)
 
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
+    graft.core.Fan.out(docs)
+      .select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
       .select(col("doc"), size(col("ws")).cast("long").as("dl"), col("ws"))
 
   private def postingsOf(base: DataFrame, nBuckets: Int): DataFrame =
@@ -83,7 +84,14 @@ object TextIndex {
 
   private def statsOf(base: DataFrame, nBuckets: Int): DataFrame =
     base.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")) // empty base bootstraps cleanly
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"), // empty base bootstraps cleanly
+        // posting-row count persisted AT COMMIT TIME (r12 ADVICE): Σ
+        // per-doc distinct terms ≡ the root's (doc, term) posting rows,
+        // so describe() stays a dot-dir read instead of an O(index)
+        // postings scan per root; position entries need no column at
+        // all — Σ tf ≡ Σ dl (every token lands in exactly one tf)
+        coalesce(sum(size(array_distinct(col("ws"))).cast("long")), lit(0L))
+          .as("n_postings"))
       .withColumn("n_buckets", lit(nBuckets.toLong))
 
   /** Write one root: postings first, then the `.stats` commit marker
@@ -200,23 +208,27 @@ object TextIndex {
   def describe(spark: SparkSession, dir: String): DataFrame = {
     val roots = committedRoots(spark, dir)
     roots.map { r =>
-      val stats = spark.read.parquet(s"$dir/$r/.stats")
       // positional-telemetry audit: posting rows + stored position
-      // entries (= Σ tf — read from the COUNT columns via the pos-free
-      // schema, so this health scan never touches the positions
-      // arrays) and the positional share of stored cells — the
-      // write-amplification price the positional index pays (VERDICT
-      // r11: surface it, don't guess it)
-      val post = spark.read.schema(postingsSchema).parquet(s"$dir/$r")
-        .agg(count(lit(1)).as("n_postings"),
-          coalesce(sum(col("tf")), lit(0L)).as("pos_entries"))
-      stats.crossJoin(post)
-        .select(lit(r).as("root"), col("n_docs"), col("sum_dl"), col("n_buckets"),
-          col("n_postings"), col("pos_entries"),
-          when(col("n_postings") + col("pos_entries") > 0L,
-            col("pos_entries").cast("double") /
-              (col("n_postings") + col("pos_entries")).cast("double"))
-            .as("pos_share"))
+      // entries (= Σ tf ≡ Σ dl) and the positional share of stored
+      // cells — the write-amplification price the positional index
+      // pays (VERDICT r11: surface it, don't guess it). n_postings is
+      // read off the `.stats` commit marker when the root carries it
+      // (all roots written since r13), so describe stays
+      // control-plane-cheap (r12 ADVICE: the maintenance health probe
+      // had become an O(index) postings scan per root); a pre-r13
+      // root falls back to the pos-free postings scan.
+      val stats = spark.read.parquet(s"$dir/$r/.stats")
+      val withNp =
+        if (stats.columns.contains("n_postings")) stats
+        else stats.crossJoin(
+          spark.read.schema(postingsSchema).parquet(s"$dir/$r")
+            .agg(count(lit(1)).as("n_postings")))
+      withNp.select(lit(r).as("root"), col("n_docs"), col("sum_dl"), col("n_buckets"),
+        col("n_postings"), col("sum_dl").as("pos_entries"),
+        when(col("n_postings") + col("sum_dl") > 0L,
+          col("sum_dl").cast("double") /
+            (col("n_postings") + col("sum_dl")).cast("double"))
+          .as("pos_share"))
     }.reduce(_ unionAll _)
   }
 
@@ -243,10 +255,24 @@ object TextIndex {
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc")) // keep files doc-prunable
       .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
-    roots.map(r => spark.read.parquet(s"$dir/$r/.stats")).reduce(_ unionAll _)
+    // stats fold carries n_postings through the compaction (the r13
+    // commit-marker telemetry): epoch doc sets are disjoint, so the
+    // posting-row sum IS the folded root's posting count; a pre-r13
+    // root without the column falls back to one pos-free scan here
+    // (maintenance-time, never probe-time)
+    roots.map { r =>
+      val st = spark.read.parquet(s"$dir/$r/.stats")
+      val withNp =
+        if (st.columns.contains("n_postings")) st
+        else st.crossJoin(
+          spark.read.schema(postingsSchema).parquet(s"$dir/$r")
+            .agg(count(lit(1)).as("n_postings")))
+      withNp.select(col("n_docs"), col("sum_dl"), col("n_postings"), col("n_buckets"))
+    }.reduce(_ unionAll _)
       .groupBy(col("n_buckets"))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .select(col("n_docs"), col("sum_dl"), col("n_buckets"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
+        sum(col("n_postings")).as("n_postings"))
+      .select(col("n_docs"), col("sum_dl"), col("n_postings"), col("n_buckets"))
       .write.mode("overwrite").parquet(s"$stage/.stats")
     graft.state.StagedCompact.commit(spark, dir, "postings", roots)
     graft.state.StagedCompact.finish(spark, dir, "postings")
@@ -516,7 +542,11 @@ object TextIndex {
       withPos: Boolean = false
   ): (DataFrame, DataFrame) = {
     val roots = committedRoots(spark, dir)
-    val statsAll = roots.map(r => spark.read.parquet(s"$dir/$r/.stats"))
+    // select the probe's three columns before the union: roots written
+    // since r13 carry an extra n_postings telemetry column, and
+    // unionAll is positional — mixing root versions must stay legal
+    val statsAll = roots.map(r => spark.read.parquet(s"$dir/$r/.stats")
+        .select(col("n_docs"), col("sum_dl"), col("n_buckets")))
       .reduce(_ unionAll _)
     val moduli = statsAll.select(col("n_buckets")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -683,7 +713,11 @@ object TextIndex {
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val roots = committedRoots(spark, dir)
-    val statsAll = roots.map(r => spark.read.parquet(s"$dir/$r/.stats"))
+    // select the probe's three columns before the union: roots written
+    // since r13 carry an extra n_postings telemetry column, and
+    // unionAll is positional — mixing root versions must stay legal
+    val statsAll = roots.map(r => spark.read.parquet(s"$dir/$r/.stats")
+        .select(col("n_docs"), col("sum_dl"), col("n_buckets")))
       .reduce(_ unionAll _)
     val moduli = statsAll.select(col("n_buckets")).distinct()
       .collect().map(_.getLong(0)).sorted

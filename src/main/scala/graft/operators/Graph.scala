@@ -207,6 +207,63 @@ object Graph {
       seeds = None, maxIters, damping, init = init, tolNano = tolNano)
   }
 
+  /** [[pageRank]] then [[pageRankFrom]] on the SAME graph with ONE
+    * shared prep (the r12-diagnosed duplicated-prep fix): the
+    * restart-economy pair — N rounds, persistable handoff, M more —
+    * previously paid the data-bound graph prep (edge distinct +
+    * out-degree join + node/dangling flags + seed-count collect) once
+    * per leg even though both legs walk the identical graph. Here
+    * [[preparePageRank]] runs once and both legs iterate over the same
+    * checkpointed frames, so the pair costs prep + N+M rounds instead
+    * of 2·prep + N+M rounds. Output is bit-identical to the two-call
+    * form (same prep ops, same handoff requantization, same round
+    * arithmetic) and therefore to the straight N+M-round
+    * [[pageRankSql]] oracle.
+    */
+  def pageRankResumed(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      itersFirst: Int,
+      itersResumed: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    val p = preparePageRank(edges, srcCol, dstCol, seeds = None)
+    val firstLeg = runPrepped(p, itersFirst, damping)._1
+    runPrepped(p, itersResumed, damping, init = Some(firstLeg))._1
+  }
+
+  /** [[pageRank]] on the old graph then [[pageRankDelta]] on the
+    * mutated one with the old graph's prep SHARED into the delta
+    * application (the same r12 fix for the incremental leg): the old
+    * graph preps once and feeds both the warm-start rounds and the
+    * delta anti-join — which now runs over the already-DISTINCT
+    * checkpointed edge table instead of the raw (duplicate-bearing)
+    * input, so the mutation shuffles the distinct pair count, not the
+    * raw edge count. Set-equivalence: distinct(distinct(E)∖R ∪ A) =
+    * distinct((E∖R) ∪ A), and every downstream op is exact integer
+    * arithmetic over that set — so the refreshed ranks are
+    * bit-identical to the two-call form and its oracle.
+    */
+  def pageRankDeltaWarm(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      addedEdges: DataFrame,
+      removedEdges: DataFrame,
+      itersInit: Int,
+      itersRefresh: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    val pOld = preparePageRank(edges, srcCol, dstCol, seeds = None)
+    val init = runPrepped(pOld, itersInit, damping)._1
+    val mutated = mutate(pOld.eDist.select(col("src"), col("dst")), "src", "dst",
+      addedEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      removedEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val pNew = preparePageRank(mutated, "src", "dst", seeds = None)
+    runPrepped(pNew, itersRefresh, damping, init = Some(init))._1
+  }
+
   /** `(edges ∖ removed) ∪ added` over distinct (src, dst) pairs. */
   private def mutate(
       edges: DataFrame,
@@ -221,31 +278,34 @@ object Graph {
     base.join(rem, Seq("src", "dst"), "left_anti").unionAll(add)
   }
 
-  private def run(
-      edges: DataFrame,
-      srcCol: String,
-      dstCol: String,
-      seeds: Option[DataFrame],
-      iters: Int,
-      damping: Double,
-      weight: Option[org.apache.spark.sql.Column] = None,
-      init: Option[DataFrame] = None
-  ): DataFrame =
-    runCounted(edges, srcCol, dstCol, seeds, iters, damping, weight, init)._1
+  /** Prepared immutable pageRank graph state: the data-bound prep —
+    * edge canonicalization, out-degree join, dangling flags, seed
+    * count — hoisted out of [[runCounted]] so warm-start pairs
+    * (resume / delta) pay it ONCE instead of once per leg (the two
+    * legs' prep is identical; re-paying it doubled the data-bound
+    * cost of every incremental-rank refresh). Frames are
+    * localCheckpoint'd, so each leg's rounds start from materialized
+    * state.
+    */
+  private[graft] final case class PreparedPageRank(
+      eDist: DataFrame, // distinct (src, dst, w)
+      e2: DataFrame, // eDist ⋈ out-degree: (src, dst, w, deg)
+      nodes: DataFrame, // (node, sf, dang)
+      sn: Long // seed count
+  )
 
-  private def runCounted(
+  /** Build [[PreparedPageRank]] — the exact prep sequence the former
+    * [[runCounted]] ran inline (same ops, same order, same
+    * checkpoints), so every ranks output is bit-identical to the
+    * pre-refactor code.
+    */
+  private[graft] def preparePageRank(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       seeds: Option[DataFrame],
-      iters: Int,
-      damping: Double,
-      weight: Option[org.apache.spark.sql.Column] = None,
-      init: Option[DataFrame] = None,
-      tolNano: Long = 0L
-  ): (DataFrame, Int) = {
-    require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
-    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+      weight: Option[org.apache.spark.sql.Column] = None
+  ): PreparedPageRank = {
     // uniform = every edge at weight 1: r·1.0 is the identical double,
     // so unifying the weighted op sequence changes no uniform result
     val e = (weight match {
@@ -285,6 +345,47 @@ object Graph {
     // the shared constants are bit-identical without shipping sn.
     val sn = nodes.agg(sum(col("sf"))).collect()(0).getLong(0)
     require(sn > 0, "at least one seed must be a node of the graph")
+    PreparedPageRank(e, e2, nodes, sn)
+  }
+
+  private def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Option[DataFrame],
+      iters: Int,
+      damping: Double,
+      weight: Option[org.apache.spark.sql.Column] = None,
+      init: Option[DataFrame] = None
+  ): DataFrame =
+    runCounted(edges, srcCol, dstCol, seeds, iters, damping, weight, init)._1
+
+  private def runCounted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Option[DataFrame],
+      iters: Int,
+      damping: Double,
+      weight: Option[org.apache.spark.sql.Column] = None,
+      init: Option[DataFrame] = None,
+      tolNano: Long = 0L
+  ): (DataFrame, Int) =
+    runPrepped(preparePageRank(edges, srcCol, dstCol, seeds, weight),
+      iters, damping, init, tolNano)
+
+  private[graft] def runPrepped(
+      p: PreparedPageRank,
+      iters: Int,
+      damping: Double,
+      init: Option[DataFrame] = None,
+      tolNano: Long = 0L
+  ): (DataFrame, Int) = {
+    require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e2 = p.e2
+    val nodes = p.nodes
+    val sn = p.sn
     val r0 = math.floor(Scale.toDouble / sn + 0.5).toLong
     val baseScaled = (1.0 - damping) / sn * Scale.toDouble
 
@@ -1203,57 +1304,21 @@ object Graph {
       dstCol: String,
       iters: Int
   ): DataFrame = {
-    require(iters >= 0 && iters <= 50, s"iters must be in 0..50, got $iters")
-    val dec = "decimal(38,0)"
-    val e0 = edges.select(col(srcCol).cast("long").as("node"), col(dstCol).cast("long").as("nbr"))
-    val adj = e0.unionAll(e0.select(col("nbr").as("node"), col("node").as("nbr")))
-      .filter(col("node") =!= col("nbr"))
+    // Delegates to the weighted core at w ≡ 1 (r13 optimization): the
+    // canonical (a < b) distinct pair set expanded to both directions
+    // IS the former both-direction distinct adjacency; count(*) and
+    // sum(w) at w = 1 are the same longs through degrees, encounters
+    // and gains, so labels are bit-identical to the dedicated
+    // unweighted body (and to [[louvainSql]]) while rounds gain the
+    // core's two-joins-fewer plan.
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
+      .withColumn("w", lit(1L))
       .localCheckpoint(false)
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg")).localCheckpoint(false)
-    val m2 = deg.agg(coalesce(sum(col("deg")), lit(0L))).collect()(0).getLong(0)
-    require(m2 > 0, "louvainMoves requires a non-empty loop-free edge list")
-    var labels = deg.select(col("node"), col("node").as("label"))
-    val arg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("gain").desc, col("c"))
-    var round = 1
-    var quiet = 0
-    while (round <= iters && quiet < 2) {
-      val p = round % 2
-      val dc = labels.join(deg, "node")
-        .groupBy(col("label").as("c")).agg(sum(col("deg")).as("dc"))
-      val moving = pmod(col("node"), lit(2L)) === lit(p.toLong)
-      val enc = adj.filter(moving)
-        .join(labels.select(col("node").as("nbr"), col("label").as("c")), "nbr")
-        .groupBy(col("node"), col("c")).agg(count(lit(1)).as("e"))
-      val cand = enc
-        .unionAll(labels.filter(moving).select(col("node"), col("label").as("c"), lit(0L).as("e")))
-        .groupBy(col("node"), col("c")).agg(max(col("e")).as("e"))
-      val next = cand
-        .join(labels, "node")
-        .join(deg, "node")
-        .join(dc, "c")
-        .withColumn("gain",
-          lit(m2).cast(dec) * col("e").cast(dec)
-            - col("deg").cast(dec) *
-              (col("dc") - when(col("c") === col("label"), col("deg")).otherwise(lit(0L))).cast(dec))
-        .withColumn("rk", row_number().over(arg))
-        .filter(col("rk") === 1)
-        .select(col("node"), col("c").as("nlabel"))
-      // resetStats: the per-round checkpoint would otherwise carry the
-      // round plan's MULTIPLIED size estimate into the next round's
-      // joins — geometric stats growth that wedges the driver after a
-      // few compounded levels (see Bridge.resetStats)
-      val updated = org.apache.spark.sql.graft.Bridge.resetStats(
-        labels.join(next, Seq("node"), "left")
-          .select(col("node"), col("label").as("_old"),
-            coalesce(col("nlabel"), col("label")).as("label"))
-          .localCheckpoint(false))
-      quiet = if (updated.filter(col("label") =!= col("_old")).isEmpty) quiet + 1 else 0
-      labels = updated.select(col("node"), col("label"))
-      round += 1
-    }
-    labels
+    louvainWeightedCore(und, iters)._1
   }
 
   /** The [[louvainMoves]] oracle generator — unrolled move rounds over
@@ -1328,14 +1393,40 @@ object Graph {
       weightCol: String,
       iters: Int
   ): DataFrame = {
-    require(iters >= 0 && iters <= 50, s"iters must be in 0..50, got $iters")
-    val dec = "decimal(38,0)"
     val und = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
         col(weightCol).cast("long").as("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
       .localCheckpoint(false)
+    louvainWeightedCore(und, iters)._1
+  }
+
+  /** The weighted move-phase core over an ALREADY-CANONICAL edge frame
+    * — `und` must be (a ≤ b, w) with one row per unordered pair,
+    * checkpointed. Factored out (r13 optimization) so callers whose
+    * input is canonical by construction ([[louvainMultiLevel]]'s
+    * contracted levels, [[louvainTwoLevel]]'s distinct frame) skip the
+    * redundant canonicalization shuffle + checkpoint that
+    * [[louvainMovesWeighted]] pays on arbitrary input. Returns
+    * `(labels, deg, m2)` so the multi-level ΔQ audit reuses the
+    * degree table and the m2 scalar instead of rebuilding both per
+    * level (one aggregate + one collect saved per level).
+    *
+    * Two plan-only changes vs the r12 body, both value-identical: the
+    * working labels frame CARRIES the static weighted degree (so the
+    * per-round community-degree aggregate and the gain join read it in
+    * place — two node-keyed joins per round removed), and the per-pair
+    * weights arrive pre-grouped. Gains remain DECIMAL(38,0)-exact
+    * products of the same longs; the tie rule and parity schedule are
+    * untouched, so labels are bit-identical.
+    */
+  private def louvainWeightedCore(
+      und: DataFrame,
+      iters: Int
+  ): (DataFrame, DataFrame, Long) = {
+    require(iters >= 0 && iters <= 50, s"iters must be in 0..50, got $iters")
+    val dec = "decimal(38,0)"
     val cross = und.filter(col("a") =!= col("b"))
     val adj = cross.select(col("a").as("node"), col("b").as("nbr"), col("w"))
       .unionAll(cross.select(col("b").as("node"), col("a").as("nbr"), col("w")))
@@ -1348,14 +1439,17 @@ object Graph {
       .localCheckpoint(false)
     val m2 = deg.agg(coalesce(sum(col("deg")), lit(0L))).collect()(0).getLong(0)
     require(m2 > 0, "louvainMovesWeighted requires a non-empty edge list")
-    var labels = deg.select(col("node"), col("node").as("label"))
+    // labels carry the STATIC deg so rounds never re-join the degree
+    // table: dc aggregates labels directly, the gain join reads deg
+    // off the candidate's label row
+    var labels = deg.select(col("node"), col("node").as("label"), col("deg"))
     val arg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("gain").desc, col("c"))
     var round = 1
     var quiet = 0
     while (round <= iters && quiet < 2) {
       val p = round % 2
-      val dc = labels.join(deg, "node")
+      val dc = labels
         .groupBy(col("label").as("c")).agg(sum(col("deg")).as("dc"))
       val moving = pmod(col("node"), lit(2L)) === lit(p.toLong)
       val enc = adj.filter(moving)
@@ -1366,7 +1460,6 @@ object Graph {
         .groupBy(col("node"), col("c")).agg(max(col("e")).as("e"))
       val next = cand
         .join(labels, "node")
-        .join(deg, "node")
         .join(dc, "c")
         .withColumn("gain",
           lit(m2).cast(dec) * col("e").cast(dec)
@@ -1382,13 +1475,13 @@ object Graph {
       val updated = org.apache.spark.sql.graft.Bridge.resetStats(
         labels.join(next, Seq("node"), "left")
           .select(col("node"), col("label").as("_old"),
-            coalesce(col("nlabel"), col("label")).as("label"))
+            coalesce(col("nlabel"), col("label")).as("label"), col("deg"))
           .localCheckpoint(false))
       quiet = if (updated.filter(col("label") =!= col("_old")).isEmpty) quiet + 1 else 0
-      labels = updated.select(col("node"), col("label"))
+      labels = updated.select(col("node"), col("label"), col("deg"))
       round += 1
     }
-    labels
+    (labels.select(col("node"), col("label")), deg, m2)
   }
 
   /** Two-level Louvain (Blondel et al. 2008 §2, the full
@@ -1428,14 +1521,21 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .withColumn("w", lit(1L))
       .localCheckpoint(false) // feeds level-1 rounds AND the contraction join
-    val l1 = louvainMoves(und, "a", "b", itersL1).localCheckpoint(false)
+    // both levels enter the core directly: und and the contracted
+    // frame are canonical (a ≤ b, grouped) by construction, so the
+    // core's callers skip louvainMovesWeighted's re-canonicalization
+    // shuffle + checkpoint (r13 optimization; values unchanged)
+    val l1 = louvainWeightedCore(und, itersL1)._1.localCheckpoint(false)
     val coarse = und
       .join(l1.select(col("node").as("a"), col("label").as("la")), "a")
       .join(l1.select(col("node").as("b"), col("label").as("lb")), "b")
       .select(least(col("la"), col("lb")).as("ca"), greatest(col("la"), col("lb")).as("cb"))
       .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
-    val l2 = louvainMovesWeighted(coarse, "ca", "cb", "w", itersL2)
+      .select(col("ca").as("a"), col("cb").as("b"), col("w"))
+      .localCheckpoint(false)
+    val l2 = louvainWeightedCore(coarse, itersL2)._1
     l1.select(col("node"), col("label").as("c1"))
       .join(l2.select(col("node").as("c1"), col("label")), Seq("c1"), "left")
       .select(col("node"), coalesce(col("label"), col("c1")).as("label"))
@@ -1552,8 +1652,13 @@ object Graph {
     var level = 1
     var stop = false
     while (level <= maxLevels && !stop) {
-      val l = rs(louvainMovesWeighted(g, "a", "b", "w", itersPerLevel)
-        .localCheckpoint(false))
+      // core directly: g is canonical by construction (distinct level-1
+      // pairs / grouped contraction), so the per-level
+      // re-canonicalization shuffle + checkpoint is skipped, and the
+      // core's (deg, m2) feed the ΔQ audit below instead of being
+      // rebuilt + re-collected per level (r12 verdict #6)
+      val (l0, deg, m2) = louvainWeightedCore(g, itersPerLevel)
+      val l = rs(l0.localCheckpoint(false))
       // ΔQ acceptance (the Blondel stop rule, eps = 0): exact integer
       // Q·m2² of this level's labels ON THIS LEVEL'S GRAPH — equal, by
       // modularity's contraction invariance, to the composed mapping's
@@ -1565,7 +1670,7 @@ object Graph {
       // a no-move level has equal Q and stops the same way). Exact
       // integers, so the oracle replays the accept chain as HUGEINT
       // comparisons.
-      val q = qNumContracted(g, l)
+      val q = qNumContracted(g, l, deg, m2)
       if (bestQ == null || q > bestQ) {
         bestQ = q
         mapping =
@@ -1596,16 +1701,17 @@ object Graph {
     * degree — all exact longs into DECIMAL(38,0) (≡ HUGEINT), one
     * control-plane collect. Contraction-invariant, so comparing levels
     * on their own coarse graphs compares original-graph modularity.
+    * `deg`/`m2` arrive from [[louvainWeightedCore]]'s prep (identical
+    * multiset sums — r12 verdict #6: the audit no longer rebuilds the
+    * degree table or re-collects m2 per level).
     */
-  private def qNumContracted(g: DataFrame, labels: DataFrame): BigInt = {
+  private def qNumContracted(
+      g: DataFrame,
+      labels: DataFrame,
+      deg: DataFrame,
+      m2: Long
+  ): BigInt = {
     val dec = "decimal(38,0)"
-    val cross = g.filter(col("a") =!= col("b"))
-    val deg = cross.select(col("a").as("node"), col("w"))
-      .unionAll(cross.select(col("b").as("node"), col("w")))
-      .unionAll(g.filter(col("a") === col("b"))
-        .select(col("a").as("node"), (col("w") * 2).as("w")))
-      .groupBy(col("node")).agg(sum(col("w")).as("deg"))
-    val m2 = deg.agg(coalesce(sum(col("deg")), lit(0L))).collect()(0).getLong(0)
     val la = labels.select(col("node").as("a"), col("label").as("la"))
     val lb = labels.select(col("node").as("b"), col("label").as("lb"))
     val win = g.join(la, "a").join(lb, "b")

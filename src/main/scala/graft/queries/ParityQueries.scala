@@ -1562,10 +1562,12 @@ object ParityQueries {
     val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
     val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(false) // one trade-graph build feeds both legs
-    val firstLeg = graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
-    graft.operators.Graph.pageRankFrom(edges, "src", "dst", firstLeg, iters = 2)
-      .orderBy("node")
+    // pageRankResumed: ONE shared graph prep feeds both legs (r12
+    // verdict #1 — the duplicated edge-distinct + outdeg join +
+    // checkpoint was the warm-start family's whole overhead); output
+    // bit-identical to the two-call pageRank → pageRankFrom form.
+    graft.operators.Graph.pageRankResumed(edges, "src", "dst",
+      itersFirst = 3, itersResumed = 2).orderBy("node")
   }
 
   // the resumed split run must equal the straight 5-iteration oracle
@@ -1591,12 +1593,15 @@ object ParityQueries {
       val f = df.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       f.unionAll(f.select(col("dst").as("src"), col("src").as("dst")))
     }
-    val old = sym(j.filter(col("ck") % 10 =!= 3)).localCheckpoint(false)
+    val old = sym(j.filter(col("ck") % 10 =!= 3))
     val adds = sym(j.filter(col("ck") % 10 === 3))
     val rems = sym(j.filter(col("sk") % 17 === 2))
-    val init = graft.operators.Graph.pageRank(old, "src", "dst", iters = 5)
-    graft.operators.Graph.pageRankDelta(old, "src", "dst", adds, rems, init, iters = 3)
-      .orderBy("node")
+    // pageRankDeltaWarm: the old graph preps ONCE for both the warm
+    // 5-round init and the delta anti-join (which now runs over the
+    // distinct checkpointed edge table, not the raw sym frame) — r12
+    // verdict #1; output bit-identical to pageRank → pageRankDelta.
+    graft.operators.Graph.pageRankDeltaWarm(old, "src", "dst", adds, rems,
+      itersInit = 5, itersRefresh = 3).orderBy("node")
   }
 
   val pageRankDeltaSql: String = {

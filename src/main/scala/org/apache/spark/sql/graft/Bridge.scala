@@ -44,6 +44,15 @@ object Bridge {
     * round planning louvainMultiLevel level 3 on a 63-edge graph).
     * Resetting to the default leaf estimate bounds the growth to one
     * round; AQE re-plans with real runtime sizes anyway.
+    *
+    * AQE DEPENDENCY (r12 ADVICE): with originStats dropped the leaf
+    * reports `spark.sql.defaultSizeInBytes` (Long.MaxValue), so the
+    * STATIC planner will never broadcast a reset frame — tiny
+    * per-round frames (kCore alive sets, HITS score tables) rely on
+    * AQE's runtime re-planning to recover broadcast joins. AQE is on
+    * by default in Spark 4 and never disabled in this repo; an
+    * AQE-off deployment should re-point iterative loops at a bounded
+    * constant estimate instead.
     */
   def resetStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

@@ -48,7 +48,11 @@ class CodegenSpec extends SparkSpec {
   test("simhashDocs stage is whole-stage-codegen'd and compiles") {
     withNoCodegenFallback {
       val df = Dedup.simhashDocs(docs, "doc_id", "text")
-      assert(df.count() > 0) // forces Janino compile; throws on failure
+      // collect(), not count(): count plans a SEPARATE aggregate and
+      // never finalizes df's own AQE plan (repo invariant) — with the
+      // r13 scan fan-out the projection sits above an exchange, so the
+      // codegen span only exists once the stage materializes
+      assert(df.collect().length > 0) // forces Janino compile; throws on failure
       assert(hasCodegenSpan(df.queryExecution.executedPlan),
         s"simhash projection must be inside a codegen span, got:\n${df.queryExecution.executedPlan}")
     }
@@ -88,7 +92,9 @@ class CodegenSpec extends SparkSpec {
   test("ccDetect's Luhn HOF fold compiles under whole-stage codegen") {
     withNoCodegenFallback {
       val df = graft.llm.TextAnalysis.ccDetect(docs, "doc_id", "text")
-      assert(df.count() > 0)
+      // collect() finalizes the AQE plan past the r13 fan-out exchange
+      // (count() plans a separate aggregate — repo invariant)
+      assert(df.collect().length > 0)
       assert(hasCodegenSpan(df.queryExecution.executedPlan),
         s"the checksum projection must sit inside a codegen span:\n${df.queryExecution.executedPlan}")
     }
