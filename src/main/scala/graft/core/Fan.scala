@@ -31,7 +31,32 @@ object Fan {
   def out(df: DataFrame): DataFrame = {
     // SPARK_GRAFT_SCAN_FANOUT=0 disables (measurement/ablation hook)
     if (sys.env.get("SPARK_GRAFT_SCAN_FANOUT").contains("0")) return df
+    // Only narrow scan-rooted plans are candidates. Two reasons, both
+    // measured: (1) a frame below a shuffle/join/aggregate already has
+    // >= shuffle.partitions partitions, so fanning is a no-op at best;
+    // (2) probing such a frame with .rdd.getNumPartitions EXECUTES its
+    // upstream query stages under AQE (AdaptiveSparkPlanExec
+    // materializes every exchange to finalize the plan), so the probe
+    // alone ran the caller's whole prefix a second time — the ccnet /
+    // DSIR pipelines measured +1.3–3.7 s from exactly this before the
+    // narrow guard. On a narrow plan there are no stages to run and
+    // the probe is pure planning.
+    if (!narrowScanRooted(org.apache.spark.sql.graft.Bridge.logicalPlan(df))) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
+  private def narrowScanRooted(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: LocalRelation => true
+      case n @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias |
+                _: DeserializeToObject | _: SerializeFromObject |
+                _: MapElements | _: TypedFilter) =>
+        narrowScanRooted(n.asInstanceOf[UnaryNode].child)
+      case _ => false
+    }
   }
 }
