@@ -103,7 +103,17 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"failed":$fl,"sf":"$sfDir"}"""
+    // SHORT final summary line (r13 verdict #2): the driver's stdout
+    // capture keeps only the last ~2000 bytes, and the full per-query
+    // line is ~17 KB — its leading "metric" key never lands in the tail
+    // window, so the driver parsed null for two rounds. This line is
+    // a few hundred bytes and printed LAST, so any tail window contains
+    // one complete parseable metric JSON. The full per-query line and
+    // bench_out.json are unchanged.
+    val summary =
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.size},"failed":$fl,"sf":"$sfDir"}"""
     println(compact)
+    println(summary)
     Files.write(Paths.get(outPath), (full + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

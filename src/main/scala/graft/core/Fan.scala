@@ -31,6 +31,7 @@ object Fan {
   def out(df: DataFrame): DataFrame = {
     // SPARK_GRAFT_SCAN_FANOUT=0 disables (measurement/ablation hook)
     if (sys.env.get("SPARK_GRAFT_SCAN_FANOUT").contains("0")) return df
+    val par = df.sparkSession.sparkContext.defaultParallelism
     // Only narrow scan-rooted plans are candidates. Two reasons, both
     // measured: (1) a frame below a shuffle/join/aggregate already has
     // >= shuffle.partitions partitions, so fanning is a no-op at best;
@@ -41,21 +42,37 @@ object Fan {
     // DSIR pipelines measured +1.3–3.7 s from exactly this before the
     // narrow guard. On a narrow plan there are no stages to run and
     // the probe is pure planning.
-    if (!narrowScanRooted(org.apache.spark.sql.graft.Bridge.logicalPlan(df))) return df
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (!narrowScanRooted(org.apache.spark.sql.graft.Bridge.logicalPlan(df), par)) return df
+    // INVARIANT (r13 verdict): this .rdd probe is safe ONLY because
+    // narrowScanRooted admitted no plan with executable stages below
+    // it — extending the walk past any barrier (shuffle, join,
+    // aggregate, checkpoint) re-introduces the AQE double-execution
+    // the guard exists to prevent. Keep the probe behind the guard.
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
   }
 
   private def narrowScanRooted(
-      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      par: Int): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     p match {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-      case _: LocalRelation => true
+      // DSv2 parquet resolution (spark.sql.sources.useV1SourceList
+      // change) must not silently disable the fan (r13 ADVICE): match
+      // the v2 relations too.
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+      // Driver-side constant frames (r13 ADVICE): a LocalRelation
+      // small enough to plan fewer slices than defaultParallelism is
+      // usually a few-row constants table — a 32-way round-robin
+      // exchange for microseconds of work is pure scheduling overhead.
+      // Fan only when it carries at least a task's worth of rows per
+      // target slice (>= par rows, i.e. >= 1 row per fanned partition).
+      case l: LocalRelation => l.data.length >= par
       case n @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias |
                 _: DeserializeToObject | _: SerializeFromObject |
                 _: MapElements | _: TypedFilter) =>
-        narrowScanRooted(n.asInstanceOf[UnaryNode].child)
+        narrowScanRooted(n.asInstanceOf[UnaryNode].child, par)
       case _ => false
     }
   }

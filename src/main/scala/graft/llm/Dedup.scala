@@ -321,7 +321,11 @@ object Dedup {
         .select(col("v"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("_prev"))
-        .localCheckpoint(true) // materialize: bounds lineage AND makes the convergence count cheap
+        // LAZY checkpoint (r14): the convergence count below is the
+        // materializing action, so each round runs ONE job — the former
+        // eager checkpoint ran its own materialization job and then the
+        // count as a second
+        .localCheckpoint(false)
         // reset the carried origin stats: O(diameter) rounds of
         // self-joins otherwise compound them geometrically (the
         // louvainMultiLevel driver-wedge lesson, Bridge.resetStats)

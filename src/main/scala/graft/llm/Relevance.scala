@@ -34,7 +34,14 @@ object Relevance {
     * (doc, term) exchange.
     */
   private def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.core.Fan.out(docs)
+    // No Fan.out here (r13 verdict #4): the per-row work is a single
+    // whitespace tokenize feeding an immediate partial aggregate, and
+    // the round-robin exchange ships the FULL document text — on the
+    // sub-second tfidf/commonness paths the exchange cost more than the
+    // parallelism bought (q_tfidf_terms 0.83 → 1.03 s measured r13).
+    // At real scale the scan is multi-split anyway and the fan would
+    // no-op, so dropping it costs nothing there either.
+    docs
       .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("term"))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -129,7 +136,10 @@ object Relevance {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
-    val base = graft.core.Fan.out(docs)
+    // unfanned (r13 verdict #4): tokenize-into-aggregate only — the
+    // fan's full-text exchange measurably taxed this sub-second path
+    // (q_bm25_search 0.64 → 0.73 s r13; termFreq rationale applies)
+    val base = docs
       .select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
     val dl = base.select(col("doc"), size(col("ws")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -249,7 +259,9 @@ object Relevance {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0 && mu > 0, s"k and mu must be positive, got $k/$mu")
-    val base = graft.core.Fan.out(docs)
+    // unfanned (r13 verdict #4): same rationale as bm25 — q_ql_search
+    // measured 0.90x with the fan's full-text exchange
+    val base = docs
       .select(col(idCol).as("doc"), TextOps.words(col(textCol)).as("ws"))
     val dl = base.select(col("doc"), size(col("ws")).cast("long").as("dl"))
     val total = dl.agg(sum(col("dl")).as("t"))

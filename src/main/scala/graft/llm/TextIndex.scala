@@ -204,6 +204,16 @@ object TextIndex {
     * "how many epoch roots has ingest accumulated, is it compaction
     * time" — read off a frame, not a directory listing). Uncommitted
     * roots are absent, exactly as probes see the index.
+    *
+    * `pos_entries`/`pos_share` report the POSITIONAL-index cost model
+    * (`pos_entries = Σ tf ≡ Σ dl = sum_dl` — every token stores one
+    * position entry): for a root built `withPos = false` they state
+    * the HYPOTHETICAL positional cost, not stored bytes (zero position
+    * cells exist in such roots) — the r11 semantics, unchanged when
+    * the r13 stats marker made describe control-plane (r13 ADVICE:
+    * documented here rather than recorded per-root, since no declared
+    * query describes a count-only root and changing the column's
+    * meaning would change query results).
     */
   def describe(spark: SparkSession, dir: String): DataFrame = {
     val roots = committedRoots(spark, dir)

