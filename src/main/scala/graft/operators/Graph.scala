@@ -775,18 +775,23 @@ object Graph {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(false)
-    val arg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dst")).orderBy(col("c").desc, col("label"))
     var round = 0
     var fixed = false
     while (round < iters && !fixed) {
+      // argmax as a map-side-combinable AGGREGATE, not a window (r14,
+      // guide §2.4): `min(struct(-c, label))` is lexicographic —
+      // largest count first, ties to the smallest label — exactly the
+      // former row_number().over(dst, c desc, label).filter(rk = 1)
+      // row, but with a partial combine below the dst exchange and no
+      // per-partition sort (WindowExec sorts its whole input). Counts
+      // are ≥ 1, so the negation cannot overflow.
       val next = und
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(arg))
-        .filter(col("rk") === 1)
-        .select(col("dst").as("node"), col("label").as("nlabel"))
+        .groupBy(col("dst"))
+        .agg(min(struct(negate(col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("node"), col("m.l").as("nlabel"))
       // resetStats: the per-round checkpoint would otherwise carry the
       // round plan's MULTIPLIED size estimate into the next round's
       // joins — geometric stats growth that wedges the driver after a
@@ -967,10 +972,14 @@ object Graph {
     val nodes = raw.select(col("u").as("node"))
       .unionAll(raw.select(col("v").as("node")))
       .distinct().localCheckpoint(false)
-    // canonical orientation throughout: (u, v) with u > v
+    // canonical orientation throughout: (u, v) with u > v. LAZY
+    // checkpoint (r14): the starStats aggregate right below is a full
+    // scan and doubles as the materializing action — the former eager
+    // checkpoint ran its own materialization job first (2 jobs/round;
+    // the louvain quiet-fold rationale).
     var e = raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val sizes = scala.collection.mutable.ArrayBuffer[Long]()
     var it = 0
     var converged = starStats(e)._1 == 0L
@@ -994,8 +1003,10 @@ object Graph {
         .filter(col("nu") =!= col("nv"))
         .select(col("nu").as("u"), col("nv").as("v"))
         .distinct()
-        .localCheckpoint(true)
-        // eager checkpoint still carries origin stats — reset per
+        // lazy: the round's starStats full-scan aggregate materializes
+        // it — one job per round instead of eager-ckpt + stats (r14)
+        .localCheckpoint(false)
+        // the checkpoint still carries origin stats — reset per
         // round or the O(log² n) alternation compounds them
         .transform(org.apache.spark.sql.graft.Bridge.resetStats)
       val (viol, nEdges) = starStats(e)
@@ -1023,8 +1034,16 @@ object Graph {
     * dangling-mass shape), not a star test AND a count job.
     */
   private def starStats(e: DataFrame): (Long, Long) = {
-    val row = e.select(col("u").as("node"), lit(1L).as("big"))
-      .unionAll(e.select(col("v").as("node"), lit(0L).as("big")))
+    // ONE scan of e (r14): the former two-branch union read the edge
+    // checkpoint twice — racy double-compute now that the round
+    // checkpoint is lazy and this aggregate is its materializing
+    // action. Exploding both endpoints from one row is the identical
+    // (node, big) multiset off a single pass.
+    val row = e
+      .select(explode(array(
+        struct(col("u").as("node"), lit(1L).as("big")),
+        struct(col("v").as("node"), lit(0L).as("big")))).as("nb"))
+      .select(col("nb.node").as("node"), col("nb.big").as("big"))
       .groupBy(col("node"))
       .agg(sum(col("big")).as("nbig"), min(col("big")).as("mnb"))
       .agg(
@@ -1556,8 +1575,6 @@ object Graph {
     // table: dc aggregates labels directly, the gain join reads deg
     // off the candidate's label row
     var labels = deg.select(col("node"), col("node").as("label"), col("deg"))
-    val arg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("gain").desc, col("c"))
     var round = 1
     var quiet = 0
     while (round <= iters && quiet < 2) {
@@ -1571,16 +1588,26 @@ object Graph {
       val cand = enc
         .unionAll(labels.filter(moving).select(col("node"), col("label").as("c"), lit(0L).as("e")))
         .groupBy(col("node"), col("c")).agg(max(col("e")).as("e"))
+      // argmax as a map-side-combinable AGGREGATE, not a window (r14,
+      // guide §2.4): `min(struct(-gain, c))` is lexicographic — largest
+      // gain first, ties to the smallest c — exactly the former
+      // row_number().over(node, gain desc, c).filter(rk = 1) row, but
+      // with a partial-combine below the node exchange and NO per-
+      // partition sort (WindowExec sorts its whole input). Negating a
+      // DECIMAL(38,0) is exact (sign flip); gain values are unchanged.
+      // The dc join moves FIRST so the final node-keyed join feeds the
+      // node-keyed aggregate directly (inner joins commute; one fewer
+      // exchange of the candidate stream).
       val next = cand
-        .join(labels, "node")
         .join(dc, "c")
+        .join(labels, "node")
         .withColumn("gain",
           lit(m2).cast(dec) * col("e").cast(dec)
             - col("deg").cast(dec) *
               (col("dc") - when(col("c") === col("label"), col("deg")).otherwise(lit(0L))).cast(dec))
-        .withColumn("rk", row_number().over(arg))
-        .filter(col("rk") === 1)
-        .select(col("node"), col("c").as("nlabel"))
+        .groupBy(col("node"))
+        .agg(min(struct(negate(col("gain")).as("ng"), col("c").as("c"))).as("m"))
+        .select(col("node"), col("m.c").as("nlabel"))
       // resetStats: the per-round checkpoint would otherwise carry the
       // round plan's MULTIPLIED size estimate into the next round's
       // joins — geometric stats growth that wedges the driver after a
@@ -2033,8 +2060,6 @@ object Graph {
       val q = pmod(h * h, lit(p))
       pmod(q * q, lit(p))
     }
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("hv"))
     var s = adj.select(col("node")).distinct()
       .select(col("node"), keyHash(col("node")).as("hv"))
       .localCheckpoint(false)
@@ -2046,15 +2071,20 @@ object Graph {
           .otherwise(lit((k - 1).toLong * p).cast("double") / col("kth").cast("double"))
           .as(name))
     var ests = estOf(s, "est0")
+    val spark = edges.sparkSession
     for (t <- 1 to maxHops) {
       val fromNbr = adj
         .join(s.select(col("node").as("nbr"), col("hv")), "nbr")
         .select(col("node"), col("hv"))
-      s = ckptRound(s.unionAll(fromNbr)
-        .distinct()
-        .withColumn("rk", row_number().over(wRank))
-        .filter(col("rk") <= k)
-        .drop("rk"))
+      // bottom-k via the bounded-heap TopKPerKey operator instead of a
+      // row_number window (r14, guide §2.4 / the operator's own
+      // scaladoc): the window SORTED every node's full merged sketch
+      // stream each round; the heap keeps k rows per node in one pass
+      // over the same single node exchange. Input rows are distinct, so
+      // the kept (node, hv) SET is identical and every downstream
+      // estimator (count + max per node) is order-free.
+      s = ckptRound(graft.plans.TopKPerKey(spark,
+        s.unionAll(fromNbr).distinct(), Seq("node"), Seq("hv" -> false), k))
       ests = ests.join(estOf(s, s"est$t"), "node")
     }
     ests
