@@ -355,38 +355,40 @@ object Graph {
     // the out-degree is STATIC across rounds, so it joins onto the edge
     // table ONCE here (8 extra bytes/edge in the checkpoint) instead of
     // shuffling outdeg into the share join every iteration — one join
-    // per round, not two, at any scale. ckptByKey (r14): laid out
-    // hash(src) + sorted with the layout DECLARED, so each round's
-    // share join needs NO exchange and NO sort on the edge side — the
-    // former Unknown-partitioned checkpoint was re-shuffled and
-    // re-sorted every round (N−1 redundant full-table exchanges;
-    // measured q_pagerank 13.8 → 11.7 s at sf1 where the rank table
-    // outgrows the broadcast threshold). The sizing count doubles as
-    // the e/e2 materialization the first round used to pay (no extra
-    // job at test scale, where the layout gate no-ops — see Layouts).
-    val e2ck = e.join(outdeg, Seq("src")).localCheckpoint(false)
-    val e2rows = e2ck.count()
-    val e2 = graft.core.Layouts.ckptByKeyCounted(e2ck, e2rows, "src")
+    // per round, not two, at any scale.
+    //
+    // NOTE (r14, measured, REVERTED): a layout-declared checkpoint
+    // (repartition(n, src) + sortWithinPartitions + re-declaring
+    // HashPartitioning/ordering on the LogicalRDD leaf, so the rounds'
+    // share joins skip the static side's exchange+sort — the bucketed-
+    // table shape, guide §2.4) was built and A/B'd here in three forms:
+    // pinned shuffle-width (1.2–2.7× regression at sf0.1 — a declared
+    // layout is exempt from AQE coalescing and pins every downstream
+    // stage to its width), advisory-sized (still slower where AQE
+    // broadcast the evolving side), and advisory-sized-with-a-≥2-
+    // partition gate (neutral at sf0.1; at sf1 clean 5-run floors
+    // measured q_pagerank 14.89 s vs 12.82 s on the plain checkpoint —
+    // the extra materialization pass + second cached copy of the edge
+    // table cost more than the per-round exchange it saved under this
+    // host's memory budget). The plain checkpoint wins at every scale
+    // this environment can measure; the full numbers are in
+    // OPTIMIZATION_r14.md §5.
+    val e2 = e.join(outdeg, Seq("src")).localCheckpoint(false)
     // dangling-ness is equally static: flag it on the node table once,
     // so the per-round dangling-mass scalar is a plain aggregate over r
     // (no per-round anti-join shuffle of the full rank frame)
     val hasOut = outdeg.select(col("src").as("node"), lit(1).as("_hs"))
     // uniform PageRank IS the personalized walk seeded on every node —
     // one code path, one oracle generator, `sf` the restart indicator
-    val nodesCk = ((seeds match {
+    val nodes = (seeds match {
       case None => nodes0.select(col("node"), lit(1).as("sf"))
       case Some(s) => nodes0
         .join(s.select(col("node"), lit(1).as("_sf")).distinct(), Seq("node"), "left")
         .select(col("node"), coalesce(col("_sf"), lit(0)).as("sf"))
     }).join(hasOut, Seq("node"), "left")
       .select(col("node"), col("sf"),
-        when(col("_hs").isNull, 1).otherwise(0).as("dang")))
+        when(col("_hs").isNull, 1).otherwise(0).as("dang"))
       .localCheckpoint(false)
-    // node-keyed layout for the per-round contrib join and warm-start
-    // init join; sized by the edge row count (an upper bound on the
-    // node count — only ever errs toward more partitions), so no
-    // dedicated count job; the sn aggregate below materializes it.
-    val nodes = graft.core.Layouts.ckptByKeyCounted(nodesCk, e2rows, "node")
     // seed count: a control-plane scalar (one distributed agg). The
     // driver-side doubles below repeat the exact op sequence the
     // oracle runs in-engine (floor(1e9/sn + 0.5), ((1-d)/sn)*1e9), so
@@ -1193,12 +1195,12 @@ object Graph {
   ): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
     // NOTE (r14, measured): layout-declared src/dst copies of the edge
-    // table (Layouts.ckptByKey) were A/B'd here and REVERTED — AQE
+    // table (hash-partitioned+sorted checkpoints with the layout
+    // re-declared on the leaf) were A/B'd here and REVERTED — AQE
     // already broadcast-joins the node-sized score table at the scales
     // a bench exercises, so the claims saved nothing while the extra
     // materialization passes cost 1.2–2.7× (sf0.1 and sf1, same-window
-    // A/Bs). The pageRank prep keeps the claim where the evolving side
-    // is rank-table-sized and the round join is genuinely shuffle-bound.
+    // A/Bs; full numbers in OPTIMIZATION_r14.md §5).
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))

@@ -66,61 +66,17 @@ object Bridge {
     }
   }
 
-  /** Re-declare the physical layout of a checkpointed frame's
-    * `LogicalRDD` leaf: hash-partitioning on `keyNames` and an
-    * ascending per-partition sort on `sortNames` — the in-memory
-    * analogue of a bucketed+sorted table (guide §2.4: a persisted
-    * partitioning lets repeated joins/aggregations on the key skip
-    * their exchange entirely).
-    *
-    * Why it is needed: `localCheckpoint` materializes through whatever
-    * physical plan AQE produced, and under AQE the captured
-    * `outputPartitioning` is `UnknownPartitioning` (the logical-RDD
-    * conversion happens before the adaptive plan finalizes), so every
-    * iterative operator re-shuffled its STATIC edge/feature table on
-    * every round's keyed join — N-1 redundant full-table exchanges
-    * (and sorts) for an N-round loop.
-    *
-    * SAFETY CONTRACT — the claim must be true by construction: call
-    * this ONLY on a frame of the shape
-    * `df.repartition(n, keys).sortWithinPartitions(sorts).localCheckpoint(false)`.
-    * `repartition(n, keys)` plans a REPARTITION_BY_NUM shuffle, which
-    * AQE never coalesces or skew-splits (user-pinned partition count),
-    * so the persisted RDD is EXACTLY `HashPartitioning(keys, n)` and
-    * each partition is sorted; the claim merely restores what the
-    * conversion dropped. Claiming a layout the rows do not have
-    * produces silently wrong joins. [[graft.core.Layouts.ckptByKey]]
-    * is the only intended caller and enforces the shape.
-    *
-    * Also drops carried-over origin statistics (the [[resetStats]]
-    * rationale) — claimed frames are loop inputs and must not seed the
-    * geometric stats growth.
-    */
-  def claimHashLayout(
-      df: org.apache.spark.sql.DataFrame,
-      keyNames: Seq[String],
-      sortNames: Seq[String]
-  ): org.apache.spark.sql.DataFrame = {
-    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    ds.logicalPlan match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        def attr(n: String) = l.output.find(_.name == n).getOrElse(
-          throw new IllegalArgumentException(
-            s"claimHashLayout: no column '$n' in ${l.output.map(_.name)}"))
-        val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
-          keyNames.map(attr), l.rdd.getNumPartitions)
-        val ord = sortNames.map(n =>
-          org.apache.spark.sql.catalyst.expressions.SortOrder(
-            attr(n), org.apache.spark.sql.catalyst.expressions.Ascending))
-        ofRows(ds.sparkSession,
-          org.apache.spark.sql.execution.LogicalRDD(
-            l.output, l.rdd, part, ord, l.isStreaming, l.stream)(
-            ds.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], None, None))
-      case other =>
-        throw new IllegalArgumentException(
-          s"claimHashLayout expects a localCheckpoint'd frame (LogicalRDD leaf), got ${other.nodeName}")
-    }
-  }
+  // NOTE (r14): a `claimHashLayout` helper lived here briefly —
+  // re-declaring HashPartitioning + sort order on a checkpoint's
+  // LogicalRDD leaf so iterative loops could skip the static side's
+  // per-round exchange (the bucketed-table shape). It worked exactly
+  // as designed at the plan level, but every measured application lost
+  // to AQE's own runtime choices at both test scales (pinned widths
+  // defeat partition coalescing; the extra laid-out materialization
+  // pass and second cached copy outweigh the saved exchanges under
+  // this host's memory budget) — see OPTIMIZATION_r14.md §5 for the
+  // A/B numbers. Removed rather than left as dead code; re-derive from
+  // the md if a genuinely shuffle-bound-loop deployment wants it.
 
   /** Build an independent session over an existing SparkContext with the
     * given SparkSessionExtensions builder applied — what
